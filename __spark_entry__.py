@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (SURVEY.md §7.2 — the reference's
+core analytical question, A2+A4 city comparison) at sf0.001.
+``queries()``/``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 plus the extension surface, with DuckDB oracles for everything
+SQL-expressible.
 """
 
 from __future__ import annotations
@@ -13,26 +13,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from skylogix_real_time_weather_data_pipeline_spark import plans
+from skylogix_real_time_weather_data_pipeline_spark.plans import weather
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: per-city multi-metric comparison + warmest/coldest
+    ranking (SURVEY §7.2; reference src/analyze.py:185-218) on sf0.001."""
+    from pyspark.sql import functions as F
+
+    comparison = weather.q_city_comparison(spark, SF_SMOKE)
+    return comparison.orderBy(F.desc("temp_mean"), F.asc("city"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
+    return plans.all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per query (omissions are the
+    documented rows-only checks: two-phase driver-side ops)."""
+    return plans.all_oracles()

@@ -1,0 +1,195 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Designed for the 100 TB case:
+
+- exact dedup is a hash-groupBy on a fingerprint (one shuffle on md5 —
+  uniformly distributed, skew-free);
+- MinHash signatures are computed in ONE aggregation over the exploded
+  shingle stream (n_hashes mins per doc, map-side partial agg);
+- LSH banding turns all-pairs comparison into an equi-join on
+  (band_index, band_hash) — the only pairs materialized are same-bucket
+  candidates, so cost tracks true-duplicate density instead of n².
+
+Hashing is md5-based (not Spark's xxhash64) so results are portable —
+a DuckDB/ANSI oracle can reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles
+
+
+def _md5_long(col, seed: int) -> F.Column:
+    """Portable 60-bit hash: first 15 hex chars of md5(seed|value).
+
+    Mirrors SQL: CAST(concat('0x', substr(md5(seed || '|' || v), 1, 15)) AS BIGINT).
+    """
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}|"), col)), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the smallest id per content fingerprint.
+
+    min() aggregation (not row_number) — fully map-side-combinable, no sort.
+    Returns (fingerprint, doc_id survivor, n_copies).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       n_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
+    """MinHash signature per doc: n_hashes columns mh00..mhNN.
+
+    One explode + one groupBy: each exploded shingle row evaluates all
+    n_hashes hash expressions; min() per doc is a partial-aggregatable
+    single shuffle on doc id.
+    """
+    sh = df.select(id_col, F.explode(shingles(text_col, shingle_n)).alias("shingle"))
+    aggs = [F.min(_md5_long(F.col("shingle"), i)).alias(f"mh{i:02d}") for i in range(n_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      n_hashes: int = 16, bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """LSH candidate pairs: band the signature, bucket-join within bands.
+
+    Returns distinct (id_a < id_b) candidate pairs with the number of
+    bands in which they collide. At scale the join key (band_idx,
+    band_hash) is uniformly distributed — no skew — and the join output is
+    bounded by bucket occupancy, not n².
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r:02d}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("band_hash"))
+        )
+    banded = sig.select(id_col, F.explode(F.array(*band_structs)).alias("band")).select(
+        id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_band_collisions"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        shingle_n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+
+    shingle-explode → self-join on shingle → |A∩B| per pair → Jaccard with
+    |A|,|B| from a per-doc size table. Only pairs sharing ≥1 shingle are
+    ever materialized; the shingle join key is content-hash distributed.
+    For web-scale corpora, run AFTER minhash_lsh_pairs as the verify stage.
+    """
+    sh = df.select(id_col, F.explode(shingles(text_col, shingle_n)).alias("shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            n_bits: int = 32) -> DataFrame:
+    """SimHash fingerprint (n_bits ≤ 60) from token md5 hashes.
+
+    Explode tokens → per-bit signed vote sum → reassemble integer. The
+    per-bit sums are one groupBy(doc) with n_bits count-style aggregates —
+    partial-aggregatable, single shuffle.
+    """
+    from .text import tokens
+
+    tok = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = _md5_long(F.col("tok"), 0)
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"v{b:02d}")
+            for b in range(n_bits)
+        ]
+    )
+    sim = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"v{b:02d}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select(id_col, sim.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       n_bits: int = 32, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Scale path: block on bit-chunks (pigeonhole — two fingerprints within
+    hamming k must share one of k+1 chunks) so the self-join is on chunk
+    equality, not all-pairs.
+    """
+    s = simhash(df, text_col, id_col, n_bits)
+    chunks = max_hamming + 1
+    chunk_bits = n_bits // chunks
+    mask = (1 << chunk_bits) - 1
+    chunked = s.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright("simhash", i * chunk_bits).bitwiseAND(F.lit(mask)).alias("chunk_val"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk_idx", "c.chunk_val")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

@@ -1,0 +1,121 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video travel as ``binary`` columns with a metadata struct;
+decode / feature-extract run as Arrow-batched ``mapInPandas`` stages. The
+actual codec step is STUBBED (image/audio libraries are not available in
+this environment) behind ``DECODERS`` — the Spark-side contract (schemas,
+batch iteration, partitioning) is real and tested, so dropping in a real
+decoder is a one-function change.
+
+Scale notes: binary payloads stay off the driver; ``mapInPandas`` streams
+Arrow batches per partition; repartition by size bucket before heavy decode
+so one giant file can't straggle a partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: metadata contract for a multimodal asset column
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("modality", StringType()),  # image | audio | video
+        StructField("mime_type", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha256", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int]:
+    """STUB decode: deterministic fake dimensions derived from the payload
+    hash. Replace with PIL/cv2 ``Image.open(io.BytesIO(payload)).size`` when
+    the codec libraries are present."""
+    h = hashlib.sha256(payload).digest()
+    return 64 + h[0] % 192, 64 + h[1] % 192
+
+
+DECODERS = {"image": _decode_image_stub}
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` — each executor receives pandas batches of the binary
+    column; no row-at-a-time Python, no driver collection.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [
+                DECODERS.get(m, lambda p: (None, None))(bytes(p)) if p is not None else (None, None)
+                for m, p in zip(pdf["modality"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": [len(bytes(p)) if p is not None else 0 for p in pdf["payload"]],
+                    "sha256": [
+                        hashlib.sha256(bytes(p)).hexdigest() if p is not None else None
+                        for p in pdf["payload"]
+                    ],
+                    "width": pd.array([d[0] for d in dims], dtype="Int32"),
+                    "height": pd.array([d[1] for d in dims], dtype="Int32"),
+                }
+            )
+
+    return assets.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(assets: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling *plan*: emits (asset_id, frame_index) rows for a
+    downstream decode stage — pure relational fan-out, decode stays stubbed.
+
+    Fake frame count is derived deterministically from payload size so the
+    plumbing (explode fan-out, partitioning) is exercised for real.
+    """
+    n_frames = (F.length(F.col("payload")) / F.lit(1024)).cast("int") + 1
+    return (
+        assets.filter(F.col("modality") == "video")
+        .select(
+            "asset_id",
+            F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_index"),
+        )
+    )
+
+
+def synthetic_assets(spark, documents: DataFrame, modality: str = "image") -> DataFrame:
+    """Build a deterministic asset table from the documents corpus (text →
+    utf-8 bytes as payload) so the multimodal path is testable without
+    binary fixtures."""
+    return documents.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit(modality).alias("modality"),
+        F.lit("application/octet-stream").alias("mime_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )

@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline: a broadcast of the query
+vector + one narrow pass computing dot/norm via higher-order functions
+(``zip_with`` + ``aggregate`` — JVM-side, no Python). The IVF variant is
+the scale path: partition the corpus into coarse cells, probe only the
+nearest cells — at 100 TB this turns a full scan into a pruned scan of
+nprobe/ncells of the data (pair it with cell-partitioned parquet so pruning
+happens at the file level).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a strict left-to-right fold (deterministic fp order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector.
+
+    The query is a literal array → constant-folded, effectively broadcast;
+    the scan is one narrow projection + a global top-k (Spark's
+    TakeOrderedAndProject — no full sort). Tie-break pinned on id.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        id_col,
+        F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def cosine_topk_by_id(df: DataFrame, query_id: int, k: int = 10,
+                      vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Top-k with the query looked up from the corpus itself (excluded from
+    results). Lookup is a driver-side 1-row collect — O(1) at any scale."""
+    row = df.filter(F.col(id_col) == query_id).select(vec_col).first()
+    if row is None:
+        raise KeyError(f"{id_col}={query_id} not found")
+    qv = [float(x) for x in row[0]]
+    return cosine_topk(df.filter(F.col(id_col) != query_id), qv, k, vec_col, id_col)
+
+
+def centroids_by_label(df: DataFrame, vec_col: str = "embedding",
+                       label_col: str = "label") -> DataFrame:
+    """Element-wise mean vector per label: posexplode → groupBy(label, pos)
+    → avg → re-assemble with array_agg sorted by position.
+
+    This is the IVF coarse-quantizer build step (here labels play the role
+    of k-means cells; swap in Spark ML KMeans for unlabeled corpora).
+    """
+    pe = df.select(label_col, F.posexplode(vec_col).alias("pos", "v"))
+    means = pe.groupBy(label_col, "pos").agg(F.avg(F.col("v").cast("double")).alias("m"))
+    return means.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10, nprobe: int = 1,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             label_col: str = "label") -> DataFrame:
+    """IVF-style ANN: probe the nprobe nearest cells, brute-force inside.
+
+    The cell assignment filter prunes the scan (with cell-partitioned
+    storage it prunes at file level); accuracy/cost trades via nprobe.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cents = centroids_by_label(df, vec_col, label_col)
+    probed = [
+        r[0]
+        for r in cents.select(label_col, cosine(F.col("centroid"), q).alias("s"))
+        .orderBy(F.desc("s"), F.asc(label_col))
+        .limit(nprobe)
+        .collect()
+    ]
+    return cosine_topk(df.filter(F.col(label_col).isin(probed)), query_vec, k, vec_col, id_col)
+
+
+def pairwise_topk_join(df: DataFrame, k: int = 5, vec_col: str = "embedding",
+                       id_col: str = "vec_id", label_col: str = "label") -> DataFrame:
+    """All-pairs top-k *within label cells* — the LSH/IVF-bucketed pattern
+    for corpus-vs-corpus similarity: self-join restricted to the cell key,
+    never the full n² cross product."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(label_col).alias("cell"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(label_col).alias("cell"))
+    pairs = a.join(b, ["cell"]).filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "cell", "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine_sim"), F.asc("id_b"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")

@@ -1,0 +1,121 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All column-expression based (JVM-side, whole-stage codegen) — no Python
+UDFs. Tokenization uses a portable regex so a DuckDB oracle can mirror it
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: portable tokenizer: runs of letters, runs of digits, or single symbols.
+#: Same pattern is valid in Java regex (Spark) and RE2-ish (DuckDB).
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+#: tiny per-language stopword lists for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est"],
+    "es": ["el", "los", "las", "de", "que", "y", "es"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (array<string>), empty-safe."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(text), "\\s+"), lambda t: t != "")
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-ish regex token stream: letter runs / digit runs / symbols."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality-scoring features per document: token counts, length ratios,
+    lexical diversity, stopword ratio. One narrow projection, no shuffle."""
+    toks = tokens(text_col)
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_tok = F.size(toks)
+    return df.select(
+        id_col,
+        F.length(text_col).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / n_tok, 6).alias("lexical_diversity"),
+        F.round(
+            F.length(F.regexp_replace(F.col(text_col), "\\s+", "")) / n_tok, 6
+        ).alias("avg_token_len"),
+        F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t))).alias("n_stopwords"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t))) / n_tok, 6
+        ).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1]: favors mid-length docs with diverse
+    vocabulary — the Gopher-rules-style shape, deterministic and portable."""
+    stats = token_stats(df, text_col, id_col)
+    length_ok = F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000), 1.0).otherwise(0.5)
+    return stats.select(
+        id_col,
+        F.round(
+            length_ok * (0.5 + 0.5 * F.least(F.col("lexical_diversity") * 2, F.lit(1.0))), 6
+        ).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: argmax over per-language stopword hit counts;
+    ties and zero-hits → 'unknown'. Pure expressions; for real pipelines
+    swap in a fastText-style model via pandas_udf (same output contract)."""
+    toks = tokens(text_col)
+
+    def contains(arr):
+        # single-arg lambda: F.filter treats a 2-arg callable as (elem, idx)
+        return lambda t: F.array_contains(arr, t)
+
+    hit_cols = {}
+    for lang, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hit_cols[f"hits_{lang}"] = F.size(F.filter(toks, contains(arr)))
+    scored = df.select(id_col, *[c.alias(n) for n, c in hit_cols.items()])
+    best = F.greatest(*[F.col(n) for n in hit_cols])
+    pred = F.lit("unknown")
+    # reverse-alphabetical chain so earlier (alphabetical) langs win ties
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when((best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)).otherwise(pred)
+    return scored.select(id_col, *hit_cols.keys(), pred.alias("lang_pred"))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as strings ('w1 w2 w3'), distinct per doc."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                n: int = 3, selector_prefix: str = "0") -> DataFrame:
+    """Document fingerprinting (winnowing-lite): hash every word n-gram
+    shingle, keep the deterministic ~1/16 sample whose md5 starts with
+    ``selector_prefix``; summarize as (count, min, max) per doc so the
+    output is order-insensitive and scale-independent."""
+    sh = df.select(id_col, F.explode(shingles(text_col, n)).alias("shingle"))
+    hashed = sh.select(id_col, F.md5("shingle").alias("h"))
+    selected = hashed.filter(F.substring("h", 1, len(selector_prefix)) == selector_prefix)
+    return selected.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("h").alias("min_fingerprint"),
+        F.max("h").alias("max_fingerprint"),
+    )

@@ -1,0 +1,219 @@
+"""Gold-layer query builders (SURVEY.md §2.5 A1-A12, §2.6 W1-W4).
+
+Every builder returns a lazy DataFrame over the canonical observation schema
+(schemas.PROCESSED_WEATHER_SCHEMA column names, overridable for other
+datasets). All aggregates are built-in JVM expressions → partial+final hash
+aggregation, whole-stage codegen, no Python in the hot path.
+
+Determinism pins (SURVEY §7.4.1): mode tie-break is lexicographic; the
+trend label maps sum(change)==0 → 'cooling' exactly like the reference
+(src/analyze.py:257); medians/quantiles use exact linear-interpolation
+``percentile``/``median`` so a pandas/DuckDB oracle hash-matches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def basic_stats(df: DataFrame, ts: str = "timestamp", temp: str = "temperature",
+                humidity: str = "humidity", wind: str = "wind_speed") -> DataFrame:
+    """A1: global multi-metric aggregate (reference src/analyze.py:146-183).
+
+    One ``agg`` → single partial+final hash-agg pass over the table.
+    """
+    return df.agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.min(ts).alias("ts_min"),
+        F.max(ts).alias("ts_max"),
+        F.round(F.min(temp), 6).alias("temp_min"),
+        F.round(F.max(temp), 6).alias("temp_max"),
+        F.round(F.avg(temp), 6).alias("temp_mean"),
+        F.round(F.expr(f"percentile({temp}, 0.5)"), 6).alias("temp_median"),
+        F.round(F.min(humidity), 6).alias("humidity_min"),
+        F.round(F.max(humidity), 6).alias("humidity_max"),
+        F.round(F.avg(humidity), 6).alias("humidity_mean"),
+        F.round(F.min(wind), 6).alias("wind_min"),
+        F.round(F.max(wind), 6).alias("wind_max"),
+        F.round(F.avg(wind), 6).alias("wind_mean"),
+    )
+
+
+def city_comparison(df: DataFrame, city: str = "city", temp: str = "temperature",
+                    humidity: str = "humidity", wind: str = "wind_speed") -> DataFrame:
+    """A2/A3: per-city multi-aggregate summary (reference src/analyze.py:185-213,
+    src/load.py:188-196). Rounding to 2 mirrors the summary sink (P13)."""
+    return df.groupBy(city).agg(
+        F.round(F.avg(temp), 2).alias("temp_mean"),
+        F.round(F.min(temp), 2).alias("temp_min"),
+        F.round(F.max(temp), 2).alias("temp_max"),
+        F.round(F.avg(humidity), 2).alias("humidity_mean"),
+        F.round(F.avg(wind), 2).alias("wind_mean"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+def warmest_coldest(df: DataFrame, city: str = "city", temp: str = "temperature") -> DataFrame:
+    """A4/W4: argmax+argmin city by mean temperature (reference
+    src/analyze.py:216-218). Tie-break pinned to city name ascending.
+
+    Implemented as rank-1 selection over the (small) per-city aggregate —
+    the aggregate shuffles once; the window runs on the tiny result.
+    """
+    per_city = df.groupBy(city).agg(F.round(F.avg(temp), 6).alias("temp_mean"))
+    w_hot = Window.orderBy(F.desc("temp_mean"), F.asc(city))
+    w_cold = Window.orderBy(F.asc("temp_mean"), F.asc(city))
+    hot = (
+        per_city.withColumn("rn", F.row_number().over(w_hot))
+        .filter(F.col("rn") == 1)
+        .select(F.lit("warmest").alias("label"), F.col(city), F.col("temp_mean"))
+    )
+    cold = (
+        per_city.withColumn("rn", F.row_number().over(w_cold))
+        .filter(F.col("rn") == 1)
+        .select(F.lit("coldest").alias("label"), F.col(city), F.col("temp_mean"))
+    )
+    return hot.unionAll(cold)
+
+
+def daily_city_agg(df: DataFrame, city: str = "city", temp: str = "temperature",
+                   date: str = "date") -> DataFrame:
+    """A5: two-key (date, city) daily aggregate (reference src/analyze.py:239-243)."""
+    return df.groupBy(date, city).agg(
+        F.round(F.avg(temp), 6).alias("temp_mean"),
+        F.round(F.min(temp), 6).alias("temp_low"),
+        F.round(F.max(temp), 6).alias("temp_high"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+def condition_histogram(df: DataFrame, condition: str = "weather_condition") -> DataFrame:
+    """A6: value_counts of the condition column (reference src/analyze.py:276)."""
+    return df.groupBy(condition).agg(F.count(F.lit(1)).alias("n"))
+
+
+def condition_mode_by_city(df: DataFrame, city: str = "city",
+                           condition: str = "weather_condition") -> DataFrame:
+    """A7: per-city modal condition (reference src/analyze.py:280-288).
+
+    Portable two-level form: count per (city, condition) → rank-1 by
+    (count desc, condition asc). The lexicographic tie-break is pinned
+    (pandas breaks ties by first-seen order, which is not reproducible
+    distributed — SURVEY §7.4.1c).
+    """
+    counts = df.groupBy(city, condition).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(city).orderBy(F.desc("n"), F.asc(condition))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(city, F.col(condition).alias("mode_condition"), F.col("n").alias("mode_count"))
+    )
+
+
+def daily_pivot(df: DataFrame, pivot_values: Sequence[str], city: str = "city",
+                temp: str = "temperature", date: str = "date") -> DataFrame:
+    """A8: date rows × city columns of mean temperature (reference
+    src/analyze.py:371-374).
+
+    Explicit ``pivot_values`` keeps the plan single-pass and the output
+    column order deterministic (SURVEY §7.4.3).
+    """
+    out = df.groupBy(date).pivot(city, list(pivot_values)).agg(F.round(F.avg(temp), 6))
+    # normalize pivot column names to valid, deterministic identifiers
+    renames = {v: f"c_{str(v).lower()}" for v in pivot_values}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(str(old), new)
+    return out
+
+
+def quantile_summary(df: DataFrame, columns: Sequence[str],
+                     quantiles: Sequence[float] = (0.05, 0.25, 0.5, 0.75, 0.95)) -> DataFrame:
+    """A9: per-column quantiles, one row per column (reference
+    src/transform.py:174-175, src/analyze.py:474 box-plot stats)."""
+    parts = []
+    for c in columns:
+        exprs = [F.lit(c).alias("metric")] + [
+            F.round(F.expr(f"percentile({c}, {q})"), 6).alias(f"q{int(q * 100):02d}")
+            for q in quantiles
+        ]
+        parts.append(df.agg(*exprs))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def linear_fit(df: DataFrame, x: str = "temperature", y: str = "humidity") -> DataFrame:
+    """A10: least-squares deg-1 fit + Pearson r, closed form from aggregates
+    (reference src/analyze.py:441-449 ``np.polyfit(x, y, 1)``).
+
+    slope = covar_pop(x,y)/var_pop(x); intercept = avg(y) - slope*avg(x).
+    Single aggregation pass; no ML dependency, no iteration.
+    """
+    agg = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull()).agg(
+        F.covar_pop(x, y).alias("_cov"),
+        F.var_pop(x).alias("_var"),
+        F.avg(x).alias("_mx"),
+        F.avg(y).alias("_my"),
+        F.corr(x, y).alias("_r"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    slope = F.col("_cov") / F.col("_var")
+    return agg.select(
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("_my") - slope * F.col("_mx"), 6).alias("intercept"),
+        F.round(F.col("_r"), 6).alias("pearson_r"),
+        F.col("n"),
+    )
+
+
+def outlier_counts(df: DataFrame, bounds: dict[str, tuple[float, float]]) -> DataFrame:
+    """A11: per-column out-of-bounds counts in ONE pass (reference
+    src/transform.py:180-182 counts while cleaning)."""
+    aggs = [
+        F.sum(
+            F.when((F.col(c) < lo) | (F.col(c) > hi), F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"{c}_outliers")
+        for c, (lo, hi) in bounds.items()
+    ]
+    return df.agg(*aggs)
+
+
+def exact_median(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """A12: exact per-column median (reference src/transform.py:188,
+    src/analyze.py:169). Exact ``percentile`` matches pandas interpolation."""
+    return df.agg(
+        *[F.round(F.expr(f"percentile({c}, 0.5)"), 6).alias(f"{c}_median") for c in columns]
+    )
+
+
+def temperature_trends(df: DataFrame, city: str = "city", temp: str = "temperature",
+                       date: str = "date") -> DataFrame:
+    """W1+W2: per-city daily temperature change series → trend summary
+    (reference src/analyze.py:246-258).
+
+    Stage 1 collapses to one row per (city, day) — the shuffle is on the
+    small aggregated set. Stage 2 is a lag window per city ordered by day.
+    Label semantics preserved verbatim: sum(change) > 0 → 'warming',
+    else (including exactly 0) → 'cooling' (SURVEY §7.4.1d).
+    """
+    daily = df.groupBy(city, date).agg(F.avg(temp).alias("t"))
+    w = Window.partitionBy(city).orderBy(date)
+    delta = daily.withColumn("change", F.col("t") - F.lag("t", 1).over(w))
+    return (
+        delta.filter(F.col("change").isNotNull())
+        .groupBy(city)
+        .agg(
+            F.round(F.avg("change"), 6).alias("avg_change"),
+            F.round(F.max("change"), 6).alias("max_change"),
+            F.round(F.min("change"), 6).alias("min_change"),
+            F.round(F.sum("change"), 6).alias("sum_change"),
+        )
+        .withColumn(
+            "trend",
+            F.when(F.col("sum_change") > 0, F.lit("warming")).otherwise(F.lit("cooling")),
+        )
+    )

@@ -1,0 +1,333 @@
+"""Extension-operator queries: dedup / similarity / text analysis over the
+``documents`` and ``embeddings`` tables (the LLM-training-data surface).
+
+Hashing is md5-based everywhere (ext.dedup._md5_long) precisely so these
+oracles can reproduce signatures bit-for-bit in DuckDB. The oracle token /
+shingle pipelines mirror ext.text.tokens / ext.text.shingles expression by
+expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ext import dedup, similarity, text
+
+_N_HASHES = 16
+_BANDS = 4
+_SIMHASH_BITS = 32
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+#: DuckDB mirrors of ext.text.tokens / ext.text.shingles(n=3)
+TOK_CTE = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(range(1, len(tk) - 1),
+                                    i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+                ELSE [array_to_string(tk, ' ')] END
+         ) AS shingles
+  FROM toks
+)
+"""
+
+#: 60-bit portable hash (mirror of ext.dedup._md5_long)
+def _sql_hash(seed: int, expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5(concat('{seed}|', {expr})), 1, 15)) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+O_EXACT_DEDUP = """
+SELECT md5(text) AS fingerprint,
+       MIN(doc_id) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures (bit-for-bit oracle via md5 hashing)
+# --------------------------------------------------------------------------
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(_docs(spark, sf_dir), n_hashes=_N_HASHES)
+
+
+_mh_cols = ",\n       ".join(
+    f"MIN({_sql_hash(i, 'shingle')}) AS mh{i:02d}" for i in range(_N_HASHES)
+)
+O_MINHASH_SIGNATURES = TOK_CTE + f"""
+, exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+SELECT doc_id,
+       {_mh_cols}
+FROM exploded GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash LSH candidate pairs
+# --------------------------------------------------------------------------
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=_N_HASHES, bands=_BANDS)
+
+
+_rows_per_band = _N_HASHES // _BANDS
+_band_rows = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {b} AS band_idx, md5(concat_ws('_', {cols})) AS band_hash FROM sig".format(
+        b=b,
+        cols=", ".join(
+            f"CAST(mh{b * _rows_per_band + r:02d} AS VARCHAR)" for r in range(_rows_per_band)
+        ),
+    )
+    for b in range(_BANDS)
+)
+O_MINHASH_LSH_PAIRS = TOK_CTE + f"""
+, exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+, sig AS (
+  SELECT doc_id, {_mh_cols}
+  FROM exploded GROUP BY doc_id
+)
+, banded AS (
+{_band_rows}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_band_collisions
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs
+# --------------------------------------------------------------------------
+
+_JACCARD_T = 0.2
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=_JACCARD_T)
+
+
+O_NGRAM_JACCARD = TOK_CTE + f"""
+, exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+, sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM exploded GROUP BY doc_id)
+, inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM exploded a JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_inter,
+       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {_JACCARD_T}
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints
+# --------------------------------------------------------------------------
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir), n_bits=_SIMHASH_BITS)
+
+
+_vote_cols = ",\n       ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b:02d}"
+    for b in range(_SIMHASH_BITS)
+)
+_sim_terms = " + ".join(
+    f"CASE WHEN v{b:02d} > 0 THEN {2 ** b} ELSE 0 END" for b in range(_SIMHASH_BITS)
+)
+O_SIMHASH = TOK_CTE + f"""
+, tok AS (SELECT doc_id, unnest(tk) AS t FROM toks)
+, hashed AS (SELECT doc_id, {_sql_hash(0, 't')} AS h FROM tok)
+, votes AS (
+  SELECT doc_id,
+       {_vote_cols}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({_sim_terms} AS BIGINT) AS simhash FROM votes
+"""
+
+
+# --------------------------------------------------------------------------
+# Token stats / quality / language ID
+# --------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(_docs(spark, sf_dir))
+
+
+_en_stop_sql = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
+O_TOKEN_STATS = TOK_CTE + f"""
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       CAST(len(tk) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(tk)) AS INTEGER) AS n_distinct_tokens,
+       ROUND(len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE), 6) AS lexical_diversity,
+       ROUND(length(regexp_replace(text, '\\s+', '', 'g')) / CAST(len(tk) AS DOUBLE), 6) AS avg_token_len,
+       CAST(len(list_filter(tk, t -> t IN ({_en_stop_sql}))) AS INTEGER) AS n_stopwords,
+       ROUND(len(list_filter(tk, t -> t IN ({_en_stop_sql}))) / CAST(len(tk) AS DOUBLE), 6) AS stopword_ratio
+FROM toks
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(_docs(spark, sf_dir))
+
+
+_lang_hits = ",\n       ".join(
+    "CAST(len(list_filter(tk, t -> t IN ({ws}))) AS INTEGER) AS hits_{lang}".format(
+        ws=", ".join(f"'{w}'" for w in ws), lang=lang
+    )
+    for lang, ws in text.STOPWORDS.items()
+)
+_best = "greatest(" + ", ".join(f"hits_{l}" for l in text.STOPWORDS) + ")"
+_pred = "'unknown'"
+for _lang in sorted(text.STOPWORDS, reverse=True):
+    _pred = f"CASE WHEN {_best} > 0 AND hits_{_lang} = {_best} THEN '{_lang}' ELSE {_pred} END"
+O_LANGUAGE_ID = TOK_CTE + f"""
+, hits AS (
+  SELECT doc_id,
+       {_lang_hits}
+  FROM toks
+)
+SELECT doc_id, hits_en, hits_de, hits_fr, hits_es, {_pred} AS lang_pred FROM hits
+"""
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(text.bpe_ish_tokens(F.col("text"))).alias("n_bpe_tokens"),
+        F.size(text.tokens(F.col("text"))).alias("n_ws_tokens"),
+    )
+
+
+O_BPE_TOKEN_COUNT = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS INTEGER) AS n_bpe_tokens,
+       CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS INTEGER) AS n_ws_tokens
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting (winnowing-lite)
+# --------------------------------------------------------------------------
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_docs(spark, sf_dir))
+
+
+O_FINGERPRINT = TOK_CTE + """
+, exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+, hashed AS (SELECT doc_id, md5(shingle) AS h FROM exploded)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       MIN(h) AS min_fingerprint,
+       MAX(h) AS max_fingerprint
+FROM hashed WHERE substr(h, 1, 1) = '0' GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity: brute-force cosine top-k (query = vec_id 0)
+# --------------------------------------------------------------------------
+
+_TOPK = 10
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk_by_id(_embs(spark, sf_dir), query_id=0, k=_TOPK)
+
+
+O_COSINE_TOPK = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         ROUND(
+           list_sum(list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) AS cosine_sim
+  FROM embeddings, q WHERE vec_id <> 0
+)
+SELECT vec_id, cosine_sim FROM scored ORDER BY cosine_sim DESC, vec_id ASC LIMIT {_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity: IVF (label cells) — two-phase, rows-only check
+# --------------------------------------------------------------------------
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    row = embs.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in row[0]]
+    return similarity.ivf_topk(embs.filter(F.col("vec_id") != 0), qv, k=_TOPK, nprobe=2)
+
+
+# --------------------------------------------------------------------------
+# Per-cell pairwise top-k similarity join — rows-only check (heavy SQL)
+# --------------------------------------------------------------------------
+
+def q_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pairwise_topk_join(_embs(spark, sf_dir), k=3)
+
+
+QUERIES = {
+    "docs_exact_dedup": q_exact_dedup,
+    "docs_minhash_signatures": q_minhash_signatures,
+    "docs_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "docs_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "docs_simhash": q_simhash,
+    "docs_token_stats": q_token_stats,
+    "docs_language_id": q_language_id,
+    "docs_bpe_token_count": q_bpe_token_count,
+    "docs_fingerprint": q_fingerprint,
+    "emb_cosine_topk": q_cosine_topk,
+    "emb_ivf_topk": q_ivf_topk,
+    "emb_pairwise_topk": q_pairwise_topk,
+}
+
+ORACLES = {
+    "docs_exact_dedup": O_EXACT_DEDUP,
+    "docs_minhash_signatures": O_MINHASH_SIGNATURES,
+    "docs_minhash_lsh_pairs": O_MINHASH_LSH_PAIRS,
+    "docs_ngram_jaccard_pairs": O_NGRAM_JACCARD,
+    "docs_simhash": O_SIMHASH,
+    "docs_token_stats": O_TOKEN_STATS,
+    "docs_language_id": O_LANGUAGE_ID,
+    "docs_bpe_token_count": O_BPE_TOKEN_COUNT,
+    "docs_fingerprint": O_FINGERPRINT,
+    "emb_cosine_topk": O_COSINE_TOPK,
+    # emb_ivf_topk / emb_pairwise_topk: rows-only (two-phase driver-side
+    # probe / heavy pairwise SQL) per the driver contract
+}

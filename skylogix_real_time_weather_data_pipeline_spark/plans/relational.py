@@ -1,0 +1,407 @@
+"""Relational query surface: joins, windows, set ops, rollup (SURVEY.md §2.4,
+§2.7 and BASELINE.json's TPC-H-style capability target).
+
+The reference itself contains only the implicit city-dim broadcast join
+(SURVEY J1); the full join/set-op surface is exercised here on the TPC-H-ish
+driver tables so the engine demonstrably covers it at scale.
+
+Scale notes per query are inline — the recurring pattern: broadcast the
+dimension side (nation/region/cities are tiny at any scale factor), let the
+fact-side joins be shuffle hash / sort-merge chosen by AQE, aggregate before
+windowing whenever semantics allow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary: the canonical wide hash aggregate.
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter → groupBy(2 low-cardinality keys) → 8 aggregates.
+
+    Catalyst plan: parquet scan with pushed ``l_shipdate <=`` filter →
+    partial hash agg (map-side) → exchange on 6 groups → final agg. At
+    100 TB this is scan-bound — exactly what we want.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+O_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Revenue by nation: 4-way join, dims broadcast.
+# --------------------------------------------------------------------------
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem ⋈ broadcast(nation).
+
+    Join order: fact-fact joins (orders↔lineitem on orderkey,
+    customer↔orders on custkey) shuffle on their keys; the nation dim is
+    explicitly broadcast so the last join is map-side at any scale.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+O_REVENUE_BY_NATION = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Top-3 customers per nation: aggregate THEN window (shuffle-once pattern).
+# --------------------------------------------------------------------------
+
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend per customer first (shuffle on custkey), then rank within the
+    (tiny) per-customer aggregate partitioned by nation. Windowing raw rows
+    would sort 1000× more data for the same answer."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    spend = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    joined = (
+        spend.join(c, spend.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_custkey", "c_name", "total_spend")
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+    return (
+        joined.withColumn("rank_in_nation", F.row_number().over(w))
+        .filter(F.col("rank_in_nation") <= 3)
+    )
+
+
+O_TOP_CUSTOMERS_PER_NATION = """
+WITH spend AS (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT n_name, c_custkey, c_name, total_spend,
+       CAST(rank_in_nation AS INTEGER) AS rank_in_nation
+FROM (
+  SELECT n_name, c_custkey, c_name, total_spend,
+         row_number() OVER (PARTITION BY n_name ORDER BY total_spend DESC, c_custkey ASC) AS rank_in_nation
+  FROM spend
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+)
+WHERE rank_in_nation <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Market segment share by order month.
+# --------------------------------------------------------------------------
+
+def q_segment_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )
+
+
+O_SEGMENT_MONTHLY = """
+SELECT c_mktsegment AS segment,
+       strftime(o_orderdate, '%Y-%m') AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_value
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Anti join: customers with no orders.
+# --------------------------------------------------------------------------
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti — Spark's native anti-join (hash, map-side when the right
+    side's distinct keys broadcast)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+O_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# Semi join: parts that ship (exists).
+# --------------------------------------------------------------------------
+
+def q_parts_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+O_PARTS_SHIPPED = """
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# Distinct aggregate: distinct parts/suppliers per returnflag.
+# --------------------------------------------------------------------------
+
+def q_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+O_DISTINCT_PARTS = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Rollup: grouping-sets aggregate.
+# --------------------------------------------------------------------------
+
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+O_ROLLUP_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# Running (cumulative) total per customer — ordered window frame.
+# --------------------------------------------------------------------------
+
+def q_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame: ordered by (o_orderdate, o_orderkey) so ties
+    can't reorder the cumulative sum (SURVEY §7.4 determinism pinning)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+O_RUNNING_ORDER_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup: latest order per customer (dropDuplicates-by-key pattern).
+# --------------------------------------------------------------------------
+
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+O_LATEST_ORDER_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Shipping-priority style: selective join + top-N by computed revenue.
+# --------------------------------------------------------------------------
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+O_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Set ops: union / intersect / except over key projections.
+# --------------------------------------------------------------------------
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nationkeys present among customers vs suppliers: intersect / except /
+    union counts in one result row."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("int").alias("k")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("int").alias("k")).distinct()
+
+    def count_as(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(label).alias("which"), "n")
+
+    return (
+        count_as(c.intersect(s), "both")
+        .unionAll(count_as(c.exceptAll(s), "customer_only"))
+        .unionAll(count_as(s.exceptAll(c), "supplier_only"))
+        .unionAll(count_as(c.union(s).distinct(), "either"))
+    )
+
+
+O_SET_OPS = """
+WITH c AS (SELECT DISTINCT CAST(c_nationkey AS INTEGER) AS k FROM customer),
+     s AS (SELECT DISTINCT CAST(s_nationkey AS INTEGER) AS k FROM supplier)
+SELECT 'both' AS which, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT k FROM c INTERSECT SELECT k FROM s)
+UNION ALL
+SELECT 'customer_only', CAST(COUNT(*) AS BIGINT) FROM (SELECT k FROM c EXCEPT SELECT k FROM s)
+UNION ALL
+SELECT 'supplier_only', CAST(COUNT(*) AS BIGINT) FROM (SELECT k FROM s EXCEPT SELECT k FROM c)
+UNION ALL
+SELECT 'either', CAST(COUNT(*) AS BIGINT) FROM (SELECT k FROM c UNION SELECT k FROM s)
+"""
+
+
+QUERIES = {
+    "rel_pricing_summary": q_pricing_summary,
+    "rel_revenue_by_nation": q_revenue_by_nation,
+    "rel_top_customers_per_nation": q_top_customers_per_nation,
+    "rel_segment_monthly": q_segment_monthly,
+    "rel_customers_without_orders": q_customers_without_orders,
+    "rel_parts_shipped": q_parts_shipped,
+    "rel_distinct_parts": q_distinct_parts,
+    "rel_rollup_lineitem": q_rollup_lineitem,
+    "rel_running_order_total": q_running_order_total,
+    "rel_latest_order_per_customer": q_latest_order_per_customer,
+    "rel_shipping_priority": q_shipping_priority,
+    "rel_set_ops": q_set_ops,
+}
+
+ORACLES = {
+    "rel_pricing_summary": O_PRICING_SUMMARY,
+    "rel_revenue_by_nation": O_REVENUE_BY_NATION,
+    "rel_top_customers_per_nation": O_TOP_CUSTOMERS_PER_NATION,
+    "rel_segment_monthly": O_SEGMENT_MONTHLY,
+    "rel_customers_without_orders": O_CUSTOMERS_WITHOUT_ORDERS,
+    "rel_parts_shipped": O_PARTS_SHIPPED,
+    "rel_distinct_parts": O_DISTINCT_PARTS,
+    "rel_rollup_lineitem": O_ROLLUP_LINEITEM,
+    "rel_running_order_total": O_RUNNING_ORDER_TOTAL,
+    "rel_latest_order_per_customer": O_LATEST_ORDER_PER_CUSTOMER,
+    "rel_shipping_priority": O_SHIPPING_PRIORITY,
+    "rel_set_ops": O_SET_OPS,
+}

@@ -1,0 +1,174 @@
+"""Streaming-semantics operators in their batch-equivalent form (SURVEY §2.9).
+
+Structured Streaming's model is incrementalized batch — a windowed
+aggregation returns the same result run as a stream with
+``trigger(availableNow)`` or as a batch query (tested in
+tests/test_streaming.py). The driver's oracle runs the batch form; the
+streaming module (``streaming/pipeline.py``) runs the same builders over
+``readStream`` sources.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GAP = "2 hours"
+GAP_SQL = "INTERVAL 2 HOUR"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time window per condition — the streaming gold
+    aggregate (SURVEY §2.9 'tumbling daily aggregation'). ``F.window`` works
+    identically on batch and streaming frames."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("value_mean"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "value_mean",
+        )
+    )
+
+
+O_TUMBLING_DAILY = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(value), 6) AS value_mean
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_sliding_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 6-hour windows every 3 hours. Each event lands in 2
+    windows; Spark expands then aggregates (same as the UNION-of-offsets the
+    oracle uses)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+            "value_sum",
+        )
+    )
+
+
+O_SLIDING_6H = """
+WITH slid AS (
+  SELECT CAST(to_timestamp(floor(epoch(ts) / 10800) * 10800) AS TIMESTAMP) AS slot_start, ts, value FROM events
+), expanded AS (
+  SELECT slot_start AS window_start, ts, value FROM slid
+  UNION ALL
+  SELECT slot_start - INTERVAL 3 HOUR AS window_start, ts, value FROM slid
+)
+SELECT window_start, window_start + INTERVAL 6 HOUR AS window_end,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS value_sum
+FROM expanded GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization per user (session_window semantics:
+    events chain while inter-arrival ≤ gap). Expressed with lag + running
+    sum so the exact same dataflow runs on the oracle; the streaming module
+    exposes the native ``F.session_window`` form."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) <= 7200,
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    sess = flagged.withColumn(
+        "session_seq", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+O_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) <= 7200
+              THEN 0 ELSE 1 END AS new_s
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS session_value
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+def q_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup (dropDuplicates on (user_id, event_type, minute)) — the
+    batch equivalent of dropDuplicatesWithinWatermark. Keep-first pinned by
+    (ts, event_id) so the result is deterministic."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).withColumn("minute", F.date_trunc("minute", "ts"))
+    w = Window.partitionBy("user_id", "event_type", "minute").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_minutes"))
+    )
+
+
+O_DEDUP_WITHIN_WATERMARK = """
+WITH d AS (
+  SELECT event_type, row_number() OVER (
+           PARTITION BY user_id, event_type, date_trunc('minute', ts)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_unique_minutes FROM d WHERE rn = 1
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "stream_tumbling_daily": q_tumbling_daily,
+    "stream_sliding_6h": q_sliding_6h,
+    "stream_sessionize": q_sessionize,
+    "stream_dedup_keyed": q_dedup_within_watermark,
+}
+
+ORACLES = {
+    "stream_tumbling_daily": O_TUMBLING_DAILY,
+    "stream_sliding_6h": O_SLIDING_6H,
+    "stream_sessionize": O_SESSIONIZE,
+    "stream_dedup_keyed": O_DEDUP_WITHIN_WATERMARK,
+}

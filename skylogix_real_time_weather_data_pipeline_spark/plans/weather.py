@@ -1,0 +1,471 @@
+"""Weather-pipeline parity queries (SURVEY.md §2) over the driver testdata.
+
+Per FIXTURES.md §3 role mapping, the ``events`` table stands in for the
+observation stream: ``user_id`` → station/city key, ``value`` →
+temperature, ``event_type`` → weather condition, ``ts`` → observation
+timestamp, and ``props.k`` (JSON) → humidity. Every query here is the
+Spark-first expression of a §2 operator, paired with a DuckDB oracle.
+
+Scale notes: the obs view is a pure projection (no shuffle); every
+aggregate below shuffles exactly once on its grouping key; rank-1
+selections window over already-aggregated (small) intermediates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import (
+    celsius_to_fahrenheit,
+    format_timestamp,
+    iso_format,
+    weather_icon,
+)
+from ..operators import gold, silver
+
+#: pinned pivot/condition domain (explicit values → single-pass pivot,
+#: deterministic column order; SURVEY §7.4.3)
+CONDITIONS = ["click", "error", "purchase", "signup", "view"]
+
+
+def observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical observation view over events.parquet.
+
+    Pure narrow projection — Catalyst pushes the column pruning into the
+    parquet scan (only 6 of 6 columns actually referenced downstream are
+    read; queries touching fewer prune further).
+    """
+    from ..sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        F.col("event_id"),
+        F.col("user_id").cast("string").alias("city"),
+        F.col("ts").alias("timestamp"),
+        F.col("value").alias("temperature"),
+        F.get_json_object("props", "$.k").cast("double").alias("humidity"),
+        (F.col("value") / 10.0).alias("wind_speed"),
+        F.col("event_type").alias("weather_condition"),
+        F.to_date("ts").alias("date"),
+        F.hour("ts").alias("hour"),
+        F.date_format("ts", "EEEE").alias("day_of_week"),
+    )
+
+
+#: DuckDB mirror of ``observations`` — prefix for every oracle below.
+OBS_CTE = """
+WITH obs AS (
+  SELECT event_id,
+         CAST(user_id AS VARCHAR)                         AS city,
+         ts                                               AS "timestamp",
+         value                                            AS temperature,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS humidity,
+         value / 10.0                                     AS wind_speed,
+         event_type                                       AS weather_condition,
+         CAST(ts AS DATE)                                 AS "date",
+         CAST(hour(ts) AS INTEGER)                        AS "hour",
+         dayname(ts)                                      AS day_of_week
+  FROM events
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# A1 — global multi-metric aggregate
+# --------------------------------------------------------------------------
+
+def q_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.basic_stats(observations(spark, sf_dir))
+
+
+O_BASIC_STATS = OBS_CTE + """
+SELECT CAST(COUNT(*) AS BIGINT)                       AS total_records,
+       MIN("timestamp")                               AS ts_min,
+       MAX("timestamp")                               AS ts_max,
+       ROUND(MIN(temperature), 6)                     AS temp_min,
+       ROUND(MAX(temperature), 6)                     AS temp_max,
+       ROUND(AVG(temperature), 6)                     AS temp_mean,
+       ROUND(quantile_cont(temperature, 0.5), 6)      AS temp_median,
+       ROUND(MIN(humidity), 6)                        AS humidity_min,
+       ROUND(MAX(humidity), 6)                        AS humidity_max,
+       ROUND(AVG(humidity), 6)                        AS humidity_mean,
+       ROUND(MIN(wind_speed), 6)                      AS wind_min,
+       ROUND(MAX(wind_speed), 6)                      AS wind_max,
+       ROUND(AVG(wind_speed), 6)                      AS wind_mean
+FROM obs
+"""
+
+
+# --------------------------------------------------------------------------
+# A2/A3 — per-city comparison summary
+# --------------------------------------------------------------------------
+
+def q_city_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.city_comparison(observations(spark, sf_dir))
+
+
+O_CITY_COMPARISON = OBS_CTE + """
+SELECT city,
+       ROUND(AVG(temperature), 2) AS temp_mean,
+       ROUND(MIN(temperature), 2) AS temp_min,
+       ROUND(MAX(temperature), 2) AS temp_max,
+       ROUND(AVG(humidity), 2)    AS humidity_mean,
+       ROUND(AVG(wind_speed), 2)  AS wind_mean,
+       CAST(COUNT(*) AS BIGINT)   AS n_obs
+FROM obs GROUP BY city
+"""
+
+
+# --------------------------------------------------------------------------
+# A4/W4 — warmest / coldest city (rank-1 selections)
+# --------------------------------------------------------------------------
+
+def q_warmest_coldest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.warmest_coldest(observations(spark, sf_dir))
+
+
+O_WARMEST_COLDEST = OBS_CTE + """
+, per_city AS (
+  SELECT city, ROUND(AVG(temperature), 6) AS temp_mean FROM obs GROUP BY city
+)
+SELECT 'warmest' AS label, city, temp_mean FROM (
+  SELECT city, temp_mean,
+         row_number() OVER (ORDER BY temp_mean DESC, city ASC) AS rn FROM per_city
+) WHERE rn = 1
+UNION ALL
+SELECT 'coldest' AS label, city, temp_mean FROM (
+  SELECT city, temp_mean,
+         row_number() OVER (ORDER BY temp_mean ASC, city ASC) AS rn FROM per_city
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A5 — two-key (date, city) daily aggregate
+# --------------------------------------------------------------------------
+
+def q_daily_city_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.daily_city_agg(observations(spark, sf_dir))
+
+
+O_DAILY_CITY_AGG = OBS_CTE + """
+SELECT "date", city,
+       ROUND(AVG(temperature), 6) AS temp_mean,
+       ROUND(MIN(temperature), 6) AS temp_low,
+       ROUND(MAX(temperature), 6) AS temp_high,
+       CAST(COUNT(*) AS BIGINT)   AS n_obs
+FROM obs GROUP BY "date", city
+"""
+
+
+# --------------------------------------------------------------------------
+# A6 — condition histogram (value_counts)
+# --------------------------------------------------------------------------
+
+def q_condition_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.condition_histogram(observations(spark, sf_dir))
+
+
+O_CONDITION_HISTOGRAM = OBS_CTE + """
+SELECT weather_condition, CAST(COUNT(*) AS BIGINT) AS n FROM obs GROUP BY weather_condition
+"""
+
+
+# --------------------------------------------------------------------------
+# A7 — per-city modal condition (lexicographic tie-break)
+# --------------------------------------------------------------------------
+
+def q_condition_mode_by_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.condition_mode_by_city(observations(spark, sf_dir))
+
+
+O_CONDITION_MODE = OBS_CTE + """
+, counts AS (
+  SELECT city, weather_condition, CAST(COUNT(*) AS BIGINT) AS n
+  FROM obs GROUP BY city, weather_condition
+)
+SELECT city, weather_condition AS mode_condition, n AS mode_count FROM (
+  SELECT city, weather_condition, n,
+         row_number() OVER (PARTITION BY city ORDER BY n DESC, weather_condition ASC) AS rn
+  FROM counts
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A8 — pivot: date × condition mean temperature (explicit value list)
+# --------------------------------------------------------------------------
+
+def q_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.daily_pivot(observations(spark, sf_dir), CONDITIONS, city="weather_condition")
+
+
+_pivot_cols = ",\n       ".join(
+    f"ROUND(AVG(CASE WHEN weather_condition = '{c}' THEN temperature END), 6) AS c_{c}"
+    for c in CONDITIONS
+)
+O_DAILY_PIVOT = OBS_CTE + f"""
+SELECT "date",
+       {_pivot_cols}
+FROM obs GROUP BY "date"
+"""
+
+
+# --------------------------------------------------------------------------
+# A9 — per-metric quantile summary
+# --------------------------------------------------------------------------
+
+_Q_METRICS = ["temperature", "humidity", "wind_speed"]
+
+
+def q_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.quantile_summary(observations(spark, sf_dir), _Q_METRICS)
+
+
+O_QUANTILE_SUMMARY = OBS_CTE + "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS metric,
+       ROUND(quantile_cont({c}, 0.05), 6) AS q05,
+       ROUND(quantile_cont({c}, 0.25), 6) AS q25,
+       ROUND(quantile_cont({c}, 0.50), 6) AS q50,
+       ROUND(quantile_cont({c}, 0.75), 6) AS q75,
+       ROUND(quantile_cont({c}, 0.95), 6) AS q95
+FROM obs"""
+    for c in _Q_METRICS
+)
+
+
+# --------------------------------------------------------------------------
+# A10 — least-squares linear fit humidity ~ temperature (closed form)
+# --------------------------------------------------------------------------
+
+def q_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.linear_fit(observations(spark, sf_dir), x="temperature", y="humidity")
+
+
+O_LINEAR_FIT = OBS_CTE + """
+SELECT ROUND(covar_pop(temperature, humidity) / var_pop(temperature), 6) AS slope,
+       ROUND(AVG(humidity) - covar_pop(temperature, humidity) / var_pop(temperature) * AVG(temperature), 6) AS intercept,
+       ROUND(corr(temperature, humidity), 6) AS pearson_r,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM obs WHERE temperature IS NOT NULL AND humidity IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# A11 — out-of-bounds counts (single pass, count_if style)
+# --------------------------------------------------------------------------
+
+_BOUNDS = {"temperature": (10.0, 150.0), "humidity": (5.0, 95.0)}
+
+
+def q_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.outlier_counts(observations(spark, sf_dir), _BOUNDS)
+
+
+O_OUTLIER_COUNTS = OBS_CTE + """
+SELECT CAST(SUM(CASE WHEN temperature < 10.0 OR temperature > 150.0 THEN 1 ELSE 0 END) AS BIGINT) AS temperature_outliers,
+       CAST(SUM(CASE WHEN humidity < 5.0 OR humidity > 95.0 THEN 1 ELSE 0 END) AS BIGINT) AS humidity_outliers
+FROM obs
+"""
+
+
+# --------------------------------------------------------------------------
+# A12 — exact medians
+# --------------------------------------------------------------------------
+
+def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.exact_median(observations(spark, sf_dir), ["temperature", "humidity", "wind_speed"])
+
+
+O_EXACT_MEDIAN = OBS_CTE + """
+SELECT ROUND(quantile_cont(temperature, 0.5), 6) AS temperature_median,
+       ROUND(quantile_cont(humidity, 0.5), 6)    AS humidity_median,
+       ROUND(quantile_cont(wind_speed, 0.5), 6)  AS wind_speed_median
+FROM obs
+"""
+
+
+# --------------------------------------------------------------------------
+# W1/W2 — per-city lag-diff trend summary ('warming'/'cooling')
+# --------------------------------------------------------------------------
+
+def q_temperature_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.temperature_trends(observations(spark, sf_dir))
+
+
+O_TEMPERATURE_TRENDS = OBS_CTE + """
+, daily AS (
+  SELECT city, "date", AVG(temperature) AS t FROM obs GROUP BY city, "date"
+), delta AS (
+  SELECT city, t - lag(t) OVER (PARTITION BY city ORDER BY "date") AS change FROM daily
+)
+SELECT city,
+       ROUND(AVG(change), 6) AS avg_change,
+       ROUND(MAX(change), 6) AS max_change,
+       ROUND(MIN(change), 6) AS min_change,
+       ROUND(SUM(change), 6) AS sum_change,
+       CASE WHEN SUM(change) > 0 THEN 'warming' ELSE 'cooling' END AS trend
+FROM delta WHERE change IS NOT NULL GROUP BY city
+"""
+
+
+# --------------------------------------------------------------------------
+# P10/P11 + F1/F3/F9 — derived projection (row-level, no shuffle)
+# --------------------------------------------------------------------------
+
+def q_derived_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = observations(spark, sf_dir)
+    return obs.select(
+        "event_id",
+        "date",
+        "hour",
+        "day_of_week",
+        F.round(celsius_to_fahrenheit("temperature"), 6).alias("temp_f"),
+        format_timestamp("timestamp").alias("ts_formatted"),
+        iso_format("timestamp").alias("ts_iso"),
+    )
+
+
+O_DERIVED_PROJECTION = OBS_CTE + """
+SELECT event_id, "date", "hour", day_of_week,
+       ROUND(temperature * 9.0 / 5.0 + 32.0, 6)      AS temp_f,
+       strftime("timestamp", '%Y-%m-%d %H:%M:%S')    AS ts_formatted,
+       strftime("timestamp", '%Y-%m-%dT%H:%M:%S')    AS ts_iso
+FROM obs
+"""
+
+
+# --------------------------------------------------------------------------
+# F5 — icon map lookup (MapType literal, default path)
+# --------------------------------------------------------------------------
+
+def q_icon_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = observations(spark, sf_dir)
+    return (
+        obs.withColumn("icon", weather_icon("weather_condition"))
+        .groupBy("weather_condition", "icon")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+O_ICON_LOOKUP = OBS_CTE + """
+SELECT weather_condition,
+       CASE weather_condition
+            WHEN 'Clear' THEN '☀️' WHEN 'Clouds' THEN '☁️' WHEN 'Rain' THEN '🌧️'
+            WHEN 'Drizzle' THEN '🌦️' WHEN 'Thunderstorm' THEN '⛈️' WHEN 'Snow' THEN '❄️'
+            WHEN 'Mist' THEN '🌫️' WHEN 'Smoke' THEN '🌫️' WHEN 'Haze' THEN '🌫️'
+            WHEN 'Dust' THEN '🌫️' WHEN 'Fog' THEN '🌫️' WHEN 'Sand' THEN '🌫️'
+            WHEN 'Ash' THEN '🌫️' WHEN 'Squall' THEN '💨' WHEN 'Tornado' THEN '🌪️'
+            ELSE '❓' END AS icon,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM obs GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# F4 — date-range table (sequence + explode)
+# --------------------------------------------------------------------------
+
+def q_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import get_date_range
+
+    obs = observations(spark, sf_dir)
+    span = obs.agg(F.min("date").alias("d0"), F.max("date").alias("d1"))
+    return span.select(F.explode(get_date_range(F.col("d0"), F.col("d1"))).alias("day_str"))
+
+
+O_DATE_RANGE = OBS_CTE + """
+, span AS (SELECT MIN("date") AS d0, MAX("date") AS d1 FROM obs)
+SELECT strftime(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)), '%Y-%m-%d') AS day_str
+FROM span
+"""
+
+
+# --------------------------------------------------------------------------
+# P7/P8/A9 — two-pass IQR clean + median fill (row-level output)
+# --------------------------------------------------------------------------
+
+def q_clean_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = observations(spark, sf_dir)
+    cleaned = silver.clean_outliers(obs, ["temperature"])
+    return cleaned.select("event_id", F.round("temperature", 6).alias("temperature_clean"))
+
+
+O_CLEAN_OUTLIERS = OBS_CTE + """
+, b AS (
+  SELECT quantile_cont(temperature, 0.05) AS q1, quantile_cont(temperature, 0.95) AS q3 FROM obs
+), masked AS (
+  SELECT obs.event_id,
+         CASE WHEN temperature < q1 - 1.5 * (q3 - q1) OR temperature > q3 + 1.5 * (q3 - q1)
+              THEN NULL ELSE temperature END AS t
+  FROM obs, b
+), med AS (SELECT quantile_cont(t, 0.5) AS mt FROM masked)
+SELECT event_id, ROUND(COALESCE(t, mt), 6) AS temperature_clean FROM masked, med
+"""
+
+
+# --------------------------------------------------------------------------
+# JSON extraction + bucketed aggregate (get_json_object path)
+# --------------------------------------------------------------------------
+
+def q_humidity_decile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = observations(spark, sf_dir)
+    return (
+        obs.filter(F.col("humidity").isNotNull())
+        .withColumn("decile", F.floor(F.col("humidity") / 10.0))
+        .groupBy("decile")
+        .agg(
+            F.round(F.avg("temperature"), 6).alias("temp_mean"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+O_HUMIDITY_DECILE = OBS_CTE + """
+SELECT CAST(floor(humidity / 10.0) AS BIGINT) AS decile,
+       ROUND(AVG(temperature), 6) AS temp_mean,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM obs WHERE humidity IS NOT NULL GROUP BY 1
+"""
+
+
+QUERIES = {
+    "weather_basic_stats": q_basic_stats,
+    "weather_city_comparison": q_city_comparison,
+    "weather_warmest_coldest": q_warmest_coldest,
+    "weather_daily_city_agg": q_daily_city_agg,
+    "weather_condition_histogram": q_condition_histogram,
+    "weather_condition_mode_by_city": q_condition_mode_by_city,
+    "weather_daily_pivot": q_daily_pivot,
+    "weather_quantile_summary": q_quantile_summary,
+    "weather_linear_fit": q_linear_fit,
+    "weather_outlier_counts": q_outlier_counts,
+    "weather_exact_median": q_exact_median,
+    "weather_temperature_trends": q_temperature_trends,
+    "weather_derived_projection": q_derived_projection,
+    "weather_icon_lookup": q_icon_lookup,
+    "weather_date_range": q_date_range,
+    "weather_clean_outliers": q_clean_outliers,
+    "weather_humidity_decile_agg": q_humidity_decile_agg,
+}
+
+ORACLES = {
+    "weather_basic_stats": O_BASIC_STATS,
+    "weather_city_comparison": O_CITY_COMPARISON,
+    "weather_warmest_coldest": O_WARMEST_COLDEST,
+    "weather_daily_city_agg": O_DAILY_CITY_AGG,
+    "weather_condition_histogram": O_CONDITION_HISTOGRAM,
+    "weather_condition_mode_by_city": O_CONDITION_MODE,
+    "weather_daily_pivot": O_DAILY_PIVOT,
+    "weather_quantile_summary": O_QUANTILE_SUMMARY,
+    "weather_linear_fit": O_LINEAR_FIT,
+    "weather_outlier_counts": O_OUTLIER_COUNTS,
+    "weather_exact_median": O_EXACT_MEDIAN,
+    "weather_temperature_trends": O_TEMPERATURE_TRENDS,
+    "weather_derived_projection": O_DERIVED_PROJECTION,
+    "weather_icon_lookup": O_ICON_LOOKUP,
+    "weather_date_range": O_DATE_RANGE,
+    "weather_clean_outliers": O_CLEAN_OUTLIERS,
+    "weather_humidity_decile_agg": O_HUMIDITY_DECILE,
+}

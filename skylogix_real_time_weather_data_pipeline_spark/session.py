@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+Reference parity notes (SURVEY.md §7.4): the reference's pandas engine uses
+the *local* timezone for ``datetime.fromtimestamp`` (reference
+src/transform.py:105); we pin ``spark.sql.session.timeZone=UTC`` everywhere
+so results are deterministic across machines, and document the delta.
+
+Scale posture: AQE on (runtime partition coalescing + skew-join splitting),
+shuffle partitions sized by env var so the same code runs on local[32] and a
+1000-executor cluster, Arrow enabled for any Pandas-UDF path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "skylogix-spark",
+    master: str | None = None,
+    shuffle_partitions: str | int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    All engine entry points go through here so every run gets the same
+    semantics-critical configs (timezone, ANSI off to match reference
+    null-on-error behavior) and the same scale configs (AQE, partitions).
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{DEFAULT_CPUS}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # nested-schema pruning matters because the raw weather layer is a
+        # wide struct from which we project 13 fields (SURVEY §4.2)
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the reference (pandas) returns NULL rather than erroring on bad
+        # casts/divide-by-zero; keep ANSI off for semantic parity
+        .config("spark.sql.ansi.enabled", "false")
+        # testdata events.parquet carries TIMESTAMP(NANOS) which the parquet
+        # reader rejects; read as long and convert (sources/batch.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

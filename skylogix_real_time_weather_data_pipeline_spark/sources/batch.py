@@ -1,0 +1,51 @@
+"""Batch sources (SURVEY.md §2.1 S3/S4 + driver testdata loaders).
+
+All readers take explicit schemas — no inference (the reference re-infers
+types on every CSV read, src/analyze.py:88-94; we declare once and carry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..schemas import PROCESSED_WEATHER_SCHEMA, RAW_WEATHER_SCHEMA
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a driver testdata table, normalizing physical quirks.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader has no type for; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as long
+    nanoseconds and is converted here (truncation to micros — matching
+    DuckDB's ns→µs handling).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # integer `div`, not `/`: double division rounds the low microsecond
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_raw_json(spark: SparkSession, path: str) -> DataFrame:
+    """S3: raw weather document scan with explicit schema; corrupt records
+    land in ``_corrupt_record`` (PERMISSIVE) instead of the reference's
+    per-file try/except (src/transform.py:70-75)."""
+    return (
+        spark.read.schema(RAW_WEATHER_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def read_csv_observations(spark: SparkSession, path: str) -> DataFrame:
+    """S4: processed-CSV scan with the declared silver schema (replaces the
+    reference's inference + timestamp re-parse, src/analyze.py:69-100)."""
+    return (
+        spark.read.schema(PROCESSED_WEATHER_SCHEMA)
+        .option("header", True)
+        .csv(path)
+    )
