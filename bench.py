@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (collect or count — results are small
+aggregates by construction) after a warm-up pass of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: headline set: every execution shape the engine cares about — scan-heavy
+#: agg, multi-join, window, sessionization, dedup joins, similarity, text.
+HEADLINE = [
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_top_customers_per_nation",
+    "rel_shipping_priority",
+    "rel_running_order_total",
+    "rel_rollup_lineitem",
+    "weather_basic_stats",
+    "weather_daily_city_agg",
+    "weather_temperature_trends",
+    "weather_clean_outliers",
+    "stream_tumbling_daily",
+    "stream_sessionize",
+    "docs_exact_dedup",
+    "docs_minhash_lsh_pairs",
+    "docs_token_stats",
+    "emb_cosine_topk",
+]
+
+
+def main() -> int:
+    from skylogix_real_time_weather_data_pipeline_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="skylogix-bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # warm the JVM/codegen path on the smallest table once
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

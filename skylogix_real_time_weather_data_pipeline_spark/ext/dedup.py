@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import shingles
+from .text import shingle_rows
 
 
 def _md5_long(col, seed: int) -> F.Column:
@@ -28,6 +28,37 @@ def _md5_long(col, seed: int) -> F.Column:
     Mirrors SQL: CAST(concat('0x', substr(md5(seed || '|' || v), 1, 15)) AS BIGINT).
     """
     return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}|"), col)), 1, 15), 16, 10).cast("long")
+
+
+#: Carter-Wegman universal-hash family parameters for MinHash: the i-th hash
+#: is (A[i]*h1 + B[i]*h2) mod MH_P, with h1/h2 two independent 60-bit halves
+#: of ONE md5 of the shingle. One md5 per shingle instead of n_hashes —
+#: ~16× less hashing — and still bit-for-bit reproducible in ANSI SQL.
+MH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def mh_params(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs, a,b < 2^16 so a*h + b*h2 < 2^48 (no
+    64-bit overflow in any engine)."""
+    out = []
+    a, b = 40503, 10211
+    for _ in range(n_hashes):
+        a = (a * 48271 + 12345) % 65521
+        b = (b * 69621 + 54321) % 65521
+        out.append((a or 1, b))
+    return out
+
+
+def _repartition_for_compute(df: DataFrame, key: str) -> DataFrame:
+    """Spread compute-heavy per-row work across all cores.
+
+    Small parquet inputs arrive as 1-2 partitions; hash/shingle pipelines are
+    CPU-bound, so a pre-shuffle on the id pays for itself immediately. At
+    real scale the input already has many partitions and this coalesces into
+    AQE's sizing; the key-hash distribution is skew-free by construction.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, key)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -47,13 +78,24 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
                        n_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
     """MinHash signature per doc: n_hashes columns mh00..mhNN.
 
-    One explode + one groupBy: each exploded shingle row evaluates all
-    n_hashes hash expressions; min() per doc is a partial-aggregatable
-    single shuffle on doc id.
+    One explode + ONE md5 per shingle (two 60-bit halves feed a
+    Carter-Wegman family, see ``mh_params``) + one groupBy: min() per doc is
+    a partial-aggregatable single shuffle on doc id.
     """
-    sh = df.select(id_col, F.explode(shingles(text_col, shingle_n)).alias("shingle"))
-    aggs = [F.min(_md5_long(F.col("shingle"), i)).alias(f"mh{i:02d}") for i in range(n_hashes)]
-    return sh.groupBy(id_col).agg(*aggs)
+    # distinct=False: min() is insensitive to shingle multiplicity, so the
+    # dedup shuffle would be pure overhead
+    sh = shingle_rows(df, text_col, id_col, shingle_n, distinct=False)
+    h = F.md5("shingle")
+    hashed = sh.select(
+        id_col,
+        (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % MH_P).alias("h1"),
+        (F.conv(F.substring(h, 16, 15), 16, 10).cast("long") % MH_P).alias("h2"),
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h1") + F.lit(b) * F.col("h2")) % MH_P).alias(f"mh{i:02d}")
+        for i, (a, b) in enumerate(mh_params(n_hashes))
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -99,7 +141,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     ever materialized; the shingle join key is content-hash distributed.
     For web-scale corpora, run AFTER minhash_lsh_pairs as the verify stage.
     """
-    sh = df.select(id_col, F.explode(shingles(text_col, shingle_n)).alias("shingle"))
+    sh = shingle_rows(df, text_col, id_col, shingle_n, distinct=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -129,7 +171,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """
     from .text import tokens
 
-    tok = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+    tok = _repartition_for_compute(df, id_col).select(
+        id_col, F.explode(tokens(F.col(text_col))).alias("tok")
+    )
     h = _md5_long(F.col("tok"), 0)
     votes = tok.groupBy(id_col).agg(
         *[

@@ -75,13 +75,22 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _mh_cols = ",\n       ".join(
-    f"MIN({_sql_hash(i, 'shingle')}) AS mh{i:02d}" for i in range(_N_HASHES)
+    f"MIN(({a} * h1 + {b} * h2) % {dedup.MH_P}) AS mh{i:02d}"
+    for i, (a, b) in enumerate(dedup.mh_params(_N_HASHES))
 )
-O_MINHASH_SIGNATURES = TOK_CTE + f"""
+_HASHED_CTE = f"""
 , exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+, hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % {dedup.MH_P} AS h1,
+         CAST(concat('0x', substr(md5(shingle), 16, 15)) AS BIGINT) % {dedup.MH_P} AS h2
+  FROM exploded
+)
+"""
+O_MINHASH_SIGNATURES = TOK_CTE + _HASHED_CTE + f"""
 SELECT doc_id,
        {_mh_cols}
-FROM exploded GROUP BY doc_id
+FROM hashed GROUP BY doc_id
 """
 
 
@@ -103,11 +112,10 @@ _band_rows = "\n  UNION ALL\n".join(
     )
     for b in range(_BANDS)
 )
-O_MINHASH_LSH_PAIRS = TOK_CTE + f"""
-, exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+O_MINHASH_LSH_PAIRS = TOK_CTE + _HASHED_CTE + f"""
 , sig AS (
   SELECT doc_id, {_mh_cols}
-  FROM exploded GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 )
 , banded AS (
 {_band_rows}
