@@ -1,0 +1,75 @@
+"""Sinks (SURVEY.md §2.2 K2-K6).
+
+Primary durable format is partitioned Parquet (columnar, schema-carrying,
+partition-pruned — the 'index' the reference builds in SQLite, K4, comes
+free from partition dirs). CSV/JSON are compat sinks mirroring the
+reference's outputs; SQLite goes through stdlib sqlite3 from collected
+(small, already-aggregated) results, since a JDBC driver jar isn't bundled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None,
+                  mode: str = "overwrite") -> None:
+    """K2-equivalent durable sink. Partition columns replace the reference's
+    filename-encoded keys (src/extract.py:148)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv_report(df: DataFrame, path: str, mode: str = "overwrite",
+                     single_file: bool = False) -> None:
+    """K2/K5: header CSV (reference src/transform.py:246-258,
+    src/load.py:157-209). ``single_file`` coalesces to 1 part — only for
+    small/aggregated outputs (a driver-side convenience, not a scale path).
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", True).csv(path)
+
+
+def write_json_records(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K3: JSON-lines sink (reference src/load.py:70-105 writes one JSON
+    array; JSONL is the distributed equivalent — one object per line)."""
+    df.write.mode(mode).json(path)
+
+
+def write_sqlite(df: DataFrame, db_path: str, table: str = "weather_data",
+                 indexes: tuple[str, ...] = ("city", "date"),
+                 max_rows: int = 1_000_000) -> int:
+    """K4: SQLite sink + secondary indexes (reference src/load.py:108-155).
+
+    Spark has no bundled SQLite JDBC driver here, so rows are collected via
+    Arrow and inserted with stdlib sqlite3. Guarded by ``max_rows`` —
+    SQLite is a serve-layer sink for aggregated results, not a data lake;
+    for big tables use write_parquet (partition pruning ≈ the index).
+    """
+    import sqlite3
+
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(f"refusing to collect {n} rows into sqlite (max {max_rows})")
+    pdf = df.toPandas()
+    con = sqlite3.connect(db_path)
+    try:
+        pdf.to_sql(table, con, if_exists="replace", index=False)
+        for col in indexes:
+            if col in pdf.columns:
+                con.execute(f"CREATE INDEX IF NOT EXISTS idx_{col} ON {table} ({col})")
+        con.commit()
+    finally:
+        con.close()
+    return n
+
+
+def write_city_summary(df: DataFrame, path: str) -> None:
+    """K5 side summary: per-city aggregate written next to the report
+    (reference src/load.py:188-196)."""
+    from ..operators.gold import city_comparison
+
+    write_csv_report(city_comparison(df), path, single_file=True)

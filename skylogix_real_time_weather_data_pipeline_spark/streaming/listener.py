@@ -1,0 +1,91 @@
+"""Observability: StreamingQueryListener → metrics registry.
+
+The reference exports Prometheus counters/gauges per phase (reference
+main.py:28-30, src/extract.py:39-42, src/transform.py:27-32,
+src/analyze.py:41-44, src/load.py:26-29). Natively, streaming progress
+events carry the same facts (rows in, batch duration); this listener maps
+them onto the reference's metric names. If ``prometheus_client`` is
+installed they're exported for scraping; otherwise an in-memory registry
+keeps the same counters (tests use this path).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+try:  # pragma: no cover - optional dependency
+    from prometheus_client import Counter, Gauge, start_http_server
+
+    _HAVE_PROM = True
+except ImportError:
+    _HAVE_PROM = False
+
+
+class _MemoryRegistry:
+    """Minimal counter/gauge registry with the reference's metric names."""
+
+    def __init__(self) -> None:
+        self.values: dict[str, float] = defaultdict(float)
+
+    def inc(self, name: str, v: float = 1.0) -> None:
+        self.values[name] += v
+
+    def set(self, name: str, v: float) -> None:
+        self.values[name] = v
+
+
+class MetricsListener(StreamingQueryListener):
+    """Maps streaming progress onto the reference metric names:
+
+    - ``weather_records_processed``  ← progress.numInputRows
+      (reference src/transform.py:30,149)
+    - ``weather_pipeline_duration_seconds`` ← batch duration
+      (reference main.py:30,53)
+    - ``weather_pipeline_failures`` ← query termination with exception
+      (reference main.py:29,129)
+    """
+
+    def __init__(self) -> None:
+        self.registry = _MemoryRegistry()
+        if _HAVE_PROM:  # pragma: no cover
+            self._records = Counter("weather_records_processed", "Rows ingested")
+            self._duration = Gauge("weather_pipeline_duration_seconds", "Batch duration")
+            self._failures = Counter("weather_pipeline_failures", "Query failures")
+
+    def onQueryStarted(self, event) -> None:
+        self.registry.inc("weather_pipeline_runs")
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        rows = p.numInputRows or 0
+        secs = (p.batchDuration or 0) / 1000.0
+        self.registry.inc("weather_records_processed", rows)
+        self.registry.set("weather_pipeline_duration_seconds", secs)
+        if _HAVE_PROM:  # pragma: no cover
+            self._records.inc(rows)
+            self._duration.set(secs)
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        if event.exception is not None:
+            self.registry.inc("weather_pipeline_failures")
+            if _HAVE_PROM:  # pragma: no cover
+                self._failures.inc()
+
+
+def attach_metrics_listener(spark) -> MetricsListener:
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    return listener
+
+
+def start_metrics_server(port: int = 8000) -> bool:  # pragma: no cover
+    """Prometheus scrape endpoint (reference src/utils.py:161-173)."""
+    if not _HAVE_PROM:
+        return False
+    start_http_server(port)
+    return True

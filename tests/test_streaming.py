@@ -1,0 +1,147 @@
+"""Streaming-semantics tests (SURVEY §5.2 layer 4): availableNow
+incremental-vs-batch equivalence, windowed gold over streams, session
+windows vs the lag+cumsum batch form, metrics listener."""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from skylogix_real_time_weather_data_pipeline_spark.sources import read_raw_json
+from skylogix_real_time_weather_data_pipeline_spark.streaming import (
+    attach_metrics_listener,
+    daily_city_window,
+    run_bronze_to_silver_available_now,
+    sessionize,
+)
+from skylogix_real_time_weather_data_pipeline_spark.streaming.pipeline import (
+    compute_stream_bounds,
+    silver_stream,
+)
+
+from .fixtures import make_raw_docs, write_raw_json_dir
+
+
+@pytest.fixture(scope="module")
+def raw_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_raw")
+    write_raw_json_dir(str(d), make_raw_docs())
+    return str(d)
+
+
+def _await(query, timeout=120):
+    query.awaitTermination(timeout)
+    assert not query.isActive
+
+
+def test_available_now_equals_batch(spark, raw_dir, tmp_path):
+    """The cron-equivalence property: one availableNow run over the raw dir
+    produces exactly the batch silver result (SURVEY §2.9)."""
+    batch_raw = read_raw_json(spark, raw_dir)
+    bounds, medians = compute_stream_bounds(
+        silver_stream(batch_raw), ["temperature", "pressure"]
+    )
+    out = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_bronze_to_silver_available_now(spark, raw_dir, out, ckpt, bounds, medians)
+    _await(q)
+
+    streamed = spark.read.parquet(out)
+    batch = silver_stream(batch_raw, bounds, medians)
+    cols = sorted(batch.columns)
+    a = sorted(map(str, streamed.select(cols).collect()))
+    b = sorted(map(str, batch.select(cols).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_incremental_picks_up_only_new_files(spark, raw_dir, tmp_path):
+    """Second availableNow run with the same checkpoint processes only
+    newly-arrived files (the reference re-reads ALL history every run)."""
+    out = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_bronze_to_silver_available_now(spark, raw_dir, out, ckpt)
+    _await(q)
+    n1 = spark.read.parquet(out).count()
+
+    extra = make_raw_docs(n_days=1, per_day=1, seed=99)
+    import os
+
+    for i, d in enumerate(extra):
+        import json
+
+        with open(os.path.join(raw_dir, f"late_{i:03d}.json"), "w") as f:
+            json.dump(d, f)
+
+    q2 = run_bronze_to_silver_available_now(spark, raw_dir, out, ckpt)
+    _await(q2)
+    n2 = spark.read.parquet(out).count()
+    valid_extra = sum(1 for x in extra if all(k in x for k in ("main", "wind", "weather")))
+    assert n2 == n1 + valid_extra
+
+
+def test_windowed_gold_on_stream_equals_batch(spark, raw_dir, tmp_path):
+    silver_batch = silver_stream(read_raw_json(spark, raw_dir))
+
+    raw_stream = (
+        spark.readStream.schema(read_raw_json(spark, raw_dir).schema).json(raw_dir)
+    )
+    gold_stream = daily_city_window(silver_stream(raw_stream))
+    q = (
+        gold_stream.writeStream.format("memory")
+        .queryName("gold_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    streamed = spark.table("gold_mem")
+    batch = daily_city_window(silver_batch)
+    a = sorted(map(str, streamed.select(sorted(streamed.columns)).collect()))
+    b = sorted(map(str, batch.select(sorted(batch.columns)).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_session_window_matches_lag_cumsum_form(spark, sf_dir):
+    """Native session_window semantics == the oracle-checked lag+cumsum form
+    (plans/streaming_batch.q_sessionize) on the events table."""
+    from skylogix_real_time_weather_data_pipeline_spark.plans.streaming_batch import (
+        q_sessionize,
+    )
+    from skylogix_real_time_weather_data_pipeline_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("city"), F.col("ts").alias("timestamp")
+    )
+    native = sessionize(ev, gap="2 hours")
+    lagform = q_sessionize(spark, sf_dir)
+
+    a = sorted(
+        (r.city, str(r.session_start), r.n_events)
+        for r in native.collect()
+    )
+    b = sorted(
+        (str(r.user_id), str(r.session_start), r.n_events)
+        for r in lagform.collect()
+    )
+    assert a == b
+
+
+def test_metrics_listener_counts_rows(spark, raw_dir, tmp_path):
+    listener = attach_metrics_listener(spark)
+    try:
+        out = str(tmp_path / "silver")
+        ckpt = str(tmp_path / "ckpt")
+        q = run_bronze_to_silver_available_now(spark, raw_dir, out, ckpt)
+        _await(q)
+        # listener events are async; allow delivery
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if listener.registry.values.get("weather_records_processed", 0) > 0:
+                break
+            time.sleep(0.5)
+        assert listener.registry.values["weather_records_processed"] > 0
+        assert listener.registry.values["weather_pipeline_runs"] >= 1
+    finally:
+        spark.streams.removeListener(listener)
