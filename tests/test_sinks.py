@@ -1,0 +1,63 @@
+"""Sink round-trips (SURVEY §2.2 K2-K6)."""
+
+from __future__ import annotations
+
+import sqlite3
+
+from skylogix_real_time_weather_data_pipeline_spark.sinks import (
+    write_csv_report,
+    write_json_records,
+    write_parquet,
+    write_sqlite,
+)
+
+
+def _sample(spark):
+    return spark.createDataFrame(
+        [("London", "2024-03-01", 9.5), ("Tokyo", "2024-03-01", 16.2)],
+        "city string, date string, temperature double",
+    )
+
+
+def test_parquet_partitioned_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "pq")
+    write_parquet(_sample(spark), p, partition_by=["date"])
+    back = spark.read.parquet(p)
+    assert back.count() == 2 and "city" in back.columns
+
+
+def test_csv_report_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "csv")
+    write_csv_report(_sample(spark), p, single_file=True)
+    back = spark.read.option("header", True).csv(p)
+    assert back.count() == 2
+    assert set(back.columns) == {"city", "date", "temperature"}
+
+
+def test_json_records_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "json")
+    write_json_records(_sample(spark), p)
+    back = spark.read.json(p)
+    assert back.count() == 2
+
+
+def test_sqlite_sink_with_indexes(spark, tmp_path):
+    db = str(tmp_path / "w.db")
+    n = write_sqlite(_sample(spark), db)
+    assert n == 2
+    con = sqlite3.connect(db)
+    try:
+        rows = con.execute("SELECT city, temperature FROM weather_data ORDER BY city").fetchall()
+        assert rows[0][0] == "London"
+        idx = {r[1] for r in con.execute("PRAGMA index_list(weather_data)").fetchall()}
+        assert any("idx_city" in i for i in idx) and any("idx_date" in i for i in idx)
+    finally:
+        con.close()
+
+
+def test_sqlite_sink_guards_large_collect(spark):
+    import pytest
+
+    df = spark.range(100)
+    with pytest.raises(ValueError):
+        write_sqlite(df, "/tmp/should_not_exist.db", max_rows=10)
