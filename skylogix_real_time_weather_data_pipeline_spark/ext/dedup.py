@@ -152,12 +152,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "n_inter", "jaccard")
+        .filter(jac >= threshold)  # threshold on the unrounded ratio (oracle parity)
+        .select("id_a", "id_b", "n_inter", F.round(jac, 6).alias("jaccard"))
     )
 
 

@@ -376,8 +376,43 @@ SELECT 'either', CAST(COUNT(*) AS BIGINT) FROM (SELECT k FROM c UNION SELECT k F
 """
 
 
+# --------------------------------------------------------------------------
+# Cube (full grouping-sets lattice).
+# --------------------------------------------------------------------------
+
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
+O_CUBE_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(l_discount), 6) AS avg_disc
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# Approximate distinct (HLL sketch) — rows-only check (approximate result
+# has no exact ANSI oracle; exact counterpart is rel_distinct_parts).
+# --------------------------------------------------------------------------
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 QUERIES = {
     "rel_pricing_summary": q_pricing_summary,
+    "rel_cube_lineitem": q_cube_lineitem,
+    "rel_approx_distinct": q_approx_distinct,
     "rel_revenue_by_nation": q_revenue_by_nation,
     "rel_top_customers_per_nation": q_top_customers_per_nation,
     "rel_segment_monthly": q_segment_monthly,
@@ -393,6 +428,7 @@ QUERIES = {
 
 ORACLES = {
     "rel_pricing_summary": O_PRICING_SUMMARY,
+    "rel_cube_lineitem": O_CUBE_LINEITEM,
     "rel_revenue_by_nation": O_REVENUE_BY_NATION,
     "rel_top_customers_per_nation": O_TOP_CUSTOMERS_PER_NATION,
     "rel_segment_monthly": O_SEGMENT_MONTHLY,

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 
 from skylogix_real_time_weather_data_pipeline_spark.session import get_spark
@@ -9,7 +11,17 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="skylogix-tests", master="local[4]", shuffle_partitions=4)
+    wh = tempfile.mkdtemp(prefix="spark_wh_")
+    s = get_spark(
+        app_name="skylogix-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            # keep catalog artifacts (warehouse, derby metastore) out of the repo
+            "spark.sql.warehouse.dir": f"{wh}/warehouse",
+            "spark.driver.extraJavaOptions": f"-Dderby.system.home={wh}/derby",
+        },
+    )
     yield s
 
 
