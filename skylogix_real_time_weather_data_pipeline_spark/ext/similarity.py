@@ -139,6 +139,62 @@ def ivf_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10, nprobe: int
     return cosine_topk(df.filter(F.col(label_col).isin(probed)), query_vec, k, vec_col, id_col)
 
 
+def rp_lsh_signs(n_planes: int, dim: int) -> list[tuple[int, int, int]]:
+    """Deterministic ±1 random-hyperplane components: sign(p,d) from the
+    parity of a 60-bit md5 hash of 'p|d' — reproducible in ANSI SQL
+    (mirrored by the emb_lsh oracles), no RNG state to ship."""
+    import hashlib
+
+    out = []
+    for p in range(n_planes):
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:15], 16)
+            out.append((p, d, 1 if h % 2 == 0 else -1))
+    return out
+
+
+def rp_lsh_buckets(df: DataFrame, n_planes: int = 4, dim: int = 64,
+                   vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Sign-LSH bucket per vector: bit p = [Σ_d sign(p,d)·v_d > 0].
+
+    Implemented relationally (posexplode → broadcast join with the tiny
+    plane table → two partial-aggregatable groupBys) so the whole thing is
+    codegen'd; at scale the planes table is a broadcast of n_planes×dim
+    ints and the shuffles key on vec id — skew-free.
+    """
+    spark = df.sparkSession
+    planes = spark.createDataFrame(rp_lsh_signs(n_planes, dim), "p int, d int, s int")
+    pe = df.select(id_col, F.posexplode(vec_col).alias("d", "v"))
+    dots = (
+        pe.join(F.broadcast(planes), "d")
+        .groupBy(id_col, "p")
+        .agg(F.sum(F.col("s") * F.col("v").cast("double")).alias("dot"))
+    )
+    bucket_term = F.when(F.col("dot") > 0, F.pow(F.lit(2.0), F.col("p"))).otherwise(F.lit(0.0))
+    return dots.groupBy(id_col).agg(
+        F.sum(bucket_term).cast("long").alias("bucket")
+    )
+
+
+def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.25, n_planes: int = 4,
+                       dim: int = 64, vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH bucketing: candidate pairs
+    share a sign-LSH bucket (collision probability rises with cosine), then
+    exact cosine verifies. The self-join is restricted to bucket equality —
+    never the full n² cross product."""
+    buckets = rp_lsh_buckets(df, n_planes, dim, vec_col, id_col)
+    withb = df.join(buckets, id_col)
+    a = withb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    b = withb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.filter(cos >= threshold)
+        .select("id_a", "id_b", "bucket", F.round(cos, 6).alias("cosine_sim"))
+    )
+
+
 def pairwise_topk_join(df: DataFrame, k: int = 5, vec_col: str = "embedding",
                        id_col: str = "vec_id", label_col: str = "label") -> DataFrame:
     """All-pairs top-k *within label cells* — the LSH/IVF-bucketed pattern

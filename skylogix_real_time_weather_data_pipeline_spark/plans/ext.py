@@ -292,6 +292,60 @@ SELECT vec_id, cosine_sim FROM scored ORDER BY cosine_sim DESC, vec_id ASC LIMIT
 
 
 # --------------------------------------------------------------------------
+# Random-hyperplane LSH buckets + embedding-cosine near-dup pairs
+# --------------------------------------------------------------------------
+
+_N_PLANES = 4
+_NEARDUP_T = 0.25
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.rp_lsh_buckets(_embs(spark, sf_dir), n_planes=_N_PLANES)
+
+
+_SIGN_SQL = (
+    "CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(p AS VARCHAR), '|', CAST(d AS VARCHAR))), 1, 15)) AS BIGINT) % 2 = 0 "
+    "THEN 1 ELSE -1 END"
+)
+_PLANES_CTE = f"""
+WITH planes AS (
+  SELECT p, d, {_SIGN_SQL} AS s
+  FROM (SELECT unnest(range(0, {_N_PLANES})) AS p), (SELECT unnest(range(0, 64)) AS d)
+), pe AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d, unnest(embedding) AS v
+  FROM embeddings
+), dots AS (
+  SELECT vec_id, p, SUM(s * CAST(v AS DOUBLE)) AS dot
+  FROM pe JOIN planes USING (d) GROUP BY vec_id, p
+), buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot > 0 THEN power(2.0, p) ELSE 0.0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+)
+"""
+O_LSH_BUCKETS = _PLANES_CTE + "SELECT vec_id, bucket FROM buckets"
+
+
+def q_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_near_dup_pairs(_embs(spark, sf_dir), threshold=_NEARDUP_T, n_planes=_N_PLANES)
+
+
+_COS_AB = """
+  list_sum(list_transform(range(1, len(a.embedding) + 1),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+O_LSH_NEAR_DUP = _PLANES_CTE + f"""
+, withb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b USING (vec_id))
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+       ROUND({_COS_AB}, 6) AS cosine_sim
+FROM withb a JOIN withb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_COS_AB} >= {_NEARDUP_T}
+"""
+
+
+# --------------------------------------------------------------------------
 # Embedding similarity: IVF (label cells) — two-phase, rows-only check
 # --------------------------------------------------------------------------
 
@@ -321,6 +375,8 @@ QUERIES = {
     "docs_bpe_token_count": q_bpe_token_count,
     "docs_fingerprint": q_fingerprint,
     "emb_cosine_topk": q_cosine_topk,
+    "emb_lsh_buckets": q_lsh_buckets,
+    "emb_lsh_near_dup_pairs": q_lsh_near_dup_pairs,
     "emb_ivf_topk": q_ivf_topk,
     "emb_pairwise_topk": q_pairwise_topk,
 }
@@ -336,6 +392,8 @@ ORACLES = {
     "docs_bpe_token_count": O_BPE_TOKEN_COUNT,
     "docs_fingerprint": O_FINGERPRINT,
     "emb_cosine_topk": O_COSINE_TOPK,
+    "emb_lsh_buckets": O_LSH_BUCKETS,
+    "emb_lsh_near_dup_pairs": O_LSH_NEAR_DUP,
     # emb_ivf_topk / emb_pairwise_topk: rows-only (two-phase driver-side
     # probe / heavy pairwise SQL) per the driver contract
 }

@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) for semantics-critical operators.
+
+Few examples per property — each example is a Spark job — but the inputs
+hit the edges fixed fixtures miss (empty-ish frames, ties, extreme spans).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from skylogix_real_time_weather_data_pipeline_spark import functions as fx
+from skylogix_real_time_weather_data_pipeline_spark.operators import silver
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    start=st.dates(dt.date(2000, 1, 1), dt.date(2030, 12, 31)),
+    span=st.integers(0, 400),
+)
+@_settings
+def test_date_range_matches_python(spark, start, span):
+    end = start + dt.timedelta(days=span)
+    got = spark.range(1).select(
+        fx.get_date_range(start.isoformat(), end.isoformat()).alias("d")
+    ).first().d
+    expect = [(start + dt.timedelta(days=i)).isoformat() for i in range(span + 1)]
+    assert got == expect
+
+
+@given(c=st.floats(-100, 100, allow_nan=False))
+@_settings
+def test_temperature_conversion_roundtrip(spark, c):
+    r = spark.range(1).select(
+        fx.fahrenheit_to_celsius(fx.celsius_to_fahrenheit(F.lit(c))).alias("x")
+    ).first().x
+    assert r == pytest.approx(c, abs=1e-9)
+
+
+@given(
+    vals=st.lists(st.floats(-50, 50, allow_nan=False, allow_infinity=False),
+                  min_size=4, max_size=40),
+    outlier=st.floats(5000, 100000),
+)
+@_settings
+def test_clean_outliers_matches_reference_model(spark, vals, outlier):
+    """Differential vs a NumPy model of the reference's cleaning
+    (quantile→IQR bounds→mask→post-mask median fill; reference
+    src/transform.py:165-188). Hypothesis found that degenerate samples can
+    legitimately KEEP a huge value (interpolated q95 stretches toward it) —
+    the model, not a fixed invariant, is the spec."""
+    import numpy as np
+
+    data = [float(v) for v in vals + [outlier]]
+    df = spark.createDataFrame([(v,) for v in data], "x double")
+    out = silver.clean_outliers(df, ["x"])
+    rows = sorted(r.x for r in out.collect())
+
+    q1, q3 = np.quantile(data, [0.05, 0.95])
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    masked = [v if lo <= v <= hi else None for v in data]
+    kept = [v for v in masked if v is not None]
+    med = float(np.median(kept)) if kept else None
+    expect = sorted(v if v is not None else med for v in masked)
+
+    assert len(rows) == len(expect)
+    assert all(a == pytest.approx(b, abs=1e-9) for a, b in zip(rows, expect))
+
+
+@given(texts=st.lists(st.text(alphabet="abcd ", min_size=1, max_size=30),
+                      min_size=1, max_size=12))
+@_settings
+def test_exact_dedup_counts(spark, texts):
+    from skylogix_real_time_weather_data_pipeline_spark.ext import dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = dedup.exact_dedup(df)
+    assert out.count() == len(set(texts))
+    total = out.agg(F.sum("n_copies")).first()[0]
+    assert total == len(texts)
