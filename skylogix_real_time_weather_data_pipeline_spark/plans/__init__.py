@@ -6,18 +6,20 @@ parquet tables). Keys are disjoint across submodules; __spark_entry__ merges
 them.
 """
 
-from . import ext, relational, streaming_batch, weather  # noqa: F401
+from . import ext, relational, sql_surface, streaming_batch, weather  # noqa: F401
+
+_MODULES = (weather, relational, ext, streaming_batch, sql_surface)
 
 
 def all_queries():
     out = {}
-    for mod in (weather, relational, ext, streaming_batch):
+    for mod in _MODULES:
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles():
     out = {}
-    for mod in (weather, relational, ext, streaming_batch):
+    for mod in _MODULES:
         out.update(mod.ORACLES)
     return out
