@@ -35,8 +35,13 @@ HEADLINE = [
     "stream_sessionize",
     "docs_exact_dedup",
     "docs_minhash_lsh_pairs",
+    "docs_ngram_jaccard_pairs",
     "docs_token_stats",
     "emb_cosine_topk",
+    "emb_lsh_near_dup_pairs",
+    "weather_daily_pivot",
+    "rel_cube_lineitem",
+    "sql_forecast_revenue",
 ]
 
 

@@ -112,8 +112,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     band_structs = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r:02d}") for r in range(rows_per_band)]
+        # arithmetic band key: fold the band's minhashes with mod-chaining
+        # ((acc*65537 + mh) % MH_P) — a bigint join key (8 bytes in the
+        # shuffle vs a 32-char md5 string), identical in ANSI SQL
+        acc = cols[0] % MH_P
+        for c in cols[1:]:
+            acc = (acc * 65537 + c) % MH_P
         band_structs.append(
-            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("band_hash"))
+            F.struct(F.lit(b).alias("band_idx"), acc.alias("band_hash"))
         )
     banded = sig.select(id_col, F.explode(F.array(*band_structs)).alias("band")).select(
         id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash")

