@@ -22,7 +22,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanoseconds and is converted here (truncation to micros — matching
     DuckDB's ns→µs handling).
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # parity pin (SURVEY §7.4.1b): temporal derivations must be computed in
+    # UTC even when the calling session (e.g. the external driver's) didn't
+    # use our factory; runtime-settable, idempotent
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        df = spark.read.parquet(path)
+        # force schema resolution now so a NANOS failure surfaces here
+        _ = df.schema
+    except Exception:
+        # a session built without our factory (e.g. the external driver's)
+        # lacks the legacy conf for TIMESTAMP(NANOS); it's runtime-settable
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # integer `div`, not `/`: double division rounds the low microsecond
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
