@@ -430,8 +430,36 @@ FROM obs WHERE humidity IS NOT NULL GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# A9 (per-group form) — per-city quartiles (box-plot input,
+# reference src/analyze.py:474)
+# --------------------------------------------------------------------------
+
+def q_city_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = observations(spark, sf_dir)
+    return obs.groupBy("city").agg(
+        F.round(F.expr("percentile(wind_speed, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(wind_speed, 0.5)"), 6).alias("q2"),
+        F.round(F.expr("percentile(wind_speed, 0.75)"), 6).alias("q3"),
+        F.round(F.min("wind_speed"), 6).alias("lo"),
+        F.round(F.max("wind_speed"), 6).alias("hi"),
+    )
+
+
+O_CITY_QUANTILES = OBS_CTE + """
+SELECT city,
+       ROUND(quantile_cont(wind_speed, 0.25), 6) AS q1,
+       ROUND(quantile_cont(wind_speed, 0.50), 6) AS q2,
+       ROUND(quantile_cont(wind_speed, 0.75), 6) AS q3,
+       ROUND(MIN(wind_speed), 6) AS lo,
+       ROUND(MAX(wind_speed), 6) AS hi
+FROM obs GROUP BY city
+"""
+
+
 QUERIES = {
     "weather_basic_stats": q_basic_stats,
+    "weather_city_quantiles": q_city_quantiles,
     "weather_city_comparison": q_city_comparison,
     "weather_warmest_coldest": q_warmest_coldest,
     "weather_daily_city_agg": q_daily_city_agg,
@@ -452,6 +480,7 @@ QUERIES = {
 
 ORACLES = {
     "weather_basic_stats": O_BASIC_STATS,
+    "weather_city_quantiles": O_CITY_QUANTILES,
     "weather_city_comparison": O_CITY_COMPARISON,
     "weather_warmest_coldest": O_WARMEST_COLDEST,
     "weather_daily_city_agg": O_DAILY_CITY_AGG,
