@@ -159,8 +159,38 @@ GROUP BY event_type
 """
 
 
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event annotated with the user's most recent
+    purchase value at-or-before the click (operators/asof.py — union +
+    carry-forward window, one shuffle). Oracle: DuckDB's native ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    return asof_join(clicks, purchases, on="ts", by="user_id")
+
+
+O_ASOF_LAST_PURCHASE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value AS click_value FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, value AS purchase_value FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.ts, c.event_id, c.click_value,
+       p.purchase_value AS purchase_value_asof
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 QUERIES = {
     "stream_tumbling_daily": q_tumbling_daily,
+    "stream_asof_last_purchase": q_asof_last_purchase,
     "stream_sliding_6h": q_sliding_6h,
     "stream_sessionize": q_sessionize,
     "stream_dedup_keyed": q_dedup_within_watermark,
@@ -168,6 +198,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_tumbling_daily": O_TUMBLING_DAILY,
+    "stream_asof_last_purchase": O_ASOF_LAST_PURCHASE,
     "stream_sliding_6h": O_SLIDING_6H,
     "stream_sessionize": O_SESSIONIZE,
     "stream_dedup_keyed": O_DEDUP_WITHIN_WATERMARK,
