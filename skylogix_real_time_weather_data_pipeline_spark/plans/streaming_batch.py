@@ -188,9 +188,46 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
 
+def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked range join (operators/range_join.py): per-user overlapping
+    36-hour activity windows × events point-in-interval match, aggregated
+    per window. Oracle: DuckDB inequality join (IEJoin)."""
+    from ..operators.range_join import range_join
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    iv = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("w_start"))
+        .distinct()
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 36 HOURS"))
+    )
+    matched = range_join(ev, iv, point_ts="ts", start_ts="w_start", end_ts="w_end",
+                         by="user_id", chunk_seconds=6 * 3600)
+    return matched.groupBy("user_id", "w_start", "w_end").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+O_RANGE_JOIN_WINDOWS = """
+WITH iv AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 36 HOUR AS w_end
+  FROM events
+)
+SELECT iv.user_id, w_start, w_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(e.value), 2) AS sum_value
+FROM events e JOIN iv
+  ON e.user_id = iv.user_id AND e.ts >= iv.w_start AND e.ts < iv.w_end
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "stream_tumbling_daily": q_tumbling_daily,
     "stream_asof_last_purchase": q_asof_last_purchase,
+    "stream_range_join_windows": q_range_join_windows,
     "stream_sliding_6h": q_sliding_6h,
     "stream_sessionize": q_sessionize,
     "stream_dedup_keyed": q_dedup_within_watermark,
@@ -199,6 +236,7 @@ QUERIES = {
 ORACLES = {
     "stream_tumbling_daily": O_TUMBLING_DAILY,
     "stream_asof_last_purchase": O_ASOF_LAST_PURCHASE,
+    "stream_range_join_windows": O_RANGE_JOIN_WINDOWS,
     "stream_sliding_6h": O_SLIDING_6H,
     "stream_sessionize": O_SESSIONIZE,
     "stream_dedup_keyed": O_DEDUP_WITHIN_WATERMARK,

@@ -1,0 +1,55 @@
+"""applyInPandasWithState: cumulative per-key stats across MULTIPLE
+micro-batches (maxFilesPerTrigger=1 → one batch per file) accumulate
+correctly in the state store."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from skylogix_real_time_weather_data_pipeline_spark.streaming.stateful import (
+    running_key_stats,
+)
+
+
+def _write_batch(src, name, rows):
+    src.mkdir(exist_ok=True)
+    with open(src / name, "w") as f:
+        for k, v in rows:
+            f.write(json.dumps({"k": k, "v": v}) + "\n")
+
+
+def test_state_accumulates_across_micro_batches(spark, tmp_path):
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    _write_batch(src, "b1.json", [("a", 1.0), ("a", 3.0), ("b", 10.0)])
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    _write_batch(src, "b2.json", [("a", 5.0), ("c", -2.0)])
+
+    stream = (
+        spark.readStream.schema("k string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = running_key_stats(stream, "k", "v")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("state_mem")
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.table("state_mem").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.key, []).append(r)
+
+    # 'a' seen in both micro-batches: a partial update then the cumulative one
+    a_final = max(by_key["a"], key=lambda r: r.n)
+    assert a_final.n == 3 and a_final.total == 9.0 and a_final.mean == 3.0
+    assert a_final.vmin == 1.0 and a_final.vmax == 5.0
+    assert len(by_key["a"]) == 2                      # emitted per touching batch
+    assert by_key["b"][0].n == 1 and by_key["b"][0].total == 10.0
+    assert by_key["c"][0].n == 1 and by_key["c"][0].total == -2.0
