@@ -9,9 +9,16 @@ SQL-expressible.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# robust under file-path import (importlib from another CWD)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from skylogix_real_time_weather_data_pipeline_spark import plans
 from skylogix_real_time_weather_data_pipeline_spark.plans import weather

@@ -59,7 +59,15 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int]:
     return 64 + h[0] % 192, 64 + h[1] % 192
 
 
-DECODERS = {"image": _decode_image_stub}
+def _decode_audio_stub(payload: bytes) -> tuple[int, int]:
+    """STUB audio probe: fake (sample_rate, n_samples-as-height) from the
+    payload hash; replace with soundfile/librosa when present. Reuses the
+    (width, height) feature slots as (sample_rate/100, duration_ds)."""
+    h = hashlib.sha256(payload).digest()
+    return 80 + h[2] % 100, 64 + (len(payload) % 192)
+
+
+DECODERS = {"image": _decode_image_stub, "audio": _decode_audio_stub}
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
@@ -90,6 +98,39 @@ def extract_features(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_assets(assets: DataFrame, target: int = 224) -> DataFrame:
+    """STUB resize stage with REAL Spark plumbing: Arrow batches in, new
+    binary payload + recorded target dims out. The fake 'resized' payload
+    is a deterministic digest of (payload, target) so downstream
+    content-addressing works; swap the inner function for a real
+    PIL ``img.resize((target, target)).tobytes()`` when codecs exist."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = [
+                hashlib.sha256(bytes(p) + target.to_bytes(4, "big")).digest()
+                if p is not None
+                else None
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "mime_type": pdf["mime_type"],
+                    "payload": out_payload,
+                    "width": pd.array([target] * len(pdf), dtype="Int32"),
+                    "height": pd.array([target] * len(pdf), dtype="Int32"),
+                }
+            )
+
+    schema = StructType(
+        ASSET_SCHEMA.fields
+        + [StructField("width", IntegerType()), StructField("height", IntegerType())]
+    )
+    return assets.mapInPandas(run, schema)
 
 
 def frame_sample_plan(assets: DataFrame, every_n: int = 30) -> DataFrame:

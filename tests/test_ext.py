@@ -105,6 +105,22 @@ def test_multimodal_feature_extraction(spark, sf_dir):
     assert all(again[r.asset_id] == (r.width, r.height) for r in rows)
 
 
+def test_resize_and_audio_stub_plumbing(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    assets = multimodal.synthetic_assets(spark, docs, modality="audio")
+    feats = multimodal.extract_features(assets)
+    r = feats.first()
+    assert r.width is not None  # audio stub decoder engaged
+
+    resized = multimodal.resize_assets(multimodal.synthetic_assets(spark, docs), target=224)
+    rows = resized.collect()
+    assert all(r.width == 224 and r.height == 224 for r in rows)
+    assert all(len(bytes(r.payload)) == 32 for r in rows)  # digest payload
+    # deterministic: same input → same resized payload
+    again = {r.asset_id: bytes(r.payload) for r in resized.collect()}
+    assert all(again[r.asset_id] == bytes(r.payload) for r in rows)
+
+
 def test_frame_sample_plan_fanout(spark):
     assets = spark.createDataFrame(
         [(1, "video", "video/mp4", bytearray(b"x" * 5000))],
