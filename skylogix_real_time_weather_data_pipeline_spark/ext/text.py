@@ -93,6 +93,50 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return scored.select(id_col, *hit_cols.keys(), pred.alias("lang_pred"))
 
 
+def normalize_text(text: Column | str) -> Column:
+    """Training-data text normalization: lowercase, strip punctuation to
+    spaces, collapse whitespace, trim. Pure codegen expressions; the same
+    regex pipeline is mirrored by the docs_normalize oracle."""
+    text = F.col(text) if isinstance(text, str) else text
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[^a-z0-9\\s]", " ")
+    t = F.regexp_replace(t, "\\s+", " ")
+    return F.trim(t)
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    chunk_tokens: int = 32, overlap: int = 8) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the standard
+    pre-embedding stage of a training/RAG pipeline.
+
+    Chunk starts step by (chunk_tokens - overlap); the final partial chunk
+    is kept. Implemented with sequence+transform over the token array (one
+    narrow pass, rows fan out via explode); token offsets are preserved so
+    chunks are traceable back to character positions upstream.
+    """
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    # chunk start offsets: 0, step, 2*step, ... while start < n_tok
+    n_chunks = F.greatest(F.ceil((n_tok - F.lit(overlap)) / step), F.lit(1)).cast("int")
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * step, F.lit(step))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start_token"),
+            F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)).alias("chunk_text"),
+        ),
+    )
+    return df.select(id_col, n_tok.alias("n_tokens"), F.explode(chunks).alias("c")).select(
+        id_col,
+        "n_tokens",
+        F.col("c.start_token").alias("start_token"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as strings ('w1 w2 w3'), distinct per doc.
 

@@ -254,6 +254,42 @@ FROM documents
 # Document fingerprinting (winnowing-lite)
 # --------------------------------------------------------------------------
 
+def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    norm = text.normalize_text(F.col("text"))
+    return docs.select("doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_len"))
+
+
+O_NORMALIZE = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS INTEGER) AS norm_len
+FROM documents
+"""
+
+
+_CHUNK, _OVERLAP = 32, 8
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.chunk_documents(_docs(spark, sf_dir), chunk_tokens=_CHUNK, overlap=_OVERLAP)
+
+
+_step = _CHUNK - _OVERLAP
+O_CHUNK_DOCUMENTS = TOK_CTE + f"""
+, par AS (
+  SELECT doc_id, tk, len(tk) AS n_tok,
+         greatest(CAST(ceil((len(tk) - {_OVERLAP}) / {_step}.0) AS BIGINT), 1) AS n_chunks
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n_tok AS INTEGER) AS n_tokens,
+       CAST(s AS INTEGER) AS start_token,
+       array_to_string(list_slice(tk, s + 1, s + {_CHUNK}), ' ') AS chunk_text
+FROM (SELECT doc_id, n_tok, tk, unnest(range(0, n_chunks * {_step}, {_step})) AS s FROM par)
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_docs(spark, sf_dir))
 
@@ -379,6 +415,8 @@ QUERIES = {
     "docs_language_id": q_language_id,
     "docs_bpe_token_count": q_bpe_token_count,
     "docs_fingerprint": q_fingerprint,
+    "docs_normalize": q_normalize,
+    "docs_chunk": q_chunk_documents,
     "emb_cosine_topk": q_cosine_topk,
     "emb_lsh_buckets": q_lsh_buckets,
     "emb_lsh_near_dup_pairs": q_lsh_near_dup_pairs,
@@ -396,6 +434,8 @@ ORACLES = {
     "docs_language_id": O_LANGUAGE_ID,
     "docs_bpe_token_count": O_BPE_TOKEN_COUNT,
     "docs_fingerprint": O_FINGERPRINT,
+    "docs_normalize": O_NORMALIZE,
+    "docs_chunk": O_CHUNK_DOCUMENTS,
     "emb_cosine_topk": O_COSINE_TOPK,
     "emb_lsh_buckets": O_LSH_BUCKETS,
     "emb_lsh_near_dup_pairs": O_LSH_NEAR_DUP,
