@@ -39,6 +39,22 @@ def write_json_records(df: DataFrame, path: str, mode: str = "overwrite") -> Non
     df.write.mode(mode).json(path)
 
 
+def write_json_array(df: DataFrame, path: str, max_rows: int = 1_000_000) -> int:
+    """K3 compat: single JSON ARRAY file exactly like the reference
+    (src/load.py:88-96 ``to_dict(orient='records')`` → one array). A
+    driver-side convenience for small/aggregated results — the distributed
+    sink is write_json_records (JSONL)."""
+    import json
+
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(f"refusing to collect {n} rows into one JSON file (max {max_rows})")
+    records = [r.asDict(recursive=True) for r in df.collect()]
+    with open(path, "w") as f:
+        json.dump(records, f, indent=2, default=str)
+    return n
+
+
 def write_sqlite(df: DataFrame, db_path: str, table: str = "weather_data",
                  indexes: tuple[str, ...] = ("city", "date"),
                  max_rows: int = 1_000_000) -> int:

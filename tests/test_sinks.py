@@ -41,6 +41,18 @@ def test_json_records_roundtrip(spark, tmp_path):
     assert back.count() == 2
 
 
+def test_json_array_compat_sink(spark, tmp_path):
+    import json
+
+    from skylogix_real_time_weather_data_pipeline_spark.sinks import write_json_array
+
+    p = str(tmp_path / "arr.json")
+    n = write_json_array(_sample(spark), p)
+    data = json.load(open(p))
+    assert n == 2 and isinstance(data, list) and len(data) == 2
+    assert {d["city"] for d in data} == {"London", "Tokyo"}
+
+
 def test_sqlite_sink_with_indexes(spark, tmp_path):
     db = str(tmp_path / "w.db")
     n = write_sqlite(_sample(spark), db)
