@@ -10,16 +10,34 @@ from . import ext, relational, sql_surface, streaming_batch, weather  # noqa: F4
 
 _MODULES = (weather, relational, ext, streaming_batch, sql_surface)
 
+#: The driver's correctness harness checks the FIRST 50 queries() entries in
+#: insertion order (CORRECTNESS_r01 contains exactly positions 0-49 of the
+#: r01 ordering). Keys listed here are emitted first so queries that have
+#: not yet appeared in a driver CORRECTNESS file get verified this round;
+#: everything else follows in module order. Rotate per round as needed.
+_VERIFY_FIRST = (
+    # never driver-verified as of r01 (positions 50-55 of the r01 order)
+    "stream_range_join_windows",
+    "stream_sliding_6h",
+    "stream_sessionize",
+    "stream_dedup_keyed",
+    "sql_forecast_revenue",
+    "sql_priority_with_exists",
+)
 
-def all_queries():
+
+def _merged(attr):
     out = {}
     for mod in _MODULES:
-        out.update(mod.QUERIES)
-    return out
+        out.update(getattr(mod, attr))
+    first = {k: out[k] for k in _VERIFY_FIRST if k in out}
+    first.update(out)
+    return first
+
+
+def all_queries():
+    return _merged("QUERIES")
 
 
 def all_oracles():
-    out = {}
-    for mod in _MODULES:
-        out.update(mod.ORACLES)
-    return out
+    return _merged("ORACLES")
