@@ -41,18 +41,22 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     toks = tokens(text_col)
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     n_tok = F.size(toks)
+    # empty/whitespace-only docs: ratios are NULL by contract (nullif guard
+    # pins the division in both engines; without it DuckDB's double
+    # division yields NaN while Spark yields NULL)
+    n_tok_nz = F.nullif(n_tok, F.lit(0))
     return df.select(
         id_col,
         F.length(text_col).alias("n_chars"),
         n_tok.alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.round(F.size(F.array_distinct(toks)) / n_tok, 6).alias("lexical_diversity"),
+        F.round(F.size(F.array_distinct(toks)) / n_tok_nz, 6).alias("lexical_diversity"),
         F.round(
-            F.length(F.regexp_replace(F.col(text_col), "\\s+", "")) / n_tok, 6
+            F.length(F.regexp_replace(F.col(text_col), "\\s+", "")) / n_tok_nz, 6
         ).alias("avg_token_len"),
         F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t))).alias("n_stopwords"),
         F.round(
-            F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t))) / n_tok, 6
+            F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t))) / n_tok_nz, 6
         ).alias("stopword_ratio"),
     )
 
@@ -62,10 +66,13 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     vocabulary — the Gopher-rules-style shape, deterministic and portable."""
     stats = token_stats(df, text_col, id_col)
     length_ok = F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000), 1.0).otherwise(0.5)
+    # empty docs have NULL lexical_diversity (see token_stats) — score them
+    # as diversity 0 rather than letting least() silently drop the NULL
+    div = F.coalesce(F.col("lexical_diversity"), F.lit(0.0))
     return stats.select(
         id_col,
         F.round(
-            length_ok * (0.5 + 0.5 * F.least(F.col("lexical_diversity") * 2, F.lit(1.0))), 6
+            length_ok * (0.5 + 0.5 * F.least(div * 2, F.lit(1.0))), 6
         ).alias("quality_score"),
     )
 

@@ -5,9 +5,13 @@ For each left row, attach the most recent right row with the same key and
 ``right.ts <= left.ts``. Implemented with the union + window trick:
 
   1. tag both sides and union them on (key, ts) — ONE dataset, no join;
-  2. per key ordered by (ts, side-tag), ``last(right_value, ignoreNulls)``
-     over rows-unbounded-preceding carries the latest right value forward;
-  3. keep only left rows.
+  2. per key ordered by (ts, side-tag), ``last(right_row_struct,
+     ignoreNulls)`` over rows-unbounded-preceding carries the latest right
+     ROW forward — the whole row as one struct, so a matched right row
+     whose value columns are legitimately NULL is still the row carried
+     (per-column last(ignorenulls) would skip it and resurrect older
+     values, diverging from as-of semantics);
+  3. keep only left rows and unpack the struct.
 
 Cost: a single shuffle+sort on the key — the same price as one sort-merge
 join, but with no equality-join explosion and no range-condition
@@ -43,17 +47,22 @@ def asof_join(
         else [c for c in right.columns if c not in {on, *by}]
     )
 
-    lt = left.withColumn("_side", F.lit(1))
-    for c in value_cols:
-        lt = lt.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    from pyspark.sql.types import StructField, StructType
+
+    r_struct_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in value_cols]
+    )
+    lt = left.withColumn("_side", F.lit(1)).withColumn(
+        "_r", F.lit(None).cast(r_struct_type)
+    )
     rt = right.select(
-        *by, on, *[F.col(c).alias(f"_r_{c}") for c in value_cols]
+        *by, on, F.struct(*[F.col(c) for c in value_cols]).alias("_r")
     ).withColumn("_side", F.lit(0))
     left_extra = [c for c in left.columns if c not in {on, *by}]
     for c in left_extra:
         rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
-    cols = [*by, on, *left_extra, *[f"_r_{c}" for c in value_cols], "_side"]
+    cols = [*by, on, *left_extra, "_r", "_side"]
     unioned = lt.select(cols).unionByName(rt.select(cols))
 
     # right rows (side 0) sort before left rows at the same timestamp, so a
@@ -68,9 +77,11 @@ def asof_join(
         on,
         *left_extra,
         "_side",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_r_carried"),
     )
-    return carried.filter(F.col("_side") == 1).drop("_side")
+    return carried.filter(F.col("_side") == 1).select(
+        *by,
+        on,
+        *left_extra,
+        *[F.col("_r_carried").getField(c).alias(f"{c}{suffix}") for c in value_cols],
+    )

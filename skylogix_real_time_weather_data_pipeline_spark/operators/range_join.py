@@ -34,18 +34,39 @@ def range_join(
 
     All three ts columns must be TimestampType. Output = point columns +
     interval columns (names must not collide apart from ``by``).
-    """
-    p_chunk = (F.col(point_ts).cast("long") / chunk_seconds).cast("long")
-    i_first = (F.col(start_ts).cast("long") / chunk_seconds).cast("long")
-    # end is exclusive: a zero-length chunk tail isn't registered
-    i_last = ((F.col(end_ts).cast("long") - F.lit(1)) / chunk_seconds).cast("long")
 
-    pts = points.withColumn("_chunk", p_chunk)
+    ``how`` may be ``inner`` or ``left`` (unmatched points kept with
+    NULL-extended interval columns). ``right``/``full`` are rejected:
+    intervals are replicated once per overlapped chunk, so a NULL-extension
+    per unmatched *copy* would duplicate unmatched interval rows.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports how='inner'|'left', got {how!r}")
+
+    # floor, not truncate-toward-zero: pre-1970 (negative epoch) timestamps
+    # must land in the same chunk grid as positive ones
+    p_chunk = F.floor(F.col(point_ts).cast("long") / chunk_seconds)
+    i_first = F.floor(F.col(start_ts).cast("long") / chunk_seconds)
+    # end is exclusive: a zero-length chunk tail isn't registered
+    i_last = F.floor((F.col(end_ts).cast("long") - F.lit(1)) / chunk_seconds)
+
+    pts = points.withColumn("_chunk", p_chunk).alias("p")
     ivs = intervals.withColumn(
         "_chunk", F.explode(F.sequence(i_first, F.greatest(i_last, i_first)))
-    )
+    ).alias("i")
 
-    keys = ["_chunk"] + ([by] if by else [])
-    joined = pts.join(ivs, on=keys, how=how)
-    residual: Column = (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
-    return joined.filter(residual).drop("_chunk")
+    # bounds are part of the JOIN condition (not a post-filter) so outer
+    # joins keep unmatched point rows instead of silently dropping them
+    cond: Column = (
+        (F.col("p._chunk") == F.col("i._chunk"))
+        & (F.col(f"p.{point_ts}") >= F.col(f"i.{start_ts}"))
+        & (F.col(f"p.{point_ts}") < F.col(f"i.{end_ts}"))
+    )
+    if by:
+        cond = cond & (F.col(f"p.{by}") == F.col(f"i.{by}"))
+
+    joined = pts.join(ivs, cond, how)
+    out = [F.col(f"p.{c}") for c in points.columns] + [
+        F.col(f"i.{c}").alias(c) for c in intervals.columns if c != by
+    ]
+    return joined.select(*out)

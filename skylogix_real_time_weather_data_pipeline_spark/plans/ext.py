@@ -201,10 +201,10 @@ SELECT doc_id,
        CAST(length(text) AS INTEGER) AS n_chars,
        CAST(len(tk) AS INTEGER) AS n_tokens,
        CAST(len(list_distinct(tk)) AS INTEGER) AS n_distinct_tokens,
-       ROUND(len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE), 6) AS lexical_diversity,
-       ROUND(length(regexp_replace(text, '\\s+', '', 'g')) / CAST(len(tk) AS DOUBLE), 6) AS avg_token_len,
+       ROUND(len(list_distinct(tk)) / CAST(nullif(len(tk), 0) AS DOUBLE), 6) AS lexical_diversity,
+       ROUND(length(regexp_replace(text, '\\s+', '', 'g')) / CAST(nullif(len(tk), 0) AS DOUBLE), 6) AS avg_token_len,
        CAST(len(list_filter(tk, t -> t IN ({_en_stop_sql}))) AS INTEGER) AS n_stopwords,
-       ROUND(len(list_filter(tk, t -> t IN ({_en_stop_sql}))) / CAST(len(tk) AS DOUBLE), 6) AS stopword_ratio
+       ROUND(len(list_filter(tk, t -> t IN ({_en_stop_sql}))) / CAST(nullif(len(tk), 0) AS DOUBLE), 6) AS stopword_ratio
 FROM toks
 """
 

@@ -46,13 +46,16 @@ def write_json_array(df: DataFrame, path: str, max_rows: int = 1_000_000) -> int
     sink is write_json_records (JSONL)."""
     import json
 
-    n = df.count()
-    if n > max_rows:
-        raise ValueError(f"refusing to collect {n} rows into one JSON file (max {max_rows})")
-    records = [r.asDict(recursive=True) for r in df.collect()]
+    # single-pass guard: collect at most max_rows+1 — one plan execution, so
+    # a concurrently-growing or non-deterministic source can't pass a count()
+    # probe and then overshoot on a second execution
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(f"refusing to collect >{max_rows} rows into one JSON file")
+    records = [r.asDict(recursive=True) for r in rows]
     with open(path, "w") as f:
         json.dump(records, f, indent=2, default=str)
-    return n
+    return len(records)
 
 
 def write_sqlite(df: DataFrame, db_path: str, table: str = "weather_data",
@@ -67,10 +70,10 @@ def write_sqlite(df: DataFrame, db_path: str, table: str = "weather_data",
     """
     import sqlite3
 
-    n = df.count()
-    if n > max_rows:
-        raise ValueError(f"refusing to collect {n} rows into sqlite (max {max_rows})")
-    pdf = df.toPandas()
+    # single-pass guard (see write_json_array): one execution, bounded fetch
+    pdf = df.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        raise ValueError(f"refusing to collect >{max_rows} rows into sqlite")
     con = sqlite3.connect(db_path)
     try:
         pdf.to_sql(table, con, if_exists="replace", index=False)
@@ -80,7 +83,7 @@ def write_sqlite(df: DataFrame, db_path: str, table: str = "weather_data",
         con.commit()
     finally:
         con.close()
-    return n
+    return len(pdf)
 
 
 def write_city_summary(df: DataFrame, path: str) -> None:

@@ -60,6 +60,24 @@ def test_quality_and_langid_shapes(docs):
     assert row[0] == "en"        # 'the' hits dominate
 
 
+def test_token_stats_empty_doc_pinned(spark):
+    """Empty/whitespace docs: n_tokens=0, ratio columns NULL (nullif guard),
+    quality_score still defined (diversity coalesced to 0)."""
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   \t "), (2, "one two three")], "doc_id long, text string"
+    )
+    stats = {r.doc_id: r for r in text.token_stats(df).collect()}
+    for i in (0, 1):
+        assert stats[i].n_tokens == 0
+        assert stats[i].lexical_diversity is None
+        assert stats[i].avg_token_len is None
+        assert stats[i].stopword_ratio is None
+    assert stats[2].n_tokens == 3 and stats[2].lexical_diversity == 1.0
+    q = {r.doc_id: r.quality_score for r in text.quality_score(df).collect()}
+    assert q[0] == 0.25          # 0.5 (short) * (0.5 + 0.5*0)
+    assert q[0] is not None and q[1] is not None
+
+
 def test_cosine_topk_ranks_planted_neighbor(spark):
     import math
 
