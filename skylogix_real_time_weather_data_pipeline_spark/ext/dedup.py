@@ -139,15 +139,35 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        shingle_n: int = 3, threshold: float = 0.5) -> DataFrame:
+                        shingle_n: int = 3, threshold: float = 0.5,
+                        max_shingle_df: int | None = 100_000) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join.
 
     shingle-explode → self-join on shingle → |A∩B| per pair → Jaccard with
     |A|,|B| from a per-doc size table. Only pairs sharing ≥1 shingle are
     ever materialized; the shingle join key is content-hash distributed.
     For web-scale corpora, run AFTER minhash_lsh_pairs as the verify stage.
+
+    ``max_shingle_df`` caps shingle document frequency: a shingle present in
+    k docs contributes k² rows to the self-join, so one ubiquitous phrase
+    ("of the and") makes the plan quadratic in corpus size. Shingles with
+    df > cap are removed from the shingle universe BEFORE sizes and
+    intersections (Jaccard stays self-consistent over the capped universe —
+    near-dup clusters are ≪ the cap, so scores are unchanged for real
+    near-dups). None disables the cap.
     """
     sh = shingle_rows(df, text_col, id_col, shingle_n, distinct=True)
+    if max_shingle_df is not None:
+        # the HOT set (df > cap) is tiny by construction — broadcast anti-join,
+        # so the cap costs one map-side-combinable agg + a broadcast, no shuffle
+        # of the shingle stream beyond the one the agg already does
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -168,7 +188,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            n_bits: int = 32) -> DataFrame:
+            n_bits: int = 60) -> DataFrame:
     """SimHash fingerprint (n_bits ≤ 60) from token md5 hashes.
 
     Explode tokens → per-bit signed vote sum → reassemble integer. The
@@ -197,12 +217,15 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       n_bits: int = 32, max_hamming: int = 3) -> DataFrame:
+                       n_bits: int = 60, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
     Scale path: block on bit-chunks (pigeonhole — two fingerprints within
     hamming k must share one of k+1 chunks) so the self-join is on chunk
-    equality, not all-pairs.
+    equality, not all-pairs. At the 60-bit default with max_hamming=3 the
+    chunks are 15 bits → 32768 values per chunk position, so bucket
+    occupancy is ~n/2^15 per chunk — sub-quadratic well past 10⁸ docs
+    (vs 8-bit chunks at n_bits=32, quadratic by 10⁷).
     """
     s = simhash(df, text_col, id_col, n_bits)
     chunks = max_hamming + 1

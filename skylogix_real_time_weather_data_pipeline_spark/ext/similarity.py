@@ -153,26 +153,85 @@ def rp_lsh_signs(n_planes: int, dim: int) -> list[tuple[int, int, int]]:
     return out
 
 
+def _plane_sign_lists(n_planes: int, dim: int) -> list[list[int]]:
+    """``rp_lsh_signs`` regrouped as one ±1 list per plane."""
+    per = [[0] * dim for _ in range(n_planes)]
+    for p, d, s in rp_lsh_signs(n_planes, dim):
+        per[p][d] = s
+    return per
+
+
+def _rp_dot(vec_col: Column, signs: list[int]) -> Column:
+    """Σ_d sign_d·v_d as a flat ±element_at arithmetic chain — plain codegen
+    expressions (no higher-order functions, no join, no shuffle); summation
+    order is d ascending, deterministic."""
+    acc: Column | None = None
+    for d, s in enumerate(signs):
+        term = F.element_at(vec_col, d + 1).cast("double")
+        term = term if s > 0 else -term
+        acc = term if acc is None else acc + term
+    assert acc is not None
+    return acc
+
+
 def rp_lsh_buckets(df: DataFrame, n_planes: int = 4, dim: int = 64,
                    vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Sign-LSH bucket per vector: bit p = [Σ_d sign(p,d)·v_d > 0].
 
-    Implemented relationally (posexplode → broadcast join with the tiny
-    plane table → two partial-aggregatable groupBys) so the whole thing is
-    codegen'd; at scale the planes table is a broadcast of n_planes×dim
-    ints and the shuffles key on vec id — skew-free.
+    One narrow projection: each plane's dot product is a ±element_at
+    arithmetic fold (signs are ±1, so no multiplies) and the bucket
+    assembles bits with when/otherwise — whole-stage codegen, ZERO
+    shuffles/joins before the bucket column exists. (The earlier
+    formulation posexploded dim×n rows through a broadcast join and two
+    groupBys — two shuffles to compute what is a per-row expression.)
     """
-    spark = df.sparkSession
-    planes = spark.createDataFrame(rp_lsh_signs(n_planes, dim), "p int, d int, s int")
-    pe = df.select(id_col, F.posexplode(vec_col).alias("d", "v"))
-    dots = (
-        pe.join(F.broadcast(planes), "d")
-        .groupBy(id_col, "p")
-        .agg(F.sum(F.col("s") * F.col("v").cast("double")).alias("dot"))
-    )
-    bucket_term = F.when(F.col("dot") > 0, F.pow(F.lit(2.0), F.col("p"))).otherwise(F.lit(0.0))
-    return dots.groupBy(id_col).agg(
-        F.sum(bucket_term).cast("long").alias("bucket")
+    signs = _plane_sign_lists(n_planes, dim)
+    bucket: Column | None = None
+    for p in range(n_planes):
+        bit = F.when(_rp_dot(F.col(vec_col), signs[p]) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    assert bucket is not None
+    return df.select(id_col, bucket.cast("long").alias("bucket"))
+
+
+def rp_lsh_buckets_banded(df: DataFrame, n_tables: int = 4, n_planes: int = 16,
+                          dim: int = 64, vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """Banded sign-LSH: ``n_tables`` independent hash tables of ``n_planes``
+    bits each → rows (id, table_idx, bucket).
+
+    Table t uses global planes [t·n_planes, (t+1)·n_planes); all
+    n_tables×n_planes dot products are computed in ONE Arrow-vectorized
+    batch matmul (V·Sᵀ) — a single narrow pass, no shuffle before the
+    bucket columns exist. Banding is what keeps recall at high bucket
+    resolution: two vectors are candidates if they collide in ANY table,
+    so occupancy per bucket is ~n/2^n_planes while recall compounds
+    across tables (the MinHash-banding construction applied to sign-LSH).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    total = n_tables * n_planes
+    smat = np.asarray(_plane_sign_lists(total, dim), dtype=np.float64)  # (total, dim)
+    weights = np.tile(2.0 ** np.arange(n_planes), n_tables)  # bit weight within table
+    table_of = np.repeat(np.arange(n_tables), n_planes)
+
+    # no typehints: string annotations from `__future__` break pandas_udf
+    # inspection; returnType is given explicitly below
+    def _buckets(vecs):
+        m = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)  # (n, dim)
+        bits = (m @ smat.T) > 0  # (n, total)
+        weighted = bits * weights  # (n, total)
+        out = np.zeros((m.shape[0], n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            out[:, t] = weighted[:, table_of == t].sum(axis=1).astype(np.int64)
+        return pd.Series(list(out))
+
+    bucket_arr = pandas_udf(_buckets, "array<long>")
+    return (
+        df.select(id_col, bucket_arr(F.col(vec_col)).alias("_b"))
+        .select(id_col, F.posexplode("_b").alias("table_idx", "bucket"))
     )
 
 
@@ -196,24 +255,39 @@ def pairwise_cosine_arrow() -> "F.Column":
     return pandas_udf(_score, "double")
 
 
-def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.25, n_planes: int = 8,
-                       dim: int = 64, vec_col: str = "embedding",
-                       id_col: str = "vec_id") -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH bucketing: candidate pairs
-    share a sign-LSH bucket (collision probability rises with cosine), then
-    exact cosine verifies (Arrow-vectorized). The self-join is restricted
-    to bucket equality — never the full n² cross product; bucket count
-    (2^n_planes) trades recall vs candidate volume."""
-    buckets = rp_lsh_buckets(df, n_planes, dim, vec_col, id_col)
-    withb = df.join(buckets, id_col)
-    a = withb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    b = withb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
-    cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.25, n_tables: int = 4,
+                       n_planes: int = 16, dim: int = 64,
+                       vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-dup pairs via BANDED sign-LSH: candidates
+    share a bucket in ≥1 of ``n_tables`` independent tables, then exact
+    cosine verifies (Arrow-vectorized).
+
+    The candidate join is an equi-join on (table_idx, bucket) — never the
+    n² cross product — and distinct() collapses multi-table collisions
+    before the verify stage so each pair is scored once. At the defaults,
+    per-table occupancy is ~n/2^16 (sub-quadratic past 10⁹ rows) while
+    recall compounds to 1-(1-p^16)^4 across the four tables — the fix for
+    a single 2^8-bucket table whose occupancy went quadratic at ~10⁷.
+    """
+    buckets = rp_lsh_buckets_banded(df, n_tables, n_planes, dim, vec_col, id_col)
+    a = buckets.select(F.col(id_col).alias("id_a"), "table_idx", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "table_idx", "bucket")
+    cand = (
+        a.join(b, ["table_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     score = pairwise_cosine_arrow()
-    scored = cand.withColumn("cos", score(F.col("va"), F.col("vb")))
+    scored = (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cos", score(F.col("va"), F.col("vb")))
+    )
     return (
         scored.filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "bucket", F.round("cos", 6).alias("cosine_sim"))
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine_sim"))
     )
 
 

@@ -16,7 +16,7 @@ from ..ext import dedup, similarity, text
 
 _N_HASHES = 16
 _BANDS = 4
-_SIMHASH_BITS = 32
+_SIMHASH_BITS = 60  # 15-bit pigeonhole chunks at max_hamming=3 (scale default)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,8 +336,10 @@ SELECT vec_id, cosine_sim FROM scored ORDER BY cosine_sim DESC, vec_id ASC LIMIT
 # Random-hyperplane LSH buckets + embedding-cosine near-dup pairs
 # --------------------------------------------------------------------------
 
-_N_PLANES = 8
+_N_PLANES = 8         # single-table bucket-assignment query
 _NEARDUP_T = 0.25
+_ND_TABLES = 4        # banded near-dup: 4 tables × 16 planes
+_ND_PLANES = 16
 
 
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,27 +350,36 @@ _SIGN_SQL = (
     "CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(p AS VARCHAR), '|', CAST(d AS VARCHAR))), 1, 15)) AS BIGINT) % 2 = 0 "
     "THEN 1 ELSE -1 END"
 )
-_PLANES_CTE = f"""
+
+
+def _planes_cte(n_planes: int) -> str:
+    """Mirror of similarity.rp_lsh_signs for ``n_planes`` global planes:
+    per-(vec, plane) dot products of the ±1 hyperplanes."""
+    return f"""
 WITH planes AS (
   SELECT p, d, {_SIGN_SQL} AS s
-  FROM (SELECT unnest(range(0, {_N_PLANES})) AS p), (SELECT unnest(range(0, 64)) AS d)
+  FROM (SELECT unnest(range(0, {n_planes})) AS p), (SELECT unnest(range(0, 64)) AS d)
 ), pe AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d, unnest(embedding) AS v
   FROM embeddings
 ), dots AS (
   SELECT vec_id, p, SUM(s * CAST(v AS DOUBLE)) AS dot
   FROM pe JOIN planes USING (d) GROUP BY vec_id, p
-), buckets AS (
-  SELECT vec_id,
-         CAST(SUM(CASE WHEN dot > 0 THEN power(2.0, p) ELSE 0.0 END) AS BIGINT) AS bucket
-  FROM dots GROUP BY vec_id
 )
 """
-O_LSH_BUCKETS = _PLANES_CTE + "SELECT vec_id, bucket FROM buckets"
+
+
+O_LSH_BUCKETS = _planes_cte(_N_PLANES) + """
+SELECT vec_id,
+       CAST(SUM(CASE WHEN dot > 0 THEN power(2.0, p) ELSE 0.0 END) AS BIGINT) AS bucket
+FROM dots GROUP BY vec_id
+"""
 
 
 def q_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.lsh_near_dup_pairs(_embs(spark, sf_dir), threshold=_NEARDUP_T, n_planes=_N_PLANES)
+    return similarity.lsh_near_dup_pairs(
+        _embs(spark, sf_dir), threshold=_NEARDUP_T, n_tables=_ND_TABLES, n_planes=_ND_PLANES
+    )
 
 
 _COS_AB = """
@@ -377,11 +388,22 @@ _COS_AB = """
   / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
      * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
 """
-O_LSH_NEAR_DUP = _PLANES_CTE + f"""
-, withb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b USING (vec_id))
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
-       ROUND({_COS_AB}, 6) AS cosine_sim
-FROM withb a JOIN withb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+# banded mirror: table t owns global planes [t*16, (t+1)*16); bucket bits are
+# weighted 2^(p mod 16) within the table; candidates collide in ANY table
+O_LSH_NEAR_DUP = _planes_cte(_ND_TABLES * _ND_PLANES) + f"""
+, tbuckets AS (
+  SELECT vec_id, p // {_ND_PLANES} AS table_idx,
+         CAST(SUM(CASE WHEN dot > 0 THEN power(2.0, p % {_ND_PLANES}) ELSE 0.0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, p // {_ND_PLANES}
+), cand AS (
+  SELECT DISTINCT ta.vec_id AS id_a, tb.vec_id AS id_b
+  FROM tbuckets ta JOIN tbuckets tb
+    ON ta.table_idx = tb.table_idx AND ta.bucket = tb.bucket AND ta.vec_id < tb.vec_id
+)
+SELECT id_a, id_b, ROUND({_COS_AB}, 6) AS cosine_sim
+FROM cand
+JOIN embeddings a ON a.vec_id = id_a
+JOIN embeddings b ON b.vec_id = id_b
 WHERE {_COS_AB} >= {_NEARDUP_T}
 """
 

@@ -52,6 +52,67 @@ def test_simhash_hamming_close_for_near_dup(docs):
     assert got[(0, 1)] == 0
 
 
+def test_simhash_default_is_60_bit(docs):
+    out = dedup.simhash(docs)
+    vals = [r.simhash for r in out.collect()]
+    assert all(0 <= v < 2 ** 60 for v in vals)
+    assert any(v >= 2 ** 32 for v in vals)  # actually uses the high bits
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=3)  # 15-bit chunks
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got[(0, 1)] == 0  # identical docs at full width
+
+
+def test_ngram_hot_shingle_cap_bounds_candidates(spark):
+    """One ubiquitous phrase must not create pairs between otherwise
+    unrelated docs once its shingles exceed the df cap."""
+    boiler = "all rights reserved by the site"      # appears in EVERY doc
+    rows = [(i, f"{boiler} unique content piece number {i} talks about topic {i * 7}")
+            for i in range(20)]
+    rows.append((100, rows[0][1].replace("topic", "subject")))  # true near-dup of 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.2, max_shingle_df=None)
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.2, max_shingle_df=5)
+    n_un, n_cap = uncapped.count(), capped.count()
+    # boilerplate shingles alone put every doc pair over threshold uncapped;
+    # the cap removes them, leaving only genuinely-similar pairs
+    assert n_un > 100          # ~all 21*20/2 pairs
+    assert n_cap < 10
+    assert {(r.id_a, r.id_b) for r in capped.collect()} >= {(0, 100)}
+
+
+def test_banded_lsh_finds_planted_near_dup_and_bounds_occupancy(spark):
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(64)]))
+    rows.append((1000, [v * 1.0001 + 0.0001 for v in rows[0][1]]))  # near-dup of 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pairs = similarity.lsh_near_dup_pairs(df, threshold=0.9, n_tables=4, n_planes=16)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1000) in got
+
+    # occupancy: with 16-bit buckets, random vectors should not pile into
+    # one bucket — max same-(table,bucket) group stays tiny
+    b = similarity.rp_lsh_buckets_banded(df, n_tables=4, n_planes=16)
+    occ = b.groupBy("table_idx", "bucket").count().agg(F.max("count")).first()[0]
+    assert occ <= 5
+
+
+def test_rp_lsh_buckets_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [-1.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    out = similarity.rp_lsh_buckets(df, n_planes=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # bucket is a per-row expression — narrow
+    assert out.count() == 2
+
+
 def test_quality_and_langid_shapes(docs):
     q = text.quality_score(docs)
     assert q.filter((F.col("quality_score") < 0) | (F.col("quality_score") > 1)).count() == 0
