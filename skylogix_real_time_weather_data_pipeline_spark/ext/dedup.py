@@ -61,6 +61,23 @@ def _repartition_for_compute(df: DataFrame, key: str) -> DataFrame:
     return df.repartition(sc.defaultParallelism, key)
 
 
+def _pairs_from_sorted_ids(ids: F.Column) -> F.Column:
+    """All (id_a < id_b) pair structs from a sorted id array — the in-bucket
+    pair fan-out shared by the LSH and inverted-index candidate generators.
+    Replacing a bucket self-join with this explode computes the (expensive)
+    upstream pipeline ONCE instead of once per join side (Spark does not
+    reuse the subtree across self-join sides; verified: 0 ReusedExchange)."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the smallest id per content fingerprint.
 
@@ -99,13 +116,24 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      n_hashes: int = 16, bands: int = 4, shingle_n: int = 3) -> DataFrame:
-    """LSH candidate pairs: band the signature, bucket-join within bands.
+                      n_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+                      max_bucket_size: int = 100_000) -> DataFrame:
+    """LSH candidate pairs: band the signature, pair up within buckets.
 
     Returns distinct (id_a < id_b) candidate pairs with the number of
-    bands in which they collide. At scale the join key (band_idx,
-    band_hash) is uniformly distributed — no skew — and the join output is
-    bounded by bucket occupancy, not n².
+    bands in which they collide.
+
+    Formulation: ONE aggregation per (band_idx, band_hash) gathers bucket
+    members; pairs fan out from the member array (sorted, so id_a < id_b by
+    construction). A bucket self-join would evaluate the whole
+    shingle→md5→min signature pipeline twice (Spark does not reuse the
+    subtree across self-join sides — verified: 0 ReusedExchange) and
+    shuffle the banded stream two more times; grouping computes signatures
+    once and replaces the join with a narrow explode. Bucket arrays are
+    bounded by duplicate-cluster density by construction;
+    ``max_bucket_size`` guards the degenerate mass-duplicate case (such
+    clusters belong to exact_dedup, and a 100k-member bucket would emit
+    5e9 candidate pairs regardless of formulation).
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
@@ -113,7 +141,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r:02d}") for r in range(rows_per_band)]
         # arithmetic band key: fold the band's minhashes with mod-chaining
-        # ((acc*65537 + mh) % MH_P) — a bigint join key (8 bytes in the
+        # ((acc*65537 + mh) % MH_P) — a bigint group key (8 bytes in the
         # shuffle vs a 32-char md5 string), identical in ANSI SQL
         acc = cols[0] % MH_P
         for c in cols[1:]:
@@ -124,16 +152,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     banded = sig.select(id_col, F.explode(F.array(*band_structs)).alias("band")).select(
         id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        buckets.select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_band_collisions"))
     )
 
@@ -141,39 +167,41 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         shingle_n: int = 3, threshold: float = 0.5,
                         max_shingle_df: int | None = 100_000) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+    """Exact n-gram Jaccard near-dup pairs via an inverted index.
 
-    shingle-explode → self-join on shingle → |A∩B| per pair → Jaccard with
-    |A|,|B| from a per-doc size table. Only pairs sharing ≥1 shingle are
-    ever materialized; the shingle join key is content-hash distributed.
-    For web-scale corpora, run AFTER minhash_lsh_pairs as the verify stage.
+    shingle-explode → groupBy(shingle) posting lists → in-bucket pair
+    fan-out → |A∩B| per pair → Jaccard with |A|,|B| from a per-doc size
+    table. Only pairs sharing ≥1 shingle are ever materialized; the group
+    key is content-hash distributed. For web-scale corpora, run AFTER
+    minhash_lsh_pairs as the verify stage.
 
-    ``max_shingle_df`` caps shingle document frequency: a shingle present in
-    k docs contributes k² rows to the self-join, so one ubiquitous phrase
-    ("of the and") makes the plan quadratic in corpus size. Shingles with
-    df > cap are removed from the shingle universe BEFORE sizes and
-    intersections (Jaccard stays self-consistent over the capped universe —
-    near-dup clusters are ≪ the cap, so scores are unchanged for real
-    near-dups). None disables the cap.
+    ``max_shingle_df`` caps shingle document frequency: a shingle present
+    in k docs yields k² candidate pairs, so one ubiquitous phrase ("of the
+    and") makes the plan quadratic in corpus size. Oversize posting lists
+    are dropped at the groupBy — before any pair exists — and sizes are
+    computed over the same capped universe, so Jaccard stays
+    self-consistent (near-dup clusters are ≪ the cap; scores for real
+    near-dups are unchanged). None disables the cap.
     """
-    sh = shingle_rows(df, text_col, id_col, shingle_n, distinct=True)
+    # distinct=False + collect_set: per-(id,shingle) dedup folds into the
+    # bucket aggregation itself instead of costing a separate shuffle
+    sh = shingle_rows(df, text_col, id_col, shingle_n, distinct=False)
+    # ONE groupBy(shingle) is simultaneously the inverted index, the df cap
+    # (oversize posting lists dropped before any pair exists), and the pair
+    # generator — no hot-set anti-join, no self-join re-evaluating the
+    # shingle pipeline per side
+    buckets = sh.groupBy("shingle").agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
     if max_shingle_df is not None:
-        # the HOT set (df > cap) is tiny by construction — broadcast anti-join,
-        # so the cap costs one map-side-combinable agg + a broadcast, no shuffle
-        # of the shingle stream beyond the one the agg already does
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+        buckets = buckets.filter(F.size("ids") <= max_shingle_df)
+    sizes = (
+        buckets.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))

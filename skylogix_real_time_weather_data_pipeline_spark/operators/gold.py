@@ -122,11 +122,11 @@ def daily_pivot(df: DataFrame, pivot_values: Sequence[str], city: str = "city",
     column order deterministic (SURVEY §7.4.3).
     """
     out = df.groupBy(date).pivot(city, list(pivot_values)).agg(F.round(F.avg(temp), 6))
-    # normalize pivot column names to valid, deterministic identifiers
-    renames = {v: f"c_{str(v).lower()}" for v in pivot_values}
-    for old, new in renames.items():
-        out = out.withColumnRenamed(str(old), new)
-    return out
+    # normalize pivot column names in ONE select (chained withColumnRenamed
+    # nests a projection per value — O(values) plan depth on wide pivots)
+    return out.select(
+        date, *[F.col(f"`{v}`").alias(f"c_{str(v).lower()}") for v in pivot_values]
+    )
 
 
 def quantile_summary(df: DataFrame, columns: Sequence[str],
