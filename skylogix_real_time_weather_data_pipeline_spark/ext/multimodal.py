@@ -1,11 +1,12 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video travel as ``binary`` columns with a metadata struct;
-decode / feature-extract run as Arrow-batched ``mapInPandas`` stages. The
-actual codec step is STUBBED (image/audio libraries are not available in
-this environment) behind ``DECODERS`` — the Spark-side contract (schemas,
-batch iteration, partitioning) is real and tested, so dropping in a real
-decoder is a one-function change.
+decode / feature-extract run as Arrow-batched ``mapInPandas`` stages.
+Image decode and resize are REAL for PNG payloads (pure-stdlib codec,
+ext/png.py; PIL is preferred automatically when installed); audio/video
+probing and non-PNG image formats stay STUBBED behind ``DECODERS``
+(deterministic sha256 fakes, honestly labeled) — the Spark-side contract
+(schemas, batch iteration, partitioning) is identical either way.
 
 Scale notes: binary payloads stay off the driver; ``mapInPandas`` streams
 Arrow batches per partition; repartition by size bucket before heavy decode
@@ -53,10 +54,29 @@ FEATURE_SCHEMA = StructType(
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int]:
     """STUB decode: deterministic fake dimensions derived from the payload
-    hash. Replace with PIL/cv2 ``Image.open(io.BytesIO(payload)).size`` when
-    the codec libraries are present."""
+    hash — the fallback for formats without an in-repo codec (JPEG etc.)."""
     h = hashlib.sha256(payload).digest()
     return 64 + h[0] % 192, 64 + h[1] % 192
+
+
+def _decode_image(payload: bytes) -> tuple[int, int]:
+    """REAL image decode where possible: PIL if installed, else the
+    pure-stdlib PNG codec (ext/png.py) for PNG payloads; the sha256 stub
+    only for formats neither path can read."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore
+
+        return Image.open(io.BytesIO(payload)).size
+    except ImportError:
+        pass
+    from . import png
+
+    if png.is_png(payload):
+        w, h, _, _ = png.decode(payload)
+        return w, h
+    return _decode_image_stub(payload)
 
 
 def _decode_audio_stub(payload: bytes) -> tuple[int, int]:
@@ -67,7 +87,7 @@ def _decode_audio_stub(payload: bytes) -> tuple[int, int]:
     return 80 + h[2] % 100, 64 + (len(payload) % 192)
 
 
-DECODERS = {"image": _decode_image_stub, "audio": _decode_audio_stub}
+DECODERS = {"image": _decode_image, "audio": _decode_audio_stub}
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
@@ -100,19 +120,28 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def _resize_one(payload: bytes, target: int) -> bytes:
+    """REAL resize for PNG payloads (decode → nearest-neighbor → re-encode
+    via the stdlib codec); deterministic digest fake for other formats so
+    downstream content-addressing still works."""
+    from . import png
+
+    if png.is_png(payload):
+        w, h, ch, px = png.decode(payload)
+        return png.encode(target, target, png.resize_nearest(w, h, ch, px, target, target), ch)
+    return hashlib.sha256(payload + target.to_bytes(4, "big")).digest()
+
+
 def resize_assets(assets: DataFrame, target: int = 224) -> DataFrame:
-    """STUB resize stage with REAL Spark plumbing: Arrow batches in, new
-    binary payload + recorded target dims out. The fake 'resized' payload
-    is a deterministic digest of (payload, target) so downstream
-    content-addressing works; swap the inner function for a real
-    PIL ``img.resize((target, target)).tobytes()`` when codecs exist."""
+    """Resize stage over Arrow batches: real decode/resample/re-encode for
+    PNG payloads (ext/png.py), digest stub for formats without an in-repo
+    codec. Payloads never touch the driver; each executor streams pandas
+    batches through ``mapInPandas``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_payload = [
-                hashlib.sha256(bytes(p) + target.to_bytes(4, "big")).digest()
-                if p is not None
-                else None
+                _resize_one(bytes(p), target) if p is not None else None
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(

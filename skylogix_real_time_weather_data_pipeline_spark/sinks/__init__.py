@@ -1,5 +1,6 @@
 from .writers import (  # noqa: F401
     write_csv_report,
+    write_jdbc,
     write_json_array,
     write_json_records,
     write_parquet,

@@ -86,6 +86,36 @@ def write_sqlite(df: DataFrame, db_path: str, table: str = "weather_data",
     return len(pdf)
 
 
+def write_jdbc(df: DataFrame, url: str, table: str, driver: str,
+               mode: str = "overwrite", **options: str) -> None:
+    """K4 (generic form): distributed JDBC sink — ``df.write.jdbc`` with the
+    driver class pinned. This is the scale path the reference's SQLite load
+    (src/load.py:108-155) maps to on a real warehouse (Postgres/MySQL/...):
+    each partition opens its own connection and writes in parallel, nothing
+    is collected to the driver.
+
+    GATED: no JDBC driver jar is bundled in this environment (verified —
+    pyspark/jars contains none), so the call raises a clear error up front
+    instead of a deep ClassNotFoundException. Pass the jar via
+    ``spark.jars`` and the matching ``driver`` class to enable. For the
+    embedded serve-layer case use ``write_sqlite`` (stdlib, guarded).
+    """
+    jvm = df.sparkSession._jvm
+    try:
+        jvm.java.lang.Class.forName(driver)
+    except Exception as exc:
+        raise RuntimeError(
+            f"JDBC driver {driver!r} not on the Spark classpath; add the jar "
+            "via spark.jars/spark.driver.extraClassPath to enable this sink"
+        ) from exc
+    writer = df.write.mode(mode).format("jdbc").option("url", url).option(
+        "dbtable", table
+    ).option("driver", driver)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def write_city_summary(df: DataFrame, path: str) -> None:
     """K5 side summary: per-city aggregate written next to the report
     (reference src/load.py:188-196)."""

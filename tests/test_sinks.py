@@ -6,6 +6,7 @@ import sqlite3
 
 from skylogix_real_time_weather_data_pipeline_spark.sinks import (
     write_csv_report,
+    write_jdbc,
     write_json_records,
     write_parquet,
     write_sqlite,
@@ -73,3 +74,13 @@ def test_sqlite_sink_guards_large_collect(spark):
     df = spark.range(100)
     with pytest.raises(ValueError):
         write_sqlite(df, "/tmp/should_not_exist.db", max_rows=10)
+
+
+def test_jdbc_sink_gated_without_driver(spark):
+    """No JDBC driver jar is bundled — the sink must fail fast with a clear
+    message, not a deep ClassNotFoundException at save() time."""
+    import pytest
+
+    with pytest.raises(RuntimeError, match="not on the Spark classpath"):
+        write_jdbc(_sample(spark), "jdbc:postgresql://localhost/x", "t",
+                   driver="org.postgresql.Driver")
