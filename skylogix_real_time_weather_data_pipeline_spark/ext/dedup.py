@@ -215,6 +215,59 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
+                         id_col: str = "doc_id", max_iterations: int = 20) -> DataFrame:
+    """Cluster assignment over near-dup candidate pairs: connected
+    components by iterative min-label propagation → (id, cluster_id), with
+    cluster_id = the smallest member id (deterministic canonical survivor).
+
+    This is the step that turns pairwise LSH/Jaccard output into dedup
+    DECISIONS (keep one doc per component). Each iteration is one
+    join + map-side-combinable min-groupBy on the symmetric edge list;
+    labels converge in O(component diameter) rounds — near-dup clusters
+    are short-diameter by construction, so 3-4 rounds in practice. The
+    convergence probe is a count() per round (an O(1)-row action, not a
+    data collect). For adversarial long-chain graphs at extreme scale,
+    swap in the large-star/small-star variant; the contract is identical.
+
+    ``nodes`` (optional) adds isolated documents as singleton clusters.
+    """
+    pairs = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per round
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    out = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    if nodes is not None:
+        singletons = nodes.select(id_col).join(out, id_col, "left_anti").select(
+            id_col, F.col(id_col).alias("cluster_id")
+        )
+        out = out.unionByName(singletons)
+    return out
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             n_bits: int = 60) -> DataFrame:
     """SimHash fingerprint (n_bits ≤ 60) from token md5 hashes.

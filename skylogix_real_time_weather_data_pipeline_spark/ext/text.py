@@ -144,6 +144,46 @@ def chunk_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+#: PII patterns — valid in both Java regex (Spark) and RE2 (DuckDB); order
+#: matters: emails are scrubbed before phone-ish digit runs so the local
+#: part of an address is never half-eaten by the phone pattern.
+PII_PATTERNS = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Training-data PII redaction: emails / IPv4 / phone-like digit runs →
+    typed tags, with per-document match counts for audit. A chain of
+    codegen ``regexp_replace``/``regexp_count`` expressions — one narrow
+    pass, no shuffle, no Python. The pattern list is the portable-regex
+    subset (same semantics in the DuckDB oracle); production pipelines
+    extend PII_PATTERNS per policy."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat, tag in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0)).alias(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+    return df.select(id_col, *counts, scrubbed.alias("scrubbed_text"))
+
+
+def top_ngrams(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               n: int = 3, k: int = 20) -> DataFrame:
+    """Corpus-level top-k n-gram table by document frequency (the
+    boilerplate detector feeding ngram_jaccard_pairs' df cap and template
+    removal). Map-side-combinable count per shingle, then a global top-k —
+    TakeOrderedAndProject, never a full sort. Ties pinned lexicographically."""
+    sh = shingle_rows(df, text_col, id_col, n, distinct=True)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+        .limit(k)
+    )
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as strings ('w1 w2 w3'), distinct per doc.
 

@@ -23,6 +23,10 @@ _VERIFY_FIRST = (
     "stream_dedup_keyed",
     "sql_forecast_revenue",
     "sql_priority_with_exists",
+    # new in round 2
+    "docs_dedup_clusters",
+    "docs_pii_scrub",
+    "docs_top_ngrams",
 )
 
 

@@ -161,6 +161,89 @@ WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {_JACCARD_T}
 
 
 # --------------------------------------------------------------------------
+# Near-dup clustering: connected components over LSH candidate pairs
+# --------------------------------------------------------------------------
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, n_hashes=_N_HASHES, bands=_BANDS)
+    return dedup.connected_components(pairs, nodes=docs)
+
+
+# recursive transitive closure mirrors the iterative min-label propagation:
+# cluster_id = min id reachable through the undirected candidate-pair graph
+O_DEDUP_CLUSTERS = TOK_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + _HASHED_CTE + f"""
+, sig AS (
+  SELECT doc_id, {_mh_cols}
+  FROM hashed GROUP BY doc_id
+)
+, banded AS (
+{_band_rows}
+)
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+, edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+)
+, reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+, comp AS (
+  SELECT src AS id, least(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src
+)
+SELECT d.doc_id AS doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# PII scrub + corpus top-ngram table
+# --------------------------------------------------------------------------
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pii_scrub(_docs(spark, sf_dir))
+
+
+def _pii_sql() -> str:
+    """Mirror of ext.text.pii_scrub: each count is taken on the text as
+    already scrubbed by the PREVIOUS patterns, then the pattern is replaced
+    globally ('g' — DuckDB replaces first-only by default, Spark all)."""
+    cur = "text"
+    selects = []
+    for name, pat, tag in text.PII_PATTERNS:
+        esc = pat.replace("'", "''")  # DuckDB strings keep backslashes literal
+        selects.append(f"CAST(len(regexp_extract_all({cur}, '{esc}', 0)) AS INTEGER) AS n_{name}")
+        cur = f"regexp_replace({cur}, '{esc}', '{tag}', 'g')"
+    cols = ",\n       ".join(selects)
+    return f"SELECT doc_id,\n       {cols},\n       {cur} AS scrubbed_text\nFROM documents"
+
+
+O_PII_SCRUB = _pii_sql()
+
+
+_TOP_NGRAMS_K = 20
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.top_ngrams(_docs(spark, sf_dir), k=_TOP_NGRAMS_K)
+
+
+O_TOP_NGRAMS = TOK_CTE + f"""
+, exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+SELECT shingle, CAST(COUNT(*) AS BIGINT) AS doc_freq
+FROM exploded GROUP BY shingle
+ORDER BY doc_freq DESC, shingle ASC LIMIT {_TOP_NGRAMS_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # SimHash fingerprints
 # --------------------------------------------------------------------------
 
@@ -432,6 +515,9 @@ QUERIES = {
     "docs_minhash_signatures": q_minhash_signatures,
     "docs_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "docs_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "docs_dedup_clusters": q_dedup_clusters,
+    "docs_pii_scrub": q_pii_scrub,
+    "docs_top_ngrams": q_top_ngrams,
     "docs_simhash": q_simhash,
     "docs_token_stats": q_token_stats,
     "docs_language_id": q_language_id,
@@ -451,6 +537,9 @@ ORACLES = {
     "docs_minhash_signatures": O_MINHASH_SIGNATURES,
     "docs_minhash_lsh_pairs": O_MINHASH_LSH_PAIRS,
     "docs_ngram_jaccard_pairs": O_NGRAM_JACCARD,
+    "docs_dedup_clusters": O_DEDUP_CLUSTERS,
+    "docs_pii_scrub": O_PII_SCRUB,
+    "docs_top_ngrams": O_TOP_NGRAMS,
     "docs_simhash": O_SIMHASH,
     "docs_token_stats": O_TOKEN_STATS,
     "docs_language_id": O_LANGUAGE_ID,

@@ -113,6 +113,44 @@ def test_rp_lsh_buckets_plan_is_shuffle_free(spark):
     assert out.count() == 2
 
 
+def test_connected_components_chain_and_singleton(spark):
+    """Chain 1-2-3-4 collapses to min label 1 across multiple hops; 5-6 is
+    its own component; 9 (isolated, via nodes) is a singleton."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 6, 9)], "doc_id long")
+    out = dedup.connected_components(pairs, nodes=nodes)
+    got = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_pii_scrub_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "contact alice@example.com or bob.smith@sub.domain.org now"),
+            (1, "server at 192.168.0.1 answered"),
+            (2, "call +1 (555) 123-4567 today"),
+            (3, "clean text with no identifiers"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text.pii_scrub(df).collect()}
+    assert got[0].n_email == 2 and "<EMAIL>" in got[0].scrubbed_text
+    assert "alice" not in got[0].scrubbed_text
+    assert got[1].n_ipv4 == 1 and "<IP>" in got[1].scrubbed_text
+    assert got[2].n_phone == 1 and "<PHONE>" in got[2].scrubbed_text
+    assert got[3].scrubbed_text == "clean text with no identifiers"
+
+
+def test_top_ngrams_ranks_boilerplate_first(spark):
+    rows = [(i, f"all rights reserved here doc {i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = text.top_ngrams(df, k=3).collect()
+    assert top[0].shingle == "all rights reserved"
+    assert top[0].doc_freq == 5
+
+
 def test_quality_and_langid_shapes(docs):
     q = text.quality_score(docs)
     assert q.filter((F.col("quality_score") < 0) | (F.col("quality_score") > 1)).count() == 0
