@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import shingle_rows
+from .text import repartition_for_compute, shingle_rows
 
 
 def _md5_long(col, seed: int) -> F.Column:
@@ -47,18 +47,6 @@ def mh_params(n_hashes: int) -> list[tuple[int, int]]:
         b = (b * 69621 + 54321) % 65521
         out.append((a or 1, b))
     return out
-
-
-def _repartition_for_compute(df: DataFrame, key: str) -> DataFrame:
-    """Spread compute-heavy per-row work across all cores.
-
-    Small parquet inputs arrive as 1-2 partitions; hash/shingle pipelines are
-    CPU-bound, so a pre-shuffle on the id pays for itself immediately. At
-    real scale the input already has many partitions and this coalesces into
-    AQE's sizing; the key-hash distribution is skew-free by construction.
-    """
-    sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism, key)
 
 
 def _pairs_from_sorted_ids(ids: F.Column) -> F.Column:
@@ -278,7 +266,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """
     from .text import tokens
 
-    tok = _repartition_for_compute(df, id_col).select(
+    tok = repartition_for_compute(df, id_col).select(
         id_col, F.explode(tokens(F.col(text_col))).alias("tok")
     )
     h = _md5_long(F.col("tok"), 0)

@@ -29,6 +29,28 @@ def tokens(text: Column | str) -> Column:
     return F.filter(F.split(F.trim(text), "\\s+"), lambda t: t != "")
 
 
+def repartition_for_compute(df: DataFrame, key: str) -> DataFrame:
+    """Spread CPU-heavy per-row work across cores — ONLY when needed.
+
+    Small local parquet arrives as 1-2 partitions, so the hash/shingle
+    pipelines downstream would serialize on 1-2 cores; a pre-shuffle on the
+    (skew-free) id fixes that. At real scale the source already has
+    thousands of partitions and the same shuffle would move the FULL
+    document text through an exchange — pure overhead, since the min()/sum()
+    aggregations downstream are map-side combinable and shuffle only a few
+    longs per doc either way. So: skip the shuffle whenever the source
+    already has at least half the cluster's parallelism in partitions.
+    Streaming inputs can't be probed (no .rdd) and arrive micro-batched —
+    leave them untouched.
+    """
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 >= target:
+        return df
+    return df.repartition(target, key)
+
+
 def bpe_ish_tokens(text: Column | str) -> Column:
     """BPE-ish regex token stream: letter runs / digit runs / symbols."""
     text = F.col(text) if isinstance(text, str) else text
@@ -211,11 +233,11 @@ def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     stream per doc id before codegen'd concat; measured at sf0.1 the
     sort-free higher-order form is ~20% faster and at 100 TB it removes an
     O(corpus) shuffle+sort entirely. Output strings are identical to
-    ``shingles``. Input is repartitioned on the id so the CPU-heavy hashing
-    downstream uses every core even when the source is a single small file.
+    ``shingles``. Input is spread across cores via
+    ``repartition_for_compute`` — a shuffle only when the source has too few
+    partitions to keep the CPU-heavy hashing busy; at scale it's a no-op.
     """
-    sc = df.sparkSession.sparkContext
-    base = df.repartition(sc.defaultParallelism, id_col).select(
+    base = repartition_for_compute(df, id_col).select(
         id_col, tokens(text_col).alias("tk")
     )
     tk = F.col("tk")
