@@ -228,6 +228,7 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
@@ -247,6 +248,19 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    if changed != 0:
+        # a component with diameter > max_iterations would silently split
+        # into several cluster_ids; surface it instead of returning wrong
+        # labels (use connected_components_star for long-chain graphs)
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; labels may split long-diameter components — raise "
+            "max_iterations or use connected_components_star",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     out = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
     if nodes is not None:
         singletons = nodes.select(id_col).join(out, id_col, "left_anti").select(

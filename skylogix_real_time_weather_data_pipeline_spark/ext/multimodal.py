@@ -62,7 +62,13 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int]:
 def _decode_image(payload: bytes) -> tuple[int, int]:
     """REAL image decode where possible: PIL if installed, else the
     pure-stdlib PNG codec (ext/png.py) for PNG payloads; the sha256 stub
-    only for formats neither path can read."""
+    only for formats neither path can read.
+
+    Every decode path is exception-guarded: one corrupt/truncated/unusual
+    payload (PIL UnidentifiedImageError, png.decode ValueError on 16-bit/
+    interlaced/truncated files) must degrade to the stub, never kill the
+    whole mapInPandas task — at 100 TB some assets WILL be broken.
+    """
     try:
         import io
 
@@ -71,11 +77,16 @@ def _decode_image(payload: bytes) -> tuple[int, int]:
         return Image.open(io.BytesIO(payload)).size
     except ImportError:
         pass
-    from . import png
+    except Exception:
+        return _decode_image_stub(payload)
+    try:
+        from . import png
 
-    if png.is_png(payload):
-        w, h, _, _ = png.decode(payload)
-        return w, h
+        if png.is_png(payload):
+            w, h, _, _ = png.decode(payload)
+            return w, h
+    except Exception:
+        pass
     return _decode_image_stub(payload)
 
 
@@ -123,12 +134,17 @@ def extract_features(assets: DataFrame) -> DataFrame:
 def _resize_one(payload: bytes, target: int) -> bytes:
     """REAL resize for PNG payloads (decode → nearest-neighbor → re-encode
     via the stdlib codec); deterministic digest fake for other formats so
-    downstream content-addressing still works."""
-    from . import png
+    downstream content-addressing still works. Exception-guarded like
+    ``_decode_image``: a truncated/16-bit/interlaced PNG falls back to the
+    digest stub instead of failing the Spark stage."""
+    try:
+        from . import png
 
-    if png.is_png(payload):
-        w, h, ch, px = png.decode(payload)
-        return png.encode(target, target, png.resize_nearest(w, h, ch, px, target, target), ch)
+        if png.is_png(payload):
+            w, h, ch, px = png.decode(payload)
+            return png.encode(target, target, png.resize_nearest(w, h, ch, px, target, target), ch)
+    except Exception:
+        pass
     return hashlib.sha256(payload + target.to_bytes(4, "big")).digest()
 
 

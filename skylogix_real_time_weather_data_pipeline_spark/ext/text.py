@@ -169,10 +169,24 @@ def chunk_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 #: PII patterns — valid in both Java regex (Spark) and RE2 (DuckDB); order
 #: matters: emails are scrubbed before phone-ish digit runs so the local
 #: part of an address is never half-eaten by the phone pattern.
+#:
+#: The phone pattern is digit-anchored, not span-anchored: three shapes —
+#: (a) '+'-prefixed international (7-15 digits, ≤2 separator chars between
+#: digits), (b) NANP '(areacode) nnn-nnnn', (c) separator-dashed/solid runs
+#: of ≥9 digits with NO whitespace. Whitespace is never allowed to chain
+#: unboundedly, so year lists ('2024 2025 2026'), numeric table columns and
+#: space-grouped big numbers ('1 234 567') no longer collapse into one
+#: <PHONE> tag (the earlier class put \\s inside a {7,} span).
 PII_PATTERNS = (
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
-    ("phone", "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]", "<PHONE>"),
+    (
+        "phone",
+        "\\+[0-9](?:[\\s()\\-]{0,2}[0-9]){6,14}"
+        "|\\(?[0-9]{3}\\)[\\s]?[0-9]{3}[\\s\\-]?[0-9]{4}"
+        "|[0-9](?:[()\\-]?[0-9]){8,14}",
+        "<PHONE>",
+    ),
 )
 
 

@@ -17,6 +17,11 @@ from ..ext import dedup, similarity, text
 _N_HASHES = 16
 _BANDS = 4
 _SIMHASH_BITS = 60  # 15-bit pigeonhole chunks at max_hamming=3 (scale default)
+#: degeneracy caps — passed explicitly to the Spark queries AND mirrored in
+#: the oracle SQL (same capped universe on both sides, so the comparison
+#: stays bit-exact even at scale factors where a cap actually triggers)
+_MAX_BUCKET = 100_000
+_MAX_SHINGLE_DF = 100_000
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,7 +104,9 @@ FROM hashed GROUP BY doc_id
 # --------------------------------------------------------------------------
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=_N_HASHES, bands=_BANDS)
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), n_hashes=_N_HASHES, bands=_BANDS, max_bucket_size=_MAX_BUCKET
+    )
 
 
 _rows_per_band = _N_HASHES // _BANDS
@@ -117,6 +124,8 @@ _band_rows = "\n  UNION ALL\n".join(
     f"  SELECT doc_id, {b} AS band_idx, {_band_expr(b)} AS band_hash FROM sig"
     for b in range(_BANDS)
 )
+# mirror of the Spark-side max_bucket_size cap: members of oversize buckets
+# are dropped BEFORE any pair exists (bsz is the bucket population)
 O_MINHASH_LSH_PAIRS = TOK_CTE + _HASHED_CTE + f"""
 , sig AS (
   SELECT doc_id, {_mh_cols}
@@ -125,9 +134,15 @@ O_MINHASH_LSH_PAIRS = TOK_CTE + _HASHED_CTE + f"""
 , banded AS (
 {_band_rows}
 )
+, capped AS (
+  SELECT doc_id, band_idx, band_hash,
+         COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
+  FROM banded
+)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_band_collisions
-FROM banded a JOIN banded b
+FROM capped a JOIN capped b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+WHERE a.bsz <= {_MAX_BUCKET}
 GROUP BY a.doc_id, b.doc_id
 """
 
@@ -140,15 +155,25 @@ _JACCARD_T = 0.2
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=_JACCARD_T)
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=_JACCARD_T, max_shingle_df=_MAX_SHINGLE_DF
+    )
 
 
+# mirror of the Spark-side max_shingle_df cap: hot shingles' posting lists
+# are dropped before pair generation AND doc sizes are computed over the
+# same capped universe (so Jaccard stays self-consistent on both sides)
 O_NGRAM_JACCARD = TOK_CTE + f"""
 , exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
-, sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM exploded GROUP BY doc_id)
+, capped AS (
+  SELECT doc_id, shingle
+  FROM (SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM exploded)
+  WHERE df <= {_MAX_SHINGLE_DF}
+)
+, sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM capped GROUP BY doc_id)
 , inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
-  FROM exploded a JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b, n_inter,
@@ -166,7 +191,9 @@ WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {_JACCARD_T}
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, n_hashes=_N_HASHES, bands=_BANDS)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, n_hashes=_N_HASHES, bands=_BANDS, max_bucket_size=_MAX_BUCKET
+    )
     return dedup.connected_components(pairs, nodes=docs)
 
 
@@ -180,10 +207,16 @@ O_DEDUP_CLUSTERS = TOK_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + _HASHED_CTE 
 , banded AS (
 {_band_rows}
 )
+, capped AS (
+  SELECT doc_id, band_idx, band_hash,
+         COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
+  FROM banded
+)
 , pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
+  FROM capped a JOIN capped b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  WHERE a.bsz <= {_MAX_BUCKET}
 )
 , edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs

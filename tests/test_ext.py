@@ -143,6 +143,26 @@ def test_pii_scrub_patterns(spark):
     assert got[3].scrubbed_text == "clean text with no identifiers"
 
 
+def test_pii_phone_does_not_eat_numeric_sequences(spark):
+    """Regression (r2 ADVICE): the phone class contained \\s inside a {7,}
+    span, so whitespace-separated digit runs — year lists, numeric table
+    columns, space-grouped big numbers — collapsed into one <PHONE> tag."""
+    df = spark.createDataFrame(
+        [
+            (0, "years 2024 2025 2026 saw growth"),
+            (1, "revenue was 1 234 567 in 2024"),
+            (2, "range 1999-2001 and ids 123 456 789 012"),
+            (3, "call +44 20 7946 0958 or 555-123-4567"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text.pii_scrub(df).collect()}
+    for i in (0, 1, 2):
+        assert got[i].n_phone == 0, got[i].scrubbed_text
+        assert "<PHONE>" not in got[i].scrubbed_text
+    assert got[3].n_phone == 2
+
+
 def test_top_ngrams_ranks_boilerplate_first(spark):
     rows = [(i, f"all rights reserved here doc {i}") for i in range(5)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
