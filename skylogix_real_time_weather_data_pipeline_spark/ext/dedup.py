@@ -300,15 +300,23 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       n_bits: int = 60, max_hamming: int = 3) -> DataFrame:
+                       n_bits: int = 60, max_hamming: int = 3,
+                       max_bucket_size: int = 100_000) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
     Scale path: block on bit-chunks (pigeonhole — two fingerprints within
-    hamming k must share one of k+1 chunks) so the self-join is on chunk
-    equality, not all-pairs. At the 60-bit default with max_hamming=3 the
-    chunks are 15 bits → 32768 values per chunk position, so bucket
-    occupancy is ~n/2^15 per chunk — sub-quadratic well past 10⁸ docs
-    (vs 8-bit chunks at n_bits=32, quadratic by 10⁷).
+    hamming k must share one of k+1 chunks). At the 60-bit default with
+    max_hamming=3 the chunks are 15 bits → 32768 values per chunk position,
+    so bucket occupancy is ~n/2^15 per chunk — sub-quadratic well past 10⁸
+    docs (vs 8-bit chunks at n_bits=32, quadratic by 10⁷).
+
+    Formulation matches ``minhash_lsh_pairs``: ONE aggregation per
+    (chunk_idx, chunk_val) gathers bucket members carrying their simhash,
+    pairs fan out from the sorted member array. The earlier bucket
+    self-join re-evaluated the whole tokenize→hash→60-vote simhash subtree
+    on both join sides (Spark gives 0 ReusedExchange across self-join
+    sides); the grouping computes it once. ``max_bucket_size`` guards the
+    degenerate identical-fingerprint case, same as the MinHash path.
     """
     s = simhash(df, text_col, id_col, n_bits)
     chunks = max_hamming + 1
@@ -329,23 +337,37 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
             )
         ).alias("c"),
     ).select(id_col, "simhash", "c.chunk_idx", "c.chunk_val")
-    a, b = chunked.alias("a"), chunked.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    buckets = (
+        chunked.groupBy("chunk_idx", "chunk_val")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")))
+            ).alias("ms")
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket_size))
     )
+    # pair fan-out from the sorted member array (ids unique → id_a < id_b by
+    # construction), carrying both fingerprints so hamming needs no re-join
+    ms = F.col("ms")
+    pair_structs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["sh"].alias("sh_a"),
+                    y["sh"].alias("sh_b"),
+                ),
+            ),
+        )
+    )
+    cand = buckets.select(F.explode(pair_structs).alias("p")).select("p.*")
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)  # before distinct: fewer rows shuffled
+        .select("id_a", "id_b", "hamming")
+        .distinct()  # a pair may collide in several chunks; hamming is pair-determined
     )

@@ -304,6 +304,56 @@ SELECT doc_id, CAST({_sim_terms} AS BIGINT) AS simhash FROM votes
 
 
 # --------------------------------------------------------------------------
+# SimHash near-dup pairs (pigeonhole chunk blocking + Hamming verify)
+# --------------------------------------------------------------------------
+
+_MAX_HAMMING = 3
+_N_CHUNKS = _MAX_HAMMING + 1
+_CHUNK_BITS = _SIMHASH_BITS // _N_CHUNKS
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(
+        _docs(spark, sf_dir), n_bits=_SIMHASH_BITS, max_hamming=_MAX_HAMMING,
+        max_bucket_size=_MAX_BUCKET,
+    )
+
+
+_chunk_rows = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, simhash, {i} AS chunk_idx,"
+    f" (simhash >> {i * _CHUNK_BITS}) & {(1 << _CHUNK_BITS) - 1} AS chunk_val FROM simtbl"
+    for i in range(_N_CHUNKS)
+)
+# band-join mirror (like O_MINHASH_LSH_PAIRS): candidates share one 15-bit
+# chunk (pigeonhole for hamming ≤ 3 on 60 bits), oversize buckets capped on
+# both sides, exact Hamming verify on the 60-bit fingerprints
+O_SIMHASH_NEAR_PAIRS = TOK_CTE + f"""
+, tok AS (SELECT doc_id, unnest(tk) AS t FROM toks)
+, hashed AS (SELECT doc_id, {_sql_hash(0, 't')} AS h FROM tok)
+, votes AS (
+  SELECT doc_id,
+       {_vote_cols}
+  FROM hashed GROUP BY doc_id
+)
+, simtbl AS (SELECT doc_id, CAST({_sim_terms} AS BIGINT) AS simhash FROM votes)
+, chunked AS (
+{_chunk_rows}
+)
+, capped AS (
+  SELECT doc_id, simhash, chunk_idx, chunk_val,
+         COUNT(*) OVER (PARTITION BY chunk_idx, chunk_val) AS bsz
+  FROM chunked
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM capped a JOIN capped b
+  ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+WHERE a.bsz <= {_MAX_BUCKET}
+  AND bit_count(xor(a.simhash, b.simhash)) <= {_MAX_HAMMING}
+"""
+
+
+# --------------------------------------------------------------------------
 # Token stats / quality / language ID
 # --------------------------------------------------------------------------
 
@@ -552,6 +602,7 @@ QUERIES = {
     "docs_pii_scrub": q_pii_scrub,
     "docs_top_ngrams": q_top_ngrams,
     "docs_simhash": q_simhash,
+    "docs_simhash_near_pairs": q_simhash_near_pairs,
     "docs_token_stats": q_token_stats,
     "docs_language_id": q_language_id,
     "docs_bpe_token_count": q_bpe_token_count,
@@ -574,6 +625,7 @@ ORACLES = {
     "docs_pii_scrub": O_PII_SCRUB,
     "docs_top_ngrams": O_TOP_NGRAMS,
     "docs_simhash": O_SIMHASH,
+    "docs_simhash_near_pairs": O_SIMHASH_NEAR_PAIRS,
     "docs_token_stats": O_TOKEN_STATS,
     "docs_language_id": O_LANGUAGE_ID,
     "docs_bpe_token_count": O_BPE_TOKEN_COUNT,
