@@ -132,18 +132,33 @@ def daily_pivot(df: DataFrame, pivot_values: Sequence[str], city: str = "city",
 def quantile_summary(df: DataFrame, columns: Sequence[str],
                      quantiles: Sequence[float] = (0.05, 0.25, 0.5, 0.75, 0.95)) -> DataFrame:
     """A9: per-column quantiles, one row per column (reference
-    src/transform.py:174-175, src/analyze.py:474 box-plot stats)."""
-    parts = []
-    for c in columns:
-        exprs = [F.lit(c).alias("metric")] + [
-            F.round(F.expr(f"percentile({c}, {q})"), 6).alias(f"q{int(q * 100):02d}")
-            for q in quantiles
+    src/transform.py:174-175, src/analyze.py:474 box-plot stats).
+
+    ONE aggregation pass computes every column's full percentile array
+    (``percentile(c, array(...))``), then a narrow explode unpivots the
+    single result row to (metric, q05..q95) rows. The earlier form ran one
+    ``df.agg`` per column unioned together — k metrics = k full scans of
+    the table, a real k× at 100 TB; this is one scan regardless of k.
+    """
+    qlist = ", ".join(repr(float(q)) for q in quantiles)
+    one = df.agg(
+        *[F.expr(f"percentile({c}, array({qlist}))").alias(f"_q_{c}") for c in columns]
+    )
+    metric_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("metric"),
+                *[
+                    F.round(F.element_at(F.col(f"_q_{c}"), i + 1), 6).alias(
+                        f"q{int(q * 100):02d}"
+                    )
+                    for i, q in enumerate(quantiles)
+                ],
+            )
+            for c in columns
         ]
-        parts.append(df.agg(*exprs))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    )
+    return one.select(F.explode(metric_structs).alias("m")).select("m.*")
 
 
 def linear_fit(df: DataFrame, x: str = "temperature", y: str = "humidity") -> DataFrame:
