@@ -575,14 +575,61 @@ WHERE {_COS_AB} >= {_NEARDUP_T}
 
 
 # --------------------------------------------------------------------------
-# Embedding similarity: IVF (label cells) — two-phase, rows-only check
+# Embedding similarity: IVF (label cells)
 # --------------------------------------------------------------------------
+
+_NPROBE = 2
+
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     row = embs.filter(F.col("vec_id") == 0).select("embedding").first()
     qv = [float(x) for x in row[0]]
-    return similarity.ivf_topk(embs.filter(F.col("vec_id") != 0), qv, k=_TOPK, nprobe=2)
+    return similarity.ivf_topk(embs.filter(F.col("vec_id") != 0), qv, k=_TOPK, nprobe=_NPROBE)
+
+
+# all-SQL mirror of the two-phase IVF probe: centroid build (avg per
+# (label, pos) over the corpus minus the query vector), nprobe nearest
+# cells by centroid cosine (tie-break label asc — same as ivf_topk's
+# orderBy), then brute-force cosine top-k restricted to the probed cells
+# (order on the ROUNDED score + vec_id asc, matching cosine_topk).
+_COS_CENT_Q = """
+  list_sum(list_transform(range(1, len(centroid) + 1),
+           i -> centroid[i] * CAST(qv[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(centroid, x -> x * x)))
+     * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+_COS_EMB_Q = """
+  list_sum(list_transform(range(1, len(embedding) + 1),
+           i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+O_IVF_TOPK = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0),
+pe AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+  FROM corpus
+),
+centv AS (
+  SELECT label, list(m ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, AVG(CAST(v AS DOUBLE)) AS m FROM pe GROUP BY label, pos)
+  GROUP BY label
+),
+probe AS (
+  SELECT label FROM centv, q
+  ORDER BY ({_COS_CENT_Q}) DESC, label ASC
+  LIMIT {_NPROBE}
+),
+scored AS (
+  SELECT vec_id, ROUND({_COS_EMB_Q}, 6) AS cosine_sim
+  FROM corpus, q
+  WHERE label IN (SELECT label FROM probe)
+)
+SELECT vec_id, cosine_sim FROM scored
+ORDER BY cosine_sim DESC, vec_id ASC LIMIT {_TOPK}
+"""
 
 
 # --------------------------------------------------------------------------
@@ -635,6 +682,7 @@ ORACLES = {
     "emb_cosine_topk": O_COSINE_TOPK,
     "emb_lsh_buckets": O_LSH_BUCKETS,
     "emb_lsh_near_dup_pairs": O_LSH_NEAR_DUP,
-    # emb_ivf_topk / emb_pairwise_topk: rows-only (two-phase driver-side
-    # probe / heavy pairwise SQL) per the driver contract
+    "emb_ivf_topk": O_IVF_TOPK,
+    # emb_pairwise_topk: rows-only (heavy pairwise SQL) per the driver
+    # contract
 }
