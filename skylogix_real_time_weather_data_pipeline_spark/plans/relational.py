@@ -397,6 +397,41 @@ FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
 
 
 # --------------------------------------------------------------------------
+# Skew-safe salted join — oracle is the PLAIN join, proving the salting
+# transformation is semantically invisible (operators/joins.salted_join).
+# --------------------------------------------------------------------------
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ supplier through the explicit salt: the big side scatters
+    each key across 8 sub-keys (deterministic xxhash64 salt), the supplier
+    side is replicated to every sub-key — a hot suppkey lands on 8 reducers
+    instead of one. The DuckDB oracle is the unsalted join, so the hash
+    check proves salted == plain."""
+    from ..operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, s, "suppkey", salt_factor=8)
+    return joined.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+O_SALTED_JOIN = """
+SELECT s_nationkey AS nationkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
 # Approximate distinct (HLL sketch) — rows-only check (approximate result
 # has no exact ANSI oracle; exact counterpart is rel_distinct_parts).
 # --------------------------------------------------------------------------
@@ -424,6 +459,7 @@ QUERIES = {
     "rel_latest_order_per_customer": q_latest_order_per_customer,
     "rel_shipping_priority": q_shipping_priority,
     "rel_set_ops": q_set_ops,
+    "rel_salted_join": q_salted_join,
 }
 
 ORACLES = {
@@ -440,4 +476,5 @@ ORACLES = {
     "rel_latest_order_per_customer": O_LATEST_ORDER_PER_CUSTOMER,
     "rel_shipping_priority": O_SHIPPING_PRIORITY,
     "rel_set_ops": O_SET_OPS,
+    "rel_salted_join": O_SALTED_JOIN,
 }

@@ -94,11 +94,12 @@ def write_jdbc(df: DataFrame, url: str, table: str, driver: str,
     each partition opens its own connection and writes in parallel, nothing
     is collected to the driver.
 
-    GATED: no JDBC driver jar is bundled in this environment (verified —
-    pyspark/jars contains none), so the call raises a clear error up front
-    instead of a deep ClassNotFoundException. Pass the jar via
-    ``spark.jars`` and the matching ``driver`` class to enable. For the
-    embedded serve-layer case use ``write_sqlite`` (stdlib, guarded).
+    The driver class is probed up front so a missing jar raises a clear
+    error instead of a deep ClassNotFoundException at save() time. Exercised
+    end-to-end against embedded Derby (whose jars Spark bundles for the
+    Hive metastore) in tests/test_sinks.py; for Postgres/MySQL pass the jar
+    via ``spark.jars`` and the matching ``driver`` class. For the
+    small-result serve-layer case use ``write_sqlite`` (stdlib, guarded).
     """
     jvm = df.sparkSession._jvm
     try:

@@ -77,10 +77,29 @@ def test_sqlite_sink_guards_large_collect(spark):
 
 
 def test_jdbc_sink_gated_without_driver(spark):
-    """No JDBC driver jar is bundled — the sink must fail fast with a clear
-    message, not a deep ClassNotFoundException at save() time."""
+    """A missing JDBC driver jar must fail fast with a clear message, not a
+    deep ClassNotFoundException at save() time."""
     import pytest
 
     with pytest.raises(RuntimeError, match="not on the Spark classpath"):
         write_jdbc(_sample(spark), "jdbc:postgresql://localhost/x", "t",
                    driver="org.postgresql.Driver")
+
+
+def test_jdbc_sink_round_trip_embedded_derby(spark, tmp_path):
+    """Full distributed-JDBC exercise (SURVEY K4 scale path): write via
+    df.write.jdbc to an embedded Derby database (Spark bundles the Derby
+    jars for its Hive metastore), read back via spark.read.jdbc, compare."""
+    url = f"jdbc:derby:{tmp_path}/derby_db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = _sample(spark)
+    write_jdbc(df, url, "weather_report", driver)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "weather_report")
+        .option("driver", driver).load()
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # overwrite mode replaces, not appends
+    write_jdbc(df, url, "weather_report", driver)
+    assert back.count() == df.count()
