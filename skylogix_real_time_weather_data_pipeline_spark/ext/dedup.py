@@ -270,6 +270,92 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
     return out
 
 
+def connected_components_star(pairs: DataFrame, nodes: DataFrame | None = None,
+                              id_col: str = "doc_id", max_iterations: int = 25) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds —
+    the opt-in variant of ``connected_components`` for adversarial
+    long-chain graphs (public algorithm: Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014).
+
+    Min-label propagation needs O(component diameter) rounds; the star
+    operations contract paths doubly-exponentially, converging in
+    O(log diameter) rounds regardless of chain length — a 10⁶-node path
+    finishes in ~20 rounds instead of 10⁶. Each round is two
+    groupBy+join passes over the edge list; same contract and output as
+    ``connected_components`` (cluster_id = smallest member id).
+
+    - large-star: every node's strictly-larger neighbors re-attach to the
+      minimum of its closed neighborhood;
+    - small-star: edges point large→small; each node's neighborhood
+      collapses onto its minimum.
+    Rounds repeat until the edge set is a fixed point (star graphs rooted
+    at component minima).
+    """
+    base = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    edges = base
+    converged = False
+    for _ in range(max_iterations):
+        # large-star over the symmetric adjacency
+        sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = sym.groupBy("src").agg(F.least(F.col("src"), F.min("dst")).alias("m"))
+        large = (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star over large→small directed edges
+        directed = large.select(
+            F.greatest(F.col("src"), F.col("dst")).alias("src"),
+            F.least(F.col("src"), F.col("dst")).alias("dst"),
+        )
+        mins2 = directed.groupBy("src").agg(F.least(F.col("src"), F.min("dst")).alias("m"))
+        small = (
+            directed.join(mins2, "src")
+            .select(F.col("dst").alias("v"), F.col("m"))
+            .union(mins2.select(F.col("src").alias("v"), F.col("m")))
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        small = small.localCheckpoint(eager=True)  # truncate lineage per round
+        # fixed point: same edge count and no edge outside the previous set
+        if small.count() == edges.count() and small.exceptAll(edges).limit(1).count() == 0:
+            edges = small
+            converged = True
+            break
+        edges = small
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star did not reach a fixed point in "
+            f"{max_iterations} rounds (needs ~log2(diameter)); raise "
+            "max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # final edges form stars (member -> component min); roots map to
+    # themselves. groupBy-min collapses multi-edges in the non-converged case.
+    stars = edges.groupBy("src").agg(F.min("dst").alias("root"))
+    members = base.select(F.col("src").alias("id")).union(base.select(F.col("dst").alias("id"))).distinct()
+    out = (
+        members.join(stars, members.id == stars.src, "left")
+        .select(F.col("id").alias(id_col), F.coalesce(F.col("root"), F.col("id")).alias("cluster_id"))
+    )
+    if nodes is not None:
+        singletons = nodes.select(id_col).join(out, id_col, "left_anti").select(
+            id_col, F.col(id_col).alias("cluster_id")
+        )
+        out = out.unionByName(singletons)
+    return out
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             n_bits: int = 60) -> DataFrame:
     """SimHash fingerprint (n_bits ≤ 60) from token md5 hashes.

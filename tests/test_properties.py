@@ -87,3 +87,55 @@ def test_exact_dedup_counts(spark, texts):
     assert out.count() == len(set(texts))
     total = out.agg(F.sum("n_copies")).first()[0]
     assert total == len(texts)
+
+
+# --------------------------------------------------------------------------
+# Connected components: large-star/small-star vs min-label propagation
+# --------------------------------------------------------------------------
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_nodes=st.integers(2, 40),
+    n_edges=st.integers(1, 60),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_star_cc_equals_label_propagation_on_random_graphs(spark, seed, n_nodes, n_edges):
+    import random
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext import dedup
+
+    rng = random.Random(seed)
+    pairs_py = sorted(
+        {tuple(sorted(rng.sample(range(n_nodes), 2))) for _ in range(n_edges)}
+    )
+    pairs = spark.createDataFrame(pairs_py, "id_a long, id_b long")
+    prop = {r.doc_id: r.cluster_id
+            for r in dedup.connected_components(pairs, max_iterations=n_nodes + 1).collect()}
+    star = {r.doc_id: r.cluster_id
+            for r in dedup.connected_components_star(pairs).collect()}
+    assert star == prop
+
+
+def test_star_cc_converges_on_long_chain(spark):
+    """A 120-node path (diameter 119) exceeds label propagation's default
+    20 rounds but star contraction finishes in ~log2(119) rounds — every
+    node must land in ONE cluster rooted at node 0."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "id_a long, id_b long"
+    )
+    out = dedup.connected_components_star(pairs).collect()
+    assert len(out) == 120
+    assert {r.cluster_id for r in out} == {0}
+
+
+def test_star_cc_singletons_and_order_insensitivity(spark):
+    from skylogix_real_time_weather_data_pipeline_spark.ext import dedup
+
+    pairs = spark.createDataFrame([(7, 3), (3, 9), (12, 11)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in (3, 7, 9, 11, 12, 42)], "doc_id long")
+    got = {r.doc_id: r.cluster_id
+           for r in dedup.connected_components_star(pairs, nodes=nodes).collect()}
+    assert got == {3: 3, 7: 3, 9: 3, 11: 11, 12: 11, 42: 42}
