@@ -432,6 +432,46 @@ GROUP BY s_nationkey
 
 
 # --------------------------------------------------------------------------
+# MERGE (upsert): CDC-style update+insert batch applied to orders.
+# --------------------------------------------------------------------------
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulated CDC batch: every 97th order gets a 10% repricing (update)
+    and a shifted-key copy (insert); merge_upsert applies both against the
+    base table. The oracle expresses the same MERGE in ANSI SQL (source ∪
+    target-minus-source-keys), so the hash check pins update, insert AND
+    carry-over semantics."""
+    from ..operators.merge import merge_upsert
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    updates = o.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
+    )
+    inserts = updates.select(
+        (F.col("o_orderkey") + 50_000_000).alias("o_orderkey"), "o_custkey", "o_totalprice"
+    )
+    source = updates.unionByName(inserts)
+    return merge_upsert(o, source, ["o_orderkey"])
+
+
+O_MERGE_UPSERT = """
+WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+updates AS (
+  SELECT o_orderkey, o_custkey, ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+  FROM base WHERE o_orderkey % 97 = 0
+),
+source AS (
+  SELECT * FROM updates
+  UNION ALL
+  SELECT o_orderkey + 50000000, o_custkey, o_totalprice FROM updates
+)
+SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+UNION ALL
+SELECT * FROM source
+"""
+
+
+# --------------------------------------------------------------------------
 # Approximate distinct (HLL sketch) — rows-only check (approximate result
 # has no exact ANSI oracle; exact counterpart is rel_distinct_parts).
 # --------------------------------------------------------------------------
@@ -460,6 +500,7 @@ QUERIES = {
     "rel_shipping_priority": q_shipping_priority,
     "rel_set_ops": q_set_ops,
     "rel_salted_join": q_salted_join,
+    "rel_merge_upsert": q_merge_upsert,
 }
 
 ORACLES = {
@@ -477,4 +518,5 @@ ORACLES = {
     "rel_shipping_priority": O_SHIPPING_PRIORITY,
     "rel_set_ops": O_SET_OPS,
     "rel_salted_join": O_SALTED_JOIN,
+    "rel_merge_upsert": O_MERGE_UPSERT,
 }
