@@ -103,6 +103,59 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def band_structs(n_hashes: int, bands: int) -> list[F.Column]:
+    """Arithmetic band keys over mh00..mhNN signature columns: fold each
+    band's minhashes with mod-chaining ((acc*65537 + mh) % MH_P) — a bigint
+    group key (8 bytes in the shuffle vs a 32-char md5 string), identical
+    in ANSI SQL. Shared by the batch and row-wise/streaming banding paths."""
+    rows_per_band = n_hashes // bands
+    out = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r:02d}") for r in range(rows_per_band)]
+        acc = cols[0] % MH_P
+        for c in cols[1:]:
+            acc = (acc * 65537 + c) % MH_P
+        out.append(F.struct(F.lit(b).alias("band_idx"), acc.alias("band_hash")))
+    return out
+
+
+def minhash_bands_rowwise(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                          n_hashes: int = 16, bands: int = 4,
+                          shingle_n: int = 3) -> DataFrame:
+    """Banded MinHash computed entirely with PER-ROW expressions — no
+    explode, no groupBy — over the shingle array: the STREAMING-SAFE form
+    (an unbounded stream can't run the global groupBy(doc) the batch
+    signature pipeline uses). Band hashes are bit-identical to
+    ``minhash_lsh_pairs``' banding: min() over the same Carter-Wegman
+    family of the same two 60-bit md5 halves, same fold.
+
+    Returns (id, band_idx, band_hash) rows — 'bands' rows per document.
+    Batch pipelines should keep the exploded form (map-side partial agg
+    spreads one huge document's hashing across tasks; here it is one row).
+    """
+    from .text import shingles
+
+    sh = shingles(F.col(text_col), shingle_n)
+    hs = F.transform(
+        sh,
+        lambda s: F.struct(
+            (F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MH_P).alias("h1"),
+            (F.conv(F.substring(F.md5(s), 16, 15), 16, 10).cast("long") % MH_P).alias("h2"),
+        ),
+    )
+    base = df.select(id_col, hs.alias("_hs"))
+    mh_cols = [
+        F.array_min(
+            F.transform(F.col("_hs"), lambda x: (F.lit(a) * x["h1"] + F.lit(b) * x["h2"]) % MH_P)
+        ).alias(f"mh{i:02d}")
+        for i, (a, b) in enumerate(mh_params(n_hashes))
+    ]
+    sig = base.select(id_col, *mh_cols)
+    return sig.select(id_col, F.explode(F.array(*band_structs(n_hashes, bands))).alias("band")).select(
+        id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash")
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       n_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
                       max_bucket_size: int = 100_000) -> DataFrame:
@@ -123,21 +176,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     clusters belong to exact_dedup, and a 100k-member bucket would emit
     5e9 candidate pairs regardless of formulation).
     """
-    rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
-    band_structs = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r:02d}") for r in range(rows_per_band)]
-        # arithmetic band key: fold the band's minhashes with mod-chaining
-        # ((acc*65537 + mh) % MH_P) — a bigint group key (8 bytes in the
-        # shuffle vs a 32-char md5 string), identical in ANSI SQL
-        acc = cols[0] % MH_P
-        for c in cols[1:]:
-            acc = (acc * 65537 + c) % MH_P
-        band_structs.append(
-            F.struct(F.lit(b).alias("band_idx"), acc.alias("band_hash"))
-        )
-    banded = sig.select(id_col, F.explode(F.array(*band_structs)).alias("band")).select(
+    banded = sig.select(id_col, F.explode(F.array(*band_structs(n_hashes, bands))).alias("band")).select(
         id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash")
     )
     buckets = (

@@ -60,3 +60,66 @@ def running_key_stats(stream: DataFrame, key_col: str, value_col: str) -> DataFr
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PAIR_OUTPUT_SCHEMA = "id_a bigint, id_b bigint"
+BUCKET_STATE_SCHEMA = "ids array<bigint>"
+
+
+def streaming_minhash_pairs(stream: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", n_hashes: int = 16,
+                            bands: int = 4, shingle_n: int = 3,
+                            max_bucket_size: int = 100_000) -> DataFrame:
+    """Incremental MinHash-LSH near-dup candidate pairs over a stream.
+
+    The banding stage is the per-row expression form
+    (``ext.dedup.minhash_bands_rowwise`` — bit-identical band hashes to the
+    batch pipeline, no global groupBy); pair generation holds each LSH
+    bucket's member list in ``applyInPandasWithState`` keyed by
+    (band_idx, band_hash). Every micro-batch emits exactly the NEW pairs —
+    new×old and new×new members of each touched bucket — so the union of
+    all emissions equals the batch ``minhash_lsh_pairs`` candidate set on
+    the same data (pytest-pinned equivalence across micro-batches).
+
+    State per bucket is the member id array — bounded by duplicate-cluster
+    density like the batch bucket arrays; once a bucket exceeds
+    ``max_bucket_size`` it stops emitting and stops growing (the batch path
+    drops such buckets entirely — both reject the degenerate mass-duplicate
+    case, the streaming path without retracting already-emitted pairs).
+    Output pairs can repeat across micro-batches only if the same pair
+    collides in several bands; downstream dedup/clustering is
+    idempotent to that (same as the batch n_band_collisions grouping).
+    """
+    from ..ext.dedup import minhash_bands_rowwise
+
+    banded = minhash_bands_rowwise(stream, text_col, id_col, n_hashes, bands, shingle_n)
+
+    def _emit(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        old = list(state.get[0]) if state.exists else []
+        seen = set(old)
+        if len(seen) > max_bucket_size:
+            return
+        new = sorted({int(i) for pdf in pdfs for i in pdf[id_col]} - seen)
+        if not new:
+            return
+        pairs_a, pairs_b = [], []
+        for b in new:
+            for a in old:
+                lo, hi = (a, b) if a < b else (b, a)
+                pairs_a.append(lo)
+                pairs_b.append(hi)
+        for i, a in enumerate(new):
+            for b in new[i + 1:]:
+                pairs_a.append(a)
+                pairs_b.append(b)
+        state.update((sorted(seen | set(new)),))
+        if pairs_a:
+            yield pd.DataFrame({"id_a": pairs_a, "id_b": pairs_b})
+
+    return banded.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        _emit,
+        outputStructType=PAIR_OUTPUT_SCHEMA,
+        stateStructType=BUCKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
