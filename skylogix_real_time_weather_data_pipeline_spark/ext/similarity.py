@@ -229,9 +229,13 @@ def rp_lsh_buckets_banded(df: DataFrame, n_tables: int = 4, n_planes: int = 16,
         return pd.Series(list(out))
 
     bucket_arr = pandas_udf(_buckets, "array<long>")
+    # posexplode_outer: the array is always exactly n_tables entries, so
+    # outer == inner — but plain posexplode makes the optimizer push an
+    # inferred (size(_b) > 0 AND isnotnull(_b)) filter BELOW the projection,
+    # which re-evaluates the Arrow matmul a second time just for the filter
     return (
         df.select(id_col, bucket_arr(F.col(vec_col)).alias("_b"))
-        .select(id_col, F.posexplode("_b").alias("table_idx", "bucket"))
+        .select(id_col, F.posexplode_outer("_b").alias("table_idx", "bucket"))
     )
 
 
@@ -262,33 +266,46 @@ def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.25, n_tables: int = 4
     share a bucket in ≥1 of ``n_tables`` independent tables, then exact
     cosine verifies (Arrow-vectorized).
 
-    The candidate join is an equi-join on (table_idx, bucket) — never the
-    n² cross product — and distinct() collapses multi-table collisions
-    before the verify stage so each pair is scored once. At the defaults,
-    per-table occupancy is ~n/2^16 (sub-quadratic past 10⁹ rows) while
-    recall compounds to 1-(1-p^16)^4 across the four tables — the fix for
-    a single 2^8-bucket table whose occupancy went quadratic at ~10⁷.
+    Candidate generation is ONE aggregation per (table_idx, bucket) with an
+    in-bucket pair fan-out (the same formulation as minhash_lsh_pairs) —
+    never the n² cross product, and the Arrow matmul that computes the 64
+    plane dots runs ONCE. The earlier bucket self-join re-ran
+    rp_lsh_buckets_banded's pandas_udf on both join sides (Spark does not
+    reuse the subtree across self-join sides). distinct() collapses
+    multi-table collisions before the verify stage so each pair is scored
+    once. At the defaults, per-table occupancy is ~n/2^16 (sub-quadratic
+    past 10⁹ rows) while recall compounds to 1-(1-p^16)^4 across the four
+    tables — the fix for a single 2^8-bucket table whose occupancy went
+    quadratic at ~10⁷.
     """
+    from .dedup import _pairs_from_sorted_ids
+
     buckets = rp_lsh_buckets_banded(df, n_tables, n_planes, dim, vec_col, id_col)
-    a = buckets.select(F.col(id_col).alias("id_a"), "table_idx", "bucket")
-    b = buckets.select(F.col(id_col).alias("id_b"), "table_idx", "bucket")
     cand = (
-        a.join(b, ["table_idx", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.groupBy("table_idx", "bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    score = pairwise_cosine_arrow()
-    scored = (
-        cand.join(va, "id_a").join(vb, "id_b")
-        .withColumn("cos", score(F.col("va"), F.col("vb")))
+    # asNondeterministic stops the optimizer from substituting the scoring
+    # expression through the projection when it pushes the threshold filter
+    # down — with a deterministic UDF that substitution re-evaluates the
+    # Arrow verify pass a second time just for the filter (the function IS
+    # deterministic; the flag only pins evaluate-once placement). The UDF
+    # is referenced exactly once, so the plan has ONE _score invocation;
+    # the threshold therefore compares the ROUNDED score, and the oracle
+    # mirrors that (ROUND(...,6) >= t).
+    score = pairwise_cosine_arrow().asNondeterministic()
+    scored = cand.join(va, "id_a").join(vb, "id_b").select(
+        "id_a",
+        "id_b",
+        F.round(score(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
     )
-    return (
-        scored.filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cosine_sim"))
-    )
+    return scored.filter(F.col("cosine_sim") >= threshold)
 
 
 def pairwise_topk_join(df: DataFrame, k: int = 5, vec_col: str = "embedding",

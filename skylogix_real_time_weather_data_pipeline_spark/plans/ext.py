@@ -570,7 +570,7 @@ SELECT id_a, id_b, ROUND({_COS_AB}, 6) AS cosine_sim
 FROM cand
 JOIN embeddings a ON a.vec_id = id_a
 JOIN embeddings b ON b.vec_id = id_b
-WHERE {_COS_AB} >= {_NEARDUP_T}
+WHERE ROUND({_COS_AB}, 6) >= {_NEARDUP_T}
 """
 
 
