@@ -220,6 +220,71 @@ def top_ngrams(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def quality_topk_per_source(df: DataFrame, k: int = 3, text_col: str = "text",
+                            id_col: str = "doc_id", source_col: str = "source") -> DataFrame:
+    """Data curation: keep the k highest-quality documents per source
+    corpus — the standard "best-of" filter stage before mixing. Quality is
+    :func:`quality_score`; rank-1 pattern (count per key is tiny, the
+    window runs over the scored projection with deterministic tie-break
+    on id)."""
+    from pyspark.sql import Window
+
+    scored = df.select(id_col, source_col).join(quality_score(df, text_col, id_col), id_col)
+    w = Window.partitionBy(source_col).orderBy(F.desc("quality_score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank_in_source", F.row_number().over(w))
+        .filter(F.col("rank_in_source") <= k)
+        .select(source_col, id_col, "quality_score", "rank_in_source")
+    )
+
+
+def mixture_sample(df: DataFrame, rates: dict[str, float], seed: int = 7,
+                   id_col: str = "doc_id", source_col: str = "source",
+                   default_rate: float = 0.0) -> DataFrame:
+    """Deterministic weighted corpus mixing: keep each document with its
+    source's sampling rate, decided by a content-stable hash of the id —
+    NO rand(), so retries, speculative tasks and re-runs all agree, and a
+    DuckDB oracle can reproduce the exact sample. This is the
+    training-mixture stage (e.g. upsample books, downsample web).
+
+    Decision: md5-hash(id) % 10000 < rate*10000 — a per-row expression,
+    no shuffle; at 100 TB the sample never materializes the full corpus
+    anywhere.
+    """
+    from .dedup import _md5_long
+
+    h = F.pmod(_md5_long(F.col(id_col).cast("string"), seed), F.lit(10_000))
+    # integer thresholds computed driver-side: no float arithmetic in the
+    # plan, so the oracle can embed the identical integers
+    thresholds = {s: int(round(r * 10_000)) for s, r in rates.items()}
+    thr_map = F.create_map(*[F.lit(x) for kv in thresholds.items() for x in kv])
+    thr = F.coalesce(
+        F.element_at(thr_map, F.col(source_col)),
+        F.lit(int(round(default_rate * 10_000))),
+    )
+    return df.select(id_col, source_col).filter(h < thr)
+
+
+def token_quantiles_by_group(df: DataFrame, group_col: str = "lang",
+                             text_col: str = "text",
+                             quantiles: tuple[float, ...] = (0.25, 0.5, 0.75)) -> DataFrame:
+    """Corpus statistics: exact token-count quantiles per group (language,
+    source, ...) — the length-distribution table that drives chunk-size and
+    packing decisions. One scan: tokenize is a narrow projection, the
+    percentile aggregate is a single partial+final hash agg on the group
+    key."""
+    base = df.select(group_col, F.size(tokens(text_col)).alias("_n_tok"))
+    qlist = ", ".join(repr(float(q)) for q in quantiles)
+    arr = F.expr(f"percentile(_n_tok, array({qlist}))")
+    return base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.round(F.element_at(arr, i + 1), 6).alias(f"q{int(q * 100):02d}")
+            for i, q in enumerate(quantiles)
+        ],
+    )
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as strings ('w1 w2 w3'), distinct per doc.
 

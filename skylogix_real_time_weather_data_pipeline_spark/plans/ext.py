@@ -417,6 +417,73 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# Curation: quality top-k per source / weighted mixture sample /
+# token-length quantiles per language
+# --------------------------------------------------------------------------
+
+_QUALITY_K = 3
+
+
+def q_quality_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_topk_per_source(_docs(spark, sf_dir), k=_QUALITY_K)
+
+
+# quality_score mirror: length_ok * (0.5 + 0.5*least(2*div, 1)), div =
+# coalesce(ROUNDED lexical diversity, 0) — matches ext.text.quality_score
+# composing over token_stats' rounded column
+_QUALITY_SQL = """
+  ROUND(
+    (CASE WHEN len(tk) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END)
+    * (0.5 + 0.5 * least(COALESCE(ROUND(len(list_distinct(tk)) / CAST(nullif(len(tk), 0) AS DOUBLE), 6), 0.0) * 2, 1.0)),
+  6)
+"""
+O_QUALITY_TOPK = TOK_CTE + f"""
+, scored AS (SELECT doc_id, {_QUALITY_SQL} AS quality_score FROM toks)
+SELECT source, doc_id, quality_score,
+       CAST(rank_in_source AS INTEGER) AS rank_in_source
+FROM (
+  SELECT d.source, s.doc_id, s.quality_score,
+         row_number() OVER (PARTITION BY d.source ORDER BY s.quality_score DESC, s.doc_id ASC) AS rank_in_source
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+)
+WHERE rank_in_source <= {_QUALITY_K}
+"""
+
+
+#: corpus-mixing weights: upsample even sources, downsample odd ones
+_MIX_RATES = {f"src{i}": (0.8 if i % 2 == 0 else 0.2) for i in range(20)}
+_MIX_SEED = 7
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.mixture_sample(_docs(spark, sf_dir), _MIX_RATES, seed=_MIX_SEED)
+
+
+_mix_case = "CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {int(round(r * 10_000))}" for s, r in _MIX_RATES.items()
+) + " ELSE 0 END"
+O_MIXTURE_SAMPLE = f"""
+SELECT doc_id, source FROM documents
+WHERE {_sql_hash(_MIX_SEED, 'CAST(doc_id AS VARCHAR)')} % 10000 < {_mix_case}
+"""
+
+
+def q_token_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_quantiles_by_group(_docs(spark, sf_dir), group_col="lang")
+
+
+O_TOKEN_QUANTILES = TOK_CTE + """
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(quantile_cont(len(tk), 0.25), 6) AS q25,
+       ROUND(quantile_cont(len(tk), 0.50), 6) AS q50,
+       ROUND(quantile_cont(len(tk), 0.75), 6) AS q75
+FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+GROUP BY d.lang
+"""
+
+
+# --------------------------------------------------------------------------
 # Document fingerprinting (winnowing-lite)
 # --------------------------------------------------------------------------
 
@@ -656,6 +723,9 @@ QUERIES = {
     "docs_fingerprint": q_fingerprint,
     "docs_normalize": q_normalize,
     "docs_chunk": q_chunk_documents,
+    "docs_quality_topk_per_source": q_quality_topk_per_source,
+    "docs_mixture_sample": q_mixture_sample,
+    "docs_token_quantiles_by_lang": q_token_quantiles_by_lang,
     "emb_cosine_topk": q_cosine_topk,
     "emb_lsh_buckets": q_lsh_buckets,
     "emb_lsh_near_dup_pairs": q_lsh_near_dup_pairs,
@@ -679,6 +749,9 @@ ORACLES = {
     "docs_fingerprint": O_FINGERPRINT,
     "docs_normalize": O_NORMALIZE,
     "docs_chunk": O_CHUNK_DOCUMENTS,
+    "docs_quality_topk_per_source": O_QUALITY_TOPK,
+    "docs_mixture_sample": O_MIXTURE_SAMPLE,
+    "docs_token_quantiles_by_lang": O_TOKEN_QUANTILES,
     "emb_cosine_topk": O_COSINE_TOPK,
     "emb_lsh_buckets": O_LSH_BUCKETS,
     "emb_lsh_near_dup_pairs": O_LSH_NEAR_DUP,

@@ -266,3 +266,38 @@ def test_frame_sample_plan_fanout(spark):
     plan = multimodal.frame_sample_plan(assets, every_n=2)
     idx = sorted(r.frame_index for r in plan.collect())
     assert idx[0] == 0 and len(idx) >= 2
+
+
+def test_quality_topk_per_source_rank_and_bounds(spark):
+    rows = [(i, "the and of to a in is it words " * 5 + f"unique{i}", f"s{i % 2}")
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = text.quality_topk_per_source(df, k=2).collect()
+    assert len(out) == 4  # 2 sources × k=2
+    for r in out:
+        assert 1 <= r.rank_in_source <= 2
+        assert 0.0 <= r.quality_score <= 1.0
+
+
+def test_mixture_sample_deterministic_and_rate_shaped(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", "keep" if i % 2 == 0 else "drop") for i in range(400)],
+        "doc_id long, text string, source string",
+    )
+    rates = {"keep": 1.0, "drop": 0.0}
+    out1 = sorted(r.doc_id for r in text.mixture_sample(df, rates).collect())
+    out2 = sorted(r.doc_id for r in text.mixture_sample(df, rates).collect())
+    assert out1 == out2                      # deterministic across runs
+    assert out1 == [i for i in range(400) if i % 2 == 0]  # rate 1.0 / 0.0 exact
+    half = text.mixture_sample(df, {"keep": 0.5, "drop": 0.5}).count()
+    assert 120 <= half <= 280                # ~50% of 400, hash-binomial
+
+
+def test_token_quantiles_by_group_matches_exact_median(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c", "x"), (1, "a b c d e", "x"), (2, "a", "y")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.lang: r for r in text.token_quantiles_by_group(df).collect()}
+    assert got["x"].n_docs == 2 and got["x"].q50 == 4.0  # interpolated (3+5)/2
+    assert got["y"].q25 == got["y"].q75 == 1.0
