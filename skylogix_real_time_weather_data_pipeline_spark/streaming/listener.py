@@ -83,9 +83,43 @@ def attach_metrics_listener(spark) -> MetricsListener:
     return listener
 
 
-def start_metrics_server(port: int = 8000) -> bool:  # pragma: no cover
-    """Prometheus scrape endpoint (reference src/utils.py:161-173)."""
-    if not _HAVE_PROM:
+def start_metrics_server(port: int = 8000, registry: _MemoryRegistry | None = None):
+    """Prometheus scrape endpoint (reference src/utils.py:161-173).
+
+    With ``prometheus_client`` installed, its native exporter serves the
+    real collectors. Without it, a stdlib HTTP server exposes ``registry``
+    (a listener's ``_MemoryRegistry``) at ``/metrics`` in the Prometheus
+    text exposition format — same scrape contract, zero dependencies.
+    Returns the server object (call ``.shutdown()``), True for the
+    prometheus_client path, or False when there is nothing to serve.
+    Pass ``port=0`` for an ephemeral port (``server_address[1]``).
+    """
+    if _HAVE_PROM:  # pragma: no cover - optional dependency
+        start_http_server(port)
+        return True
+    if registry is None:
         return False
-    start_http_server(port)
-    return True
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class _Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 - http.server API
+            if self.path.rstrip("/") not in ("", "/metrics"):
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = "".join(
+                f"# TYPE {k} gauge\n{k} {v}\n" for k, v in sorted(registry.values.items())
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # quiet: scrapes every 5 s
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", port), _Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server

@@ -143,5 +143,30 @@ def test_metrics_listener_counts_rows(spark, raw_dir, tmp_path):
             time.sleep(0.5)
         assert listener.registry.values["weather_records_processed"] > 0
         assert listener.registry.values["weather_pipeline_runs"] >= 1
+
+        # stdlib /metrics scrape endpoint (reference src/utils.py:161-173):
+        # serves the registry in Prometheus text exposition format
+        from urllib.request import urlopen
+
+        from skylogix_real_time_weather_data_pipeline_spark.streaming.listener import (
+            start_metrics_server,
+        )
+
+        server = start_metrics_server(port=0, registry=listener.registry)
+        assert server not in (True, False)
+        try:
+            port = server.server_address[1]
+            body = urlopen(f"http://127.0.0.1:{port}/metrics", timeout=10).read().decode()
+            assert "weather_records_processed" in body
+            assert "weather_pipeline_runs" in body
+            from urllib.error import HTTPError
+
+            try:
+                urlopen(f"http://127.0.0.1:{port}/nope", timeout=10)
+                raise AssertionError("expected 404")
+            except HTTPError as e:
+                assert e.code == 404
+        finally:
+            server.shutdown()
     finally:
         spark.streams.removeListener(listener)
