@@ -11,22 +11,36 @@ from . import ext, relational, sql_surface, streaming_batch, weather  # noqa: F4
 _MODULES = (weather, relational, ext, streaming_batch, sql_surface)
 
 #: The driver's correctness harness checks the FIRST 50 queries() entries in
-#: insertion order (CORRECTNESS_r01 contains exactly positions 0-49 of the
-#: r01 ordering). Keys listed here are emitted first so queries that have
-#: not yet appeared in a driver CORRECTNESS file get verified this round;
-#: everything else follows in module order. Rotate per round as needed.
+#: insertion order. Pinning policy (r2 ADVICE): any query whose
+#: implementation OR oracle changed this round goes FIRST — rewritten
+#: operators must not escape external verification — followed by queries the
+#: driver has never checked; everything else follows in module order. The
+#: full registry is additionally verified locally each round
+#: (scripts/local_verify.py → CORRECTNESS_LOCAL_r{N}.json, committed).
 _VERIFY_FIRST = (
-    # never driver-verified as of r01 (positions 50-55 of the r01 order)
-    "stream_range_join_windows",
-    "stream_sliding_6h",
-    "stream_sessionize",
-    "stream_dedup_keyed",
-    "sql_forecast_revenue",
-    "sql_priority_with_exists",
-    # new in round 2
-    "docs_dedup_clusters",
-    "docs_pii_scrub",
-    "docs_top_ngrams",
+    # --- implementation or oracle changed in round 3 ---
+    "docs_simhash_near_pairs",         # NEW query + oracle
+    "rel_salted_join",                 # NEW query + oracle
+    "rel_merge_upsert",                # NEW query + oracle
+    "docs_quality_topk_per_source",    # NEW query + oracle
+    "docs_mixture_sample",             # NEW query + oracle
+    "docs_token_quantiles_by_lang",    # NEW query + oracle
+    "emb_ivf_topk",                    # NEW all-SQL oracle (was rows-only)
+    "emb_lsh_near_dup_pairs",          # rewrite: single-eval candidates; oracle threshold
+    "weather_quantile_summary",        # rewrite: single-scan percentile arrays
+    "docs_minhash_lsh_pairs",          # oracle: bucket cap mirrored
+    "docs_ngram_jaccard_pairs",        # oracle: shingle-df cap mirrored
+    "docs_dedup_clusters",             # oracle: bucket cap mirrored
+    "docs_pii_scrub",                  # phone pattern tightened
+    # --- green in r01 but absent from CORRECTNESS_r02 (VERDICT item 8:
+    # --- re-verify on fresh driver runs) ---
+    "stream_tumbling_daily",
+    "stream_asof_last_purchase",
+    "docs_normalize",
+    "docs_chunk",
+    "emb_cosine_topk",
+    "emb_lsh_buckets",
+    "emb_pairwise_topk",
 )
 
 
