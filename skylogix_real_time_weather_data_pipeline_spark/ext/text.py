@@ -220,6 +220,25 @@ def top_ngrams(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                     n: int = 3) -> DataFrame:
+    """Repetition quality signal: the fraction of duplicate word n-grams
+    per document (the Gopher-rules "repetition" filter family) — high
+    values flag boilerplate/spam/generated loops. One narrow projection:
+    total windows is arithmetic on the token count, distinct count comes
+    from the deduplicated shingle array; no shuffle, no explode."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    total = F.greatest(n_tok - (n - 1), F.lit(1))
+    distinct = F.size(shingles(F.col(text_col), n))
+    return df.select(
+        id_col,
+        total.alias("n_shingles"),
+        distinct.alias("n_distinct_shingles"),
+        F.round(F.lit(1) - distinct / total.cast("double"), 6).alias("dup_shingle_ratio"),
+    )
+
+
 def quality_topk_per_source(df: DataFrame, k: int = 3, text_col: str = "text",
                             id_col: str = "doc_id", source_col: str = "source") -> DataFrame:
     """Data curation: keep the k highest-quality documents per source

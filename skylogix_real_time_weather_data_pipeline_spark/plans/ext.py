@@ -468,6 +468,19 @@ WHERE {_sql_hash(_MIX_SEED, 'CAST(doc_id AS VARCHAR)')} % 10000 < {_mix_case}
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_stats(_docs(spark, sf_dir))
+
+
+O_REPETITION = TOK_CTE + """
+SELECT doc_id,
+       CAST(greatest(len(tk) - 2, 1) AS INTEGER) AS n_shingles,
+       CAST(len(shingles) AS INTEGER) AS n_distinct_shingles,
+       ROUND(1 - len(shingles) / CAST(greatest(len(tk) - 2, 1) AS DOUBLE), 6) AS dup_shingle_ratio
+FROM toks JOIN sh USING (doc_id)
+"""
+
+
 def q_token_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_quantiles_by_group(_docs(spark, sf_dir), group_col="lang")
 
@@ -726,6 +739,7 @@ QUERIES = {
     "docs_quality_topk_per_source": q_quality_topk_per_source,
     "docs_mixture_sample": q_mixture_sample,
     "docs_token_quantiles_by_lang": q_token_quantiles_by_lang,
+    "docs_repetition_stats": q_repetition_stats,
     "emb_cosine_topk": q_cosine_topk,
     "emb_lsh_buckets": q_lsh_buckets,
     "emb_lsh_near_dup_pairs": q_lsh_near_dup_pairs,
@@ -752,6 +766,7 @@ ORACLES = {
     "docs_quality_topk_per_source": O_QUALITY_TOPK,
     "docs_mixture_sample": O_MIXTURE_SAMPLE,
     "docs_token_quantiles_by_lang": O_TOKEN_QUANTILES,
+    "docs_repetition_stats": O_REPETITION,
     "emb_cosine_topk": O_COSINE_TOPK,
     "emb_lsh_buckets": O_LSH_BUCKETS,
     "emb_lsh_near_dup_pairs": O_LSH_NEAR_DUP,

@@ -1,0 +1,77 @@
+"""Plan-quality regression tests: pin the physical-plan properties the
+100 TB design depends on (column pruning, filter pushdown, single-scan
+aggregation, single-evaluation of expensive subtrees). A correctness-green
+query whose plan silently regresses to extra scans or double evaluation is
+a scale bug — these assertions catch that in CI, not in a cluster bill.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as ENTRY
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return ENTRY.queries()
+
+
+def test_mixture_sample_prunes_text_column(spark, sf_dir, qs):
+    """The sampling decision needs only (doc_id, source); reading the wide
+    text column would make the 'cheap' mixing pass scan the whole corpus
+    payload."""
+    plan = _formatted(qs["docs_mixture_sample"](spark, sf_dir))
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas and all("text" not in s for s in schemas)
+
+
+def test_pricing_summary_pushes_date_filter_to_scan(spark, sf_dir, qs):
+    plan = _formatted(qs["rel_pricing_summary"](spark, sf_dir))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "l_shipdate" in pushed.group(1)
+
+
+def test_quantile_summary_is_single_scan(spark, sf_dir, qs):
+    plan = _physical(qs["weather_quantile_summary"](spark, sf_dir))
+    assert len(re.findall(r"FileScan", plan)) == 1
+
+
+def test_simhash_near_pairs_single_evaluation_no_join(spark, sf_dir, qs):
+    """The r2 formulation self-joined the chunked fingerprints, evaluating
+    the whole tokenize→hash→vote pipeline twice."""
+    plan = _physical(qs["docs_simhash_near_pairs"](spark, sf_dir))
+    assert len(re.findall(r"FileScan", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_lsh_near_dup_pairs_single_arrow_eval_per_udf(spark, sf_dir, qs):
+    """Bucket matmul and pairwise verify must each appear once: the
+    self-join / pushed-filter / threshold-filter shapes each duplicated an
+    Arrow stage before round 3."""
+    plan = _physical(qs["emb_lsh_near_dup_pairs"](spark, sf_dir))
+    assert len(re.findall(r"ArrowEvalPython \[_buckets", plan)) == 1
+    assert len(re.findall(r"ArrowEvalPython \[_score", plan)) == 1
+
+
+def test_merge_upsert_anti_join_reads_keys_only(spark, sf_dir, qs):
+    """The anti-join's source-keys side must scan only the merge key, not
+    the full row set."""
+    plan = _formatted(qs["rel_merge_upsert"](spark, sf_dir))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any(s == "o_orderkey:bigint" for s in schemas)
+
+
+def test_revenue_by_nation_broadcasts_dim(spark, sf_dir, qs):
+    plan = _physical(qs["rel_revenue_by_nation"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
