@@ -396,6 +396,56 @@ def connected_components_star(pairs: DataFrame, nodes: DataFrame | None = None,
     return out
 
 
+def incremental_clusters(spark, new_pairs: DataFrame, state_path: str,
+                         id_col: str = "doc_id",
+                         algorithm=None) -> DataFrame:
+    """Maintain a near-dup cluster assignment ACROSS batches: the state at
+    ``state_path`` is the (id, cluster_id) parquet from previous batches;
+    each call unions the state as star edges (id—cluster_id: the compressed
+    forest, ONE edge per previously-seen node regardless of how many pairs
+    history contained) with the batch's new candidate pairs, re-runs
+    connected components over that compressed graph, and overwrites the
+    state through a staging path.
+
+    Union-find compression property: components over (compressed forest ∪
+    new edges) equal components over every pair ever seen — so the state
+    stays O(corpus), not O(pairs history). Wire it under ``foreachBatch``
+    after :func:`streaming_minhash_pairs
+    <..streaming.stateful.streaming_minhash_pairs>` for end-to-end
+    streaming dedup (pinned stream==batch in tests).
+
+    ``algorithm`` defaults to :func:`connected_components`; pass
+    :func:`connected_components_star` for long-chain graphs.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as _F
+
+    cc = algorithm or connected_components
+    edges = new_pairs.select("id_a", "id_b")
+    if os.path.exists(state_path):
+        prev = spark.read.parquet(state_path).select(
+            _F.col(id_col).alias("id_a"), _F.col("cluster_id").alias("id_b")
+        )
+        edges = edges.union(prev)
+    labels = cc(edges.filter(_F.col("id_a") != _F.col("id_b")), id_col=id_col)
+    # singletons from prior state (id == cluster_id) fall out of the edge
+    # list; carry them through explicitly
+    if os.path.exists(state_path):
+        prev_ids = spark.read.parquet(state_path).select(id_col)
+        singles = prev_ids.join(labels, id_col, "left_anti").select(
+            id_col, _F.col(id_col).alias("cluster_id")
+        )
+        labels = labels.unionByName(singles)
+    staging = f"{state_path}__staging"
+    labels.write.mode("overwrite").parquet(staging)
+    if os.path.exists(state_path):
+        shutil.rmtree(state_path)
+    shutil.move(staging, state_path)
+    return spark.read.parquet(state_path)
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             n_bits: int = 60) -> DataFrame:
     """SimHash fingerprint (n_bits ≤ 60) from token md5 hashes.

@@ -76,3 +76,63 @@ def test_streaming_pairs_equal_batch_pairs_across_micro_batches(spark, tmp_path)
     }
     assert (0, 3) in stream_pairs  # identical docs split across batches
     assert stream_pairs == batch_pairs
+
+
+def test_incremental_clusters_equal_batch_clusters(spark, tmp_path):
+    """Union-find compression: clustering batch-by-batch through the state
+    parquet equals one-shot clustering over all pairs."""
+    state = str(tmp_path / "cluster_state")
+    b1 = spark.createDataFrame([(1, 2), (5, 6)], "id_a long, id_b long")
+    b2 = spark.createDataFrame([(2, 3), (6, 7), (10, 11)], "id_a long, id_b long")
+    b3 = spark.createDataFrame([(3, 5)], "id_a long, id_b long")  # merges {1,2,3} with {5,6,7}
+    for b in (b1, b2, b3):
+        out = dedup.incremental_clusters(spark, b, state)
+    got = {r.doc_id: r.cluster_id for r in out.collect()}
+    want = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(b1.union(b2).union(b3)).collect()
+    }
+    assert got == want
+    assert got[7] == 1  # cross-batch merge collapsed to the global min
+
+
+def test_streaming_pairs_plus_incremental_clusters_end_to_end(spark, tmp_path):
+    """Full streaming dedup: docs stream → stateful LSH pair stream →
+    foreachBatch incremental clustering == batch pairs → batch clustering."""
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    state = str(tmp_path / "clusters")
+    src.mkdir()
+    for name, chunk in (("b1.json", _DOCS[:3]), ("b2.json", _DOCS[3:])):
+        with open(src / name, "w") as f:
+            for doc_id, text in chunk:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+
+    def apply_batch(pairs_batch, batch_id):
+        if pairs_batch.isEmpty():
+            return
+        dedup.incremental_clusters(pairs_batch.sparkSession, pairs_batch, state)
+
+    q = (
+        streaming_minhash_pairs(stream)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.doc_id: r.cluster_id for r in spark.read.parquet(state).collect()}
+    batch_df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    want = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(dedup.minhash_lsh_pairs(batch_df)).collect()
+    }
+    assert got == want
+    assert got[3] == 0  # cross-batch duplicate landed in doc 0's cluster
