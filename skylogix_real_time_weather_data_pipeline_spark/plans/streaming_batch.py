@@ -85,6 +85,56 @@ FROM expanded GROUP BY 1, 2
 """
 
 
+_TOPK_PER_WINDOW = 2
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k users per tumbling day by event count — the windowed-agg →
+    rank composition (trending-items pattern). The aggregate collapses to
+    one row per (window, user) BEFORE the rank window runs, so the sort
+    touches the small aggregated set; on a live stream the same shape runs
+    as window-agg → foreachBatch rank (rank over streaming state isn't
+    incremental)."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    daily = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
+    )
+    rank_w = Window.partitionBy("w").orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (
+        daily.withColumn("rank_in_window", F.row_number().over(rank_w))
+        .filter(F.col("rank_in_window") <= _TOPK_PER_WINDOW)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            "value_sum",
+            "rank_in_window",
+        )
+    )
+
+
+O_WINDOW_TOPK = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(SUM(value), 2) AS value_sum
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, user_id, n_events, value_sum,
+       CAST(rank_in_window AS INTEGER) AS rank_in_window
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY window_start ORDER BY n_events DESC, user_id ASC
+  ) AS rank_in_window
+  FROM daily
+)
+WHERE rank_in_window <= {_TOPK_PER_WINDOW}
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization per user (session_window semantics:
     events chain while inter-arrival ≤ gap). Expressed with lag + running
@@ -231,6 +281,7 @@ QUERIES = {
     "stream_sliding_6h": q_sliding_6h,
     "stream_sessionize": q_sessionize,
     "stream_dedup_keyed": q_dedup_within_watermark,
+    "stream_window_topk": q_window_topk,
 }
 
 ORACLES = {
@@ -240,4 +291,5 @@ ORACLES = {
     "stream_sliding_6h": O_SLIDING_6H,
     "stream_sessionize": O_SESSIONIZE,
     "stream_dedup_keyed": O_DEDUP_WITHIN_WATERMARK,
+    "stream_window_topk": O_WINDOW_TOPK,
 }

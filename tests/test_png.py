@@ -111,3 +111,34 @@ def test_resize_assets_real_png(spark):
     assert (out.width, out.height) == (4, 4)
     # nearest-neighbor: top-left corner preserved
     assert px[:3] == _gradient(8, 8)[:3]
+
+
+def test_corrupt_payloads_degrade_to_stub_not_task_failure(spark):
+    """Regression (r2 ADVICE): one truncated/corrupt payload previously
+    raised out of the decode and killed the whole mapInPandas stage; it
+    must degrade to the deterministic stub instead."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext import png as pngmod
+    from skylogix_real_time_weather_data_pipeline_spark.ext.multimodal import (
+        extract_features,
+        resize_assets,
+    )
+
+    good = pngmod.encode(4, 3, bytes(range(36)), 3)
+    truncated = good[:20]                      # PNG magic, unreadable body
+    garbage = b"\xff\xd8\xff\xe0 not a real jpeg"
+    rows = [
+        (0, "image", "image/png", good),
+        (1, "image", "image/png", truncated),
+        (2, "image", "image/jpeg", garbage),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, modality string, mime_type string, payload binary"
+    )
+    feats = {r.asset_id: r for r in extract_features(df).collect()}
+    assert feats[0].width == 4 and feats[0].height == 3      # real decode
+    assert feats[1].width is not None                        # stub, not crash
+    assert feats[2].width is not None
+    resized = {r.asset_id: r for r in resize_assets(df, target=2).collect()}
+    w, h, _, _ = pngmod.decode(bytes(resized[0].payload))
+    assert (w, h) == (2, 2)                                  # real resize
+    assert resized[1].payload is not None                    # digest stub
