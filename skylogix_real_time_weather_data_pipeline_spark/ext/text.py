@@ -239,6 +239,54 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def pack_documents(df: DataFrame, budget_tokens: int = 256, text_col: str = "text",
+                   id_col: str = "doc_id", bucket_size: int = 10_000) -> DataFrame:
+    """Deterministic distributed sequence packing: assign documents to
+    packs whose token totals stay within ``budget_tokens`` — the batch
+    construction step before pre-training (greedy first-fit keeps padding
+    waste low).
+
+    Packing is inherently sequential, so the distributed form packs WITHIN
+    fixed id-range buckets (``id div bucket_size``): bucket boundaries are
+    data-independent, making the output identical regardless of
+    partitioning, task order, or cluster size (unlike sampling-based range
+    partitioning). Each bucket packs via ``applyInPandas`` in id order;
+    ``pack_id = bucket * 2^20 + seq`` is globally unique and stable. A
+    document longer than the budget gets its own (oversize) pack.
+
+    Returns (id, n_tokens, pack_id, pack_offset) — pack_offset is the
+    token start position inside the pack.
+    """
+    import pandas as pd
+
+    counted = df.select(
+        id_col,
+        (F.col(id_col) / bucket_size).cast("long").alias("_bucket"),
+        F.size(tokens(text_col)).alias("n_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id" if id_col == "doc_id" else id_col).reset_index(drop=True)
+        bucket = int(pdf["_bucket"].iloc[0])
+        seq, acc = 0, 0
+        pack_ids, offsets = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if acc > 0 and acc + n > budget_tokens:
+                seq, acc = seq + 1, 0
+            pack_ids.append(bucket * (1 << 20) + seq)
+            offsets.append(acc)
+            acc += n
+        out = pdf[[id_col, "n_tokens"]].copy()
+        out["pack_id"] = pack_ids
+        out["pack_offset"] = offsets
+        return out
+
+    return counted.groupBy("_bucket").applyInPandas(
+        _pack, schema=f"{id_col} long, n_tokens int, pack_id long, pack_offset int"
+    )
+
+
 def quality_topk_per_source(df: DataFrame, k: int = 3, text_col: str = "text",
                             id_col: str = "doc_id", source_col: str = "source") -> DataFrame:
     """Data curation: keep the k highest-quality documents per source

@@ -27,6 +27,7 @@ _VERIFY_FIRST = (
     "docs_token_quantiles_by_lang",    # NEW query + oracle
     "docs_repetition_stats",           # NEW query + oracle
     "stream_window_topk",              # NEW query + oracle
+    "docs_pack",                       # NEW query + recursive-CTE oracle
     "emb_ivf_topk",                    # NEW all-SQL oracle (was rows-only)
     "emb_lsh_near_dup_pairs",          # rewrite: single-eval candidates; oracle threshold
     "weather_quantile_summary",        # rewrite: single-scan percentile arrays

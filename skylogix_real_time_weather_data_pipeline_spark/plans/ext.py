@@ -481,6 +481,49 @@ FROM toks JOIN sh USING (doc_id)
 """
 
 
+_PACK_BUDGET = 256
+_PACK_BUCKET = 10_000
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pack_documents(
+        _docs(spark, sf_dir), budget_tokens=_PACK_BUDGET, bucket_size=_PACK_BUCKET
+    )
+
+
+# greedy first-fit packing is a sequential recurrence; the oracle walks each
+# id-range bucket in doc_id order with a recursive CTE carrying (seq, offset)
+# — exactly the applyInPandas loop, one row per step
+O_PACK_DOCUMENTS = TOK_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + f"""
+, counted AS (
+  SELECT doc_id, doc_id // {_PACK_BUCKET} AS bucket, CAST(len(tk) AS INTEGER) AS n_tokens
+  FROM toks
+)
+, ord AS (
+  SELECT doc_id, bucket, n_tokens,
+         row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM counted
+)
+, rec AS (
+  SELECT doc_id, bucket, n_tokens, rn, 0 AS seq, 0 AS pack_offset
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.bucket, o.n_tokens, o.rn,
+         CASE WHEN r.pack_offset + r.n_tokens > 0
+                   AND r.pack_offset + r.n_tokens + o.n_tokens > {_PACK_BUDGET}
+              THEN r.seq + 1 ELSE r.seq END,
+         CASE WHEN r.pack_offset + r.n_tokens > 0
+                   AND r.pack_offset + r.n_tokens + o.n_tokens > {_PACK_BUDGET}
+              THEN 0 ELSE r.pack_offset + r.n_tokens END
+  FROM rec r JOIN ord o ON o.bucket = r.bucket AND o.rn = r.rn + 1
+)
+SELECT doc_id, n_tokens,
+       bucket * {1 << 20} + seq AS pack_id,
+       pack_offset
+FROM rec
+"""
+
+
 def q_token_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_quantiles_by_group(_docs(spark, sf_dir), group_col="lang")
 
@@ -740,6 +783,7 @@ QUERIES = {
     "docs_mixture_sample": q_mixture_sample,
     "docs_token_quantiles_by_lang": q_token_quantiles_by_lang,
     "docs_repetition_stats": q_repetition_stats,
+    "docs_pack": q_pack_documents,
     "emb_cosine_topk": q_cosine_topk,
     "emb_lsh_buckets": q_lsh_buckets,
     "emb_lsh_near_dup_pairs": q_lsh_near_dup_pairs,
@@ -767,6 +811,7 @@ ORACLES = {
     "docs_mixture_sample": O_MIXTURE_SAMPLE,
     "docs_token_quantiles_by_lang": O_TOKEN_QUANTILES,
     "docs_repetition_stats": O_REPETITION,
+    "docs_pack": O_PACK_DOCUMENTS,
     "emb_cosine_topk": O_COSINE_TOPK,
     "emb_lsh_buckets": O_LSH_BUCKETS,
     "emb_lsh_near_dup_pairs": O_LSH_NEAR_DUP,

@@ -301,3 +301,35 @@ def test_token_quantiles_by_group_matches_exact_median(spark):
     got = {r.lang: r for r in text.token_quantiles_by_group(df).collect()}
     assert got["x"].n_docs == 2 and got["x"].q50 == 4.0  # interpolated (3+5)/2
     assert got["y"].q25 == got["y"].q75 == 1.0
+
+
+def test_pack_documents_invariants_and_determinism(spark):
+    rows = [(i, "tok " * (10 + (i * 37) % 90)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out1 = text.pack_documents(df, budget_tokens=128).collect()
+    out2 = text.pack_documents(df.repartition(13), budget_tokens=128).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # partition-invariant
+
+    by_pack = {}
+    for r in out1:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    assert sum(len(v) for v in by_pack.values()) == 200          # every doc packed once
+    for members in by_pack.values():
+        members.sort(key=lambda r: r.pack_offset)
+        total = sum(r.n_tokens for r in members)
+        if len(members) > 1:
+            assert total <= 128                                  # budget respected
+        # offsets are the running token sum
+        acc = 0
+        for r in members:
+            assert r.pack_offset == acc
+            acc += r.n_tokens
+
+
+def test_pack_documents_oversize_doc_gets_own_pack(spark):
+    df = spark.createDataFrame(
+        [(0, "a " * 500), (1, "b c d"), (2, "e f")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text.pack_documents(df, budget_tokens=64).collect()}
+    assert out[0].pack_id != out[1].pack_id                      # oversize isolated
+    assert out[1].pack_id == out[2].pack_id                      # small docs share
