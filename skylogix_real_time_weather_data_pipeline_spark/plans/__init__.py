@@ -28,6 +28,9 @@ _VERIFY_FIRST = (
     "docs_repetition_stats",           # NEW query + oracle
     "stream_window_topk",              # NEW query + oracle
     "docs_pack",                       # NEW query + recursive-CTE oracle
+    "rel_order_percentiles",           # NEW query + oracle
+    "rel_grouping_sets",               # NEW query + oracle
+    "rel_unpivot_city_metrics",        # NEW query + oracle
     "emb_ivf_topk",                    # NEW all-SQL oracle (was rows-only)
     "emb_lsh_near_dup_pairs",          # rewrite: single-eval candidates; oracle threshold
     "weather_quantile_summary",        # rewrite: single-scan percentile arrays

@@ -472,6 +472,109 @@ SELECT * FROM source
 
 
 # --------------------------------------------------------------------------
+# Distribution windows: ntile / percent_rank / cume_dist over order values.
+# --------------------------------------------------------------------------
+
+def q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-window family beyond row_number: quartile bucket,
+    percent rank and cumulative distribution of order value within each
+    priority class. Deterministic ordering pinned by (price, orderkey)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+O_ORDER_PERCENTILES = """
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS with grouping_id (beyond rollup/cube's fixed lattices).
+# --------------------------------------------------------------------------
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets — (returnflag), (linestatus), and grand
+    total, but NOT the cross product — with grouping_id distinguishing
+    which set produced each row (NULL group values are ambiguous alone)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+               COUNT(*) AS n,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+O_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+# --------------------------------------------------------------------------
+# Unpivot (melt): wide → long reshape, the inverse of A8's pivot.
+# --------------------------------------------------------------------------
+
+def q_unpivot_city_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native DataFrame.unpivot over the per-city aggregate: one (city,
+    metric, value) row per measure — the serving shape for generic
+    dashboards. Ids stay columnar; values melt in a single narrow pass."""
+    from ..operators.gold import city_comparison
+    from .weather import observations
+
+    wide = city_comparison(observations(spark, sf_dir))
+    return wide.unpivot(
+        ids=["city"],
+        values=["temp_mean", "temp_min", "temp_max", "humidity_mean", "wind_mean"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+def _o_unpivot() -> str:
+    from .weather import OBS_CTE
+
+    return OBS_CTE + """
+, wide AS (
+  SELECT city,
+         ROUND(AVG(temperature), 2) AS temp_mean,
+         ROUND(MIN(temperature), 2) AS temp_min,
+         ROUND(MAX(temperature), 2) AS temp_max,
+         ROUND(AVG(humidity), 2) AS humidity_mean,
+         ROUND(AVG(wind_speed), 2) AS wind_mean
+  FROM obs GROUP BY city
+)
+SELECT city, metric, value
+FROM wide UNPIVOT (value FOR metric IN (temp_mean, temp_min, temp_max, humidity_mean, wind_mean))
+"""
+
+
+O_UNPIVOT_CITY_METRICS = _o_unpivot()
+
+
+# --------------------------------------------------------------------------
 # Approximate distinct (HLL sketch) — rows-only check (approximate result
 # has no exact ANSI oracle; exact counterpart is rel_distinct_parts).
 # --------------------------------------------------------------------------
@@ -501,6 +604,9 @@ QUERIES = {
     "rel_set_ops": q_set_ops,
     "rel_salted_join": q_salted_join,
     "rel_merge_upsert": q_merge_upsert,
+    "rel_order_percentiles": q_order_percentiles,
+    "rel_grouping_sets": q_grouping_sets,
+    "rel_unpivot_city_metrics": q_unpivot_city_metrics,
 }
 
 ORACLES = {
@@ -519,4 +625,7 @@ ORACLES = {
     "rel_set_ops": O_SET_OPS,
     "rel_salted_join": O_SALTED_JOIN,
     "rel_merge_upsert": O_MERGE_UPSERT,
+    "rel_order_percentiles": O_ORDER_PERCENTILES,
+    "rel_grouping_sets": O_GROUPING_SETS,
+    "rel_unpivot_city_metrics": O_UNPIVOT_CITY_METRICS,
 }
