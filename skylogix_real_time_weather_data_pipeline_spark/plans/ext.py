@@ -236,6 +236,27 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
+def q_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION table pipelines actually consume: every document
+    with its cluster and a keep flag (canonical survivor = smallest id in
+    the component; singletons keep themselves)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, n_hashes=_N_HASHES, bands=_BANDS, max_bucket_size=_MAX_BUCKET
+    )
+    clusters = dedup.connected_components(pairs, nodes=docs)
+    return clusters.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
+    )
+
+
+O_DEDUP_DECISIONS = O_DEDUP_CLUSTERS.replace(
+    "SELECT d.doc_id AS doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id",
+    "SELECT d.doc_id AS doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,\n"
+    "       d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS keep",
+)
+
+
 # --------------------------------------------------------------------------
 # PII scrub + corpus top-ngram table
 # --------------------------------------------------------------------------
@@ -769,6 +790,7 @@ QUERIES = {
     "docs_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "docs_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "docs_dedup_clusters": q_dedup_clusters,
+    "docs_dedup_decisions": q_dedup_decisions,
     "docs_pii_scrub": q_pii_scrub,
     "docs_top_ngrams": q_top_ngrams,
     "docs_simhash": q_simhash,
@@ -797,6 +819,7 @@ ORACLES = {
     "docs_minhash_lsh_pairs": O_MINHASH_LSH_PAIRS,
     "docs_ngram_jaccard_pairs": O_NGRAM_JACCARD,
     "docs_dedup_clusters": O_DEDUP_CLUSTERS,
+    "docs_dedup_decisions": O_DEDUP_DECISIONS,
     "docs_pii_scrub": O_PII_SCRUB,
     "docs_top_ngrams": O_TOP_NGRAMS,
     "docs_simhash": O_SIMHASH,
