@@ -139,3 +139,33 @@ def test_star_cc_singletons_and_order_insensitivity(spark):
     got = {r.doc_id: r.cluster_id
            for r in dedup.connected_components_star(pairs, nodes=nodes).collect()}
     assert got == {3: 3, 7: 3, 9: 3, 11: 11, 12: 11, 42: 42}
+
+
+# --------------------------------------------------------------------------
+# MERGE upsert vs a dict model
+# --------------------------------------------------------------------------
+
+@given(
+    tkeys=st.lists(st.integers(0, 30), min_size=0, max_size=15, unique=True),
+    skeys=st.lists(st.integers(0, 30), min_size=0, max_size=10, unique=True),
+    dkeys=st.lists(st.integers(0, 30), min_size=0, max_size=5, unique=True),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_merge_upsert_matches_dict_model(spark, tkeys, skeys, dkeys):
+    from skylogix_real_time_weather_data_pipeline_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(k, float(k)) for k in tkeys] or [], "k long, v double"
+    )
+    source = spark.createDataFrame(
+        [(k, float(k) + 100.0) for k in skeys] or [], "k long, v double"
+    )
+    deletes = spark.createDataFrame([(k,) for k in dkeys] or [], "k long")
+    got = sorted(map(tuple, merge_upsert(target, source, ["k"], deletes).collect()))
+
+    model = {k: float(k) for k in tkeys}
+    model.update({k: float(k) + 100.0 for k in skeys})
+    for k in dkeys:
+        model.pop(k, None)
+    assert got == sorted(model.items())
