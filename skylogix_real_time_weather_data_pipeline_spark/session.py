@@ -20,17 +20,30 @@ DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "3
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+#: RocksDB-backed streaming state (SURVEY §4.2 "use RocksDB state store for
+#: large state"): keeps per-key state off the JVM heap, so stateful
+#: operators (windowed aggs, dedup, applyInPandasWithState, stream-stream
+#: joins) scale to state far beyond executor memory. Bundled with Spark 4 —
+#: no extra jars. Opt-in via ``state_store="rocksdb"``.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def get_spark(
     app_name: str = "skylogix-spark",
     master: str | None = None,
     shuffle_partitions: str | int | None = None,
     extra_conf: dict[str, str] | None = None,
+    state_store: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
     All engine entry points go through here so every run gets the same
     semantics-critical configs (timezone, ANSI off to match reference
     null-on-error behavior) and the same scale configs (AQE, partitions).
+    ``state_store="rocksdb"`` selects the RocksDB state store provider for
+    streaming state (with changelog checkpointing for fast recovery).
     """
     builder = (
         SparkSession.builder.appName(app_name)
@@ -52,6 +65,17 @@ def get_spark(
         # reader rejects; read as long and convert (sources/batch.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if state_store == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        ).config(
+            # write per-batch changelogs instead of full snapshots — restart
+            # cost tracks delta size, not total state size
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
+    elif state_store is not None:
+        raise ValueError(f"unknown state_store {state_store!r} (use 'rocksdb' or None)")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

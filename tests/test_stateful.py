@@ -53,3 +53,39 @@ def test_state_accumulates_across_micro_batches(spark, tmp_path):
     assert len(by_key["a"]) == 2                      # emitted per touching batch
     assert by_key["b"][0].n == 1 and by_key["b"][0].total == 10.0
     assert by_key["c"][0].n == 1 and by_key["c"][0].total == -2.0
+
+
+def test_stateful_op_runs_on_rocksdb_state_store(spark, tmp_path):
+    """The large-state backend (session.get_spark(state_store='rocksdb')):
+    same stateful operator, same results, state held in RocksDB — the
+    checkpoint carries zip'd RocksDB snapshots instead of the HDFS
+    provider's .delta files."""
+    import os
+
+    from skylogix_real_time_weather_data_pipeline_spark.session import ROCKSDB_PROVIDER
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+        _write_batch(src, "b1.json", [("a", 1.0), ("a", 3.0), ("b", 10.0)])
+        stream = spark.readStream.schema("k string, v double").json(str(src))
+        q = (
+            running_key_stats(stream, "k", "v")
+            .writeStream.format("memory").queryName("rocks_state_mem")
+            .outputMode("update").option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        rows = {r.key: r for r in spark.table("rocks_state_mem").collect()}
+        assert rows["a"].n == 2 and rows["a"].mean == 2.0
+        assert rows["b"].n == 1
+        state_files = os.listdir(ckpt / "state" / "0" / "0")
+        assert any(f.endswith(".zip") or f.endswith(".changelog") for f in state_files)
+        assert not any(f.endswith(".delta") for f in state_files)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
