@@ -139,6 +139,36 @@ def ivf_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10, nprobe: int
     return cosine_topk(df.filter(F.col(label_col).isin(probed)), query_vec, k, vec_col, id_col)
 
 
+def scalar_quantize_int8(df: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """Per-vector int8 scalar quantization: code_i = floor((x_i - min) /
+    scale + 0.5) with scale = (max - min)/255 — 4× smaller storage for
+    ANN candidate scans, exact arithmetic reproducible in ANSI SQL
+    (floor(+0.5) avoids the engines' differing round-half conventions).
+
+    One narrow projection, no shuffle. Constant vectors (scale 0) emit
+    all-zero codes via the nullif guard. Codes are emitted as a
+    comma-joined string so differential comparison is representation-
+    stable across engines; a storage writer would keep the array form.
+    """
+    v = F.col(vec_col)
+    vmin = F.array_min(F.transform(v, lambda x: x.cast("double")))
+    vmax = F.array_max(F.transform(v, lambda x: x.cast("double")))
+    scale = (vmax - vmin) / F.lit(255.0)
+    code = F.transform(
+        v,
+        lambda x: F.floor((x.cast("double") - vmin) / F.nullif(scale, F.lit(0.0)) + 0.5)
+        .cast("int"),
+    )
+    codes = F.transform(code, lambda c: F.coalesce(c, F.lit(0)).cast("string"))
+    return df.select(
+        id_col,
+        F.round(vmin, 6).alias("offset"),
+        F.round(scale, 6).alias("scale"),
+        F.concat_ws(",", codes).alias("codes"),
+    )
+
+
 def rp_lsh_signs(n_planes: int, dim: int) -> list[tuple[int, int, int]]:
     """Deterministic ±1 random-hyperplane components: sign(p,d) from the
     parity of a 60-bit md5 hash of 'p|d' — reproducible in ANSI SQL

@@ -643,6 +643,34 @@ SELECT vec_id, cosine_sim FROM scored ORDER BY cosine_sim DESC, vec_id ASC LIMIT
 
 
 # --------------------------------------------------------------------------
+# int8 scalar quantization (ANN storage compression)
+# --------------------------------------------------------------------------
+
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.scalar_quantize_int8(_embs(spark, sf_dir))
+
+
+O_QUANTIZE_INT8 = """
+WITH prep AS (
+  SELECT vec_id,
+         list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vmin,
+         list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vmax,
+         embedding
+  FROM embeddings
+)
+SELECT vec_id,
+       ROUND(vmin, 6) AS "offset",
+       ROUND((vmax - vmin) / 255.0, 6) AS scale,
+       array_to_string(
+         list_transform(embedding,
+           x -> CAST(COALESCE(CAST(floor((CAST(x AS DOUBLE) - vmin)
+                      / nullif((vmax - vmin) / 255.0, 0.0) + 0.5) AS INTEGER), 0) AS VARCHAR)),
+         ',') AS codes
+FROM prep
+"""
+
+
+# --------------------------------------------------------------------------
 # Random-hyperplane LSH buckets + embedding-cosine near-dup pairs
 # --------------------------------------------------------------------------
 
@@ -807,6 +835,7 @@ QUERIES = {
     "docs_repetition_stats": q_repetition_stats,
     "docs_pack": q_pack_documents,
     "emb_cosine_topk": q_cosine_topk,
+    "emb_quantize_int8": q_quantize_int8,
     "emb_lsh_buckets": q_lsh_buckets,
     "emb_lsh_near_dup_pairs": q_lsh_near_dup_pairs,
     "emb_ivf_topk": q_ivf_topk,
@@ -836,6 +865,7 @@ ORACLES = {
     "docs_repetition_stats": O_REPETITION,
     "docs_pack": O_PACK_DOCUMENTS,
     "emb_cosine_topk": O_COSINE_TOPK,
+    "emb_quantize_int8": O_QUANTIZE_INT8,
     "emb_lsh_buckets": O_LSH_BUCKETS,
     "emb_lsh_near_dup_pairs": O_LSH_NEAR_DUP,
     "emb_ivf_topk": O_IVF_TOPK,

@@ -333,3 +333,19 @@ def test_pack_documents_oversize_doc_gets_own_pack(spark):
     out = {r.doc_id: r for r in text.pack_documents(df, budget_tokens=64).collect()}
     assert out[0].pack_id != out[1].pack_id                      # oversize isolated
     assert out[1].pack_id == out[2].pack_id                      # small docs share
+
+
+def test_scalar_quantize_int8_codes_bounded_and_reconstructable(spark):
+    rows = [(0, [0.0, 1.0, 2.0, 3.0]), (1, [-5.0, 5.0, 0.0, 2.5]), (2, [7.0] * 4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in similarity.scalar_quantize_int8(df).collect()}
+    for vid, vec in rows:
+        codes = [int(c) for c in out[vid].codes.split(",")]
+        assert all(0 <= c <= 255 for c in codes)
+        # reconstruction within half a quantization step (+ slack for the
+        # 6-decimal rounding of offset/scale in the output columns:
+        # |Δscale|·255 + |Δoffset| ≤ 1.3e-4)
+        scale = out[vid].scale or 0.0
+        for c, x in zip(codes, vec):
+            assert abs((out[vid].offset + c * scale) - x) <= scale / 2 + 2e-4
+    assert out[2].codes == "0,0,0,0" and out[2].scale == 0.0  # constant vector
