@@ -169,6 +169,35 @@ def scalar_quantize_int8(df: DataFrame, vec_col: str = "embedding",
     )
 
 
+def quantized_cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
+                          vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric quantized search (ADC): corpus vectors are scored through
+    their int8 quantization (dequantize = offset + code·scale) against the
+    EXACT query vector — the memory/recall trade every production ANN
+    system makes (score 4× more candidates per byte of cache, re-rank the
+    short list exactly if needed).
+
+    Quantize→dequantize→cosine is one narrow expression chain; results are
+    deterministic, so the DuckDB oracle reproduces the exact ranking.
+    """
+    v = F.col(vec_col)
+    vmin = F.array_min(F.transform(v, lambda x: x.cast("double")))
+    vmax = F.array_max(F.transform(v, lambda x: x.cast("double")))
+    scale = (vmax - vmin) / F.lit(255.0)
+    dq = F.transform(
+        v,
+        lambda x: vmin
+        + F.coalesce(
+            F.floor((x.cast("double") - vmin) / F.nullif(scale, F.lit(0.0)) + 0.5),
+            F.lit(0),
+        )
+        * scale,
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(id_col, F.round(cosine(dq, q), 6).alias("approx_cosine"))
+    return scored.orderBy(F.desc("approx_cosine"), F.asc(id_col)).limit(k)
+
+
 def rp_lsh_signs(n_planes: int, dim: int) -> list[tuple[int, int, int]]:
     """Deterministic ±1 random-hyperplane components: sign(p,d) from the
     parity of a 60-bit md5 hash of 'p|d' — reproducible in ANSI SQL

@@ -33,6 +33,7 @@ _VERIFY_FIRST = (
     "rel_unpivot_city_metrics",        # NEW query + oracle
     "docs_dedup_decisions",            # NEW query + oracle
     "emb_quantize_int8",               # NEW query + oracle
+    "emb_quantized_topk",              # NEW query + oracle
     "emb_ivf_topk",                    # NEW all-SQL oracle (was rows-only)
     "emb_lsh_near_dup_pairs",          # rewrite: single-eval candidates; oracle threshold
     "weather_quantile_summary",        # rewrite: single-scan percentile arrays

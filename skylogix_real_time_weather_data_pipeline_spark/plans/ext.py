@@ -670,6 +670,43 @@ FROM prep
 """
 
 
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    row = embs.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in row[0]]
+    return similarity.quantized_cosine_topk(
+        embs.filter(F.col("vec_id") != 0), qv, k=_TOPK
+    )
+
+
+_DQ = """
+  list_transform(embedding, x ->
+    vmin + COALESCE(floor((CAST(x AS DOUBLE) - vmin) / nullif((vmax - vmin) / 255.0, 0.0) + 0.5), 0)
+           * ((vmax - vmin) / 255.0))
+"""
+O_QUANTIZED_TOPK = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+prep AS (
+  SELECT vec_id, embedding,
+         list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vmin,
+         list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vmax
+  FROM embeddings WHERE vec_id <> 0
+),
+dq AS (SELECT vec_id, {_DQ} AS dv FROM prep),
+scored AS (
+  SELECT vec_id,
+         ROUND(
+           list_sum(list_transform(range(1, len(dv) + 1), i -> dv[i] * CAST(qv[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(dv, x -> x * x)))
+              * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) AS approx_cosine
+  FROM dq, q
+)
+SELECT vec_id, approx_cosine FROM scored
+ORDER BY approx_cosine DESC, vec_id ASC LIMIT {_TOPK}
+"""
+
+
 # --------------------------------------------------------------------------
 # Random-hyperplane LSH buckets + embedding-cosine near-dup pairs
 # --------------------------------------------------------------------------
@@ -836,6 +873,7 @@ QUERIES = {
     "docs_pack": q_pack_documents,
     "emb_cosine_topk": q_cosine_topk,
     "emb_quantize_int8": q_quantize_int8,
+    "emb_quantized_topk": q_quantized_topk,
     "emb_lsh_buckets": q_lsh_buckets,
     "emb_lsh_near_dup_pairs": q_lsh_near_dup_pairs,
     "emb_ivf_topk": q_ivf_topk,
@@ -866,6 +904,7 @@ ORACLES = {
     "docs_pack": O_PACK_DOCUMENTS,
     "emb_cosine_topk": O_COSINE_TOPK,
     "emb_quantize_int8": O_QUANTIZE_INT8,
+    "emb_quantized_topk": O_QUANTIZED_TOPK,
     "emb_lsh_buckets": O_LSH_BUCKETS,
     "emb_lsh_near_dup_pairs": O_LSH_NEAR_DUP,
     "emb_ivf_topk": O_IVF_TOPK,

@@ -349,3 +349,18 @@ def test_scalar_quantize_int8_codes_bounded_and_reconstructable(spark):
         for c, x in zip(codes, vec):
             assert abs((out[vid].offset + c * scale) - x) <= scale / 2 + 2e-4
     assert out[2].codes == "0,0,0,0" and out[2].scale == 0.0  # constant vector
+
+
+def test_quantized_topk_preserves_clear_ranking(spark):
+    """int8 quantization error is ~0.2% of the value range — a clearly
+    closest vector must stay rank 1 through the quantized (ADC) scorer."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(1, 40)]
+    q = [1.0] * 64
+    rows.append((999, [x * 2.0 for x in q]))       # same direction as query
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.quantized_cosine_topk(df, q, k=3).collect()
+    assert out[0].vec_id == 999
+    assert out[0].approx_cosine > 0.99
