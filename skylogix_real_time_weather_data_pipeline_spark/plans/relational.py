@@ -575,6 +575,160 @@ O_UNPIVOT_CITY_METRICS = _o_unpivot()
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q8-shaped national market share: a 6-table join tree with
+# conditional aggregation.  The two nation references play different roles
+# (customer's region membership vs supplier's nationality) — exactly the
+# multi-role-dimension shape Catalyst's join reordering has to get right.
+# --------------------------------------------------------------------------
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order-year share of ASIA-customer revenue supplied by NATION_3.
+
+    Plan shape at 100 TB: region→nation→customer resolves to a small
+    broadcast-joined customer filter; lineitem⋈orders and lineitem⋈supplier
+    are the two fact shuffles; nation (25 rows) broadcasts to tag the
+    supplier side.  The CASE WHEN rides inside the final partial agg, so
+    the numerator costs no extra pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+
+    asia_nations = n.join(
+        F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+        n.n_regionkey == r.r_regionkey,
+    ).select("n_nationkey")
+    asia_custs = c.join(
+        F.broadcast(asia_nations), c.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey")
+    supp_nation = s.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(asia_custs, o.o_custkey == F.col("c_custkey"))
+        .join(supp_nation, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(vol), 2).alias("total_volume"),
+        )
+    )
+
+
+O_MARKET_SHARE = """
+SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+       ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+GROUP BY o_year
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q11-shaped: aggregate HAVING > fraction-of-global-total (scalar
+# subquery as a broadcast cross join on the DataFrame side).
+# --------------------------------------------------------------------------
+
+def q_supplier_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per supplier nation, keeping only nations above 4% of the
+    global total.  The global total is a 1-row aggregate broadcast-cross-
+    joined into the per-nation frame — the DataFrame spelling of a scalar
+    subquery; no second scan (Spark reuses the shuffle for both aggs only
+    if asked, so the total re-aggregates the *per-nation* result, which is
+    O(nations), not a second fact scan).  Threshold compares the ROUNDED
+    values on both sides so the float boundary is pinned."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    per_nation = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("value"))
+    )
+    total = per_nation.agg(F.round(F.sum("value"), 2).alias("grand_total"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > 0.04 * F.col("grand_total"))
+        .select(F.col("s_nationkey").alias("nationkey"), "value")
+    )
+
+
+O_SUPPLIER_VALUE = """
+WITH per_nation AS (
+  SELECT s_nationkey AS nationkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS value
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey
+)
+SELECT nationkey, value FROM per_nation
+WHERE value > 0.04 * (SELECT ROUND(SUM(value), 2) FROM per_nation)
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22-shaped: above-average balance + never ordered (scalar-subquery
+# threshold feeding an anti-join).
+# --------------------------------------------------------------------------
+
+def q_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average positive balance and no order since
+    2000-01-01 ("lapsed"), summarized per nation.  The average is a
+    broadcast 1-row agg (rounded on both sides to pin the comparison
+    boundary); the lapse test is a left-anti join against a date-filtered
+    single-column projection of orders, so the orders scan prunes to two
+    columns with the date predicate pushed to parquet at 100 TB."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+O_LOST_CUSTOMERS = """
+SELECT c_nationkey AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       ROUND(SUM(c_acctbal), 2) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 2) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
 # Approximate distinct (HLL sketch) — rows-only check (approximate result
 # has no exact ANSI oracle; exact counterpart is rel_distinct_parts).
 # --------------------------------------------------------------------------
@@ -607,6 +761,9 @@ QUERIES = {
     "rel_order_percentiles": q_order_percentiles,
     "rel_grouping_sets": q_grouping_sets,
     "rel_unpivot_city_metrics": q_unpivot_city_metrics,
+    "rel_market_share": q_market_share,
+    "rel_supplier_value": q_supplier_value,
+    "rel_lost_customers": q_lost_customers,
 }
 
 ORACLES = {
@@ -628,4 +785,7 @@ ORACLES = {
     "rel_order_percentiles": O_ORDER_PERCENTILES,
     "rel_grouping_sets": O_GROUPING_SETS,
     "rel_unpivot_city_metrics": O_UNPIVOT_CITY_METRICS,
+    "rel_market_share": O_MARKET_SHARE,
+    "rel_supplier_value": O_SUPPLIER_VALUE,
+    "rel_lost_customers": O_LOST_CUSTOMERS,
 }
