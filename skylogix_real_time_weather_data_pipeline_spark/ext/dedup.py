@@ -547,3 +547,50 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
         .select("id_a", "id_b", "hamming")
         .distinct()  # a pair may collide in several chunks; hamming is pair-determined
     )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_n: int = 3,
+                  broadcast_benchmark: bool = True) -> DataFrame:
+    """Benchmark decontamination: per-document n-gram overlap with an
+    eval/benchmark corpus (the contamination check every training-data
+    pipeline runs before a model sees the corpus).
+
+    Scale path: the benchmark side collapses to a DISTINCT set of 60-bit
+    shingle hashes (8 bytes each — a 1M-shingle benchmark is ~8 MB), which
+    broadcasts to every executor; the corpus side then needs NO shuffle for
+    the membership test — one narrow explode→hash→broadcast-left-join pass,
+    and the per-doc distinct counts fold into the single groupBy(doc_id)
+    via count(DISTINCT h) (Spark's two-phase distinct aggregate). Set
+    ``broadcast_benchmark=False`` to fall back to a shuffle join when the
+    benchmark itself is corpus-sized.
+
+    Returns (doc_id, n_shingles, n_matched, contamination, contaminated).
+    """
+    bench_h = (
+        shingle_rows(benchmark, text_col, id_col, shingle_n, distinct=False)
+        .select(_md5_long(F.col("shingle"), 0).alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    if broadcast_benchmark:
+        bench_h = F.broadcast(bench_h)
+    doc_h = shingle_rows(docs, text_col, id_col, shingle_n, distinct=False).select(
+        id_col, _md5_long(F.col("shingle"), 0).alias("h")
+    )
+    matched_h = F.when(F.col("hit") == 1, F.col("h"))
+    return (
+        doc_h.join(bench_h, "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("h").alias("n_shingles"),
+            F.countDistinct(matched_h).alias("n_matched"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_matched",
+            F.round(F.col("n_matched") / F.col("n_shingles"), 6).alias("contamination"),
+            (F.col("n_matched") > 0).alias("contaminated"),
+        )
+    )

@@ -19,6 +19,7 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface)
 #: (scripts/local_verify.py → CORRECTNESS_LOCAL_r{N}.json, committed).
 _VERIFY_FIRST = (
     # --- implementation or oracle changed in round 3 ---
+    "docs_decontaminate",              # NEW query + oracle
     "rel_market_share",                # NEW query + oracle
     "rel_supplier_value",              # NEW query + oracle
     "rel_lost_customers",              # NEW query + oracle

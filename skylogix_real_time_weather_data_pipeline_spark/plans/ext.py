@@ -849,6 +849,37 @@ def q_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pairwise_topk_join(_embs(spark, sf_dir), k=3)
 
 
+# --------------------------------------------------------------------------
+# Benchmark decontamination: per-doc shingle overlap with an eval set.
+# --------------------------------------------------------------------------
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 23rd document plays the benchmark/eval set; the remaining
+    corpus is scored for n-gram contamination against it (ext.dedup.
+    decontaminate — broadcast 60-bit benchmark shingle hashes, no corpus
+    shuffle before the per-doc agg)."""
+    d = _docs(spark, sf_dir)
+    benchmark = d.filter(F.col("doc_id") % 23 == 0)
+    corpus = d.filter(F.col("doc_id") % 23 != 0)
+    return dedup.decontaminate(corpus, benchmark)
+
+
+O_DECONTAMINATE = TOK_CTE + f"""
+, ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+, hashed AS (SELECT doc_id, {_sql_hash(0, 's')} AS h FROM ex)
+, bench AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 23 = 0)
+SELECT d.doc_id,
+       CAST(COUNT(DISTINCT d.h) AS BIGINT) AS n_shingles,
+       CAST(COUNT(DISTINCT CASE WHEN b.h IS NOT NULL THEN d.h END) AS BIGINT) AS n_matched,
+       ROUND(COUNT(DISTINCT CASE WHEN b.h IS NOT NULL THEN d.h END) * 1.0
+             / COUNT(DISTINCT d.h), 6) AS contamination,
+       COUNT(b.h) > 0 AS contaminated
+FROM hashed d LEFT JOIN bench b USING (h)
+WHERE d.doc_id % 23 <> 0
+GROUP BY d.doc_id
+"""
+
+
 QUERIES = {
     "docs_exact_dedup": q_exact_dedup,
     "docs_minhash_signatures": q_minhash_signatures,
@@ -878,6 +909,7 @@ QUERIES = {
     "emb_lsh_near_dup_pairs": q_lsh_near_dup_pairs,
     "emb_ivf_topk": q_ivf_topk,
     "emb_pairwise_topk": q_pairwise_topk,
+    "docs_decontaminate": q_decontaminate,
 }
 
 ORACLES = {
@@ -910,4 +942,5 @@ ORACLES = {
     "emb_ivf_topk": O_IVF_TOPK,
     # emb_pairwise_topk: rows-only (heavy pairwise SQL) per the driver
     # contract
+    "docs_decontaminate": O_DECONTAMINATE,
 }

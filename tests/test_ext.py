@@ -364,3 +364,21 @@ def test_quantized_topk_preserves_clear_ranking(spark):
     out = similarity.quantized_cosine_topk(df, q, k=3).collect()
     assert out[0].vec_id == 999
     assert out[0].approx_cosine > 0.99
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # shares 3-grams with bench
+            (2, "one two three four five six seven"),     # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dedup.decontaminate(corpus, bench).collect()}
+    assert out[1].contaminated and out[1].n_matched == 2  # 'a b g', 'b g d'
+    assert out[1].n_shingles == 4
+    assert not out[2].contaminated and out[2].n_matched == 0
+    assert abs(out[1].contamination - 0.5) < 1e-9
