@@ -20,6 +20,7 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface)
 _VERIFY_FIRST = (
     # --- implementation or oracle changed in round 3 ---
     "docs_decontaminate",              # NEW query + oracle
+    "emb_centroids_by_label",          # NEW query + oracle
     "rel_market_share",                # NEW query + oracle
     "rel_supplier_value",              # NEW query + oracle
     "rel_lost_customers",              # NEW query + oracle

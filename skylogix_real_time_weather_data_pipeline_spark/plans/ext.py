@@ -850,6 +850,41 @@ def q_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Per-label centroids: the IVF coarse-quantizer build step, verified
+# directly (class centroids / semantic-cluster means in a curation
+# pipeline).
+# --------------------------------------------------------------------------
+
+def q_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean vector per label + member count. The centroid agg
+    is two map-side-combinable shuffles on (label,pos)/(label) — O(dim)
+    rows per label ever cross the wire, never the vectors themselves."""
+    e = _embs(spark, sf_dir)
+    cents = similarity.centroids_by_label(e).select(
+        "label",
+        F.transform("centroid", lambda v: F.round(v, 6)).alias("centroid"),
+    )
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return cents.join(counts, "label")
+
+
+O_CENTROIDS_BY_LABEL = """
+WITH ex AS (
+  SELECT label, unnest(list_transform(embedding, (v, i) -> {'pos': i, 'v': v})) AS u
+  FROM embeddings
+), per AS (
+  SELECT label, u.pos AS pos, ROUND(AVG(CAST(u.v AS DOUBLE)), 6) AS m
+  FROM ex GROUP BY label, pos
+), cents AS (
+  SELECT label, list(m ORDER BY pos) AS centroid FROM per GROUP BY label
+), ns AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label
+)
+SELECT label, centroid, n_vecs FROM cents JOIN ns USING (label)
+"""
+
+
+# --------------------------------------------------------------------------
 # Benchmark decontamination: per-doc shingle overlap with an eval set.
 # --------------------------------------------------------------------------
 
@@ -910,6 +945,7 @@ QUERIES = {
     "emb_ivf_topk": q_ivf_topk,
     "emb_pairwise_topk": q_pairwise_topk,
     "docs_decontaminate": q_decontaminate,
+    "emb_centroids_by_label": q_centroids_by_label,
 }
 
 ORACLES = {
@@ -943,4 +979,5 @@ ORACLES = {
     # emb_pairwise_topk: rows-only (heavy pairwise SQL) per the driver
     # contract
     "docs_decontaminate": O_DECONTAMINATE,
+    "emb_centroids_by_label": O_CENTROIDS_BY_LABEL,
 }
