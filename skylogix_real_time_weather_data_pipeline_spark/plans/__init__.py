@@ -21,6 +21,8 @@ _VERIFY_FIRST = (
     # --- implementation or oracle changed in round 3 ---
     "docs_decontaminate",              # NEW query + oracle
     "emb_centroids_by_label",          # NEW query + oracle
+    "events_funnel",                   # NEW query + oracle
+    "events_retention",                # NEW query + oracle
     "rel_market_share",                # NEW query + oracle
     "rel_supplier_value",              # NEW query + oracle
     "rel_lost_customers",              # NEW query + oracle

@@ -274,7 +274,75 @@ GROUP BY 1, 2, 3
 """
 
 
+# --------------------------------------------------------------------------
+# Ordered funnel + retention cohorts (operators/events.py) — the two
+# product-analytics staples over the event log.
+# --------------------------------------------------------------------------
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase ordered funnel: stage k counts users whose
+    step-k event strictly follows their first step-(k-1) arrival."""
+    from ..operators.events import funnel
+
+    return funnel(_events(spark, sf_dir), ["view", "click", "purchase"])
+
+
+O_FUNNEL = """
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), fc AS (
+  SELECT e.user_id, MIN(ts) AS t2
+  FROM events e JOIN fv USING (user_id)
+  WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id
+), fp AS (
+  SELECT e.user_id, MIN(ts) AS t3
+  FROM events e JOIN fc USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id
+), s AS (
+  SELECT '1_view' AS stage, COUNT(*) AS n FROM fv
+  UNION ALL SELECT '2_click', COUNT(*) FROM fc
+  UNION ALL SELECT '3_purchase', COUNT(*) FROM fp
+)
+SELECT stage, CAST(n AS BIGINT) AS n_users,
+       ROUND(n * 1.0 / (SELECT n FROM s WHERE stage = '1_view'), 6) AS pct_of_top
+FROM s
+"""
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle over the event log (cohort = first-seen
+    week)."""
+    from ..operators.events import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir))
+
+
+O_RETENTION = """
+WITH wk AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events
+), first AS (
+  SELECT user_id, MIN(wk) AS cohort_week FROM wk GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, wk FROM wk
+), ret AS (
+  SELECT cohort_week,
+         CAST(date_diff('day', cohort_week, wk) / 7 AS INTEGER) AS week_offset,
+         CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+  FROM active a JOIN first USING (user_id)
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort_week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cohort_size
+  FROM first GROUP BY cohort_week
+)
+SELECT cohort_week, week_offset, n_active, cohort_size,
+       ROUND(n_active * 1.0 / cohort_size, 6) AS retention
+FROM ret JOIN sizes USING (cohort_week)
+"""
+
+
 QUERIES = {
+    "events_funnel": q_funnel,
+    "events_retention": q_retention,
     "stream_tumbling_daily": q_tumbling_daily,
     "stream_asof_last_purchase": q_asof_last_purchase,
     "stream_range_join_windows": q_range_join_windows,
@@ -285,6 +353,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_funnel": O_FUNNEL,
+    "events_retention": O_RETENTION,
     "stream_tumbling_daily": O_TUMBLING_DAILY,
     "stream_asof_last_purchase": O_ASOF_LAST_PURCHASE,
     "stream_range_join_windows": O_RANGE_JOIN_WINDOWS,
