@@ -1,3 +1,7 @@
+from .layout import (  # noqa: F401
+    verify_partition_pruning,
+    write_partitioned_sorted,
+)
 from .writers import (  # noqa: F401
     write_csv_report,
     write_jdbc,

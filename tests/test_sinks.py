@@ -103,3 +103,32 @@ def test_jdbc_sink_round_trip_embedded_derby(spark, tmp_path):
     # overwrite mode replaces, not appends
     write_jdbc(df, url, "weather_report", driver)
     assert back.count() == df.count()
+
+
+def test_partitioned_sorted_layout_prunes_and_sorts(spark, tmp_path):
+    from skylogix_real_time_weather_data_pipeline_spark.sinks import (
+        verify_partition_pruning,
+        write_partitioned_sorted,
+    )
+    import glob
+
+    df = spark.range(0, 1000).selectExpr(
+        "id", "id % 4 AS bucket", "CAST(id * 7 % 1000 AS LONG) AS key"
+    )
+    p = str(tmp_path / "laid_out")
+    write_partitioned_sorted(df, p, ["bucket"], ["key"])
+
+    # each partition directory owned by one task -> one file per directory
+    for d in glob.glob(f"{p}/bucket=*"):
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert len(files) == 1, d
+
+    # a partition-filtered read prunes at the directory level
+    assert verify_partition_pruning(spark, p, "bucket = 2")
+    back = spark.read.parquet(p).filter("bucket = 2")
+    assert back.count() == 250
+
+    # rows inside each file are clustered on the sort column
+    one = spark.read.parquet(glob.glob(f"{p}/bucket=0/*.parquet")[0])
+    keys = [r.key for r in one.select("key").collect()]
+    assert keys == sorted(keys)
