@@ -23,6 +23,7 @@ _VERIFY_FIRST = (
     "emb_centroids_by_label",          # NEW query + oracle
     "events_funnel",                   # NEW query + oracle
     "events_retention",                # NEW query + oracle
+    "events_props_stats",              # NEW query + oracle
     "rel_market_share",                # NEW query + oracle
     "rel_supplier_value",              # NEW query + oracle
     "rel_lost_customers",              # NEW query + oracle

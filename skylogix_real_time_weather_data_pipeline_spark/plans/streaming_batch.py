@@ -340,8 +340,54 @@ FROM ret JOIN sizes USING (cohort_week)
 """
 
 
+# --------------------------------------------------------------------------
+# Semi-structured props: parse the JSON payload column with an explicit
+# schema (from_json → struct field access — JVM-side, codegen; no Python).
+# --------------------------------------------------------------------------
+
+def q_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats over a field extracted from the JSON ``props``
+    column. from_json with a declared schema keeps extraction inside
+    whole-stage codegen; at 100 TB prefer parsing ONCE into a struct column
+    at bronze→silver time (exactly this expression) over re-parsing per
+    query."""
+    ev = _events(spark, sf_dir)
+    k = F.from_json("props", "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.round(F.avg("k"), 6).alias("k_mean"),
+            F.countDistinct("k").alias("k_distinct"),
+            F.round(F.sum(F.col("value") * F.col("k")), 2).alias("weighted_value"),
+        )
+    )
+
+
+O_PROPS_STATS = """
+WITH parsed AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+         value
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(k) AS k_min,
+       MAX(k) AS k_max,
+       ROUND(AVG(k), 6) AS k_mean,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS k_distinct,
+       ROUND(SUM(value * k), 2) AS weighted_value
+FROM parsed GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_funnel": q_funnel,
+    "events_props_stats": q_props_stats,
     "events_retention": q_retention,
     "stream_tumbling_daily": q_tumbling_daily,
     "stream_asof_last_purchase": q_asof_last_purchase,
@@ -354,6 +400,7 @@ QUERIES = {
 
 ORACLES = {
     "events_funnel": O_FUNNEL,
+    "events_props_stats": O_PROPS_STATS,
     "events_retention": O_RETENTION,
     "stream_tumbling_daily": O_TUMBLING_DAILY,
     "stream_asof_last_purchase": O_ASOF_LAST_PURCHASE,
