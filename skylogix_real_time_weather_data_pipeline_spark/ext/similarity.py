@@ -382,3 +382,73 @@ def pairwise_topk_join(df: DataFrame, k: int = 5, vec_col: str = "embedding",
 
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine_sim"), F.asc("id_b"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def kmeans_assign(df: DataFrame, k: int = 4, n_iter: int = 2,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  round_to: int = 6) -> DataFrame:
+    """Lloyd's k-means, Spark-shaped: vectors never leave the executors;
+    only the k×dim centroid table moves (collected once per iteration —
+    O(k·dim), the same driver-side footprint as ``ivf_topk``'s probe).
+
+    Determinism pins (so an ANSI oracle can replay the algorithm):
+    - init = the vectors of the k smallest ids, cluster index in id order;
+    - assignment = argmin of squared L2 (strict left-to-right double fold),
+      ties broken by the lower cluster index via lexicographic struct min;
+    - updated centroid coordinates are ROUNDED to ``round_to`` decimals —
+      the cross-engine state stays bit-identical instead of accumulating
+      float drift across iterations;
+    - an emptied cluster keeps its previous centroid.
+
+    ``n_iter`` counts assignment rounds: n_iter-1 centroid updates happen
+    in between, and the returned frame is the final assignment
+    (vec_id, cluster, sqdist).
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    seed_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    cents = [[float(x) for x in r[0]] for r in seed_rows]
+
+    def _assign(frame: DataFrame) -> DataFrame:
+        scored = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vec_col),
+                            F.array(*[F.lit(x) for x in c]),
+                            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    F.lit(i).alias("c"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        best = F.array_min(scored)
+        return frame.select(
+            id_col,
+            vec_col,
+            best["c"].alias("cluster"),
+            F.round(best["d"], round_to).alias("sqdist"),
+        )
+
+    for _ in range(n_iter - 1):
+        assigned = _assign(df)
+        means = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), round_to).alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("cv")
+            )
+            .collect()
+        )
+        updated = {r["cluster"]: [float(x) for x in r["cv"]] for r in means}
+        cents = [updated.get(i, c) for i, c in enumerate(cents)]
+    return _assign(df).drop(vec_col)

@@ -885,6 +885,64 @@ SELECT label, centroid, n_vecs FROM cents JOIN ns USING (label)
 
 
 # --------------------------------------------------------------------------
+# k-means (Lloyd) — the iterative-algorithm pattern on Spark: distributed
+# assignment, O(k·dim) driver state, quantized per-iteration centroids so
+# the oracle can replay the identical recurrence as unrolled CTEs.
+# --------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_ITER = 2
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.kmeans_assign(_embs(spark, sf_dir), k=_KM_K, n_iter=_KM_ITER)
+
+
+_KM_DIST = """
+  list_sum(list_transform(range(1, len(e.embedding) + 1),
+           i -> (CAST(e.embedding[i] AS DOUBLE) - {c}.cv[i])
+                * (CAST(e.embedding[i] AS DOUBLE) - {c}.cv[i])))
+"""
+
+O_KMEANS = f"""
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings ORDER BY vec_id LIMIT {_KM_K}
+),
+d0 AS (
+  SELECT e.vec_id, s.c, {_KM_DIST.format(c='s')} AS dist
+  FROM embeddings e CROSS JOIN seeds s
+),
+a0 AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+    FROM d0
+  ) WHERE rn = 1
+),
+ex1 AS (
+  SELECT a0.c, unnest(list_transform(e.embedding, (v, i) -> {{'pos': i, 'v': v}})) AS u
+  FROM embeddings e JOIN a0 USING (vec_id)
+),
+m1 AS (
+  SELECT c, u.pos AS pos, ROUND(AVG(CAST(u.v AS DOUBLE)), 6) AS m
+  FROM ex1 GROUP BY c, pos
+),
+c1m AS (SELECT c, list(m ORDER BY pos) AS cv FROM m1 GROUP BY c),
+c1 AS (SELECT s.c, COALESCE(cm.cv, s.cv) AS cv FROM seeds s LEFT JOIN c1m cm USING (c)),
+d1 AS (
+  SELECT e.vec_id, t.c, {_KM_DIST.format(c='t')} AS dist
+  FROM embeddings e CROSS JOIN c1 t
+)
+SELECT vec_id, CAST(c AS INTEGER) AS cluster, ROUND(dist, 6) AS sqdist FROM (
+  SELECT vec_id, c, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+  FROM d1
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Benchmark decontamination: per-doc shingle overlap with an eval set.
 # --------------------------------------------------------------------------
 
@@ -946,6 +1004,7 @@ QUERIES = {
     "emb_pairwise_topk": q_pairwise_topk,
     "docs_decontaminate": q_decontaminate,
     "emb_centroids_by_label": q_centroids_by_label,
+    "emb_kmeans": q_kmeans,
 }
 
 ORACLES = {
@@ -980,4 +1039,5 @@ ORACLES = {
     # contract
     "docs_decontaminate": O_DECONTAMINATE,
     "emb_centroids_by_label": O_CENTROIDS_BY_LABEL,
+    "emb_kmeans": O_KMEANS,
 }

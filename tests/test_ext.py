@@ -382,3 +382,18 @@ def test_decontaminate_flags_overlap_only(spark):
     assert out[1].n_shingles == 4
     assert not out[2].contaminated and out[2].n_matched == 0
     assert abs(out[1].contamination - 0.5) < 1e-9
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    # two tight blobs far apart; seeds (ids 0,1) land one in each blob
+    rows = []
+    for i in range(10):
+        base = [10.0, 10.0] if i % 2 == 0 else [-10.0, -10.0]
+        rows.append((i, [base[0] + (i % 3) * 0.1, base[1] - (i % 3) * 0.1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.kmeans_assign(df, k=2, n_iter=3)
+    got = {r.vec_id: r.cluster for r in out.collect()}
+    # ids 0,2,4,.. (blob A, seed 0) vs 1,3,5,.. (blob B, seed 1)
+    assert all(c == 0 for i, c in got.items() if i % 2 == 0)
+    assert all(c == 1 for i, c in got.items() if i % 2 == 1)
+    assert out.columns == ["vec_id", "cluster", "sqdist"]
