@@ -55,3 +55,42 @@ def write_bucketed(df: DataFrame, table: str, bucket_key: str, n_buckets: int = 
     if sort_by:
         w = w.sortBy(sort_by)
     w.saveAsTable(table)
+
+
+def blocked_fuzzy_pairs(df: DataFrame, block_col: str, value_col: str,
+                        min_dist: int = 1, max_dist: int = 2,
+                        max_block_size: int = 10_000) -> DataFrame:
+    """Fuzzy-match pairs by edit distance, with blocking: only values
+    sharing a block key are compared, so cost is Σ |block|² instead of n².
+
+    Same shape as the LSH candidate generators (ext/dedup.py): ONE
+    aggregation gathers each block's distinct values into a sorted array,
+    pairs fan out from the array (a < b by construction), and the
+    levenshtein filter runs on the exploded candidates — the upstream
+    distinct is evaluated once, not once per self-join side.
+    ``max_block_size`` guards the degenerate hot-block case.
+
+    Returns (block, value_a, value_b, dist).
+    """
+    vals = F.col("vals")
+    pair_structs = F.flatten(
+        F.transform(
+            vals,
+            lambda x, i: F.transform(
+                F.slice(vals, i + 2, F.size(vals)),
+                lambda y: F.struct(x.alias("value_a"), y.alias("value_b")),
+            ),
+        )
+    )
+    blocks = (
+        df.groupBy(F.col(block_col).alias("block"))
+        .agg(F.array_sort(F.collect_set(value_col)).alias("vals"))
+        .filter((F.size("vals") >= 2) & (F.size("vals") <= max_block_size))
+    )
+    dist = F.levenshtein("p.value_a", "p.value_b")
+    return (
+        blocks.select("block", F.explode(pair_structs).alias("p"))
+        .withColumn("dist", dist)
+        .filter(F.col("dist").between(min_dist, max_dist))
+        .select("block", "p.value_a", "p.value_b", "dist")
+    )

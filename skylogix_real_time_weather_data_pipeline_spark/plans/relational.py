@@ -729,6 +729,31 @@ GROUP BY c_nationkey
 
 
 # --------------------------------------------------------------------------
+# Blocked fuzzy match: near-identical part names within a brand by edit
+# distance (operators/joins.blocked_fuzzy_pairs).
+# --------------------------------------------------------------------------
+
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-hygiene query: pairs of distinct part names within the same
+    brand at levenshtein distance 1-2 ('blue bolt' vs 'blue belt'). The
+    brand is the blocking key, so comparisons are Σ|brand-block|², never
+    n² over the catalog."""
+    from ..operators.joins import blocked_fuzzy_pairs
+
+    p = _t(spark, sf_dir, "part").select("p_brand", "p_name")
+    return blocked_fuzzy_pairs(p, "p_brand", "p_name")
+
+
+O_FUZZY_PART_NAMES = """
+WITH names AS (SELECT DISTINCT p_brand, p_name FROM part)
+SELECT a.p_brand AS block, a.p_name AS value_a, b.p_name AS value_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM names a JOIN names b ON a.p_brand = b.p_brand AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Approximate distinct (HLL sketch) — rows-only check (approximate result
 # has no exact ANSI oracle; exact counterpart is rel_distinct_parts).
 # --------------------------------------------------------------------------
@@ -764,6 +789,7 @@ QUERIES = {
     "rel_market_share": q_market_share,
     "rel_supplier_value": q_supplier_value,
     "rel_lost_customers": q_lost_customers,
+    "rel_fuzzy_part_names": q_fuzzy_part_names,
 }
 
 ORACLES = {
@@ -788,4 +814,5 @@ ORACLES = {
     "rel_market_share": O_MARKET_SHARE,
     "rel_supplier_value": O_SUPPLIER_VALUE,
     "rel_lost_customers": O_LOST_CUSTOMERS,
+    "rel_fuzzy_part_names": O_FUZZY_PART_NAMES,
 }
