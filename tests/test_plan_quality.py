@@ -75,3 +75,30 @@ def test_merge_upsert_anti_join_reads_keys_only(spark, sf_dir, qs):
 def test_revenue_by_nation_broadcasts_dim(spark, sf_dir, qs):
     plan = _physical(qs["rel_revenue_by_nation"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_build_side(spark, sf_dir):
+    """At 100 TB a shuffle join whose build side carries a selective filter
+    should semi-join-reduce the probe side before the exchange: Spark's
+    InjectRuntimeFilter adds a bloom_filter_agg on the build side and a
+    might_contain predicate on the probe scan. Pinned here with the local
+    thresholds lowered (the defaults only fire above 10 GB probe scans —
+    i.e. exactly the cluster case; broadcast joins are rightly exempt)."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1B",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        s = spark.read.parquet(f"{sf_dir}/supplier.parquet").filter("s_acctbal > 9000")
+        j = li.join(s, li.l_suppkey == s.s_suppkey).groupBy("s_nationkey").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
