@@ -446,6 +446,61 @@ def incremental_clusters(spark, new_pairs: DataFrame, state_path: str,
     return spark.read.parquet(state_path)
 
 
+def incremental_clusters_delta(spark, new_pairs: DataFrame, state_path: str,
+                               id_col: str = "doc_id",
+                               algorithm=None) -> DataFrame:
+    """Delta variant of :func:`incremental_clusters`: connected components
+    re-run ONLY over the clusters the batch actually touches.
+
+    The full variant re-runs CC over the whole compressed forest every
+    batch — O(corpus) compute per batch even for a single new edge. Here
+    the subgraph is (star edges of clusters containing a batch endpoint) ∪
+    (new edges); everything else is carried over untouched, so per-batch
+    CC cost tracks the affected-component mass, which for near-dup streams
+    is a tiny fraction of the corpus. Correctness: components of
+    (forest ∪ E_new) restricted to untouched clusters are exactly the old
+    clusters (no new edge reaches them), and on touched clusters the star
+    edges reconstruct the old connectivity — so the union of carried-over
+    and recomputed labels equals the full recompute (equivalence pinned in
+    tests). The state WRITE is still the full table; labels are min-ids, so
+    recomputed mergers keep global label consistency.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as _F
+
+    cc = algorithm or connected_components
+    edges = new_pairs.select("id_a", "id_b").filter(_F.col("id_a") != _F.col("id_b"))
+    if os.path.exists(state_path):
+        state = spark.read.parquet(state_path)
+        touched_nodes = (
+            edges.select(_F.col("id_a").alias(id_col))
+            .union(edges.select(_F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        touched_clusters = (
+            state.join(touched_nodes, id_col).select("cluster_id").distinct()
+        )
+        affected = state.join(touched_clusters, "cluster_id", "left_semi")
+        untouched = state.join(touched_clusters, "cluster_id", "left_anti")
+        star = affected.select(
+            _F.col(id_col).alias("id_a"), _F.col("cluster_id").alias("id_b")
+        ).filter(_F.col("id_a") != _F.col("id_b"))
+        labels = cc(edges.union(star), id_col=id_col)
+        # touched singleton clusters have no star edge; their node is a
+        # batch endpoint, so it appears in E_new and therefore in `labels`
+        new_state = untouched.select(id_col, "cluster_id").unionByName(labels)
+    else:
+        new_state = cc(edges, id_col=id_col)
+    staging = f"{state_path}__staging"
+    new_state.write.mode("overwrite").parquet(staging)
+    if os.path.exists(state_path):
+        shutil.rmtree(state_path)
+    shutil.move(staging, state_path)
+    return spark.read.parquet(state_path)
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             n_bits: int = 60) -> DataFrame:
     """SimHash fingerprint (n_bits ≤ 60) from token md5 hashes.

@@ -136,3 +136,47 @@ def test_streaming_pairs_plus_incremental_clusters_end_to_end(spark, tmp_path):
     }
     assert got == want
     assert got[3] == 0  # cross-batch duplicate landed in doc 0's cluster
+
+
+def test_delta_clusters_equal_full_recompute(spark, tmp_path):
+    """The delta variant (re-run CC only over touched clusters) produces
+    the same state as the full recompute, including cross-batch mergers
+    and carried-over untouched clusters."""
+    full_state = str(tmp_path / "full_state")
+    delta_state = str(tmp_path / "delta_state")
+    batches = [
+        [(1, 2), (5, 6), (20, 21)],          # three separate clusters
+        [(2, 3), (6, 7), (10, 11)],          # grow two, add one; {20,21} untouched
+        [(3, 5)],                            # merge {1,2,3} with {5,6,7}
+        [(30, 31)],                          # brand-new cluster only
+    ]
+    for rows in batches:
+        b = spark.createDataFrame(rows, "id_a long, id_b long")
+        dedup.incremental_clusters(spark, b, full_state)
+        out = dedup.incremental_clusters_delta(spark, b, delta_state)
+    got = {r.doc_id: r.cluster_id for r in out.collect()}
+    want = {
+        r.doc_id: r.cluster_id
+        for r in spark.read.parquet(full_state).collect()
+    }
+    assert got == want
+    assert got[7] == 1 and got[21] == 20 and got[31] == 30
+
+
+def test_delta_clusters_skips_untouched_components(spark, tmp_path):
+    """The CC input subgraph contains only touched clusters' star edges —
+    the untouched mass never enters the join loop."""
+    state = str(tmp_path / "probe_state")
+    b1 = spark.createDataFrame([(1, 2), (5, 6), (20, 21)], "id_a long, id_b long")
+    dedup.incremental_clusters_delta(spark, b1, state)
+
+    seen = {}
+    def probe(pairs, nodes=None, id_col="doc_id", **kw):
+        seen["edges"] = {(r.id_a, r.id_b) for r in pairs.collect()}
+        return dedup.connected_components(pairs, nodes, id_col=id_col, **kw)
+
+    b2 = spark.createDataFrame([(2, 3)], "id_a long, id_b long")
+    dedup.incremental_clusters_delta(spark, b2, state, algorithm=probe)
+    # only cluster {1,2}'s star edge + the new edge — clusters {5,6} and
+    # {20,21} stay out of the recompute
+    assert seen["edges"] == {(2, 3), (2, 1)}
