@@ -22,36 +22,52 @@ def funnel(df: DataFrame, steps: Sequence[str], user_col: str = "user_id",
     """Ordered-funnel user counts: a user reaches step k iff an event of
     type ``steps[k]`` occurs STRICTLY AFTER their step-(k-1) arrival time.
 
-    Each stage is min(ts) per user over the type-filtered log joined to the
-    survivors of the previous stage — k stages = k user-keyed shuffles over
-    (user_id, ts) pairs only. Returns one row per stage:
-    (stage, n_users, pct_of_top), stages labeled '1_<type>', '2_<type>', …
-    so they sort in funnel order.
+    Single-pass plan: ONE scan and ONE user-keyed shuffle gather each
+    user's per-step timestamp arrays (collect_list under the groupBy —
+    map-side combined); the stage-arrival recurrence
+    ``t_k = min{ts ∈ step_k | ts > t_{k-1}}`` then folds over the arrays
+    as row-local higher-order expressions, and the stage counts reduce to
+    one count(t_k) row. The k-way self-join formulation costs k scans +
+    2k shuffles for the same answer. State per user is its own event
+    timestamps for the funnel's types only — bounded for human-scale
+    activity; pre-cap with a per-user limit upstream if bot users are a
+    concern. Returns (stage, n_users, pct_of_top), stages labeled
+    '1_<type>', '2_<type>', … so they sort in funnel order.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
-    prev: DataFrame | None = None
-    stage_counts = []
-    for i, step in enumerate(steps):
-        cur = df.filter(F.col(type_col) == step).select(user_col, ts_col)
-        if prev is not None:
-            cur = cur.join(prev, user_col).filter(F.col(ts_col) > F.col("_t_prev"))
-        cur = cur.groupBy(user_col).agg(F.min(ts_col).alias("_t_prev"))
-        stage_counts.append(
-            cur.agg(
-                F.lit(f"{i + 1}_{step}").alias("stage"),
-                F.count(F.lit(1)).alias("n_users"),
-            )
+    per_user = df.groupBy(user_col).agg(
+        *[
+            F.array_sort(
+                F.collect_list(F.when(F.col(type_col) == s, F.col(ts_col)))
+            ).alias(f"_ts_{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    stage_times = [F.element_at(F.col("_ts_0"), 1)]
+    for i in range(1, len(steps)):
+        prev = stage_times[-1]
+        stage_times.append(
+            F.array_min(F.filter(F.col(f"_ts_{i}"), lambda t: t > prev))
         )
-        prev = cur
-    out = stage_counts[0]
-    for s in stage_counts[1:]:
-        out = out.unionByName(s)
-    top = stage_counts[0].select(F.col("n_users").alias("_n_top"))
-    return out.crossJoin(F.broadcast(top)).select(
-        "stage",
-        "n_users",
-        F.round(F.col("n_users") / F.col("_n_top"), 6).alias("pct_of_top"),
+    counts = per_user.agg(
+        *[F.count(t).alias(f"_c{i}") for i, t in enumerate(stage_times)]
+    )
+    stage_rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(f"{i + 1}_{s}").alias("stage"),
+                    F.col(f"_c{i}").alias("n_users"),
+                )
+                for i, s in enumerate(steps)
+            ]
+        )
+    )
+    return counts.select(stage_rows.alias("s"), F.col("_c0").alias("_n_top")).select(
+        "s.stage",
+        "s.n_users",
+        F.round(F.col("s.n_users") / F.col("_n_top"), 6).alias("pct_of_top"),
     )
 
 

@@ -102,3 +102,12 @@ def test_runtime_bloom_filter_injects_on_selective_build_side(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_funnel_is_single_scan_single_shuffle(spark, sf_dir, qs):
+    """The ordered funnel folds all stage arrivals from one per-user
+    aggregation — a k-way self-join (k scans, 2k shuffles) computing the
+    same answer is the regression this pins against."""
+    plan = _physical(qs["events_funnel"](spark, sf_dir))
+    assert len(re.findall(r"FileScan", plan)) == 1
+    assert len(re.findall(r"Exchange (?:hash|range)", plan)) == 1
