@@ -26,6 +26,7 @@ _VERIFY_FIRST = (
     "events_props_stats",              # NEW query + oracle
     "emb_kmeans",                      # NEW query + oracle
     "rel_fuzzy_part_names",            # NEW query + oracle
+    "rel_rolling_revenue",             # NEW query + oracle
     "rel_market_share",                # NEW query + oracle
     "rel_supplier_value",              # NEW query + oracle
     "rel_lost_customers",              # NEW query + oracle

@@ -729,6 +729,57 @@ GROUP BY c_nationkey
 
 
 # --------------------------------------------------------------------------
+# RANGE-frame rolling window: 7-day revenue per nation. Completes the
+# window surface (rows-frame running total, rank family, distribution
+# family already covered).
+# --------------------------------------------------------------------------
+
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation 7-day rolling order revenue. The window runs over the
+    PRE-AGGREGATED (nation, day) frame — O(nations × days) rows — never
+    over raw orders; rangeBetween on epoch-days gives true calendar
+    semantics (gaps don't shrink the window). Partitioned by nation, so
+    no global single-partition sort at scale."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(F.sum("o_totalprice").alias("day_rev"))
+    )
+    w = (
+        Window.partitionBy("nationkey")
+        .orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "nationkey",
+        "day",
+        F.round("day_rev", 2).alias("day_rev"),
+        F.round(F.sum("day_rev").over(w), 2).alias("rev_7d"),
+    )
+
+
+O_ROLLING_REVENUE = """
+WITH daily AS (
+  SELECT c_nationkey AS nationkey, CAST(o_orderdate AS DATE) AS day,
+         SUM(o_totalprice) AS day_rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT nationkey, day, ROUND(day_rev, 2) AS day_rev,
+       ROUND(SUM(day_rev) OVER (
+         PARTITION BY nationkey ORDER BY day
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+       ), 2) AS rev_7d
+FROM daily
+"""
+
+
+# --------------------------------------------------------------------------
 # Blocked fuzzy match: near-identical part names within a brand by edit
 # distance (operators/joins.blocked_fuzzy_pairs).
 # --------------------------------------------------------------------------
@@ -790,6 +841,7 @@ QUERIES = {
     "rel_supplier_value": q_supplier_value,
     "rel_lost_customers": q_lost_customers,
     "rel_fuzzy_part_names": q_fuzzy_part_names,
+    "rel_rolling_revenue": q_rolling_revenue,
 }
 
 ORACLES = {
@@ -815,4 +867,5 @@ ORACLES = {
     "rel_supplier_value": O_SUPPLIER_VALUE,
     "rel_lost_customers": O_LOST_CUSTOMERS,
     "rel_fuzzy_part_names": O_FUZZY_PART_NAMES,
+    "rel_rolling_revenue": O_ROLLING_REVENUE,
 }
