@@ -27,6 +27,7 @@ _VERIFY_FIRST = (
     "emb_kmeans",                      # NEW query + oracle
     "rel_fuzzy_part_names",            # NEW query + oracle
     "rel_rolling_revenue",             # NEW query + oracle
+    "emb_pairwise_topk",               # NEW oracle (was rows-only)
     "rel_market_share",                # NEW query + oracle
     "rel_supplier_value",              # NEW query + oracle
     "rel_lost_customers",              # NEW query + oracle
@@ -60,7 +61,6 @@ _VERIFY_FIRST = (
     "docs_chunk",
     "emb_cosine_topk",
     "emb_lsh_buckets",
-    "emb_pairwise_topk",
 )
 
 

@@ -849,6 +849,28 @@ def q_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pairwise_topk_join(_embs(spark, sf_dir), k=3)
 
 
+_PAIR_COS = """
+  list_sum(list_transform(range(1, len(a.embedding) + 1),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+O_PAIRWISE_TOPK = f"""
+WITH pairs AS (
+  SELECT a.label AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND({_PAIR_COS}, 6) AS cosine_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT cell, id_a, id_b, cosine_sim FROM (
+  SELECT cell, id_a, id_b, cosine_sim,
+         row_number() OVER (PARTITION BY id_a ORDER BY cosine_sim DESC, id_b ASC) AS rn
+  FROM pairs
+) WHERE rn <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Per-label centroids: the IVF coarse-quantizer build step, verified
 # directly (class centroids / semantic-cluster means in a curation
@@ -1035,8 +1057,7 @@ ORACLES = {
     "emb_lsh_buckets": O_LSH_BUCKETS,
     "emb_lsh_near_dup_pairs": O_LSH_NEAR_DUP,
     "emb_ivf_topk": O_IVF_TOPK,
-    # emb_pairwise_topk: rows-only (heavy pairwise SQL) per the driver
-    # contract
+    "emb_pairwise_topk": O_PAIRWISE_TOPK,
     "docs_decontaminate": O_DECONTAMINATE,
     "emb_centroids_by_label": O_CENTROIDS_BY_LABEL,
     "emb_kmeans": O_KMEANS,
