@@ -116,8 +116,8 @@ def sessionize(events: DataFrame, ts_col: str = "timestamp", key_col: str = "cit
 
 def stream_stream_join(left: DataFrame, right: DataFrame, key_col: str,
                        left_ts: str, right_ts: str, watermark: str = "1 hour",
-                       within: str = "30 minutes") -> DataFrame:
-    """Watermarked stream-stream INNER join (SURVEY §2.9 extension — the
+                       within: str = "30 minutes", how: str = "inner") -> DataFrame:
+    """Watermarked stream-stream join (SURVEY §2.9 extension — the
     attribution pattern: each left event matched to right events with the
     same key within ``[left_ts, left_ts + within]``).
 
@@ -126,13 +126,20 @@ def stream_stream_join(left: DataFrame, right: DataFrame, key_col: str,
     the state per key is bounded by (watermark + within), not stream
     length. Works identically on batch frames (watermark is a no-op), so
     the batch join IS the correctness oracle; cross-micro-batch matching is
-    pinned in tests/test_streaming_neardup.py's sibling test module.
+    pinned in tests/test_stream_stream_join.py.
+
+    ``how='left_outer'`` additionally emits unmatched left rows with NULL
+    right columns — but only once the watermark passes the end of their
+    match window (the state store must be sure no future right row can
+    match), so outer results trail the watermark by design.
 
     ``left_ts`` and ``right_ts`` must be distinct names (both appear in the
     output); the right side's key column is dropped after the equi-match.
     """
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must be distinct column names")
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported stream-stream join type: {how}")
     l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
     r = r.withColumnRenamed(key_col, "_r_key")
@@ -141,7 +148,7 @@ def stream_stream_join(left: DataFrame, right: DataFrame, key_col: str,
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner").drop("_r_key")
+    return l.join(r, cond, how).drop("_r_key")
 
 
 def run_bronze_to_silver_available_now(

@@ -94,3 +94,46 @@ def test_stream_stream_join_rejects_same_ts_name(spark):
     df = spark.createDataFrame([("u", "2024-01-01")], "user string, ts string")
     with pytest.raises(ValueError, match="distinct column names"):
         stream_stream_join(df, df, key_col="user", left_ts="ts", right_ts="ts")
+
+
+def test_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Outer rows only materialize once the watermark proves no future
+    match can arrive: u4's impression emits with NULL click after later
+    batches push the watermark past its match window."""
+    imp_dir, clk_dir, ckpt = tmp_path / "imp", tmp_path / "clk", tmp_path / "ckpt"
+    _write(imp_dir, "b1.json", [
+        {"user": "u1", "imp_ts": "2024-03-01T09:00:00", "ad": "a1"},
+        {"user": "u4", "imp_ts": "2024-03-01T09:01:00", "ad": "a4"},  # never clicked
+    ])
+    _write(clk_dir, "b1.json", [{"user": "u1", "click_ts": "2024-03-01T09:10:00"}])
+    time.sleep(1.1)
+    # watermark pushers: far-future rows on BOTH sides (global watermark is
+    # the min across inputs), split across two files so eviction runs in a
+    # batch after the watermark update
+    _write(imp_dir, "b2.json", [{"user": "zz", "imp_ts": "2024-03-01T15:00:00", "ad": "zz"}])
+    _write(clk_dir, "b2.json", [{"user": "zz", "click_ts": "2024-03-01T15:00:00"}])
+    time.sleep(1.1)
+    _write(imp_dir, "b3.json", [{"user": "zz", "imp_ts": "2024-03-01T16:00:00", "ad": "zz"}])
+    _write(clk_dir, "b3.json", [{"user": "zz", "click_ts": "2024-03-01T16:00:00"}])
+
+    imps = (
+        spark.readStream.schema(_IMP_SCHEMA)
+        .option("maxFilesPerTrigger", 1).json(str(imp_dir))
+    )
+    clks = (
+        spark.readStream.schema(_CLK_SCHEMA)
+        .option("maxFilesPerTrigger", 1).json(str(clk_dir))
+    )
+    joined = stream_stream_join(
+        imps, clks, key_col="user", left_ts="imp_ts", right_ts="click_ts",
+        watermark="1 hour", within="30 minutes", how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssj_outer_mem")
+        .outputMode("append").option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {(r.user, r.click_ts) for r in spark.table("ssj_outer_mem").collect()}
+    assert ("u1", __import__("datetime").datetime(2024, 3, 1, 9, 10)) in rows
+    assert ("u4", None) in rows  # unmatched left emitted with NULL right
