@@ -1,6 +1,8 @@
 from .layout import (  # noqa: F401
     verify_partition_pruning,
     write_partitioned_sorted,
+    write_zordered,
+    zorder_key,
 )
 from .writers import (  # noqa: F401
     write_csv_report,

@@ -59,3 +59,57 @@ def verify_partition_pruning(spark: SparkSession, path: str, filter_expr: str) -
     marker = "PartitionFilters: ["
     i = plan.find(marker)
     return i >= 0 and plan[i + len(marker)] != "]"
+
+
+def zorder_key(scaled_cols: list, bits: int = 16):
+    """Morton (Z-order) interleave of pre-scaled non-negative ints — bit i
+    of column j lands at position i * n_cols + j. Pure Column expressions
+    (shift/and/or), so the key computes inside whole-stage codegen."""
+    n = len(scaled_cols)
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(scaled_cols):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return key
+
+
+def write_zordered(df: DataFrame, path: str, cols: list[str], bits: int = 12,
+                   n_files: int | None = None, mode: str = "overwrite") -> None:
+    """Write parquet clustered on the Z-order curve over ``cols``.
+
+    Single-dimension sorting gives tight min/max stats on ONE column and
+    useless stats on the rest; the Morton interleave bounds EVERY indexed
+    column's span within each file, so row-group skipping works for filters
+    on any of them (the multi-dimensional data-skipping layout Delta/
+    Iceberg call OPTIMIZE ZORDER BY). Columns are scaled to ``bits``-bit
+    ranks from their global min/max (one O(cols) agg on the driver);
+    repartitionByRange on the key gives each output file a contiguous curve
+    segment.
+    """
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"_mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_mx_{c}") for c in cols],
+    ).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        mn, mx = stats[f"_mn_{c}"], stats[f"_mx_{c}"]
+        span = (mx - mn) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top),
+            )
+        )
+    keyed = df.withColumn("_zkey", zorder_key(scaled, bits))
+    if n_files:
+        keyed = keyed.repartitionByRange(n_files, "_zkey")
+    else:
+        keyed = keyed.repartitionByRange("_zkey")
+    (
+        keyed.sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -132,3 +132,32 @@ def test_partitioned_sorted_layout_prunes_and_sorts(spark, tmp_path):
     one = spark.read.parquet(glob.glob(f"{p}/bucket=0/*.parquet")[0])
     keys = [r.key for r in one.select("key").collect()]
     assert keys == sorted(keys)
+
+
+def test_zorder_layout_bounds_both_columns_per_file(spark, tmp_path):
+    """Z-order vs single-column sort: after Morton clustering, EVERY file
+    bounds BOTH dimensions (skipping works for filters on either column);
+    an x-sorted layout leaves y spanning the full range in every file."""
+    from skylogix_real_time_weather_data_pipeline_spark.sinks import write_zordered
+    import glob
+
+    grid = spark.range(0, 4096).selectExpr("id % 64 AS x", "CAST(id / 64 AS LONG) AS y")
+    zp, xp = str(tmp_path / "zorder"), str(tmp_path / "xsort")
+    write_zordered(grid, zp, ["x", "y"], n_files=16)
+    (grid.repartitionByRange(16, "x").sortWithinPartitions("x")
+         .write.parquet(xp))
+
+    def file_spans(path, col):
+        vals = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            r = spark.read.parquet(f).selectExpr(
+                f"max({col}) - min({col}) AS s").first()
+            vals.append(r.s)
+        return sum(vals) / len(vals)
+
+    # z-order: both dimensions bounded well below the full 0-63 range
+    assert file_spans(zp, "x") < 40
+    assert file_spans(zp, "y") < 40
+    # x-sort: x is tight but y spans everything
+    assert file_spans(xp, "x") < 8
+    assert file_spans(xp, "y") > 55
