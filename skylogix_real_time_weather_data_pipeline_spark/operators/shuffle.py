@@ -1,0 +1,81 @@
+"""Deterministic global shuffle and sharding for training-data export.
+
+Training pipelines need the corpus in a pseudorandom but REPRODUCIBLE
+order, cut into fixed-size shards. The naive Spark spelling —
+``row_number() OVER (ORDER BY hash)`` with no partition — collapses the
+whole table into one task (the classic global-window bottleneck). Here the
+global rank is computed distributively:
+
+1. repartitionByRange on the (hash, id) sort key — disjoint, ordered key
+   ranges per partition;
+2. per-partition row counts → cumulative offsets (an O(partitions) driver
+   list, broadcast back);
+3. rank = partition offset + intra-partition row_number, where the window
+   partitions by the physical partition id — every task ranks its own slice
+   in parallel.
+
+The hash is md5-based (portable: an ANSI oracle reproduces the exact
+permutation bit-for-bit), with the id as tiebreaker so the total order is
+unique and the result is independent of partition-boundary placement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _shuffle_hash(id_col: str, seed: int) -> F.Column:
+    """Portable 60-bit shuffle key: first 15 hex chars of md5(seed|id).
+    Mirrors SQL CAST(concat('0x', substr(md5(...), 1, 15)) AS BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def global_rank(df: DataFrame, id_col: str, seed: int = 0,
+                n_partitions: int | None = None) -> DataFrame:
+    """Attach ``_rank`` (0-based) in md5-shuffled order without a global
+    single-partition sort. Deterministic for a given (data, seed)
+    regardless of input partitioning or cluster size."""
+    keyed = df.withColumn("_h", _shuffle_hash(id_col, seed))
+    n = n_partitions or keyed.sparkSession.sparkContext.defaultParallelism
+    # persisted: the count pass and the rank pass must observe the SAME
+    # range boundaries and partition ids
+    parts = (
+        keyed.repartitionByRange(n, "_h", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["_pid"]: r["cnt"] for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = F.broadcast(
+        parts.sparkSession.createDataFrame(
+            [(p, o) for p, o in offsets.items()], "_pid int, _off long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy("_h", id_col)
+    return (
+        parts.join(off_df, "_pid")
+        .withColumn("_rank", F.col("_off") + F.row_number().over(w) - 1)
+        .drop("_pid", "_off")
+    )
+
+
+def shard_for_training(df: DataFrame, shard_size: int, id_col: str = "doc_id",
+                       seed: int = 0) -> DataFrame:
+    """Deterministic shuffle-and-shard: (id, shard, pos_in_shard) with
+    shard = rank // shard_size over the md5 permutation. Feed the result to
+    ``write_partitioned_sorted(..., ["shard"], ["pos_in_shard"])`` to lay
+    the shards out as one directory each."""
+    ranked = global_rank(df.select(id_col), id_col, seed)
+    return ranked.select(
+        id_col,
+        (F.col("_rank") / shard_size).cast("long").alias("shard"),
+        (F.col("_rank") % shard_size).alias("pos_in_shard"),
+    )

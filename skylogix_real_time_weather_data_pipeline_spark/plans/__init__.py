@@ -28,6 +28,7 @@ _VERIFY_FIRST = (
     "rel_fuzzy_part_names",            # NEW query + oracle
     "rel_rolling_revenue",             # NEW query + oracle
     "emb_pairwise_topk",               # NEW oracle (was rows-only)
+    "docs_shard",                      # NEW query + oracle
     "rel_market_share",                # NEW query + oracle
     "rel_supplier_value",              # NEW query + oracle
     "rel_lost_customers",              # NEW query + oracle

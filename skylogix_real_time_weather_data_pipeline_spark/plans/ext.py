@@ -965,6 +965,29 @@ SELECT vec_id, CAST(c AS INTEGER) AS cluster, ROUND(dist, 6) AS sqdist FROM (
 
 
 # --------------------------------------------------------------------------
+# Deterministic shuffle-and-shard for training export (operators/shuffle.py
+# — distributed global rank, no single-partition window).
+# --------------------------------------------------------------------------
+
+def q_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.shuffle import shard_for_training
+
+    return shard_for_training(_docs(spark, sf_dir), shard_size=64)
+
+
+O_SHARD = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('0|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hh
+  FROM documents
+), r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY hh, doc_id) - 1 AS rnk FROM h
+)
+SELECT doc_id, CAST(rnk // 64 AS BIGINT) AS shard, rnk % 64 AS pos_in_shard FROM r
+"""
+
+
+# --------------------------------------------------------------------------
 # Benchmark decontamination: per-doc shingle overlap with an eval set.
 # --------------------------------------------------------------------------
 
@@ -1027,6 +1050,7 @@ QUERIES = {
     "docs_decontaminate": q_decontaminate,
     "emb_centroids_by_label": q_centroids_by_label,
     "emb_kmeans": q_kmeans,
+    "docs_shard": q_shard,
 }
 
 ORACLES = {
@@ -1061,4 +1085,5 @@ ORACLES = {
     "docs_decontaminate": O_DECONTAMINATE,
     "emb_centroids_by_label": O_CENTROIDS_BY_LABEL,
     "emb_kmeans": O_KMEANS,
+    "docs_shard": O_SHARD,
 }

@@ -397,3 +397,22 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert all(c == 0 for i, c in got.items() if i % 2 == 0)
     assert all(c == 1 for i, c in got.items() if i % 2 == 1)
     assert out.columns == ["vec_id", "cluster", "sqdist"]
+
+
+def test_global_rank_is_permutation_and_partition_invariant(spark):
+    from skylogix_real_time_weather_data_pipeline_spark.operators.shuffle import (
+        global_rank,
+        shard_for_training,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    r3 = {r.doc_id: r._rank for r in global_rank(df, "doc_id", n_partitions=3).collect()}
+    r7 = {r.doc_id: r._rank for r in global_rank(df, "doc_id", n_partitions=7).collect()}
+    assert sorted(r3.values()) == list(range(500))  # a permutation
+    assert r3 == r7                                 # cluster-shape invariant
+    sh = shard_for_training(df, shard_size=64)
+    got = {(r.shard, r.pos_in_shard) for r in sh.collect()}
+    assert len(got) == 500 and max(s for s, _ in got) == 7
+    # the scale point: no single-partition global window anywhere
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
