@@ -1,0 +1,82 @@
+"""Incremental materialized-view maintenance under foreachBatch.
+
+The pattern every warehouse needs at scale: a daily aggregate table kept
+current by COMBINING each micro-batch's partial aggregates into the stored
+view — never re-scanning history. Sum/count (and any commutative monoid)
+combine exactly; the equivalence "incrementally maintained view == one-shot
+batch aggregate over all data" is pinned in tests/test_matview.py.
+
+Contrast with ``outputMode("complete")`` window aggregation: complete mode
+re-emits the WHOLE result every batch and keeps all groups in the state
+store; this keeps state in a parquet table (compact, queryable, restartable
+via the checkpoint) and each batch touches O(batch) groups.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def combine_daily_counts(state: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Merge a batch's (day, event_type, n, sum_value) partial aggregate
+    into the stored view: full outer join on the group key, monoid-combine
+    the measures. At 100 TB both sides are pre-aggregated — the join is
+    O(touched groups + view size), never O(events)."""
+    if state is None:
+        return delta
+    s = state.select(
+        "day", "event_type",
+        F.col("n").alias("_sn"), F.col("sum_value").alias("_sv"),
+    )
+    return (
+        s.join(delta, ["day", "event_type"], "full_outer")
+        .select(
+            "day",
+            "event_type",
+            (F.coalesce(F.col("_sn"), F.lit(0)) + F.coalesce(F.col("n"), F.lit(0))).alias("n"),
+            (
+                F.coalesce(F.col("_sv"), F.lit(0.0)) + F.coalesce(F.col("sum_value"), F.lit(0.0))
+            ).alias("sum_value"),
+        )
+    )
+
+
+def maintain_daily_view(src: DataFrame, state_path: str, checkpoint_dir: str):
+    """Run the incremental maintenance over a streaming events frame
+    (ts, event_type, value) with trigger(availableNow): each micro-batch
+    partial-aggregates to (day, event_type) and combines into the parquet
+    view at ``state_path`` through a staging swap. Returns the finished
+    StreamingQuery."""
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = (
+            batch_df.groupBy(
+                F.to_date("ts").alias("day"), "event_type"
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("sum_value"),
+            )
+        )
+        state = (
+            spark.read.parquet(state_path) if os.path.exists(state_path) else None
+        )
+        merged = combine_daily_counts(state, delta)
+        staging = f"{state_path}__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(state_path):
+            shutil.rmtree(state_path)
+        shutil.move(staging, state_path)
+
+    q = (
+        src.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q

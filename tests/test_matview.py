@@ -1,0 +1,61 @@
+"""Incrementally maintained daily view == one-shot batch aggregate."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import maintain_daily_view
+
+_SCHEMA = "ts timestamp, event_type string, value double"
+
+_B1 = [
+    {"ts": "2024-03-01T09:00:00", "event_type": "view", "value": 1.5},
+    {"ts": "2024-03-01T10:00:00", "event_type": "click", "value": 2.0},
+    {"ts": "2024-03-02T09:00:00", "event_type": "view", "value": 3.0},
+]
+_B2 = [
+    {"ts": "2024-03-01T11:00:00", "event_type": "view", "value": 0.5},   # combines into existing group
+    {"ts": "2024-03-03T09:00:00", "event_type": "purchase", "value": 9.0},  # new group
+]
+
+
+def _write(path, name, rows):
+    path.mkdir(exist_ok=True)
+    with open(path / name, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_incremental_view_equals_batch_aggregate(spark, tmp_path):
+    src_dir, state, ckpt = tmp_path / "src", str(tmp_path / "view"), str(tmp_path / "ckpt")
+    _write(src_dir, "b1.json", _B1)
+    time.sleep(1.1)
+    _write(src_dir, "b2.json", _B2)
+
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1).json(str(src_dir))
+    )
+    maintain_daily_view(stream, state, ckpt)
+
+    got = {
+        (str(r.day), r.event_type): (r.n, r.sum_value)
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        (str(r.day), r.event_type): (r.n, r.sum_value)
+        for r in (
+            spark.read.json(str(src_dir), schema=_SCHEMA)
+            .groupBy(F.to_date("ts").alias("day"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-9
+    # the cross-batch combine actually happened
+    assert got[("2024-03-01", "view")] == (2, 2.0)
