@@ -3,8 +3,9 @@
 Images/audio/video travel as ``binary`` columns with a metadata struct;
 decode / feature-extract run as Arrow-batched ``mapInPandas`` stages.
 Image decode and resize are REAL for PNG payloads (pure-stdlib codec,
-ext/png.py; PIL is preferred automatically when installed); audio/video
-probing and non-PNG image formats stay STUBBED behind ``DECODERS``
+ext/png.py; PIL is preferred automatically when installed) and the audio
+probe is REAL for WAV payloads (stdlib ``wave``); video probing and the
+remaining compressed formats stay STUBBED behind ``DECODERS``
 (deterministic sha256 fakes, honestly labeled) — the Spark-side contract
 (schemas, batch iteration, partitioning) is identical either way.
 
@@ -92,13 +93,33 @@ def _decode_image(payload: bytes) -> tuple[int, int]:
 
 def _decode_audio_stub(payload: bytes) -> tuple[int, int]:
     """STUB audio probe: fake (sample_rate, n_samples-as-height) from the
-    payload hash; replace with soundfile/librosa when present. Reuses the
-    (width, height) feature slots as (sample_rate/100, duration_ds)."""
+    payload hash — the fallback for compressed formats (mp3/ogg/flac) with
+    no in-repo codec; replace with soundfile/librosa when present. Reuses
+    the (width, height) feature slots as (sample_rate/100, duration_ds)."""
     h = hashlib.sha256(payload).digest()
     return 80 + h[2] % 100, 64 + (len(payload) % 192)
 
 
-DECODERS = {"image": _decode_image, "audio": _decode_audio_stub}
+def _decode_audio(payload: bytes) -> tuple[int, int]:
+    """REAL audio probe for WAV payloads (stdlib ``wave`` — PCM RIFF):
+    (sample_rate // 100, duration in deciseconds) in the (width, height)
+    feature slots. Exception-guarded to the digest stub so one corrupt or
+    compressed payload can't fail the Spark stage."""
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            import io
+            import wave
+
+            with wave.open(io.BytesIO(payload)) as w:
+                sr = w.getframerate()
+                duration_ds = int(w.getnframes() * 10 / sr) if sr else 0
+                return sr // 100, duration_ds
+    except Exception:
+        pass
+    return _decode_audio_stub(payload)
+
+
+DECODERS = {"image": _decode_image, "audio": _decode_audio}
 
 
 def extract_features(assets: DataFrame) -> DataFrame:

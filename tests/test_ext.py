@@ -416,3 +416,28 @@ def test_global_rank_is_permutation_and_partition_invariant(spark):
     # the scale point: no single-partition global window anywhere
     plan = sh._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
+
+
+def test_wav_audio_probe_is_real(spark):
+    """A PCM WAV payload decodes to its true (sample_rate, duration);
+    non-WAV audio falls back to the labeled digest stub."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"\x00\x01" * 16000 * 2)  # exactly 2 seconds
+    wav = buf.getvalue()
+    assets = spark.createDataFrame(
+        [(1, "audio", "audio/wav", bytearray(wav)),
+         (2, "audio", "audio/mpeg", bytearray(b"\xff\xfbMP3NOTWAV"))],
+        multimodal.ASSET_SCHEMA,
+    )
+    out = {r.asset_id: r for r in multimodal.extract_features(assets).collect()}
+    assert out[1].width == 160          # 16000 // 100
+    assert out[1].height == 20          # 2.0 s in deciseconds
+    stub = multimodal._decode_audio_stub(b"\xff\xfbMP3NOTWAV")
+    assert (out[2].width, out[2].height) == stub
