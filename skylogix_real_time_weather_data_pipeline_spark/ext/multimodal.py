@@ -3,10 +3,11 @@
 Images/audio/video travel as ``binary`` columns with a metadata struct;
 decode / feature-extract run as Arrow-batched ``mapInPandas`` stages.
 Image decode and resize are REAL for PNG payloads (pure-stdlib codec,
-ext/png.py; PIL is preferred automatically when installed) and the audio
-probe is REAL for WAV payloads (stdlib ``wave``); video probing and the
-remaining compressed formats stay STUBBED behind ``DECODERS``
-(deterministic sha256 fakes, honestly labeled) — the Spark-side contract
+ext/png.py; PIL is preferred automatically when installed), dimension
+probing is REAL for JPEG/GIF/BMP headers, and the audio probe is REAL for
+WAV payloads (stdlib ``wave``); video probing, compressed-audio formats,
+and non-PNG pixel decode stay STUBBED behind ``DECODERS`` (deterministic
+sha256 fakes, honestly labeled) — the Spark-side contract
 (schemas, batch iteration, partitioning) is identical either way.
 
 Scale notes: binary payloads stay off the driver; ``mapInPandas`` streams
@@ -60,10 +61,52 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int]:
     return 64 + h[0] % 192, 64 + h[1] % 192
 
 
+def _jpeg_dims(payload: bytes) -> tuple[int, int] | None:
+    """JPEG (width, height) from the SOF marker — a header scan, no DCT
+    decode needed for dimension probing. Returns None if no SOF found."""
+    if payload[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 9 < len(payload):
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-length markers
+            i += 2
+            continue
+        seg_len = int.from_bytes(payload[i + 2:i + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):  # SOF*
+            h = int.from_bytes(payload[i + 5:i + 7], "big")
+            w = int.from_bytes(payload[i + 7:i + 9], "big")
+            return w, h
+        i += 2 + seg_len
+    return None
+
+
+def _gif_dims(payload: bytes) -> tuple[int, int] | None:
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 10:
+        return None
+    return (
+        int.from_bytes(payload[6:8], "little"),
+        int.from_bytes(payload[8:10], "little"),
+    )
+
+
+def _bmp_dims(payload: bytes) -> tuple[int, int] | None:
+    if payload[:2] != b"BM" or len(payload) < 26:
+        return None
+    return (
+        int.from_bytes(payload[18:22], "little", signed=True),
+        abs(int.from_bytes(payload[22:26], "little", signed=True)),
+    )
+
+
 def _decode_image(payload: bytes) -> tuple[int, int]:
     """REAL image decode where possible: PIL if installed, else the
-    pure-stdlib PNG codec (ext/png.py) for PNG payloads; the sha256 stub
-    only for formats neither path can read.
+    pure-stdlib PNG codec (ext/png.py) for PNG payloads, else header-parse
+    dimension probes for JPEG/GIF/BMP (dimensions are what feature
+    extraction needs; pixel decode for those formats stays out of repo);
+    the sha256 stub only for formats no path can read.
 
     Every decode path is exception-guarded: one corrupt/truncated/unusual
     payload (PIL UnidentifiedImageError, png.decode ValueError on 16-bit/
@@ -86,6 +129,10 @@ def _decode_image(payload: bytes) -> tuple[int, int]:
         if png.is_png(payload):
             w, h, _, _ = png.decode(payload)
             return w, h
+        for probe in (_jpeg_dims, _gif_dims, _bmp_dims):
+            dims = probe(payload)
+            if dims:
+                return dims
     except Exception:
         pass
     return _decode_image_stub(payload)

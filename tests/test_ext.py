@@ -441,3 +441,20 @@ def test_wav_audio_probe_is_real(spark):
     assert out[1].height == 20          # 2.0 s in deciseconds
     stub = multimodal._decode_audio_stub(b"\xff\xfbMP3NOTWAV")
     assert (out[2].width, out[2].height) == stub
+
+
+def test_header_probe_dims_for_jpeg_gif_bmp():
+    """Dimension probing is real for JPEG/GIF/BMP headers (no pixel decode
+    needed); truncated garbage degrades to the stub, never raises."""
+    # minimal JPEG: SOI + APP0(len 4) + SOF0 (h=480, w=640)
+    jpeg = (b"\xff\xd8" + b"\xff\xe0\x00\x04\x4a\x46"
+            + b"\xff\xc0\x00\x11\x08" + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+            + b"\x03" + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 4
+    bmp = (b"BM" + b"\x00" * 16
+           + (800).to_bytes(4, "little") + (600).to_bytes(4, "little") + b"\x00" * 4)
+    assert multimodal._jpeg_dims(jpeg) == (640, 480)
+    assert multimodal._gif_dims(gif) == (320, 200)
+    assert multimodal._bmp_dims(bmp) == (800, 600)
+    garbage = b"\xff\xd8\xff"  # truncated JPEG
+    assert multimodal._decode_image(garbage) == multimodal._decode_image_stub(garbage)
