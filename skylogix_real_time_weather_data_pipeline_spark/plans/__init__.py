@@ -29,6 +29,9 @@ _VERIFY_FIRST = (
     "rel_rolling_revenue",             # NEW query + oracle
     "emb_pairwise_topk",               # NEW oracle (was rows-only)
     "docs_shard",                      # NEW query + oracle
+    "events_gap_fill",                 # NEW query + oracle
+    "weather_correlations",            # NEW query + oracle
+    "weather_temperature_buckets",     # NEW query + oracle
     "rel_market_share",                # NEW query + oracle
     "rel_supplier_value",              # NEW query + oracle
     "rel_lost_customers",              # NEW query + oracle

@@ -385,9 +385,58 @@ FROM parsed GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Calendar gap filling: dense per-type daily series with explicit zeros.
+# --------------------------------------------------------------------------
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily counts of high-value events per type with missing days filled
+    as zeros — the densification step every downstream time-series model
+    assumes. The calendar is types × sequence(min_day, max_day) — a
+    broadcast of ONE row of bounds into a narrow explode, O(types × days)
+    rows; the left join back to the sparse counts is the only shuffle
+    beyond the count itself."""
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("value") > 200)
+        .select("event_type", F.to_date("ts").alias("day"))
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    cal = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    return cal.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+O_GAP_FILL = """
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day FROM events WHERE value > 200
+), daily AS (
+  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2
+), b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM ev),
+cal AS (
+  SELECT t.event_type,
+         CAST(unnest(generate_series(b.mn, b.mx, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT DISTINCT event_type FROM ev) t, b
+)
+SELECT c.event_type, c.day, COALESCE(n, 0) AS n
+FROM cal c LEFT JOIN daily USING (event_type, day)
+"""
+
+
 QUERIES = {
     "events_funnel": q_funnel,
     "events_props_stats": q_props_stats,
+    "events_gap_fill": q_gap_fill,
     "events_retention": q_retention,
     "stream_tumbling_daily": q_tumbling_daily,
     "stream_asof_last_purchase": q_asof_last_purchase,
@@ -401,6 +450,7 @@ QUERIES = {
 ORACLES = {
     "events_funnel": O_FUNNEL,
     "events_props_stats": O_PROPS_STATS,
+    "events_gap_fill": O_GAP_FILL,
     "events_retention": O_RETENTION,
     "stream_tumbling_daily": O_TUMBLING_DAILY,
     "stream_asof_last_purchase": O_ASOF_LAST_PURCHASE,

@@ -457,7 +457,71 @@ FROM obs GROUP BY city
 """
 
 
+# --------------------------------------------------------------------------
+# Pairwise Pearson correlations — one scan, all pairs in a single agg.
+# --------------------------------------------------------------------------
+
+def q_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation matrix entries for the numeric metrics in ONE pass
+    (three F.corr aggregates share the scan and the partial-agg shuffle).
+    wind_speed is derived as temperature/10, so its correlation with
+    temperature pins to 1.0 — a built-in sanity anchor for the estimator;
+    humidity comes from an independent field."""
+    obs = observations(spark, sf_dir)
+    return obs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("temperature", "humidity"), 6).alias("corr_temp_humidity"),
+        F.round(F.corr("temperature", "wind_speed"), 6).alias("corr_temp_wind"),
+        F.round(F.corr("humidity", "wind_speed"), 6).alias("corr_humidity_wind"),
+    )
+
+
+O_CORRELATIONS = OBS_CTE + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(corr(temperature, humidity), 6) AS corr_temp_humidity,
+       ROUND(corr(temperature, wind_speed), 6) AS corr_temp_wind,
+       ROUND(corr(humidity, wind_speed), 6) AS corr_humidity_wind
+FROM obs
+"""
+
+
+# --------------------------------------------------------------------------
+# Fixed-width histogram binning (portable width_bucket).
+# --------------------------------------------------------------------------
+
+def q_temperature_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10 fixed bins of width 50 over [0, 500): the explicit floor
+    arithmetic is the portable width_bucket; counts are one
+    map-side-combinable agg on the derived bucket key."""
+    obs = observations(spark, sf_dir)
+    bucket = F.least(F.lit(9), F.greatest(F.lit(0), F.floor(F.col("temperature") / 50))).cast("int")
+    return (
+        obs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 50.0).alias("lo"),
+            ((F.col("bucket") + 1) * 50.0).alias("hi"),
+            "n",
+        )
+    )
+
+
+O_TEMPERATURE_BUCKETS = OBS_CTE + """
+, b AS (
+  SELECT CAST(LEAST(9, GREATEST(0, FLOOR(temperature / 50))) AS INTEGER) AS bucket
+  FROM obs
+)
+SELECT bucket, bucket * 50.0 AS lo, (bucket + 1) * 50.0 AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY bucket
+"""
+
+
 QUERIES = {
+    "weather_correlations": q_correlations,
+    "weather_temperature_buckets": q_temperature_buckets,
     "weather_basic_stats": q_basic_stats,
     "weather_city_quantiles": q_city_quantiles,
     "weather_city_comparison": q_city_comparison,
@@ -479,6 +543,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "weather_correlations": O_CORRELATIONS,
+    "weather_temperature_buckets": O_TEMPERATURE_BUCKETS,
     "weather_basic_stats": O_BASIC_STATS,
     "weather_city_quantiles": O_CITY_QUANTILES,
     "weather_city_comparison": O_CITY_COMPARISON,
