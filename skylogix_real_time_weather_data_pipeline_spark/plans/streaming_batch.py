@@ -401,10 +401,16 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value") > 200)
         .select("event_type", F.to_date("ts").alias("day"))
     )
-    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
-    bounds = ev.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    # localCheckpoint: bounds, type-list and the join probe all branch off
+    # this O(types × days) aggregate — without lineage truncation each
+    # branch re-scans events (3 scans for one pass's worth of data)
+    daily = (
+        ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    bounds = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
     cal = (
-        ev.select("event_type")
+        daily.select("event_type")
         .distinct()
         .crossJoin(F.broadcast(bounds))
         .select(
