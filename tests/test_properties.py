@@ -169,3 +169,69 @@ def test_merge_upsert_matches_dict_model(spark, tkeys, skeys, dkeys):
     for k in dkeys:
         model.pop(k, None)
     assert got == sorted(model.items())
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n_users=st.integers(1, 8),
+    n_events=st.integers(0, 40),
+)
+@_settings
+def test_funnel_matches_python_model(spark, seed, n_users, n_events):
+    """Random event logs: the single-pass array-fold funnel equals the
+    obvious per-user Python recurrence."""
+    import random
+
+    from skylogix_real_time_weather_data_pipeline_spark.operators.events import funnel
+
+    rng = random.Random(seed)
+    steps = ["a", "b", "c"]
+    rows = [
+        (
+            rng.randrange(n_users),
+            dt.datetime(2024, 1, 1) + dt.timedelta(minutes=rng.randrange(500)),
+            rng.choice(steps + ["x"]),
+        )
+        for _ in range(n_events)
+    ]
+    df = spark.createDataFrame(
+        rows or [(0, dt.datetime(2024, 1, 1), "x")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {r.stage: r.n_users for r in funnel(df, steps).collect()}
+
+    by_user = {}
+    for u, ts, et in (rows or [(0, dt.datetime(2024, 1, 1), "x")]):
+        by_user.setdefault(u, []).append((ts, et))
+    counts = [0, 0, 0]
+    for evs in by_user.values():
+        t_prev = None
+        for k, step in enumerate(steps):
+            cand = [
+                ts for ts, et in evs
+                if et == step and (k == 0 or (t_prev is not None and ts > t_prev))
+            ]
+            t_prev = min(cand) if cand else None
+            if t_prev is None:
+                break
+            counts[k] += 1
+    assert got == {f"{i + 1}_{s}": counts[i] for i, s in enumerate(steps)}
+
+
+@given(ids=st.lists(st.integers(0, 10**9), unique=True, min_size=1, max_size=60),
+       seed=st.integers(0, 5))
+@_settings
+def test_global_rank_matches_md5_sort(spark, ids, seed):
+    """The distributed rank equals python's sort by (md5-60bit, id)."""
+    import hashlib
+
+    from skylogix_real_time_weather_data_pipeline_spark.operators.shuffle import global_rank
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r._rank for r in global_rank(df, "doc_id", seed=seed, n_partitions=4).collect()}
+
+    def h(i):
+        return int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:15], 16)
+
+    expect = {i: r for r, i in enumerate(sorted(ids, key=lambda i: (h(i), i)))}
+    assert got == expect
