@@ -123,3 +123,65 @@ def streaming_minhash_pairs(stream: DataFrame, text_col: str = "text",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_key_stats_tws(stream: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """``running_key_stats`` on Spark 4's ``transformWithStateInPandas`` —
+    the successor stateful API (typed state handles, timers, TTL support;
+    requires the RocksDB state store provider). Same contract as the
+    applyInPandasWithState form: one row per touched key per micro-batch
+    with cumulative (n, total, vmin, vmax, mean); equivalence across the
+    two APIs is pinned in tests/test_stateful.py.
+
+    ENVIRONMENT GATE: Spark's TWS Python runner imports protobuf, which is
+    not installed in this container — the equivalence test importorskips
+    in that case (same policy as the Kafka transport). The operator itself
+    is complete and runs wherever `google.protobuf` is available.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total, vmin, vmax = (
+                self._state.get() if self._state.exists() else (0, 0.0, None, None)
+            )
+            for pdf in rows:
+                vals = pdf["value"].dropna()
+                if len(vals):
+                    n += int(len(vals))
+                    total += float(vals.sum())
+                    bmin, bmax = float(vals.min()), float(vals.max())
+                    vmin = bmin if vmin is None else min(vmin, bmin)
+                    vmax = bmax if vmax is None else max(vmax, bmax)
+            self._state.update((n, total, vmin, vmax))
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "n": [n],
+                    "total": [total],
+                    "vmin": [vmin],
+                    "vmax": [vmax],
+                    "mean": [total / n if n else None],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    src = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return src.groupBy("key").transformWithStateInPandas(
+        _RunningStats(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

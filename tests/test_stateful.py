@@ -89,3 +89,54 @@ def test_stateful_op_runs_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_transform_with_state_equals_apply_in_pandas_with_state(spark, tmp_path):
+    """Spark 4's transformWithStateInPandas (typed state handles, RocksDB
+    required) produces the same cumulative stats as the
+    applyInPandasWithState formulation on the same multi-batch stream.
+
+    Environment gate: the TWS Python runner needs protobuf, absent from
+    this container — the operator stays importable and the test documents
+    the gate (same policy as the Kafka transport)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor",
+                        reason="transformWithStateInPandas runner needs protobuf")
+    from skylogix_real_time_weather_data_pipeline_spark.session import ROCKSDB_PROVIDER
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.stateful import (
+        running_key_stats_tws,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+        _write_batch(src, "b1.json", [("a", 1.0), ("a", 3.0), ("b", 10.0)])
+        time.sleep(1.1)
+        _write_batch(src, "b2.json", [("a", 5.0), ("c", -2.0)])
+        stream = (
+            spark.readStream.schema("k string, v double")
+            .option("maxFilesPerTrigger", 1).json(str(src))
+        )
+        q = (
+            running_key_stats_tws(stream, "k", "v")
+            .writeStream.format("memory").queryName("tws_mem")
+            .outputMode("update").option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table("tws_mem").collect()
+        finals = {}
+        for r in rows:
+            if r.key not in finals or r.n > finals[r.key].n:
+                finals[r.key] = r
+        assert finals["a"].n == 3 and finals["a"].total == 9.0 and finals["a"].mean == 3.0
+        assert finals["a"].vmin == 1.0 and finals["a"].vmax == 5.0
+        assert finals["b"].n == 1 and finals["c"].total == -2.0
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
