@@ -111,3 +111,33 @@ def test_funnel_is_single_scan_single_shuffle(spark, sf_dir, qs):
     plan = _physical(qs["events_funnel"](spark, sf_dir))
     assert len(re.findall(r"FileScan", plan)) == 1
     assert len(re.findall(r"Exchange (?:hash|range)", plan)) == 1
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The automatic complement to operators/joins.salted_join: when skew
+    only shows up at runtime, AQE must detect the oversized shuffle
+    partition and split it (SortMergeJoin(skew=true) + 'AQEShuffleRead
+    … skewed' in the final adaptive plan). Thresholds lowered to make a
+    local frame register as skewed; at cluster scale the defaults fire."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 200_000).selectExpr(
+            "CASE WHEN id % 10 = 0 THEN id ELSE 7 END AS k", "id AS payload"
+        )
+        small = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+        j = big.join(small, "k")
+        j.collect()
+        plan = _physical(j)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
