@@ -1,4 +1,5 @@
 from .layout import (  # noqa: F401
+    compact_parquet,
     verify_partition_pruning,
     write_partitioned_sorted,
     write_zordered,

@@ -113,3 +113,32 @@ def write_zordered(df: DataFrame, path: str, cols: list[str], bits: int = 12,
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(spark: SparkSession, path: str,
+                    target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Compact a small-files parquet directory in place: rewrite to
+    ceil(total_bytes / target) files via coalesce (a narrow repack — no
+    shuffle) and an atomic staging swap. Returns the new file count.
+
+    The maintenance half of the layout story: streaming appends and
+    over-parallel writes accrete kilobyte files whose per-file open/footer
+    cost dominates scans at scale; periodic compaction restores
+    scan-efficient file sizes without changing row order or content.
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    staging = f"{path}__compacting"
+    spark.read.parquet(path).coalesce(n).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    shutil.move(staging, path)
+    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))

@@ -161,3 +161,17 @@ def test_zorder_layout_bounds_both_columns_per_file(spark, tmp_path):
     # x-sort: x is tight but y spans everything
     assert file_spans(xp, "x") < 8
     assert file_spans(xp, "y") > 55
+
+
+def test_compact_parquet_repacks_small_files(spark, tmp_path):
+    from skylogix_real_time_weather_data_pipeline_spark.sinks import compact_parquet
+    import glob
+
+    p = str(tmp_path / "fragmented")
+    spark.range(0, 10_000).repartition(32).write.parquet(p)
+    assert len(glob.glob(f"{p}/*.parquet")) == 32
+    before = {r.id for r in spark.read.parquet(p).collect()}
+
+    n = compact_parquet(spark, p, target_file_bytes=64 * 1024)
+    assert n == len(glob.glob(f"{p}/*.parquet")) and n < 32
+    assert {r.id for r in spark.read.parquet(p).collect()} == before
