@@ -32,6 +32,7 @@ _VERIFY_FIRST = (
     "events_gap_fill",                 # NEW query + oracle
     "weather_correlations",            # NEW query + oracle
     "weather_temperature_buckets",     # NEW query + oracle
+    "sql_recursive_chains",            # NEW query + oracle
     "rel_market_share",                # NEW query + oracle
     "rel_supplier_value",              # NEW query + oracle
     "rel_lost_customers",              # NEW query + oracle

@@ -80,12 +80,63 @@ GROUP BY o_orderpriority
 """
 
 
+def q_sql_recursive_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4 SQL surface): group each sampled customer's
+    orders into chains of consecutive orders ≤ 7 days apart, walking the
+    lag-derived successor edges recursively. The recursion is linear
+    (strictly increasing order keys, no cycles), so UNION ALL terminates;
+    depth = longest chain. Returns (custkey, chain_start, chain_len)."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH RECURSIVE o AS (
+          SELECT o_custkey, o_orderkey, o_orderdate,
+                 lag(o_orderdate) OVER w AS prev_dt,
+                 lag(o_orderkey)  OVER w AS prev_key
+          FROM orders WHERE o_custkey % 50 = 0
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ),
+        chain(custkey, okey, root) AS (
+          SELECT o_custkey, o_orderkey, o_orderkey FROM o
+          WHERE prev_dt IS NULL OR datediff(o_orderdate, prev_dt) > 7
+          UNION ALL
+          SELECT o.o_custkey, o.o_orderkey, c.root
+          FROM chain c JOIN o ON o.o_custkey = c.custkey AND o.prev_key = c.okey
+          WHERE o.prev_dt IS NOT NULL AND datediff(o.o_orderdate, o.prev_dt) <= 7
+        )
+        SELECT custkey, root AS chain_start, CAST(COUNT(*) AS BIGINT) AS chain_len
+        FROM chain GROUP BY custkey, root
+    """)
+
+
+O_SQL_RECURSIVE_CHAINS = """
+WITH RECURSIVE o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         lag(o_orderdate) OVER w AS prev_dt,
+         lag(o_orderkey)  OVER w AS prev_key
+  FROM orders WHERE o_custkey % 50 = 0
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+chain(custkey, okey, root) AS (
+  SELECT o_custkey, o_orderkey, o_orderkey FROM o
+  WHERE prev_dt IS NULL OR date_diff('day', prev_dt, o_orderdate) > 7
+  UNION ALL
+  SELECT o.o_custkey, o.o_orderkey, c.root
+  FROM chain c JOIN o ON o.o_custkey = c.custkey AND o.prev_key = c.okey
+  WHERE o.prev_dt IS NOT NULL AND date_diff('day', o.prev_dt, o.o_orderdate) <= 7
+)
+SELECT custkey, root AS chain_start, CAST(COUNT(*) AS BIGINT) AS chain_len
+FROM chain GROUP BY custkey, root
+"""
+
+
 QUERIES = {
     "sql_forecast_revenue": q_sql_forecast_revenue,
     "sql_priority_with_exists": q_sql_priority_with_exists,
+    "sql_recursive_chains": q_sql_recursive_chains,
 }
 
 ORACLES = {
     "sql_forecast_revenue": O_SQL_FORECAST_REVENUE,
     "sql_priority_with_exists": O_SQL_PRIORITY_EXISTS,
+    "sql_recursive_chains": O_SQL_RECURSIVE_CHAINS,
 }
