@@ -33,6 +33,7 @@ _VERIFY_FIRST = (
     "weather_correlations",            # NEW query + oracle
     "weather_temperature_buckets",     # NEW query + oracle
     "sql_recursive_chains",            # NEW query + oracle
+    "rel_disjunctive_revenue",         # NEW query + oracle
     "rel_market_share",                # NEW query + oracle
     "rel_supplier_value",              # NEW query + oracle
     "rel_lost_customers",              # NEW query + oracle

@@ -729,6 +729,52 @@ GROUP BY c_nationkey
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q19-shaped disjunctive-predicate join: OR-of-AND condition blocks
+# spanning both join sides — the predicate-normalization stress case
+# (Catalyst must still push the common l_quantity bounds and the join key
+# while evaluating the disjunction post-join).
+# --------------------------------------------------------------------------
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & (F.col("p_size").between(10, 30))
+            & (F.col("l_quantity").between(10, 35))
+        )
+        | (
+            (F.col("p_retailprice") > 990)
+            & (F.col("l_quantity").between(25, 50))
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+O_DISJUNCTIVE_REVENUE = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_retailprice > 990 AND l_quantity BETWEEN 25 AND 50)
+"""
+
+
+# --------------------------------------------------------------------------
 # RANGE-frame rolling window: 7-day revenue per nation. Completes the
 # window surface (rows-frame running total, rank family, distribution
 # family already covered).
@@ -842,6 +888,7 @@ QUERIES = {
     "rel_lost_customers": q_lost_customers,
     "rel_fuzzy_part_names": q_fuzzy_part_names,
     "rel_rolling_revenue": q_rolling_revenue,
+    "rel_disjunctive_revenue": q_disjunctive_revenue,
 }
 
 ORACLES = {
@@ -868,4 +915,5 @@ ORACLES = {
     "rel_lost_customers": O_LOST_CUSTOMERS,
     "rel_fuzzy_part_names": O_FUZZY_PART_NAMES,
     "rel_rolling_revenue": O_ROLLING_REVENUE,
+    "rel_disjunctive_revenue": O_DISJUNCTIVE_REVENUE,
 }
