@@ -19,6 +19,14 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface)
 #: (scripts/local_verify.py → CORRECTNESS_LOCAL_r{N}.json, committed).
 _VERIFY_FIRST = (
     # --- implementation or oracle changed in round 3 ---
+    "rel_volume_shipping",             # NEW query + oracle
+    "rel_promo_revenue",               # NEW query + oracle
+    "rel_small_qty_revenue",           # NEW query + oracle
+    "rel_order_count_distribution",    # NEW query + oracle
+    "rel_top_supplier",                # NEW query + oracle
+    "rel_returned_items",              # NEW query + oracle
+    "rel_late_shipment_priority",      # NEW query + oracle
+    "rel_yearly_growth",               # NEW query + oracle
     "docs_decontaminate",              # NEW query + oracle
     "emb_centroids_by_label",          # NEW query + oracle
     "events_funnel",                   # NEW query + oracle

@@ -851,6 +851,363 @@ WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q7-shaped volume shipping: bidirectional nation-pair trade volume.
+# Unlike Q8 (one nation in a CASE), BOTH nation roles are join filters and
+# group keys — the join tree has two independent dim lookups that must both
+# broadcast, and the pair filter ((A,B) or (B,A)) lands post-join.
+# --------------------------------------------------------------------------
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue shipped between NATION_1 and NATION_2 (either direction) per
+    (supp_nation, cust_nation, year).
+
+    Scale shape: supplier⋈nation and customer⋈nation are broadcast tags;
+    filtering each side to the 2-nation set BEFORE the fact joins turns both
+    fact shuffles into highly selective semi-join-like scans (Catalyst
+    pushes the IN (2 keys) filter through the broadcast join to the
+    supplier/customer scans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+
+    pair = n.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+        "n_nationkey", "n_name"
+    )
+    supp = s.join(
+        F.broadcast(pair.withColumnRenamed("n_name", "supp_nation")),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust = c.join(
+        F.broadcast(pair.withColumnRenamed("n_name", "cust_nation")),
+        c.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+
+    return (
+        li.filter(F.col("l_shipdate").between(F.lit("1996-01-01"), F.lit("1997-12-31")))
+        .join(supp, li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+O_VOLUME_SHIPPING = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(year FROM l_shipdate) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS volume,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14-shaped promo revenue share: conditional aggregation as a ratio
+# in a single pass (no second scan for the numerator).
+# --------------------------------------------------------------------------
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of one month's revenue from PROMO parts. part is the broadcast
+    side; the month filter pushes to the lineitem parquet scan; numerator
+    and denominator are partial aggs of the same pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-03-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+O_PROMO_REVENUE = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q17-shaped small-quantity revenue: per-group average as a join-back
+# threshold (the DataFrame spelling of a correlated scalar subquery).
+# --------------------------------------------------------------------------
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost if small orders (below 20% of that
+    part's mean quantity) stopped shipping, for one brand.
+
+    The per-part mean is a separate agg of the SAME brand-filtered lineitem
+    subset joined back on partkey — two passes over a tiny filtered slice,
+    never over the full fact. The threshold is rounded on both sides so the
+    float boundary can't flap between engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#7").select("p_partkey")
+    brand_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresholds = brand_li.groupBy("l_partkey").agg(
+        F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_threshold")
+    )
+    return (
+        brand_li.join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+O_SMALL_QTY_REVENUE = """
+WITH brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#7'
+),
+thresholds AS (
+  SELECT l_partkey, ROUND(0.2 * AVG(l_quantity), 6) AS qty_threshold
+  FROM brand_li GROUP BY l_partkey
+)
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small
+FROM brand_li JOIN thresholds USING (l_partkey)
+WHERE l_quantity < qty_threshold
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13-shaped order-count distribution: LEFT join (zero-preserving)
+# then a second aggregation over the first's result.
+# --------------------------------------------------------------------------
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed exactly k urgent-ish orders (k includes 0
+    — the left join keeps order-less customers, which an inner join would
+    silently drop). Second agg runs over the O(customers) intermediate."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+O_ORDER_COUNT_DISTRIBUTION = """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q15-shaped top supplier: agg → max-of-agg scalar → equality filter
+# (keeps ALL argmax suppliers on ties, unlike a LIMIT 1).
+# --------------------------------------------------------------------------
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum revenue in 1997 Q1. The max is a 1-row
+    broadcast agg over the per-supplier intermediate (O(suppliers), not a
+    second fact scan); equality on the ROUNDED revenue pins ties."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev"))
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(F.col("l_suppkey").alias("suppkey"), "s_name", "total_rev")
+    )
+
+
+O_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT suppkey, s_name, total_rev
+FROM rev JOIN supplier ON suppkey = s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q10-shaped returned-item ranking: selective fact filter → 3-way
+# join → top-N customers by lost revenue.
+# --------------------------------------------------------------------------
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 customers by revenue on returned ('R') items in 1998. The
+    returnflag + date filters push to the lineitem scan; TakeOrdered keeps
+    the top-N without a global sort; custkey tiebreak pins order."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_shipdate") >= F.lit("1998-01-01"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+O_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, n_name, c_acctbal,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4-shaped late-shipment priority check: EXISTS with a predicate
+# spanning both sides (compound-condition semi join).
+# --------------------------------------------------------------------------
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders in 1997-H1 with at least one lineitem shipped >60 days after
+    the order date, counted per priority. The cross-table predicate lives
+    IN the semi-join condition — Spark evaluates the equi-part as the hash
+    key and the date inequality as a residual, so each order still probes
+    once."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.date_add(F.col("o_orderdate"), 60)
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+O_LATE_SHIPMENT_PRIORITY = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Year-over-year growth: lag window over a pre-aggregated (nation, year)
+# frame — the standard reporting pattern (agg first, window the small set).
+# --------------------------------------------------------------------------
+
+def q_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation yearly order revenue with YoY delta and growth percent.
+    The window runs over O(nations × years) rows; first year's lag is NULL
+    (kept — zero-filling would fabricate a -100% year)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    yearly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("nationkey").orderBy("o_year")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "nationkey",
+        "o_year",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("yoy_delta"),
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 6).alias("yoy_pct"),
+    )
+
+
+O_YEARLY_GROWTH = """
+WITH yearly AS (
+  SELECT c_nationkey AS nationkey, EXTRACT(year FROM o_orderdate) AS o_year,
+         ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT nationkey, o_year, revenue,
+       ROUND(revenue - lag(revenue) OVER w, 2) AS yoy_delta,
+       ROUND(100.0 * (revenue - lag(revenue) OVER w) / lag(revenue) OVER w, 6) AS yoy_pct
+FROM yearly
+WINDOW w AS (PARTITION BY nationkey ORDER BY o_year)
+"""
+
+
+# --------------------------------------------------------------------------
 # Approximate distinct (HLL sketch) — rows-only check (approximate result
 # has no exact ANSI oracle; exact counterpart is rel_distinct_parts).
 # --------------------------------------------------------------------------
@@ -889,6 +1246,14 @@ QUERIES = {
     "rel_fuzzy_part_names": q_fuzzy_part_names,
     "rel_rolling_revenue": q_rolling_revenue,
     "rel_disjunctive_revenue": q_disjunctive_revenue,
+    "rel_volume_shipping": q_volume_shipping,
+    "rel_promo_revenue": q_promo_revenue,
+    "rel_small_qty_revenue": q_small_qty_revenue,
+    "rel_order_count_distribution": q_order_count_distribution,
+    "rel_top_supplier": q_top_supplier,
+    "rel_returned_items": q_returned_items,
+    "rel_late_shipment_priority": q_late_shipment_priority,
+    "rel_yearly_growth": q_yearly_growth,
 }
 
 ORACLES = {
@@ -916,4 +1281,12 @@ ORACLES = {
     "rel_fuzzy_part_names": O_FUZZY_PART_NAMES,
     "rel_rolling_revenue": O_ROLLING_REVENUE,
     "rel_disjunctive_revenue": O_DISJUNCTIVE_REVENUE,
+    "rel_volume_shipping": O_VOLUME_SHIPPING,
+    "rel_promo_revenue": O_PROMO_REVENUE,
+    "rel_small_qty_revenue": O_SMALL_QTY_REVENUE,
+    "rel_order_count_distribution": O_ORDER_COUNT_DISTRIBUTION,
+    "rel_top_supplier": O_TOP_SUPPLIER,
+    "rel_returned_items": O_RETURNED_ITEMS,
+    "rel_late_shipment_priority": O_LATE_SHIPMENT_PRIORITY,
+    "rel_yearly_growth": O_YEARLY_GROWTH,
 }
