@@ -352,6 +352,105 @@ def token_quantiles_by_group(df: DataFrame, group_col: str = "lang",
     )
 
 
+def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the classic
+    keyword/feature-extraction stage (topic tagging, index terms, cluster
+    labeling).
+
+    Plan shape: ONE explode pass → tf agg shuffled on (doc, term); document
+    frequency comes from a count window PARTITIONed BY term over that same
+    tf intermediate — NOT a dfreq-side join, which would evaluate the
+    explode+agg subtree twice (Spark has no automatic common-subtree reuse
+    across join inputs). The corpus size is a 1-row broadcast (count-only
+    parquet scan — statistics, no columns). idf = ln((N+1)/(df+1))
+    (smoothed, never negative-infinite); the per-doc top-k runs over the
+    O(docs × distinct-terms) intermediate with rank ties pinned on the
+    ROUNDED score then the term string, so float last-ulp noise can't
+    reorder across engines."""
+    from pyspark.sql import Window
+
+    tok_rows = repartition_for_compute(df, id_col).select(
+        id_col, F.explode(tokens(text_col)).alias("term")
+    )
+    tf = tok_rows.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    doc_freq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    scored = (
+        tf.crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            doc_freq.alias("doc_freq"),
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (doc_freq + 1)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+    )
+
+
+#: Gopher-style rule thresholds (Rae et al. 2021, arXiv:2112.11446 §A1.1 —
+#: public paper; values adapted to the synthetic corpus so every rule has
+#: both passing and failing documents).
+GOPHER_RULES = {
+    "min_words": 25,
+    "max_words": 80,
+    "min_mean_word_len": 3.5,
+    "max_mean_word_len": 5.0,
+    "max_dup_shingle_ratio": 0.05,
+    "min_stopword_hits": 2,
+}
+
+
+def gopher_quality_filter(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          rules: dict | None = None) -> DataFrame:
+    """Rule-based document quality filter (the Gopher-rules family): word
+    count bounds, mean-word-length bounds, duplicate-n-gram cap, minimum
+    stopword evidence. Emits one row per document with the measured
+    features, each rule's boolean verdict, and the conjunctive ``keep`` —
+    the auditable shape (curation pipelines log WHY a doc was dropped, not
+    just that it was).
+
+    One narrow codegen projection — no shuffle, no Python; at 100 TB this
+    runs at parquet-scan speed and the keep flag prunes before any
+    downstream shuffle."""
+    r = {**GOPHER_RULES, **(rules or {})}
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    n_words_nz = F.nullif(n_words, F.lit(0))
+    mean_wl = F.length(F.regexp_replace(F.col(text_col), "\\s+", "")) / n_words_nz
+    total_sh = F.greatest(n_words - 2, F.lit(1))
+    dup_ratio = F.lit(1) - F.size(shingles(F.col(text_col), 3)) / total_sh.cast("double")
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+
+    flag_words = n_words.between(r["min_words"], r["max_words"])
+    flag_wl = F.coalesce(
+        mean_wl.between(r["min_mean_word_len"], r["max_mean_word_len"]), F.lit(False)
+    )
+    flag_dup = dup_ratio <= r["max_dup_shingle_ratio"]
+    flag_stop = stop_hits >= r["min_stopword_hits"]
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(dup_ratio, 6).alias("dup_shingle_ratio"),
+        stop_hits.alias("stopword_hits"),
+        flag_words.alias("ok_word_count"),
+        flag_wl.alias("ok_word_len"),
+        flag_dup.alias("ok_repetition"),
+        flag_stop.alias("ok_stopwords"),
+        (flag_words & flag_wl & flag_dup & flag_stop).alias("keep"),
+    )
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as strings ('w1 w2 w3'), distinct per doc.
 

@@ -71,6 +71,36 @@ def funnel(df: DataFrame, steps: Sequence[str], user_col: str = "user_id",
     )
 
 
+def top_transitions(df: DataFrame, user_col: str = "user_id",
+                    ts_col: str = "ts", type_col: str = "event_type",
+                    id_col: str = "event_id") -> DataFrame:
+    """First-order transition matrix of the event log: counts of
+    (prev_type → type) steps within each user's timeline, with the
+    per-prev-type share — the Markov-chain view behind next-action models
+    and anomalous-flow detection.
+
+    One user-keyed window pass (ordered by ts with the event id as a
+    deterministic tiebreak) produces the lag pairs; the count is a
+    map-side-combinable agg over ≤ |types|² groups, and the share reuses
+    that tiny aggregate through a window sum — no second scan. Each user's
+    first event has no predecessor and is excluded (a synthetic '<start>'
+    state would double-count sessions at scale)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = df.select(
+        user_col, F.lag(type_col).over(w).alias("prev_type"), F.col(type_col)
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", type_col).agg(F.count(F.lit(1)).alias("n"))
+    w_prev = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        type_col,
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_prev), 6).alias("share_of_prev"),
+    )
+
+
 def retention_cohorts(df: DataFrame, user_col: str = "user_id",
                       ts_col: str = "ts") -> DataFrame:
     """Weekly retention triangle: users bucketed by first-seen week

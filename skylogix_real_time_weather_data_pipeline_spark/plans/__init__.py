@@ -19,6 +19,9 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface)
 #: (scripts/local_verify.py → CORRECTNESS_LOCAL_r{N}.json, committed).
 _VERIFY_FIRST = (
     # --- implementation or oracle changed in round 3 ---
+    "docs_tfidf_topk",                 # NEW query + oracle
+    "docs_quality_filter",             # NEW query + oracle
+    "events_top_transitions",          # NEW query + oracle
     "rel_volume_shipping",             # NEW query + oracle
     "rel_promo_revenue",               # NEW query + oracle
     "rel_small_qty_revenue",           # NEW query + oracle

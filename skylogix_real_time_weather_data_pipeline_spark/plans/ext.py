@@ -1018,6 +1018,68 @@ GROUP BY d.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# TF-IDF top-k terms per document (ext.text.tfidf_topk).
+# --------------------------------------------------------------------------
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per doc; rank pinned on the rounded
+    score then the term string."""
+    return text.tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
+O_TFIDF_TOPK = TOK_CTE + """
+, tok_rows AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok_rows GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, doc_freq,
+         ROUND(tf * ln((n_docs + 1) * 1.0 / (doc_freq + 1)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term), nd
+)
+SELECT doc_id, term, tf, doc_freq, tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC)
+            AS INTEGER) AS term_rank
+FROM scored
+QUALIFY term_rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Gopher-style rule-based quality filter (ext.text.gopher_quality_filter).
+# --------------------------------------------------------------------------
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auditable per-rule verdicts + conjunctive keep flag."""
+    return text.gopher_quality_filter(_docs(spark, sf_dir))
+
+
+O_QUALITY_FILTER = TOK_CTE + """
+, feat AS (
+  SELECT t.doc_id,
+         len(t.tk) AS n_words,
+         len(regexp_replace(t.text, '\\s+', '', 'g')) * 1.0 / nullif(len(t.tk), 0) AS mwl,
+         1 - len(s.shingles) * 1.0 / greatest(len(t.tk) - 2, 1) AS dup_ratio,
+         len(list_filter(t.tk,
+             x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS stop_hits
+  FROM toks t JOIN sh s USING (doc_id)
+)
+SELECT doc_id,
+       CAST(n_words AS INTEGER) AS n_words,
+       ROUND(mwl, 6) AS mean_word_len,
+       ROUND(dup_ratio, 6) AS dup_shingle_ratio,
+       CAST(stop_hits AS INTEGER) AS stopword_hits,
+       n_words BETWEEN 25 AND 80 AS ok_word_count,
+       COALESCE(mwl BETWEEN 3.5 AND 5.0, FALSE) AS ok_word_len,
+       dup_ratio <= 0.05 AS ok_repetition,
+       stop_hits >= 2 AS ok_stopwords,
+       (n_words BETWEEN 25 AND 80) AND COALESCE(mwl BETWEEN 3.5 AND 5.0, FALSE)
+         AND dup_ratio <= 0.05 AND stop_hits >= 2 AS keep
+FROM feat
+"""
+
+
 QUERIES = {
     "docs_exact_dedup": q_exact_dedup,
     "docs_minhash_signatures": q_minhash_signatures,
@@ -1051,6 +1113,8 @@ QUERIES = {
     "emb_centroids_by_label": q_centroids_by_label,
     "emb_kmeans": q_kmeans,
     "docs_shard": q_shard,
+    "docs_tfidf_topk": q_tfidf_topk,
+    "docs_quality_filter": q_quality_filter,
 }
 
 ORACLES = {
@@ -1086,4 +1150,6 @@ ORACLES = {
     "emb_centroids_by_label": O_CENTROIDS_BY_LABEL,
     "emb_kmeans": O_KMEANS,
     "docs_shard": O_SHARD,
+    "docs_tfidf_topk": O_TFIDF_TOPK,
+    "docs_quality_filter": O_QUALITY_FILTER,
 }

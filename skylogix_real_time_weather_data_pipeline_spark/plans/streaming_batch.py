@@ -340,6 +340,29 @@ FROM ret JOIN sizes USING (cohort_week)
 """
 
 
+def q_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order (prev → next) transition counts + per-prev-state share
+    over each user's timeline (operators/events.top_transitions)."""
+    from ..operators.events import top_transitions
+
+    return top_transitions(_events(spark, sf_dir))
+
+
+O_TOP_TRANSITIONS = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type
+  FROM events
+), c AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, event_type, n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS share_of_prev
+FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # Semi-structured props: parse the JSON payload column with an explicit
 # schema (from_json → struct field access — JVM-side, codegen; no Python).
@@ -444,6 +467,7 @@ QUERIES = {
     "events_props_stats": q_props_stats,
     "events_gap_fill": q_gap_fill,
     "events_retention": q_retention,
+    "events_top_transitions": q_top_transitions,
     "stream_tumbling_daily": q_tumbling_daily,
     "stream_asof_last_purchase": q_asof_last_purchase,
     "stream_range_join_windows": q_range_join_windows,
@@ -458,6 +482,7 @@ ORACLES = {
     "events_props_stats": O_PROPS_STATS,
     "events_gap_fill": O_GAP_FILL,
     "events_retention": O_RETENTION,
+    "events_top_transitions": O_TOP_TRANSITIONS,
     "stream_tumbling_daily": O_TUMBLING_DAILY,
     "stream_asof_last_purchase": O_ASOF_LAST_PURCHASE,
     "stream_range_join_windows": O_RANGE_JOIN_WINDOWS,

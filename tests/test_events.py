@@ -37,6 +37,38 @@ def test_funnel_simultaneous_event_not_counted(spark):
     assert out == {"1_view": 1, "2_click": 0}
 
 
+def test_top_transitions_counts_and_shares(spark):
+    rows = [
+        # user 1: view -> click -> view   (transitions: view->click, click->view)
+        (1, 1, _ts(1, 1), "view"), (2, 1, _ts(1, 2), "click"), (3, 1, _ts(1, 3), "view"),
+        # user 2: view -> view            (transition: view->view)
+        (4, 2, _ts(2, 1), "view"), (5, 2, _ts(2, 2), "view"),
+        # user 3: single event — contributes no transition
+        (6, 3, _ts(3, 1), "click"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    from skylogix_real_time_weather_data_pipeline_spark.operators.events import top_transitions
+
+    out = {(r.prev_type, r.event_type): r for r in top_transitions(df).collect()}
+    assert out[("view", "click")].n == 1
+    assert out[("view", "view")].n == 1
+    assert out[("click", "view")].n == 1
+    assert len(out) == 3
+    # shares: 'view' as prev has 2 outgoing transitions, each 0.5
+    assert abs(out[("view", "click")].share_of_prev - 0.5) < 1e-9
+    assert abs(out[("click", "view")].share_of_prev - 1.0) < 1e-9
+
+
+def test_top_transitions_ties_broken_by_event_id(spark):
+    # two events at the same timestamp: event_id orders them deterministically
+    rows = [(10, 1, _ts(1, 1), "a"), (11, 1, _ts(1, 1), "b")]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    from skylogix_real_time_weather_data_pipeline_spark.operators.events import top_transitions
+
+    out = [(r.prev_type, r.event_type) for r in top_transitions(df).collect()]
+    assert out == [("a", "b")]
+
+
 def test_retention_cohorts_triangle(spark):
     rows = [
         # user 1: first seen week of Jan 1 (Monday), active weeks 0 and 2

@@ -458,3 +458,44 @@ def test_header_probe_dims_for_jpeg_gif_bmp():
     assert multimodal._bmp_dims(bmp) == (800, 600)
     garbage = b"\xff\xd8\xff"  # truncated JPEG
     assert multimodal._decode_image(garbage) == multimodal._decode_image_stub(garbage)
+
+
+def test_tfidf_topk_ranks_rare_terms_first(spark):
+    rows = [
+        (0, "alpha alpha alpha common"),
+        (1, "beta common"),
+        (2, "gamma common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.tfidf_topk(df, k=2)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 'common' appears in every doc → idf = ln(4/4) = 0 → never outranks a
+    # doc-unique term
+    top0 = sorted(by_doc[0], key=lambda r: r.term_rank)[0]
+    assert top0.term == "alpha" and top0.tf == 3 and top0.doc_freq == 1
+    assert all(r.tfidf == 0.0 for rs in by_doc.values() for r in rs if r.term == "common")
+    # k bound respected and ranks are 1..k
+    assert all(len(rs) <= 2 for rs in by_doc.values())
+    assert sorted(r.term_rank for r in by_doc[0]) == [1, 2]
+
+
+def test_gopher_quality_filter_rules(spark):
+    ok_doc = ("the quick brown fox jumps over the lazy dog and it runs to the "
+              "river bank where a small boat waits in the morning light as birds sing")
+    rows = [
+        (0, ok_doc),                                  # passes everything
+        (1, "tiny doc"),                              # fails word count + stopwords
+        (2, ("spark " * 40).strip()),                 # fails repetition (all dup shingles)
+        (3, ""),                                      # empty: word count + word len fail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.gopher_quality_filter(df).collect()}
+    assert out[0].keep
+    assert not out[1].ok_word_count and not out[1].ok_stopwords and not out[1].keep
+    assert not out[2].ok_repetition and out[2].dup_shingle_ratio > 0.9
+    assert not out[3].keep and not out[3].ok_word_len
+    # flags are consistent with keep
+    for r in out.values():
+        assert r.keep == (r.ok_word_count and r.ok_word_len and r.ok_repetition and r.ok_stopwords)
