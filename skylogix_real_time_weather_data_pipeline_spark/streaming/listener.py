@@ -45,6 +45,21 @@ class MetricsListener(StreamingQueryListener):
       (reference main.py:30,53)
     - ``weather_pipeline_failures`` ← query termination with exception
       (reference main.py:29,129)
+
+    Beyond the reference's names, stateful-operator gauges (the numbers that
+    matter when streaming state lives in RocksDB — see
+    ``session.get_spark(state_store="rocksdb")``):
+
+    - ``weather_state_rows`` ← Σ stateOperators.numRowsTotal (current keys
+      held in the state store across all stateful operators)
+    - ``weather_state_memory_bytes`` ← Σ memoryUsedBytes (heap for the HDFS
+      provider; block-cache+memtable estimate for RocksDB)
+    - ``weather_state_rows_updated`` ← Σ numRowsUpdated per batch
+      (cumulative write pressure on the store)
+
+    At 100 TB these are the capacity-planning signals: unbounded
+    ``weather_state_rows`` growth means a missing watermark / TTL; the
+    bytes gauge sizes the executor off-heap budget for RocksDB.
     """
 
     def __init__(self) -> None:
@@ -53,6 +68,8 @@ class MetricsListener(StreamingQueryListener):
             self._records = Counter("weather_records_processed", "Rows ingested")
             self._duration = Gauge("weather_pipeline_duration_seconds", "Batch duration")
             self._failures = Counter("weather_pipeline_failures", "Query failures")
+            self._state_rows = Gauge("weather_state_rows", "Streaming state rows")
+            self._state_bytes = Gauge("weather_state_memory_bytes", "Streaming state bytes")
 
     def onQueryStarted(self, event) -> None:
         self.registry.inc("weather_pipeline_runs")
@@ -63,9 +80,22 @@ class MetricsListener(StreamingQueryListener):
         secs = (p.batchDuration or 0) / 1000.0
         self.registry.inc("weather_records_processed", rows)
         self.registry.set("weather_pipeline_duration_seconds", secs)
+        ops = p.stateOperators or []
+        if ops:
+            state_rows = float(sum(o.numRowsTotal or 0 for o in ops))
+            state_bytes = float(sum(o.memoryUsedBytes or 0 for o in ops))
+            self.registry.set("weather_state_rows", state_rows)
+            self.registry.set("weather_state_memory_bytes", state_bytes)
+            self.registry.inc(
+                "weather_state_rows_updated",
+                float(sum(o.numRowsUpdated or 0 for o in ops)),
+            )
         if _HAVE_PROM:  # pragma: no cover
             self._records.inc(rows)
             self._duration.set(secs)
+            if ops:
+                self._state_rows.set(state_rows)
+                self._state_bytes.set(state_bytes)
 
     def onQueryIdle(self, event) -> None:
         pass

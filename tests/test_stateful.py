@@ -140,3 +140,36 @@ def test_transform_with_state_equals_apply_in_pandas_with_state(spark, tmp_path)
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_listener_reports_state_size_gauges(spark, tmp_path):
+    """The MetricsListener surfaces stateOperators totals (rows/bytes) —
+    the RocksDB capacity-planning gauges — from any stateful query's
+    progress events."""
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.listener import (
+        attach_metrics_listener,
+    )
+
+    listener = attach_metrics_listener(spark)
+    try:
+        src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+        _write_batch(src, "b1.json", [("a", 1.0), ("b", 2.0), ("c", 3.0)])
+        stream = spark.readStream.schema("k string, v double").json(str(src))
+        q = (
+            running_key_stats(stream, "k", "v")
+            .writeStream.format("memory").queryName("state_gauge_mem")
+            .outputMode("update").option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if listener.registry.values.get("weather_state_rows", 0) > 0:
+                break
+            time.sleep(0.5)
+        # 3 distinct keys live in the state store after the batch
+        assert listener.registry.values["weather_state_rows"] == 3.0
+        assert listener.registry.values["weather_state_memory_bytes"] > 0
+        assert listener.registry.values["weather_state_rows_updated"] >= 3.0
+    finally:
+        spark.streams.removeListener(listener)
