@@ -141,3 +141,35 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_quality_filter_is_zero_shuffle(spark, sf_dir, qs):
+    """The Gopher rule filter is a pure narrow projection — any Exchange
+    here means a regression from scan-speed to shuffle-bound."""
+    plan = _physical(qs["docs_quality_filter"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert len(re.findall(r"FileScan", plan)) == 1
+
+
+def test_tfidf_single_explode_no_dfreq_join(spark, sf_dir, qs):
+    """Document frequency comes from a window over the tf intermediate,
+    not a join back to a second explode+agg of the same subtree: exactly
+    one Generate (explode) in the plan, and the only join is the 1-row
+    corpus-size broadcast."""
+    plan = _physical(qs["docs_tfidf_topk"](spark, sf_dir))
+    assert len(re.findall(r"\bGenerate\b", plan)) == 1
+    # documents.parquet scanned at most twice: data pass + count-only pass
+    assert plan.count("documents.parquet") <= 2
+
+
+def test_promo_revenue_pushes_month_filter(spark, sf_dir, qs):
+    plan = _formatted(qs["rel_promo_revenue"](spark, sf_dir))
+    pushed = re.search(r"PushedFilters: \[([^\]]*l_shipdate[^\]]*)\]", plan)
+    assert pushed is not None
+
+
+def test_top_transitions_three_exchanges_max(spark, sf_dir, qs):
+    """user-window sort, pair-count agg, prev-type share window — nothing
+    else may shuffle."""
+    plan = _physical(qs["events_top_transitions"](spark, sf_dir))
+    assert len(re.findall(r"Exchange (?:hash|range)partitioning", plan)) <= 3
