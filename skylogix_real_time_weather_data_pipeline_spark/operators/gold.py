@@ -232,3 +232,36 @@ def temperature_trends(df: DataFrame, city: str = "city", temp: str = "temperatu
             F.when(F.col("sum_change") > 0, F.lit("warming")).otherwise(F.lit("cooling")),
         )
     )
+
+
+def zscore_anomalies(df: DataFrame, value: str = "temperature", city: str = "city",
+                     threshold: float = 2.5) -> DataFrame:
+    """Per-city z-score anomaly detection: observations more than
+    ``threshold`` sample standard deviations from their city's mean.
+
+    Two-pass robust pattern at scale: pass 1 collapses to O(cities) stats
+    (one map-side-combinable agg); pass 2 broadcasts those 150 rows back
+    over the raw stream — the fact side never shuffles. Mean/std are
+    ROUNDED before the z computation and the z is rounded before the
+    threshold test, so engine last-ulp summation differences can't flip a
+    boundary row (same pinning policy as the LSH cosine thresholds).
+    """
+    stats = df.groupBy(city).agg(
+        F.round(F.avg(value), 6).alias("_mean"),
+        F.round(F.stddev_samp(value), 6).alias("_std"),
+    )
+    z = F.round((F.col(value) - F.col("_mean")) / F.col("_std"), 6)
+    return (
+        df.join(F.broadcast(stats), city)
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) >= threshold)
+        .select(
+            city,
+            "event_id",
+            F.col("timestamp"),
+            F.round(value, 6).alias(value),
+            F.col("_mean").alias("city_mean"),
+            F.col("_std").alias("city_std"),
+            "zscore",
+        )
+    )

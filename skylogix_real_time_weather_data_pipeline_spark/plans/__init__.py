@@ -22,6 +22,8 @@ _VERIFY_FIRST = (
     "docs_tfidf_topk",                 # NEW query + oracle
     "docs_quality_filter",             # NEW query + oracle
     "events_top_transitions",          # NEW query + oracle
+    "events_props_variant",            # NEW query + oracle
+    "weather_zscore_anomalies",        # NEW query + oracle
     "rel_volume_shipping",             # NEW query + oracle
     "rel_promo_revenue",               # NEW query + oracle
     "rel_small_qty_revenue",           # NEW query + oracle

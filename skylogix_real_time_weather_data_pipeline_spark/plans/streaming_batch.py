@@ -409,6 +409,49 @@ FROM parsed GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# Spark 4 VARIANT: schema-flexible semi-structured access. Unlike
+# events_props_stats' from_json (declared schema), parse_json → VARIANT
+# keeps the full document with no upfront schema; fields bind at query
+# time with typed extraction. At 100 TB the design is: parse ONCE into a
+# variant column at ingest (shredded parquet storage), then every query
+# extracts its own paths without re-parsing strings.
+# --------------------------------------------------------------------------
+
+def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decade histogram of the props.k field via VARIANT typed extraction
+    (try_variant_get → NULL, not error, on path/type mismatch — matching
+    the engine's ANSI-off null-on-error posture)."""
+    ev = _events(spark, sf_dir)
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .groupBy(
+            "event_type",
+            (F.floor(F.col("k") / 10) * 10).cast("int").alias("k_decade"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+
+
+O_PROPS_VARIANT = """
+WITH parsed AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+         value
+  FROM events
+)
+SELECT event_type,
+       CAST(FLOOR(k / 10) * 10 AS INTEGER) AS k_decade,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS value_sum
+FROM parsed GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Calendar gap filling: dense per-type daily series with explicit zeros.
 # --------------------------------------------------------------------------
 
@@ -468,6 +511,7 @@ QUERIES = {
     "events_gap_fill": q_gap_fill,
     "events_retention": q_retention,
     "events_top_transitions": q_top_transitions,
+    "events_props_variant": q_props_variant,
     "stream_tumbling_daily": q_tumbling_daily,
     "stream_asof_last_purchase": q_asof_last_purchase,
     "stream_range_join_windows": q_range_join_windows,
@@ -483,6 +527,7 @@ ORACLES = {
     "events_gap_fill": O_GAP_FILL,
     "events_retention": O_RETENTION,
     "events_top_transitions": O_TOP_TRANSITIONS,
+    "events_props_variant": O_PROPS_VARIANT,
     "stream_tumbling_daily": O_TUMBLING_DAILY,
     "stream_asof_last_purchase": O_ASOF_LAST_PURCHASE,
     "stream_range_join_windows": O_RANGE_JOIN_WINDOWS,

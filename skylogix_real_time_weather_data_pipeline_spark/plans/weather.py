@@ -519,8 +519,35 @@ FROM b GROUP BY bucket
 """
 
 
+# --------------------------------------------------------------------------
+# Per-city z-score anomalies (operators/gold.zscore_anomalies): the
+# statistical outlier view complementing A11's fixed physical bounds.
+# --------------------------------------------------------------------------
+
+def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.zscore_anomalies(observations(spark, sf_dir))
+
+
+O_ZSCORE_ANOMALIES = OBS_CTE + """
+, stats AS (
+  SELECT city,
+         ROUND(AVG(temperature), 6) AS city_mean,
+         ROUND(stddev_samp(temperature), 6) AS city_std
+  FROM obs GROUP BY city
+), z AS (
+  SELECT o.city, o.event_id, o."timestamp",
+         ROUND(o.temperature, 6) AS temperature,
+         s.city_mean, s.city_std,
+         ROUND((o.temperature - s.city_mean) / s.city_std, 6) AS zscore
+  FROM obs o JOIN stats s USING (city)
+)
+SELECT * FROM z WHERE ABS(zscore) >= 2.5
+"""
+
+
 QUERIES = {
     "weather_correlations": q_correlations,
+    "weather_zscore_anomalies": q_zscore_anomalies,
     "weather_temperature_buckets": q_temperature_buckets,
     "weather_basic_stats": q_basic_stats,
     "weather_city_quantiles": q_city_quantiles,
@@ -544,6 +571,7 @@ QUERIES = {
 
 ORACLES = {
     "weather_correlations": O_CORRELATIONS,
+    "weather_zscore_anomalies": O_ZSCORE_ANOMALIES,
     "weather_temperature_buckets": O_TEMPERATURE_BUCKETS,
     "weather_basic_stats": O_BASIC_STATS,
     "weather_city_quantiles": O_CITY_QUANTILES,
