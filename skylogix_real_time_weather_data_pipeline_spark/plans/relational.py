@@ -472,6 +472,85 @@ SELECT * FROM source
 
 
 # --------------------------------------------------------------------------
+# SCD2 (history-preserving dimension maintenance) — operators/merge.
+# scd2_apply; the oracle spells identical semantics as ANSI CTEs, so the
+# hash check pins close/insert/no-op/new-key behavior simultaneously.
+# --------------------------------------------------------------------------
+
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulated nightly dimension feed against a versioned customer dim:
+    every 89th customer changes segment (close+open), every 97th re-delivers
+    identical attrs (must no-op), and a shifted-key block arrives brand new
+    (insert). Effective date 2000-06-01."""
+    from ..operators.merge import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.to_date(F.lit("1995-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    changes = (
+        c.filter(F.col("c_custkey") % 89 == 0)
+        .select("c_custkey", "c_name", F.lit("SEGMENT_X").alias("c_mktsegment"))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 97 == 0)
+            .select("c_custkey", "c_name", "c_mktsegment")
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 101 == 0).select(
+                (F.col("c_custkey") + 9_000_000).alias("c_custkey"),
+                "c_name",
+                F.lit("SEGMENT_NEW").alias("c_mktsegment"),
+            )
+        )
+    )
+    return scd2_apply(
+        dim, changes, keys=["c_custkey"], attrs=["c_name", "c_mktsegment"],
+        effective_date="2000-06-01",
+    )
+
+
+O_SCD2_APPLY = """
+WITH dim AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+         DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM customer
+),
+changes AS (
+  SELECT c_custkey, c_name, 'SEGMENT_X' AS c_mktsegment
+  FROM customer WHERE c_custkey % 89 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_mktsegment
+  FROM customer WHERE c_custkey % 97 = 0
+  UNION ALL
+  SELECT c_custkey + 9000000, c_name, 'SEGMENT_NEW'
+  FROM customer WHERE c_custkey % 101 = 0
+),
+cur AS (SELECT * FROM dim WHERE valid_to IS NULL),
+j AS (
+  SELECT t.c_custkey AS tk, s.c_custkey AS sk,
+         t.c_name AS t_name, t.c_mktsegment AS t_seg, t.valid_from AS t_vf,
+         s.c_name AS s_name, s.c_mktsegment AS s_seg,
+         (t.c_name IS DISTINCT FROM s.c_name
+          OR t.c_mktsegment IS DISTINCT FROM s.c_mktsegment) AS changed
+  FROM cur t FULL OUTER JOIN changes s ON t.c_custkey = s.c_custkey
+)
+SELECT tk AS c_custkey, t_name AS c_name, t_seg AS c_mktsegment,
+       t_vf AS valid_from, CAST(NULL AS DATE) AS valid_to
+FROM j WHERE tk IS NOT NULL AND (sk IS NULL OR NOT changed)
+UNION ALL
+SELECT tk, t_name, t_seg, t_vf, DATE '2000-06-01'
+FROM j WHERE tk IS NOT NULL AND sk IS NOT NULL AND changed
+UNION ALL
+SELECT sk, s_name, s_seg, DATE '2000-06-01', CAST(NULL AS DATE)
+FROM j WHERE sk IS NOT NULL AND (tk IS NULL OR changed)
+"""
+
+
+# --------------------------------------------------------------------------
 # Distribution windows: ntile / percent_rank / cume_dist over order values.
 # --------------------------------------------------------------------------
 
@@ -1254,6 +1333,7 @@ QUERIES = {
     "rel_returned_items": q_returned_items,
     "rel_late_shipment_priority": q_late_shipment_priority,
     "rel_yearly_growth": q_yearly_growth,
+    "rel_scd2_apply": q_scd2_apply,
 }
 
 ORACLES = {
@@ -1289,4 +1369,5 @@ ORACLES = {
     "rel_returned_items": O_RETURNED_ITEMS,
     "rel_late_shipment_priority": O_LATE_SHIPMENT_PRIORITY,
     "rel_yearly_growth": O_YEARLY_GROWTH,
+    "rel_scd2_apply": O_SCD2_APPLY,
 }
