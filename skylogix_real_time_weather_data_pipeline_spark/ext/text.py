@@ -332,6 +332,38 @@ def mixture_sample(df: DataFrame, rates: dict[str, float], seed: int = 7,
     return df.select(id_col, source_col).filter(h < thr)
 
 
+def split_assign(df: DataFrame, fractions: dict[str, float] | None = None,
+                 seed: int = 13, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test split assignment — the dataset-freeze
+    stage. Each document's split comes from a content-stable hash band of
+    its id (md5 % 10000 against cumulative integer thresholds): NO rand(),
+    so every re-run, retry and engine reproduces the identical split, and
+    membership is decidable per-row (a new document joins its split without
+    touching the others — rand()-based splits reshuffle everything).
+
+    ``fractions`` maps split name → fraction (must sum to 1); bands are
+    assigned in sorted-name order so the mapping is unambiguous. Per-row
+    expression, no shuffle."""
+    from .dedup import _md5_long
+
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    h = F.pmod(_md5_long(F.col(id_col).cast("string"), seed), F.lit(10_000))
+    # cumulative integer thresholds, driver-side: no float arithmetic in
+    # the plan (same policy as mixture_sample)
+    expr = None
+    acc = 0
+    for name in sorted(fractions):
+        acc += int(round(fractions[name] * 10_000))
+        cond = h < F.lit(min(acc, 10_000))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # rounding guard: anything past the last threshold lands in the last band
+    last = sorted(fractions)[-1]
+    return df.select(id_col, expr.otherwise(F.lit(last)).alias("split"))
+
+
 def token_quantiles_by_group(df: DataFrame, group_col: str = "lang",
                              text_col: str = "text",
                              quantiles: tuple[float, ...] = (0.25, 0.5, 0.75)) -> DataFrame:

@@ -25,6 +25,7 @@ _VERIFY_FIRST = (
     "events_props_variant",            # NEW query + oracle
     "weather_zscore_anomalies",        # NEW query + oracle
     "rel_scd2_apply",                  # NEW query + oracle
+    "docs_split_assign",               # NEW query + oracle
     "rel_volume_shipping",             # NEW query + oracle
     "rel_promo_revenue",               # NEW query + oracle
     "rel_small_qty_revenue",           # NEW query + oracle

@@ -1080,6 +1080,29 @@ FROM feat
 """
 
 
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split (ext.text.split_assign).
+# --------------------------------------------------------------------------
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 hash-band split; thresholds are integers in both plans."""
+    return text.split_assign(_docs(spark, sf_dir))
+
+
+O_SPLIT_ASSIGN = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_sql_hash(13, 'CAST(doc_id AS VARCHAR)')} % 10000 AS band
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN band < 500 THEN 'test'
+            WHEN band < 9500 THEN 'train'
+            ELSE 'val' END AS split
+FROM h
+"""
+
+
 QUERIES = {
     "docs_exact_dedup": q_exact_dedup,
     "docs_minhash_signatures": q_minhash_signatures,
@@ -1115,6 +1138,7 @@ QUERIES = {
     "docs_shard": q_shard,
     "docs_tfidf_topk": q_tfidf_topk,
     "docs_quality_filter": q_quality_filter,
+    "docs_split_assign": q_split_assign,
 }
 
 ORACLES = {
@@ -1152,4 +1176,5 @@ ORACLES = {
     "docs_shard": O_SHARD,
     "docs_tfidf_topk": O_TFIDF_TOPK,
     "docs_quality_filter": O_QUALITY_FILTER,
+    "docs_split_assign": O_SPLIT_ASSIGN,
 }

@@ -499,3 +499,24 @@ def test_gopher_quality_filter_rules(spark):
     # flags are consistent with keep
     for r in out.values():
         assert r.keep == (r.ok_word_count and r.ok_word_len and r.ok_repetition and r.ok_stopwords)
+
+
+def test_split_assign_stable_under_corpus_growth(spark):
+    """Hash-band splits are per-row properties: adding documents never
+    reassigns existing ones (rand()-based splits fail this)."""
+    small = spark.createDataFrame([(i, "x") for i in range(50)], "doc_id long, text string")
+    big = spark.createDataFrame([(i, "x") for i in range(100)], "doc_id long, text string")
+    a = {r.doc_id: r.split for r in text.split_assign(small).collect()}
+    b = {r.doc_id: r.split for r in text.split_assign(big).collect()}
+    assert all(b[k] == v for k, v in a.items())
+    assert set(b.values()) <= {"train", "val", "test"}
+    # 90/5/5 roughly holds even at n=100
+    assert sum(1 for v in b.values() if v == "train") > 70
+
+
+def test_split_assign_rejects_bad_fractions(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        text.split_assign(df, {"train": 0.5, "val": 0.2})
