@@ -165,3 +165,27 @@ def silver_pipeline(raw: DataFrame, clean: bool = True) -> DataFrame:
     if clean:
         df = clean_outliers(df)
     return derive_temporal(fill_categoricals(df))
+
+
+def observe_quality(df: DataFrame, name: str = "silver_quality",
+                    columns: Sequence[str] | None = None):
+    """Attach free data-quality metrics to a transform via ``df.observe``:
+    row count plus per-column null counts, collected as a side effect of
+    whatever action consumes the frame — NO second scan, no separate
+    quality job (at 100 TB a dedicated quality pass costs as much as the
+    pipeline itself).
+
+    Returns ``(df, observation)``; read ``observation.get`` after an
+    action. Batch counterpart of the streaming listener's per-batch
+    metrics — together they cover both execution modes with the same
+    names (``n_rows``, ``null_<col>``).
+    """
+    from pyspark.sql import Observation
+
+    columns = [c for c in (columns or NUMERIC_MEASURE_COLUMNS) if c in df.columns]
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    metrics += [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}") for c in columns
+    ]
+    return df.observe(obs, *metrics), obs

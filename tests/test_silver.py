@@ -87,3 +87,21 @@ def test_permissive_corrupt_record_capture(spark, tmp_path):
         assert df.filter(F.col("city_name") == "X").count() == 1
     finally:
         df.unpersist()
+
+
+def test_observe_quality_counts_without_second_scan(spark):
+    from pyspark.sql import functions as F
+
+    from skylogix_real_time_weather_data_pipeline_spark.operators.silver import observe_quality
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (None, 4.0), (3.0, None), (None, None)],
+        "temperature double, humidity double",
+    )
+    observed, obs = observe_quality(df, "q")
+    # one action drives both the result and the metrics
+    assert observed.count() == 4
+    got = obs.get
+    assert got["n_rows"] == 4
+    assert got["null_temperature"] == 2
+    assert got["null_humidity"] == 2
