@@ -142,6 +142,30 @@ class _StreamReader(DataSourceStreamReader):
         pass  # offsets are re-derivable from the fixture files
 
 
+def parse_api_rows(df):
+    """Bridge the source's raw rows into the bronze shape the silver layer
+    consumes (operators/silver.flatten_raw): parse ``payload`` with the
+    declared RAW_WEATHER_SCHEMA (single from_json — codegen, no Python)
+    and lift the nested fields alongside the enrichment columns. Works
+    identically on the batch and streaming forms of the source."""
+    from pyspark.sql import functions as F
+
+    from ..schemas import RAW_WEATHER_SCHEMA
+
+    parsed = F.from_json("payload", RAW_WEATHER_SCHEMA).alias("p")
+    return df.select(
+        "city_name", "country_code", "extraction_timestamp", parsed
+    ).select(
+        "city_name",
+        "country_code",
+        "extraction_timestamp",
+        "p.dt",
+        "p.main",
+        "p.wind",
+        "p.weather",
+    )
+
+
 class WeatherApiDataSource(DataSource):
     """``format("weather_api")`` — see module docstring."""
 

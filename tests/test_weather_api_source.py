@@ -113,3 +113,37 @@ def test_stream_reads_only_new_payloads_per_microbatch(spark, fixture_dir, tmp_p
     assert len(second) == 5
     new = [r for r in second if json.loads(r.payload)["main"]["temp"] in (9.9, 15.0)]
     assert {r.city_name for r in new} == {"London", "Paris"}
+
+
+def test_source_composes_with_silver_flatten(spark, tmp_path):
+    """weather_api → parse_api_rows → silver.flatten_raw runs the
+    reference's extract→transform path entirely through the engine's own
+    source and operators."""
+    from skylogix_real_time_weather_data_pipeline_spark.operators.silver import flatten_raw
+    from skylogix_real_time_weather_data_pipeline_spark.sources.weather_api import (
+        parse_api_rows,
+    )
+
+    d = tmp_path / "api"
+    d.mkdir()
+    payload = {
+        "dt": 1717243200,  # 2024-06-01T12:00:00Z
+        "main": {"temp": 11.5, "feels_like": 10.0, "temp_min": 9.0,
+                 "temp_max": 13.0, "pressure": 1012.0, "humidity": 70.0},
+        "wind": {"speed": 3.4, "deg": 180.0},
+        "weather": [{"main": "Clouds", "description": "scattered clouds"}],
+    }
+    _write_fixture(d, "London", "GB", [payload])
+    _register(spark)
+    raw = (
+        spark.read.format("weather_api")
+        .option("fixture_dir", str(d))
+        .option("fixed_now", NOW)
+        .load()
+    )
+    flat = flatten_raw(parse_api_rows(raw))
+    r = flat.collect()[0]
+    assert r.city == "London" and r.country == "GB"
+    assert r.temperature == 11.5 and r.wind_speed == 3.4
+    assert r.weather_condition == "Clouds"
+    assert str(r.timestamp) == "2024-06-01 12:00:00"  # epoch dt wins (P3)
