@@ -332,6 +332,30 @@ def mixture_sample(df: DataFrame, rates: dict[str, float], seed: int = 7,
     return df.select(id_col, source_col).filter(h < thr)
 
 
+def split_expr(id_col: str | Column = "doc_id",
+               fractions: dict[str, float] | None = None,
+               seed: int = 13) -> Column:
+    """Expression form of :func:`split_assign` (embeddable in single-scan
+    pipelines). Cumulative integer thresholds over md5(id) % 10000 in
+    sorted-name band order; no float arithmetic in the plan."""
+    from .dedup import _md5_long
+
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.pmod(_md5_long(col.cast("string"), seed), F.lit(10_000))
+    expr = None
+    acc = 0
+    for name in sorted(fractions):
+        acc += int(round(fractions[name] * 10_000))
+        cond = h < F.lit(min(acc, 10_000))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # rounding guard: anything past the last threshold lands in the last band
+    return expr.otherwise(F.lit(sorted(fractions)[-1]))
+
+
 def split_assign(df: DataFrame, fractions: dict[str, float] | None = None,
                  seed: int = 13, id_col: str = "doc_id") -> DataFrame:
     """Deterministic train/val/test split assignment — the dataset-freeze
@@ -344,24 +368,7 @@ def split_assign(df: DataFrame, fractions: dict[str, float] | None = None,
     ``fractions`` maps split name → fraction (must sum to 1); bands are
     assigned in sorted-name order so the mapping is unambiguous. Per-row
     expression, no shuffle."""
-    from .dedup import _md5_long
-
-    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
-    total = sum(fractions.values())
-    if abs(total - 1.0) > 1e-9:
-        raise ValueError(f"fractions must sum to 1, got {total}")
-    h = F.pmod(_md5_long(F.col(id_col).cast("string"), seed), F.lit(10_000))
-    # cumulative integer thresholds, driver-side: no float arithmetic in
-    # the plan (same policy as mixture_sample)
-    expr = None
-    acc = 0
-    for name in sorted(fractions):
-        acc += int(round(fractions[name] * 10_000))
-        cond = h < F.lit(min(acc, 10_000))
-        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-    # rounding guard: anything past the last threshold lands in the last band
-    last = sorted(fractions)[-1]
-    return df.select(id_col, expr.otherwise(F.lit(last)).alias("split"))
+    return df.select(id_col, split_expr(id_col, fractions, seed).alias("split"))
 
 
 def token_quantiles_by_group(df: DataFrame, group_col: str = "lang",
@@ -440,6 +447,42 @@ GOPHER_RULES = {
 }
 
 
+def gopher_features(text_col: str | Column = "text",
+                    rules: dict | None = None) -> dict[str, Column]:
+    """Expression form of the Gopher rules — an ordered dict of named
+    Columns (features, per-rule booleans, conjunctive ``keep``) so other
+    single-scan pipelines can embed the rules without a join back to
+    :func:`gopher_quality_filter`'s projection."""
+    r = {**GOPHER_RULES, **(rules or {})}
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(text)
+    n_words = F.size(toks)
+    n_words_nz = F.nullif(n_words, F.lit(0))
+    mean_wl = F.length(F.regexp_replace(text, "\\s+", "")) / n_words_nz
+    total_sh = F.greatest(n_words - 2, F.lit(1))
+    dup_ratio = F.lit(1) - F.size(shingles(text, 3)) / total_sh.cast("double")
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+
+    flag_words = n_words.between(r["min_words"], r["max_words"])
+    flag_wl = F.coalesce(
+        mean_wl.between(r["min_mean_word_len"], r["max_mean_word_len"]), F.lit(False)
+    )
+    flag_dup = dup_ratio <= r["max_dup_shingle_ratio"]
+    flag_stop = stop_hits >= r["min_stopword_hits"]
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.round(mean_wl, 6),
+        "dup_shingle_ratio": F.round(dup_ratio, 6),
+        "stopword_hits": stop_hits,
+        "ok_word_count": flag_words,
+        "ok_word_len": flag_wl,
+        "ok_repetition": flag_dup,
+        "ok_stopwords": flag_stop,
+        "keep": flag_words & flag_wl & flag_dup & flag_stop,
+    }
+
+
 def gopher_quality_filter(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
                           rules: dict | None = None) -> DataFrame:
@@ -453,34 +496,8 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
     One narrow codegen projection — no shuffle, no Python; at 100 TB this
     runs at parquet-scan speed and the keep flag prunes before any
     downstream shuffle."""
-    r = {**GOPHER_RULES, **(rules or {})}
-    toks = tokens(text_col)
-    n_words = F.size(toks)
-    n_words_nz = F.nullif(n_words, F.lit(0))
-    mean_wl = F.length(F.regexp_replace(F.col(text_col), "\\s+", "")) / n_words_nz
-    total_sh = F.greatest(n_words - 2, F.lit(1))
-    dup_ratio = F.lit(1) - F.size(shingles(F.col(text_col), 3)) / total_sh.cast("double")
-    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
-
-    flag_words = n_words.between(r["min_words"], r["max_words"])
-    flag_wl = F.coalesce(
-        mean_wl.between(r["min_mean_word_len"], r["max_mean_word_len"]), F.lit(False)
-    )
-    flag_dup = dup_ratio <= r["max_dup_shingle_ratio"]
-    flag_stop = stop_hits >= r["min_stopword_hits"]
-    return df.select(
-        id_col,
-        n_words.alias("n_words"),
-        F.round(mean_wl, 6).alias("mean_word_len"),
-        F.round(dup_ratio, 6).alias("dup_shingle_ratio"),
-        stop_hits.alias("stopword_hits"),
-        flag_words.alias("ok_word_count"),
-        flag_wl.alias("ok_word_len"),
-        flag_dup.alias("ok_repetition"),
-        flag_stop.alias("ok_stopwords"),
-        (flag_words & flag_wl & flag_dup & flag_stop).alias("keep"),
-    )
+    feats = gopher_features(text_col, rules)
+    return df.select(id_col, *[c.alias(n) for n, c in feats.items()])
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:

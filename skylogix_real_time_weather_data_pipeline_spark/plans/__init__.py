@@ -26,6 +26,7 @@ _VERIFY_FIRST = (
     "weather_zscore_anomalies",        # NEW query + oracle
     "rel_scd2_apply",                  # NEW query + oracle
     "docs_split_assign",               # NEW query + oracle
+    "docs_curation_pipeline",          # NEW query + oracle
     "rel_volume_shipping",             # NEW query + oracle
     "rel_promo_revenue",               # NEW query + oracle
     "rel_small_qty_revenue",           # NEW query + oracle

@@ -1103,6 +1103,65 @@ FROM h
 """
 
 
+# --------------------------------------------------------------------------
+# Composed curation pipeline: quality-filter → split → per-(split, lang)
+# corpus statistics, in ONE scan. The operators expose expression forms
+# (gopher_features / split_expr) precisely so composition doesn't become
+# three scans joined on doc_id.
+# --------------------------------------------------------------------------
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-build summary table: how many documents and tokens land
+    in each (split, lang) cell AFTER quality filtering — what you check
+    before freezing a training mixture. Single narrow projection → filter
+    → one agg shuffle."""
+    d = _docs(spark, sf_dir)
+    keep = text.gopher_features()["keep"]
+    return (
+        d.select(
+            "lang",
+            F.size(text.tokens("text")).alias("n_tok"),
+            text.split_expr("doc_id").alias("split"),
+            keep.alias("keep"),
+        )
+        .filter(F.col("keep"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+        )
+    )
+
+
+O_CURATION_PIPELINE = TOK_CTE + f"""
+, feat AS (
+  SELECT t.doc_id,
+         len(t.tk) AS n_words,
+         len(regexp_replace(t.text, '\\s+', '', 'g')) * 1.0 / nullif(len(t.tk), 0) AS mwl,
+         1 - len(s.shingles) * 1.0 / greatest(len(t.tk) - 2, 1) AS dup_ratio,
+         len(list_filter(t.tk,
+             x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS stop_hits
+  FROM toks t JOIN sh s USING (doc_id)
+), kept AS (
+  SELECT doc_id, n_words FROM feat
+  WHERE (n_words BETWEEN 25 AND 80) AND COALESCE(mwl BETWEEN 3.5 AND 5.0, FALSE)
+    AND dup_ratio <= 0.05 AND stop_hits >= 2
+), banded AS (
+  SELECT k.doc_id, k.n_words, d.lang,
+         CASE WHEN {_sql_hash(13, 'CAST(k.doc_id AS VARCHAR)')} % 10000 < 500 THEN 'test'
+              WHEN {_sql_hash(13, 'CAST(k.doc_id AS VARCHAR)')} % 10000 < 9500 THEN 'train'
+              ELSE 'val' END AS split
+  FROM kept k JOIN documents d USING (doc_id)
+)
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+       ROUND(AVG(n_words), 6) AS avg_tokens
+FROM banded GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "docs_exact_dedup": q_exact_dedup,
     "docs_minhash_signatures": q_minhash_signatures,
@@ -1139,6 +1198,7 @@ QUERIES = {
     "docs_tfidf_topk": q_tfidf_topk,
     "docs_quality_filter": q_quality_filter,
     "docs_split_assign": q_split_assign,
+    "docs_curation_pipeline": q_curation_pipeline,
 }
 
 ORACLES = {
@@ -1177,4 +1237,5 @@ ORACLES = {
     "docs_tfidf_topk": O_TFIDF_TOPK,
     "docs_quality_filter": O_QUALITY_FILTER,
     "docs_split_assign": O_SPLIT_ASSIGN,
+    "docs_curation_pipeline": O_CURATION_PIPELINE,
 }

@@ -173,3 +173,12 @@ def test_top_transitions_three_exchanges_max(spark, sf_dir, qs):
     else may shuffle."""
     plan = _physical(qs["events_top_transitions"](spark, sf_dir))
     assert len(re.findall(r"Exchange (?:hash|range)partitioning", plan)) <= 3
+
+
+def test_curation_pipeline_is_single_scan_single_shuffle(spark, sf_dir, qs):
+    """Filter + split + token-count compose as EXPRESSIONS over one scan
+    (gopher_features / split_expr) — a join-on-doc_id composition would
+    triple the scan count."""
+    plan = _physical(qs["docs_curation_pipeline"](spark, sf_dir))
+    assert len(re.findall(r"FileScan", plan)) == 1
+    assert len(re.findall(r"Exchange (?:hash|range)partitioning", plan)) <= 1
