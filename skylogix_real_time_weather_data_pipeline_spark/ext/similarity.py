@@ -452,3 +452,59 @@ def kmeans_assign(df: DataFrame, k: int = 4, n_iter: int = 2,
         updated = {r["cluster"]: [float(x) for x in r["cv"]] for r in means}
         cents = [updated.get(i, c) for i, c in enumerate(cents)]
     return _assign(df).drop(vec_col)
+
+
+def ivf_quantized_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
+                       nprobe: int = 1, rerank_factor: int = 4,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       label_col: str = "label") -> DataFrame:
+    """The full production-ANN composition: IVF cell pruning → int8 ADC
+    scoring → exact re-rank of the short list.
+
+    At 100 TB each stage cuts the next one's input: the probe reads
+    nprobe/ncells of the corpus (file-level pruning with cell-partitioned
+    storage), ADC scores those candidates through 4×-smaller codes, and
+    only ``rerank_factor × k`` survivors get the exact float cosine. The
+    whole chain is ONE scan — vectors ride along to the short list (tiny
+    after the TakeOrdered) instead of re-joining the corpus for re-rank.
+    Everything is deterministic expressions, so the DuckDB oracle replays
+    the identical three stages bit-for-bit.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cents = centroids_by_label(df, vec_col, label_col)
+    probed = [
+        r[0]
+        for r in cents.select(label_col, cosine(F.col("centroid"), q).alias("s"))
+        .orderBy(F.desc("s"), F.asc(label_col))
+        .limit(nprobe)
+        .collect()
+    ]
+    cell = df.filter(F.col(label_col).isin(probed))
+
+    v = F.col(vec_col)
+    vmin = F.array_min(F.transform(v, lambda x: x.cast("double")))
+    vmax = F.array_max(F.transform(v, lambda x: x.cast("double")))
+    scale = (vmax - vmin) / F.lit(255.0)
+    dq = F.transform(
+        v,
+        lambda x: vmin
+        + F.coalesce(
+            F.floor((x.cast("double") - vmin) / F.nullif(scale, F.lit(0.0)) + 0.5),
+            F.lit(0),
+        )
+        * scale,
+    )
+    shortlist = (
+        cell.select(id_col, vec_col, F.round(cosine(dq, q), 6).alias("approx_cosine"))
+        .orderBy(F.desc("approx_cosine"), F.asc(id_col))
+        .limit(rerank_factor * k)
+    )
+    return (
+        shortlist.select(
+            id_col,
+            "approx_cosine",
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -39,6 +39,7 @@ _VERIFY_FIRST = (
     "rel_scd2_apply",                  # NEW query + oracle
     "docs_split_assign",               # NEW query + oracle
     "docs_curation_pipeline",          # NEW query + oracle
+    "emb_ivf_quantized_topk",          # NEW query + oracle
     "rel_volume_shipping",             # NEW query + oracle
     "rel_promo_revenue",               # NEW query + oracle
     "rel_small_qty_revenue",           # NEW query + oracle

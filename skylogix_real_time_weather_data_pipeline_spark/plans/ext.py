@@ -842,6 +842,66 @@ ORDER BY cosine_sim DESC, vec_id ASC LIMIT {_TOPK}
 
 
 # --------------------------------------------------------------------------
+# IVF + int8 ADC + exact re-rank: the three-stage production-ANN
+# composition (similarity.ivf_quantized_topk), single scan.
+# --------------------------------------------------------------------------
+
+_RERANK = 4
+
+
+def q_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    row = embs.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in row[0]]
+    return similarity.ivf_quantized_topk(
+        embs.filter(F.col("vec_id") != 0), qv, k=_TOPK, nprobe=_NPROBE,
+        rerank_factor=_RERANK,
+    )
+
+
+O_IVF_QUANTIZED_TOPK = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0),
+pe AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+  FROM corpus
+),
+centv AS (
+  SELECT label, list(m ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, AVG(CAST(v AS DOUBLE)) AS m FROM pe GROUP BY label, pos)
+  GROUP BY label
+),
+probe AS (
+  SELECT label FROM centv, q
+  ORDER BY ({_COS_CENT_Q}) DESC, label ASC
+  LIMIT {_NPROBE}
+),
+prep AS (
+  SELECT vec_id, embedding,
+         list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vmin,
+         list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vmax
+  FROM corpus WHERE label IN (SELECT label FROM probe)
+),
+dq AS (SELECT vec_id, embedding, {_DQ} AS dv FROM prep),
+adc AS (
+  SELECT vec_id, embedding,
+         ROUND(
+           list_sum(list_transform(range(1, len(dv) + 1), i -> dv[i] * CAST(qv[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(dv, x -> x * x)))
+              * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) AS approx_cosine
+  FROM dq, q
+),
+short AS (
+  SELECT * FROM adc ORDER BY approx_cosine DESC, vec_id ASC LIMIT {_RERANK * _TOPK}
+)
+SELECT vec_id, approx_cosine, ROUND({_COS_EMB_Q}, 6) AS cosine_sim
+FROM short, q
+ORDER BY cosine_sim DESC, vec_id ASC LIMIT {_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
 # Per-cell pairwise top-k similarity join — rows-only check (heavy SQL)
 # --------------------------------------------------------------------------
 
@@ -1199,6 +1259,7 @@ QUERIES = {
     "docs_quality_filter": q_quality_filter,
     "docs_split_assign": q_split_assign,
     "docs_curation_pipeline": q_curation_pipeline,
+    "emb_ivf_quantized_topk": q_ivf_quantized_topk,
 }
 
 ORACLES = {
@@ -1238,4 +1299,5 @@ ORACLES = {
     "docs_quality_filter": O_QUALITY_FILTER,
     "docs_split_assign": O_SPLIT_ASSIGN,
     "docs_curation_pipeline": O_CURATION_PIPELINE,
+    "emb_ivf_quantized_topk": O_IVF_QUANTIZED_TOPK,
 }

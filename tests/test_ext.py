@@ -520,3 +520,29 @@ def test_split_assign_rejects_bad_fractions(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         text.split_assign(df, {"train": 0.5, "val": 0.2})
+
+
+def test_ivf_quantized_topk_finds_planted_neighbor(spark):
+    """The 3-stage chain (cell prune → int8 ADC → exact re-rank) must
+    still surface a planted near-duplicate at rank 1, and re-ranking must
+    order by the EXACT cosine, not the quantized approximation."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(40):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(64)], i % 4))
+    query = rows[7][1]
+    near = [v * 1.001 + 0.0005 for v in query]
+    rows.append((999, near, rows[7][2]))  # planted neighbor in query's cell
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    out = similarity.ivf_quantized_topk(
+        df.filter(F.col("vec_id") != 7), query, k=5, nprobe=1
+    ).collect()
+    assert out[0].vec_id == 999
+    assert out[0].cosine_sim > 0.999
+    # exact re-rank column orders the output (desc), approx rides along
+    sims = [r.cosine_sim for r in out]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r.approx_cosine is not None for r in out)
