@@ -40,6 +40,7 @@ _VERIFY_FIRST = (
     "docs_split_assign",               # NEW query + oracle
     "docs_curation_pipeline",          # NEW query + oracle
     "emb_ivf_quantized_topk",          # NEW query + oracle
+    "rel_product_profit",              # NEW query + oracle
     "rel_volume_shipping",             # NEW query + oracle
     "rel_promo_revenue",               # NEW query + oracle
     "rel_small_qty_revenue",           # NEW query + oracle
@@ -56,7 +57,6 @@ _VERIFY_FIRST = (
     "emb_kmeans",                      # NEW query + oracle
     "rel_fuzzy_part_names",            # NEW query + oracle
     "rel_rolling_revenue",             # NEW query + oracle
-    "emb_pairwise_topk",               # NEW oracle (was rows-only)
     "docs_shard",                      # NEW query + oracle
     "events_gap_fill",                 # NEW query + oracle
     "weather_correlations",            # NEW query + oracle
@@ -81,6 +81,9 @@ _VERIFY_FIRST = (
     "docs_dedup_decisions",            # NEW query + oracle
     "emb_quantize_int8",               # NEW query + oracle
     "emb_quantized_topk",              # NEW query + oracle
+    # --- window boundary (driver checks 50): below here only r01/r02-seen
+    # --- queries remain; their new/changed oracles are locally verified ---
+    "emb_pairwise_topk",               # NEW oracle (was rows-only; r02-seen)
     "emb_ivf_topk",                    # NEW all-SQL oracle (was rows-only)
     "emb_lsh_near_dup_pairs",          # rewrite: single-eval candidates; oracle threshold
     "weather_quantile_summary",        # rewrite: single-scan percentile arrays

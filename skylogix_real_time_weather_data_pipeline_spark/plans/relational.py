@@ -1242,6 +1242,59 @@ GROUP BY o_orderpriority
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q9-shaped product profit: 5-table join with a LIKE part filter and
+# a computed measure spanning three tables. (The testdata has no partsupp,
+# so supply cost is proxied as 60% of retail price — the SHAPE is Q9's:
+# selective dim filter → two fact shuffles → two broadcast dims → agg on
+# (nation, year).)
+# --------------------------------------------------------------------------
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on 'bolt' parts per supplier nation per order year. The LIKE
+    filter lands on the part scan (253/2000 parts survive) and the
+    broadcast part join then prunes lineitem rows before the orders
+    shuffle — dim selectivity doing the fact pruning, Q9's core trick."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(profit), 2).alias("profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+O_PRODUCT_PROFIT = """
+SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 2) AS profit,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Year-over-year growth: lag window over a pre-aggregated (nation, year)
 # frame — the standard reporting pattern (agg first, window the small set).
 # --------------------------------------------------------------------------
@@ -1334,6 +1387,7 @@ QUERIES = {
     "rel_late_shipment_priority": q_late_shipment_priority,
     "rel_yearly_growth": q_yearly_growth,
     "rel_scd2_apply": q_scd2_apply,
+    "rel_product_profit": q_product_profit,
 }
 
 ORACLES = {
@@ -1370,4 +1424,5 @@ ORACLES = {
     "rel_late_shipment_priority": O_LATE_SHIPMENT_PRIORITY,
     "rel_yearly_growth": O_YEARLY_GROWTH,
     "rel_scd2_apply": O_SCD2_APPLY,
+    "rel_product_profit": O_PRODUCT_PROFIT,
 }
