@@ -18,17 +18,16 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface)
 #: full registry is additionally verified locally each round
 #: (scripts/local_verify.py → CORRECTNESS_LOCAL_r{N}.json, committed).
 #:
-#: Round 3 has MORE changed/new queries than window slots (48 brand-new +
-#: 8 changed oracles + 6 rotation re-verifies > 50). Priority order, by
-#: driver-verification risk: (1) all 48 never-driver-verified queries,
-#: (2) emb_ivf_topk / emb_pairwise_topk whose oracles went rows-only →
-#: full SQL (a brand-new oracle is an unexecuted oracle). That fills the
-#: window exactly. The spilled items are lowest-risk by construction:
-#: the cap-mirror oracle edits (minhash/jaccard/clusters/pii) are no-ops
-#: at the driver's sf0.01 (caps never trigger there, r02 hash-verified
-#: the identical effective comparison), and the 6 rotation entries are
-#: unchanged since their r01 green. All 107 are hash-green in the
-#: committed CORRECTNESS_LOCAL_r03.json.
+#: Round 3 has MORE changed/new queries than window slots (50 brand-new +
+#: 8 changed oracles + 6 rotation re-verifies > 50). Priority: the 50
+#: never-driver-verified queries fill the window EXACTLY. The spilled
+#: items are lowest-risk by construction: emb_ivf_topk/emb_pairwise_topk
+#: were r01/r02-row-verified and their upgraded full-SQL oracles are
+#: locally hash-verified; the cap-mirror oracle edits (minhash/jaccard/
+#: clusters/pii) are no-ops at the driver's sf0.01 (caps never trigger
+#: there, r02 hash-verified the identical effective comparison); the 6
+#: rotation entries are unchanged since their r01 green. The ENTIRE
+#: registry is hash-green in the committed CORRECTNESS_LOCAL_r03.json.
 _VERIFY_FIRST = (
     # --- implementation or oracle changed in round 3 ---
     "docs_tfidf_topk",                 # NEW query + oracle
