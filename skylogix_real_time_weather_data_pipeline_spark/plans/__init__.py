@@ -18,18 +18,22 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface)
 #: full registry is additionally verified locally each round
 #: (scripts/local_verify.py → CORRECTNESS_LOCAL_r{N}.json, committed).
 #:
-#: Round 3 has MORE changed/new queries than window slots (50 brand-new +
+#: Round 3 has MORE changed/new queries than window slots (52 brand-new +
 #: 8 changed oracles + 6 rotation re-verifies > 50). Priority: the 50
-#: never-driver-verified queries fill the window EXACTLY. The spilled
-#: items are lowest-risk by construction: emb_ivf_topk/emb_pairwise_topk
-#: were r01/r02-row-verified and their upgraded full-SQL oracles are
-#: locally hash-verified; the cap-mirror oracle edits (minhash/jaccard/
-#: clusters/pii) are no-ops at the driver's sf0.01 (caps never trigger
-#: there, r02 hash-verified the identical effective comparison); the 6
-#: rotation entries are unchanged since their r01 green. The ENTIRE
-#: registry is hash-green in the committed CORRECTNESS_LOCAL_r03.json.
+#: highest-risk never-driver-verified queries fill the window EXACTLY. The
+#: spilled items are lowest-risk by construction: emb_quantize_int8 /
+#: emb_quantized_topk are pure integer arithmetic with integer-threshold
+#: oracles; emb_ivf_topk/emb_pairwise_topk were r01/r02-row-verified and
+#: their upgraded full-SQL oracles are locally hash-verified; the
+#: cap-mirror oracle edits (minhash/jaccard/clusters/pii) are no-ops at
+#: the driver's sf0.01 (caps never trigger there, r02 hash-verified the
+#: identical effective comparison); the 6 rotation entries are unchanged
+#: since their r01 green. The ENTIRE registry is hash-green in the
+#: committed CORRECTNESS_LOCAL_r03.json.
 _VERIFY_FIRST = (
     # --- implementation or oracle changed in round 3 ---
+    "rel_large_orders",                # NEW query + oracle
+    "rel_waiting_suppliers",           # NEW query + oracle
     "docs_tfidf_topk",                 # NEW query + oracle
     "docs_quality_filter",             # NEW query + oracle
     "events_top_transitions",          # NEW query + oracle
@@ -78,10 +82,10 @@ _VERIFY_FIRST = (
     "rel_grouping_sets",               # NEW query + oracle
     "rel_unpivot_city_metrics",        # NEW query + oracle
     "docs_dedup_decisions",            # NEW query + oracle
-    "emb_quantize_int8",               # NEW query + oracle
-    "emb_quantized_topk",              # NEW query + oracle
-    # --- window boundary (driver checks 50): below here only r01/r02-seen
-    # --- queries remain; their new/changed oracles are locally verified ---
+    # --- window boundary (driver checks 50): below here everything is
+    # --- locally hash-verified; spill rationale in the note above ---
+    "emb_quantize_int8",               # NEW query + oracle (integer-exact)
+    "emb_quantized_topk",              # NEW query + oracle (integer-exact)
     "emb_pairwise_topk",               # NEW oracle (was rows-only; r02-seen)
     "emb_ivf_topk",                    # NEW all-SQL oracle (was rows-only)
     "emb_lsh_near_dup_pairs",          # rewrite: single-eval candidates; oracle threshold

@@ -1340,6 +1340,117 @@ WINDOW w AS (PARTITION BY nationkey ORDER BY o_year)
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q18-shaped large-volume customers: HAVING over a fact aggregation,
+# then key joins on the tiny survivor set.
+# --------------------------------------------------------------------------
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total lineitem quantity exceeds 300, with the customer
+    who placed them (TPC-H Q18 shape).
+
+    The qualifying set AND its total_qty come from ONE lineitem aggregation
+    — classic Q18 puts the HAVING in an IN-subquery and re-joins lineitem
+    to re-sum, a second fact scan this plan never does. orders/customer
+    attach to the O(survivors) intermediate by key joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+O_LARGE_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING ROUND(SUM(l_quantity), 2) > 300
+)
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21-shaped waiting suppliers: the classic EXISTS + NOT EXISTS
+# double self-join collapsed into the one per-order aggregation the query
+# already needs.
+# --------------------------------------------------------------------------
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the SOLE late shipper (>120 days after the order
+    date) on finished multi-supplier orders, ranked by how many late items
+    they delivered (TPC-H Q21 shape; lateness adapted to l_shipdate vs
+    o_orderdate — testdata carries no commit/receipt dates).
+
+    Classic Q21 is EXISTS + NOT EXISTS correlated self-joins on lineitem —
+    two extra fact scans and shuffles. Per order, ``n_supp > 1`` is
+    EXISTS(other supplier) and ``n_late_supp = 1`` is NOT EXISTS(other late
+    supplier), so both subqueries fold into the single groupBy(l_orderkey)
+    pass: one fact scan, one shuffle, identical result. The oracle runs the
+    textbook EXISTS form to prove the equivalence. When exactly one
+    supplier is late, min(late suppkey) IS that supplier and every late
+    item on the order is theirs."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 120 DAYS")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn("late_supp", F.when(late, F.col("l_suppkey")))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("late_supp").alias("n_late_supp"),
+            F.min("late_supp").alias("late_suppkey"),
+            F.count("late_supp").alias("n_late_items"),
+        )
+    )
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .groupBy("late_suppkey")
+        .agg(F.sum("n_late_items").alias("numwait"))
+        .join(F.broadcast(s), F.col("late_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name", F.col("numwait").cast("long").alias("numwait"))
+    )
+
+
+O_WAITING_SUPPLIERS = """
+SELECT s_name, n_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 120 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 120 DAY)
+GROUP BY s_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
 # Approximate distinct (HLL sketch) — rows-only check (approximate result
 # has no exact ANSI oracle; exact counterpart is rel_distinct_parts).
 # --------------------------------------------------------------------------
@@ -1388,6 +1499,8 @@ QUERIES = {
     "rel_yearly_growth": q_yearly_growth,
     "rel_scd2_apply": q_scd2_apply,
     "rel_product_profit": q_product_profit,
+    "rel_large_orders": q_large_orders,
+    "rel_waiting_suppliers": q_waiting_suppliers,
 }
 
 ORACLES = {
@@ -1425,4 +1538,6 @@ ORACLES = {
     "rel_yearly_growth": O_YEARLY_GROWTH,
     "rel_scd2_apply": O_SCD2_APPLY,
     "rel_product_profit": O_PRODUCT_PROFIT,
+    "rel_large_orders": O_LARGE_ORDERS,
+    "rel_waiting_suppliers": O_WAITING_SUPPLIERS,
 }

@@ -182,3 +182,18 @@ def test_curation_pipeline_is_single_scan_single_shuffle(spark, sf_dir, qs):
     plan = _physical(qs["docs_curation_pipeline"](spark, sf_dir))
     assert len(re.findall(r"FileScan", plan)) == 1
     assert len(re.findall(r"Exchange (?:hash|range)partitioning", plan)) <= 1
+
+
+def test_waiting_suppliers_single_lineitem_scan(spark, sf_dir, qs):
+    """Q21's EXISTS + NOT EXISTS are folded into the per-order aggregation:
+    lineitem must be scanned ONCE, not three times (l1/l2/l3), and the only
+    non-broadcast joins are lineitem↔orders and the two dim attaches."""
+    plan = _physical(qs["rel_waiting_suppliers"](spark, sf_dir))
+    assert len(re.findall(r"FileScan parquet.*lineitem", plan)) == 1
+
+
+def test_large_orders_single_lineitem_scan(spark, sf_dir, qs):
+    """Q18's HAVING subquery form re-scans lineitem to re-sum quantities;
+    the single-aggregation plan must not."""
+    plan = _physical(qs["rel_large_orders"](spark, sf_dir))
+    assert len(re.findall(r"FileScan parquet.*lineitem", plan)) == 1
