@@ -454,6 +454,61 @@ def kmeans_assign(df: DataFrame, k: int = 4, n_iter: int = 2,
     return _assign(df).drop(vec_col)
 
 
+def semdedup(df: DataFrame, k: int = 4, n_iter: int = 2, threshold: float = 0.35,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    k-means clustering + within-cluster cosine pruning, confining the
+    quadratic pairwise stage to cluster blocks (pick k ~ sqrt(n) so block
+    sizes stay tractable; the paper runs 50k clusters over LAION).
+
+    Deterministic keep rule (the paper picks a per-group representative by
+    centroid distance; we pin the lexicographic variant so an ANSI oracle
+    can replay it): a vector is DROPPED iff some lower-id member of its
+    cluster has cosine >= threshold with it — the upper-triangle
+    max-similarity pruning production curation stacks use. The default
+    threshold suits the synthetic near-orthogonal test corpus; real-corpus
+    deployments run 0.95+.
+
+    Plan shape: the k-means assignment is localCheckpoint'ed because it
+    feeds BOTH the pair fan-out and the final decision join — without the
+    checkpoint Spark re-evaluates the whole Lloyd assignment subtree per
+    branch. Pairs come from the same sorted-id group fan-out as
+    minhash_lsh_pairs (one shuffle, never a cluster self-join); vectors
+    attach to candidates by id-equi-joins and the Arrow pairwise kernel
+    scores each pair once (asNondeterministic pins evaluate-once
+    placement; the threshold compares the ROUNDED score, oracle mirrors).
+
+    Returns (vec_id, cluster, keep).
+    """
+    from .dedup import _pairs_from_sorted_ids
+
+    assigned = kmeans_assign(
+        df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col
+    ).localCheckpoint()
+    cand = (
+        assigned.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    score = pairwise_cosine_arrow().asNondeterministic()
+    drops = (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .select("id_b", F.round(score(F.col("va"), F.col("vb")), 6).alias("cs"))
+        .filter(F.col("cs") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        assigned.join(drops, id_col, "left")
+        .select(id_col, "cluster", F.col("_drop").isNull().alias("keep"))
+    )
+
+
 def ivf_quantized_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
                        nprobe: int = 1, rerank_factor: int = 4,
                        vec_col: str = "embedding", id_col: str = "vec_id",

@@ -18,7 +18,7 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface)
 #: full registry is additionally verified locally each round
 #: (scripts/local_verify.py → CORRECTNESS_LOCAL_r{N}.json, committed).
 #:
-#: Round 3 has MORE changed/new queries than window slots (52 brand-new +
+#: Round 3 has MORE changed/new queries than window slots (53 brand-new +
 #: 8 changed oracles + 6 rotation re-verifies > 50). Priority: the 50
 #: highest-risk never-driver-verified queries fill the window EXACTLY. The
 #: spilled items are lowest-risk by construction: emb_quantize_int8 /
@@ -32,6 +32,7 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface)
 #: committed CORRECTNESS_LOCAL_r03.json.
 _VERIFY_FIRST = (
     # --- implementation or oracle changed in round 3 ---
+    "emb_semdedup",                    # NEW query + oracle
     "rel_large_orders",                # NEW query + oracle
     "rel_waiting_suppliers",           # NEW query + oracle
     "docs_tfidf_topk",                 # NEW query + oracle
@@ -81,9 +82,9 @@ _VERIFY_FIRST = (
     "rel_order_percentiles",           # NEW query + oracle
     "rel_grouping_sets",               # NEW query + oracle
     "rel_unpivot_city_metrics",        # NEW query + oracle
-    "docs_dedup_decisions",            # NEW query + oracle
     # --- window boundary (driver checks 50): below here everything is
     # --- locally hash-verified; spill rationale in the note above ---
+    "docs_dedup_decisions",            # NEW query + oracle (decision table over the verified docs_dedup_clusters)
     "emb_quantize_int8",               # NEW query + oracle (integer-exact)
     "emb_quantized_topk",              # NEW query + oracle (integer-exact)
     "emb_pairwise_topk",               # NEW oracle (was rows-only; r02-seen)

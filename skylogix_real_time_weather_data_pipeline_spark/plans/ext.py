@@ -986,7 +986,10 @@ _KM_DIST = """
                 * (CAST(e.embedding[i] AS DOUBLE) - {c}.cv[i])))
 """
 
-O_KMEANS = f"""
+#: Shared Lloyd-replay CTE chain (seeds → assign → recompute → reassign);
+#: O_KMEANS appends the final assignment select, O_SEMDEDUP appends the
+#: within-cluster pruning on top of the same assignment.
+_KM_CTES = f"""
 WITH seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
@@ -1016,11 +1019,52 @@ d1 AS (
   SELECT e.vec_id, t.c, {_KM_DIST.format(c='t')} AS dist
   FROM embeddings e CROSS JOIN c1 t
 )
+"""
+
+O_KMEANS = _KM_CTES + """
 SELECT vec_id, CAST(c AS INTEGER) AS cluster, ROUND(dist, 6) AS sqdist FROM (
   SELECT vec_id, c, dist,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
   FROM d1
 ) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# SemDeDup semantic dedup (similarity.semdedup): k-means blocks, then
+# within-cluster cosine pruning with the keep-lowest-id rule.
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_THRESHOLD = 0.35
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector keep/drop decisions (SemDeDup, arXiv:2303.09540). The
+    oracle replays the identical Lloyd recurrence as unrolled CTEs, then
+    the same upper-triangle pruning: drop iff a lower-id cluster-mate has
+    rounded cosine >= threshold."""
+    return similarity.semdedup(
+        _embs(spark, sf_dir), k=_KM_K, n_iter=_KM_ITER,
+        threshold=_SEMDEDUP_THRESHOLD,
+    )
+
+
+O_SEMDEDUP = _KM_CTES + f"""
+, asg AS (
+  SELECT vec_id, CAST(c AS INTEGER) AS cluster FROM (
+    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+pr AS (
+  SELECT y.vec_id AS id_b, ROUND({_PAIR_COS}, 6) AS cs
+  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  JOIN embeddings a ON a.vec_id = x.vec_id
+  JOIN embeddings b ON b.vec_id = y.vec_id
+),
+drops AS (SELECT DISTINCT id_b FROM pr WHERE cs >= {_SEMDEDUP_THRESHOLD})
+SELECT asg.vec_id, asg.cluster, (d.id_b IS NULL) AS keep
+FROM asg LEFT JOIN drops d ON asg.vec_id = d.id_b
 """
 
 
@@ -1254,6 +1298,7 @@ QUERIES = {
     "docs_decontaminate": q_decontaminate,
     "emb_centroids_by_label": q_centroids_by_label,
     "emb_kmeans": q_kmeans,
+    "emb_semdedup": q_semdedup,
     "docs_shard": q_shard,
     "docs_tfidf_topk": q_tfidf_topk,
     "docs_quality_filter": q_quality_filter,
@@ -1294,6 +1339,7 @@ ORACLES = {
     "docs_decontaminate": O_DECONTAMINATE,
     "emb_centroids_by_label": O_CENTROIDS_BY_LABEL,
     "emb_kmeans": O_KMEANS,
+    "emb_semdedup": O_SEMDEDUP,
     "docs_shard": O_SHARD,
     "docs_tfidf_topk": O_TFIDF_TOPK,
     "docs_quality_filter": O_QUALITY_FILTER,

@@ -197,3 +197,13 @@ def test_large_orders_single_lineitem_scan(spark, sf_dir, qs):
     the single-aggregation plan must not."""
     plan = _physical(qs["rel_large_orders"](spark, sf_dir))
     assert len(re.findall(r"FileScan parquet.*lineitem", plan)) == 1
+
+
+def test_semdedup_checkpoints_assignment_no_lloyd_reeval(spark, sf_dir, qs):
+    """The k-means assignment feeds both the pair fan-out and the decision
+    join; the localCheckpoint must stop Spark re-evaluating the Lloyd
+    subtree per branch — only the two vector-attach scans of embeddings
+    may remain."""
+    plan = _physical(qs["emb_semdedup"](spark, sf_dir))
+    assert len(re.findall(r"FileScan parquet.*embeddings", plan)) <= 2
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
