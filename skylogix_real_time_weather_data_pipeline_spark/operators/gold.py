@@ -214,8 +214,17 @@ def temperature_trends(df: DataFrame, city: str = "city", temp: str = "temperatu
     small aggregated set. Stage 2 is a lag window per city ordered by day.
     Label semantics preserved verbatim: sum(change) > 0 → 'warming',
     else (including exactly 0) → 'cooling' (SURVEY §7.4.1d).
+
+    Determinism pin: the daily mean is SUM(DECIMAL)/COUNT, not AVG(double)
+    — float partial-agg fold order varies run to run, and every daily mean
+    feeds ~27 downstream diffs here, so a last-ulp wobble at a 6-decimal
+    rounding boundary flipped one output cell in ~1 of 10 local sweeps.
+    Decimal summation is exact and order-independent; stage 2 then runs in
+    sorted per-city partitions, so the whole query is bit-stable.
     """
-    daily = df.groupBy(city, date).agg(F.avg(temp).alias("t"))
+    daily = df.groupBy(city, date).agg(
+        (F.sum(F.col(temp).cast("decimal(20,10)")).cast("double") / F.count(temp)).alias("t")
+    )
     w = Window.partitionBy(city).orderBy(date)
     delta = daily.withColumn("change", F.col("t") - F.lag("t", 1).over(w))
     return (

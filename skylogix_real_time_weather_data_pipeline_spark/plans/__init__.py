@@ -32,6 +32,7 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface)
 #: committed CORRECTNESS_LOCAL_r03.json.
 _VERIFY_FIRST = (
     # --- implementation or oracle changed in round 3 ---
+    "weather_temperature_trends",      # CHANGED: decimal-exact daily mean (flake fix)
     "emb_semdedup",                    # NEW query + oracle
     "rel_large_orders",                # NEW query + oracle
     "rel_waiting_suppliers",           # NEW query + oracle
@@ -81,9 +82,9 @@ _VERIFY_FIRST = (
     "docs_pack",                       # NEW query + recursive-CTE oracle
     "rel_order_percentiles",           # NEW query + oracle
     "rel_grouping_sets",               # NEW query + oracle
-    "rel_unpivot_city_metrics",        # NEW query + oracle
     # --- window boundary (driver checks 50): below here everything is
     # --- locally hash-verified; spill rationale in the note above ---
+    "rel_unpivot_city_metrics",        # NEW query + oracle (native unpivot — mechanical melt)
     "docs_dedup_decisions",            # NEW query + oracle (decision table over the verified docs_dedup_clusters)
     "emb_quantize_int8",               # NEW query + oracle (integer-exact)
     "emb_quantized_topk",              # NEW query + oracle (integer-exact)

@@ -1263,10 +1263,14 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation")
+    # Per-row doubles are bit-identical across engines (same expression
+    # order); the SUM is where fold order wobbles the last ulp, which at a
+    # 2-decimal rounding boundary flips the output. Cast each row's profit
+    # to decimal before summing: exact, order-independent.
     profit = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
-    )
+    ).cast("decimal(24,10)")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -1274,7 +1278,7 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(F.sum(profit), 2).alias("profit"),
+            F.round(F.sum(profit).cast("double"), 2).alias("profit"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -1282,8 +1286,9 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_PRODUCT_PROFIT = """
 SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)
-                 - 0.6 * p_retailprice * l_quantity), 2) AS profit,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           - 0.6 * p_retailprice * l_quantity
+                           AS DECIMAL(24,10))) AS DOUBLE), 2) AS profit,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%bolt%'

@@ -296,7 +296,11 @@ def q_temperature_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_TEMPERATURE_TRENDS = OBS_CTE + """
 , daily AS (
-  SELECT city, "date", AVG(temperature) AS t FROM obs GROUP BY city, "date"
+  -- decimal sum mirrors the engine's order-independent daily mean
+  SELECT city, "date",
+         CAST(SUM(CAST(temperature AS DECIMAL(20,10))) AS DOUBLE)
+           / COUNT(temperature) AS t
+  FROM obs GROUP BY city, "date"
 ), delta AS (
   SELECT city, t - lag(t) OVER (PARTITION BY city ORDER BY "date") AS change FROM daily
 )
