@@ -16,6 +16,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.exact import dmean
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ as a strict left-to-right fold (deterministic fp order)."""
@@ -111,7 +113,9 @@ def centroids_by_label(df: DataFrame, vec_col: str = "embedding",
     of k-means cells; swap in Spark ML KMeans for unlabeled corpora).
     """
     pe = df.select(label_col, F.posexplode(vec_col).alias("pos", "v"))
-    means = pe.groupBy(label_col, "pos").agg(F.avg(F.col("v").cast("double")).alias("m"))
+    # decimal-exact mean: the centroid feeds distance rankings downstream,
+    # so a fold-order ulp would make probe/top-k selection nondeterministic
+    means = pe.groupBy(label_col, "pos").agg(dmean(F.col("v").cast("double")).alias("m"))
     return means.groupBy(label_col).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
@@ -440,7 +444,7 @@ def kmeans_assign(df: DataFrame, k: int = 4, n_iter: int = 2,
         means = (
             assigned.select("cluster", F.posexplode(vec_col).alias("pos", "v"))
             .groupBy("cluster", "pos")
-            .agg(F.round(F.avg(F.col("v").cast("double")), round_to).alias("m"))
+            .agg(F.round(dmean(F.col("v").cast("double")), round_to).alias("m"))
             .groupBy("cluster")
             .agg(
                 F.transform(

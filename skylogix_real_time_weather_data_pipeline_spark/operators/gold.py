@@ -18,6 +18,11 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# dmean folds in decimal so every rounded mean is order-independent — at
+# 6-dp rounding across tens of thousands of (date, city) cells, plain
+# AVG(double) flips a boundary cell every few runs (functions/exact.py).
+from ..functions.exact import dmean
+
 
 def basic_stats(df: DataFrame, ts: str = "timestamp", temp: str = "temperature",
                 humidity: str = "humidity", wind: str = "wind_speed") -> DataFrame:
@@ -31,14 +36,14 @@ def basic_stats(df: DataFrame, ts: str = "timestamp", temp: str = "temperature",
         F.max(ts).alias("ts_max"),
         F.round(F.min(temp), 6).alias("temp_min"),
         F.round(F.max(temp), 6).alias("temp_max"),
-        F.round(F.avg(temp), 6).alias("temp_mean"),
+        F.round(dmean(temp), 6).alias("temp_mean"),
         F.round(F.expr(f"percentile({temp}, 0.5)"), 6).alias("temp_median"),
         F.round(F.min(humidity), 6).alias("humidity_min"),
         F.round(F.max(humidity), 6).alias("humidity_max"),
-        F.round(F.avg(humidity), 6).alias("humidity_mean"),
+        F.round(dmean(humidity), 6).alias("humidity_mean"),
         F.round(F.min(wind), 6).alias("wind_min"),
         F.round(F.max(wind), 6).alias("wind_max"),
-        F.round(F.avg(wind), 6).alias("wind_mean"),
+        F.round(dmean(wind), 6).alias("wind_mean"),
     )
 
 
@@ -47,11 +52,11 @@ def city_comparison(df: DataFrame, city: str = "city", temp: str = "temperature"
     """A2/A3: per-city multi-aggregate summary (reference src/analyze.py:185-213,
     src/load.py:188-196). Rounding to 2 mirrors the summary sink (P13)."""
     return df.groupBy(city).agg(
-        F.round(F.avg(temp), 2).alias("temp_mean"),
+        F.round(dmean(temp), 2).alias("temp_mean"),
         F.round(F.min(temp), 2).alias("temp_min"),
         F.round(F.max(temp), 2).alias("temp_max"),
-        F.round(F.avg(humidity), 2).alias("humidity_mean"),
-        F.round(F.avg(wind), 2).alias("wind_mean"),
+        F.round(dmean(humidity), 2).alias("humidity_mean"),
+        F.round(dmean(wind), 2).alias("wind_mean"),
         F.count(F.lit(1)).alias("n_obs"),
     )
 
@@ -63,7 +68,7 @@ def warmest_coldest(df: DataFrame, city: str = "city", temp: str = "temperature"
     Implemented as rank-1 selection over the (small) per-city aggregate —
     the aggregate shuffles once; the window runs on the tiny result.
     """
-    per_city = df.groupBy(city).agg(F.round(F.avg(temp), 6).alias("temp_mean"))
+    per_city = df.groupBy(city).agg(F.round(dmean(temp), 6).alias("temp_mean"))
     w_hot = Window.orderBy(F.desc("temp_mean"), F.asc(city))
     w_cold = Window.orderBy(F.asc("temp_mean"), F.asc(city))
     hot = (
@@ -83,7 +88,7 @@ def daily_city_agg(df: DataFrame, city: str = "city", temp: str = "temperature",
                    date: str = "date") -> DataFrame:
     """A5: two-key (date, city) daily aggregate (reference src/analyze.py:239-243)."""
     return df.groupBy(date, city).agg(
-        F.round(F.avg(temp), 6).alias("temp_mean"),
+        F.round(dmean(temp), 6).alias("temp_mean"),
         F.round(F.min(temp), 6).alias("temp_low"),
         F.round(F.max(temp), 6).alias("temp_high"),
         F.count(F.lit(1)).alias("n_obs"),
@@ -121,7 +126,7 @@ def daily_pivot(df: DataFrame, pivot_values: Sequence[str], city: str = "city",
     Explicit ``pivot_values`` keeps the plan single-pass and the output
     column order deterministic (SURVEY §7.4.3).
     """
-    out = df.groupBy(date).pivot(city, list(pivot_values)).agg(F.round(F.avg(temp), 6))
+    out = df.groupBy(date).pivot(city, list(pivot_values)).agg(F.round(dmean(temp), 6))
     # normalize pivot column names in ONE select (chained withColumnRenamed
     # nests a projection per value — O(values) plan depth on wide pivots)
     return out.select(
@@ -168,19 +173,30 @@ def linear_fit(df: DataFrame, x: str = "temperature", y: str = "humidity") -> Da
     slope = covar_pop(x,y)/var_pop(x); intercept = avg(y) - slope*avg(x).
     Single aggregation pass; no ML dependency, no iteration.
     """
-    agg = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull()).agg(
-        F.covar_pop(x, y).alias("_cov"),
-        F.var_pop(x).alias("_var"),
-        F.avg(x).alias("_mx"),
-        F.avg(y).alias("_my"),
-        F.corr(x, y).alias("_r"),
+    # closed form over exact decimal sums: covar_pop/var_pop/corr merge
+    # partial moments in a run-varying order, so their last ulp wobbles;
+    # the five sums below are order-independent, and everything after them
+    # is scalar double math that both engines evaluate identically.
+    def dsx(col):
+        return F.sum(col.cast("decimal(28,10)")).cast("double")
+
+    cx, cy = F.col(x), F.col(y)
+    agg = df.filter(cx.isNotNull() & cy.isNotNull()).agg(
+        dsx(cx).alias("_sx"),
+        dsx(cy).alias("_sy"),
+        dsx(cx * cx).alias("_sxx"),
+        dsx(cy * cy).alias("_syy"),
+        dsx(cx * cy).alias("_sxy"),
         F.count(F.lit(1)).alias("n"),
     )
-    slope = F.col("_cov") / F.col("_var")
+    n, sx, sy = F.col("n"), F.col("_sx"), F.col("_sy")
+    sxx, syy, sxy = F.col("_sxx"), F.col("_syy"), F.col("_sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    pearson = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
     return agg.select(
         F.round(slope, 6).alias("slope"),
-        F.round(F.col("_my") - slope * F.col("_mx"), 6).alias("intercept"),
-        F.round(F.col("_r"), 6).alias("pearson_r"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(pearson, 6).alias("pearson_r"),
         F.col("n"),
     )
 
@@ -231,10 +247,12 @@ def temperature_trends(df: DataFrame, city: str = "city", temp: str = "temperatu
         delta.filter(F.col("change").isNotNull())
         .groupBy(city)
         .agg(
-            F.round(F.avg("change"), 6).alias("avg_change"),
+            F.round(dmean("change"), 6).alias("avg_change"),
             F.round(F.max("change"), 6).alias("max_change"),
             F.round(F.min("change"), 6).alias("min_change"),
-            F.round(F.sum("change"), 6).alias("sum_change"),
+            F.round(F.sum(F.col("change").cast("decimal(24,10)")).cast("double"), 6).alias(
+                "sum_change"
+            ),
         )
         .withColumn(
             "trend",
@@ -255,9 +273,22 @@ def zscore_anomalies(df: DataFrame, value: str = "temperature", city: str = "cit
     threshold test, so engine last-ulp summation differences can't flip a
     boundary row (same pinning policy as the LSH cosine thresholds).
     """
-    stats = df.groupBy(city).agg(
-        F.round(F.avg(value), 6).alias("_mean"),
-        F.round(F.stddev_samp(value), 6).alias("_std"),
+    # mean and stddev from exact decimal sums (sum, sum-of-squares): the
+    # built-in stddev_samp merges partial moments in run-varying order and
+    # its 6-dp rounding gates the anomaly filter. No cancellation hazard:
+    # sxx and sx²/n are the same magnitude only when variance ≈ 0, and a
+    # zero-variance city has no anomalies by definition.
+    c = F.col(value)
+    moments = df.groupBy(city).agg(
+        F.sum(c.cast("decimal(28,10)")).cast("double").alias("_sx"),
+        F.sum((c * c).cast("decimal(28,10)")).cast("double").alias("_sxx"),
+        F.count(value).alias("_n"),
+    )
+    _n, _sx, _sxx = F.col("_n"), F.col("_sx"), F.col("_sxx")
+    stats = moments.select(
+        city,
+        F.round(_sx / _n, 6).alias("_mean"),
+        F.round(F.sqrt((_sxx - _sx * _sx / _n) / (_n - 1)), 6).alias("_std"),
     )
     z = F.round((F.col(value) - F.col("_mean")) / F.col("_std"), 6)
     return (

@@ -18,59 +18,63 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface)
 #: full registry is additionally verified locally each round
 #: (scripts/local_verify.py → CORRECTNESS_LOCAL_r{N}.json, committed).
 #:
-#: Round 3 has MORE changed/new queries than window slots (53 brand-new +
-#: 8 changed oracles + 6 rotation re-verifies > 50). Priority: the 50
-#: highest-risk never-driver-verified queries fill the window EXACTLY. The
-#: spilled items are lowest-risk by construction: emb_quantize_int8 /
-#: emb_quantized_topk are pure integer arithmetic with integer-threshold
-#: oracles; emb_ivf_topk/emb_pairwise_topk were r01/r02-row-verified and
-#: their upgraded full-SQL oracles are locally hash-verified; the
-#: cap-mirror oracle edits (minhash/jaccard/clusters/pii) are no-ops at
-#: the driver's sf0.01 (caps never trigger there, r02 hash-verified the
-#: identical effective comparison); the 6 rotation entries are unchanged
-#: since their r01 green. The ENTIRE registry is hash-green in the
-#: committed CORRECTNESS_LOCAL_r03.json.
+#: Round 3 has MORE changed/new queries than window slots. The decimal-
+#: exact determinism sweep (functions/exact.py) touched ~45 oracles; most
+#: are MECHANICAL (same math, the SUM/AVG fold wrapped in DECIMAL — the
+#: rounded outputs are value-identical except at the flaky boundary cells
+#: the sweep exists to pin). Window priority, highest risk first:
+#:   tier 1 — queries whose oracle LOGIC changed this round (new estimator
+#:     formula, or an exact fold now feeding a filter/rank gate);
+#:   tier 2 — brand-new round-3 queries the driver has never checked.
+#: Spilled below the boundary: mechanical decimal wraps and the lowest-risk
+#: new queries (integer-exact or composition-of-verified pieces); every
+#: spilled item is hash-green in the committed CORRECTNESS_LOCAL_r03.json,
+#: which re-runs the ENTIRE registry at the driver's own sf0.01.
 _VERIFY_FIRST = (
-    # --- implementation or oracle changed in round 3 ---
-    "weather_temperature_trends",      # CHANGED: decimal-exact daily mean (flake fix)
-    "emb_semdedup",                    # NEW query + oracle
+    # --- tier 1: oracle logic changed (formula/gate rewrites) ---
+    "weather_linear_fit",              # CHANGED: exact-sum closed form (was covar/var/corr)
+    "weather_zscore_anomalies",        # CHANGED: stddev from exact moments (gates the filter)
+    "weather_temperature_trends",      # CHANGED: decimal daily mean + rounded-sum label compare
+    "emb_centroids_by_label",          # CHANGED: decimal centroid means
+    "emb_kmeans",                      # CHANGED: decimal per-iteration centroid means
+    "emb_semdedup",                    # NEW + shares kmeans' changed centroid recurrence
+    "emb_ivf_topk",                    # CHANGED: oracle centroid means now decimal-exact
+    "emb_ivf_quantized_topk",          # NEW + same centroid change
+    "sql_priority_with_exists",        # CHANGED: exact mean in the filter-gating subquery
+    "rel_lost_customers",              # CHANGED: exact mean gates the balance filter
+    "rel_supplier_value",              # CHANGED: exact sums feed the 4%-of-total gate
+    "rel_top_supplier",                # CHANGED: exact sums feed the argmax gate
+    "rel_small_qty_revenue",           # CHANGED: exact sum under the /7.0 output
+    "rel_market_share",                # CHANGED: exact-sum ratio (num and denom)
+    "rel_promo_revenue",               # CHANGED: exact-sum ratio (num and denom)
+    "rel_rolling_revenue",             # CHANGED: decimal end-to-end through the RANGE window
+    "rel_running_order_total",         # CHANGED: decimal ROWS-window running sum
+    # --- tier 2: brand-new round-3 queries, never driver-verified ---
     "rel_large_orders",                # NEW query + oracle
     "rel_waiting_suppliers",           # NEW query + oracle
     "docs_tfidf_topk",                 # NEW query + oracle
     "docs_quality_filter",             # NEW query + oracle
     "events_top_transitions",          # NEW query + oracle
     "events_props_variant",            # NEW query + oracle
-    "weather_zscore_anomalies",        # NEW query + oracle
     "rel_scd2_apply",                  # NEW query + oracle
     "docs_split_assign",               # NEW query + oracle
     "docs_curation_pipeline",          # NEW query + oracle
-    "emb_ivf_quantized_topk",          # NEW query + oracle
-    "rel_product_profit",              # NEW query + oracle
+    "rel_product_profit",              # NEW query + oracle (decimal profit sum)
     "rel_volume_shipping",             # NEW query + oracle
-    "rel_promo_revenue",               # NEW query + oracle
-    "rel_small_qty_revenue",           # NEW query + oracle
     "rel_order_count_distribution",    # NEW query + oracle
-    "rel_top_supplier",                # NEW query + oracle
     "rel_returned_items",              # NEW query + oracle
     "rel_late_shipment_priority",      # NEW query + oracle
     "rel_yearly_growth",               # NEW query + oracle
     "docs_decontaminate",              # NEW query + oracle
-    "emb_centroids_by_label",          # NEW query + oracle
     "events_funnel",                   # NEW query + oracle
     "events_retention",                # NEW query + oracle
     "events_props_stats",              # NEW query + oracle
-    "emb_kmeans",                      # NEW query + oracle
     "rel_fuzzy_part_names",            # NEW query + oracle
-    "rel_rolling_revenue",             # NEW query + oracle
     "docs_shard",                      # NEW query + oracle
     "events_gap_fill",                 # NEW query + oracle
     "weather_correlations",            # NEW query + oracle
-    "weather_temperature_buckets",     # NEW query + oracle
     "sql_recursive_chains",            # NEW query + oracle
     "rel_disjunctive_revenue",         # NEW query + oracle
-    "rel_market_share",                # NEW query + oracle
-    "rel_supplier_value",              # NEW query + oracle
-    "rel_lost_customers",              # NEW query + oracle
     "docs_simhash_near_pairs",         # NEW query + oracle
     "rel_salted_join",                 # NEW query + oracle
     "rel_merge_upsert",                # NEW query + oracle
@@ -79,26 +83,44 @@ _VERIFY_FIRST = (
     "docs_token_quantiles_by_lang",    # NEW query + oracle
     "docs_repetition_stats",           # NEW query + oracle
     "stream_window_topk",              # NEW query + oracle
-    "docs_pack",                       # NEW query + recursive-CTE oracle
-    "rel_order_percentiles",           # NEW query + oracle
-    "rel_grouping_sets",               # NEW query + oracle
     # --- window boundary (driver checks 50): below here everything is
-    # --- locally hash-verified; spill rationale in the note above ---
-    "rel_unpivot_city_metrics",        # NEW query + oracle (native unpivot — mechanical melt)
-    "docs_dedup_decisions",            # NEW query + oracle (decision table over the verified docs_dedup_clusters)
-    "emb_quantize_int8",               # NEW query + oracle (integer-exact)
-    "emb_quantized_topk",              # NEW query + oracle (integer-exact)
+    # --- locally hash-verified at sf0.01; spill rationale above ---
+    # new but lowest-risk (integer-exact / composition of verified pieces):
+    "weather_temperature_buckets",     # NEW (CASE bucket counts — integer-exact)
+    "docs_pack",                       # NEW + recursive-CTE oracle (integer greedy packing)
+    "rel_order_percentiles",           # NEW (deterministic percentile interpolation)
+    "rel_grouping_sets",               # NEW (integer quantity sums)
+    "rel_unpivot_city_metrics",        # NEW (mechanical melt of converted city_comparison)
+    "docs_dedup_decisions",            # NEW (decision table over verified docs_dedup_clusters)
+    "emb_quantize_int8",               # NEW (integer-exact)
+    "emb_quantized_topk",              # NEW (integer-exact)
     "emb_pairwise_topk",               # NEW oracle (was rows-only; r02-seen)
-    "emb_ivf_topk",                    # NEW all-SQL oracle (was rows-only)
+    # mechanical decimal wraps (same math, exact fold; local-verified):
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_top_customers_per_nation",
+    "rel_segment_monthly",
+    "rel_shipping_priority",
+    "rel_cube_lineitem",
+    "weather_basic_stats",
+    "weather_city_comparison",
+    "weather_warmest_coldest",
+    "weather_daily_city_agg",
+    "weather_daily_pivot",
+    "weather_humidity_decile_agg",
+    "sql_forecast_revenue",
+    "stream_tumbling_daily",
+    "stream_sliding_6h",
+    "stream_sessionize",
+    "stream_range_join_windows",
+    # earlier round-3 rewrites, r02-or-local green:
     "emb_lsh_near_dup_pairs",          # rewrite: single-eval candidates; oracle threshold
     "weather_quantile_summary",        # rewrite: single-scan percentile arrays
     "docs_minhash_lsh_pairs",          # oracle: bucket cap mirrored
     "docs_ngram_jaccard_pairs",        # oracle: shingle-df cap mirrored
     "docs_dedup_clusters",             # oracle: bucket cap mirrored
     "docs_pii_scrub",                  # phone pattern tightened
-    # --- green in r01 but absent from CORRECTNESS_r02 (VERDICT item 8:
-    # --- re-verify on fresh driver runs) ---
-    "stream_tumbling_daily",
+    # green in r01 but absent from CORRECTNESS_r02 (VERDICT item 8):
     "stream_asof_last_purchase",
     "docs_normalize",
     "docs_chunk",

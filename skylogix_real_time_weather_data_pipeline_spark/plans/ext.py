@@ -823,7 +823,7 @@ pe AS (
 ),
 centv AS (
   SELECT label, list(m ORDER BY pos) AS centroid
-  FROM (SELECT label, pos, AVG(CAST(v AS DOUBLE)) AS m FROM pe GROUP BY label, pos)
+  FROM (SELECT label, pos, (CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(24,10))) AS DOUBLE) / COUNT(v)) AS m FROM pe GROUP BY label, pos)
   GROUP BY label
 ),
 probe AS (
@@ -868,7 +868,7 @@ pe AS (
 ),
 centv AS (
   SELECT label, list(m ORDER BY pos) AS centroid
-  FROM (SELECT label, pos, AVG(CAST(v AS DOUBLE)) AS m FROM pe GROUP BY label, pos)
+  FROM (SELECT label, pos, (CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(24,10))) AS DOUBLE) / COUNT(v)) AS m FROM pe GROUP BY label, pos)
   GROUP BY label
 ),
 probe AS (
@@ -955,7 +955,7 @@ WITH ex AS (
   SELECT label, unnest(list_transform(embedding, (v, i) -> {'pos': i, 'v': v})) AS u
   FROM embeddings
 ), per AS (
-  SELECT label, u.pos AS pos, ROUND(AVG(CAST(u.v AS DOUBLE)), 6) AS m
+  SELECT label, u.pos AS pos, ROUND((CAST(SUM(CAST(CAST(u.v AS DOUBLE) AS DECIMAL(24,10))) AS DOUBLE) / COUNT(u.v)), 6) AS m
   FROM ex GROUP BY label, pos
 ), cents AS (
   SELECT label, list(m ORDER BY pos) AS centroid FROM per GROUP BY label
@@ -1010,7 +1010,7 @@ ex1 AS (
   FROM embeddings e JOIN a0 USING (vec_id)
 ),
 m1 AS (
-  SELECT c, u.pos AS pos, ROUND(AVG(CAST(u.v AS DOUBLE)), 6) AS m
+  SELECT c, u.pos AS pos, ROUND((CAST(SUM(CAST(CAST(u.v AS DOUBLE) AS DECIMAL(24,10))) AS DOUBLE) / COUNT(u.v)), 6) AS m
   FROM ex1 GROUP BY c, pos
 ),
 c1m AS (SELECT c, list(m ORDER BY pos) AS cv FROM m1 GROUP BY c),

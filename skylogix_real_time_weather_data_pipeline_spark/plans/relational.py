@@ -16,6 +16,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+# Order-independent aggregates: every ROUND(SUM|AVG(double)) that feeds the
+# driver's hash compare folds in DECIMAL (see functions/exact.py for why —
+# float fold order varies run to run and flips rounding-boundary cells).
+# Integer-valued double sums (quantities, counts) are exact as-is and stay
+# plain. Each oracle uses the sql_* twin so both engines fold identically.
+from ..functions.exact import dmean, dsum, dsumx, sql_dmean, sql_dsum, sql_dsumx
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -38,28 +45,28 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(dsum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(dsumx(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+                dsumx(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(dmean("l_extendedprice"), 6).alias("avg_price"),
+            F.round(dmean("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
 
 
-O_PRICING_SUMMARY = """
+O_PRICING_SUMMARY = f"""
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND({sql_dsum('l_extendedprice')}, 2) AS sum_base_price,
+       ROUND({sql_dsumx('l_extendedprice * (1 - l_discount)')}, 2) AS sum_disc_price,
+       ROUND({sql_dsumx('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}, 2) AS sum_charge,
        ROUND(AVG(l_quantity), 6) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 6) AS avg_price,
-       ROUND(AVG(l_discount), 6) AS avg_disc,
+       ROUND({sql_dmean('l_extendedprice')}, 6) AS avg_price,
+       ROUND({sql_dmean('l_discount')}, 6) AS avg_disc,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -88,15 +95,15 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(dsumx(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
-O_REVENUE_BY_NATION = """
+O_REVENUE_BY_NATION = f"""
 SELECT n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ROUND({sql_dsumx('l_extendedprice * (1 - l_discount)')}, 2) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -117,7 +124,7 @@ def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    spend = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    spend = o.groupBy("o_custkey").agg(F.round(dsum("o_totalprice"), 2).alias("total_spend"))
     joined = (
         spend.join(c, spend.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -130,9 +137,9 @@ def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_TOP_CUSTOMERS_PER_NATION = """
+O_TOP_CUSTOMERS_PER_NATION = f"""
 WITH spend AS (
-  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend
+  SELECT o_custkey, ROUND({sql_dsum('o_totalprice')}, 2) AS total_spend
   FROM orders GROUP BY o_custkey
 )
 SELECT n_name, c_custkey, c_name, total_spend,
@@ -163,16 +170,16 @@ def q_segment_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+            F.round(dsum("o_totalprice"), 2).alias("total_value"),
         )
     )
 
 
-O_SEGMENT_MONTHLY = """
+O_SEGMENT_MONTHLY = f"""
 SELECT c_mktsegment AS segment,
        strftime(o_orderdate, '%Y-%m') AS order_month,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS total_value
+       ROUND({sql_dsum('o_totalprice')}, 2) AS total_value
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1, 2
 """
@@ -275,15 +282,20 @@ def q_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        # decimal window fold: Spark accumulates running frames sequentially
+        # but DuckDB uses segment trees — different fold orders over 150k
+        # output cells, so exact decimal is the only bit-stable choice
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"), 2).alias(
+            "running_total"
+        ),
     )
 
 
 O_RUNNING_ORDER_TOTAL = """
 SELECT o_custkey, o_orderkey,
-       ROUND(SUM(o_totalprice) OVER (
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total
 FROM orders
 """
 
@@ -323,15 +335,15 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(dsumx(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
 
 
-O_SHIPPING_PRIORITY = """
+O_SHIPPING_PRIORITY = f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ROUND({sql_dsumx('l_extendedprice * (1 - l_discount)')}, 2) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -384,14 +396,14 @@ def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.round(dmean("l_discount"), 6).alias("avg_disc"),
     )
 
 
-O_CUBE_LINEITEM = """
+O_CUBE_LINEITEM = f"""
 SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(AVG(l_discount), 6) AS avg_disc
+       ROUND({sql_dmean('l_discount')}, 6) AS avg_disc
 FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
 """
 
@@ -417,14 +429,14 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = salted_join(li, s, "suppkey", salt_factor=8)
     return joined.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.round(dsumx(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
 
-O_SALTED_JOIN = """
+O_SALTED_JOIN = f"""
 SELECT s_nationkey AS nationkey,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ROUND({sql_dsumx('l_extendedprice * (1 - l_discount)')}, 2) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_nationkey
@@ -695,21 +707,21 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
-                / F.sum(vol),
+                dsumx(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / dsumx(vol),
                 6,
             ).alias("mkt_share"),
-            F.round(F.sum(vol), 2).alias("total_volume"),
+            F.round(dsumx(vol), 2).alias("total_volume"),
         )
     )
 
 
-O_MARKET_SHARE = """
+_MS_VOL = "l_extendedprice * (1 - l_discount)"
+O_MARKET_SHARE = f"""
 SELECT EXTRACT(year FROM o_orderdate) AS o_year,
-       ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_volume
+       ROUND({sql_dsumx(f"CASE WHEN n2.n_name = 'NATION_3' THEN {_MS_VOL} ELSE 0 END")}
+             / {sql_dsumx(_MS_VOL)}, 6) AS mkt_share,
+       ROUND({sql_dsumx(_MS_VOL)}, 2) AS total_volume
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -739,9 +751,9 @@ def q_supplier_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_nation = (
         li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("s_nationkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("value"))
+        .agg(F.round(dsumx(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("value"))
     )
-    total = per_nation.agg(F.round(F.sum("value"), 2).alias("grand_total"))
+    total = per_nation.agg(F.round(dsum("value"), 2).alias("grand_total"))
     return (
         per_nation.crossJoin(F.broadcast(total))
         .filter(F.col("value") > 0.04 * F.col("grand_total"))
@@ -749,15 +761,15 @@ def q_supplier_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_SUPPLIER_VALUE = """
+O_SUPPLIER_VALUE = f"""
 WITH per_nation AS (
   SELECT s_nationkey AS nationkey,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS value
+         ROUND({sql_dsumx('l_extendedprice * (1 - l_discount)')}, 2) AS value
   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
   GROUP BY s_nationkey
 )
 SELECT nationkey, value FROM per_nation
-WHERE value > 0.04 * (SELECT ROUND(SUM(value), 2) FROM per_nation)
+WHERE value > 0.04 * (SELECT ROUND({sql_dsum('value')}, 2) FROM per_nation)
 """
 
 
@@ -780,7 +792,9 @@ def q_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+        # decimal-exact: this mean GATES the balance filter, so a last-ulp
+        # wobble would change the row set, not just a printed digit
+        F.round(dmean("c_acctbal"), 2).alias("avg_bal")
     )
     return (
         c.crossJoin(F.broadcast(avg_bal))
@@ -789,17 +803,17 @@ def q_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(
             F.count(F.lit(1)).alias("n_custs"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.round(dsum("c_acctbal"), 2).alias("total_bal"),
         )
     )
 
 
-O_LOST_CUSTOMERS = """
+O_LOST_CUSTOMERS = f"""
 SELECT c_nationkey AS nationkey,
        CAST(COUNT(*) AS BIGINT) AS n_custs,
-       ROUND(SUM(c_acctbal), 2) AS total_bal
+       ROUND({sql_dsum('c_acctbal')}, 2) AS total_bal
 FROM customer
-WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 2) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT ROUND({sql_dmean('c_acctbal')}, 2) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '2000-01-01')
@@ -837,14 +851,14 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(dsumx(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
-O_DISJUNCTIVE_REVENUE = """
-SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+O_DISJUNCTIVE_REVENUE = f"""
+SELECT ROUND({sql_dsumx('l_extendedprice * (1 - l_discount)')}, 2) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
@@ -873,7 +887,10 @@ def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("nationkey"),
             F.to_date("o_orderdate").alias("day"),
         )
-        .agg(F.sum("o_totalprice").alias("day_rev"))
+        # decimal end-to-end: the daily sum AND the rolling window both fold
+        # exactly (DuckDB computes window aggs via segment trees — yet
+        # another fold order — so a double day_rev would wobble twice)
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_rev"))
     )
     w = (
         Window.partitionBy("nationkey")
@@ -883,23 +900,23 @@ def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "nationkey",
         "day",
-        F.round("day_rev", 2).alias("day_rev"),
-        F.round(F.sum("day_rev").over(w), 2).alias("rev_7d"),
+        F.round(F.col("day_rev").cast("double"), 2).alias("day_rev"),
+        F.round(F.sum("day_rev").over(w).cast("double"), 2).alias("rev_7d"),
     )
 
 
 O_ROLLING_REVENUE = """
 WITH daily AS (
   SELECT c_nationkey AS nationkey, CAST(o_orderdate AS DATE) AS day,
-         SUM(o_totalprice) AS day_rev
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY 1, 2
 )
-SELECT nationkey, day, ROUND(day_rev, 2) AS day_rev,
-       ROUND(SUM(day_rev) OVER (
+SELECT nationkey, day, ROUND(CAST(day_rev AS DOUBLE), 2) AS day_rev,
+       ROUND(CAST(SUM(day_rev) OVER (
          PARTITION BY nationkey ORDER BY day
          RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
-       ), 2) AS rev_7d
+       ) AS DOUBLE), 2) AS rev_7d
 FROM daily
 """
 
@@ -971,16 +988,16 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume"),
+            F.round(dsumx(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
-O_VOLUME_SHIPPING = """
+O_VOLUME_SHIPPING = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        EXTRACT(year FROM l_shipdate) AS l_year,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS volume,
+       ROUND({sql_dsumx('l_extendedprice * (1 - l_discount)')}, 2) AS volume,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem
 JOIN supplier  ON l_suppkey = s_suppkey
@@ -1017,20 +1034,20 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-                / F.sum(rev),
+                * dsumx(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / dsumx(rev),
                 6,
             ).alias("promo_pct"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(dsumx(rev), 2).alias("total_revenue"),
         )
     )
 
 
-O_PROMO_REVENUE = """
-SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+_PR_REV = "l_extendedprice * (1 - l_discount)"
+O_PROMO_REVENUE = f"""
+SELECT ROUND(100.0 * {sql_dsumx(f"CASE WHEN p_type = 'PROMO' THEN {_PR_REV} ELSE 0 END")}
+             / {sql_dsumx(_PR_REV)}, 6) AS promo_pct,
+       ROUND({sql_dsumx(_PR_REV)}, 2) AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
 """
@@ -1061,13 +1078,13 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         brand_li.join(thresholds, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(dsum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_small"),
         )
     )
 
 
-O_SMALL_QTY_REVENUE = """
+O_SMALL_QTY_REVENUE = f"""
 WITH brand_li AS (
   SELECT l_partkey, l_quantity, l_extendedprice
   FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -1077,7 +1094,7 @@ thresholds AS (
   SELECT l_partkey, ROUND(0.2 * AVG(l_quantity), 6) AS qty_threshold
   FROM brand_li GROUP BY l_partkey
 )
-SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+SELECT ROUND({sql_dsum('l_extendedprice')} / 7.0, 2) AS avg_yearly,
        CAST(COUNT(*) AS BIGINT) AS n_small
 FROM brand_li JOIN thresholds USING (l_partkey)
 WHERE l_quantity < qty_threshold
@@ -1135,7 +1152,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-04-01"))
         )
         .groupBy("l_suppkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev"))
+        .agg(F.round(dsumx(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev"))
     )
     top = rev.agg(F.max("total_rev").alias("max_rev"))
     return (
@@ -1146,10 +1163,10 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_TOP_SUPPLIER = """
+O_TOP_SUPPLIER = f"""
 WITH rev AS (
   SELECT l_suppkey AS suppkey,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+         ROUND({sql_dsumx('l_extendedprice * (1 - l_discount)')}, 2) AS total_rev
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
   GROUP BY l_suppkey
@@ -1183,15 +1200,15 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(dsumx(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
 
 
-O_RETURNED_ITEMS = """
+O_RETURNED_ITEMS = f"""
 SELECT c_custkey, c_name, n_name, c_acctbal,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ROUND({sql_dsumx('l_extendedprice * (1 - l_discount)')}, 2) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1316,7 +1333,7 @@ def q_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("nationkey"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(F.round(dsum("o_totalprice"), 2).alias("revenue"))
     )
     w = Window.partitionBy("nationkey").orderBy("o_year")
     prev = F.lag("revenue").over(w)
@@ -1329,10 +1346,10 @@ def q_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_YEARLY_GROWTH = """
+O_YEARLY_GROWTH = f"""
 WITH yearly AS (
   SELECT c_nationkey AS nationkey, EXTRACT(year FROM o_orderdate) AS o_year,
-         ROUND(SUM(o_totalprice), 2) AS revenue
+         ROUND({sql_dsum('o_totalprice')}, 2) AS revenue
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY 1, 2
 )

@@ -31,7 +31,7 @@ def q_sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     final partial/final agg)."""
     register_views(spark, sf_dir)
     return spark.sql("""
-        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_delta,
+        SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,10))) AS DOUBLE), 2) AS revenue_delta,
                COUNT(*) AS n_rows
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -42,7 +42,7 @@ def q_sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_SQL_FORECAST_REVENUE = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_delta,
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,10))) AS DOUBLE), 2) AS revenue_delta,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -63,7 +63,7 @@ def q_sql_priority_with_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE EXISTS (
                 SELECT 1 FROM lineitem
                 WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
-          AND o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+          AND o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) FROM orders)
         GROUP BY o_orderpriority
     """)
 
@@ -75,7 +75,7 @@ FROM orders
 WHERE EXISTS (
         SELECT 1 FROM lineitem
         WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
-  AND o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+  AND o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) FROM orders)
 GROUP BY o_orderpriority
 """
 

@@ -85,14 +85,14 @@ SELECT CAST(COUNT(*) AS BIGINT)                       AS total_records,
        MAX("timestamp")                               AS ts_max,
        ROUND(MIN(temperature), 6)                     AS temp_min,
        ROUND(MAX(temperature), 6)                     AS temp_max,
-       ROUND(AVG(temperature), 6)                     AS temp_mean,
+       ROUND((CAST(SUM(CAST(temperature AS DECIMAL(24,10))) AS DOUBLE) / COUNT(temperature)), 6) AS temp_mean,
        ROUND(quantile_cont(temperature, 0.5), 6)      AS temp_median,
        ROUND(MIN(humidity), 6)                        AS humidity_min,
        ROUND(MAX(humidity), 6)                        AS humidity_max,
-       ROUND(AVG(humidity), 6)                        AS humidity_mean,
+       ROUND((CAST(SUM(CAST(humidity AS DECIMAL(24,10))) AS DOUBLE) / COUNT(humidity)), 6) AS humidity_mean,
        ROUND(MIN(wind_speed), 6)                      AS wind_min,
        ROUND(MAX(wind_speed), 6)                      AS wind_max,
-       ROUND(AVG(wind_speed), 6)                      AS wind_mean
+       ROUND((CAST(SUM(CAST(wind_speed AS DECIMAL(24,10))) AS DOUBLE) / COUNT(wind_speed)), 6) AS wind_mean
 FROM obs
 """
 
@@ -107,11 +107,11 @@ def q_city_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_CITY_COMPARISON = OBS_CTE + """
 SELECT city,
-       ROUND(AVG(temperature), 2) AS temp_mean,
+       ROUND((CAST(SUM(CAST(temperature AS DECIMAL(24,10))) AS DOUBLE) / COUNT(temperature)), 2) AS temp_mean,
        ROUND(MIN(temperature), 2) AS temp_min,
        ROUND(MAX(temperature), 2) AS temp_max,
-       ROUND(AVG(humidity), 2)    AS humidity_mean,
-       ROUND(AVG(wind_speed), 2)  AS wind_mean,
+       ROUND((CAST(SUM(CAST(humidity AS DECIMAL(24,10))) AS DOUBLE) / COUNT(humidity)), 2) AS humidity_mean,
+       ROUND((CAST(SUM(CAST(wind_speed AS DECIMAL(24,10))) AS DOUBLE) / COUNT(wind_speed)), 2) AS wind_mean,
        CAST(COUNT(*) AS BIGINT)   AS n_obs
 FROM obs GROUP BY city
 """
@@ -127,7 +127,7 @@ def q_warmest_coldest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_WARMEST_COLDEST = OBS_CTE + """
 , per_city AS (
-  SELECT city, ROUND(AVG(temperature), 6) AS temp_mean FROM obs GROUP BY city
+  SELECT city, ROUND((CAST(SUM(CAST(temperature AS DECIMAL(24,10))) AS DOUBLE) / COUNT(temperature)), 6) AS temp_mean FROM obs GROUP BY city
 )
 SELECT 'warmest' AS label, city, temp_mean FROM (
   SELECT city, temp_mean,
@@ -151,7 +151,7 @@ def q_daily_city_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_DAILY_CITY_AGG = OBS_CTE + """
 SELECT "date", city,
-       ROUND(AVG(temperature), 6) AS temp_mean,
+       ROUND((CAST(SUM(CAST(temperature AS DECIMAL(24,10))) AS DOUBLE) / COUNT(temperature)), 6) AS temp_mean,
        ROUND(MIN(temperature), 6) AS temp_low,
        ROUND(MAX(temperature), 6) AS temp_high,
        CAST(COUNT(*) AS BIGINT)   AS n_obs
@@ -202,7 +202,10 @@ def q_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _pivot_cols = ",\n       ".join(
-    f"ROUND(AVG(CASE WHEN weather_condition = '{c}' THEN temperature END), 6) AS c_{c}"
+    "ROUND(CAST(SUM(CAST(CASE WHEN weather_condition = '%s' THEN temperature END"
+    " AS DECIMAL(24,10))) AS DOUBLE)"
+    " / COUNT(CASE WHEN weather_condition = '%s' THEN temperature END), 6) AS c_%s"
+    % (c, c, c)
     for c in CONDITIONS
 )
 O_DAILY_PIVOT = OBS_CTE + f"""
@@ -244,11 +247,21 @@ def q_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_LINEAR_FIT = OBS_CTE + """
-SELECT ROUND(covar_pop(temperature, humidity) / var_pop(temperature), 6) AS slope,
-       ROUND(AVG(humidity) - covar_pop(temperature, humidity) / var_pop(temperature) * AVG(temperature), 6) AS intercept,
-       ROUND(corr(temperature, humidity), 6) AS pearson_r,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM obs WHERE temperature IS NOT NULL AND humidity IS NOT NULL
+SELECT ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+       ROUND((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS pearson_r,
+       CAST(n AS BIGINT) AS n
+FROM (
+  -- exact decimal sums mirror gold.linear_fit's closed form
+  SELECT CAST(SUM(CAST(temperature AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(humidity AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(temperature * temperature AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(humidity * humidity AS DECIMAL(28,10))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(temperature * humidity AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+         COUNT(*) AS n
+  FROM obs WHERE temperature IS NOT NULL AND humidity IS NOT NULL
+)
 """
 
 
@@ -305,11 +318,12 @@ O_TEMPERATURE_TRENDS = OBS_CTE + """
   SELECT city, t - lag(t) OVER (PARTITION BY city ORDER BY "date") AS change FROM daily
 )
 SELECT city,
-       ROUND(AVG(change), 6) AS avg_change,
+       ROUND((CAST(SUM(CAST(change AS DECIMAL(24,10))) AS DOUBLE) / COUNT(change)), 6) AS avg_change,
        ROUND(MAX(change), 6) AS max_change,
        ROUND(MIN(change), 6) AS min_change,
-       ROUND(SUM(change), 6) AS sum_change,
-       CASE WHEN SUM(change) > 0 THEN 'warming' ELSE 'cooling' END AS trend
+       ROUND(CAST(SUM(CAST(change AS DECIMAL(24,10))) AS DOUBLE), 6) AS sum_change,
+       CASE WHEN ROUND(CAST(SUM(CAST(change AS DECIMAL(24,10))) AS DOUBLE), 6) > 0
+            THEN 'warming' ELSE 'cooling' END AS trend
 FROM delta WHERE change IS NOT NULL GROUP BY city
 """
 
@@ -420,7 +434,7 @@ def q_humidity_decile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("decile", F.floor(F.col("humidity") / 10.0))
         .groupBy("decile")
         .agg(
-            F.round(F.avg("temperature"), 6).alias("temp_mean"),
+            F.round(gold.dmean("temperature"), 6).alias("temp_mean"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -428,7 +442,7 @@ def q_humidity_decile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_HUMIDITY_DECILE = OBS_CTE + """
 SELECT CAST(floor(humidity / 10.0) AS BIGINT) AS decile,
-       ROUND(AVG(temperature), 6) AS temp_mean,
+       ROUND((CAST(SUM(CAST(temperature AS DECIMAL(24,10))) AS DOUBLE) / COUNT(temperature)), 6) AS temp_mean,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM obs WHERE humidity IS NOT NULL GROUP BY 1
 """
@@ -533,11 +547,19 @@ def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_ZSCORE_ANOMALIES = OBS_CTE + """
-, stats AS (
+, moments AS (
+  -- exact decimal moments mirror gold.zscore_anomalies: stddev from
+  -- (sum, sum-of-squares) so both engines fold identically
   SELECT city,
-         ROUND(AVG(temperature), 6) AS city_mean,
-         ROUND(stddev_samp(temperature), 6) AS city_std
+         CAST(SUM(CAST(temperature AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(temperature * temperature AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+         COUNT(temperature) AS n
   FROM obs GROUP BY city
+), stats AS (
+  SELECT city,
+         ROUND(sx / n, 6) AS city_mean,
+         ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS city_std
+  FROM moments
 ), z AS (
   SELECT o.city, o.event_id, o."timestamp",
          ROUND(o.temperature, 6) AS temperature,

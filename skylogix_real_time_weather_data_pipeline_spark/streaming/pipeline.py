@@ -86,7 +86,14 @@ def daily_city_window(silver: DataFrame, watermark: str = "3 hours") -> DataFram
         src.groupBy(F.window("timestamp", "1 day").alias("w"), "city")
         .agg(
             F.count(F.lit(1)).alias("n_obs"),
-            F.round(F.avg("temperature"), 6).alias("temp_mean"),
+            # decimal-exact mean (functions/exact.dmean inlined: dmean's
+            # compound sum/count expression is fine in streaming state too,
+            # and keeping it written out makes the state layout explicit)
+            F.round(
+                F.sum(F.col("temperature").cast("decimal(24,10)")).cast("double")
+                / F.count("temperature"),
+                6,
+            ).alias("temp_mean"),
             F.round(F.min("temperature"), 6).alias("temp_low"),
             F.round(F.max("temperature"), 6).alias("temp_high"),
         )
