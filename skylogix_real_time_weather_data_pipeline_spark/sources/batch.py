@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from ..schemas import PROCESSED_WEATHER_SCHEMA, RAW_WEATHER_SCHEMA
 
@@ -16,11 +16,14 @@ from ..schemas import PROCESSED_WEATHER_SCHEMA, RAW_WEATHER_SCHEMA
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a driver testdata table, normalizing physical quirks.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader has no type for; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as long
-    nanoseconds and is converted here (truncation to micros — matching
-    DuckDB's ns→µs handling).
+    ``events.parquet`` has shipped two physical encodings of ``ts`` across
+    driver generations: TIMESTAMP(NANOS) (read as long nanoseconds under
+    ``spark.sql.legacy.parquet.nanosAsLong`` and truncated to micros here —
+    matching DuckDB's ns→µs handling) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (read as TIMESTAMP_NTZ). Both are normalized to
+    TimestampType so every downstream plan sees one type; the NTZ→LTZ cast
+    reinterprets the wall clock in the session zone, which is pinned UTC —
+    the same instants the nanos encoding produced.
     """
     # parity pin (SURVEY §7.4.1b): temporal derivations must be computed in
     # UTC even when the calling session (e.g. the external driver's) didn't
@@ -36,9 +39,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # lacks the legacy conf for TIMESTAMP(NANOS); it's runtime-settable
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # integer `div`, not `/`: double division rounds the low microsecond
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # integer `div`, not `/`: double division rounds the low microsecond
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
