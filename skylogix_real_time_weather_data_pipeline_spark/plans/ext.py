@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ext import dedup, similarity, text
+from ..functions.exact import dmean
 
 _N_HASHES = 16
 _BANDS = 4
@@ -938,16 +939,24 @@ SELECT cell, id_a, id_b, cosine_sim FROM (
 # --------------------------------------------------------------------------
 
 def q_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Element-wise mean vector per label + member count. The centroid agg
-    is two map-side-combinable shuffles on (label,pos)/(label) — O(dim)
-    rows per label ever cross the wire, never the vectors themselves."""
+    """Element-wise mean vector per label + member count, emitted as SCALAR
+    rows ``(label, pos, m, n_vecs)`` — one row per centroid coordinate —
+    because the driver's canonicalizer hashes cell values and cannot factor
+    array cells (r3 harness error: ``unhashable type: 'list'``). The array
+    form remains available internally via ``similarity.centroids_by_label``.
+
+    The centroid agg is two map-side-combinable shuffles on
+    (label,pos)/(label) — O(dim) rows per label ever cross the wire, never
+    the vectors themselves."""
     e = _embs(spark, sf_dir)
-    cents = similarity.centroids_by_label(e).select(
-        "label",
-        F.transform("centroid", lambda v: F.round(v, 6)).alias("centroid"),
+    pe = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    per = pe.groupBy("label", "pos").agg(
+        F.round(dmean(F.col("v").cast("double")), 6).alias("m")
     )
     counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
-    return cents.join(counts, "label")
+    return per.join(counts, "label").select(
+        "label", F.col("pos").cast("int").alias("pos"), "m", "n_vecs"
+    )
 
 
 O_CENTROIDS_BY_LABEL = """
@@ -955,14 +964,12 @@ WITH ex AS (
   SELECT label, unnest(list_transform(embedding, (v, i) -> {'pos': i, 'v': v})) AS u
   FROM embeddings
 ), per AS (
-  SELECT label, u.pos AS pos, ROUND((CAST(SUM(CAST(CAST(u.v AS DOUBLE) AS DECIMAL(24,10))) AS DOUBLE) / COUNT(u.v)), 6) AS m
-  FROM ex GROUP BY label, pos
-), cents AS (
-  SELECT label, list(m ORDER BY pos) AS centroid FROM per GROUP BY label
+  SELECT label, CAST(u.pos - 1 AS INT) AS pos, ROUND((CAST(SUM(CAST(CAST(u.v AS DOUBLE) AS DECIMAL(24,10))) AS DOUBLE) / COUNT(u.v)), 6) AS m
+  FROM ex GROUP BY label, u.pos
 ), ns AS (
   SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label
 )
-SELECT label, centroid, n_vecs FROM cents JOIN ns USING (label)
+SELECT label, pos, m, n_vecs FROM per JOIN ns USING (label)
 """
 
 
