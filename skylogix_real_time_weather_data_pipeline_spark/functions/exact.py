@@ -69,6 +69,64 @@ def dmean(c: Column | str) -> Column:
     return F.sum(c.cast(_XDEC)).cast("double") / F.count(c)
 
 
+#: split point for the two-long fixed-point sum (fsum): u = q*1e6 + r.
+_SPLIT = 1_000_000
+
+
+def fsum(c: Column | str, scale: int = 4) -> Column:
+    """Fast exact sum: fixed-point long units, split across two long sums.
+
+    ``DECIMAL(24,10)`` folds are exact but slow: the sum buffer is
+    ``DECIMAL(34,10)`` and any buffer wider than 18 digits is stored as a
+    byte-array BigDecimal in the aggregation hash map, so every row pays an
+    (de)serialization (measured here: +73% on a lineitem groupBy-sum vs
+    +28% for this form). This helper keeps the entire hot path in
+    whole-stage-codegen long arithmetic:
+
+        u = round(c * 10^scale)  as long     (exact fixed-point units)
+        r = u % 1e6 ; q = (u - r) / 1e6      (exact split, both engines
+                                              truncate % toward zero; the
+                                              subtraction makes the division
+                                              exact so floor==trunc)
+        sum = (SUM(q)*1e6 + SUM(r)) / 10^scale   (combine on the aggregated
+                                                  scalars only, in decimal)
+
+    Overflow headroom (the documented 100 TB argument):
+      - per-row: |c|*10^scale must stay below 2^53 so the double round and
+        long cast are exact — money exprs (<1.2e5) at scale 4 → u ≤ 1.2e9;
+        bounded metrics (<1e4) at scale 6 → u ≤ 1e10. Both have >5 orders
+        of magnitude to spare.
+      - per-group: |SUM(r)| < n_g * 1e6 overflows long only past n_g ≈
+        9.2e12 rows per group (a 100 TB lineitem is ~6e11 rows, 15×
+        headroom); |SUM(q)| < Σ|c| * 10^(scale-6) → money at scale 4 caps
+        at Σ|c| < 9.2e20 (a 100 TB total money sum is ~2e16, 40,000×
+        headroom). Past 9e12 rows per group, move the split to 1e5.
+
+    Like dsumx the result is order-independent (integer adds are
+    associative), so rounded outputs are bit-stable across partitionings
+    and agree with the DuckDB twin ``sql_fsum``.
+    """
+    c = _col(c)
+    u = F.round(c * F.lit(float(10**scale))).cast("long")
+    r = u % _SPLIT
+    q = ((u - r) / _SPLIT).cast("long")
+    return (
+        (F.sum(q).cast("decimal(38,0)") * _SPLIT + F.sum(r).cast("decimal(38,0)"))
+        .cast("double") / (10**scale)
+    )
+
+
+def fmean(c: Column | str, scale: int = 6) -> Column:
+    """Order-independent mean on the fsum fast path (AVG null semantics).
+
+    Scale 6 quantizes each row at 5e-7 — at or below the 6-dp output
+    rounding everything downstream uses — while keeping per-group headroom
+    to ~9e12 rows (see fsum).
+    """
+    c = _col(c)
+    return fsum(c, scale) / F.count(c)
+
+
 # --- DuckDB oracle twins --------------------------------------------------
 
 def sql_dsum(expr: str) -> str:
@@ -84,3 +142,25 @@ def sql_dmean(expr: str) -> str:
         f"(CAST(SUM(CAST({expr} AS DECIMAL(24,10))) AS DOUBLE)"
         f" / COUNT({expr}))"
     )
+
+
+def sql_fsum(expr: str, scale: int = 4) -> str:
+    """DuckDB twin of fsum: same fixed-point units, same two-long split.
+
+    DuckDB's ``%`` on integers truncates toward zero like Spark's, and the
+    ``(u - r) / 1e6`` division is exact by construction, so both engines
+    accumulate identical integers; SUM(BIGINT) is exact (hugeint
+    accumulator) and the final combine happens on aggregated scalars.
+    """
+    p = 10**scale
+    u = f"CAST(ROUND(({expr}) * {p}) AS BIGINT)"
+    r = f"({u} % {_SPLIT})"
+    q = f"CAST(({u} - {r}) / {_SPLIT} AS BIGINT)"
+    return (
+        f"(CAST(CAST(SUM({q}) AS DECIMAL(38,0)) * {_SPLIT}"
+        f" + CAST(SUM({r}) AS DECIMAL(38,0)) AS DOUBLE) / {p})"
+    )
+
+
+def sql_fmean(expr: str, scale: int = 6) -> str:
+    return f"({sql_fsum(expr, scale)} / COUNT({expr}))"

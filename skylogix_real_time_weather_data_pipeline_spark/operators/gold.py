@@ -18,10 +18,13 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# dmean folds in decimal so every rounded mean is order-independent — at
-# 6-dp rounding across tens of thousands of (date, city) cells, plain
-# AVG(double) flips a boundary cell every few runs (functions/exact.py).
-from ..functions.exact import dmean
+# fmean folds fixed-point longs so every rounded mean is order-independent
+# — at 6-dp rounding across tens of thousands of (date, city) cells, plain
+# AVG(double) flips a boundary cell every few runs. fmean stays in
+# whole-stage-codegen long arithmetic (functions/exact.py documents the
+# 100 TB overflow headroom); dmean remains for callers needing >6 fractional
+# digits of per-row fidelity.
+from ..functions.exact import dmean, fmean
 
 
 def basic_stats(df: DataFrame, ts: str = "timestamp", temp: str = "temperature",
@@ -36,14 +39,14 @@ def basic_stats(df: DataFrame, ts: str = "timestamp", temp: str = "temperature",
         F.max(ts).alias("ts_max"),
         F.round(F.min(temp), 6).alias("temp_min"),
         F.round(F.max(temp), 6).alias("temp_max"),
-        F.round(dmean(temp), 6).alias("temp_mean"),
+        F.round(fmean(temp), 6).alias("temp_mean"),
         F.round(F.expr(f"percentile({temp}, 0.5)"), 6).alias("temp_median"),
         F.round(F.min(humidity), 6).alias("humidity_min"),
         F.round(F.max(humidity), 6).alias("humidity_max"),
-        F.round(dmean(humidity), 6).alias("humidity_mean"),
+        F.round(fmean(humidity), 6).alias("humidity_mean"),
         F.round(F.min(wind), 6).alias("wind_min"),
         F.round(F.max(wind), 6).alias("wind_max"),
-        F.round(dmean(wind), 6).alias("wind_mean"),
+        F.round(fmean(wind), 6).alias("wind_mean"),
     )
 
 
@@ -52,11 +55,11 @@ def city_comparison(df: DataFrame, city: str = "city", temp: str = "temperature"
     """A2/A3: per-city multi-aggregate summary (reference src/analyze.py:185-213,
     src/load.py:188-196). Rounding to 2 mirrors the summary sink (P13)."""
     return df.groupBy(city).agg(
-        F.round(dmean(temp), 2).alias("temp_mean"),
+        F.round(fmean(temp), 2).alias("temp_mean"),
         F.round(F.min(temp), 2).alias("temp_min"),
         F.round(F.max(temp), 2).alias("temp_max"),
-        F.round(dmean(humidity), 2).alias("humidity_mean"),
-        F.round(dmean(wind), 2).alias("wind_mean"),
+        F.round(fmean(humidity), 2).alias("humidity_mean"),
+        F.round(fmean(wind), 2).alias("wind_mean"),
         F.count(F.lit(1)).alias("n_obs"),
     )
 
@@ -68,7 +71,7 @@ def warmest_coldest(df: DataFrame, city: str = "city", temp: str = "temperature"
     Implemented as rank-1 selection over the (small) per-city aggregate —
     the aggregate shuffles once; the window runs on the tiny result.
     """
-    per_city = df.groupBy(city).agg(F.round(dmean(temp), 6).alias("temp_mean"))
+    per_city = df.groupBy(city).agg(F.round(fmean(temp), 6).alias("temp_mean"))
     w_hot = Window.orderBy(F.desc("temp_mean"), F.asc(city))
     w_cold = Window.orderBy(F.asc("temp_mean"), F.asc(city))
     hot = (
@@ -88,7 +91,7 @@ def daily_city_agg(df: DataFrame, city: str = "city", temp: str = "temperature",
                    date: str = "date") -> DataFrame:
     """A5: two-key (date, city) daily aggregate (reference src/analyze.py:239-243)."""
     return df.groupBy(date, city).agg(
-        F.round(dmean(temp), 6).alias("temp_mean"),
+        F.round(fmean(temp), 6).alias("temp_mean"),
         F.round(F.min(temp), 6).alias("temp_low"),
         F.round(F.max(temp), 6).alias("temp_high"),
         F.count(F.lit(1)).alias("n_obs"),
@@ -126,7 +129,7 @@ def daily_pivot(df: DataFrame, pivot_values: Sequence[str], city: str = "city",
     Explicit ``pivot_values`` keeps the plan single-pass and the output
     column order deterministic (SURVEY §7.4.3).
     """
-    out = df.groupBy(date).pivot(city, list(pivot_values)).agg(F.round(dmean(temp), 6))
+    out = df.groupBy(date).pivot(city, list(pivot_values)).agg(F.round(fmean(temp), 6))
     # normalize pivot column names in ONE select (chained withColumnRenamed
     # nests a projection per value — O(values) plan depth on wide pivots)
     return out.select(

@@ -21,7 +21,10 @@ from pyspark.sql import functions as F
 # float fold order varies run to run and flips rounding-boundary cells).
 # Integer-valued double sums (quantities, counts) are exact as-is and stay
 # plain. Each oracle uses the sql_* twin so both engines fold identically.
-from ..functions.exact import dmean, dsum, dsumx, sql_dmean, sql_dsum, sql_dsumx
+from ..functions.exact import (
+    dmean, dsum, dsumx, fmean, fsum,
+    sql_dmean, sql_dsum, sql_dsumx, sql_fmean, sql_fsum,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -40,19 +43,23 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is scan-bound — exactly what we want.
     """
     li = _t(spark, sf_dir, "lineitem")
+    # fsum/fmean headroom: money exprs ≤ 1.2e5 per row; even the 4-group
+    # global sums at 100 TB (~2e16) sit 40,000× under the split-long cap.
+    # scale 4 is exact for these exprs (2-dp inputs, products of two 2-dp
+    # values have exactly 4 decimals).
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(dsum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(dsumx(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(fsum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(fsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
             F.round(
-                dsumx(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+                fsum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6), 2
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(dmean("l_extendedprice"), 6).alias("avg_price"),
-            F.round(dmean("l_discount"), 6).alias("avg_disc"),
+            F.round(fmean("l_extendedprice"), 6).alias("avg_price"),
+            F.round(fmean("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -61,12 +68,12 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_PRICING_SUMMARY = f"""
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND({sql_dsum('l_extendedprice')}, 2) AS sum_base_price,
-       ROUND({sql_dsumx('l_extendedprice * (1 - l_discount)')}, 2) AS sum_disc_price,
-       ROUND({sql_dsumx('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}, 2) AS sum_charge,
+       ROUND({sql_fsum('l_extendedprice')}, 2) AS sum_base_price,
+       ROUND({sql_fsum('l_extendedprice * (1 - l_discount)')}, 2) AS sum_disc_price,
+       ROUND({sql_fsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}, 2) AS sum_charge,
        ROUND(AVG(l_quantity), 6) AS avg_qty,
-       ROUND({sql_dmean('l_extendedprice')}, 6) AS avg_price,
-       ROUND({sql_dmean('l_discount')}, 6) AS avg_disc,
+       ROUND({sql_fmean('l_extendedprice')}, 6) AS avg_price,
+       ROUND({sql_fmean('l_discount')}, 6) AS avg_disc,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -94,8 +101,10 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
+        # fsum scale 4 is exact for the 4-decimal revenue product; per-nation
+        # sums at 100 TB (~1e15) sit ~6 orders under the split-long cap
         .agg(
-            F.round(dsumx(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(fsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -103,7 +112,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_REVENUE_BY_NATION = f"""
 SELECT n_name,
-       ROUND({sql_dsumx('l_extendedprice * (1 - l_discount)')}, 2) AS revenue,
+       ROUND({sql_fsum('l_extendedprice * (1 - l_discount)')}, 2) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -124,7 +133,7 @@ def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    spend = o.groupBy("o_custkey").agg(F.round(dsum("o_totalprice"), 2).alias("total_spend"))
+    spend = o.groupBy("o_custkey").agg(F.round(fsum("o_totalprice"), 2).alias("total_spend"))
     joined = (
         spend.join(c, spend.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -139,7 +148,7 @@ def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_TOP_CUSTOMERS_PER_NATION = f"""
 WITH spend AS (
-  SELECT o_custkey, ROUND({sql_dsum('o_totalprice')}, 2) AS total_spend
+  SELECT o_custkey, ROUND({sql_fsum('o_totalprice')}, 2) AS total_spend
   FROM orders GROUP BY o_custkey
 )
 SELECT n_name, c_custkey, c_name, total_spend,
@@ -170,7 +179,7 @@ def q_segment_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(dsum("o_totalprice"), 2).alias("total_value"),
+            F.round(fsum("o_totalprice"), 2).alias("total_value"),
         )
     )
 
@@ -179,7 +188,7 @@ O_SEGMENT_MONTHLY = f"""
 SELECT c_mktsegment AS segment,
        strftime(o_orderdate, '%Y-%m') AS order_month,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND({sql_dsum('o_totalprice')}, 2) AS total_value
+       ROUND({sql_fsum('o_totalprice')}, 2) AS total_value
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1, 2
 """
@@ -335,7 +344,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(dsumx(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(fsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -343,7 +352,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_SHIPPING_PRIORITY = f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       ROUND({sql_dsumx('l_extendedprice * (1 - l_discount)')}, 2) AS revenue
+       ROUND({sql_fsum('l_extendedprice * (1 - l_discount)')}, 2) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -394,16 +403,19 @@ SELECT 'either', CAST(COUNT(*) AS BIGINT) FROM (SELECT k FROM c UNION SELECT k F
 
 def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # fmean scale 6 is exact on the 2-dp discounts; the grand-total cell at
+    # 100 TB sums ~6e11 rows × 0.1 → ~6e10 units of q-weight, 8 orders
+    # under the split-long cap
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(dmean("l_discount"), 6).alias("avg_disc"),
+        F.round(fmean("l_discount"), 6).alias("avg_disc"),
     )
 
 
 O_CUBE_LINEITEM = f"""
 SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND({sql_dmean('l_discount')}, 6) AS avg_disc
+       ROUND({sql_fmean('l_discount')}, 6) AS avg_disc
 FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
 """
 
@@ -647,14 +659,14 @@ def q_unpivot_city_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _o_unpivot() -> str:
     from .weather import OBS_CTE
 
-    return OBS_CTE + """
+    return OBS_CTE + f"""
 , wide AS (
   SELECT city,
-         ROUND(AVG(temperature), 2) AS temp_mean,
+         ROUND({sql_fmean('temperature')}, 2) AS temp_mean,
          ROUND(MIN(temperature), 2) AS temp_min,
          ROUND(MAX(temperature), 2) AS temp_max,
-         ROUND(AVG(humidity), 2) AS humidity_mean,
-         ROUND(AVG(wind_speed), 2) AS wind_mean
+         ROUND({sql_fmean('humidity')}, 2) AS humidity_mean,
+         ROUND({sql_fmean('wind_speed')}, 2) AS wind_mean
   FROM obs GROUP BY city
 )
 SELECT city, metric, value

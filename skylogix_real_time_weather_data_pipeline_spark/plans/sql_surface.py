@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.exact import sql_fsum
+
 _TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -30,8 +32,8 @@ def q_sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every predicate reaches the parquet scan; no shuffle at all beyond the
     final partial/final agg)."""
     register_views(spark, sf_dir)
-    return spark.sql("""
-        SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,10))) AS DOUBLE), 2) AS revenue_delta,
+    return spark.sql(f"""
+        SELECT ROUND({sql_fsum('l_extendedprice * l_discount')}, 2) AS revenue_delta,
                COUNT(*) AS n_rows
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -41,8 +43,8 @@ def q_sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-O_SQL_FORECAST_REVENUE = """
-SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,10))) AS DOUBLE), 2) AS revenue_delta,
+O_SQL_FORECAST_REVENUE = f"""
+SELECT ROUND({sql_fsum('l_extendedprice * l_discount')}, 2) AS revenue_delta,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'

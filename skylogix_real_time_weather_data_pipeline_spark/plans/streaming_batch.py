@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # decimal-exact folds for every rounded sum/mean (see functions/exact.py)
-from ..functions.exact import dmean, dsumx
+from ..functions.exact import dmean, dsumx, fmean, fsum, sql_fmean, sql_fsum
 
 GAP = "2 hours"
 GAP_SQL = "INTERVAL 2 HOUR"
@@ -35,7 +35,7 @@ def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(dmean("value"), 6).alias("value_mean"),
+            F.round(fmean("value"), 6).alias("value_mean"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -47,12 +47,12 @@ def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_TUMBLING_DAILY = """
+O_TUMBLING_DAILY = f"""
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
        CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND((CAST(SUM(CAST(value AS DECIMAL(24,10))) AS DOUBLE) / COUNT(value)), 6) AS value_mean
+       ROUND({sql_fmean('value')}, 6) AS value_mean
 FROM events GROUP BY 1, 2, 3
 """
 
@@ -64,7 +64,7 @@ def q_sliding_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
         ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(dsumx("value"), 2).alias("value_sum"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(fsum("value", 6), 2).alias("value_sum"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
@@ -74,7 +74,7 @@ def q_sliding_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_SLIDING_6H = """
+O_SLIDING_6H = f"""
 WITH slid AS (
   SELECT CAST(to_timestamp(floor(epoch(ts) / 10800) * 10800) AS TIMESTAMP) AS slot_start, ts, value FROM events
 ), expanded AS (
@@ -83,7 +83,7 @@ WITH slid AS (
   SELECT slot_start - INTERVAL 3 HOUR AS window_start, ts, value FROM slid
 )
 SELECT window_start, window_start + INTERVAL 6 HOUR AS window_end,
-       CAST(COUNT(*) AS BIGINT) AS n, ROUND(CAST(SUM(CAST(value AS DECIMAL(24,10))) AS DOUBLE), 2) AS value_sum
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND({sql_fsum('value', 6)}, 2) AS value_sum
 FROM expanded GROUP BY 1, 2
 """
 
@@ -161,11 +161,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(dsumx("value"), 2).alias("session_value"),
+        F.round(fsum("value", 6), 2).alias("session_value"),
     )
 
 
-O_SESSIONIZE = """
+O_SESSIONIZE = f"""
 WITH flagged AS (
   SELECT user_id, ts, value,
          CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) <= 7200
@@ -179,7 +179,7 @@ WITH flagged AS (
 SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(24,10))) AS DOUBLE), 2) AS session_value
+       ROUND({sql_fsum('value', 6)}, 2) AS session_value
 FROM sess GROUP BY user_id, session_seq
 """
 
@@ -257,11 +257,11 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                          by="user_id", chunk_seconds=6 * 3600)
     return matched.groupBy("user_id", "w_start", "w_end").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(dsumx("value"), 2).alias("sum_value"),
+        F.round(fsum("value", 6), 2).alias("sum_value"),
     )
 
 
-O_RANGE_JOIN_WINDOWS = """
+O_RANGE_JOIN_WINDOWS = f"""
 WITH iv AS (
   SELECT DISTINCT user_id,
          CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
@@ -270,7 +270,7 @@ WITH iv AS (
 )
 SELECT iv.user_id, w_start, w_end,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(CAST(SUM(CAST(e.value AS DECIMAL(24,10))) AS DOUBLE), 2) AS sum_value
+       ROUND({sql_fsum('e.value', 6)}, 2) AS sum_value
 FROM events e JOIN iv
   ON e.user_id = iv.user_id AND e.ts >= iv.w_start AND e.ts < iv.w_end
 GROUP BY 1, 2, 3

@@ -22,6 +22,7 @@ from ..functions import (
     iso_format,
     weather_icon,
 )
+from ..functions.exact import sql_fmean
 from ..operators import gold, silver
 
 #: pinned pivot/condition domain (explicit values → single-pass pivot,
@@ -79,20 +80,20 @@ def q_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.basic_stats(observations(spark, sf_dir))
 
 
-O_BASIC_STATS = OBS_CTE + """
+O_BASIC_STATS = OBS_CTE + f"""
 SELECT CAST(COUNT(*) AS BIGINT)                       AS total_records,
        MIN("timestamp")                               AS ts_min,
        MAX("timestamp")                               AS ts_max,
        ROUND(MIN(temperature), 6)                     AS temp_min,
        ROUND(MAX(temperature), 6)                     AS temp_max,
-       ROUND((CAST(SUM(CAST(temperature AS DECIMAL(24,10))) AS DOUBLE) / COUNT(temperature)), 6) AS temp_mean,
+       ROUND({sql_fmean('temperature')}, 6) AS temp_mean,
        ROUND(quantile_cont(temperature, 0.5), 6)      AS temp_median,
        ROUND(MIN(humidity), 6)                        AS humidity_min,
        ROUND(MAX(humidity), 6)                        AS humidity_max,
-       ROUND((CAST(SUM(CAST(humidity AS DECIMAL(24,10))) AS DOUBLE) / COUNT(humidity)), 6) AS humidity_mean,
+       ROUND({sql_fmean('humidity')}, 6) AS humidity_mean,
        ROUND(MIN(wind_speed), 6)                      AS wind_min,
        ROUND(MAX(wind_speed), 6)                      AS wind_max,
-       ROUND((CAST(SUM(CAST(wind_speed AS DECIMAL(24,10))) AS DOUBLE) / COUNT(wind_speed)), 6) AS wind_mean
+       ROUND({sql_fmean('wind_speed')}, 6) AS wind_mean
 FROM obs
 """
 
@@ -105,13 +106,13 @@ def q_city_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.city_comparison(observations(spark, sf_dir))
 
 
-O_CITY_COMPARISON = OBS_CTE + """
+O_CITY_COMPARISON = OBS_CTE + f"""
 SELECT city,
-       ROUND((CAST(SUM(CAST(temperature AS DECIMAL(24,10))) AS DOUBLE) / COUNT(temperature)), 2) AS temp_mean,
+       ROUND({sql_fmean('temperature')}, 2) AS temp_mean,
        ROUND(MIN(temperature), 2) AS temp_min,
        ROUND(MAX(temperature), 2) AS temp_max,
-       ROUND((CAST(SUM(CAST(humidity AS DECIMAL(24,10))) AS DOUBLE) / COUNT(humidity)), 2) AS humidity_mean,
-       ROUND((CAST(SUM(CAST(wind_speed AS DECIMAL(24,10))) AS DOUBLE) / COUNT(wind_speed)), 2) AS wind_mean,
+       ROUND({sql_fmean('humidity')}, 2) AS humidity_mean,
+       ROUND({sql_fmean('wind_speed')}, 2) AS wind_mean,
        CAST(COUNT(*) AS BIGINT)   AS n_obs
 FROM obs GROUP BY city
 """
@@ -125,9 +126,9 @@ def q_warmest_coldest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.warmest_coldest(observations(spark, sf_dir))
 
 
-O_WARMEST_COLDEST = OBS_CTE + """
+O_WARMEST_COLDEST = OBS_CTE + f"""
 , per_city AS (
-  SELECT city, ROUND((CAST(SUM(CAST(temperature AS DECIMAL(24,10))) AS DOUBLE) / COUNT(temperature)), 6) AS temp_mean FROM obs GROUP BY city
+  SELECT city, ROUND({sql_fmean('temperature')}, 6) AS temp_mean FROM obs GROUP BY city
 )
 SELECT 'warmest' AS label, city, temp_mean FROM (
   SELECT city, temp_mean,
@@ -149,9 +150,9 @@ def q_daily_city_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.daily_city_agg(observations(spark, sf_dir))
 
 
-O_DAILY_CITY_AGG = OBS_CTE + """
+O_DAILY_CITY_AGG = OBS_CTE + f"""
 SELECT "date", city,
-       ROUND((CAST(SUM(CAST(temperature AS DECIMAL(24,10))) AS DOUBLE) / COUNT(temperature)), 6) AS temp_mean,
+       ROUND({sql_fmean('temperature')}, 6) AS temp_mean,
        ROUND(MIN(temperature), 6) AS temp_low,
        ROUND(MAX(temperature), 6) AS temp_high,
        CAST(COUNT(*) AS BIGINT)   AS n_obs
@@ -202,10 +203,8 @@ def q_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _pivot_cols = ",\n       ".join(
-    "ROUND(CAST(SUM(CAST(CASE WHEN weather_condition = '%s' THEN temperature END"
-    " AS DECIMAL(24,10))) AS DOUBLE)"
-    " / COUNT(CASE WHEN weather_condition = '%s' THEN temperature END), 6) AS c_%s"
-    % (c, c, c)
+    "ROUND(%s, 6) AS c_%s"
+    % (sql_fmean(f"CASE WHEN weather_condition = '{c}' THEN temperature END"), c)
     for c in CONDITIONS
 )
 O_DAILY_PIVOT = OBS_CTE + f"""
@@ -434,15 +433,15 @@ def q_humidity_decile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("decile", F.floor(F.col("humidity") / 10.0))
         .groupBy("decile")
         .agg(
-            F.round(gold.dmean("temperature"), 6).alias("temp_mean"),
+            F.round(gold.fmean("temperature"), 6).alias("temp_mean"),
             F.count(F.lit(1)).alias("n"),
         )
     )
 
 
-O_HUMIDITY_DECILE = OBS_CTE + """
+O_HUMIDITY_DECILE = OBS_CTE + f"""
 SELECT CAST(floor(humidity / 10.0) AS BIGINT) AS decile,
-       ROUND((CAST(SUM(CAST(temperature AS DECIMAL(24,10))) AS DOUBLE) / COUNT(temperature)), 6) AS temp_mean,
+       ROUND({sql_fmean('temperature')}, 6) AS temp_mean,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM obs WHERE humidity IS NOT NULL GROUP BY 1
 """

@@ -45,7 +45,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer `div`, not `/`: double division rounds the low microsecond
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(ts_type, TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # zone-independent NTZ→instant: a plain cast resolves against
+            # spark.sql.session.timeZone AT ACTION TIME (lazy), so a caller
+            # flipping the session zone between load_table() and the action
+            # would shift every instant. Deriving epoch micros from the
+            # zone-free wall-clock fields pins UTC interpretation into the
+            # expression tree itself — same instants the NANOS branch
+            # (timestamp_micros, inherently zone-free) produces.
+            us = (
+                F.unix_date(F.to_date("ts")).cast("long") * 86_400_000_000
+                + F.date_part(F.lit("HOUR"), "ts").cast("long") * 3_600_000_000
+                + F.date_part(F.lit("MINUTE"), "ts").cast("long") * 60_000_000
+                + (F.date_part(F.lit("SECOND"), "ts") * 1_000_000).cast("long")
+            )
+            df = df.withColumn("ts", F.timestamp_micros(us))
     return df
 
 
