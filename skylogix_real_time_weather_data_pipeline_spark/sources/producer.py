@@ -28,6 +28,23 @@ from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
 
+def http_fetch(base_url: str, timeout: float = 10.0) -> Callable[[dict], dict]:
+    """Live HTTP transport for :class:`IngestProducer`: one GET per call
+    against ``base_url`` with ``{city}``/``{country}`` placeholders.
+
+    Deliberately single-attempt — the bounded-retry/backoff policy lives in
+    ``_fetch_with_retry`` (reference src/extract.py:88-108), so a transport
+    error here surfaces as one failed attempt there."""
+    import urllib.request
+
+    def fetch(city: dict) -> dict:
+        url = base_url.format(city=city["name"], country=city.get("country", ""))
+        with urllib.request.urlopen(url, timeout=timeout) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+
+    return fetch
+
+
 @dataclass
 class ProducerMetrics:
     """Counter names track the reference's Prometheus metrics

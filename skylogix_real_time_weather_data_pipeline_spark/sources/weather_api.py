@@ -16,11 +16,15 @@ Design:
   backoff semantics live there and in the reference mapping).
 - **Transport is data, not code**: the Python DataSource API passes only
   string options to executors, so the HTTP call can't be injected as a
-  callable. ``fixture_dir`` points at per-city JSON files (the same
-  test-double policy as the producer's injected ``fetch``); a live HTTP
-  mode would swap ``_load_city_payloads`` for a urllib call — gated here
-  like the Kafka transport (no network in the sandbox), and the seam is
-  one function.
+  callable. Two transports share one row pipeline:
+  ``fixture_dir`` points at per-city JSON files (a recorded HTTP
+  session — the same test-double policy as the producer's injected
+  ``fetch``), while ``base_url`` + ``cities`` turns each city partition
+  into a live urllib GET with the reference's bounded-retry/fixed-backoff
+  loop (src/extract.py:88-108) running IN the executor task
+  (``retry_attempts`` / ``backoff_seconds`` / ``timeout_seconds``
+  options). tests/test_weather_api_source.py exercises the live path
+  against a localhost http.server, including 2-failures-then-success.
 - **Streaming offsets are per-city payload counts** — the stream reader's
   offset is ``{city: n_consumed}``; ``latestOffset`` re-lists the fixture
   files, so appending payloads to a city file yields exactly the new rows
@@ -67,11 +71,37 @@ class _CitySlice(InputPartition):
     end: int  # exclusive; -1 = all
 
 
-def _load_city_payloads(path: str) -> list[dict]:
-    """The transport seam. Fixture file = JSON array of API payloads for
-    one city (a recorded HTTP session); a live mode would fetch here."""
-    with open(path) as f:
-        payloads = json.load(f)
+def _http_get_json(url: str, timeout: float, retry_attempts: int,
+                   backoff_seconds: float) -> dict | list:
+    """Live transport: bounded retry + fixed backoff between attempts,
+    raising only after exhaustion (reference src/extract.py:88-108 — the
+    producer-side twin is IngestProducer._fetch_with_retry)."""
+    import time
+    import urllib.request
+
+    last: Exception | None = None
+    for attempt in range(retry_attempts):
+        try:
+            with urllib.request.urlopen(url, timeout=timeout) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except Exception as exc:  # urllib.error.URLError, HTTP 5xx, timeout
+            last = exc
+            if attempt < retry_attempts - 1:
+                time.sleep(backoff_seconds)
+    raise last  # type: ignore[misc]
+
+
+def _load_city_payloads(path: str, timeout: float = 10.0,
+                        retry_attempts: int = 3,
+                        backoff_seconds: float = 2.0) -> list[dict]:
+    """The transport seam: ``http(s)://`` → live GET with retry; otherwise
+    a fixture file (= JSON array of API payloads for one city, a recorded
+    HTTP session)."""
+    if path.startswith(("http://", "https://")):
+        payloads = _http_get_json(path, timeout, retry_attempts, backoff_seconds)
+    else:
+        with open(path) as f:
+            payloads = json.load(f)
     if not isinstance(payloads, list):
         payloads = [payloads]
     return payloads
@@ -90,8 +120,45 @@ def _city_files(fixture_dir: str) -> list[tuple[str, str, str]]:
     return out
 
 
-def _rows(part: _CitySlice, now_iso: str | None):
-    payloads = _load_city_payloads(part.path)
+@dataclass
+class _Transport:
+    """Per-reader transport config parsed once from the string options."""
+
+    timeout: float
+    retry_attempts: int
+    backoff_seconds: float
+
+    @classmethod
+    def from_options(cls, options) -> "_Transport":
+        return cls(
+            timeout=float(options.get("timeout_seconds", "10")),
+            retry_attempts=int(options.get("retry_attempts", "3")),
+            backoff_seconds=float(options.get("backoff_seconds", "2")),
+        )
+
+
+def _list_sources(options) -> list[tuple[str, str, str]]:
+    """(city, country, path_or_url) per configured city.
+
+    ``fixture_dir`` mode lists ``{city}_{country}.json`` files; ``base_url``
+    mode expands ``{city}``/``{country}`` placeholders per entry of the
+    ``cities`` option (``Name:CC,Name2:CC``)."""
+    base_url = options.get("base_url")
+    if base_url:
+        out = []
+        for spec in options["cities"].split(","):
+            city, _, country = spec.strip().partition(":")
+            out.append(
+                (city, country, base_url.format(city=city, country=country))
+            )
+        return out
+    return _city_files(options["fixture_dir"])
+
+
+def _rows(part: _CitySlice, now_iso: str | None, tr: _Transport):
+    payloads = _load_city_payloads(
+        part.path, tr.timeout, tr.retry_attempts, tr.backoff_seconds
+    )
     end = len(payloads) if part.end < 0 else min(part.end, len(payloads))
     stamp = now_iso or datetime.now(timezone.utc).replace(tzinfo=None).isoformat()
     for payload in payloads[part.start:end]:
@@ -100,46 +167,51 @@ def _rows(part: _CitySlice, now_iso: str | None):
 
 class _BatchReader(DataSourceReader):
     def __init__(self, options):
-        self.fixture_dir = options["fixture_dir"]
+        self.options = options
         self.fixed_now = options.get("fixed_now")
+        self.transport = _Transport.from_options(options)
 
     def partitions(self):
         return [
             _CitySlice(city, country, path, 0, -1)
-            for city, country, path in _city_files(self.fixture_dir)
+            for city, country, path in _list_sources(self.options)
         ]
 
     def read(self, partition):
-        yield from _rows(partition, self.fixed_now)
+        yield from _rows(partition, self.fixed_now, self.transport)
 
 
 class _StreamReader(DataSourceStreamReader):
     def __init__(self, options):
-        self.fixture_dir = options["fixture_dir"]
+        self.options = options
         self.fixed_now = options.get("fixed_now")
+        self.transport = _Transport.from_options(options)
 
     def initialOffset(self):
-        return {city: 0 for city, _, _ in _city_files(self.fixture_dir)}
+        return {city: 0 for city, _, _ in _list_sources(self.options)}
 
     def latestOffset(self):
+        tr = self.transport
         return {
-            city: len(_load_city_payloads(path))
-            for city, _, path in _city_files(self.fixture_dir)
+            city: len(
+                _load_city_payloads(path, tr.timeout, tr.retry_attempts, tr.backoff_seconds)
+            )
+            for city, _, path in _list_sources(self.options)
         }
 
     def partitions(self, start, end):
         parts = []
-        for city, country, path in _city_files(self.fixture_dir):
+        for city, country, path in _list_sources(self.options):
             lo, hi = start.get(city, 0), end.get(city, 0)
             if hi > lo:
                 parts.append(_CitySlice(city, country, path, lo, hi))
         return parts
 
     def read(self, partition):
-        yield from _rows(partition, self.fixed_now)
+        yield from _rows(partition, self.fixed_now, self.transport)
 
     def commit(self, end):
-        pass  # offsets are re-derivable from the fixture files
+        pass  # offsets are re-derivable from the fixture files / API
 
 
 def parse_api_rows(df):

@@ -68,3 +68,43 @@ def test_late_event_beyond_watermark_is_dropped(spark, tmp_path):
     assert rows.filter(F.col("count") > 1).count() == 0
     # on-time windows kept flowing ([09:00,10:00) and [10:00,11:00) emitted in run 2)
     assert ("2024-01-01 10:00:00", "A") in result
+
+
+def test_late_event_kept_in_availablenow_parity_mode(spark, tmp_path):
+    """SURVEY §7.4.5 parity delta, pinned from both sides (r3 VERDICT item
+    6): the SAME late event that watermarked append mode drops IS counted
+    by the reference-parity path, which (like the reference's re-read-all-
+    history runs) recomputes over the full directory with no watermark."""
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    _write_events(src, [("A", f"2024-01-01 {h:02d}:00:00") for h in range(1, 11)])
+    _run_windowed(spark, src, out, ckpt)
+    _write_events(src, [("A", "2024-01-01 03:30:00"), ("A", "2024-01-01 12:00:00")])
+    _run_windowed(spark, src, out, ckpt)
+
+    # watermarked append mode: the finalized [03:00,04:00) window stayed at 1
+    appended = {
+        (str(r.ws), r.city): r["count"]
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert appended[("2024-01-01 03:00:00", "A")] == 1
+
+    # parity mode: full-directory recompute (batch plan, no watermark) —
+    # the late 03:30 event lands in its window
+    batch = spark.read.schema("city string, ts timestamp").json(str(src))
+    parity = {
+        (str(r.ws), r.city): r["count"]
+        for r in (
+            batch.groupBy(F.window("ts", "1 hour").alias("w"), "city")
+            .count()
+            .select(F.col("w.start").alias("ws"), "city", "count")
+            .collect()
+        )
+    }
+    assert parity[("2024-01-01 03:00:00", "A")] == 2
+    # and every on-time window agrees between the two modes
+    for key, n in appended.items():
+        if key != ("2024-01-01 03:00:00", "A"):
+            assert parity.get(key) == n, key

@@ -147,3 +147,138 @@ def test_source_composes_with_silver_flatten(spark, tmp_path):
     assert r.temperature == 11.5 and r.wind_speed == 3.4
     assert r.weather_condition == "Clouds"
     assert str(r.timestamp) == "2024-06-01 12:00:00"  # epoch dt wins (P3)
+
+
+# --------------------------------------------------------------------------
+# Live HTTP transport (r3 VERDICT item 5): the same source pointed at a
+# localhost http.server — the retry/backoff/timeout path (reference
+# src/extract.py:88-108) over real sockets, including transient 500s.
+# --------------------------------------------------------------------------
+
+import http.server
+import threading
+
+
+class _FlakyWeatherHandler(http.server.BaseHTTPRequestHandler):
+    """Serves /weather/{City}; per-city fail budget: first N requests for a
+    city return HTTP 500, subsequent ones the JSON payload."""
+
+    fail_budget: dict[str, int] = {}
+    hits: dict[str, int] = {}
+    payloads: dict[str, object] = {}
+
+    def do_GET(self):  # noqa: N802 (stdlib casing)
+        city = self.path.rsplit("/", 1)[-1]
+        cls = type(self)
+        cls.hits[city] = cls.hits.get(city, 0) + 1
+        if cls.fail_budget.get(city, 0) > 0:
+            cls.fail_budget[city] -= 1
+            self.send_error(500, "transient upstream error")
+            return
+        body = json.dumps(cls.payloads.get(city, {"main": {"temp": 1.0}})).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+@pytest.fixture()
+def flaky_server():
+    _FlakyWeatherHandler.fail_budget = {}
+    _FlakyWeatherHandler.hits = {}
+    _FlakyWeatherHandler.payloads = {
+        "London": [{"main": {"temp": 11.5}}, {"main": {"temp": 12.0}}],
+        "Tokyo": {"main": {"temp": 21.0}},
+    }
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _FlakyWeatherHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_batch_read_over_real_http(spark, flaky_server):
+    _register(spark)
+    df = (
+        spark.read.format("weather_api")
+        .option("base_url", flaky_server + "/weather/{city}")
+        .option("cities", "London:GB,Tokyo:JP")
+        .option("fixed_now", NOW)
+        .load()
+    )
+    rows = df.collect()
+    assert {(r.city_name, r.country_code) for r in rows} == {("London", "GB"), ("Tokyo", "JP")}
+    assert len(rows) == 3  # London array of 2 + Tokyo single payload
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_source_retries_through_transient_500s(spark, flaky_server):
+    """2-failures-then-success: the executor-side retry loop must absorb two
+    HTTP 500s and return the payload on the third attempt."""
+    _FlakyWeatherHandler.fail_budget["Tokyo"] = 2
+    _register(spark)
+    df = (
+        spark.read.format("weather_api")
+        .option("base_url", flaky_server + "/weather/{city}")
+        .option("cities", "Tokyo:JP")
+        .option("retry_attempts", "3")
+        .option("backoff_seconds", "0.05")
+        .option("fixed_now", NOW)
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    assert json.loads(rows[0].payload) == {"main": {"temp": 21.0}}
+    assert _FlakyWeatherHandler.hits["Tokyo"] == 3
+
+
+def test_source_exhausts_retries_and_fails(spark, flaky_server):
+    """Budget above attempts → the read surfaces the transport error rather
+    than silently emitting nothing."""
+    _FlakyWeatherHandler.fail_budget["Tokyo"] = 5
+    _register(spark)
+    df = (
+        spark.read.format("weather_api")
+        .option("base_url", flaky_server + "/weather/{city}")
+        .option("cities", "Tokyo:JP")
+        .option("retry_attempts", "2")
+        .option("backoff_seconds", "0.05")
+        .load()
+    )
+    with pytest.raises(Exception):
+        df.collect()
+    assert _FlakyWeatherHandler.hits["Tokyo"] == 2
+
+
+def test_producer_http_fetch_retry_over_real_http(flaky_server, tmp_path):
+    """Producer-side twin: IngestProducer + http_fetch against the same
+    flaky server — 2 failures then success lands exactly one enriched raw
+    file and records 3 attempts."""
+    from skylogix_real_time_weather_data_pipeline_spark.sources.producer import (
+        IngestProducer,
+        http_fetch,
+    )
+
+    _FlakyWeatherHandler.fail_budget["Oslo"] = 2
+    _FlakyWeatherHandler.payloads["Oslo"] = {"main": {"temp": 4.0}}
+    prod = IngestProducer(
+        fetch=http_fetch(flaky_server + "/weather/{city}", timeout=5.0),
+        cities=[{"name": "Oslo", "country": "NO"}],
+        out_dir=str(tmp_path / "raw"),
+        retry_attempts=3,
+        backoff_seconds=0.0,
+        sleep=lambda s: None,
+    )
+    docs = prod.extract_once()
+    assert len(docs) == 1
+    assert docs[0]["city_name"] == "Oslo"
+    assert docs[0]["main"] == {"temp": 4.0}
+    assert prod.metrics.extract_successes == 1
+    assert prod.metrics.extract_failures == 0
+    assert prod.metrics.attempts == [("Oslo", 3)]
+    assert _FlakyWeatherHandler.hits["Oslo"] == 3
