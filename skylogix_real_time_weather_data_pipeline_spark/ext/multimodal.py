@@ -124,12 +124,20 @@ def _decode_image(payload: bytes) -> tuple[int, int]:
     except Exception:
         return _decode_image_stub(payload)
     try:
-        from . import png
+        from . import jpeg, png
 
         if png.is_png(payload):
             w, h, _, _ = png.decode(payload)
             return w, h
-        for probe in (_jpeg_dims, _gif_dims, _bmp_dims):
+        if jpeg.is_jpeg(payload):
+            # header probe first (cheap); full pixel decode only as the
+            # fallback for streams whose SOF the scan missed
+            dims = _jpeg_dims(payload)
+            if dims:
+                return dims
+            w, h, _, _ = jpeg.decode(payload)
+            return w, h
+        for probe in (_gif_dims, _bmp_dims):
             dims = probe(payload)
             if dims:
                 return dims
@@ -200,17 +208,24 @@ def extract_features(assets: DataFrame) -> DataFrame:
 
 
 def _resize_one(payload: bytes, target: int) -> bytes:
-    """REAL resize for PNG payloads (decode → nearest-neighbor → re-encode
-    via the stdlib codec); deterministic digest fake for other formats so
-    downstream content-addressing still works. Exception-guarded like
-    ``_decode_image``: a truncated/16-bit/interlaced PNG falls back to the
-    digest stub instead of failing the Spark stage."""
+    """REAL resize for PNG and baseline-JPEG payloads (decode →
+    nearest-neighbor → re-encode via the stdlib codecs; JPEG input
+    re-encodes as PNG since the in-repo JPEG codec is decode-only);
+    deterministic digest fake for other formats so downstream
+    content-addressing still works. Exception-guarded like
+    ``_decode_image``: a truncated/16-bit/interlaced PNG or a
+    progressive JPEG falls back to the digest stub instead of failing
+    the Spark stage."""
     try:
-        from . import png
+        from . import jpeg, png
 
         if png.is_png(payload):
             w, h, ch, px = png.decode(payload)
-            return png.encode(target, target, png.resize_nearest(w, h, ch, px, target, target), ch)
+        elif jpeg.is_jpeg(payload):
+            w, h, ch, px = jpeg.decode(payload)
+        else:
+            raise ValueError("no codec")
+        return png.encode(target, target, png.resize_nearest(w, h, ch, px, target, target), ch)
     except Exception:
         pass
     return hashlib.sha256(payload + target.to_bytes(4, "big")).digest()
