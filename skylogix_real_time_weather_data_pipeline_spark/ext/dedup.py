@@ -243,6 +243,50 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def dup_chunk_ratio(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    chunk_tokens: int = 10, max_ratio: float = 0.3) -> DataFrame:
+    """Duplicated-chunk fraction per document (the RefinedWeb/C4-style
+    "fraction of text duplicated elsewhere in the corpus" filter, applied
+    at fixed token-window granularity instead of paragraphs, which the
+    synthetic corpus lacks).
+
+    Plan: one narrow pass chunks each doc into non-overlapping
+    ``chunk_tokens`` windows and md5s them; a window count over the chunk
+    hash marks chunks occurring more than once CORPUS-WIDE (including
+    within-doc repeats — both are training-data redundancy); one
+    groupBy(doc) folds the flags into the ratio. Two shuffles total (hash,
+    doc id), both on high-cardinality keys; nothing is ever joined back to
+    the full text. ``keep`` = ratio ≤ ``max_ratio``.
+    """
+    from pyspark.sql import Window
+
+    from .text import tokens
+
+    toks = tokens(F.col(text_col))
+    n_chunks = F.greatest(F.ceil(F.size(toks) / chunk_tokens), F.lit(1)).cast("int")
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * chunk_tokens, F.lit(chunk_tokens))
+    chunks = F.transform(
+        starts, lambda s: F.md5(F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)))
+    )
+    exploded = df.select(id_col, F.explode(chunks).alias("h"))
+    occ = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    flagged = exploded.select(id_col, (occ > 1).cast("int").alias("dup"))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("dup").alias("n_dup_chunks"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6).alias("dup_ratio"),
+            (F.col("n_dup_chunks") <= F.lit(max_ratio) * F.col("n_chunks")).alias("keep"),
+        )
+    )
+
+
 def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
                          id_col: str = "doc_id", max_iterations: int = 20) -> DataFrame:
     """Cluster assignment over near-dup candidate pairs: connected

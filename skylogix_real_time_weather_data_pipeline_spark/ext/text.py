@@ -332,6 +332,114 @@ def mixture_sample(df: DataFrame, rates: dict[str, float], seed: int = 7,
     return df.select(id_col, source_col).filter(h < thr)
 
 
+def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    min_logprob: float = -9.0) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the cheap perplexity proxy every quality-filtering stack
+    runs before a real LM scores anything (docs full of rare/garbage
+    tokens score low; formulaic boilerplate scores high).
+
+    Plan: tf(doc, word) and corpus frequency cf(word) come from the SAME
+    exploded pass (tf first, then a re-aggregation of the tiny tf table —
+    never a second scan of the text); one shuffle join tf⋈cf on the word
+    key; per-doc fold of tf·ln(cf/N). The mean folds through fsum's
+    fixed-point path so the output is order-independent.
+
+    Returns (doc_id, n_tokens, avg_logprob, keep = avg ≥ min_logprob).
+    """
+    from ..functions.exact import fsum
+
+    tf = (
+        df.select(id_col, F.explode(tokens(text_col)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cf = tf.groupBy("w").agg(F.sum("tf").alias("cf"))
+    n_total = cf.agg(F.sum("cf").alias("n_total"))
+    scored = (
+        tf.join(cf, "w")
+        .crossJoin(F.broadcast(n_total))  # 1-row scalar
+        .select(
+            id_col,
+            "tf",
+            (F.col("tf") * F.log(F.col("cf") / F.col("n_total"))).alias("wlp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (fsum("wlp", 6) / F.sum("tf")).alias("_avg"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round("_avg", 6).alias("avg_logprob"),
+            (F.col("_avg") >= min_logprob).alias("keep"),
+        )
+    )
+
+
+def temperature_mixture(df: DataFrame, alpha: float = 0.5, budget_frac: float = 0.6,
+                        seed: int = 29, id_col: str = "doc_id",
+                        lang_col: str = "lang") -> DataFrame:
+    """α-temperature language rebalancing — the multilingual mixture stage
+    (sampling weight ∝ n_l^α flattens the head and upsamples tail
+    languages; α=1 is proportional, α=0 uniform).
+
+    All rates are DATA-DERIVED in-plan: per-language counts → exact
+    decimal total of rounded n^α weights (a handful of rows; decimal so
+    the tiny final fold is order-independent) → per-language keep rate
+    min(1, budget·share/n_l) → deterministic md5(id) threshold selection
+    (no rand(): retries and the DuckDB oracle reproduce the exact
+    sample). The per-language config broadcasts back onto the corpus; the
+    corpus itself never shuffles.
+
+    Returns per language: n_docs, target_share, n_selected,
+    realized_rate.
+    """
+    from .dedup import _md5_long
+
+    counts = df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = F.round(F.pow("n_docs", F.lit(alpha)), 6)
+    weights = counts.select(lang_col, "n_docs", w.alias("w"))
+    totals = weights.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.col("w").cast("decimal(28,6)")).cast("double").alias("w_total"),
+    )
+    conf = (
+        weights.crossJoin(F.broadcast(totals))
+        .select(
+            lang_col,
+            "n_docs",
+            F.round(F.col("w") / F.col("w_total"), 6).alias("target_share"),
+            F.least(
+                F.lit(1.0),
+                F.lit(budget_frac) * (F.col("w") / F.col("w_total")) * F.col("n_total") / F.col("n_docs"),
+            ).alias("rate"),
+        )
+        .withColumn("thr", F.round(F.col("rate") * 1_000_000).cast("long"))
+    )
+    h = F.pmod(_md5_long(F.col(id_col).cast("string"), seed), F.lit(1_000_000))
+    picked = (
+        df.select(id_col, lang_col)
+        .join(F.broadcast(conf.select(lang_col, "thr")), lang_col)
+        .filter(h < F.col("thr"))
+        .groupBy(lang_col)
+        .agg(F.count(F.lit(1)).alias("n_selected"))
+    )
+    return (
+        conf.join(picked, lang_col, "left")
+        .select(
+            lang_col,
+            "n_docs",
+            "target_share",
+            F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
+            F.round(F.coalesce("n_selected", F.lit(0)) / F.col("n_docs"), 6).alias("realized_rate"),
+        )
+    )
+
+
 def split_expr(id_col: str | Column = "doc_id",
                fractions: dict[str, float] | None = None,
                seed: int = 13) -> Column:

@@ -69,8 +69,15 @@ _VERIFY_FIRST = (
     "docs_chunk",
     "emb_cosine_topk",
     "emb_lsh_buckets",
-    # --- spare slots: new round-4 queries append here (before the
-    # --- boundary) so they get a driver row in their first round ---
+    # --- spare slots: new round-4 queries (driver row in their first round) ---
+    "emb_hamming_topk",                # NEW: sign-bit codes + bit_count(xor) ANN
+    "docs_dup_chunk_ratio",            # NEW: corpus-wide duplicated-chunk filter
+    "docs_unigram_logprob",            # NEW: unigram-LM perplexity proxy
+    "docs_temperature_mixture",        # NEW: α-temperature language rebalance
+    "rel_min_cost_supplier",           # NEW: Q2-shaped per-part argmin
+    "rel_customer_ntile_segments",     # NEW: ntile(4) spend quartiles
+    "rel_supplier_part_counts",        # NEW: Q16-shaped distinct-agg + NOT IN
+    "weather_seasonal_anomaly",        # NEW: day-of-week profile deviations
 )
 
 

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ext import dedup, similarity, text
-from ..functions.exact import dmean
+from ..functions.exact import dmean, sql_fsum
 
 _N_HASHES = 16
 _BANDS = 4
@@ -671,6 +671,41 @@ FROM prep
 """
 
 
+# --------------------------------------------------------------------------
+# Binary (sign-bit) quantization + Hamming ANN: the 32×-compression
+# candidate generator — bit_count(xor) over two packed longs per vector.
+# --------------------------------------------------------------------------
+
+def q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by Hamming distance over sign-bit codes (query vec_id=0,
+    ties on vec_id). One narrow integer-only pass; TakeOrderedAndProject."""
+    return similarity.hamming_topk(_embs(spark, sf_dir), query_id=0, k=_TOPK)
+
+
+def _sql_sign_pack(lo: int, hi: int) -> str:
+    """DuckDB twin of similarity.sign_pack: Σ (v[i]>0)·2^(hi-1-i), the same
+    big-endian integer the Spark fold (acc*2 + bit) produces."""
+    return (
+        f"CAST(list_sum(list_transform(range({lo}, {hi}), i -> "
+        f"CASE WHEN embedding[i + 1] > 0 THEN (CAST(1 AS BIGINT) << ({hi} - 1 - i)) "
+        f"ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    )
+
+
+O_HAMMING_TOPK = f"""
+WITH codes AS (
+  SELECT vec_id,
+         {_sql_sign_pack(0, 32)} AS code_lo,
+         {_sql_sign_pack(32, 64)} AS code_hi
+  FROM embeddings
+), q AS (SELECT code_lo AS q_lo, code_hi AS q_hi FROM codes WHERE vec_id = 0)
+SELECT vec_id,
+       CAST(bit_count(xor(code_lo, q_lo)) + bit_count(xor(code_hi, q_hi)) AS INTEGER) AS hamming
+FROM codes, q WHERE vec_id <> 0
+ORDER BY hamming ASC, vec_id ASC LIMIT {_TOPK}
+"""
+
+
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     row = embs.filter(F.col("vec_id") == 0).select("embedding").first()
@@ -1099,6 +1134,110 @@ SELECT doc_id, CAST(rnk // 64 AS BIGINT) AS shard, rnk % 64 AS pos_in_shard FROM
 
 
 # --------------------------------------------------------------------------
+# Duplicated-chunk fraction (RefinedWeb-style corpus-wide redundancy filter)
+# --------------------------------------------------------------------------
+
+_DUPCHUNK_TOKENS = 10
+_DUPCHUNK_MAX = 0.3
+
+
+def q_dup_chunk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dup_chunk_ratio(
+        _docs(spark, sf_dir), chunk_tokens=_DUPCHUNK_TOKENS, max_ratio=_DUPCHUNK_MAX
+    )
+
+
+O_DUP_CHUNK_RATIO = TOK_CTE + f"""
+, par AS (
+  SELECT doc_id, tk, greatest(CAST(ceil(len(tk) / {_DUPCHUNK_TOKENS}.0) AS BIGINT), 1) AS n_chunks
+  FROM toks
+), ch AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(tk, s + 1, s + {_DUPCHUNK_TOKENS}), ' ')) AS h
+  FROM (SELECT doc_id, tk, unnest(range(0, n_chunks * {_DUPCHUNK_TOKENS}, {_DUPCHUNK_TOKENS})) AS s FROM par)
+), flagged AS (
+  SELECT doc_id, CASE WHEN COUNT(*) OVER (PARTITION BY h) > 1 THEN 1 ELSE 0 END AS dup FROM ch
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(dup) AS BIGINT) AS n_dup_chunks,
+       ROUND(SUM(dup) / COUNT(*), 6) AS dup_ratio,
+       SUM(dup) <= {_DUPCHUNK_MAX} * COUNT(*) AS keep
+FROM flagged GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM mean log-probability (perplexity-proxy quality score)
+# --------------------------------------------------------------------------
+
+_LOGPROB_MIN = -9.0
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.unigram_logprob(_docs(spark, sf_dir), min_logprob=_LOGPROB_MIN)
+
+
+O_UNIGRAM_LOGPROB = TOK_CTE + f"""
+, tok_rows AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok_rows GROUP BY 1, 2),
+cf AS (SELECT w, SUM(tf) AS cf FROM tf GROUP BY w),
+nt AS (SELECT SUM(cf) AS n_total FROM cf),
+scored AS (
+  SELECT doc_id, tf, tf * ln(cf / n_total) AS wlp
+  FROM tf JOIN cf USING (w), nt
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       ROUND({sql_fsum('wlp', 6)} / SUM(tf), 6) AS avg_logprob,
+       ({sql_fsum('wlp', 6)} / SUM(tf)) >= {_LOGPROB_MIN} AS keep
+FROM scored GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# α-temperature multilingual mixture (data-derived sampling rates)
+# --------------------------------------------------------------------------
+
+_TMIX_SEED = 29
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.temperature_mixture(_docs(spark, sf_dir), alpha=0.5,
+                                    budget_frac=0.6, seed=_TMIX_SEED)
+
+
+O_TEMPERATURE_MIXTURE = f"""
+WITH counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+weights AS (SELECT lang, n_docs, ROUND(pow(n_docs, 0.5), 6) AS w FROM counts),
+totals AS (
+  SELECT SUM(n_docs) AS n_total,
+         CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS w_total
+  FROM weights
+),
+conf AS (
+  SELECT lang, n_docs,
+         ROUND(w / w_total, 6) AS target_share,
+         least(1.0, 0.6 * (w / w_total) * n_total / n_docs) AS rate
+  FROM weights, totals
+),
+thr AS (
+  SELECT lang, n_docs, target_share, CAST(ROUND(rate * 1000000) AS BIGINT) AS thr FROM conf
+),
+picked AS (
+  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_selected
+  FROM documents d JOIN thr USING (lang)
+  WHERE {_sql_hash(_TMIX_SEED, 'CAST(doc_id AS VARCHAR)')} % 1000000 < thr
+  GROUP BY d.lang
+)
+SELECT t.lang, t.n_docs, t.target_share,
+       COALESCE(p.n_selected, 0) AS n_selected,
+       ROUND(COALESCE(p.n_selected, 0) / t.n_docs, 6) AS realized_rate
+FROM thr t LEFT JOIN picked p USING (lang)
+"""
+
+
+# --------------------------------------------------------------------------
 # Benchmark decontamination: per-doc shingle overlap with an eval set.
 # --------------------------------------------------------------------------
 
@@ -1298,6 +1437,10 @@ QUERIES = {
     "emb_cosine_topk": q_cosine_topk,
     "emb_quantize_int8": q_quantize_int8,
     "emb_quantized_topk": q_quantized_topk,
+    "emb_hamming_topk": q_hamming_topk,
+    "docs_dup_chunk_ratio": q_dup_chunk_ratio,
+    "docs_unigram_logprob": q_unigram_logprob,
+    "docs_temperature_mixture": q_temperature_mixture,
     "emb_lsh_buckets": q_lsh_buckets,
     "emb_lsh_near_dup_pairs": q_lsh_near_dup_pairs,
     "emb_ivf_topk": q_ivf_topk,
@@ -1339,6 +1482,10 @@ ORACLES = {
     "emb_cosine_topk": O_COSINE_TOPK,
     "emb_quantize_int8": O_QUANTIZE_INT8,
     "emb_quantized_topk": O_QUANTIZED_TOPK,
+    "emb_hamming_topk": O_HAMMING_TOPK,
+    "docs_dup_chunk_ratio": O_DUP_CHUNK_RATIO,
+    "docs_unigram_logprob": O_UNIGRAM_LOGPROB,
+    "docs_temperature_mixture": O_TEMPERATURE_MIXTURE,
     "emb_lsh_buckets": O_LSH_BUCKETS,
     "emb_lsh_near_dup_pairs": O_LSH_NEAR_DUP,
     "emb_ivf_topk": O_IVF_TOPK,

@@ -1497,10 +1497,136 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q2-shaped min-cost supplier: per-part argmin over supplier offers.
+# --------------------------------------------------------------------------
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per large part by observed mean unit price.
+
+    Q2's correlated MIN(ps_supplycost) subquery, re-expressed Spark-first:
+    aggregate offers once on (partkey, suppkey) — the only fact-sized
+    shuffle — then rank-1 inside the per-part aggregate (ties pinned on
+    suppkey) instead of re-scanning per row the way a correlated subquery
+    would. part and supplier broadcast at any scale; the p_size filter
+    prunes parts before the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 48)
+    s = _t(spark, sf_dir, "supplier")
+    offers = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_brand", "l_suppkey")
+        .agg(F.round(fmean(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias("unit_price"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.asc("unit_price"), F.asc("l_suppkey"))
+    return (
+        offers.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("p_partkey", "p_brand", "s_name", F.col("unit_price").alias("best_unit_price"))
+    )
+
+
+O_MIN_COST_SUPPLIER = f"""
+WITH offers AS (
+  SELECT p_partkey, p_brand, l_suppkey,
+         ROUND({sql_fmean('l_extendedprice / l_quantity')}, 6) AS unit_price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size >= 48
+  GROUP BY 1, 2, 3
+)
+SELECT p_partkey, p_brand, s_name, unit_price AS best_unit_price
+FROM offers JOIN supplier ON l_suppkey = s_suppkey
+QUALIFY row_number() OVER (PARTITION BY p_partkey ORDER BY unit_price ASC, l_suppkey ASC) = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# ntile customer segmentation: quartiles of total spend.
+# --------------------------------------------------------------------------
+
+def q_customer_ntile_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend quartiles: aggregate per customer first (one fact shuffle),
+    ntile(4) over the small per-customer aggregate with a unique tiebreak
+    (total_spend DESC, custkey ASC — ntile is frame-order-sensitive, so
+    the order must be total), then fold quartile stats. The re-sum of
+    2-dp per-customer spends stays on the fsum fast path."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.round(fsum("o_totalprice"), 2).alias("total_spend"))
+    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    return (
+        spend.withColumn("spend_quartile", F.ntile(4).over(w))
+        .groupBy("spend_quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(fsum("total_spend", 2), 2).alias("total_spend"),
+            F.round(fmean("total_spend"), 2).alias("avg_spend"),
+            F.round(F.min("total_spend"), 2).alias("min_spend"),
+            F.round(F.max("total_spend"), 2).alias("max_spend"),
+        )
+    )
+
+
+O_CUSTOMER_NTILE_SEGMENTS = f"""
+WITH spend AS (
+  SELECT o_custkey, ROUND({sql_fsum('o_totalprice')}, 2) AS total_spend
+  FROM orders GROUP BY o_custkey
+), tiled AS (
+  SELECT total_spend,
+         CAST(ntile(4) OVER (ORDER BY total_spend DESC, o_custkey ASC) AS INTEGER) AS spend_quartile
+  FROM spend
+)
+SELECT spend_quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND({sql_fsum('total_spend', 2)}, 2) AS total_spend,
+       ROUND({sql_fmean('total_spend')}, 2) AS avg_spend,
+       ROUND(MIN(total_spend), 2) AS min_spend,
+       ROUND(MAX(total_spend), 2) AS max_spend
+FROM tiled GROUP BY spend_quartile
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16-shaped supplier diversity per part attribute, with an
+# exclusion subquery (NOT IN → anti join).
+# --------------------------------------------------------------------------
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct shipping suppliers per (brand, type), excluding suppliers
+    in deficit (the Q16 complaint-supplier NOT IN, as a broadcast anti
+    join — the exclusion set is dimension-sized). The distinct-agg runs
+    on the already-deduped (brand, type, suppkey) projection so the
+    count-distinct shuffle carries no fact rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    excluded = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("p_brand", "p_type", "l_suppkey")
+        .join(F.broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return pairs.groupBy("p_brand", "p_type").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+O_SUPPLIER_PART_COUNTS = """
+SELECT p_brand, p_type,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": q_pricing_summary,
     "rel_cube_lineitem": q_cube_lineitem,
     "rel_approx_distinct": q_approx_distinct,
+    "rel_min_cost_supplier": q_min_cost_supplier,
+    "rel_customer_ntile_segments": q_customer_ntile_segments,
+    "rel_supplier_part_counts": q_supplier_part_counts,
     "rel_revenue_by_nation": q_revenue_by_nation,
     "rel_top_customers_per_nation": q_top_customers_per_nation,
     "rel_segment_monthly": q_segment_monthly,
@@ -1538,6 +1664,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_min_cost_supplier": O_MIN_COST_SUPPLIER,
+    "rel_customer_ntile_segments": O_CUSTOMER_NTILE_SEGMENTS,
+    "rel_supplier_part_counts": O_SUPPLIER_PART_COUNTS,
     "rel_pricing_summary": O_PRICING_SUMMARY,
     "rel_cube_lineitem": O_CUBE_LINEITEM,
     "rel_revenue_by_nation": O_REVENUE_BY_NATION,

@@ -570,7 +570,70 @@ SELECT * FROM z WHERE ABS(zscore) >= 2.5
 """
 
 
+# --------------------------------------------------------------------------
+# Seasonal (day-of-week) profile anomalies: daily mean vs the city's
+# same-weekday climatology.
+# --------------------------------------------------------------------------
+
+_SEASONAL_DEV = 2.0
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose mean temperature deviates from the city's same-weekday
+    mean by more than ±2° — the seasonal-decomposition cousin of the
+    z-score anomaly query (profile join instead of global moments).
+
+    Weekday index is ``epoch_days % 7`` — zone-free integer arithmetic
+    both engines compute identically (named day-of-week functions differ
+    in week-start conventions across engines). Two aggregates over one
+    obs scan lineage, joined on the (city, weekday) profile — the join is
+    per-day rows against a 7-row-per-city profile, never raw
+    observations."""
+    obs = observations(spark, sf_dir)
+    dow = (F.unix_date(F.col("date")) % 7).cast("int")
+    daily = obs.groupBy("city", "date").agg(
+        F.round(gold.fmean("temperature"), 6).alias("daily_mean"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    prof = (
+        obs.withColumn("dow_idx", dow)
+        .groupBy("city", "dow_idx")
+        .agg(F.round(gold.fmean("temperature"), 6).alias("dow_mean"))
+    )
+    dev = F.round(F.col("daily_mean") - F.col("dow_mean"), 6)
+    return (
+        daily.withColumn("dow_idx", dow)
+        .join(prof, ["city", "dow_idx"])
+        .select("city", "date", "dow_idx", "daily_mean", "dow_mean", "n_obs",
+                dev.alias("deviation"))
+        .filter(F.abs(F.col("deviation")) > _SEASONAL_DEV)
+    )
+
+
+O_SEASONAL_ANOMALY = OBS_CTE + f"""
+, daily AS (
+  SELECT city, "date",
+         ROUND({sql_fmean('temperature')}, 6) AS daily_mean,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM obs GROUP BY 1, 2
+), prof AS (
+  SELECT city, CAST(("date" - DATE '1970-01-01') % 7 AS INTEGER) AS dow_idx,
+         ROUND({sql_fmean('temperature')}, 6) AS dow_mean
+  FROM obs GROUP BY 1, 2
+)
+SELECT d.city, d."date",
+       CAST((d."date" - DATE '1970-01-01') % 7 AS INTEGER) AS dow_idx,
+       d.daily_mean, p.dow_mean, d.n_obs,
+       ROUND(d.daily_mean - p.dow_mean, 6) AS deviation
+FROM daily d
+JOIN prof p ON d.city = p.city
+           AND CAST((d."date" - DATE '1970-01-01') % 7 AS INTEGER) = p.dow_idx
+WHERE ABS(ROUND(d.daily_mean - p.dow_mean, 6)) > {_SEASONAL_DEV}
+"""
+
+
 QUERIES = {
+    "weather_seasonal_anomaly": q_seasonal_anomaly,
     "weather_correlations": q_correlations,
     "weather_zscore_anomalies": q_zscore_anomalies,
     "weather_temperature_buckets": q_temperature_buckets,
@@ -595,6 +658,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "weather_seasonal_anomaly": O_SEASONAL_ANOMALY,
     "weather_correlations": O_CORRELATIONS,
     "weather_zscore_anomalies": O_ZSCORE_ANOMALIES,
     "weather_temperature_buckets": O_TEMPERATURE_BUCKETS,

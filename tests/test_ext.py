@@ -546,3 +546,89 @@ def test_ivf_quantized_topk_finds_planted_neighbor(spark):
     sims = [r.cosine_sim for r in out]
     assert sims == sorted(sims, reverse=True)
     assert all(r.approx_cosine is not None for r in out)
+
+
+def test_sign_pack_and_hamming_topk(spark):
+    """sign_pack is the documented big-endian bit fold; hamming_topk ranks a
+    planted 1-bit-flip neighbor first."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.similarity import (
+        hamming_topk,
+        sign_pack,
+    )
+
+    base = [1.0 if i % 3 == 0 else -1.0 for i in range(64)]
+    flip1 = list(base)
+    flip1[5] = -flip1[5]  # 1-bit neighbor
+    far = [-x for x in base]  # 64-bit complement
+    df = spark.createDataFrame(
+        [(0, base), (1, flip1), (2, far)], "vec_id long, embedding array<double>"
+    )
+    codes = df.select(
+        "vec_id",
+        sign_pack(F.col("embedding"), 0, 32).alias("lo"),
+        sign_pack(F.col("embedding"), 32, 64).alias("hi"),
+    ).collect()
+    by_id = {r.vec_id: (r.lo, r.hi) for r in codes}
+    expect_lo = sum((1 << (31 - i)) for i in range(32) if base[i] > 0)
+    assert by_id[0][0] == expect_lo
+    assert by_id[0][0] >= 0 and by_id[0][1] >= 0  # sign bit never touched
+    out = hamming_topk(df, query_id=0, k=2).collect()
+    assert [(r.vec_id, r.hamming) for r in out] == [(1, 1), (2, 64)]
+
+
+def test_dup_chunk_ratio_model(spark):
+    """Duplicated-chunk fraction against a hand-computed corpus: doc 1 and 2
+    share one 3-token chunk; doc 3 is unique."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import dup_chunk_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),      # chunks: 'a b c', 'x y z'
+            (2, "a b c q r s"),      # shares 'a b c'
+            (3, "u v w"),            # unique single chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_chunk_ratio(df, chunk_tokens=3, max_ratio=0.4).collect()}
+    assert out[1].n_chunks == 2 and out[1].n_dup_chunks == 1
+    assert abs(out[1].dup_ratio - 0.5) < 1e-9 and not out[1].keep
+    assert out[2].n_dup_chunks == 1 and not out[2].keep
+    assert out[3].n_dup_chunks == 0 and out[3].keep
+
+
+def test_unigram_logprob_orders_common_above_rare(spark):
+    """A doc of corpus-frequent words must out-score a doc of hapaxes, and
+    the mean log-prob matches the closed-form unigram model."""
+    import math
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "the the the the"), (2, "qqq zzz"), (3, "the the qqq www")],
+        "doc_id long, text string",
+    )
+    # corpus: the×6, qqq×2, zzz×1, www×1  (N=10)
+    out = {r.doc_id: r for r in unigram_logprob(df, min_logprob=-1.5).collect()}
+    assert out[1].avg_logprob > out[3].avg_logprob > out[2].avg_logprob
+    expect1 = math.log(6 / 10)
+    assert abs(out[1].avg_logprob - round(expect1, 6)) < 2e-6
+    assert out[1].keep and not out[2].keep
+
+
+def test_temperature_mixture_upsamples_tail_langs(spark):
+    """α=0.5 flattening: the rare language's keep-rate must exceed the
+    dominant language's, and realized counts respect the thresholds."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.text import temperature_mixture
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = {r.lang: r for r in temperature_mixture(df, alpha=0.5, budget_frac=0.5).collect()}
+    assert out["big"].n_docs == 900 and out["small"].n_docs == 100
+    # n^0.5 weights: 30 vs 10 → target shares 0.75 / 0.25
+    assert abs(out["big"].target_share - 0.75) < 1e-6
+    assert abs(out["small"].target_share - 0.25) < 1e-6
+    # rates: big = 0.5*0.75*1000/900 ≈ 0.4167; small = min(1, 0.5*0.25*1000/100) = 1.0
+    assert out["small"].n_selected == 100  # rate 1.0 keeps every tail doc
+    assert 0 < out["big"].n_selected < 900
+    rate_big = out["big"].n_selected / out["big"].n_docs
+    assert rate_big < out["small"].n_selected / out["small"].n_docs

@@ -207,3 +207,43 @@ def test_semdedup_checkpoints_assignment_no_lloyd_reeval(spark, sf_dir, qs):
     plan = _physical(qs["emb_semdedup"](spark, sf_dir))
     assert len(re.findall(r"FileScan parquet.*embeddings", plan)) <= 2
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_hamming_topk_no_shuffle_topk_only(spark, sf_dir, qs):
+    """Binary ANN must stay a narrow integer pass: the only exchange is the
+    1-row broadcast of the query codes, and the global top-k runs as
+    TakeOrderedAndProject — no full sort, no data shuffle."""
+    plan = _physical(qs["emb_hamming_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    n_exchange = len(re.findall(r"Exchange", plan))
+    n_broadcast = len(re.findall(r"BroadcastExchange", plan))
+    assert n_exchange == n_broadcast == 1
+
+
+def test_dup_chunk_ratio_two_shuffles_one_scan(spark, sf_dir, qs):
+    """Corpus-wide chunk counting needs exactly the (chunk-hash window,
+    doc groupBy) shuffles over ONE scan of the text — a joined-back
+    formulation would rescan or re-shuffle the payload."""
+    plan = _physical(qs["docs_dup_chunk_ratio"](spark, sf_dir))
+    assert len(re.findall(r"FileScan", plan)) == 1
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+
+def test_supplier_part_counts_dims_broadcast(spark, sf_dir, qs):
+    """part and the exclusion set are dimension-sized: both must broadcast
+    so the only fact movement is the distinct-agg shuffle."""
+    plan = _physical(qs["rel_supplier_part_counts"](spark, sf_dir))
+    assert len(re.findall(r"BroadcastExchange", plan)) == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_min_cost_supplier_windows_aggregate_not_facts(spark, sf_dir, qs):
+    """The rank-1 window must run over the per-(part,supplier) aggregate —
+    a window over raw lineitem would sort the fact table."""
+    plan = _physical(qs["rel_min_cost_supplier"](spark, sf_dir))
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # executedPlan prints top-down: the window sits ABOVE the aggregate
+    assert win_pos < agg_pos
+    assert len(re.findall(r"BroadcastExchange", plan)) == 2
