@@ -243,6 +243,66 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def minhash_jaccard_estimates(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", n_hashes: int = 16,
+                              bands: int = 4, shingle_n: int = 3,
+                              max_bucket_size: int = 100_000,
+                              max_shingle_df: int | None = 100_000) -> DataFrame:
+    """Estimator-quality eval: per LSH candidate pair, the MinHash
+    agreement estimate Ĵ = |{i : mhᵢ(a)=mhᵢ(b)}| / n_hashes next to the
+    exact shingle Jaccard — the calibration table you consult before
+    trusting banding thresholds on a new corpus.
+
+    Agreement counts use the same single-evaluation bucket-grouping idiom
+    as the banding itself: explode the signature to (component, value)
+    rows, group equal values per component, fan out in-bucket pairs — the
+    signature pipeline runs ONCE (a sig⋈sig self-join would evaluate the
+    shingle→md5→min subtree per side). Exact Jaccard reuses the capped
+    inverted index (threshold 0 — the candidates are already restricted
+    to LSH collisions). Pairs with no shared shingle under the df cap
+    report exact 0.
+    """
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, n_hashes, bands, shingle_n, max_bucket_size
+    ).select("id_a", "id_b")
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    comp = sig.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("ci"), F.col(f"mh{i:02d}").alias("mh"))
+                for i in range(n_hashes)
+            ])
+        ).alias("c"),
+    ).select(id_col, "c.ci", "c.mh")
+    buckets = (
+        comp.groupBy("ci", "mh")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    agree = (
+        buckets.select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_agree"))
+    )
+    exact = ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_n, threshold=0.0, max_shingle_df=max_shingle_df
+    ).select("id_a", "id_b", F.col("jaccard").alias("exact_jaccard"))
+    est = F.round(F.coalesce("n_agree", F.lit(0)) / n_hashes, 6)
+    exact_r = F.coalesce("exact_jaccard", F.lit(0.0))
+    return (
+        pairs.join(agree, ["id_a", "id_b"], "left")
+        .join(exact, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            est.alias("est_jaccard"),
+            F.round(exact_r, 6).alias("exact_jaccard"),
+            F.round(F.abs(est - exact_r), 6).alias("abs_err"),
+        )
+    )
+
+
 def dup_chunk_ratio(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                     chunk_tokens: int = 10, max_ratio: float = 0.3) -> DataFrame:
     """Duplicated-chunk fraction per document (the RefinedWeb/C4-style

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 # whole-stage-codegen long arithmetic (functions/exact.py documents the
 # 100 TB overflow headroom); dmean remains for callers needing >6 fractional
 # digits of per-row fidelity.
-from ..functions.exact import dmean, fmean
+from ..functions.exact import dmean, fmean, fsum
 
 
 def basic_stats(df: DataFrame, ts: str = "timestamp", temp: str = "temperature",
@@ -234,28 +234,26 @@ def temperature_trends(df: DataFrame, city: str = "city", temp: str = "temperatu
     Label semantics preserved verbatim: sum(change) > 0 → 'warming',
     else (including exactly 0) → 'cooling' (SURVEY §7.4.1d).
 
-    Determinism pin: the daily mean is SUM(DECIMAL)/COUNT, not AVG(double)
-    — float partial-agg fold order varies run to run, and every daily mean
-    feeds ~27 downstream diffs here, so a last-ulp wobble at a 6-decimal
-    rounding boundary flipped one output cell in ~1 of 10 local sweeps.
-    Decimal summation is exact and order-independent; stage 2 then runs in
-    sorted per-city partitions, so the whole query is bit-stable.
+    Determinism pin: the daily mean is an exact fixed-point fold (fmean),
+    not AVG(double) — float partial-agg fold order varies run to run, and
+    every daily mean feeds ~27 downstream diffs here, so a last-ulp wobble
+    at a 6-decimal rounding boundary flipped one output cell in ~1 of 10
+    local sweeps under the old AVG. The exact fold is order-independent;
+    stage 2 then runs in sorted per-city partitions, so the whole query is
+    bit-stable. (Was DECIMAL(20,10)/DECIMAL(24,10) sums in r3 — fsum keeps
+    the same exactness on the long-backed codegen path, functions/exact.py.)
     """
-    daily = df.groupBy(city, date).agg(
-        (F.sum(F.col(temp).cast("decimal(20,10)")).cast("double") / F.count(temp)).alias("t")
-    )
+    daily = df.groupBy(city, date).agg(fmean(temp).alias("t"))
     w = Window.partitionBy(city).orderBy(date)
     delta = daily.withColumn("change", F.col("t") - F.lag("t", 1).over(w))
     return (
         delta.filter(F.col("change").isNotNull())
         .groupBy(city)
         .agg(
-            F.round(dmean("change"), 6).alias("avg_change"),
+            F.round(fmean("change"), 6).alias("avg_change"),
             F.round(F.max("change"), 6).alias("max_change"),
             F.round(F.min("change"), 6).alias("min_change"),
-            F.round(F.sum(F.col("change").cast("decimal(24,10)")).cast("double"), 6).alias(
-                "sum_change"
-            ),
+            F.round(fsum("change", 6), 6).alias("sum_change"),
         )
         .withColumn(
             "trend",

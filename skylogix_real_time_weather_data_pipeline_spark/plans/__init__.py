@@ -78,6 +78,10 @@ _VERIFY_FIRST = (
     "rel_customer_ntile_segments",     # NEW: ntile(4) spend quartiles
     "rel_supplier_part_counts",        # NEW: Q16-shaped distinct-agg + NOT IN
     "weather_seasonal_anomaly",        # NEW: day-of-week profile deviations
+    "weather_temperature_trends",      # CHANGED: daily-mean/trend folds → fsum fast path
+    "stream_hopping_distinct",         # NEW: hopping-window distinct users
+    "emb_quantized_recall",            # NEW: exact-vs-ADC recall@k eval
+    "docs_minhash_jaccard_estimate",   # NEW: estimator calibration vs exact Jaccard
 )
 
 

@@ -149,6 +149,74 @@ GROUP BY a.doc_id, b.doc_id
 
 
 # --------------------------------------------------------------------------
+# MinHash estimator calibration: agreement estimate vs exact Jaccard per
+# LSH candidate pair.
+# --------------------------------------------------------------------------
+
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_jaccard_estimates(
+        _docs(spark, sf_dir), n_hashes=_N_HASHES, bands=_BANDS,
+        max_bucket_size=_MAX_BUCKET, max_shingle_df=_MAX_SHINGLE_DF,
+    )
+
+
+_comp_rows = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {i} AS ci, mh{i:02d} AS mh FROM sig" for i in range(_N_HASHES)
+)
+O_MINHASH_JACCARD_EST = TOK_CTE + _HASHED_CTE + f"""
+, sig AS (SELECT doc_id, {_mh_cols} FROM hashed GROUP BY doc_id)
+, banded AS (
+{_band_rows}
+)
+, capped_b AS (
+  SELECT doc_id, band_idx, band_hash,
+         COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
+  FROM banded
+)
+, lsh_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped_b a JOIN capped_b b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  WHERE a.bsz <= {_MAX_BUCKET}
+  GROUP BY 1, 2
+)
+, comp AS (
+{_comp_rows}
+)
+, agree AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_agree
+  FROM comp a JOIN comp b ON a.ci = b.ci AND a.mh = b.mh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+, capped_s AS (
+  SELECT doc_id, shingle
+  FROM (SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM exploded)
+  WHERE df <= {_MAX_SHINGLE_DF}
+)
+, sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM capped_s GROUP BY doc_id)
+, inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM capped_s a JOIN capped_s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+, jexact AS (
+  SELECT id_a, id_b, ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS exact_jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT p.id_a, p.id_b,
+       ROUND(COALESCE(n_agree, 0) / {_N_HASHES}.0, 6) AS est_jaccard,
+       ROUND(COALESCE(exact_jaccard, 0), 6) AS exact_jaccard,
+       ROUND(ABS(ROUND(COALESCE(n_agree, 0) / {_N_HASHES}.0, 6)
+                 - COALESCE(exact_jaccard, 0)), 6) AS abs_err
+FROM lsh_pairs p
+LEFT JOIN agree USING (id_a, id_b)
+LEFT JOIN jexact USING (id_a, id_b)
+"""
+
+
+# --------------------------------------------------------------------------
 # Exact n-gram Jaccard near-dup pairs
 # --------------------------------------------------------------------------
 
@@ -672,6 +740,71 @@ FROM prep
 
 
 # --------------------------------------------------------------------------
+# Quantization recall@k: exact cosine top-k vs the int8-ADC ranking — the
+# eval loop every ANN deployment runs before trusting a compressed index.
+# --------------------------------------------------------------------------
+
+def q_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|exact top-k ∩ ADC top-k| / k for the standard query (vec_id 0).
+
+    Both rankings are the already-verified operators; the recall join runs
+    on two k-row results, so the eval costs two corpus passes and an O(k)
+    join regardless of scale."""
+    embs = _embs(spark, sf_dir)
+    row = embs.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in row[0]]
+    rest = embs.filter(F.col("vec_id") != 0)
+    exact = similarity.cosine_topk(rest, qv, k=_TOPK).select("vec_id")
+    adc = similarity.quantized_cosine_topk(rest, qv, k=_TOPK).select("vec_id")
+    return exact.join(adc, "vec_id").agg(
+        F.lit(_TOPK).cast("int").alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / F.lit(_TOPK), 6).alias("recall_at_k"),
+    )
+
+
+O_QUANTIZED_RECALL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+exact_scored AS (
+  SELECT vec_id,
+         ROUND(
+           list_sum(list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) AS cosine_sim
+  FROM embeddings, q WHERE vec_id <> 0
+),
+exact_topk AS (
+  SELECT vec_id FROM exact_scored ORDER BY cosine_sim DESC, vec_id ASC LIMIT {_TOPK}
+),
+prep AS (
+  SELECT vec_id, embedding,
+         list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vmin,
+         list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vmax
+  FROM embeddings WHERE vec_id <> 0
+),
+dq AS (SELECT vec_id, {{_DQ}} AS dv FROM prep),
+adc_scored AS (
+  SELECT vec_id,
+         ROUND(
+           list_sum(list_transform(range(1, len(dv) + 1), i -> dv[i] * CAST(qv[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(dv, x -> x * x)))
+              * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) AS approx_cosine
+  FROM dq, q
+),
+adc_topk AS (
+  SELECT vec_id FROM adc_scored ORDER BY approx_cosine DESC, vec_id ASC LIMIT {_TOPK}
+)
+SELECT CAST({_TOPK} AS INTEGER) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       ROUND(COUNT(*) / {_TOPK}.0, 6) AS recall_at_k
+FROM exact_topk JOIN adc_topk USING (vec_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # Binary (sign-bit) quantization + Hamming ANN: the 32×-compression
 # candidate generator — bit_count(xor) over two packed longs per vector.
 # --------------------------------------------------------------------------
@@ -720,6 +853,10 @@ _DQ = """
     vmin + COALESCE(floor((CAST(x AS DOUBLE) - vmin) / nullif((vmax - vmin) / 255.0, 0.0) + 0.5), 0)
            * ((vmax - vmin) / 255.0))
 """
+# late-bind the shared dequantization snippet into the recall oracle
+# (defined above _DQ for reading order; substituted here)
+O_QUANTIZED_RECALL = O_QUANTIZED_RECALL.replace("{_DQ}", _DQ)
+
 O_QUANTIZED_TOPK = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 prep AS (
@@ -1416,6 +1553,7 @@ QUERIES = {
     "docs_exact_dedup": q_exact_dedup,
     "docs_minhash_signatures": q_minhash_signatures,
     "docs_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "docs_minhash_jaccard_estimate": q_minhash_jaccard_estimate,
     "docs_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "docs_dedup_clusters": q_dedup_clusters,
     "docs_dedup_decisions": q_dedup_decisions,
@@ -1438,6 +1576,7 @@ QUERIES = {
     "emb_quantize_int8": q_quantize_int8,
     "emb_quantized_topk": q_quantized_topk,
     "emb_hamming_topk": q_hamming_topk,
+    "emb_quantized_recall": q_quantized_recall,
     "docs_dup_chunk_ratio": q_dup_chunk_ratio,
     "docs_unigram_logprob": q_unigram_logprob,
     "docs_temperature_mixture": q_temperature_mixture,
@@ -1461,6 +1600,7 @@ ORACLES = {
     "docs_exact_dedup": O_EXACT_DEDUP,
     "docs_minhash_signatures": O_MINHASH_SIGNATURES,
     "docs_minhash_lsh_pairs": O_MINHASH_LSH_PAIRS,
+    "docs_minhash_jaccard_estimate": O_MINHASH_JACCARD_EST,
     "docs_ngram_jaccard_pairs": O_NGRAM_JACCARD,
     "docs_dedup_clusters": O_DEDUP_CLUSTERS,
     "docs_dedup_decisions": O_DEDUP_DECISIONS,
@@ -1483,6 +1623,7 @@ ORACLES = {
     "emb_quantize_int8": O_QUANTIZE_INT8,
     "emb_quantized_topk": O_QUANTIZED_TOPK,
     "emb_hamming_topk": O_HAMMING_TOPK,
+    "emb_quantized_recall": O_QUANTIZED_RECALL,
     "docs_dup_chunk_ratio": O_DUP_CHUNK_RATIO,
     "docs_unigram_logprob": O_UNIGRAM_LOGPROB,
     "docs_temperature_mixture": O_TEMPERATURE_MIXTURE,

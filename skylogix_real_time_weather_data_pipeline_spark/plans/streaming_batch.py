@@ -88,6 +88,46 @@ FROM expanded GROUP BY 1, 2
 """
 
 
+def q_hopping_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active users per hopping window (6h every 3h) — the
+    streaming cardinality staple (live dashboards run the same plan with
+    approx_count_distinct; the exact form here is oracle-checkable). Each
+    event expands into its two containing windows BEFORE the distinct-agg,
+    so the shuffle carries (window, user) pairs — no raw-payload
+    duplication."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_users",
+            "n_events",
+        )
+    )
+
+
+O_HOPPING_DISTINCT = """
+WITH slid AS (
+  SELECT CAST(to_timestamp(floor(epoch(ts) / 10800) * 10800) AS TIMESTAMP) AS slot_start,
+         ts, user_id
+  FROM events
+), expanded AS (
+  SELECT slot_start AS window_start, user_id FROM slid
+  UNION ALL
+  SELECT slot_start - INTERVAL 3 HOUR AS window_start, user_id FROM slid
+)
+SELECT window_start, window_start + INTERVAL 6 HOUR AS window_end,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM expanded GROUP BY 1, 2
+"""
+
+
 _TOPK_PER_WINDOW = 2
 
 
@@ -518,6 +558,7 @@ QUERIES = {
     "stream_tumbling_daily": q_tumbling_daily,
     "stream_asof_last_purchase": q_asof_last_purchase,
     "stream_range_join_windows": q_range_join_windows,
+    "stream_hopping_distinct": q_hopping_distinct,
     "stream_sliding_6h": q_sliding_6h,
     "stream_sessionize": q_sessionize,
     "stream_dedup_keyed": q_dedup_within_watermark,
@@ -534,6 +575,7 @@ ORACLES = {
     "stream_tumbling_daily": O_TUMBLING_DAILY,
     "stream_asof_last_purchase": O_ASOF_LAST_PURCHASE,
     "stream_range_join_windows": O_RANGE_JOIN_WINDOWS,
+    "stream_hopping_distinct": O_HOPPING_DISTINCT,
     "stream_sliding_6h": O_SLIDING_6H,
     "stream_sessionize": O_SESSIONIZE,
     "stream_dedup_keyed": O_DEDUP_WITHIN_WATERMARK,

@@ -22,7 +22,7 @@ from ..functions import (
     iso_format,
     weather_icon,
 )
-from ..functions.exact import sql_fmean
+from ..functions.exact import sql_fmean, sql_fsum
 from ..operators import gold, silver
 
 #: pinned pivot/condition domain (explicit values → single-pass pivot,
@@ -306,22 +306,20 @@ def q_temperature_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.temperature_trends(observations(spark, sf_dir))
 
 
-O_TEMPERATURE_TRENDS = OBS_CTE + """
+O_TEMPERATURE_TRENDS = OBS_CTE + f"""
 , daily AS (
-  -- decimal sum mirrors the engine's order-independent daily mean
-  SELECT city, "date",
-         CAST(SUM(CAST(temperature AS DECIMAL(20,10))) AS DOUBLE)
-           / COUNT(temperature) AS t
+  -- exact fixed-point fold mirrors the engine's order-independent daily mean
+  SELECT city, "date", {sql_fmean('temperature')} AS t
   FROM obs GROUP BY city, "date"
 ), delta AS (
   SELECT city, t - lag(t) OVER (PARTITION BY city ORDER BY "date") AS change FROM daily
 )
 SELECT city,
-       ROUND((CAST(SUM(CAST(change AS DECIMAL(24,10))) AS DOUBLE) / COUNT(change)), 6) AS avg_change,
+       ROUND({sql_fmean('change')}, 6) AS avg_change,
        ROUND(MAX(change), 6) AS max_change,
        ROUND(MIN(change), 6) AS min_change,
-       ROUND(CAST(SUM(CAST(change AS DECIMAL(24,10))) AS DOUBLE), 6) AS sum_change,
-       CASE WHEN ROUND(CAST(SUM(CAST(change AS DECIMAL(24,10))) AS DOUBLE), 6) > 0
+       ROUND({sql_fsum('change', 6)}, 6) AS sum_change,
+       CASE WHEN ROUND({sql_fsum('change', 6)}, 6) > 0
             THEN 'warming' ELSE 'cooling' END AS trend
 FROM delta WHERE change IS NOT NULL GROUP BY city
 """
