@@ -35,6 +35,11 @@ _STABILITY_QUERIES = [
     "stream_tumbling_daily",
     "emb_centroids_by_label",
     "sql_priority_with_exists",
+    # round-4 additions: new folds and rate-derivation paths
+    "docs_unigram_logprob",
+    "docs_temperature_mixture",
+    "weather_seasonal_anomaly",
+    "rel_customer_ntile_segments",
 ]
 
 

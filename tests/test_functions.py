@@ -70,3 +70,62 @@ def test_epoch_and_iso_parse(one):
     assert r.i.microsecond == 123456
     assert r.d == "Monday"
     assert r.s == "2024-01-01T05:06:07"
+
+
+# --- fsum/fmean split-long exact fold (functions/exact.py) ----------------
+
+def _py_fsum(vals, scale):
+    """Reference model: round-half-up each value to 10^-scale units on the
+    DOUBLE (exactly what Spark's ROUND(double) does via BigDecimal), sum
+    the integer units exactly, divide once."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    units = [
+        int(Decimal(v * 10**scale).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+        for v in vals
+        if v is not None
+    ]
+    return float(sum(units)) / 10**scale
+
+
+@pytest.mark.parametrize("scale", [2, 4, 6])
+def test_fsum_matches_exact_fixed_point_model(spark, scale):
+    import random
+
+    from skylogix_real_time_weather_data_pipeline_spark.functions.exact import fsum
+
+    rng = random.Random(17 + scale)
+    vals = [rng.uniform(-1e5, 1e5) for _ in range(500)] + [0.0, -0.005, 123456.789]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = df.agg(fsum("v", scale).alias("s")).first()["s"]
+    assert got == _py_fsum(vals, scale)
+
+
+def test_fsum_is_partition_layout_independent(spark):
+    from skylogix_real_time_weather_data_pipeline_spark.functions.exact import fsum
+
+    import random
+
+    rng = random.Random(99)
+    vals = [rng.uniform(-1e4, 1e4) for _ in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    results = {
+        df.repartition(n).agg(fsum("v", 6).alias("s")).first()["s"]
+        for n in (1, 7, 32)
+    }
+    assert len(results) == 1
+    assert results.pop() == _py_fsum(vals, 6)
+
+
+def test_fmean_null_semantics_match_avg(spark):
+    """fmean must skip nulls like AVG (all-null group → NULL)."""
+    from pyspark.sql import functions as F
+
+    from skylogix_real_time_weather_data_pipeline_spark.functions.exact import fmean
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 2.0), ("b", None)], "g string, v double"
+    )
+    rows = {r.g: r for r in df.groupBy("g").agg(fmean("v").alias("m")).collect()}
+    assert rows["a"].m == 1.5
+    assert rows["b"].m is None
