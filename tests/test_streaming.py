@@ -170,3 +170,70 @@ def test_metrics_listener_counts_rows(spark, raw_dir, tmp_path):
             server.shutdown()
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_hopping_distinct_streams_with_approx(spark, tmp_path):
+    """§2.9 cardinality: Structured Streaming cannot run exact
+    countDistinct, so the live form of stream_hopping_distinct uses
+    approx_count_distinct — pin that the streaming approx counts stay
+    within the sketch tolerance of the exact batch query, window for
+    window, and that event/row counts match exactly."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = [
+        {"user_id": u, "ts": f"2024-03-01 {h:02d}:{(u * 7) % 60:02d}:00"}
+        for h in range(12)
+        for u in range(1 + (h * 13) % 40)
+    ]
+    with open(src / "events.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    schema = "user_id long, ts timestamp"
+    agg_stream = (
+        spark.readStream.schema(schema).json(str(src))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        agg_stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        str(r["w"].start): (r["n_users"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    exact = {
+        str(r["w"].start): (r["n_users"], r["n_events"])
+        for r in (
+            spark.read.schema(schema).json(str(src))
+            .groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
+            .agg(
+                F.countDistinct("user_id").alias("n_users"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .collect()
+        )
+    }
+    # append mode only emits windows the watermark closed — every emitted
+    # window must agree with the batch result
+    assert len(streamed) > 0
+    for ws, (approx_u, n_ev) in streamed.items():
+        exact_u, exact_ev = exact[ws]
+        assert n_ev == exact_ev
+        assert abs(approx_u - exact_u) <= max(1, int(0.05 * exact_u))
