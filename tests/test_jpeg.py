@@ -189,3 +189,61 @@ def test_multimodal_dims_via_full_decode_fallback():
     from skylogix_real_time_weather_data_pipeline_spark.ext.multimodal import _decode_image
 
     assert _decode_image(_gray_jpeg(16, 5, 3)) == (8, 8)
+
+
+def test_ac_coefficient_reconstruction():
+    """Nonzero AC coefficient at zig-zag index 1 (= block position row 0,
+    col 1): pins the Huffman run/size decode, zig-zag mapping and
+    dequantization. Expected pixels from the closed-form single-basis
+    IDCT: p(y,x) = c(0)c(1) cos((2x+1)π/16) · S + 128."""
+    import math
+
+    bw = _BitWriter()
+    bw.write(0b010, 3)      # DC: category 0 (second table symbol) → DC = 0
+    bw.write(0b00, 2)       # AC: (run 0, size 3) — first table symbol
+    bw.write(0b101, 3)      # value +5 → coef 5*16 = 80 at zigzag[1]
+    bw.write(0b010, 3)      # AC EOB (second symbol)
+    data = (
+        b"\xff\xd8"
+        + _dqt(16)
+        + _sof0(8, 8, [(1, 1, 1, 0)])
+        + _dht(0, 0, 3, 0)        # DC: '00'→cat3, '010'→cat0
+        + _dht(1, 0, 0x03, 0x00)  # AC: '00'→(0,3), '010'→EOB
+        + _sos([1])
+        + bw.tobytes()
+        + b"\xff\xd9"
+    )
+    w, h, ch, px = jpeg.decode(data)
+    assert (w, h, ch) == (8, 8, 1)
+    c0 = math.sqrt(0.125)
+    for x in range(8):
+        expect = round(c0 * 0.5 * math.cos((2 * x + 1) * math.pi / 16) * 80) + 128
+        for y in range(8):
+            assert px[y * 8 + x] == max(0, min(255, expect)), (x, y)
+
+
+def test_restart_interval_resets_dc_predictor():
+    """DRI=1 with an RST0 between two MCUs: the second block's DC diff is
+    absolute again (predictor reset). Without the reset the right half
+    would decode 10 units high."""
+    bw1 = _BitWriter()
+    _dc_only_block(bw1, 5, 3)
+    bw2 = _BitWriter()
+    _dc_only_block(bw2, 5, 3)
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 1)
+    data = (
+        b"\xff\xd8"
+        + _dqt(16)
+        + dri
+        + _sof0(16, 8, [(1, 1, 1, 0)])
+        + _dht(0, 0, 3)
+        + _dht(1, 0, 0x00)
+        + _sos([1])
+        + bw1.tobytes()
+        + b"\xff\xd0"   # RST0
+        + bw2.tobytes()
+        + b"\xff\xd9"
+    )
+    w, h, ch, px = jpeg.decode(data)
+    assert (w, h, ch) == (16, 8, 1)
+    assert set(px) == {138}  # both halves 128 + 5*16/8, predictor reset
