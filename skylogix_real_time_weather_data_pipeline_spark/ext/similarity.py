@@ -509,6 +509,124 @@ def kmeans_assign(df: DataFrame, k: int = 4, n_iter: int = 2,
     return _assign(df).drop(vec_col)
 
 
+def _sqdist_expr(sub: Column, center: list[float]) -> Column:
+    """Squared L2 against a literal center — strict left-to-right fold."""
+    return F.aggregate(
+        F.zip_with(
+            sub,
+            F.array(*[F.lit(x) for x in center]),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _lloyd_codebook(df: DataFrame, sub_col: str, id_col: str, k: int,
+                    n_iter: int, round_to: int = 6) -> list[list[float]]:
+    """Per-subspace Lloyd returning the final CENTROIDS (kmeans_assign's
+    pins: id-ordered seeds, struct-min tie-break, rounded updates, emptied
+    cluster keeps its centroid). Driver state is O(k·d_sub)."""
+    seeds = df.orderBy(id_col).limit(k).select(sub_col).collect()
+    cents = [[float(x) for x in r[0]] for r in seeds]
+    for _ in range(n_iter - 1):
+        scored = F.array(
+            *[
+                F.struct(_sqdist_expr(F.col(sub_col), c).alias("d"), F.lit(i).alias("c"))
+                for i, c in enumerate(cents)
+            ]
+        )
+        assigned = df.select(sub_col, F.array_min(scored)["c"].alias("cluster"))
+        means = (
+            assigned.select("cluster", F.posexplode(sub_col).alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(dmean(F.col("v").cast("double")), round_to).alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("cv")
+            )
+            .collect()
+        )
+        updated = {r["cluster"]: [float(x) for x in r["cv"]] for r in means}
+        cents = [updated.get(i, c) for i, c in enumerate(cents)]
+    return cents
+
+
+def pq_train(df: DataFrame, m: int = 4, k: int = 16, n_iter: int = 2,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             round_to: int = 6) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al., TPAMI 2011): split the
+    dim into ``m`` subspaces, run Lloyd independently in each → ``m``
+    codebooks of ``k`` centroids. Storage after encoding is m·log2(k) bits
+    per vector (m=4,k=16 → 2 bytes vs 256 for float32-64d).
+
+    Returns driver-side codebooks (O(m·k·d/m) = O(k·dim) floats — same
+    footprint class as ivf/kmeans probes). Each subspace's training is the
+    deterministic kmeans recurrence, so an ANSI oracle can replay it per
+    subspace exactly like O_KMEANS does (planned for the r5 window)."""
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    return [
+        _lloyd_codebook(
+            df.select(id_col, F.slice(vec_col, j * d + 1, d).alias("_sub")),
+            "_sub", id_col, k, n_iter, round_to,
+        )
+        for j in range(m)
+    ]
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Encode each vector as m nearest-centroid indices — one narrow
+    per-row expression pass, no shuffle; ties break to the lower index
+    (struct-min, the same pin as assignment)."""
+    d = len(codebooks[0][0])
+    cols = []
+    for j, book in enumerate(codebooks):
+        sub = F.slice(F.col(vec_col), j * d + 1, d)
+        scored = F.array(
+            *[
+                F.struct(_sqdist_expr(sub, c).alias("d"), F.lit(i).alias("c"))
+                for i, c in enumerate(book)
+            ]
+        )
+        cols.append(F.array_min(scored)["c"].cast("int").alias(f"code_{j}"))
+    return df.select(id_col, *cols)
+
+
+def pq_adc_topk(df: DataFrame, query_vec: Sequence[float],
+                codebooks: list[list[list[float]]], topk: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query builds m lookup
+    tables of k entries driver-side (exact float query vs quantized
+    corpus), then the scan is m integer array lookups + adds per vector —
+    no per-row float vector math at all. TakeOrderedAndProject global
+    top-k; ties pinned on id. The 100 TB shape: encode once at ingest,
+    store the m small code columns, scan only codes at query time."""
+    d = len(codebooks[0][0])
+    luts = [
+        [
+            round(sum((float(query_vec[j * d + t]) - c[t]) ** 2 for t in range(d)), 9)
+            for c in book
+        ]
+        for j, book in enumerate(codebooks)
+    ]
+    codes = pq_encode(df, codebooks, vec_col, id_col)
+    dist = None
+    for j, lut in enumerate(luts):
+        term = F.element_at(F.array(*[F.lit(x) for x in lut]), F.col(f"code_{j}") + 1)
+        dist = term if dist is None else dist + term
+    return (
+        codes.select(id_col, F.round(dist, 6).alias("adc_sqdist"))
+        .orderBy(F.asc("adc_sqdist"), F.asc(id_col))
+        .limit(topk)
+    )
+
+
 def semdedup(df: DataFrame, k: int = 4, n_iter: int = 2, threshold: float = 0.35,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =

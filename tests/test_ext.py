@@ -632,3 +632,71 @@ def test_temperature_mixture_upsamples_tail_langs(spark):
     assert 0 < out["big"].n_selected < 900
     rate_big = out["big"].n_selected / out["big"].n_docs
     assert rate_big < out["small"].n_selected / out["small"].n_docs
+
+
+def test_pq_encode_recovers_prototype_indices(spark):
+    """With n_iter=1 the codebooks ARE the first k ids' subvectors; a vector
+    equal to seed s in every subspace must encode as (s, s, ..., s)."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    protos = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(4)]
+    rows = [(i, protos[i] * 4) for i in range(4)]  # seeds: 4 prototype vectors
+    rows += [(10 + i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(df, m=4, k=4, n_iter=1)
+    codes = {r.vec_id: (r.code_0, r.code_1, r.code_2, r.code_3)
+             for r in pq_encode(df, books).collect()}
+    for s in range(4):
+        assert codes[s] == (s, s, s, s)
+
+
+def test_pq_adc_topk_finds_planted_neighbor(spark):
+    """A vector identical to the query must rank first under ADC (its code
+    cells coincide with the query's nearest centroids), and distances are
+    ascending with id tie-break."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.similarity import (
+        pq_adc_topk,
+        pq_train,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    q = [rng.uniform(-1, 1) for _ in range(64)]
+    rows = [(0, q)] + [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(1, 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(df, m=4, k=8, n_iter=2)
+    out = pq_adc_topk(df, q, books, topk=5).collect()
+    assert out[0].vec_id == 0
+    dists = [r.adc_sqdist for r in out]
+    assert dists == sorted(dists)
+
+
+def test_pq_codes_partition_layout_independent(spark):
+    """Training and encoding must not depend on physical layout: same
+    codebooks and codes at 1, 5 and 32 partitions."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    snapshots = []
+    for n in (1, 5, 32):
+        d = df.repartition(n)
+        books = pq_train(d, m=4, k=8, n_iter=2)
+        codes = sorted(map(tuple, pq_encode(d, books).collect()))
+        snapshots.append((books, codes))
+    assert snapshots[0] == snapshots[1] == snapshots[2]
