@@ -627,6 +627,30 @@ def pq_adc_topk(df: DataFrame, query_vec: Sequence[float],
     )
 
 
+def ivf_pq_topk(df: DataFrame, query_vec: Sequence[float],
+                codebooks: list[list[list[float]]], topk: int = 10,
+                nprobe: int = 1, vec_col: str = "embedding",
+                id_col: str = "vec_id", label_col: str = "label") -> DataFrame:
+    """IVF cell pruning over PQ codes — the standard IVFPQ composition
+    (inverted file + product quantizer): probe the nprobe nearest cells by
+    centroid cosine, then ADC-rank ONLY those cells' members through their
+    m-byte codes. At 100 TB: cell-partitioned code storage means the query
+    touches nprobe/ncells of an already 100×-compressed representation.
+    Codebooks are trained corpus-wide (pq_train) so codes are comparable
+    across cells."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cents = centroids_by_label(df, vec_col, label_col)
+    probed = [
+        r[0]
+        for r in cents.select(label_col, cosine(F.col("centroid"), q).alias("s"))
+        .orderBy(F.desc("s"), F.asc(label_col))
+        .limit(nprobe)
+        .collect()
+    ]
+    cell = df.filter(F.col(label_col).isin(probed))
+    return pq_adc_topk(cell, query_vec, codebooks, topk, vec_col, id_col)
+
+
 def semdedup(df: DataFrame, k: int = 4, n_iter: int = 2, threshold: float = 0.35,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =

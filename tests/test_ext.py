@@ -700,3 +700,31 @@ def test_pq_codes_partition_layout_independent(spark):
         codes = sorted(map(tuple, pq_encode(d, books).collect()))
         snapshots.append((books, codes))
     assert snapshots[0] == snapshots[1] == snapshots[2]
+
+
+def test_ivf_pq_topk_prunes_to_probed_cell(spark):
+    """IVFPQ composition: results come only from the probed cell(s), and a
+    vector identical to the query (planted in the query's own cell) ranks
+    first."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.similarity import (
+        ivf_pq_topk,
+        pq_train,
+    )
+
+    import random
+
+    rng = random.Random(23)
+    # two well-separated cells: label 0 near +1s, label 1 near -1s
+    def vec(center, jitter=0.05):
+        return [center + rng.uniform(-jitter, jitter) for _ in range(64)]
+
+    q = vec(1.0)
+    rows = [(0, q, 0)] + [(i, vec(1.0), 0) for i in range(1, 15)]
+    rows += [(100 + i, vec(-1.0), 1) for i in range(15)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    books = pq_train(df, m=4, k=8, n_iter=2)
+    out = ivf_pq_topk(df, q, books, topk=5, nprobe=1).collect()
+    assert out[0].vec_id == 0
+    assert all(r.vec_id < 100 for r in out)  # nothing from the far cell
