@@ -261,12 +261,25 @@ def minhash_jaccard_estimates(df: DataFrame, text_col: str = "text",
     inverted index (threshold 0 — the candidates are already restricted
     to LSH collisions). Pairs with no shared shingle under the df cap
     report exact 0.
+
+    Scale guard: before bucketing, the component table is SEMI-JOINED to
+    the ids appearing in the LSH candidate pairs. Both ids of every
+    reported pair are in that set, so agreement counts are unchanged —
+    but a corpus-frequent component value (e.g. the global minimum
+    shingle hash shared by millions of docs) can no longer fan out
+    O(bucket²) pairs across the whole corpus; the fan-out is bounded by
+    the candidate set, the same universe the output is defined over.
     """
     pairs = minhash_lsh_pairs(
         df, text_col, id_col, n_hashes, bands, shingle_n, max_bucket_size
     ).select("id_a", "id_b")
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
-    comp = sig.select(
+    comp = sig.join(cand_ids, id_col, "semi").select(
         id_col,
         F.explode(
             F.array(*[

@@ -74,7 +74,20 @@ _SPLIT = 1_000_000
 
 
 def fsum(c: Column | str, scale: int = 4) -> Column:
-    """Fast exact sum: fixed-point long units, split across two long sums.
+    """Fast sum in fixed-point long units, split across two long sums.
+
+    EXACTNESS PRECONDITION: the sum is exact (equal to the true decimal
+    sum) only when every input is decimal-valued with at most ``scale``
+    fractional digits — money at scale 4, sensor readings at scale 6.
+    For inputs with unbounded fractional digits (log-probabilities,
+    tf·idf weights, regression residuals) the per-row
+    ``round(c * 10^scale)`` QUANTIZES at 0.5/10^scale, so the result is
+    a *deterministic quantized sum*: order-independent, bit-identical to
+    the ``sql_fsum`` twin (both engines quantize identically — parity
+    holds), but drifting from the true sum by up to n·5e-7 at scale 6
+    over n rows. When absolute accuracy of such expressions matters more
+    than speed, use ``dsumx`` (DECIMAL(24,10) fold, no quantization of
+    values up to 10 fractional digits).
 
     ``DECIMAL(24,10)`` folds are exact but slow: the sum buffer is
     ``DECIMAL(34,10)`` and any buffer wider than 18 digits is stored as a

@@ -180,8 +180,17 @@ O_MINHASH_JACCARD_EST = TOK_CTE + _HASHED_CTE + f"""
   WHERE a.bsz <= {_MAX_BUCKET}
   GROUP BY 1, 2
 )
-, comp AS (
+, cand_ids AS (
+  SELECT id_a AS doc_id FROM lsh_pairs UNION SELECT id_b FROM lsh_pairs
+)
+, comp_all AS (
 {_comp_rows}
+)
+-- mirror of the Spark-side semi-join scale guard: agreement fan-out is
+-- restricted to ids in the LSH candidate pairs (counts unchanged — both
+-- ids of every reported pair are in that set)
+, comp AS (
+  SELECT c.* FROM comp_all c JOIN cand_ids USING (doc_id)
 )
 , agree AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_agree

@@ -36,9 +36,14 @@ def http_fetch(base_url: str, timeout: float = 10.0) -> Callable[[dict], dict]:
     ``_fetch_with_retry`` (reference src/extract.py:88-108), so a transport
     error here surfaces as one failed attempt there."""
     import urllib.request
+    from urllib.parse import quote
 
     def fetch(city: dict) -> dict:
-        url = base_url.format(city=city["name"], country=city.get("country", ""))
+        # percent-encode substituted values ('New York', 'São Paulo') —
+        # the reference encodes via requests params
+        url = base_url.format(
+            city=quote(city["name"]), country=quote(city.get("country", ""))
+        )
         with urllib.request.urlopen(url, timeout=timeout) as resp:
             return json.loads(resp.read().decode("utf-8"))
 

@@ -237,22 +237,140 @@ def test_source_retries_through_transient_500s(spark, flaky_server):
     assert _FlakyWeatherHandler.hits["Tokyo"] == 3
 
 
-def test_source_exhausts_retries_and_fails(spark, flaky_server):
-    """Budget above attempts → the read surfaces the transport error rather
-    than silently emitting nothing."""
+def test_source_exhausts_retries_and_skips_city(spark, flaky_server):
+    """Budget above attempts → the dead city degrades to zero rows (the
+    reference skips the city, src/extract.py:88-108) while healthy cities
+    in the same read still land — one unreachable endpoint must not abort
+    the whole batch."""
     _FlakyWeatherHandler.fail_budget["Tokyo"] = 5
     _register(spark)
     df = (
         spark.read.format("weather_api")
         .option("base_url", flaky_server + "/weather/{city}")
-        .option("cities", "Tokyo:JP")
+        .option("cities", "Tokyo:JP,London:GB")
         .option("retry_attempts", "2")
         .option("backoff_seconds", "0.05")
+        .option("fixed_now", NOW)
         .load()
     )
-    with pytest.raises(Exception):
-        df.collect()
+    rows = df.collect()
+    assert {r.city_name for r in rows} == {"London"}
+    assert len(rows) == 2  # London's 2 payloads; Tokyo contributed zero
     assert _FlakyWeatherHandler.hits["Tokyo"] == 2
+
+
+def test_city_names_are_percent_encoded(spark, flaky_server):
+    """'New York' must produce a valid URL — the space is percent-encoded
+    before substitution (urllib rejects raw spaces in request paths)."""
+    _FlakyWeatherHandler.payloads["New%20York"] = {"main": {"temp": 25.0}}
+    _register(spark)
+    df = (
+        spark.read.format("weather_api")
+        .option("base_url", flaky_server + "/weather/{city}")
+        .option("cities", "New York:US")
+        .option("fixed_now", NOW)
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].city_name == "New York"  # column keeps the human name
+    assert json.loads(rows[0].payload) == {"main": {"temp": 25.0}}
+    assert _FlakyWeatherHandler.hits.get("New%20York") == 1
+
+
+def test_live_stream_emits_every_poll_snapshot(spark, flaky_server, tmp_path):
+    """Live (base_url) streaming: a current-conditions endpoint returning
+    ONE payload per GET must keep emitting — one row per poll — not stall
+    after the first micro-batch (offsets are poll stamps, not payload
+    counts), and each row comes from the snapshot captured at poll time."""
+    import time
+
+    _register(spark)
+    out = str(tmp_path / "live_out")
+    q = (
+        spark.readStream.format("weather_api")
+        .option("base_url", flaky_server + "/weather/{city}")
+        .option("cities", "Tokyo:JP")
+        .option("fixed_now", NOW)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "live_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    def _read_out():
+        try:
+            return spark.read.schema(
+                "city_name string, country_code string, "
+                "extraction_timestamp string, payload string"
+            ).parquet(out).collect()
+        except Exception:
+            return []
+
+    try:
+        deadline = time.time() + 120
+        rows = []
+        while time.time() < deadline:
+            rows = _read_out()
+            if len(rows) >= 3:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    # >= 3 rows means >= 3 polls each contributed its (single) payload —
+    # the broken payload-count scheme would have frozen at 1 row forever
+    assert len(rows) >= 3
+    assert all(r.city_name == "Tokyo" for r in rows)
+    assert all(json.loads(r.payload) == {"main": {"temp": 21.0}} for r in rows)
+    # one GET per poll (latestOffset) and ZERO extra GETs from read() —
+    # executors consume the driver-captured snapshot
+    assert _FlakyWeatherHandler.hits["Tokyo"] >= 3
+
+
+def test_live_stream_reader_protocol_snapshot_and_prune(flaky_server):
+    """Driverless protocol check of the live _StreamReader: offsets are
+    strictly monotonic poll stamps; partitions() serves the payloads
+    captured AT latestOffset time (read() performs no HTTP); commit()
+    prunes the buffer; a planned range after a 'restart' (fresh reader)
+    yields no partitions instead of crashing."""
+    from skylogix_real_time_weather_data_pipeline_spark.sources.weather_api import (
+        _BufferedSlice,
+        _StreamReader,
+    )
+
+    opts = {
+        "base_url": flaky_server + "/weather/{city}",
+        "cities": "Tokyo:JP",
+        "fixed_now": NOW,
+    }
+    r = _StreamReader(opts)
+    assert r.initialOffset() == {"Tokyo": 0}
+
+    o1 = r.latestOffset()
+    o2 = r.latestOffset()
+    assert o2["Tokyo"] > o1["Tokyo"] > 0  # strictly monotonic
+    assert _FlakyWeatherHandler.hits["Tokyo"] == 2  # one GET per poll
+
+    parts = r.partitions({"Tokyo": 0}, o2)
+    assert len(parts) == 1 and isinstance(parts[0], _BufferedSlice)
+    rows = list(r.read(parts[0]))
+    assert _FlakyWeatherHandler.hits["Tokyo"] == 2  # read() added NO GETs
+    assert [json.loads(p) for _, _, _, p in rows] == [
+        {"main": {"temp": 21.0}},
+        {"main": {"temp": 21.0}},
+    ]
+
+    # commit prunes: the same range now plans nothing
+    r.commit(o2)
+    assert r.partitions({"Tokyo": 0}, o2) == []
+
+    # restart: a fresh reader asked for a checkpointed in-flight range has
+    # no buffer (non-replayable transport) — plans nothing, no crash
+    r2 = _StreamReader(opts)
+    assert r2.partitions({"Tokyo": 0}, o2) == []
 
 
 def test_producer_http_fetch_retry_over_real_http(flaky_server, tmp_path):
