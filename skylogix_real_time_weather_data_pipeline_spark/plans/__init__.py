@@ -18,70 +18,72 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface)
 #: module order. The full registry is additionally verified locally each
 #: round (scripts/local_verify.py → CORRECTNESS_LOCAL_r{N}.json, committed).
 #:
-#: Round 4 goal (VERDICT r3 item 2): r1∪r2∪r3∪r4 driver-green must cover
-#: every oracled query POST-latest-change. The r3 window verified its 50
-#: highest-risk entries; this round's window drains the remainder: the
-#: round-4 changes (centroid reshape + the fsum/fmean fast-path sweep),
-#: the queries never driver-verified ever, the r3 rewrites that spilled,
-#: and the r1-green stragglers. Everything below slot 50 was driver-green
-#: in some round after its last change.
+#: Round-5 window. After r4, every oracled query is driver-green
+#: post-latest-change (r1∪…∪r4), so the policy simplifies to: (tier 1)
+#: everything whose implementation or oracle changes THIS round — kept
+#: current in the same commit as each change; (tier 2) the most stale
+#: driver rows, i.e. queries last green in r2; (tier 3) r3-vintage rows,
+#: ordered with the ones this round plans to touch (fsum sweep) first so
+#: a mid-round change doesn't have to reshuffle the window.
 _VERIFY_FIRST = (
-    # --- tier 1: changed THIS round ---
-    "emb_centroids_by_label",          # reshaped to scalar (label,pos,m,n_vecs) rows
-    # fsum/fmean fast-path conversions (split-long exact fold, both sides):
-    "rel_pricing_summary",
-    "rel_revenue_by_nation",
-    "rel_top_customers_per_nation",
-    "rel_segment_monthly",
-    "rel_shipping_priority",
-    "rel_cube_lineitem",
-    "rel_unpivot_city_metrics",        # + was never driver-verified
-    "weather_basic_stats",
-    "weather_city_comparison",
-    "weather_warmest_coldest",
-    "weather_daily_city_agg",
-    "weather_daily_pivot",
-    "weather_humidity_decile_agg",
-    "sql_forecast_revenue",
-    "stream_tumbling_daily",
-    "stream_sliding_6h",
-    "stream_sessionize",
-    "stream_range_join_windows",
-    # --- tier 2: no driver row ever (r3 VERDICT list) ---
-    "weather_temperature_buckets",
-    "docs_pack",
-    "rel_order_percentiles",
-    "rel_grouping_sets",
-    "docs_dedup_decisions",
-    "emb_quantize_int8",
-    "emb_quantized_topk",
-    "emb_pairwise_topk",
-    # --- tier 3: changed in r3, spilled below that round's boundary ---
-    "emb_lsh_near_dup_pairs",          # r3 rewrite: single-eval candidates
-    "weather_quantile_summary",        # r3 rewrite: single-scan percentile arrays
-    "docs_minhash_lsh_pairs",          # r3 oracle: bucket cap mirrored
-    "docs_ngram_jaccard_pairs",        # r3 oracle: shingle-df cap mirrored
-    "docs_dedup_clusters",             # r3 oracle: bucket cap mirrored
-    "docs_pii_scrub",                  # r3 phone pattern tightened
-    # --- tier 4: green in r1 only; re-pin post any transitive drift ---
-    "stream_asof_last_purchase",
-    "docs_normalize",
-    "docs_chunk",
-    "emb_cosine_topk",
-    "emb_lsh_buckets",
-    # --- spare slots: new round-4 queries (driver row in their first round) ---
-    "emb_hamming_topk",                # NEW: sign-bit codes + bit_count(xor) ANN
-    "docs_dup_chunk_ratio",            # NEW: corpus-wide duplicated-chunk filter
-    "docs_unigram_logprob",            # NEW: unigram-LM perplexity proxy
-    "docs_temperature_mixture",        # NEW: α-temperature language rebalance
-    "rel_min_cost_supplier",           # NEW: Q2-shaped per-part argmin
-    "rel_customer_ntile_segments",     # NEW: ntile(4) spend quartiles
-    "rel_supplier_part_counts",        # NEW: Q16-shaped distinct-agg + NOT IN
-    "weather_seasonal_anomaly",        # NEW: day-of-week profile deviations
-    "weather_temperature_trends",      # CHANGED: daily-mean/trend folds → fsum fast path
-    "stream_hopping_distinct",         # NEW: hopping-window distinct users
-    "emb_quantized_recall",            # NEW: exact-vs-ADC recall@k eval
-    "docs_minhash_jaccard_estimate",   # NEW: estimator calibration vs exact Jaccard
+    # --- tier 1: changed in round 5 ---
+    "emb_pq_adc_topk",                 # NEW: PQ ADC top-k, unrolled per-subspace Lloyd oracle
+    "emb_ivfpq_topk",                  # NEW: IVF cell pruning over PQ codes
+    "docs_minhash_jaccard_estimate",   # agreement fan-out semi-joined to candidate ids (both sides)
+    # --- tier 3 head: r3-vintage AND on this round's planned fsum sweep ---
+    "rel_rolling_revenue",
+    "rel_running_order_total",
+    "rel_market_share",
+    "rel_promo_revenue",
+    "rel_product_profit",
+    "rel_small_qty_revenue",
+    "rel_volume_shipping",
+    "rel_returned_items",
+    "rel_yearly_growth",
+    "rel_top_supplier",
+    "rel_supplier_value",
+    "stream_window_topk",
+    "weather_linear_fit",
+    "weather_correlations",
+    "weather_zscore_anomalies",
+    # --- tier 2: last driver-green in r2 (most stale) ---
+    "docs_bpe_token_count",
+    "docs_exact_dedup",
+    "docs_fingerprint",
+    "docs_language_id",
+    "docs_minhash_signatures",
+    "docs_simhash",
+    "docs_token_stats",
+    "docs_top_ngrams",
+    "rel_customers_without_orders",
+    "rel_distinct_parts",
+    "rel_latest_order_per_customer",
+    "rel_parts_shipped",
+    "rel_rollup_lineitem",
+    "rel_set_ops",
+    "stream_dedup_keyed",
+    "weather_city_quantiles",
+    "weather_clean_outliers",
+    "weather_condition_histogram",
+    "weather_condition_mode_by_city",
+    "weather_date_range",
+    "weather_derived_projection",
+    "weather_exact_median",
+    "weather_icon_lookup",
+    "weather_outlier_counts",
+    # --- tier 3 tail: remaining r3-vintage rows ---
+    "emb_kmeans",
+    "emb_semdedup",
+    "emb_ivf_topk",
+    "emb_ivf_quantized_topk",
+    "events_funnel",
+    "events_retention",
+    "events_gap_fill",
+    "rel_merge_upsert",
+    "rel_scd2_apply",
+    "rel_lost_customers",
+    "sql_recursive_chains",
+    "docs_tfidf_topk",
 )
 
 

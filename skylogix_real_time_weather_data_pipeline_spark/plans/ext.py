@@ -1558,6 +1558,146 @@ FROM banded GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Product quantization (Jégou et al., TPAMI 2011) — ADC top-k over m-index
+# codes, and the IVFPQ composition (cell pruning over corpus-wide codes).
+# The oracle replays the per-subspace Lloyd recurrence exactly like
+# O_KMEANS does (same pins: id-ordered seeds, struct-min ties, rounded
+# DECIMAL(24,10)-mean updates), once per subspace, then re-derives the
+# codes and the query's lookup tables in SQL.
+# --------------------------------------------------------------------------
+
+_PQ_M = 4
+_PQ_K = 8
+_PQ_ITER = 2  # oracle unrolls exactly ONE centroid update — keep in sync
+_PQ_DIM = 64  # embeddings.parquet dim at every SF (TESTDATA.md)
+_PQ_D = _PQ_DIM // _PQ_M
+
+
+def _pq_setup(spark: SparkSession, sf_dir: str):
+    embs = _embs(spark, sf_dir)
+    row = embs.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in row[0]]
+    corpus = embs.filter(F.col("vec_id") != 0)
+    books = similarity.pq_train(corpus, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER)
+    return corpus, qv, books
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, qv, books = _pq_setup(spark, sf_dir)
+    return similarity.pq_adc_topk(corpus, qv, books, topk=_TOPK)
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, qv, books = _pq_setup(spark, sf_dir)
+    return similarity.ivf_pq_topk(
+        corpus, qv, books, topk=_TOPK, nprobe=_NPROBE
+    )
+
+
+def _pq_sub_ctes(j: int) -> str:
+    """The per-subspace CTE chain: slice → Lloyd (1 update) → codebook →
+    codes → query LUT. ``n_iter=2`` in pq_train means exactly one centroid
+    update between two assignments, which is what this unrolls."""
+    a = j * _PQ_D + 1
+    dist = (
+        f"list_sum(list_transform(range(1, {_PQ_D} + 1), "
+        f"i -> (s.sv[i] - t.cv[i]) * (s.sv[i] - t.cv[i])))"
+    )
+    qd = (
+        f"list_sum(list_transform(range(1, {_PQ_D} + 1), "
+        f"i -> (CAST(qv[{a - 1} + i] AS DOUBLE) - t.cv[i])"
+        f" * (CAST(qv[{a - 1} + i] AS DOUBLE) - t.cv[i])))"
+    )
+    return f"""
+sub{j} AS (
+  SELECT vec_id, label,
+         list_transform(list_slice(embedding, {a}, {a + _PQ_D - 1}),
+                        x -> CAST(x AS DOUBLE)) AS sv
+  FROM corpus
+),
+seeds{j} AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, sv AS cv
+  FROM sub{j} ORDER BY vec_id LIMIT {_PQ_K}
+),
+a0_{j} AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+    FROM (SELECT s.vec_id, t.c, {dist} AS dist FROM sub{j} s CROSS JOIN seeds{j} t)
+  ) WHERE rn = 1
+),
+ex{j} AS (
+  SELECT a.c, unnest(list_transform(s.sv, (v, i) -> {{'pos': i, 'v': v}})) AS u
+  FROM sub{j} s JOIN a0_{j} a USING (vec_id)
+),
+m{j} AS (
+  SELECT c, u.pos AS pos,
+         ROUND(CAST(SUM(CAST(u.v AS DECIMAL(24,10))) AS DOUBLE) / COUNT(u.v), 6) AS m
+  FROM ex{j} GROUP BY c, pos
+),
+c1m{j} AS (SELECT c, list(m ORDER BY pos) AS cv FROM m{j} GROUP BY c),
+cb{j} AS (
+  SELECT s.c, COALESCE(cm.cv, s.cv) AS cv
+  FROM seeds{j} s LEFT JOIN c1m{j} cm USING (c)
+),
+enc{j} AS (
+  SELECT vec_id, label, code FROM (
+    SELECT vec_id, label, code,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, code) AS rn
+    FROM (SELECT s.vec_id, s.label, t.c AS code, {dist} AS dist
+          FROM sub{j} s CROSS JOIN cb{j} t)
+  ) WHERE rn = 1
+),
+lut{j} AS (SELECT t.c, ROUND({qd}, 9) AS ad FROM cb{j} t CROSS JOIN q)"""
+
+
+_PQ_CTES = (
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),\n"
+    "corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0),"
+    + ",".join(_pq_sub_ctes(j) for j in range(_PQ_M))
+)
+
+_PQ_ADC_SUM = " + ".join(f"l{j}.ad" for j in range(_PQ_M))
+_PQ_JOINS = "\n".join(
+    [f"JOIN enc{j} e{j} USING (vec_id)" for j in range(1, _PQ_M)]
+    + [f"JOIN lut{j} l{j} ON l{j}.c = e{j}.code" for j in range(_PQ_M)]
+)
+
+O_PQ_ADC_TOPK = _PQ_CTES + f"""
+SELECT e0.vec_id, ROUND({_PQ_ADC_SUM}, 6) AS adc_sqdist
+FROM enc0 e0
+{_PQ_JOINS}
+ORDER BY adc_sqdist ASC, e0.vec_id ASC
+LIMIT {_TOPK}
+"""
+
+# IVFPQ = the same corpus-wide codes, scanned only in the nprobe cells
+# nearest the query by (unrounded) centroid cosine — centv/probe mirror
+# O_IVF_TOPK's coarse quantizer exactly.
+O_IVFPQ_TOPK = _PQ_CTES + f""",
+pe_c AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+  FROM corpus
+),
+centv AS (
+  SELECT label, list(m ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, (CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(24,10))) AS DOUBLE) / COUNT(v)) AS m FROM pe_c GROUP BY label, pos)
+  GROUP BY label
+),
+probe AS (
+  SELECT label FROM centv, q
+  ORDER BY ({_COS_CENT_Q}) DESC, label ASC
+  LIMIT {_NPROBE}
+)
+SELECT e0.vec_id, ROUND({_PQ_ADC_SUM}, 6) AS adc_sqdist
+FROM enc0 e0
+{_PQ_JOINS}
+WHERE e0.label IN (SELECT label FROM probe)
+ORDER BY adc_sqdist ASC, e0.vec_id ASC
+LIMIT {_TOPK}
+"""
+
+
 QUERIES = {
     "docs_exact_dedup": q_exact_dedup,
     "docs_minhash_signatures": q_minhash_signatures,
@@ -1603,6 +1743,8 @@ QUERIES = {
     "docs_split_assign": q_split_assign,
     "docs_curation_pipeline": q_curation_pipeline,
     "emb_ivf_quantized_topk": q_ivf_quantized_topk,
+    "emb_pq_adc_topk": q_pq_adc_topk,
+    "emb_ivfpq_topk": q_ivfpq_topk,
 }
 
 ORACLES = {
@@ -1650,4 +1792,6 @@ ORACLES = {
     "docs_split_assign": O_SPLIT_ASSIGN,
     "docs_curation_pipeline": O_CURATION_PIPELINE,
     "emb_ivf_quantized_topk": O_IVF_QUANTIZED_TOPK,
+    "emb_pq_adc_topk": O_PQ_ADC_TOPK,
+    "emb_ivfpq_topk": O_IVFPQ_TOPK,
 }
