@@ -30,11 +30,16 @@ _VERIFY_FIRST = (
     "emb_pq_adc_topk",                 # NEW: PQ ADC top-k, unrolled per-subspace Lloyd oracle
     "emb_ivfpq_topk",                  # NEW: IVF cell pruning over PQ codes
     "docs_minhash_jaccard_estimate",   # agreement fan-out semi-joined to candidate ids (both sides)
-    # --- tier 3 head: r3-vintage AND on this round's planned fsum sweep ---
+    # --- tier 1 (cont.): fsum/fwsum sweep — rolling/running window sums,
+    # ratio gates, streaming weighted sums (both sides converted) ---
     "rel_rolling_revenue",
     "rel_running_order_total",
     "rel_market_share",
     "rel_promo_revenue",
+    "stream_window_topk",
+    "events_props_stats",
+    "events_props_variant",
+    # --- tier 3 head: r3-vintage rows likely touched later this round ---
     "rel_product_profit",
     "rel_small_qty_revenue",
     "rel_volume_shipping",
@@ -42,7 +47,6 @@ _VERIFY_FIRST = (
     "rel_yearly_growth",
     "rel_top_supplier",
     "rel_supplier_value",
-    "stream_window_topk",
     "weather_linear_fit",
     "weather_correlations",
     "weather_zscore_anomalies",

@@ -22,8 +22,8 @@ from pyspark.sql import functions as F
 # Integer-valued double sums (quantities, counts) are exact as-is and stay
 # plain. Each oracle uses the sql_* twin so both engines fold identically.
 from ..functions.exact import (
-    dmean, dsum, dsumx, fmean, fsum,
-    sql_dmean, sql_dsum, sql_dsumx, sql_fmean, sql_fsum,
+    dmean, dsum, dsumx, fmean, fsum, fwsum,
+    sql_dmean, sql_dsum, sql_dsumx, sql_fmean, sql_fsum, sql_fwsum,
 )
 
 
@@ -291,20 +291,22 @@ def q_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        # decimal window fold: Spark accumulates running frames sequentially
-        # but DuckDB uses segment trees — different fold orders over 150k
-        # output cells, so exact decimal is the only bit-stable choice
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"), 2).alias(
-            "running_total"
-        ),
+        # exact fixed-point window fold (fwsum): bit-stable like the old
+        # DECIMAL(18,2) form (Spark folds frames sequentially, DuckDB via
+        # segment trees — integer adds are associative so both agree) but
+        # the accumulation stays on the codegen long path instead of a
+        # widened BigDecimal window buffer
+        F.round(fwsum("o_totalprice", w, 2), 2).alias("running_total"),
     )
 
 
-O_RUNNING_ORDER_TOTAL = """
+_ROT_OVER = (
+    "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+)
+O_RUNNING_ORDER_TOTAL = f"""
 SELECT o_custkey, o_orderkey,
-       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total
+       ROUND({sql_fwsum('o_totalprice', _ROT_OVER, 2)}, 2) AS running_total
 FROM orders
 """
 
@@ -717,13 +719,15 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(asia_custs, o.o_custkey == F.col("c_custkey"))
         .join(supp_nation, li.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
+        # fsum scale 4: 2-dp price × 2-dp (1-discount) is exactly 4-dp, so
+        # the fixed-point fold is exact and the ratio gate stays bit-stable
         .agg(
             F.round(
-                dsumx(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
-                / dsumx(vol),
+                fsum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)), 4)
+                / fsum(vol, 4),
                 6,
             ).alias("mkt_share"),
-            F.round(dsumx(vol), 2).alias("total_volume"),
+            F.round(fsum(vol, 4), 2).alias("total_volume"),
         )
     )
 
@@ -731,9 +735,9 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MS_VOL = "l_extendedprice * (1 - l_discount)"
 O_MARKET_SHARE = f"""
 SELECT EXTRACT(year FROM o_orderdate) AS o_year,
-       ROUND({sql_dsumx(f"CASE WHEN n2.n_name = 'NATION_3' THEN {_MS_VOL} ELSE 0 END")}
-             / {sql_dsumx(_MS_VOL)}, 6) AS mkt_share,
-       ROUND({sql_dsumx(_MS_VOL)}, 2) AS total_volume
+       ROUND({sql_fsum(f"CASE WHEN n2.n_name = 'NATION_3' THEN {_MS_VOL} ELSE 0 END", 4)}
+             / {sql_fsum(_MS_VOL, 4)}, 6) AS mkt_share,
+       ROUND({sql_fsum(_MS_VOL, 4)}, 2) AS total_volume
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -899,10 +903,11 @@ def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("nationkey"),
             F.to_date("o_orderdate").alias("day"),
         )
-        # decimal end-to-end: the daily sum AND the rolling window both fold
-        # exactly (DuckDB computes window aggs via segment trees — yet
-        # another fold order — so a double day_rev would wobble twice)
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_rev"))
+        # exact end-to-end on the long fast path: the daily fsum emits an
+        # exact 2-dp double, and the rolling fwsum re-quantizes it exactly
+        # (integer folds are associative, so Spark's sequential frames and
+        # DuckDB's segment trees agree bit-for-bit)
+        .agg(F.round(fsum("o_totalprice", 2), 2).alias("day_rev"))
     )
     w = (
         Window.partitionBy("nationkey")
@@ -912,23 +917,24 @@ def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "nationkey",
         "day",
-        F.round(F.col("day_rev").cast("double"), 2).alias("day_rev"),
-        F.round(F.sum("day_rev").over(w).cast("double"), 2).alias("rev_7d"),
+        "day_rev",
+        F.round(fwsum("day_rev", w, 2), 2).alias("rev_7d"),
     )
 
 
-O_ROLLING_REVENUE = """
+_RR_OVER = (
+    "PARTITION BY nationkey ORDER BY day "
+    "RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW"
+)
+O_ROLLING_REVENUE = f"""
 WITH daily AS (
   SELECT c_nationkey AS nationkey, CAST(o_orderdate AS DATE) AS day,
-         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev
+         ROUND({sql_fsum('o_totalprice', 2)}, 2) AS day_rev
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY 1, 2
 )
-SELECT nationkey, day, ROUND(CAST(day_rev AS DOUBLE), 2) AS day_rev,
-       ROUND(CAST(SUM(day_rev) OVER (
-         PARTITION BY nationkey ORDER BY day
-         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
-       ) AS DOUBLE), 2) AS rev_7d
+SELECT nationkey, day, day_rev,
+       ROUND({sql_fwsum('day_rev', _RR_OVER, 2)}, 2) AS rev_7d
 FROM daily
 """
 
@@ -1043,23 +1049,24 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-04-01"))
         )
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # fsum scale 4 (exact for the 4-dp revenue expression)
         .agg(
             F.round(
                 100.0
-                * dsumx(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-                / dsumx(rev),
+                * fsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)), 4)
+                / fsum(rev, 4),
                 6,
             ).alias("promo_pct"),
-            F.round(dsumx(rev), 2).alias("total_revenue"),
+            F.round(fsum(rev, 4), 2).alias("total_revenue"),
         )
     )
 
 
 _PR_REV = "l_extendedprice * (1 - l_discount)"
 O_PROMO_REVENUE = f"""
-SELECT ROUND(100.0 * {sql_dsumx(f"CASE WHEN p_type = 'PROMO' THEN {_PR_REV} ELSE 0 END")}
-             / {sql_dsumx(_PR_REV)}, 6) AS promo_pct,
-       ROUND({sql_dsumx(_PR_REV)}, 2) AS total_revenue
+SELECT ROUND(100.0 * {sql_fsum(f"CASE WHEN p_type = 'PROMO' THEN {_PR_REV} ELSE 0 END", 4)}
+             / {sql_fsum(_PR_REV, 4)}, 6) AS promo_pct,
+       ROUND({sql_fsum(_PR_REV, 4)}, 2) AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
 """

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # decimal-exact folds for every rounded sum/mean (see functions/exact.py)
-from ..functions.exact import dmean, dsumx, fmean, fsum, sql_fmean, sql_fsum
+from ..functions.exact import fmean, fsum, sql_fmean, sql_fsum
 
 GAP = "2 hours"
 GAP_SQL = "INTERVAL 2 HOUR"
@@ -143,7 +143,7 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = (
         ev.groupBy(F.window("ts", "1 day").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(dsumx("value"), 2).alias("value_sum"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(fsum("value", 2), 2).alias("value_sum"))
     )
     rank_w = Window.partitionBy("w").orderBy(F.desc("n_events"), F.asc("user_id"))
     return (
@@ -163,7 +163,7 @@ O_WINDOW_TOPK = f"""
 WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, user_id,
          CAST(COUNT(*) AS BIGINT) AS n_events,
-         ROUND(CAST(SUM(CAST(value AS DECIMAL(24,10))) AS DOUBLE), 2) AS value_sum
+         ROUND({sql_fsum('value', 2)}, 2) AS value_sum
   FROM events GROUP BY 1, 2
 )
 SELECT window_start, user_id, n_events, value_sum,
@@ -426,14 +426,16 @@ def q_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.min("k").alias("k_min"),
             F.max("k").alias("k_max"),
-            F.round(dmean("k"), 6).alias("k_mean"),
+            # k is a small int and value is 2-dp, so both fixed-point folds
+            # are exact on the long fast path
+            F.round(fmean("k", 6), 6).alias("k_mean"),
             F.countDistinct("k").alias("k_distinct"),
-            F.round(dsumx(F.col("value") * F.col("k")), 2).alias("weighted_value"),
+            F.round(fsum(F.col("value") * F.col("k"), 2), 2).alias("weighted_value"),
         )
     )
 
 
-O_PROPS_STATS = """
+O_PROPS_STATS = f"""
 WITH parsed AS (
   SELECT event_type,
          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
@@ -444,9 +446,9 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
        MIN(k) AS k_min,
        MAX(k) AS k_max,
-       ROUND((CAST(SUM(CAST(k AS DECIMAL(24,10))) AS DOUBLE) / COUNT(k)), 6) AS k_mean,
+       ROUND({sql_fmean('k', 6)}, 6) AS k_mean,
        CAST(COUNT(DISTINCT k) AS BIGINT) AS k_distinct,
-       ROUND(CAST(SUM(CAST(value * k AS DECIMAL(24,10))) AS DOUBLE), 2) AS weighted_value
+       ROUND({sql_fsum('value * k', 2)}, 2) AS weighted_value
 FROM parsed GROUP BY event_type
 """
 
@@ -474,12 +476,12 @@ def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(dsumx("value"), 2).alias("value_sum"),
+            F.round(fsum("value", 2), 2).alias("value_sum"),
         )
     )
 
 
-O_PROPS_VARIANT = """
+O_PROPS_VARIANT = f"""
 WITH parsed AS (
   SELECT event_type,
          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
@@ -489,7 +491,7 @@ WITH parsed AS (
 SELECT event_type,
        CAST(FLOOR(k / 10) * 10 AS INTEGER) AS k_decade,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(24,10))) AS DOUBLE), 2) AS value_sum
+       ROUND({sql_fsum('value', 2)}, 2) AS value_sum
 FROM parsed GROUP BY 1, 2
 """
 
