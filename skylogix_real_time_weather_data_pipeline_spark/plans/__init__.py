@@ -39,14 +39,19 @@ _VERIFY_FIRST = (
     "stream_window_topk",
     "events_props_stats",
     "events_props_variant",
-    # --- tier 3 head: r3-vintage rows likely touched later this round ---
-    "rel_product_profit",
-    "rel_small_qty_revenue",
+    "rel_salted_join",
+    "rel_supplier_value",
+    "rel_lost_customers",
     "rel_volume_shipping",
+    "rel_disjunctive_revenue",
+    "rel_small_qty_revenue",
+    "rel_top_supplier",
     "rel_returned_items",
     "rel_yearly_growth",
-    "rel_top_supplier",
-    "rel_supplier_value",
+    # --- tier 3 head: r3-vintage rows (rel_product_profit deliberately
+    # stays on the decimal fold: its 0.6*retailprice*qty term has
+    # unbounded fractional digits — fsum's documented dsumx case) ---
+    "rel_product_profit",
     "weather_linear_fit",
     "weather_correlations",
     "weather_zscore_anomalies",
@@ -85,7 +90,6 @@ _VERIFY_FIRST = (
     "events_gap_fill",
     "rel_merge_upsert",
     "rel_scd2_apply",
-    "rel_lost_customers",
     "sql_recursive_chains",
     "docs_tfidf_topk",
 )

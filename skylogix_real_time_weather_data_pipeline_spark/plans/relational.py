@@ -22,8 +22,8 @@ from pyspark.sql import functions as F
 # Integer-valued double sums (quantities, counts) are exact as-is and stay
 # plain. Each oracle uses the sql_* twin so both engines fold identically.
 from ..functions.exact import (
-    dmean, dsum, dsumx, fmean, fsum, fwsum,
-    sql_dmean, sql_dsum, sql_dsumx, sql_fmean, sql_fsum, sql_fwsum,
+    fmean, fsum, fwsum,
+    sql_fmean, sql_fsum, sql_fwsum,
 )
 
 
@@ -443,14 +443,14 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = salted_join(li, s, "suppkey", salt_factor=8)
     return joined.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
-        F.round(dsumx(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.round(fsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
 
 O_SALTED_JOIN = f"""
 SELECT s_nationkey AS nationkey,
-       ROUND({sql_dsumx('l_extendedprice * (1 - l_discount)')}, 2) AS revenue,
+       ROUND({sql_fsum('l_extendedprice * (1 - l_discount)', 4)}, 2) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_nationkey
@@ -767,9 +767,9 @@ def q_supplier_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_nation = (
         li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("s_nationkey")
-        .agg(F.round(dsumx(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("value"))
+        .agg(F.round(fsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2).alias("value"))
     )
-    total = per_nation.agg(F.round(dsum("value"), 2).alias("grand_total"))
+    total = per_nation.agg(F.round(fsum("value", 2), 2).alias("grand_total"))
     return (
         per_nation.crossJoin(F.broadcast(total))
         .filter(F.col("value") > 0.04 * F.col("grand_total"))
@@ -780,12 +780,12 @@ def q_supplier_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_SUPPLIER_VALUE = f"""
 WITH per_nation AS (
   SELECT s_nationkey AS nationkey,
-         ROUND({sql_dsumx('l_extendedprice * (1 - l_discount)')}, 2) AS value
+         ROUND({sql_fsum('l_extendedprice * (1 - l_discount)', 4)}, 2) AS value
   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
   GROUP BY s_nationkey
 )
 SELECT nationkey, value FROM per_nation
-WHERE value > 0.04 * (SELECT ROUND({sql_dsum('value')}, 2) FROM per_nation)
+WHERE value > 0.04 * (SELECT ROUND({sql_fsum('value', 2)}, 2) FROM per_nation)
 """
 
 
@@ -808,9 +808,9 @@ def q_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        # decimal-exact: this mean GATES the balance filter, so a last-ulp
-        # wobble would change the row set, not just a printed digit
-        F.round(dmean("c_acctbal"), 2).alias("avg_bal")
+        # exact fixed-point mean (c_acctbal is 2-dp): this mean GATES the
+        # balance filter, so a last-ulp wobble would change the row set
+        F.round(fmean("c_acctbal", 2), 2).alias("avg_bal")
     )
     return (
         c.crossJoin(F.broadcast(avg_bal))
@@ -819,7 +819,7 @@ def q_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(
             F.count(F.lit(1)).alias("n_custs"),
-            F.round(dsum("c_acctbal"), 2).alias("total_bal"),
+            F.round(fsum("c_acctbal", 2), 2).alias("total_bal"),
         )
     )
 
@@ -827,9 +827,9 @@ def q_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_LOST_CUSTOMERS = f"""
 SELECT c_nationkey AS nationkey,
        CAST(COUNT(*) AS BIGINT) AS n_custs,
-       ROUND({sql_dsum('c_acctbal')}, 2) AS total_bal
+       ROUND({sql_fsum('c_acctbal', 2)}, 2) AS total_bal
 FROM customer
-WHERE c_acctbal > (SELECT ROUND({sql_dmean('c_acctbal')}, 2) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT ROUND({sql_fmean('c_acctbal', 2)}, 2) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '2000-01-01')
@@ -867,14 +867,14 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
-            F.round(dsumx(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(fsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
 O_DISJUNCTIVE_REVENUE = f"""
-SELECT ROUND({sql_dsumx('l_extendedprice * (1 - l_discount)')}, 2) AS revenue,
+SELECT ROUND({sql_fsum('l_extendedprice * (1 - l_discount)', 4)}, 2) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
@@ -1006,7 +1006,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.round(dsumx(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume"),
+            F.round(fsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2).alias("volume"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -1015,7 +1015,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_VOLUME_SHIPPING = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        EXTRACT(year FROM l_shipdate) AS l_year,
-       ROUND({sql_dsumx('l_extendedprice * (1 - l_discount)')}, 2) AS volume,
+       ROUND({sql_fsum('l_extendedprice * (1 - l_discount)', 4)}, 2) AS volume,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem
 JOIN supplier  ON l_suppkey = s_suppkey
@@ -1097,7 +1097,7 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         brand_li.join(thresholds, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            F.round(dsum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(fsum("l_extendedprice", 2) / 7.0, 2).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_small"),
         )
     )
@@ -1113,7 +1113,7 @@ thresholds AS (
   SELECT l_partkey, ROUND(0.2 * AVG(l_quantity), 6) AS qty_threshold
   FROM brand_li GROUP BY l_partkey
 )
-SELECT ROUND({sql_dsum('l_extendedprice')} / 7.0, 2) AS avg_yearly,
+SELECT ROUND({sql_fsum('l_extendedprice', 2)} / 7.0, 2) AS avg_yearly,
        CAST(COUNT(*) AS BIGINT) AS n_small
 FROM brand_li JOIN thresholds USING (l_partkey)
 WHERE l_quantity < qty_threshold
@@ -1171,7 +1171,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-04-01"))
         )
         .groupBy("l_suppkey")
-        .agg(F.round(dsumx(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev"))
+        .agg(F.round(fsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2).alias("total_rev"))
     )
     top = rev.agg(F.max("total_rev").alias("max_rev"))
     return (
@@ -1185,7 +1185,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_TOP_SUPPLIER = f"""
 WITH rev AS (
   SELECT l_suppkey AS suppkey,
-         ROUND({sql_dsumx('l_extendedprice * (1 - l_discount)')}, 2) AS total_rev
+         ROUND({sql_fsum('l_extendedprice * (1 - l_discount)', 4)}, 2) AS total_rev
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
   GROUP BY l_suppkey
@@ -1219,7 +1219,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(F.round(dsumx(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(fsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -1227,7 +1227,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_RETURNED_ITEMS = f"""
 SELECT c_custkey, c_name, n_name, c_acctbal,
-       ROUND({sql_dsumx('l_extendedprice * (1 - l_discount)')}, 2) AS revenue
+       ROUND({sql_fsum('l_extendedprice * (1 - l_discount)', 4)}, 2) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1352,7 +1352,7 @@ def q_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("nationkey"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(dsum("o_totalprice"), 2).alias("revenue"))
+        .agg(F.round(fsum("o_totalprice", 2), 2).alias("revenue"))
     )
     w = Window.partitionBy("nationkey").orderBy("o_year")
     prev = F.lag("revenue").over(w)
@@ -1368,7 +1368,7 @@ def q_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_YEARLY_GROWTH = f"""
 WITH yearly AS (
   SELECT c_nationkey AS nationkey, EXTRACT(year FROM o_orderdate) AS o_year,
-         ROUND({sql_dsum('o_totalprice')}, 2) AS revenue
+         ROUND({sql_fsum('o_totalprice', 2)}, 2) AS revenue
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY 1, 2
 )
