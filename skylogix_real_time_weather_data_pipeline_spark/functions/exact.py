@@ -129,6 +129,29 @@ def fsum(c: Column | str, scale: int = 4) -> Column:
     )
 
 
+def fsum1(c: Column | str, scale: int = 2) -> Column:
+    """Single-long-sum fsum for BOUNDED low-scale inputs — the cheapest
+    exact fold: one round+cast per row, one long sum, one decimal combine
+    on the aggregated scalar.
+
+    Preconditions (stricter than fsum): inputs decimal-valued at <=
+    ``scale`` digits AND per-group Σ|c|·10^scale < 9.2e18. For a bounded
+    metric |c| <= 1e4 at scale 2 that is ~9.2e12 rows/group — the same
+    100 TB bound fsum documents. Use fsum when the input's magnitude or
+    the group's row count can push the single accumulator past long
+    range (money totals at scale 4 over petabyte groups)."""
+    c = _col(c)
+    u = F.round(c * F.lit(float(10**scale))).cast("long")
+    return F.sum(u).cast("double") / (10**scale)
+
+
+def fmean1(c: Column | str, scale: int = 2) -> Column:
+    """Order-independent mean on the single-long-sum path (AVG null
+    semantics; fsum1's preconditions)."""
+    c = _col(c)
+    return fsum1(c, scale) / F.count(c)
+
+
 def fwsum(c: Column | str, w, scale: int = 2) -> Column:
     """fsum over a WINDOW frame: the same fixed-point split, but both long
     sums run ``.over(w)`` — one Window exec computes the two frames
@@ -206,6 +229,16 @@ def sql_fsum(expr: str, scale: int = 4) -> str:
 
 def sql_fmean(expr: str, scale: int = 6) -> str:
     return f"({sql_fsum(expr, scale)} / COUNT({expr}))"
+
+
+def sql_fsum1(expr: str, scale: int = 2) -> str:
+    """DuckDB twin of fsum1 (SUM(BIGINT) is exact — hugeint accumulator)."""
+    p = 10**scale
+    return f"(CAST(SUM(CAST(ROUND(({expr}) * {p}) AS BIGINT)) AS DOUBLE) / {p})"
+
+
+def sql_fmean1(expr: str, scale: int = 2) -> str:
+    return f"({sql_fsum1(expr, scale)} / COUNT({expr}))"
 
 
 def sql_fwsum(expr: str, over: str, scale: int = 2) -> str:

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # decimal-exact folds for every rounded sum/mean (see functions/exact.py)
-from ..functions.exact import fmean, fsum, sql_fmean, sql_fsum
+from ..functions.exact import fmean1, fsum, fsum1, sql_fmean1, sql_fsum, sql_fsum1  # noqa: F401
 
 GAP = "2 hours"
 GAP_SQL = "INTERVAL 2 HOUR"
@@ -35,7 +35,7 @@ def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(fmean("value"), 6).alias("value_mean"),
+            F.round(fmean1("value", 2), 6).alias("value_mean"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -52,7 +52,7 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
        CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND({sql_fmean('value')}, 6) AS value_mean
+       ROUND({sql_fmean1('value', 2)}, 6) AS value_mean
 FROM events GROUP BY 1, 2, 3
 """
 
@@ -64,7 +64,7 @@ def q_sliding_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
         ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(fsum("value", 6), 2).alias("value_sum"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(fsum1("value", 2), 2).alias("value_sum"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
@@ -83,7 +83,7 @@ WITH slid AS (
   SELECT slot_start - INTERVAL 3 HOUR AS window_start, ts, value FROM slid
 )
 SELECT window_start, window_start + INTERVAL 6 HOUR AS window_end,
-       CAST(COUNT(*) AS BIGINT) AS n, ROUND({sql_fsum('value', 6)}, 2) AS value_sum
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND({sql_fsum1('value', 2)}, 2) AS value_sum
 FROM expanded GROUP BY 1, 2
 """
 
@@ -143,7 +143,7 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = (
         ev.groupBy(F.window("ts", "1 day").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(fsum("value", 2), 2).alias("value_sum"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(fsum1("value", 2), 2).alias("value_sum"))
     )
     rank_w = Window.partitionBy("w").orderBy(F.desc("n_events"), F.asc("user_id"))
     return (
@@ -163,7 +163,7 @@ O_WINDOW_TOPK = f"""
 WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, user_id,
          CAST(COUNT(*) AS BIGINT) AS n_events,
-         ROUND({sql_fsum('value', 2)}, 2) AS value_sum
+         ROUND({sql_fsum1('value', 2)}, 2) AS value_sum
   FROM events GROUP BY 1, 2
 )
 SELECT window_start, user_id, n_events, value_sum,
@@ -201,7 +201,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(fsum("value", 6), 2).alias("session_value"),
+        F.round(fsum1("value", 2), 2).alias("session_value"),
     )
 
 
@@ -219,7 +219,7 @@ WITH flagged AS (
 SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND({sql_fsum('value', 6)}, 2) AS session_value
+       ROUND({sql_fsum1('value', 2)}, 2) AS session_value
 FROM sess GROUP BY user_id, session_seq
 """
 
@@ -297,7 +297,7 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                          by="user_id", chunk_seconds=6 * 3600)
     return matched.groupBy("user_id", "w_start", "w_end").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(fsum("value", 6), 2).alias("sum_value"),
+        F.round(fsum1("value", 2), 2).alias("sum_value"),
     )
 
 
@@ -310,7 +310,7 @@ WITH iv AS (
 )
 SELECT iv.user_id, w_start, w_end,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND({sql_fsum('e.value', 6)}, 2) AS sum_value
+       ROUND({sql_fsum1('e.value', 2)}, 2) AS sum_value
 FROM events e JOIN iv
   ON e.user_id = iv.user_id AND e.ts >= iv.w_start AND e.ts < iv.w_end
 GROUP BY 1, 2, 3
@@ -428,7 +428,7 @@ def q_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
             # k is a small int and value is 2-dp, so both fixed-point folds
             # are exact on the long fast path
-            F.round(fmean("k", 6), 6).alias("k_mean"),
+            F.round(fmean1("k", 0), 6).alias("k_mean"),
             F.countDistinct("k").alias("k_distinct"),
             F.round(fsum(F.col("value") * F.col("k"), 2), 2).alias("weighted_value"),
         )
@@ -446,7 +446,7 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
        MIN(k) AS k_min,
        MAX(k) AS k_max,
-       ROUND({sql_fmean('k', 6)}, 6) AS k_mean,
+       ROUND({sql_fmean1('k', 0)}, 6) AS k_mean,
        CAST(COUNT(DISTINCT k) AS BIGINT) AS k_distinct,
        ROUND({sql_fsum('value * k', 2)}, 2) AS weighted_value
 FROM parsed GROUP BY event_type
@@ -476,7 +476,7 @@ def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(fsum("value", 2), 2).alias("value_sum"),
+            F.round(fsum1("value", 2), 2).alias("value_sum"),
         )
     )
 
@@ -491,7 +491,7 @@ WITH parsed AS (
 SELECT event_type,
        CAST(FLOOR(k / 10) * 10 AS INTEGER) AS k_decade,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND({sql_fsum('value', 2)}, 2) AS value_sum
+       ROUND({sql_fsum1('value', 2)}, 2) AS value_sum
 FROM parsed GROUP BY 1, 2
 """
 
