@@ -39,6 +39,10 @@ _VERIFY_FIRST = (
     "stream_window_topk",
     "events_props_stats",
     "events_props_variant",
+    "stream_tumbling_daily",
+    "stream_sliding_6h",
+    "stream_sessionize",
+    "stream_range_join_windows",
     "rel_salted_join",
     "rel_supplier_value",
     "rel_lost_customers",

@@ -172,6 +172,35 @@ def test_rejects_progressive():
         jpeg.decode(data)
 
 
+def test_progressive_degrades_to_header_probe_row(spark):
+    """A progressive (SOF2) payload must flow through the multimodal stage
+    as a header-probe row — TRUE dimensions from the SOF2 header, no
+    crash, no silent drop — and resize must degrade to the deterministic
+    digest stub (the in-repo codec is baseline-only by design)."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext import multimodal
+
+    prog = _gray_jpeg(16, 5, 3).replace(b"\xff\xc0", b"\xff\xc2")
+
+    # unit level: dimension probe reads the SOF2 header (no DCT decode)
+    assert multimodal._decode_image(prog) == (8, 8)
+
+    # pipeline level: the row comes through with real dims, not dropped
+    df = spark.createDataFrame(
+        [(7, "image", "image/jpeg", bytearray(prog))], multimodal.ASSET_SCHEMA
+    )
+    rows = multimodal.extract_features(df).collect()
+    assert len(rows) == 1
+    assert (rows[0].width, rows[0].height) == (8, 8)
+    assert rows[0].n_bytes == len(prog)
+
+    # resize cannot pixel-decode SOF2: deterministic digest stub, twice
+    out1 = multimodal._resize_one(prog, 4)
+    out2 = multimodal._resize_one(prog, 4)
+    assert out1 == out2 and len(out1) == 32  # sha256 digest, not a PNG
+    resized = multimodal.resize_assets(df, target=4).collect()
+    assert len(resized) == 1 and bytes(resized[0].payload) == out1
+
+
 def test_multimodal_resize_handles_jpeg():
     """The Arrow-stage resize path decodes baseline JPEG for real now: the
     output is a valid PNG of the target size, not a digest stub."""
