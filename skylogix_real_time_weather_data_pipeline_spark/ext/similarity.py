@@ -143,6 +143,43 @@ def ivf_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10, nprobe: int
     return cosine_topk(df.filter(F.col(label_col).isin(probed)), query_vec, k, vec_col, id_col)
 
 
+def matryoshka_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
+                    prefix_dim: int = 16, shortlist_factor: int = 4,
+                    vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Truncated-dimension ANN for Matryoshka-style embeddings (MRL,
+    Kusupati et al., arXiv:2205.13147): shortlist by cosine over the FIRST
+    ``prefix_dim`` coordinates (MRL trains nested prefixes to be usable
+    embeddings), then re-rank the ``k·shortlist_factor`` shortlist with
+    full-dimension cosine.
+
+    The scale shape: the corpus scan touches only the prefix slice (with
+    column-chunked storage, a fraction of the bytes), and the full vectors
+    are read for the O(k·factor) shortlist alone. Ties pinned on id at
+    both stages; both scores rounded to 6 so the oracle can replay the
+    exact shortlist and final selection.
+    """
+    qpre = F.array(*[F.lit(float(x)) for x in query_vec[:prefix_dim]])
+    qfull = F.array(*[F.lit(float(x)) for x in query_vec])
+    pre = F.slice(F.col(vec_col), 1, prefix_dim)
+    short = (
+        df.select(
+            id_col, vec_col,
+            F.round(cosine(pre, qpre), 6).alias("prefix_sim"),
+        )
+        .orderBy(F.desc("prefix_sim"), F.asc(id_col))
+        .limit(k * shortlist_factor)
+    )
+    return (
+        short.select(
+            id_col,
+            "prefix_sim",
+            F.round(cosine(F.col(vec_col), qfull), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def sign_pack(vec_col: Column, lo: int, hi: int) -> Column:
     """Pack sign bits of vec[lo:hi] into a non-negative long (big-endian
     fold: acc*2 + (vᵢ>0)) — binary quantization, 32× smaller than float32.

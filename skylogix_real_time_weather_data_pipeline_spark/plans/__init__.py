@@ -29,6 +29,10 @@ _VERIFY_FIRST = (
     # --- tier 1: changed in round 5 ---
     "emb_pq_adc_topk",                 # NEW: PQ ADC top-k, unrolled per-subspace Lloyd oracle
     "emb_ivfpq_topk",                  # NEW: IVF cell pruning over PQ codes
+    "emb_pq_recall",                   # NEW: exact-L2 vs PQ-ADC recall@k eval
+    "emb_matryoshka_topk",             # NEW: prefix-dim shortlist + full-dim rerank (MRL)
+    "stream_window_percentiles",       # NEW: exact per-window p50/p90
+    "events_cumulative_users",         # NEW: first-seen collapse + running total
     "docs_minhash_jaccard_estimate",   # agreement fan-out semi-joined to candidate ids (both sides)
     # --- tier 1 (cont.): fsum/fwsum sweep — rolling/running window sums,
     # ratio gates, streaming weighted sums (both sides converted) ---

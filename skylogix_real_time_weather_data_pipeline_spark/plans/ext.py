@@ -1698,6 +1698,101 @@ LIMIT {_TOPK}
 """
 
 
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|exact-L2 top-k ∩ PQ-ADC top-k| / k — the eval that makes the PQ
+    compression claim measurable (mirrors emb_quantized_recall for the
+    int8 path). Both rankings are the already-verified operators; the
+    recall join is O(k) regardless of scale."""
+    corpus, qv, books = _pq_setup(spark, sf_dir)
+    qarr = F.array(*[F.lit(float(x)) for x in qv])
+    sq = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), qarr,
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exact = (
+        corpus.select("vec_id", F.round(sq, 6).alias("d"))
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(_TOPK)
+        .select("vec_id")
+    )
+    adc = similarity.pq_adc_topk(corpus, qv, books, topk=_TOPK).select("vec_id")
+    return exact.join(adc, "vec_id").agg(
+        F.lit(_TOPK).cast("int").alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / F.lit(_TOPK), 6).alias("recall_at_k"),
+    )
+
+
+O_PQ_RECALL = _PQ_CTES + f""",
+adc AS (
+  SELECT e0.vec_id FROM enc0 e0
+{_PQ_JOINS}
+  ORDER BY ROUND({_PQ_ADC_SUM}, 6) ASC, e0.vec_id ASC
+  LIMIT {_TOPK}
+),
+exact_l2 AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           ROUND(list_sum(list_transform(range(1, len(embedding) + 1),
+                 i -> (CAST(embedding[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE))
+                    * (CAST(embedding[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE)))), 6) AS d
+    FROM corpus, q
+  ) ORDER BY d ASC, vec_id ASC LIMIT {_TOPK}
+)
+SELECT CAST({_TOPK} AS INTEGER) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       ROUND(COUNT(*) / {_TOPK}.0, 6) AS recall_at_k
+FROM exact_l2 JOIN adc USING (vec_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncated-dimension ANN (MRL, arXiv:2205.13147): prefix-dim
+# shortlist scan + full-dim re-rank of the O(k·factor) shortlist.
+# --------------------------------------------------------------------------
+
+_MRL_PREFIX = 16
+_MRL_FACTOR = 4
+
+
+def q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    row = embs.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in row[0]]
+    return similarity.matryoshka_topk(
+        embs.filter(F.col("vec_id") != 0), qv, k=_TOPK,
+        prefix_dim=_MRL_PREFIX, shortlist_factor=_MRL_FACTOR,
+    )
+
+
+_COS_PRE_Q = f"""
+  list_sum(list_transform(range(1, {_MRL_PREFIX} + 1),
+           i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(list_slice(embedding, 1, {_MRL_PREFIX}),
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(list_slice(qv, 1, {_MRL_PREFIX}),
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+O_MATRYOSHKA_TOPK = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+short AS (
+  SELECT vec_id, embedding, ROUND({_COS_PRE_Q}, 6) AS prefix_sim
+  FROM corpus, q
+  ORDER BY prefix_sim DESC, vec_id ASC
+  LIMIT {_TOPK * _MRL_FACTOR}
+)
+SELECT vec_id, prefix_sim, ROUND({_COS_EMB_Q}, 6) AS cosine_sim
+FROM short, q
+ORDER BY cosine_sim DESC, vec_id ASC
+LIMIT {_TOPK}
+"""
+
+
 QUERIES = {
     "docs_exact_dedup": q_exact_dedup,
     "docs_minhash_signatures": q_minhash_signatures,
@@ -1745,6 +1840,8 @@ QUERIES = {
     "emb_ivf_quantized_topk": q_ivf_quantized_topk,
     "emb_pq_adc_topk": q_pq_adc_topk,
     "emb_ivfpq_topk": q_ivfpq_topk,
+    "emb_pq_recall": q_pq_recall,
+    "emb_matryoshka_topk": q_matryoshka_topk,
 }
 
 ORACLES = {
@@ -1794,4 +1891,6 @@ ORACLES = {
     "emb_ivf_quantized_topk": O_IVF_QUANTIZED_TOPK,
     "emb_pq_adc_topk": O_PQ_ADC_TOPK,
     "emb_ivfpq_topk": O_IVFPQ_TOPK,
+    "emb_pq_recall": O_PQ_RECALL,
+    "emb_matryoshka_topk": O_MATRYOSHKA_TOPK,
 }

@@ -550,6 +550,75 @@ FROM cal c LEFT JOIN daily USING (event_type, day)
 """
 
 
+def q_window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-tumbling-day value percentiles (p50/p90) — the windowed
+    distribution summary (latency-dashboard staple). Exact
+    linear-interpolation ``percentile`` so the oracle hash-matches
+    (``quantile_cont`` twin); a live stream would swap in
+    ``approx_percentile`` with this batch form as its accuracy oracle.
+    One shuffle on the day key; the sort is per-group within the agg."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+            "p50",
+            "p90",
+        )
+    )
+
+
+O_WINDOW_PERCENTILES = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth-curve query. The
+    expensive distinct collapses per USER first (one shuffle on the
+    high-cardinality key, map-side combinable min); the running total
+    then windows over the tiny per-day frame. The naive alternative —
+    COUNT(DISTINCT) over an expanding window — rescans every prefix.
+    The single-partition window is over O(days) aggregated rows, not
+    events."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    daily = first.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+O_CUMULATIVE_USERS = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+), daily AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM first_seen GROUP BY day
+)
+SELECT day, new_users,
+       SUM(new_users) OVER (ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+FROM daily
+"""
+
+
 QUERIES = {
     "events_funnel": q_funnel,
     "events_props_stats": q_props_stats,
@@ -565,6 +634,8 @@ QUERIES = {
     "stream_sessionize": q_sessionize,
     "stream_dedup_keyed": q_dedup_within_watermark,
     "stream_window_topk": q_window_topk,
+    "stream_window_percentiles": q_window_percentiles,
+    "events_cumulative_users": q_cumulative_users,
 }
 
 ORACLES = {
@@ -582,4 +653,6 @@ ORACLES = {
     "stream_sessionize": O_SESSIONIZE,
     "stream_dedup_keyed": O_DEDUP_WITHIN_WATERMARK,
     "stream_window_topk": O_WINDOW_TOPK,
+    "stream_window_percentiles": O_WINDOW_PERCENTILES,
+    "events_cumulative_users": O_CUMULATIVE_USERS,
 }

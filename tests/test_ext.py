@@ -728,3 +728,50 @@ def test_ivf_pq_topk_prunes_to_probed_cell(spark):
     out = ivf_pq_topk(df, q, books, topk=5, nprobe=1).collect()
     assert out[0].vec_id == 0
     assert all(r.vec_id < 100 for r in out)  # nothing from the far cell
+
+
+def test_matryoshka_prefix_shortlist_and_rerank(spark):
+    """A vector equal to the query ranks first; a decoy that matches the
+    query ONLY on the prefix dims makes the shortlist on prefix_sim but
+    loses the full-dim re-rank to genuinely closer vectors."""
+    import random
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.similarity import (
+        matryoshka_topk,
+    )
+
+    rng = random.Random(5)
+    q = [rng.uniform(-1, 1) for _ in range(64)]
+    decoy = q[:16] + [-x for x in q[16:]]  # perfect prefix, anti-aligned tail
+    rows = [(0, q), (1, decoy)] + [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(2, 60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = matryoshka_topk(df, q, k=5, prefix_dim=16, shortlist_factor=4).collect()
+    assert out[0].vec_id == 0 and out[0].cosine_sim == 1.0
+    assert out[0].prefix_sim == 1.0
+    # the decoy's full-dim score must not win despite prefix_sim == 1.0
+    assert all(r.vec_id != 1 for r in out[:1])
+    sims = [r.cosine_sim for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_matryoshka_prefix_scan_matches_truncated_cosine(spark):
+    """prefix_sim must equal cosine over the truncated vectors exactly
+    (the MRL contract: the prefix IS the low-dim embedding)."""
+    import math
+    import random
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.similarity import (
+        matryoshka_topk,
+    )
+
+    rng = random.Random(9)
+    q = [rng.uniform(-1, 1) for _ in range(8)]
+    v = [rng.uniform(-1, 1) for _ in range(8)]
+    df = spark.createDataFrame([(1, v)], "vec_id long, embedding array<double>")
+    out = matryoshka_topk(df, q, k=1, prefix_dim=4, shortlist_factor=1).collect()[0]
+    dot = sum(a * b for a, b in zip(q[:4], v[:4]))
+    na = math.sqrt(sum(a * a for a in q[:4]))
+    nb = math.sqrt(sum(b * b for b in v[:4]))
+    assert out.prefix_sim == round(dot / (na * nb), 6)
