@@ -1627,6 +1627,86 @@ GROUP BY p_brand, p_type
 """
 
 
+# --------------------------------------------------------------------------
+# Weighted PageRank over the customer↔supplier trade graph — the third
+# iterative-algorithm family member (k-means, connected components,
+# PageRank), oracle-replayed as unrolled CTEs like O_KMEANS.
+# --------------------------------------------------------------------------
+
+_PR_ITER = 2  # the oracle unrolls exactly this many iterations (damping fixed 17/20)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetric bipartite customer↔supplier graph
+    (edge weight = number of lineitems traded). The edge build is one
+    join + one groupBy; each iteration is the ranks⋈edges join + an
+    exact-fold groupBy (operators/graph.py documents the pins)."""
+    from ..operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cnode"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("snode"),
+            "w",
+        )
+    )
+    edges = cs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst"), "w"
+    ).unionByName(
+        cs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"), "w")
+    )
+    return pagerank(edges, n_iter=_PR_ITER, weight="w")
+
+
+#: per-iteration CTE pair: integer-unit contributions r{i} → ranks r{i+1}
+#: (operators/graph.py documents the exact-rational damping pin: float
+#: "round(base + 0.85·S)" systematically ties at .5 on the quantized grid)
+def _pr_iter_cte(i: int) -> str:
+    return f"""
+c{i + 1} AS (
+  SELECT e.e_dst AS node,
+         CAST((bn.v + 17 * SUM(CAST(ROUND(r.rank_u * e.share) AS BIGINT))) // 20 AS BIGINT) AS rank_u
+  FROM e JOIN r{i} r ON e.e_src = r.node CROSS JOIN bn
+  GROUP BY e.e_dst, bn.v
+),
+r{i + 1} AS (
+  SELECT n.node, COALESCE(c.rank_u, bn.v // 20) AS rank_u
+  FROM nodes n LEFT JOIN c{i + 1} c USING (node) CROSS JOIN bn
+)"""
+
+
+O_PAGERANK = f"""
+WITH cs AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS cnode,
+         's' || CAST(l_suppkey AS VARCHAR) AS snode,
+         COUNT(*) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT cnode AS src, snode AS dst, w FROM cs
+  UNION ALL
+  SELECT snode AS src, cnode AS dst, w FROM cs
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+bn AS (SELECT CAST(3 * 10000000000 // n AS BIGINT) AS v FROM nn),
+outw AS (SELECT src, SUM(w) AS w_out FROM edges GROUP BY src),
+e AS (
+  SELECT edges.src AS e_src, edges.dst AS e_dst, w / w_out AS share
+  FROM edges JOIN outw ON edges.src = outw.src
+),
+r0 AS (SELECT node, CAST(10000000000 // nn.n AS BIGINT) AS rank_u FROM nodes CROSS JOIN nn),
+{",".join(_pr_iter_cte(i) for i in range(_PR_ITER))}
+SELECT node, CAST(rank_u AS DOUBLE) / 10000000000 AS rank FROM r{_PR_ITER}
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": q_pricing_summary,
     "rel_cube_lineitem": q_cube_lineitem,
@@ -1647,6 +1727,7 @@ QUERIES = {
     "rel_set_ops": q_set_ops,
     "rel_salted_join": q_salted_join,
     "rel_merge_upsert": q_merge_upsert,
+    "rel_pagerank": q_pagerank,
     "rel_order_percentiles": q_order_percentiles,
     "rel_grouping_sets": q_grouping_sets,
     "rel_unpivot_city_metrics": q_unpivot_city_metrics,
@@ -1689,6 +1770,7 @@ ORACLES = {
     "rel_set_ops": O_SET_OPS,
     "rel_salted_join": O_SALTED_JOIN,
     "rel_merge_upsert": O_MERGE_UPSERT,
+    "rel_pagerank": O_PAGERANK,
     "rel_order_percentiles": O_ORDER_PERCENTILES,
     "rel_grouping_sets": O_GROUPING_SETS,
     "rel_unpivot_city_metrics": O_UNPIVOT_CITY_METRICS,
