@@ -34,6 +34,7 @@ _VERIFY_FIRST = (
     "stream_window_percentiles",       # NEW: exact per-window p50/p90
     "events_cumulative_users",         # NEW: first-seen collapse + running total
     "rel_pagerank",                    # NEW: integer-unit weighted PageRank
+    "events_anomaly_mad",              # NEW: MAD robust outliers
     "docs_minhash_jaccard_estimate",   # agreement fan-out semi-joined to candidate ids (both sides)
     # --- tier 1 (cont.): fsum/fwsum sweep — rolling/running window sums,
     # ratio gates, streaming weighted sums (both sides converted) ---

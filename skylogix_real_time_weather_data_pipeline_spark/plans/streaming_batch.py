@@ -619,6 +619,68 @@ FROM daily
 """
 
 
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outliers per event type — the robust
+    anomaly detector (immune to the outliers it hunts, unlike z-scores).
+    Flags rows with |value − median| > 6·MAD and reports the 0.6745-scaled
+    robust z-score.
+
+    Shape: per-group exact medians force two full-pass aggregations (the
+    median of deviations can't start until the median is known); both
+    group tables are tiny and broadcast back. At 100 TB swap
+    ``percentile`` for ``approx_percentile`` and this becomes two
+    single-pass sketches with this batch form as its accuracy oracle.
+    Both median and deviations are rounded to 6 so the 6·MAD threshold
+    compares identical grid doubles on both engines."""
+    ev = _events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        F.round(F.abs(F.col("value") - F.col("med")), 6).alias("adev"),
+        "med",
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 6 * F.col("mad"))
+        .select(
+            "event_type",
+            "event_id",
+            "value",
+            "med",
+            "mad",
+            F.round(0.6745 * F.col("adev") / F.col("mad"), 6).alias("robust_z"),
+        )
+    )
+
+
+O_ANOMALY_MAD = """
+WITH med AS (
+  SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, event_id, value,
+         ROUND(ABS(value - med), 6) AS adev, med
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, ROUND(quantile_cont(adev, 0.5), 6) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type, event_id, value, d.med, m.mad,
+       ROUND(0.6745 * adev / m.mad, 6) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE adev > 6 * m.mad
+"""
+
+
 QUERIES = {
     "events_funnel": q_funnel,
     "events_props_stats": q_props_stats,
@@ -636,6 +698,7 @@ QUERIES = {
     "stream_window_topk": q_window_topk,
     "stream_window_percentiles": q_window_percentiles,
     "events_cumulative_users": q_cumulative_users,
+    "events_anomaly_mad": q_anomaly_mad,
 }
 
 ORACLES = {
@@ -655,4 +718,5 @@ ORACLES = {
     "stream_window_topk": O_WINDOW_TOPK,
     "stream_window_percentiles": O_WINDOW_PERCENTILES,
     "events_cumulative_users": O_CUMULATIVE_USERS,
+    "events_anomaly_mad": O_ANOMALY_MAD,
 }

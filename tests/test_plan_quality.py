@@ -247,3 +247,47 @@ def test_min_cost_supplier_windows_aggregate_not_facts(spark, sf_dir, qs):
     # executedPlan prints top-down: the window sits ABOVE the aggregate
     assert win_pos < agg_pos
     assert len(re.findall(r"BroadcastExchange", plan)) == 2
+
+
+def test_matryoshka_shortlist_is_take_ordered(spark, sf_dir, qs):
+    """Both stages must be TakeOrderedAndProject (global top-k without a
+    full sort), and the corpus is scanned exactly once — the re-rank runs
+    on the shortlist rows, never a second scan."""
+    plan = _physical(qs["emb_matryoshka_topk"](spark, sf_dir))
+    assert len(re.findall(r"TakeOrderedAndProject", plan)) == 2
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+
+
+def test_pagerank_iteration_joins_and_exact_fold(spark, sf_dir, qs):
+    """The per-iteration rank fold must aggregate LONGs (integer units, no
+    decimal/BigDecimal buffer) and the checkpointed edge list must not be
+    recomputed: no parquet scan appears in the final iteration's plan —
+    only the checkpoint scans."""
+    plan = _physical(qs["rel_pagerank"](spark, sf_dir))
+    assert "Scan parquet" not in plan  # inputs come from the localCheckpoints
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_anomaly_mad_broadcasts_group_tables(spark, sf_dir, qs):
+    """Every per-group table (median, MAD, and the median re-derived
+    inside the MAD branch — the dev subtree is deliberately recomputed
+    rather than materializing a fact-sized intermediate) attaches by
+    broadcast; the fact rows are never shuffle-joined on event_type."""
+    plan = _physical(qs["events_anomaly_mad"](spark, sf_dir))
+    assert len(re.findall(r"BroadcastExchange", plan)) == 3
+    # the only hash exchanges are the tiny per-type aggregations
+    assert all(
+        "event_type" in l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l
+    )
+
+
+def test_cumulative_users_windows_daily_frame_not_events(spark, sf_dir, qs):
+    """The running total must window the per-day aggregate (above BOTH
+    aggregations in the plan), never the raw event rows."""
+    plan = _physical(qs["events_cumulative_users"](spark, sf_dir))
+    win_pos = plan.find("Window")
+    aggs = [m.start() for m in re.finditer(r"HashAggregate", plan)]
+    assert win_pos != -1 and aggs
+    assert all(win_pos < a for a in aggs)
