@@ -24,11 +24,25 @@ from pyspark.sql import functions as F
 # whole-stage-codegen long arithmetic (functions/exact.py documents the
 # 100 TB overflow headroom); dmean remains for callers needing >6 fractional
 # digits of per-row fidelity.
-from ..functions.exact import dmean, fmean, fsum
+from ..functions.exact import dmean, fmean, fmean1, fsum
+
+
+def _mean(c: str, scales: dict[str, int] | None):
+    """Exact mean fold for a RAW input column: when the caller pins the
+    column's decimal scale (inputs exactly representable at that scale —
+    plans/weather.py pins temperature 2, humidity 0, wind 3 for the
+    testdata mapping), the single-long-sum fmean1 applies; otherwise the
+    generic split fmean at scale 6 (quantized for >6-digit inputs). Both
+    are exact for in-scale inputs, so pinning a scale never changes the
+    value — only the fold cost."""
+    if scales and c in scales:
+        return fmean1(c, scales[c])
+    return fmean(c)
 
 
 def basic_stats(df: DataFrame, ts: str = "timestamp", temp: str = "temperature",
-                humidity: str = "humidity", wind: str = "wind_speed") -> DataFrame:
+                humidity: str = "humidity", wind: str = "wind_speed",
+                scales: dict[str, int] | None = None) -> DataFrame:
     """A1: global multi-metric aggregate (reference src/analyze.py:146-183).
 
     One ``agg`` → single partial+final hash-agg pass over the table.
@@ -39,39 +53,41 @@ def basic_stats(df: DataFrame, ts: str = "timestamp", temp: str = "temperature",
         F.max(ts).alias("ts_max"),
         F.round(F.min(temp), 6).alias("temp_min"),
         F.round(F.max(temp), 6).alias("temp_max"),
-        F.round(fmean(temp), 6).alias("temp_mean"),
+        F.round(_mean(temp, scales), 6).alias("temp_mean"),
         F.round(F.expr(f"percentile({temp}, 0.5)"), 6).alias("temp_median"),
         F.round(F.min(humidity), 6).alias("humidity_min"),
         F.round(F.max(humidity), 6).alias("humidity_max"),
-        F.round(fmean(humidity), 6).alias("humidity_mean"),
+        F.round(_mean(humidity, scales), 6).alias("humidity_mean"),
         F.round(F.min(wind), 6).alias("wind_min"),
         F.round(F.max(wind), 6).alias("wind_max"),
-        F.round(fmean(wind), 6).alias("wind_mean"),
+        F.round(_mean(wind, scales), 6).alias("wind_mean"),
     )
 
 
 def city_comparison(df: DataFrame, city: str = "city", temp: str = "temperature",
-                    humidity: str = "humidity", wind: str = "wind_speed") -> DataFrame:
+                    humidity: str = "humidity", wind: str = "wind_speed",
+                    scales: dict[str, int] | None = None) -> DataFrame:
     """A2/A3: per-city multi-aggregate summary (reference src/analyze.py:185-213,
     src/load.py:188-196). Rounding to 2 mirrors the summary sink (P13)."""
     return df.groupBy(city).agg(
-        F.round(fmean(temp), 2).alias("temp_mean"),
+        F.round(_mean(temp, scales), 2).alias("temp_mean"),
         F.round(F.min(temp), 2).alias("temp_min"),
         F.round(F.max(temp), 2).alias("temp_max"),
-        F.round(fmean(humidity), 2).alias("humidity_mean"),
-        F.round(fmean(wind), 2).alias("wind_mean"),
+        F.round(_mean(humidity, scales), 2).alias("humidity_mean"),
+        F.round(_mean(wind, scales), 2).alias("wind_mean"),
         F.count(F.lit(1)).alias("n_obs"),
     )
 
 
-def warmest_coldest(df: DataFrame, city: str = "city", temp: str = "temperature") -> DataFrame:
+def warmest_coldest(df: DataFrame, city: str = "city", temp: str = "temperature",
+                    scales: dict[str, int] | None = None) -> DataFrame:
     """A4/W4: argmax+argmin city by mean temperature (reference
     src/analyze.py:216-218). Tie-break pinned to city name ascending.
 
     Implemented as rank-1 selection over the (small) per-city aggregate —
     the aggregate shuffles once; the window runs on the tiny result.
     """
-    per_city = df.groupBy(city).agg(F.round(fmean(temp), 6).alias("temp_mean"))
+    per_city = df.groupBy(city).agg(F.round(_mean(temp, scales), 6).alias("temp_mean"))
     w_hot = Window.orderBy(F.desc("temp_mean"), F.asc(city))
     w_cold = Window.orderBy(F.asc("temp_mean"), F.asc(city))
     hot = (
@@ -88,10 +104,11 @@ def warmest_coldest(df: DataFrame, city: str = "city", temp: str = "temperature"
 
 
 def daily_city_agg(df: DataFrame, city: str = "city", temp: str = "temperature",
-                   date: str = "date") -> DataFrame:
+                   date: str = "date",
+                   scales: dict[str, int] | None = None) -> DataFrame:
     """A5: two-key (date, city) daily aggregate (reference src/analyze.py:239-243)."""
     return df.groupBy(date, city).agg(
-        F.round(fmean(temp), 6).alias("temp_mean"),
+        F.round(_mean(temp, scales), 6).alias("temp_mean"),
         F.round(F.min(temp), 6).alias("temp_low"),
         F.round(F.max(temp), 6).alias("temp_high"),
         F.count(F.lit(1)).alias("n_obs"),
@@ -122,14 +139,15 @@ def condition_mode_by_city(df: DataFrame, city: str = "city",
 
 
 def daily_pivot(df: DataFrame, pivot_values: Sequence[str], city: str = "city",
-                temp: str = "temperature", date: str = "date") -> DataFrame:
+                temp: str = "temperature", date: str = "date",
+                scales: dict[str, int] | None = None) -> DataFrame:
     """A8: date rows × city columns of mean temperature (reference
     src/analyze.py:371-374).
 
     Explicit ``pivot_values`` keeps the plan single-pass and the output
     column order deterministic (SURVEY §7.4.3).
     """
-    out = df.groupBy(date).pivot(city, list(pivot_values)).agg(F.round(fmean(temp), 6))
+    out = df.groupBy(date).pivot(city, list(pivot_values)).agg(F.round(_mean(temp, scales), 6))
     # normalize pivot column names in ONE select (chained withColumnRenamed
     # nests a projection per value — O(values) plan depth on wide pivots)
     return out.select(
@@ -225,7 +243,8 @@ def exact_median(df: DataFrame, columns: Sequence[str]) -> DataFrame:
 
 
 def temperature_trends(df: DataFrame, city: str = "city", temp: str = "temperature",
-                       date: str = "date") -> DataFrame:
+                       date: str = "date",
+                       scales: dict[str, int] | None = None) -> DataFrame:
     """W1+W2: per-city daily temperature change series → trend summary
     (reference src/analyze.py:246-258).
 
@@ -243,7 +262,7 @@ def temperature_trends(df: DataFrame, city: str = "city", temp: str = "temperatu
     bit-stable. (Was DECIMAL(20,10)/DECIMAL(24,10) sums in r3 — fsum keeps
     the same exactness on the long-backed codegen path, functions/exact.py.)
     """
-    daily = df.groupBy(city, date).agg(fmean(temp).alias("t"))
+    daily = df.groupBy(city, date).agg(_mean(temp, scales).alias("t"))
     w = Window.partitionBy(city).orderBy(date)
     delta = daily.withColumn("change", F.col("t") - F.lag("t", 1).over(w))
     return (

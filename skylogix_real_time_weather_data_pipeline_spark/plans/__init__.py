@@ -35,6 +35,16 @@ _VERIFY_FIRST = (
     "events_cumulative_users",         # NEW: first-seen collapse + running total
     "rel_pagerank",                    # NEW: integer-unit weighted PageRank
     "events_anomaly_mad",              # NEW: MAD robust outliers
+    # weather means pinned to dataset-true scales (fmean1 single-sum path;
+    # value-identical — both folds exact — so only the fold cost changes):
+    "weather_basic_stats",
+    "weather_city_comparison",
+    "weather_warmest_coldest",
+    "weather_daily_city_agg",
+    "weather_daily_pivot",
+    "weather_temperature_trends",
+    "weather_humidity_decile_agg",
+    "weather_seasonal_anomaly",
     "docs_minhash_jaccard_estimate",   # agreement fan-out semi-joined to candidate ids (both sides)
     # --- tier 1 (cont.): fsum/fwsum sweep — rolling/running window sums,
     # ratio gates, streaming weighted sums (both sides converted) ---

@@ -22,7 +22,13 @@ from ..functions import (
     iso_format,
     weather_icon,
 )
-from ..functions.exact import sql_fmean, sql_fsum
+from ..functions.exact import fmean1, sql_fmean, sql_fmean1, sql_fsum
+
+#: dataset-true decimal scales of the observation metrics (value is exact
+#: 2-dp, props.k an integer, wind = value/10 exact 3-dp) — pins the gold
+#: mean folds to the single-long-sum path; values are identical to the
+#: generic scale-6 fold (both exact), only the per-row cost drops
+_OBS_SCALES = {"temperature": 2, "humidity": 0, "wind_speed": 3}
 from ..operators import gold, silver
 
 #: pinned pivot/condition domain (explicit values → single-pass pivot,
@@ -77,7 +83,7 @@ WITH obs AS (
 # --------------------------------------------------------------------------
 
 def q_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gold.basic_stats(observations(spark, sf_dir))
+    return gold.basic_stats(observations(spark, sf_dir), scales=_OBS_SCALES)
 
 
 O_BASIC_STATS = OBS_CTE + f"""
@@ -86,14 +92,14 @@ SELECT CAST(COUNT(*) AS BIGINT)                       AS total_records,
        MAX("timestamp")                               AS ts_max,
        ROUND(MIN(temperature), 6)                     AS temp_min,
        ROUND(MAX(temperature), 6)                     AS temp_max,
-       ROUND({sql_fmean('temperature')}, 6) AS temp_mean,
+       ROUND({sql_fmean1('temperature', 2)}, 6) AS temp_mean,
        ROUND(quantile_cont(temperature, 0.5), 6)      AS temp_median,
        ROUND(MIN(humidity), 6)                        AS humidity_min,
        ROUND(MAX(humidity), 6)                        AS humidity_max,
-       ROUND({sql_fmean('humidity')}, 6) AS humidity_mean,
+       ROUND({sql_fmean1('humidity', 0)}, 6) AS humidity_mean,
        ROUND(MIN(wind_speed), 6)                      AS wind_min,
        ROUND(MAX(wind_speed), 6)                      AS wind_max,
-       ROUND({sql_fmean('wind_speed')}, 6) AS wind_mean
+       ROUND({sql_fmean1('wind_speed', 3)}, 6) AS wind_mean
 FROM obs
 """
 
@@ -103,16 +109,16 @@ FROM obs
 # --------------------------------------------------------------------------
 
 def q_city_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gold.city_comparison(observations(spark, sf_dir))
+    return gold.city_comparison(observations(spark, sf_dir), scales=_OBS_SCALES)
 
 
 O_CITY_COMPARISON = OBS_CTE + f"""
 SELECT city,
-       ROUND({sql_fmean('temperature')}, 2) AS temp_mean,
+       ROUND({sql_fmean1('temperature', 2)}, 2) AS temp_mean,
        ROUND(MIN(temperature), 2) AS temp_min,
        ROUND(MAX(temperature), 2) AS temp_max,
-       ROUND({sql_fmean('humidity')}, 2) AS humidity_mean,
-       ROUND({sql_fmean('wind_speed')}, 2) AS wind_mean,
+       ROUND({sql_fmean1('humidity', 0)}, 2) AS humidity_mean,
+       ROUND({sql_fmean1('wind_speed', 3)}, 2) AS wind_mean,
        CAST(COUNT(*) AS BIGINT)   AS n_obs
 FROM obs GROUP BY city
 """
@@ -123,12 +129,12 @@ FROM obs GROUP BY city
 # --------------------------------------------------------------------------
 
 def q_warmest_coldest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gold.warmest_coldest(observations(spark, sf_dir))
+    return gold.warmest_coldest(observations(spark, sf_dir), scales=_OBS_SCALES)
 
 
 O_WARMEST_COLDEST = OBS_CTE + f"""
 , per_city AS (
-  SELECT city, ROUND({sql_fmean('temperature')}, 6) AS temp_mean FROM obs GROUP BY city
+  SELECT city, ROUND({sql_fmean1('temperature', 2)}, 6) AS temp_mean FROM obs GROUP BY city
 )
 SELECT 'warmest' AS label, city, temp_mean FROM (
   SELECT city, temp_mean,
@@ -147,12 +153,12 @@ SELECT 'coldest' AS label, city, temp_mean FROM (
 # --------------------------------------------------------------------------
 
 def q_daily_city_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gold.daily_city_agg(observations(spark, sf_dir))
+    return gold.daily_city_agg(observations(spark, sf_dir), scales=_OBS_SCALES)
 
 
 O_DAILY_CITY_AGG = OBS_CTE + f"""
 SELECT "date", city,
-       ROUND({sql_fmean('temperature')}, 6) AS temp_mean,
+       ROUND({sql_fmean1('temperature', 2)}, 6) AS temp_mean,
        ROUND(MIN(temperature), 6) AS temp_low,
        ROUND(MAX(temperature), 6) AS temp_high,
        CAST(COUNT(*) AS BIGINT)   AS n_obs
@@ -199,12 +205,12 @@ SELECT city, weather_condition AS mode_condition, n AS mode_count FROM (
 # --------------------------------------------------------------------------
 
 def q_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gold.daily_pivot(observations(spark, sf_dir), CONDITIONS, city="weather_condition")
+    return gold.daily_pivot(observations(spark, sf_dir), CONDITIONS, city="weather_condition", scales=_OBS_SCALES)
 
 
 _pivot_cols = ",\n       ".join(
     "ROUND(%s, 6) AS c_%s"
-    % (sql_fmean(f"CASE WHEN weather_condition = '{c}' THEN temperature END"), c)
+    % (sql_fmean1(f"CASE WHEN weather_condition = '{c}' THEN temperature END", 2), c)
     for c in CONDITIONS
 )
 O_DAILY_PIVOT = OBS_CTE + f"""
@@ -303,13 +309,13 @@ FROM obs
 # --------------------------------------------------------------------------
 
 def q_temperature_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gold.temperature_trends(observations(spark, sf_dir))
+    return gold.temperature_trends(observations(spark, sf_dir), scales=_OBS_SCALES)
 
 
 O_TEMPERATURE_TRENDS = OBS_CTE + f"""
 , daily AS (
   -- exact fixed-point fold mirrors the engine's order-independent daily mean
-  SELECT city, "date", {sql_fmean('temperature')} AS t
+  SELECT city, "date", {sql_fmean1('temperature', 2)} AS t
   FROM obs GROUP BY city, "date"
 ), delta AS (
   SELECT city, t - lag(t) OVER (PARTITION BY city ORDER BY "date") AS change FROM daily
@@ -431,7 +437,7 @@ def q_humidity_decile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("decile", F.floor(F.col("humidity") / 10.0))
         .groupBy("decile")
         .agg(
-            F.round(gold.fmean("temperature"), 6).alias("temp_mean"),
+            F.round(fmean1("temperature", 2), 6).alias("temp_mean"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -439,7 +445,7 @@ def q_humidity_decile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_HUMIDITY_DECILE = OBS_CTE + f"""
 SELECT CAST(floor(humidity / 10.0) AS BIGINT) AS decile,
-       ROUND({sql_fmean('temperature')}, 6) AS temp_mean,
+       ROUND({sql_fmean1('temperature', 2)}, 6) AS temp_mean,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM obs WHERE humidity IS NOT NULL GROUP BY 1
 """
@@ -590,13 +596,13 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = observations(spark, sf_dir)
     dow = (F.unix_date(F.col("date")) % 7).cast("int")
     daily = obs.groupBy("city", "date").agg(
-        F.round(gold.fmean("temperature"), 6).alias("daily_mean"),
+        F.round(fmean1("temperature", 2), 6).alias("daily_mean"),
         F.count(F.lit(1)).alias("n_obs"),
     )
     prof = (
         obs.withColumn("dow_idx", dow)
         .groupBy("city", "dow_idx")
-        .agg(F.round(gold.fmean("temperature"), 6).alias("dow_mean"))
+        .agg(F.round(fmean1("temperature", 2), 6).alias("dow_mean"))
     )
     dev = F.round(F.col("daily_mean") - F.col("dow_mean"), 6)
     return (
@@ -611,12 +617,12 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_SEASONAL_ANOMALY = OBS_CTE + f"""
 , daily AS (
   SELECT city, "date",
-         ROUND({sql_fmean('temperature')}, 6) AS daily_mean,
+         ROUND({sql_fmean1('temperature', 2)}, 6) AS daily_mean,
          CAST(COUNT(*) AS BIGINT) AS n_obs
   FROM obs GROUP BY 1, 2
 ), prof AS (
   SELECT city, CAST(("date" - DATE '1970-01-01') % 7 AS INTEGER) AS dow_idx,
-         ROUND({sql_fmean('temperature')}, 6) AS dow_mean
+         ROUND({sql_fmean1('temperature', 2)}, 6) AS dow_mean
   FROM obs GROUP BY 1, 2
 )
 SELECT d.city, d."date",
