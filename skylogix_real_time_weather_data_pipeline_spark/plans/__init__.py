@@ -35,6 +35,7 @@ _VERIFY_FIRST = (
     "events_cumulative_users",         # NEW: first-seen collapse + running total
     "rel_pagerank",                    # NEW: integer-unit weighted PageRank
     "events_anomaly_mad",              # NEW: MAD robust outliers
+    "rel_equi_depth_histogram",        # NEW: percentile-cutpoint histogram
     # weather means pinned to dataset-true scales (fmean1 single-sum path;
     # value-identical — both folds exact — so only the fold cost changes):
     "weather_basic_stats",

@@ -1628,6 +1628,63 @@ GROUP BY p_brand, p_type
 
 
 # --------------------------------------------------------------------------
+# Equi-depth histogram via percentile cutpoints — the optimizer-statistics
+# build (and the scale-correct histogram: one percentile aggregation + one
+# broadcast bucket pass; NEVER an ntile global sort over the facts).
+# --------------------------------------------------------------------------
+
+_EDH_BUCKETS = 10
+
+
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bucket equi-depth histogram of o_totalprice: interior cutpoints
+    from ONE exact-percentile aggregation (a 1-row frame, broadcast back),
+    bucket id = count of cutpoints strictly below the value (identical
+    comparison arithmetic both engines — cutpoints are rounded to the
+    2-dp money grid so boundary equality is exact). Emits per-bucket
+    count + min/max."""
+    o = _t(spark, sf_dir, "orders")
+    fracs = [i / _EDH_BUCKETS for i in range(1, _EDH_BUCKETS)]
+    cuts = o.agg(
+        F.transform(
+            F.expr(f"percentile(o_totalprice, array({', '.join(map(str, fracs))}))"),
+            lambda c: F.round(c, 2),
+        ).alias("cuts")
+    )
+    bucketed = o.crossJoin(F.broadcast(cuts)).select(
+        "o_totalprice",
+        F.aggregate(
+            "cuts",
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col("o_totalprice") > c, 1).otherwise(0),
+        ).alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+O_EQUI_DEPTH_HISTOGRAM = f"""
+WITH cuts AS (
+  SELECT list_transform(
+           quantile_cont(o_totalprice, [{', '.join(str(i / _EDH_BUCKETS) for i in range(1, _EDH_BUCKETS))}]),
+           c -> ROUND(c, 2)) AS cs
+  FROM orders
+),
+bucketed AS (
+  SELECT o_totalprice,
+         CAST(list_sum(list_transform(cs, c -> CASE WHEN o_totalprice > c THEN 1 ELSE 0 END)) AS INTEGER) AS bucket
+  FROM orders CROSS JOIN cuts
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi
+FROM bucketed GROUP BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
 # Weighted PageRank over the customer↔supplier trade graph — the third
 # iterative-algorithm family member (k-means, connected components,
 # PageRank), oracle-replayed as unrolled CTEs like O_KMEANS.
@@ -1728,6 +1785,7 @@ QUERIES = {
     "rel_salted_join": q_salted_join,
     "rel_merge_upsert": q_merge_upsert,
     "rel_pagerank": q_pagerank,
+    "rel_equi_depth_histogram": q_equi_depth_histogram,
     "rel_order_percentiles": q_order_percentiles,
     "rel_grouping_sets": q_grouping_sets,
     "rel_unpivot_city_metrics": q_unpivot_city_metrics,
@@ -1771,6 +1829,7 @@ ORACLES = {
     "rel_salted_join": O_SALTED_JOIN,
     "rel_merge_upsert": O_MERGE_UPSERT,
     "rel_pagerank": O_PAGERANK,
+    "rel_equi_depth_histogram": O_EQUI_DEPTH_HISTOGRAM,
     "rel_order_percentiles": O_ORDER_PERCENTILES,
     "rel_grouping_sets": O_GROUPING_SETS,
     "rel_unpivot_city_metrics": O_UNPIVOT_CITY_METRICS,

@@ -304,3 +304,30 @@ def test_approx_distinct_within_rsd_bound(spark):
         assert r.exact_parts > 0
         rel_err = abs(r.approx_parts - r.exact_parts) / r.exact_parts
         assert rel_err <= 0.05, (r.l_returnflag, r.approx_parts, r.exact_parts)
+
+
+def test_approx_percentile_within_rank_error_bound(spark):
+    """The streaming-scale percentile path (approx_percentile, KLL-style
+    sketch with accuracy parameter N) must land within rank error 1/N of
+    the exact percentile on the driver tables — the accuracy contract
+    that lets stream_window_percentiles swap in the sketch at 100 TB
+    with this exact batch form as its oracle."""
+    sf = "/root/testdata/sf0.01"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    acc = 1000  # rank error <= 1/1000 of the row count
+    rows = (
+        ev.agg(
+            F.expr("approx_percentile(value, array(0.5, 0.9), 1000)").alias("approx"),
+            F.expr("percentile(value, array(0.5, 0.9))").alias("exact"),
+            F.count("value").alias("n"),
+            F.expr("sort_array(collect_list(value))").alias("sorted_vals"),
+        )
+        .collect()[0]
+    )
+    svals = rows.sorted_vals
+    n = rows.n
+    for frac, approx in zip((0.5, 0.9), rows.approx):
+        target = frac * (n - 1)
+        lo = svals[max(0, int(target - n / acc) - 1)]
+        hi = svals[min(n - 1, int(target + n / acc) + 1)]
+        assert lo <= approx <= hi, (frac, approx, lo, hi)
