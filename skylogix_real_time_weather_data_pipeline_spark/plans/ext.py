@@ -1750,6 +1750,59 @@ FROM exact_l2 JOIN adc USING (vec_id)
 """
 
 
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|exact cosine top-k ∩ IVF top-k| / k at nprobe=2 — completes the
+    eval trio (int8 ADC, PQ ADC, IVF cell pruning): every approximate
+    index in the repo now reports a measured recall, not an asserted
+    one. O(k) join on two k-row results."""
+    embs = _embs(spark, sf_dir)
+    row = embs.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in row[0]]
+    rest = embs.filter(F.col("vec_id") != 0)
+    exact = similarity.cosine_topk(rest, qv, k=_TOPK).select("vec_id")
+    ivf = similarity.ivf_topk(rest, qv, k=_TOPK, nprobe=_NPROBE).select("vec_id")
+    return exact.join(ivf, "vec_id").agg(
+        F.lit(_TOPK).cast("int").alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / F.lit(_TOPK), 6).alias("recall_at_k"),
+    )
+
+
+O_IVF_RECALL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0),
+exact_topk AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, ROUND({_COS_EMB_Q}, 6) AS cosine_sim FROM corpus, q
+  ) ORDER BY cosine_sim DESC, vec_id ASC LIMIT {_TOPK}
+),
+pe AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+  FROM corpus
+),
+centv AS (
+  SELECT label, list(m ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, (CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(24,10))) AS DOUBLE) / COUNT(v)) AS m FROM pe GROUP BY label, pos)
+  GROUP BY label
+),
+probe AS (
+  SELECT label FROM centv, q
+  ORDER BY ({_COS_CENT_Q}) DESC, label ASC
+  LIMIT {_NPROBE}
+),
+ivf_topk AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, ROUND({_COS_EMB_Q}, 6) AS cosine_sim
+    FROM corpus, q WHERE label IN (SELECT label FROM probe)
+  ) ORDER BY cosine_sim DESC, vec_id ASC LIMIT {_TOPK}
+)
+SELECT CAST({_TOPK} AS INTEGER) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       ROUND(COUNT(*) / {_TOPK}.0, 6) AS recall_at_k
+FROM exact_topk JOIN ivf_topk USING (vec_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Matryoshka truncated-dimension ANN (MRL, arXiv:2205.13147): prefix-dim
 # shortlist scan + full-dim re-rank of the O(k·factor) shortlist.
@@ -1841,6 +1894,7 @@ QUERIES = {
     "emb_pq_adc_topk": q_pq_adc_topk,
     "emb_ivfpq_topk": q_ivfpq_topk,
     "emb_pq_recall": q_pq_recall,
+    "emb_ivf_recall": q_ivf_recall,
     "emb_matryoshka_topk": q_matryoshka_topk,
 }
 
@@ -1892,5 +1946,6 @@ ORACLES = {
     "emb_pq_adc_topk": O_PQ_ADC_TOPK,
     "emb_ivfpq_topk": O_IVFPQ_TOPK,
     "emb_pq_recall": O_PQ_RECALL,
+    "emb_ivf_recall": O_IVF_RECALL,
     "emb_matryoshka_topk": O_MATRYOSHKA_TOPK,
 }
