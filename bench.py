@@ -55,6 +55,8 @@ EXTENDED = [
     "emb_hamming_topk",
     "docs_simhash_near_pairs",
     "rel_merge_upsert",
+    "rel_pagerank",
+    "events_anomaly_mad",
 ]
 
 
