@@ -331,3 +331,48 @@ def test_approx_percentile_within_rank_error_bound(spark):
         lo = svals[max(0, int(target - n / acc) - 1)]
         hi = svals[min(n - 1, int(target + n / acc) + 1)]
         assert lo <= approx <= hi, (frac, approx, lo, hi)
+
+
+def test_fwsum_matches_decimal_window_fold(spark):
+    """fwsum (split-long window sum) must equal the DECIMAL(18,2) window
+    fold it replaced, frame by frame, on random 2-dp money values —
+    including negatives and frames crossing zero sums."""
+    import random
+
+    from pyspark.sql import Window
+
+    from skylogix_real_time_weather_data_pipeline_spark.functions.exact import fwsum
+
+    rng = random.Random(42)
+    rows = [
+        (g, i, round(rng.uniform(-500000, 500000), 2))
+        for g in range(5)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g int, i int, v double")
+    w = Window.partitionBy("g").orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df.select(
+        "g", "i",
+        F.round(fwsum("v", w, 2), 2).alias("fast"),
+        F.round(F.sum(F.col("v").cast("decimal(18,2)")).over(w).cast("double"), 2).alias("exact"),
+    ).collect()
+    for r in out:
+        assert r.fast == r.exact, (r.g, r.i, r.fast, r.exact)
+
+
+def test_fsum1_matches_split_fsum_on_bounded_inputs(spark):
+    """fsum1 (single long sum) must equal the split fsum for bounded
+    low-scale inputs — the precondition under which the cheap form is
+    substituted."""
+    import random
+
+    from skylogix_real_time_weather_data_pipeline_spark.functions.exact import fsum, fsum1
+
+    rng = random.Random(7)
+    rows = [(i % 7, round(rng.uniform(-1e4, 1e4), 2)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    out = df.groupBy("g").agg(
+        fsum1("v", 2).alias("one"), fsum("v", 2).alias("split")
+    ).collect()
+    for r in out:
+        assert r.one == r.split, (r.g, r.one, r.split)
