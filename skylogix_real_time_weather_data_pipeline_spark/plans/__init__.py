@@ -31,6 +31,8 @@ _VERIFY_FIRST = (
     "emb_ivfpq_topk",                  # NEW: IVF cell pruning over PQ codes
     "emb_pq_recall",                   # NEW: exact-L2 vs PQ-ADC recall@k eval
     "emb_ivf_recall",                  # NEW: exact-cosine vs IVF recall@k eval
+    "emb_matryoshka_recall",           # NEW: exact vs prefix-shortlist recall@k
+    "weather_winsorized_stats",        # NEW: p05/p95 clamp robust means
     "emb_matryoshka_topk",             # NEW: prefix-dim shortlist + full-dim rerank (MRL)
     "stream_window_percentiles",       # NEW: exact per-window p50/p90
     "events_cumulative_users",         # NEW: first-seen collapse + running total

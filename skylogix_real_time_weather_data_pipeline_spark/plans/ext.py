@@ -1846,6 +1846,51 @@ LIMIT {_TOPK}
 """
 
 
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|full-dim exact top-k ∩ Matryoshka top-k| / k — how much the
+    prefix-dim shortlist loses vs the full scan (the MRL truncation
+    trade-off, measured)."""
+    embs = _embs(spark, sf_dir)
+    row = embs.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in row[0]]
+    rest = embs.filter(F.col("vec_id") != 0)
+    exact = similarity.cosine_topk(rest, qv, k=_TOPK).select("vec_id")
+    mrl = similarity.matryoshka_topk(
+        rest, qv, k=_TOPK, prefix_dim=_MRL_PREFIX, shortlist_factor=_MRL_FACTOR
+    ).select("vec_id")
+    return exact.join(mrl, "vec_id").agg(
+        F.lit(_TOPK).cast("int").alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / F.lit(_TOPK), 6).alias("recall_at_k"),
+    )
+
+
+O_MATRYOSHKA_RECALL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+exact_topk AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, ROUND({_COS_EMB_Q}, 6) AS cosine_sim FROM corpus, q
+  ) ORDER BY cosine_sim DESC, vec_id ASC LIMIT {_TOPK}
+),
+short AS (
+  SELECT vec_id, embedding, ROUND({_COS_PRE_Q}, 6) AS prefix_sim
+  FROM corpus, q
+  ORDER BY prefix_sim DESC, vec_id ASC
+  LIMIT {_TOPK * _MRL_FACTOR}
+),
+mrl_topk AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, ROUND({_COS_EMB_Q}, 6) AS cosine_sim FROM short, q
+  ) ORDER BY cosine_sim DESC, vec_id ASC LIMIT {_TOPK}
+)
+SELECT CAST({_TOPK} AS INTEGER) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       ROUND(COUNT(*) / {_TOPK}.0, 6) AS recall_at_k
+FROM exact_topk JOIN mrl_topk USING (vec_id)
+"""
+
+
 QUERIES = {
     "docs_exact_dedup": q_exact_dedup,
     "docs_minhash_signatures": q_minhash_signatures,
@@ -1896,6 +1941,7 @@ QUERIES = {
     "emb_pq_recall": q_pq_recall,
     "emb_ivf_recall": q_ivf_recall,
     "emb_matryoshka_topk": q_matryoshka_topk,
+    "emb_matryoshka_recall": q_matryoshka_recall,
 }
 
 ORACLES = {
@@ -1948,4 +1994,5 @@ ORACLES = {
     "emb_pq_recall": O_PQ_RECALL,
     "emb_ivf_recall": O_IVF_RECALL,
     "emb_matryoshka_topk": O_MATRYOSHKA_TOPK,
+    "emb_matryoshka_recall": O_MATRYOSHKA_RECALL,
 }

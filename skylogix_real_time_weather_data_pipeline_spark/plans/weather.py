@@ -636,7 +636,58 @@ WHERE ABS(ROUND(d.daily_mean - p.dow_mean, 6)) > {_SEASONAL_DEV}
 """
 
 
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-city temperature stats: clamp to the city's own
+    [p05, p95] band, then aggregate — the robust-mean companion to the
+    MAD outlier detector (clamping instead of dropping keeps n stable).
+    Per-group percentiles are one aggregation pass; the tiny bounds table
+    broadcasts back; the clamp is a pure row expression. Clamped values
+    mix 2-dp raw temps with 6-dp bounds, so the mean uses the generic
+    scale-6 exact fold."""
+    from ..functions.exact import fmean
+
+    obs = observations(spark, sf_dir)
+    bounds = obs.groupBy("city").agg(
+        F.round(F.expr("percentile(temperature, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(temperature, 0.95)"), 6).alias("hi"),
+    )
+    clamped = obs.join(F.broadcast(bounds), "city").select(
+        "city",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("temperature"), F.col("lo")), F.col("hi")).alias("t"),
+    )
+    return clamped.groupBy("city").agg(
+        F.round(fmean("t"), 6).alias("wins_mean"),
+        F.min("lo").alias("p05"),
+        F.min("hi").alias("p95"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+O_WINSORIZED_STATS = OBS_CTE + f"""
+, bounds AS (
+  SELECT city,
+         ROUND(quantile_cont(temperature, 0.05), 6) AS lo,
+         ROUND(quantile_cont(temperature, 0.95), 6) AS hi
+  FROM obs GROUP BY city
+),
+clamped AS (
+  SELECT o.city, lo, hi,
+         LEAST(GREATEST(temperature, lo), hi) AS t
+  FROM obs o JOIN bounds USING (city)
+)
+SELECT city,
+       ROUND({sql_fmean('t')}, 6) AS wins_mean,
+       MIN(lo) AS p05,
+       MIN(hi) AS p95,
+       CAST(COUNT(*) AS BIGINT) AS n_obs
+FROM clamped GROUP BY city
+"""
+
+
 QUERIES = {
+    "weather_winsorized_stats": q_winsorized_stats,
     "weather_seasonal_anomaly": q_seasonal_anomaly,
     "weather_correlations": q_correlations,
     "weather_zscore_anomalies": q_zscore_anomalies,
@@ -662,6 +713,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "weather_winsorized_stats": O_WINSORIZED_STATS,
     "weather_seasonal_anomaly": O_SEASONAL_ANOMALY,
     "weather_correlations": O_CORRELATIONS,
     "weather_zscore_anomalies": O_ZSCORE_ANOMALIES,
