@@ -42,7 +42,7 @@ U = 10**10
 
 def pagerank(edges: DataFrame, n_iter: int = 2, damping_num: int = 17,
              damping_den: int = 20, src: str = "src", dst: str = "dst",
-             weight: str = "weight") -> DataFrame:
+             weight: str = "weight", checkpoint_edges: bool = True) -> DataFrame:
     """Weighted PageRank over a directed edge list; returns (node, rank).
 
     ``damping_num/damping_den`` is the damping factor as an exact rational
@@ -51,6 +51,14 @@ def pagerank(edges: DataFrame, n_iter: int = 2, damping_num: int = 17,
     this engine builds satisfy that by construction; callers with dangling
     nodes should add self-loops first).
     """
+    # materialize the edge build ONCE: nodes, out-weights and the share
+    # table all branch from `edges`, and without this checkpoint each
+    # branch re-evaluates the caller's whole edge-construction subtree
+    # (for the trade graph: a fact join + groupBy, three times over).
+    # Callers that already checkpointed their edge construction pass
+    # checkpoint_edges=False to skip the redundant materialization.
+    if checkpoint_edges:
+        edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -61,14 +69,14 @@ def pagerank(edges: DataFrame, n_iter: int = 2, damping_num: int = 17,
     base_num = (damping_den - damping_num) * U // n_nodes  # 3·U/N for 0.85
 
     outw = edges.groupBy(src).agg(F.sum(weight).alias("w_out"))
-    share = (
-        edges.join(outw, src)
-        .select(
-            F.col(src).alias("e_src"),
-            F.col(dst).alias("e_dst"),
-            (F.col(weight) / F.col("w_out")).alias("share"),
-        )
-        .localCheckpoint()  # one evaluation; every iteration re-joins it
+    # NOT checkpointed: with `edges` materialized, re-deriving the share
+    # table per iteration is a cheap narrow join whose exchanges Spark
+    # dedupes (ReusedExchange); measured faster than materializing the
+    # full edge-sized frame a second time
+    share = edges.join(outw, src).select(
+        F.col(src).alias("e_src"),
+        F.col(dst).alias("e_dst"),
+        (F.col(weight) / F.col("w_out")).alias("share"),
     )
 
     ranks = nodes.select("node", F.lit(U // n_nodes).alias("rank_u"))

@@ -1711,13 +1711,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("snode"),
             "w",
         )
+        # materialize the aggregated pair table BEFORE the symmetric
+        # union — otherwise both union branches re-run the fact join
+        # (profiled: the doubled join dominated the whole query)
+        .localCheckpoint()
     )
     edges = cs.select(
         F.col("cnode").alias("src"), F.col("snode").alias("dst"), "w"
     ).unionByName(
         cs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"), "w")
     )
-    return pagerank(edges, n_iter=_PR_ITER, weight="w")
+    return pagerank(edges, n_iter=_PR_ITER, weight="w", checkpoint_edges=False)
 
 
 #: per-iteration CTE pair: integer-unit contributions r{i} → ranks r{i+1}

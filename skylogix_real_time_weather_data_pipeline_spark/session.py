@@ -18,6 +18,12 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+#: local mode runs driver + all executor threads in ONE JVM whose heap
+#: defaults to 1g — far too small for 32 concurrent tasks plus
+#: localCheckpoint blocks (observed: heap OOM in a long bench session).
+#: On a cluster the executors size their own heaps; this knob only
+#: matters for the single-JVM local form.
+DEFAULT_DRIVER_MEMORY = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "8g")
 
 
 #: RocksDB-backed streaming state (SURVEY §4.2 "use RocksDB state store for
@@ -50,6 +56,7 @@ def get_spark(
         .master(master or f"local[{DEFAULT_CPUS}]")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.driver.memory", DEFAULT_DRIVER_MEMORY)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
