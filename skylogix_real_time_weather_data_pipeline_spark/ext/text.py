@@ -670,3 +670,65 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.min("h").alias("min_fingerprint"),
         F.max("h").alias("max_fingerprint"),
     )
+
+
+def token_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  min_entropy: float = 1.5) -> DataFrame:
+    """Per-document token-distribution Shannon entropy — the vocabulary-
+    diversity filter (low entropy = repetitive boilerplate/keyword spam;
+    a uniform-vocabulary doc scores ln(n_distinct)).
+
+    Uses H = ln(n) − (Σ tf·ln tf)/n, so the whole statistic folds in ONE
+    groupBy over the (doc, token) counts — no join back to a totals
+    table. The Σ tf·ln tf term has unbounded fractional digits, so it
+    goes through the deterministic quantized fsum fold (same posture as
+    unigram_logprob's tf·ln(cf/N)). Returns
+    (doc_id, n_tokens, n_distinct, entropy, keep = entropy ≥ threshold,
+    keep compared on the rounded value both engines).
+    """
+    from ..functions.exact import fsum
+
+    tf = (
+        df.select(id_col, F.explode(tokens(text_col)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    per_doc = tf.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        fsum(F.col("tf") * F.log("tf"), 6).alias("_s"),
+    )
+    ent = F.round(F.log("n_tokens") - F.col("_s") / F.col("n_tokens"), 6)
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        ent.alias("entropy"),
+        (ent >= min_entropy).alias("keep"),
+    )
+
+
+def stratified_sample(df: DataFrame, strata_col: str = "lang",
+                      id_col: str = "doc_id", quota: int = 50,
+                      salt: int = 17) -> DataFrame:
+    """Exact per-stratum quota sample: the ``quota`` documents with the
+    smallest salted-hash rank within each stratum — deterministic (same
+    salt → same sample), uniform within the stratum, and stable under
+    corpus growth only for surviving members (a new doc displaces at most
+    one old pick).
+
+    Portable form: row_number over (hash, id) per stratum. The window
+    sorts each stratum once; at extreme stratum sizes, pre-filter with a
+    hash threshold ≈ quota/|stratum| (a cheap scan) before ranking so the
+    sort input is O(quota), not O(stratum).
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(salt))))
+    w = Window.partitionBy(strata_col).orderBy("sample_key", id_col)
+    return (
+        df.select(strata_col, id_col, key.alias("sample_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= quota)
+        .select(strata_col, id_col, F.col("rn").cast("int").alias("rn"))
+    )

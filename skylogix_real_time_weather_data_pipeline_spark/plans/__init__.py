@@ -36,6 +36,8 @@ _VERIFY_FIRST = (
     "emb_ivf_recall",                  # NEW: exact-cosine vs IVF recall@k eval
     "emb_matryoshka_recall",           # NEW: exact vs prefix-shortlist recall@k
     "weather_winsorized_stats",        # NEW: p05/p95 clamp robust means
+    "docs_token_entropy",              # NEW: vocabulary-diversity filter
+    "docs_stratified_sample",          # NEW: exact per-stratum quota sample
     "emb_matryoshka_topk",             # NEW: prefix-dim shortlist + full-dim rerank (MRL)
     "stream_window_percentiles",       # NEW: exact per-window p50/p90
     "events_cumulative_users",         # NEW: first-seen collapse + running total

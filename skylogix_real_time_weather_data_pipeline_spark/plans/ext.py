@@ -1891,6 +1891,57 @@ FROM exact_topk JOIN mrl_topk USING (vec_id)
 """
 
 
+# --------------------------------------------------------------------------
+# Token-distribution entropy (vocabulary-diversity filter) and exact
+# per-stratum quota sampling.
+# --------------------------------------------------------------------------
+
+_ENTROPY_MIN = 1.5
+_STRAT_QUOTA = 40
+_STRAT_SALT = 17
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_entropy(_docs(spark, sf_dir), min_entropy=_ENTROPY_MIN)
+
+
+O_TOKEN_ENTROPY = TOK_CTE + f"""
+, tok_rows AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok_rows GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         {sql_fsum('tf * ln(tf)', 6)} AS s
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       ROUND(ln(n_tokens) - s / n_tokens, 6) AS entropy,
+       ROUND(ln(n_tokens) - s / n_tokens, 6) >= {_ENTROPY_MIN} AS keep
+FROM per_doc
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.stratified_sample(
+        _docs(spark, sf_dir), quota=_STRAT_QUOTA, salt=_STRAT_SALT
+    )
+
+
+O_STRATIFIED_SAMPLE = f"""
+WITH keyed AS (
+  SELECT lang, doc_id,
+         md5(CAST(doc_id AS VARCHAR) || '|' || '{_STRAT_SALT}') AS sample_key
+  FROM documents
+)
+SELECT lang, doc_id, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY sample_key, doc_id) AS rn
+  FROM keyed
+) WHERE rn <= {_STRAT_QUOTA}
+"""
+
+
 QUERIES = {
     "docs_exact_dedup": q_exact_dedup,
     "docs_minhash_signatures": q_minhash_signatures,
@@ -1921,6 +1972,8 @@ QUERIES = {
     "emb_quantized_recall": q_quantized_recall,
     "docs_dup_chunk_ratio": q_dup_chunk_ratio,
     "docs_unigram_logprob": q_unigram_logprob,
+    "docs_token_entropy": q_token_entropy,
+    "docs_stratified_sample": q_stratified_sample,
     "docs_temperature_mixture": q_temperature_mixture,
     "emb_lsh_buckets": q_lsh_buckets,
     "emb_lsh_near_dup_pairs": q_lsh_near_dup_pairs,
@@ -1974,6 +2027,8 @@ ORACLES = {
     "emb_quantized_recall": O_QUANTIZED_RECALL,
     "docs_dup_chunk_ratio": O_DUP_CHUNK_RATIO,
     "docs_unigram_logprob": O_UNIGRAM_LOGPROB,
+    "docs_token_entropy": O_TOKEN_ENTROPY,
+    "docs_stratified_sample": O_STRATIFIED_SAMPLE,
     "docs_temperature_mixture": O_TEMPERATURE_MIXTURE,
     "emb_lsh_buckets": O_LSH_BUCKETS,
     "emb_lsh_near_dup_pairs": O_LSH_NEAR_DUP,
