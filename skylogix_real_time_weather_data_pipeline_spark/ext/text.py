@@ -732,3 +732,41 @@ def stratified_sample(df: DataFrame, strata_col: str = "lang",
         .filter(F.col("rn") <= quota)
         .select(strata_col, id_col, F.col("rn").cast("int").alias("rn"))
     )
+
+
+def source_kl_divergence(df: DataFrame, text_col: str = "text",
+                         source_col: str = "source",
+                         id_col: str = "doc_id") -> DataFrame:
+    """KL(source ‖ corpus) over token distributions — the distribution-
+    shift monitor for multi-source corpora (a source whose vocabulary
+    drifts from the mixture gets flagged before it skews training).
+
+    KL = Σ_w (tf_s/n_s) · ln( (tf_s·N) / (n_s·cf_w) ), with per-source
+    counts tf_s and corpus counts cf both re-aggregated from ONE exploded
+    pass (the corpus table derives from the source table — the text is
+    never scanned twice). The per-source totals and the corpus total are
+    tiny broadcast sides. The summand has unbounded fractional digits, so
+    the fold is the deterministic quantized fsum (same posture as
+    unigram_logprob).
+    """
+    from ..functions.exact import fsum
+
+    sf_counts = (
+        df.select(source_col, F.explode(tokens(text_col)).alias("w"))
+        .groupBy(source_col, "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cf = sf_counts.groupBy("w").agg(F.sum("tf").alias("cf"))
+    ns = sf_counts.groupBy(source_col).agg(F.sum("tf").alias("n_s"))
+    nt = cf.agg(F.sum("cf").alias("n_total"))
+    term = (F.col("tf") / F.col("n_s")) * F.log(
+        (F.col("tf") * F.col("n_total")) / (F.col("n_s") * F.col("cf"))
+    )
+    return (
+        sf_counts.join(cf, "w")
+        .join(F.broadcast(ns), source_col)
+        .crossJoin(F.broadcast(nt))
+        .select(source_col, term.alias("t"))
+        .groupBy(source_col)
+        .agg(F.round(fsum("t", 6), 6).alias("kl_div"), F.count(F.lit(1)).alias("n_terms"))
+    )

@@ -38,6 +38,7 @@ _VERIFY_FIRST = (
     "weather_winsorized_stats",        # NEW: p05/p95 clamp robust means
     "docs_token_entropy",              # NEW: vocabulary-diversity filter
     "docs_stratified_sample",          # NEW: exact per-stratum quota sample
+    "docs_source_kl",                  # NEW: per-source KL distribution shift
     "emb_matryoshka_topk",             # NEW: prefix-dim shortlist + full-dim rerank (MRL)
     "stream_window_percentiles",       # NEW: exact per-window p50/p90
     "events_cumulative_users",         # NEW: first-seen collapse + running total

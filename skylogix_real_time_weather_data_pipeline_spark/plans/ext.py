@@ -1922,6 +1922,31 @@ FROM per_doc
 """
 
 
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.source_kl_divergence(_docs(spark, sf_dir))
+
+
+O_SOURCE_KL = TOK_CTE + f"""
+, tok_rows AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+sfc AS (
+  SELECT d.source, t.w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok_rows t JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+),
+cf AS (SELECT w, SUM(tf) AS cf FROM sfc GROUP BY w),
+ns AS (SELECT source, SUM(tf) AS n_s FROM sfc GROUP BY source),
+nt AS (SELECT SUM(cf) AS n_total FROM cf),
+terms AS (
+  SELECT s.source,
+         (tf / n_s) * ln((tf * n_total) / (n_s * cf)) AS t
+  FROM sfc s JOIN cf USING (w) JOIN ns USING (source), nt
+)
+SELECT source, ROUND({sql_fsum('t', 6)}, 6) AS kl_div,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM terms GROUP BY source
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.stratified_sample(
         _docs(spark, sf_dir), quota=_STRAT_QUOTA, salt=_STRAT_SALT
@@ -1973,6 +1998,7 @@ QUERIES = {
     "docs_dup_chunk_ratio": q_dup_chunk_ratio,
     "docs_unigram_logprob": q_unigram_logprob,
     "docs_token_entropy": q_token_entropy,
+    "docs_source_kl": q_source_kl,
     "docs_stratified_sample": q_stratified_sample,
     "docs_temperature_mixture": q_temperature_mixture,
     "emb_lsh_buckets": q_lsh_buckets,
@@ -2028,6 +2054,7 @@ ORACLES = {
     "docs_dup_chunk_ratio": O_DUP_CHUNK_RATIO,
     "docs_unigram_logprob": O_UNIGRAM_LOGPROB,
     "docs_token_entropy": O_TOKEN_ENTROPY,
+    "docs_source_kl": O_SOURCE_KL,
     "docs_stratified_sample": O_STRATIFIED_SAMPLE,
     "docs_temperature_mixture": O_TEMPERATURE_MIXTURE,
     "emb_lsh_buckets": O_LSH_BUCKETS,
