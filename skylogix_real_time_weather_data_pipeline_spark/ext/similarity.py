@@ -143,6 +143,58 @@ def ivf_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10, nprobe: int
     return cosine_topk(df.filter(F.col(label_col).isin(probed)), query_vec, k, vec_col, id_col)
 
 
+def pca_top_component(df: DataFrame, vec_col: str = "embedding",
+                      n_iter: int = 2, round_to: int = 6) -> DataFrame:
+    """Top principal component by distributed power iteration — PCA
+    without ever materializing the covariance matrix: each iteration
+    computes y = E[x·(xᵀv)] − μ·(μᵀv) (= Cv) with one per-row dot fold
+    plus one (pos)-keyed mean, i.e. O(n·dim) work and O(dim) driver
+    state — the same footprint class as kmeans' centroid loop.
+
+    Determinism pins (oracle replays the recurrence as unrolled CTEs):
+    - μ is the per-dim DECIMAL-exact mean rounded to 6;
+    - v₀ = e₁ (unit first coordinate);
+    - each iteration's y_j = round(exact-mean of x_j·s, 9) − μ_j·(μᵀv),
+      with μᵀv a Python left-fold over pos order (SQL: list fold in the
+      same order);
+    - v_{t+1} = round(y/‖y‖, 6) — the norm is an arbitrary double, so
+      the rounding is never grid-aligned (no cross-engine .5 ties).
+
+    Returns (pos, component, eigenvalue) — eigenvalue is the Rayleigh
+    estimate ‖y‖ from the final iteration, rounded to 6."""
+    pe = df.select(F.posexplode(vec_col).alias("pos", "x"))
+    mu_rows = (
+        pe.groupBy("pos")
+        .agg(F.round(dmean(F.col("x").cast("double")), round_to).alias("m"))
+        .orderBy("pos")
+        .collect()
+    )
+    mu = [float(r.m) for r in mu_rows]
+    dim = len(mu)
+    v = [1.0] + [0.0] * (dim - 1)
+    eig = 0.0
+    for _ in range(n_iter):
+        varr = F.array(*[F.lit(x) for x in v])
+        s = dot(F.col(vec_col), varr)
+        y_rows = (
+            df.select(s.alias("s"), F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.round(dmean(F.col("x").cast("double") * F.col("s")), 9).alias("y"))
+            .orderBy("pos")
+            .collect()
+        )
+        mudotv = sum(m * w for m, w in zip(mu, v))  # pos-order left fold
+        y = [float(r.y) - m * mudotv for r, m in zip(y_rows, mu)]
+        norm_y = sum(t * t for t in y) ** 0.5
+        v = [round(t / norm_y, round_to) for t in y]
+        eig = round(norm_y, round_to)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, v[i], eig) for i in range(dim)],
+        "pos int, component double, eigenvalue double",
+    )
+
+
 def matryoshka_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
                     prefix_dim: int = 16, shortlist_factor: int = 4,
                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:

@@ -39,6 +39,7 @@ _VERIFY_FIRST = (
     "docs_token_entropy",              # NEW: vocabulary-diversity filter
     "docs_stratified_sample",          # NEW: exact per-stratum quota sample
     "docs_source_kl",                  # NEW: per-source KL distribution shift
+    "emb_pca_top_component",           # NEW: power-iteration PCA
     "emb_matryoshka_topk",             # NEW: prefix-dim shortlist + full-dim rerank (MRL)
     "stream_window_percentiles",       # NEW: exact per-window p50/p90
     "events_cumulative_users",         # NEW: first-seen collapse + running total

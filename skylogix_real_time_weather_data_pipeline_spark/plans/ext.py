@@ -1967,6 +1967,78 @@ SELECT lang, doc_id, CAST(rn AS INTEGER) AS rn FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# PCA top component by distributed power iteration (covariance never
+# materialized) — oracle replays the recurrence as unrolled CTEs.
+# --------------------------------------------------------------------------
+
+_PCA_ITER = 2
+_PCA_DIM = 64
+
+
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pca_top_component(_embs(spark, sf_dir), n_iter=_PCA_ITER)
+
+
+def _pca_iter_cte(i: int) -> str:
+    """One power iteration: per-row s = xᵀv, y_j = round(mean(x_j·s), 9)
+    − μ_j·(μᵀv), v' = round(y/‖y‖, 6). All list folds run in pos order,
+    matching the Spark side's Python left-folds."""
+    prev = f"vl{i}"
+    return f"""
+sx{i + 1} AS (
+  SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x,
+         list_sum(list_transform(range(1, {_PCA_DIM} + 1),
+                  k -> CAST(embedding[k] AS DOUBLE) * vv[k])) AS s
+  FROM embeddings, {prev}
+),
+ym{i + 1} AS (
+  SELECT pos,
+         ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) * s AS DECIMAL(24,10))) AS DOUBLE)
+               / COUNT(x), 9) AS y
+  FROM sx{i + 1} GROUP BY pos
+),
+mdv{i + 1} AS (
+  SELECT list_sum(list_transform(range(1, {_PCA_DIM} + 1), k -> mv[k] * vv[k])) AS mudotv
+  FROM muv, {prev}
+),
+ya{i + 1} AS (
+  SELECT ym.pos, ym.y - mu.m * mudotv AS t
+  FROM ym{i + 1} ym JOIN mu ON mu.pos = ym.pos CROSS JOIN mdv{i + 1}
+),
+nrm{i + 1} AS (
+  SELECT sqrt(list_sum(list_transform(list(t ORDER BY pos), u -> u * u))) AS nv
+  FROM ya{i + 1}
+),
+vc{i + 1} AS (
+  SELECT pos, ROUND(t / nv, 6) AS c FROM ya{i + 1} CROSS JOIN nrm{i + 1}
+),
+vl{i + 1} AS (SELECT list(c ORDER BY pos) AS vv FROM vc{i + 1})"""
+
+
+O_PCA_TOP_COMPONENT = f"""
+WITH pe AS (
+  SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x
+  FROM embeddings
+),
+mu AS (
+  SELECT pos,
+         ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(24,10))) AS DOUBLE)
+               / COUNT(x), 6) AS m
+  FROM pe GROUP BY pos
+),
+muv AS (SELECT list(m ORDER BY pos) AS mv FROM mu),
+vl0 AS (
+  SELECT list_transform(range(1, {_PCA_DIM} + 1),
+                        i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END) AS vv
+),
+{",".join(_pca_iter_cte(i) for i in range(_PCA_ITER))}
+SELECT CAST(v.pos - 1 AS INTEGER) AS pos, v.c AS component,
+       ROUND(n.nv, 6) AS eigenvalue
+FROM vc{_PCA_ITER} v CROSS JOIN nrm{_PCA_ITER} n
+"""
+
+
 QUERIES = {
     "docs_exact_dedup": q_exact_dedup,
     "docs_minhash_signatures": q_minhash_signatures,
@@ -1999,6 +2071,7 @@ QUERIES = {
     "docs_unigram_logprob": q_unigram_logprob,
     "docs_token_entropy": q_token_entropy,
     "docs_source_kl": q_source_kl,
+    "emb_pca_top_component": q_pca_top_component,
     "docs_stratified_sample": q_stratified_sample,
     "docs_temperature_mixture": q_temperature_mixture,
     "emb_lsh_buckets": q_lsh_buckets,
@@ -2055,6 +2128,7 @@ ORACLES = {
     "docs_unigram_logprob": O_UNIGRAM_LOGPROB,
     "docs_token_entropy": O_TOKEN_ENTROPY,
     "docs_source_kl": O_SOURCE_KL,
+    "emb_pca_top_component": O_PCA_TOP_COMPONENT,
     "docs_stratified_sample": O_STRATIFIED_SAMPLE,
     "docs_temperature_mixture": O_TEMPERATURE_MIXTURE,
     "emb_lsh_buckets": O_LSH_BUCKETS,

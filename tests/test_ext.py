@@ -775,3 +775,29 @@ def test_matryoshka_prefix_scan_matches_truncated_cosine(spark):
     na = math.sqrt(sum(a * a for a in q[:4]))
     nb = math.sqrt(sum(b * b for b in v[:4]))
     assert out.prefix_sim == round(dot / (na * nb), 6)
+
+
+def test_pca_top_component_finds_planted_direction(spark):
+    """Data = strong variance along a planted axis + small noise: the
+    power iteration must converge onto that axis (|component| ≈ 1 there,
+    ≈ 0 elsewhere) with a positive eigenvalue estimate."""
+    import random
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.similarity import (
+        pca_top_component,
+    )
+
+    rng = random.Random(3)
+    axis = 5  # planted high-variance coordinate
+    rows = []
+    for i in range(80):
+        v = [rng.uniform(-0.05, 0.05) for _ in range(16)]
+        v[axis] += rng.choice([-1.0, 1.0]) * rng.uniform(0.8, 1.2)
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.pos: (r.component, r.eigenvalue) for r in pca_top_component(df, n_iter=3).collect()}
+    assert len(out) == 16
+    comp_axis = abs(out[axis][0])
+    assert comp_axis > 0.98
+    assert all(abs(out[p][0]) < 0.2 for p in out if p != axis)
+    assert out[axis][1] > 0.5  # eigenvalue ≈ planted variance (~1)
