@@ -7,6 +7,8 @@ exactly.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -731,6 +733,78 @@ def stratified_sample(df: DataFrame, strata_col: str = "lang",
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= quota)
         .select(strata_col, id_col, F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def bm25_topk(df: DataFrame, query_terms: Sequence[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Okapi BM25 top-k retrieval (Robertson/Lucene form) — the sparse-
+    retrieval half of a RAG / curation search stack, and the standard
+    lexical baseline every dense index is evaluated against.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln( (N − df + 0.5)/(df + 0.5) + 1 )  (always positive).
+
+    Plan shape (100 TB posture):
+    - ONE corpus pass produces (id, dl, query-term tokens); tokens are
+      filtered to the query terms BEFORE the explode/groupBy, so the tf
+      intermediate is O(matching docs × |query|), never O(corpus tokens).
+      Docs with zero query-term hits score 0 and are skipped by
+      construction — BM25 only scores the postings.
+    - N and avgdl fold in a second, column-pruned scan into a 1-row
+      broadcast scalar (dl is integral, so sum/count is exact — no fsum
+      needed). At production scale dl comes from a precomputed stats
+      column and this scan disappears.
+    - df(t) is a count window PARTITIONed BY term over the tf
+      intermediate — NOT a dfreq-side join, which would evaluate the
+      tokenize+agg subtree twice (same reasoning as tfidf_topk).
+    - The per-doc fold of ≤|query| summands goes through the quantized
+      fsum path so Spark's and the oracle's fold orders can't diverge;
+      the global top-k is TakeOrderedAndProject with ties pinned on the
+      rounded score then id.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.exact import fsum
+
+    terms = sorted(set(query_terms))
+    qarr = F.array(*[F.lit(t) for t in terms])
+    base = repartition_for_compute(df, id_col)
+    proj = base.select(
+        id_col,
+        F.size(tokens(text_col)).alias("dl"),
+        F.filter(tokens(text_col), lambda t: F.array_contains(qarr, t)).alias("qt"),
+    )
+    # stats fold from the RAW df (not the compute-spread base): the agg is
+    # map-side-combined, so a pre-shuffle would only move full text through
+    # an exchange for nothing
+    stats = df.select(F.size(tokens(text_col)).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        proj.filter(F.size("qt") > 0)
+        .select(id_col, "dl", F.explode("qt").alias("w"))
+        .groupBy(id_col, "dl", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("w"))
+    idf = F.log((F.col("n_docs") - dfreq + 0.5) / (dfreq + 0.5) + 1)
+    term_score = idf * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.crossJoin(F.broadcast(stats))  # 1-row scalar
+        .select(id_col, term_score.alias("ts"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.round(fsum("ts", 6), 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
     )
 
 

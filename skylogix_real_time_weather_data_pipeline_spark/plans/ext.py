@@ -1947,6 +1947,54 @@ FROM terms GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Okapi BM25 top-k retrieval (sparse-retrieval half of the RAG stack)
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("merge", "spark", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 10
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bm25_topk(
+        _docs(spark, sf_dir), query_terms=_BM25_TERMS, k=_BM25_K,
+        k1=_BM25_K1, b=_BM25_B,
+    )
+
+
+#: float constants embedded via repr() so the oracle parses the exact
+#: doubles the Spark expression computed in Python (k1+1 and 1-b are
+#: folded driver-side there).
+O_BM25_TOPK = TOK_CTE + f"""
+, stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(len(tk)) / COUNT(*) AS avgdl
+  FROM toks
+),
+tf AS (
+  SELECT doc_id, dl, w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS w FROM toks)
+  WHERE w IN ({", ".join(repr(t) for t in sorted(set(_BM25_TERMS)))})
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT doc_id,
+         ln((n_docs - (COUNT(*) OVER (PARTITION BY w)) + 0.5)
+            / ((COUNT(*) OVER (PARTITION BY w)) + 0.5) + 1)
+         * (tf * {_BM25_K1 + 1!r}
+            / (tf + {_BM25_K1!r} * ({1 - _BM25_B!r} + {_BM25_B!r} * dl / avgdl))) AS ts
+  FROM tf, stats
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+       ROUND({sql_fsum('ts', 6)}, 6) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC LIMIT {_BM25_K}
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.stratified_sample(
         _docs(spark, sf_dir), quota=_STRAT_QUOTA, salt=_STRAT_SALT
@@ -2070,6 +2118,7 @@ QUERIES = {
     "docs_dup_chunk_ratio": q_dup_chunk_ratio,
     "docs_unigram_logprob": q_unigram_logprob,
     "docs_token_entropy": q_token_entropy,
+    "docs_bm25_topk": q_bm25_topk,
     "docs_source_kl": q_source_kl,
     "emb_pca_top_component": q_pca_top_component,
     "docs_stratified_sample": q_stratified_sample,
@@ -2127,6 +2176,7 @@ ORACLES = {
     "docs_dup_chunk_ratio": O_DUP_CHUNK_RATIO,
     "docs_unigram_logprob": O_UNIGRAM_LOGPROB,
     "docs_token_entropy": O_TOKEN_ENTROPY,
+    "docs_bm25_topk": O_BM25_TOPK,
     "docs_source_kl": O_SOURCE_KL,
     "emb_pca_top_component": O_PCA_TOP_COMPONENT,
     "docs_stratified_sample": O_STRATIFIED_SAMPLE,

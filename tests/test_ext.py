@@ -801,3 +801,39 @@ def test_pca_top_component_finds_planted_direction(spark):
     assert comp_axis > 0.98
     assert all(abs(out[p][0]) < 0.2 for p in out if p != axis)
     assert out[axis][1] > 0.5  # eigenvalue ≈ planted variance (~1)
+
+
+def test_bm25_topk_closed_form_and_ranking(spark):
+    """BM25 matches the hand-computed Okapi score, excludes zero-match
+    docs, and rewards multi-term matches + short docs."""
+    import math
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana pear"),   # both terms, apple tf=2
+            (2, "apple pear pear pear"),      # one term
+            (3, "kiwi kiwi kiwi kiwi"),       # zero query terms
+            (4, "banana kiwi"),               # one term, short doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           bm25_topk(df, ["apple", "banana"], k=10).collect()}
+    assert 3 not in out                       # zero-match docs never scored
+    assert out[1].n_terms_matched == 2
+    assert out[2].n_terms_matched == out[4].n_terms_matched == 1
+    # hand-computed: N=4, avgdl=3.5, df(apple)=df(banana)=2,
+    # idf = ln((4-2+0.5)/(2+0.5)+1) = ln(2); k1=1.2, b=0.75
+    idf = math.log(2.0)
+    norm4 = 1.2 * (0.25 + 0.75 * 4 / 3.5)
+
+    def term(tf, norm):
+        return idf * tf * 2.2 / (tf + norm)
+
+    expect1 = term(2, norm4) + term(1, norm4)
+    assert abs(out[1].bm25 - round(expect1, 6)) < 2e-6
+    # multi-term doc outranks single-term docs; the short doc's length
+    # normalization boosts it above the avg-length single-term doc
+    assert out[1].bm25 > out[4].bm25 > out[2].bm25
