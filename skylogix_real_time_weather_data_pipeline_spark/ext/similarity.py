@@ -232,6 +232,49 @@ def matryoshka_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     )
 
 
+def rrf_fuse(sparse: DataFrame, dense: DataFrame, k: int = 10, c: int = 60,
+             id_col: str = "doc_id",
+             sparse_score: str = "bm25", dense_score: str = "cosine_sim") -> DataFrame:
+    """Reciprocal-rank fusion of a sparse (lexical) and a dense (embedding)
+    shortlist — the standard hybrid-retrieval combiner (Cormack et al.,
+    SIGIR 2009): rrf(d) = Σ_lists 1/(c + rank_list(d)), robust to the two
+    scores living on incomparable scales.
+
+    Both inputs are already top-N shortlists (each O(N) rows — the corpus
+    never reaches this operator), so everything here is driver-scale tiny:
+    per-list ranks come from a row_number over the deterministic
+    (rounded score desc, id) order each shortlist was selected with, and
+    the fusion is a full outer join of the two rank tables.
+
+    Determinism/parity: each reciprocal term is quantized to fixed-point
+    1e-9 units (round(1e9/(c+r)) as an integer — exact in both engines)
+    and the fused score is the exact integer sum of the two terms, so
+    ordering is bit-identical cross-engine with ties pinned on id; the
+    visible score is the exact fused value in double (≤ 2e9 units, exact).
+    """
+    def ranked(df: DataFrame, score: str, alias: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc(score), F.asc(id_col))
+        return df.select(id_col, F.row_number().over(w).alias(alias))
+
+    sr = ranked(sparse, sparse_score, "rank_sparse")
+    dr = ranked(dense, dense_score, "rank_dense")
+
+    def term(rank_col: str) -> Column:
+        return F.coalesce(
+            F.round(F.lit(1e9) / (F.lit(c) + F.col(rank_col))).cast("long"), F.lit(0)
+        )
+
+    fused = sr.join(dr, id_col, "full_outer").select(
+        id_col,
+        F.col("rank_sparse").cast("int").alias("rank_sparse"),
+        F.col("rank_dense").cast("int").alias("rank_dense"),
+        ((term("rank_sparse") + term("rank_dense")) / 1e9).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
+
+
 def sign_pack(vec_col: Column, lo: int, hi: int) -> Column:
     """Pack sign bits of vec[lo:hi] into a non-negative long (big-endian
     fold: acc*2 + (vᵢ>0)) — binary quantization, 32× smaller than float32.

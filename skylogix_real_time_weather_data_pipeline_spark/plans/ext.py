@@ -1964,11 +1964,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: float constants embedded via repr() so the oracle parses the exact
-#: doubles the Spark expression computed in Python (k1+1 and 1-b are
-#: folded driver-side there).
-O_BM25_TOPK = TOK_CTE + f"""
-, stats AS (
+def _bm25_cte(limit: int) -> str:
+    """BM25 top-``limit`` as a CTE chain ending in ``bm`` (doc_id,
+    n_terms_matched, bm25) — float constants embedded via repr() so the
+    oracle parses the exact doubles the Spark expression computed in
+    Python (k1+1 and 1-b are folded driver-side there)."""
+    return f"""stats AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
          SUM(len(tk)) / COUNT(*) AS avgdl
   FROM toks
@@ -1986,12 +1987,72 @@ scored AS (
          * (tf * {_BM25_K1 + 1!r}
             / (tf + {_BM25_K1!r} * ({1 - _BM25_B!r} + {_BM25_B!r} * dl / avgdl))) AS ts
   FROM tf, stats
+),
+bm AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+         ROUND({sql_fsum('ts', 6)}, 6) AS bm25
+  FROM scored GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id ASC LIMIT {limit}
+)"""
+
+
+O_BM25_TOPK = TOK_CTE + ", " + _bm25_cte(_BM25_K) + """
+SELECT doc_id, n_terms_matched, bm25 FROM bm
+"""
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and dense-cosine lists
+# --------------------------------------------------------------------------
+
+_RRF_QID = 0
+_RRF_N = 20
+_RRF_K = 10
+_RRF_C = 60
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse list = BM25 top-N for the fixed term query; dense list =
+    cosine top-N around embedding ``vec_id = _RRF_QID`` (vec_id plays the
+    aligned doc_id). Fusion is rank-only, so the incomparable score
+    scales never mix."""
+    sparse = text.bm25_topk(
+        _docs(spark, sf_dir), query_terms=_BM25_TERMS, k=_RRF_N,
+        k1=_BM25_K1, b=_BM25_B,
+    )
+    dense = similarity.cosine_topk_by_id(
+        _embs(spark, sf_dir), query_id=_RRF_QID, k=_RRF_N
+    ).withColumnRenamed("vec_id", "doc_id")
+    return similarity.rrf_fuse(sparse, dense, k=_RRF_K, c=_RRF_C)
+
+
+O_HYBRID_RRF = TOK_CTE + ", " + _bm25_cte(_RRF_N) + f""",
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_RRF_QID}),
+dense AS (
+  SELECT vec_id AS doc_id,
+         ROUND(
+           list_sum(list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) AS cosine_sim
+  FROM embeddings, q WHERE vec_id <> {_RRF_QID}
+  ORDER BY cosine_sim DESC, vec_id ASC LIMIT {_RRF_N}
+),
+sr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rs FROM bm),
+dr AS (SELECT doc_id, row_number() OVER (ORDER BY cosine_sim DESC, doc_id) AS rd FROM dense),
+f AS (
+  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id, s.rs, d.rd
+  FROM sr s FULL OUTER JOIN dr d ON s.doc_id = d.doc_id
 )
 SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
-       ROUND({sql_fsum('ts', 6)}, 6) AS bm25
-FROM scored GROUP BY doc_id
-ORDER BY bm25 DESC, doc_id ASC LIMIT {_BM25_K}
+       CAST(rs AS INTEGER) AS rank_sparse,
+       CAST(rd AS INTEGER) AS rank_dense,
+       (COALESCE(CAST(ROUND(1e9 / ({_RRF_C} + rs)) AS BIGINT), 0)
+        + COALESCE(CAST(ROUND(1e9 / ({_RRF_C} + rd)) AS BIGINT), 0)) / 1e9 AS rrf_score
+FROM f
+ORDER BY rrf_score DESC, doc_id ASC LIMIT {_RRF_K}
 """
 
 
@@ -2119,6 +2180,7 @@ QUERIES = {
     "docs_unigram_logprob": q_unigram_logprob,
     "docs_token_entropy": q_token_entropy,
     "docs_bm25_topk": q_bm25_topk,
+    "docs_hybrid_rrf": q_hybrid_rrf,
     "docs_source_kl": q_source_kl,
     "emb_pca_top_component": q_pca_top_component,
     "docs_stratified_sample": q_stratified_sample,
@@ -2177,6 +2239,7 @@ ORACLES = {
     "docs_unigram_logprob": O_UNIGRAM_LOGPROB,
     "docs_token_entropy": O_TOKEN_ENTROPY,
     "docs_bm25_topk": O_BM25_TOPK,
+    "docs_hybrid_rrf": O_HYBRID_RRF,
     "docs_source_kl": O_SOURCE_KL,
     "emb_pca_top_component": O_PCA_TOP_COMPONENT,
     "docs_stratified_sample": O_STRATIFIED_SAMPLE,

@@ -837,3 +837,25 @@ def test_bm25_topk_closed_form_and_ranking(spark):
     # multi-term doc outranks single-term docs; the short doc's length
     # normalization boosts it above the avg-length single-term doc
     assert out[1].bm25 > out[4].bm25 > out[2].bm25
+
+
+def test_rrf_fuse_combines_and_ranks_consensus_first(spark):
+    """A doc present in both shortlists must outrank docs present in only
+    one; the fused score equals the closed-form 1/(c+r) sum."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.similarity import rrf_fuse
+
+    sparse = spark.createDataFrame(
+        [(1, 5.0), (2, 4.0), (3, 3.0)], "doc_id long, bm25 double"
+    )
+    dense = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8)], "doc_id long, cosine_sim double"
+    )
+    out = {r.doc_id: r for r in rrf_fuse(sparse, dense, k=10, c=60).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc 2: rank 2 sparse + rank 1 dense → both lists, highest fusion
+    assert out[2].rank_sparse == 2 and out[2].rank_dense == 1
+    assert out[1].rank_dense is None and out[4].rank_sparse is None
+    expect2 = (round(1e9 / 62) + round(1e9 / 61)) / 1e9
+    assert abs(out[2].rrf_score - expect2) < 1e-12
+    top = sorted(out.values(), key=lambda r: -r.rrf_score)
+    assert top[0].doc_id == 2
