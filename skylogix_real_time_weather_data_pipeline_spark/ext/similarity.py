@@ -232,6 +232,81 @@ def matryoshka_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     )
 
 
+def mmr_rerank(df: DataFrame, query_id: int, k: int = 8, shortlist: int = 25,
+               lam: float = 0.7, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR
+    1998): greedily pick k results trading query relevance against
+    redundancy with the already-picked set —
+    mmr(d) = λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s).
+
+    Scale posture: MMR is inherently sequential, so — exactly as every
+    production retrieval service does — it runs on a SHORTLIST. The only
+    distributed work is the corpus-wide cosine top-``shortlist`` scan
+    (one pass + TakeOrderedAndProject); the collected shortlist and its
+    pairwise-similarity matrix are bounded O(shortlist·dim + shortlist²)
+    driver state BY DESIGN (same class as the k-means/PQ codebooks), and
+    the greedy loop is O(k·shortlist) driver arithmetic.
+
+    Determinism/parity pins (the oracle replays the greedy recurrence as
+    unrolled CTEs): relevance and pairwise sims are cosine rounded to 6;
+    pairwise dots are strict left-to-right float64 folds (mirroring the
+    expression fold / list_sum); λ and (1−λ) are folded in Python once
+    and embedded via repr() in the SQL so both engines multiply the
+    identical doubles; the empty-set penalty is exactly 0.0; argmax ties
+    break on the smaller id. Returns (mmr_rank, vec_id, relevance,
+    mmr_score).
+    """
+    row = df.filter(F.col(id_col) == query_id).select(vec_col).first()
+    if row is None:
+        raise KeyError(f"{id_col}={query_id} not found")
+    qv = [float(x) for x in row[0]]
+    qarr = F.array(*[F.lit(x) for x in qv])
+    short = (
+        df.filter(F.col(id_col) != query_id)
+        .select(id_col, vec_col, F.round(cosine(F.col(vec_col), qarr), 6).alias("rel"))
+        .orderBy(F.desc("rel"), F.asc(id_col))
+        .limit(shortlist)
+        .collect()
+    )
+    vecs = {r[0]: [float(x) for x in r[1]] for r in short}
+    rel = {r[0]: float(r[2]) for r in short}
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        # strict left-to-right folds, like the Column-expression form
+        d = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+        na = 0.0
+        for x in a:
+            na += x * x
+        nb = 0.0
+        for y in b:
+            nb += y * y
+        return round(d / (na ** 0.5 * nb ** 0.5), 6)
+
+    ids = sorted(vecs)
+    sim = {(a, b): _cos(vecs[a], vecs[b]) for a in ids for b in ids if a != b}
+
+    oml = 1 - lam  # folded once; the oracle embeds repr() of this double
+    picked: list[int] = []
+    out_rows = []
+    for step in range(min(k, len(ids))):
+        best_id, best_score = None, None
+        for d in ids:
+            if d in picked:
+                continue
+            pen = max(sim[(d, s)] for s in picked) if picked else 0.0
+            score = lam * rel[d] - oml * pen
+            if best_id is None or score > best_score or (score == best_score and d < best_id):
+                best_id, best_score = d, score
+        picked.append(best_id)
+        out_rows.append((step + 1, best_id, rel[best_id], round(best_score, 6)))
+    return df.sparkSession.createDataFrame(
+        out_rows, "mmr_rank int, vec_id long, relevance double, mmr_score double"
+    )
+
+
 def rrf_fuse(sparse: DataFrame, dense: DataFrame, k: int = 10, c: int = 60,
              id_col: str = "doc_id",
              sparse_score: str = "bm25", dense_score: str = "cosine_sim") -> DataFrame:

@@ -2148,6 +2148,76 @@ FROM vc{_PCA_ITER} v CROSS JOIN nrm{_PCA_ITER} n
 """
 
 
+# --------------------------------------------------------------------------
+# MMR diversified rerank (greedy relevance-vs-redundancy over a shortlist)
+# --------------------------------------------------------------------------
+
+_MMR_QID = 0
+_MMR_K = 8
+_MMR_N = 25
+_MMR_LAM = 0.7
+_MMR_OML = 1 - _MMR_LAM  # folded once; embedded via repr() below
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.mmr_rerank(
+        _embs(spark, sf_dir), query_id=_MMR_QID, k=_MMR_K,
+        shortlist=_MMR_N, lam=_MMR_LAM,
+    )
+
+
+_SQL_COS = (
+    "ROUND(list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+)
+
+
+def _mmr_step_cte(i: int) -> str:
+    """Greedy step i (i ≥ 2): among unpicked shortlist members, pick the
+    argmax of λ·rel − (1−λ)·max-sim-to-picked, ties on id. Every CTE in
+    the chain is MATERIALIZED: p{{i}} is referenced 3× by step i+1, so
+    inlining would re-expand the whole prior chain ~3^k times (measured:
+    the inlined form never finished at sf0.01; materialized it's
+    instant)."""
+    return f"""s{i} AS MATERIALIZED (
+  SELECT c.vec_id, c.rel,
+         {_MMR_LAM!r} * c.rel - {_MMR_OML!r} * (
+           SELECT MAX(p.sim) FROM pw p
+           WHERE p.ai = c.vec_id AND p.bi IN (SELECT vec_id FROM p{i - 1})
+         ) AS mmr
+  FROM sl c WHERE c.vec_id NOT IN (SELECT vec_id FROM p{i - 1})
+  ORDER BY mmr DESC, c.vec_id LIMIT 1
+),
+p{i} AS MATERIALIZED (SELECT vec_id, rel, mmr, rnk FROM p{i - 1}
+         UNION ALL SELECT vec_id, rel, mmr, {i} AS rnk FROM s{i})"""
+
+
+O_MMR_RERANK = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_MMR_QID}),
+sl AS MATERIALIZED (
+  SELECT vec_id, embedding, {_SQL_COS.format(a='embedding', b='qv')} AS rel
+  FROM embeddings, q WHERE vec_id <> {_MMR_QID}
+  ORDER BY rel DESC, vec_id ASC LIMIT {_MMR_N}
+),
+pw AS MATERIALIZED (
+  SELECT a.vec_id AS ai, b.vec_id AS bi,
+         {_SQL_COS.format(a='a.embedding', b='b.embedding')} AS sim
+  FROM sl a, sl b WHERE a.vec_id <> b.vec_id
+),
+s1 AS (
+  SELECT vec_id, rel, {_MMR_LAM!r} * rel - {_MMR_OML!r} * 0.0 AS mmr
+  FROM sl ORDER BY mmr DESC, vec_id LIMIT 1
+),
+p1 AS MATERIALIZED (SELECT vec_id, rel, mmr, 1 AS rnk FROM s1),
+{",".join(_mmr_step_cte(i) for i in range(2, _MMR_K + 1))}
+SELECT CAST(rnk AS INTEGER) AS mmr_rank, vec_id, rel AS relevance,
+       ROUND(mmr, 6) AS mmr_score
+FROM p{_MMR_K}
+"""
+
+
 QUERIES = {
     "docs_exact_dedup": q_exact_dedup,
     "docs_minhash_signatures": q_minhash_signatures,
@@ -2205,6 +2275,7 @@ QUERIES = {
     "emb_ivf_recall": q_ivf_recall,
     "emb_matryoshka_topk": q_matryoshka_topk,
     "emb_matryoshka_recall": q_matryoshka_recall,
+    "emb_mmr_rerank": q_mmr_rerank,
 }
 
 ORACLES = {
@@ -2264,4 +2335,5 @@ ORACLES = {
     "emb_ivf_recall": O_IVF_RECALL,
     "emb_matryoshka_topk": O_MATRYOSHKA_TOPK,
     "emb_matryoshka_recall": O_MATRYOSHKA_RECALL,
+    "emb_mmr_rerank": O_MMR_RERANK,
 }

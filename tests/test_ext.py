@@ -859,3 +859,24 @@ def test_rrf_fuse_combines_and_ranks_consensus_first(spark):
     assert abs(out[2].rrf_score - expect2) < 1e-12
     top = sorted(out.values(), key=lambda r: -r.rrf_score)
     assert top[0].doc_id == 2
+
+
+def test_mmr_rerank_promotes_diverse_over_redundant(spark):
+    """Corpus = a tight cluster of near-identical vectors (all highly
+    relevant) + one moderately relevant orthogonal vector. Plain top-k
+    would fill with cluster members; MMR must pick the diverse vector
+    second because redundancy penalizes the cluster."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.similarity import mmr_rerank
+
+    rows = [(0, [1.0, 0.0, 0.0, 0.0])]           # query
+    for i in range(1, 5):                        # near-identical cluster, rel ≈ 1
+        rows.append((i, [1.0, 0.001 * i, 0.0, 0.0]))
+    rows.append((9, [0.5, 0.0, 0.8, 0.0]))       # diverse, moderately relevant
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = mmr_rerank(df, query_id=0, k=3, shortlist=10, lam=0.5)
+    picked = [r.vec_id for r in out.orderBy("mmr_rank").collect()]
+    assert picked[0] == 1                        # highest relevance first (tie→min id)
+    assert picked[1] == 9                        # diversity beats the redundant cluster
+    assert picked[2] in (2, 3, 4)
+    ranks = [r.mmr_rank for r in out.collect()]
+    assert sorted(ranks) == [1, 2, 3]
