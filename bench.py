@@ -57,6 +57,8 @@ EXTENDED = [
     "rel_merge_upsert",
     "rel_pagerank",
     "events_anomaly_mad",
+    "docs_bm25_topk",
+    "docs_hybrid_rrf",
 ]
 
 
