@@ -291,3 +291,33 @@ def test_cumulative_users_windows_daily_frame_not_events(spark, sf_dir, qs):
     aggs = [m.start() for m in re.finditer(r"HashAggregate", plan)]
     assert win_pos != -1 and aggs
     assert all(win_pos < a for a in aggs)
+
+
+def test_bm25_two_scans_early_postings_filter(spark, sf_dir, qs):
+    """BM25 reads the corpus exactly twice (postings branch + 1-row
+    stats scalar); the zero-match filter must sit in the scan stage so
+    non-matching documents never reach an exchange, and the global
+    top-k must be TakeOrderedAndProject, never a full sort."""
+    df = qs["docs_bm25_topk"](spark, sf_dir)
+    plan = _physical(df)
+    assert len(re.findall(r"FileScan|Scan parquet", plan)) == 2
+    assert "TakeOrderedAndProject" in plan
+    fmt = _formatted(df)
+    # the size(...)>0 postings filter appears below the repartition
+    # exchange (Filter directly over the scan in the formatted tree)
+    filt = fmt.index("Filter")
+    exch = fmt.index("Exchange")
+    assert filt > exch  # formatted lists top-down: Exchange above Filter
+
+
+def test_hybrid_rrf_fuses_shortlists_not_corpora(spark, sf_dir, qs):
+    """RRF joins two O(N) shortlists: the corpus-side work is the two
+    bounded top-N selections (TakeOrderedAndProject); the fusion join
+    itself must not move corpus-scale data (every exchange below the
+    join is either a broadcast or a single-partition shortlist)."""
+    plan = _physical(qs["docs_hybrid_rrf"](spark, sf_dir))
+    assert len(re.findall(r"TakeOrderedAndProject", plan)) >= 2
+    # no corpus-keyed hash shuffle above the shortlists: the only
+    # hashpartitioning exchanges allowed are the tiny tf/window ones
+    # inside bm25 (key = w / doc_id on the filtered postings)
+    assert "CartesianProduct" not in plan
