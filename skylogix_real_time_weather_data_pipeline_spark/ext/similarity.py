@@ -251,11 +251,16 @@ def mmr_rerank(df: DataFrame, query_id: int, k: int = 8, shortlist: int = 25,
     Determinism/parity pins (the oracle replays the greedy recurrence as
     unrolled CTEs): relevance and pairwise sims are cosine rounded to 6;
     pairwise dots are strict left-to-right float64 folds (mirroring the
-    expression fold / list_sum); λ and (1−λ) are folded in Python once
-    and embedded via repr() in the SQL so both engines multiply the
-    identical doubles; the empty-set penalty is exactly 0.0; argmax ties
-    break on the smaller id. Returns (mmr_rank, vec_id, relevance,
-    mmr_score).
+    expression fold / list_sum). The greedy score itself is an INTEGER-
+    UNIT recurrence (the PageRank lesson — float λ·rel−(1−λ)·pen on
+    grid-quantized inputs lands exactly on .5 display boundaries where
+    the engines' rounding rules diverge; observed once at sf0.001):
+    λ is taken as integer thousandths L (λ=0.7 → L=700, M=300), rel and
+    sim as exact 1e-6 fixed-point longs, so
+    mmr_units = L·rel_u − M·max(sim_u) is exact integer arithmetic in
+    1e-9 units and ``mmr_score = mmr_units/1e9`` needs no rounding at
+    all. The empty-set penalty is exactly 0; argmax ties break on the
+    smaller id. Returns (mmr_rank, vec_id, relevance, mmr_score).
     """
     row = df.filter(F.col(id_col) == query_id).select(vec_col).first()
     if row is None:
@@ -286,9 +291,13 @@ def mmr_rerank(df: DataFrame, query_id: int, k: int = 8, shortlist: int = 25,
         return round(d / (na ** 0.5 * nb ** 0.5), 6)
 
     ids = sorted(vecs)
-    sim = {(a, b): _cos(vecs[a], vecs[b]) for a in ids for b in ids if a != b}
+    sim_u = {
+        (a, b): int(round(_cos(vecs[a], vecs[b]) * 1e6))
+        for a in ids for b in ids if a != b
+    }
+    rel_u = {d: int(round(rel[d] * 1e6)) for d in ids}
 
-    oml = 1 - lam  # folded once; the oracle embeds repr() of this double
+    lam_t = int(round(lam * 1000))  # λ in thousandths; 1000-lam_t is (1−λ)
     picked: list[int] = []
     out_rows = []
     for step in range(min(k, len(ids))):
@@ -296,12 +305,12 @@ def mmr_rerank(df: DataFrame, query_id: int, k: int = 8, shortlist: int = 25,
         for d in ids:
             if d in picked:
                 continue
-            pen = max(sim[(d, s)] for s in picked) if picked else 0.0
-            score = lam * rel[d] - oml * pen
+            pen_u = max(sim_u[(d, s)] for s in picked) if picked else 0
+            score = lam_t * rel_u[d] - (1000 - lam_t) * pen_u  # exact 1e-9 units
             if best_id is None or score > best_score or (score == best_score and d < best_id):
                 best_id, best_score = d, score
         picked.append(best_id)
-        out_rows.append((step + 1, best_id, rel[best_id], round(best_score, 6)))
+        out_rows.append((step + 1, best_id, rel[best_id], best_score / 1e9))
     return df.sparkSession.createDataFrame(
         out_rows, "mmr_rank int, vec_id long, relevance double, mmr_score double"
     )

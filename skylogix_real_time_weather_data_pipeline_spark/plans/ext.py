@@ -2156,7 +2156,8 @@ _MMR_QID = 0
 _MMR_K = 8
 _MMR_N = 25
 _MMR_LAM = 0.7
-_MMR_OML = 1 - _MMR_LAM  # folded once; embedded via repr() below
+_MMR_LT = int(round(_MMR_LAM * 1000))  # λ in thousandths (integer units)
+_MMR_MT = 1000 - _MMR_LT
 
 
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2176,44 +2177,49 @@ _SQL_COS = (
 
 def _mmr_step_cte(i: int) -> str:
     """Greedy step i (i ≥ 2): among unpicked shortlist members, pick the
-    argmax of λ·rel − (1−λ)·max-sim-to-picked, ties on id. Every CTE in
-    the chain is MATERIALIZED: p{{i}} is referenced 3× by step i+1, so
-    inlining would re-expand the whole prior chain ~3^k times (measured:
-    the inlined form never finished at sf0.01; materialized it's
-    instant)."""
+    argmax of the integer-unit score L·rel_u − M·max(sim_u) (exact 1e-9
+    units — see similarity.mmr_rerank's determinism pins), ties on id.
+    Every CTE in the chain is MATERIALIZED: p{{i}} is referenced 3× by
+    step i+1, so inlining would re-expand the whole prior chain ~3^k
+    times (measured: the inlined form never finished at sf0.01;
+    materialized it's instant)."""
     return f"""s{i} AS MATERIALIZED (
   SELECT c.vec_id, c.rel,
-         {_MMR_LAM!r} * c.rel - {_MMR_OML!r} * (
-           SELECT MAX(p.sim) FROM pw p
+         {_MMR_LT} * c.rel_u - {_MMR_MT} * (
+           SELECT MAX(p.sim_u) FROM pw p
            WHERE p.ai = c.vec_id AND p.bi IN (SELECT vec_id FROM p{i - 1})
-         ) AS mmr
+         ) AS mmr_u
   FROM sl c WHERE c.vec_id NOT IN (SELECT vec_id FROM p{i - 1})
-  ORDER BY mmr DESC, c.vec_id LIMIT 1
+  ORDER BY mmr_u DESC, c.vec_id LIMIT 1
 ),
-p{i} AS MATERIALIZED (SELECT vec_id, rel, mmr, rnk FROM p{i - 1}
-         UNION ALL SELECT vec_id, rel, mmr, {i} AS rnk FROM s{i})"""
+p{i} AS MATERIALIZED (SELECT vec_id, rel, mmr_u, rnk FROM p{i - 1}
+         UNION ALL SELECT vec_id, rel, mmr_u, {i} AS rnk FROM s{i})"""
 
 
 O_MMR_RERANK = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_MMR_QID}),
 sl AS MATERIALIZED (
-  SELECT vec_id, embedding, {_SQL_COS.format(a='embedding', b='qv')} AS rel
-  FROM embeddings, q WHERE vec_id <> {_MMR_QID}
-  ORDER BY rel DESC, vec_id ASC LIMIT {_MMR_N}
+  SELECT vec_id, embedding, rel,
+         CAST(ROUND(rel * 1000000) AS BIGINT) AS rel_u
+  FROM (
+    SELECT vec_id, embedding, {_SQL_COS.format(a='embedding', b='qv')} AS rel
+    FROM embeddings, q WHERE vec_id <> {_MMR_QID}
+    ORDER BY rel DESC, vec_id ASC LIMIT {_MMR_N}
+  )
 ),
 pw AS MATERIALIZED (
   SELECT a.vec_id AS ai, b.vec_id AS bi,
-         {_SQL_COS.format(a='a.embedding', b='b.embedding')} AS sim
+         CAST(ROUND({_SQL_COS.format(a='a.embedding', b='b.embedding')} * 1000000) AS BIGINT) AS sim_u
   FROM sl a, sl b WHERE a.vec_id <> b.vec_id
 ),
 s1 AS (
-  SELECT vec_id, rel, {_MMR_LAM!r} * rel - {_MMR_OML!r} * 0.0 AS mmr
-  FROM sl ORDER BY mmr DESC, vec_id LIMIT 1
+  SELECT vec_id, rel, {_MMR_LT} * rel_u AS mmr_u
+  FROM sl ORDER BY mmr_u DESC, vec_id LIMIT 1
 ),
-p1 AS MATERIALIZED (SELECT vec_id, rel, mmr, 1 AS rnk FROM s1),
+p1 AS MATERIALIZED (SELECT vec_id, rel, mmr_u, 1 AS rnk FROM s1),
 {",".join(_mmr_step_cte(i) for i in range(2, _MMR_K + 1))}
 SELECT CAST(rnk AS INTEGER) AS mmr_rank, vec_id, rel AS relevance,
-       ROUND(mmr, 6) AS mmr_score
+       mmr_u / 1e9 AS mmr_score
 FROM p{_MMR_K}
 """
 
