@@ -22,12 +22,13 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface)
 #: post-latest-change (r1∪…∪r4), so the policy simplifies to: (tier 1)
 #: everything whose implementation or oracle changed THIS round — kept
 #: current in the same commit as each change; then stale-row refresh.
-#: End-of-round audit: all 41 round-5-changed queries (12 new + the
-#: fixed-point fold sweep + the weather scale pinning + the minhash
-#: estimator guard) occupy the first 41 slots; the remaining 9 refresh
-#: the oldest rows (4 r3-vintage, 5 r2-vintage). Every entry below slot
-#: 50 is unchanged since its last driver-green row and re-verified in
-#: CORRECTNESS_LOCAL_r05.json.
+#: Continuation-session audit: all 48 round-5-changed queries (19 new —
+#: incl. the retrieval stack bm25/rrf/mmr — + the fixed-point fold sweep
+#: + the weather scale pinning + the minhash estimator guard) occupy the
+#: first 48 slots; the remaining 2 refresh the oldest rows
+#: (rel_product_profit, weather_linear_fit — r3-vintage). Every entry
+#: below slot 50 is unchanged since its last driver-green row and
+#: re-verified in CORRECTNESS_LOCAL_r05.json.
 _VERIFY_FIRST = (
     # --- tier 1: changed in round 5 ---
     "emb_pq_adc_topk",                 # NEW: PQ ADC top-k, unrolled per-subspace Lloyd oracle
