@@ -123,3 +123,32 @@ def write_city_summary(df: DataFrame, path: str) -> None:
     from ..operators.gold import city_comparison
 
     write_csv_report(city_comparison(df), path, single_file=True)
+
+
+#: formats the generic table sink/source accepts. Parquet and ORC are the
+#: durable columnar pair (both schema-carrying, predicate-pushdown-capable,
+#: bundled with Spark — ORC matters for Hive-ecosystem consumers); JSONL
+#: and CSV are the interchange pair (schema supplied on read).
+TABLE_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet",
+                partition_by: list[str] | None = None,
+                mode: str = "overwrite") -> None:
+    """Format-agnostic durable table sink — one writer surface over the
+    bundled formats so pipeline configs can switch storage without code
+    changes (SURVEY §2.2's config-driven sink selection, widened beyond
+    the reference's CSV/JSON pair).
+
+    Columnar formats keep their native schema; CSV adds a header so the
+    paired reader can re-declare types explicitly (never inferSchema —
+    S4's declared-schema discipline).
+    """
+    if fmt not in TABLE_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {TABLE_FORMATS}")
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        w = w.option("header", True)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)

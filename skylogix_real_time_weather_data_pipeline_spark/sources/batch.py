@@ -82,3 +82,29 @@ def read_csv_observations(spark: SparkSession, path: str) -> DataFrame:
         .option("header", True)
         .csv(path)
     )
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
+               schema: str | None = None) -> DataFrame:
+    """Format-agnostic reader paired with ``sinks.writers.write_table``.
+
+    Columnar formats (parquet/orc) carry their own schema; the text
+    formats REQUIRE a declared schema (S4 discipline: inferSchema is a
+    second full scan at 100 TB and can mis-type sparse columns) and read
+    PERMISSIVE so one malformed record degrades to nulls instead of
+    failing the batch (S3).
+    """
+    from ..sinks.writers import TABLE_FORMATS
+
+    if fmt not in TABLE_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {TABLE_FORMATS}")
+    r = spark.read.format(fmt)
+    if fmt in ("json", "csv"):
+        if schema is None:
+            raise ValueError(f"{fmt} reads require a declared schema")
+        r = r.schema(schema).option("mode", "PERMISSIVE")
+        if fmt == "csv":
+            r = r.option("header", True)
+    elif schema is not None:
+        r = r.schema(schema)
+    return r.load(path)

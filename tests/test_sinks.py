@@ -175,3 +175,47 @@ def test_compact_parquet_repacks_small_files(spark, tmp_path):
     n = compact_parquet(spark, p, target_file_bytes=64 * 1024)
     assert n == len(glob.glob(f"{p}/*.parquet")) and n < 32
     assert {r.id for r in spark.read.parquet(p).collect()} == before
+
+
+def test_write_read_table_round_trips_all_formats(spark, tmp_path):
+    """The generic table sink/source must round-trip values and types in
+    every bundled format; partitioned writes must keep the partition
+    column readable."""
+    from skylogix_real_time_weather_data_pipeline_spark.sinks.writers import write_table
+    from skylogix_real_time_weather_data_pipeline_spark.sources.batch import read_table
+
+    df = spark.createDataFrame(
+        [(1, "london", 12.5), (2, "paris", None), (3, "london", -3.0)],
+        "id long, city string, temp double",
+    )
+    schema = "id long, city string, temp double"
+    for fmt in ("parquet", "orc", "json", "csv"):
+        path = str(tmp_path / f"t_{fmt}")
+        write_table(df, path, fmt=fmt)
+        back = read_table(spark, path, fmt=fmt,
+                          schema=schema if fmt in ("json", "csv") else None)
+        rows = {r.id: (r.city, r.temp) for r in back.collect()}
+        assert rows == {1: ("london", 12.5), 2: ("paris", None), 3: ("london", -3.0)}
+        assert dict(back.dtypes)["temp"] == "double"
+
+    part = str(tmp_path / "part_orc")
+    write_table(df, part, fmt="orc", partition_by=["city"])
+    back = read_table(spark, part, fmt="orc")
+    assert back.filter("city = 'london'").count() == 2
+
+
+def test_orc_scan_pushes_filters_like_parquet(spark, tmp_path):
+    """ORC is a first-class columnar path: an id predicate must reach the
+    scan as a pushed filter, and projection must prune to the read
+    columns — same plan discipline the parquet scans are pinned to."""
+    from skylogix_real_time_weather_data_pipeline_spark.sinks.writers import write_table
+    from skylogix_real_time_weather_data_pipeline_spark.sources.batch import read_table
+
+    df = spark.range(0, 1000).selectExpr("id", "id % 7 AS grp", "id * 1.5 AS v")
+    path = str(tmp_path / "orc_push")
+    write_table(df, path, fmt="orc")
+    q = read_table(spark, path, fmt="orc").filter("grp = 3").select("id")
+    plan = q._sc._jvm.PythonSQLUtils.explainString(q._jdf.queryExecution(), "formatted")
+    assert "PushedFilters: [IsNotNull(grp), EqualTo(grp,3)]" in plan
+    assert "ReadSchema: struct<id:bigint,grp:bigint>" in plan
+    assert q.count() == 143
