@@ -40,6 +40,11 @@ _STABILITY_QUERIES = [
     "docs_temperature_mixture",
     "weather_seasonal_anomaly",
     "rel_customer_ntile_segments",
+    # round-5 retrieval stack: quantized fsum fold, fixed-point fusion,
+    # integer-unit greedy over a TakeOrdered shortlist
+    "docs_bm25_topk",
+    "docs_hybrid_rrf",
+    "emb_mmr_rerank",
 ]
 
 
