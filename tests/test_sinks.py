@@ -219,3 +219,22 @@ def test_orc_scan_pushes_filters_like_parquet(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(grp), EqualTo(grp,3)]" in plan
     assert "ReadSchema: struct<id:bigint,grp:bigint>" in plan
     assert q.count() == 143
+
+
+def test_read_table_permissive_degrades_malformed_json(spark, tmp_path):
+    """S3 discipline through the generic reader: one malformed JSONL line
+    must degrade to nulls, not fail the batch."""
+    from skylogix_real_time_weather_data_pipeline_spark.sources.batch import read_table
+
+    p = tmp_path / "j"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"id": 1, "city": "london"}\n'
+        'NOT VALID JSON {{{\n'
+        '{"id": 3, "city": "paris"}\n'
+    )
+    back = read_table(spark, str(p), fmt="json", schema="id long, city string")
+    rows = [(r.id, r.city) for r in back.collect()]
+    assert len(rows) == 3
+    assert (1, "london") in rows and (3, "paris") in rows
+    assert (None, None) in rows  # the malformed line, degraded
