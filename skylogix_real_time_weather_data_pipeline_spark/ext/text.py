@@ -808,6 +808,61 @@ def bm25_topk(df: DataFrame, query_terms: Sequence[str], k: int = 10,
     )
 
 
+def zipf_fit(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             top_terms: int = 100) -> DataFrame:
+    """Zipf-law diagnostic: least-squares slope of ln(frequency) vs
+    ln(rank) over the top-R corpus terms — the classic corpus-health
+    statistic (natural language sits near slope −1; templated/synthetic
+    or keyword-stuffed corpora flatten or steepen it, so drift across
+    snapshots flags generation artifacts before training does).
+
+    Plan shape: term frequencies fold map-side from one exploded pass;
+    the top-R selection is TakeOrderedAndProject over the vocabulary
+    table (never a full sort — vocabulary can be 1e8+ terms at corpus
+    scale); ranks and the five regression moments then live on R rows.
+    Moments go through the order-independent DECIMAL fold (ln values
+    have unbounded fractional digits — dsumx territory, same posture as
+    weather_linear_fit); everything after is scalar double math both
+    engines evaluate identically. Ties in the top-R cut and in rank
+    assignment are pinned on (freq desc, term asc).
+
+    Returns one row: (n_terms, slope, intercept, pearson_r).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.exact import dsumx
+
+    cf = (
+        repartition_for_compute(df, id_col)
+        .select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    top = cf.orderBy(F.desc("cf"), F.asc("w")).limit(top_terms)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("cf"), F.asc("w")))
+    )
+    pts = ranked.select(F.log("rank").alias("x"), F.log("cf").alias("y"))
+    agg = pts.agg(
+        dsumx("x").alias("_sx"),
+        dsumx("y").alias("_sy"),
+        dsumx(F.col("x") * F.col("x")).alias("_sxx"),
+        dsumx(F.col("y") * F.col("y")).alias("_syy"),
+        dsumx(F.col("x") * F.col("y")).alias("_sxy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    n, sx, sy = F.col("n"), F.col("_sx"), F.col("_sy")
+    sxx, syy, sxy = F.col("_sxx"), F.col("_syy"), F.col("_sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    pearson = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(
+        n.alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(pearson, 6).alias("pearson_r"),
+    )
+
+
 def source_kl_divergence(df: DataFrame, text_col: str = "text",
                          source_col: str = "source",
                          id_col: str = "doc_id") -> DataFrame:

@@ -41,6 +41,7 @@ _VERIFY_FIRST = (
     "docs_bm25_topk",                  # NEW: Okapi BM25 sparse retrieval
     "docs_hybrid_rrf",                 # NEW: reciprocal-rank hybrid fusion
     "emb_mmr_rerank",                  # NEW: MMR diversified rerank
+    "docs_zipf_fit",                   # NEW: Zipf-law corpus diagnostic
     "docs_stratified_sample",          # NEW: exact per-stratum quota sample
     "docs_source_kl",                  # NEW: per-source KL distribution shift
     "emb_pca_top_component",           # NEW: power-iteration PCA

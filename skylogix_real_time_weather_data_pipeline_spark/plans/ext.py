@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ext import dedup, similarity, text
-from ..functions.exact import dmean, sql_fsum
+from ..functions.exact import dmean, sql_dsumx, sql_fsum
 
 _N_HASHES = 16
 _BANDS = 4
@@ -2056,6 +2056,43 @@ ORDER BY rrf_score DESC, doc_id ASC LIMIT {_RRF_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Zipf-law corpus diagnostic (slope of ln-freq vs ln-rank over top terms)
+# --------------------------------------------------------------------------
+
+_ZIPF_TOP = 100
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.zipf_fit(_docs(spark, sf_dir), top_terms=_ZIPF_TOP)
+
+
+_Z_SX = sql_dsumx("x")
+_Z_SY = sql_dsumx("y")
+_Z_SXX = sql_dsumx("x*x")
+_Z_SYY = sql_dsumx("y*y")
+_Z_SXY = sql_dsumx("x*y")
+#: slope repeated verbatim in intercept (same value both evaluations)
+_Z_SLOPE = f"((COUNT(*) * {_Z_SXY} - {_Z_SX} * {_Z_SY}) / (COUNT(*) * {_Z_SXX} - {_Z_SX} * {_Z_SX}))"
+
+O_ZIPF_FIT = TOK_CTE + f"""
+, cf AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cf
+  FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w
+),
+top AS (SELECT w, cf FROM cf ORDER BY cf DESC, w ASC LIMIT {_ZIPF_TOP}),
+ranked AS (SELECT cf, row_number() OVER (ORDER BY cf DESC, w ASC) AS rank FROM top),
+pts AS (SELECT ln(rank) AS x, ln(cf) AS y FROM ranked)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND({_Z_SLOPE}, 6) AS slope,
+       ROUND(({_Z_SY} - {_Z_SLOPE} * {_Z_SX}) / COUNT(*), 6) AS intercept,
+       ROUND((COUNT(*) * {_Z_SXY} - {_Z_SX} * {_Z_SY})
+             / sqrt((COUNT(*) * {_Z_SXX} - {_Z_SX} * {_Z_SX})
+                    * (COUNT(*) * {_Z_SYY} - {_Z_SY} * {_Z_SY})), 6) AS pearson_r
+FROM pts
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.stratified_sample(
         _docs(spark, sf_dir), quota=_STRAT_QUOTA, salt=_STRAT_SALT
@@ -2257,6 +2294,7 @@ QUERIES = {
     "docs_token_entropy": q_token_entropy,
     "docs_bm25_topk": q_bm25_topk,
     "docs_hybrid_rrf": q_hybrid_rrf,
+    "docs_zipf_fit": q_zipf_fit,
     "docs_source_kl": q_source_kl,
     "emb_pca_top_component": q_pca_top_component,
     "docs_stratified_sample": q_stratified_sample,
@@ -2317,6 +2355,7 @@ ORACLES = {
     "docs_token_entropy": O_TOKEN_ENTROPY,
     "docs_bm25_topk": O_BM25_TOPK,
     "docs_hybrid_rrf": O_HYBRID_RRF,
+    "docs_zipf_fit": O_ZIPF_FIT,
     "docs_source_kl": O_SOURCE_KL,
     "emb_pca_top_component": O_PCA_TOP_COMPONENT,
     "docs_stratified_sample": O_STRATIFIED_SAMPLE,

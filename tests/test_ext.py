@@ -880,3 +880,22 @@ def test_mmr_rerank_promotes_diverse_over_redundant(spark):
     assert picked[2] in (2, 3, 4)
     ranks = [r.mmr_rank for r in out.collect()]
     assert sorted(ranks) == [1, 2, 3]
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    """A corpus whose term frequencies follow freq(rank) = C·rank^s must
+    fit back slope ≈ s with near-perfect correlation."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.text import zipf_fit
+
+    # plant freq = round(1000 * rank^-1) for 20 distinct terms
+    words = []
+    for r in range(1, 21):
+        words += [f"w{r:02d}"] * round(1000 / r)
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    out = zipf_fit(df, top_terms=20).collect()[0]
+    assert out.n_terms == 20
+    assert abs(out.slope - (-1.0)) < 0.02     # planted exponent recovered
+    assert out.pearson_r < -0.999             # near-perfect log-log line
+    # intercept ≈ ln(1000)
+    import math
+    assert abs(out.intercept - math.log(1000)) < 0.05
