@@ -342,10 +342,13 @@ def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     tokens score low; formulaic boilerplate scores high).
 
     Plan: tf(doc, word) and corpus frequency cf(word) come from the SAME
-    exploded pass (tf first, then a re-aggregation of the tiny tf table —
-    never a second scan of the text); one shuffle join tf⋈cf on the word
-    key; per-doc fold of tf·ln(cf/N). The mean folds through fsum's
-    fixed-point path so the output is order-independent.
+    exploded pass — tf is localCheckpoint-MATERIALIZED before the cf and
+    N branches derive from it, because Spark re-evaluates a shared
+    subtree once per join input (the semdedup/pagerank lesson; without
+    the checkpoint this query's executed plan re-tokenized the corpus 4×
+    — plan-probed). One shuffle join tf⋈cf on the word key; per-doc fold
+    of tf·ln(cf/N). The mean folds through fsum's fixed-point path so
+    the output is order-independent.
 
     Returns (doc_id, n_tokens, avg_logprob, keep = avg ≥ min_logprob).
     """
@@ -355,6 +358,7 @@ def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         df.select(id_col, F.explode(tokens(text_col)).alias("w"))
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
     cf = tf.groupBy("w").agg(F.sum("tf").alias("cf"))
     n_total = cf.agg(F.sum("cf").alias("n_total"))
@@ -872,11 +876,14 @@ def source_kl_divergence(df: DataFrame, text_col: str = "text",
 
     KL = Σ_w (tf_s/n_s) · ln( (tf_s·N) / (n_s·cf_w) ), with per-source
     counts tf_s and corpus counts cf both re-aggregated from ONE exploded
-    pass (the corpus table derives from the source table — the text is
-    never scanned twice). The per-source totals and the corpus total are
-    tiny broadcast sides. The summand has unbounded fractional digits, so
-    the fold is the deterministic quantized fsum (same posture as
-    unigram_logprob).
+    pass: the (source, w) count table is localCheckpoint-MATERIALIZED
+    before the cf/n_s/N branches derive from it — Spark re-evaluates a
+    shared subtree once per join input (the semdedup/pagerank lesson;
+    without the checkpoint this query's executed plan re-tokenized the
+    corpus 6× — plan-probed). The per-source totals and the corpus total
+    are tiny broadcast sides. The summand has unbounded fractional
+    digits, so the fold is the deterministic quantized fsum (same
+    posture as unigram_logprob).
     """
     from ..functions.exact import fsum
 
@@ -884,6 +891,7 @@ def source_kl_divergence(df: DataFrame, text_col: str = "text",
         df.select(source_col, F.explode(tokens(text_col)).alias("w"))
         .groupBy(source_col, "w")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
     cf = sf_counts.groupBy("w").agg(F.sum("tf").alias("cf"))
     ns = sf_counts.groupBy(source_col).agg(F.sum("tf").alias("n_s"))

@@ -22,13 +22,13 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface)
 #: post-latest-change (r1∪…∪r4), so the policy simplifies to: (tier 1)
 #: everything whose implementation or oracle changed THIS round — kept
 #: current in the same commit as each change; then stale-row refresh.
-#: Continuation-session audit: all 48 round-5-changed queries (19 new —
-#: incl. the retrieval stack bm25/rrf/mmr — + the fixed-point fold sweep
-#: + the weather scale pinning + the minhash estimator guard) occupy the
-#: first 48 slots; the remaining 2 refresh the oldest rows
-#: (rel_product_profit, weather_linear_fit — r3-vintage). Every entry
-#: below slot 50 is unchanged since its last driver-green row and
-#: re-verified in CORRECTNESS_LOCAL_r05.json.
+#: Continuation-session audit: all 50 round-5-changed queries (20 new —
+#: incl. the retrieval stack bm25/rrf/mmr and the zipf diagnostic — + the
+#: fixed-point fold sweep + the weather scale pinning + the minhash
+#: estimator guard + the tokenize-once checkpoint pair) fill the window
+#: exactly; no stale-refresh slots remain this round. Every entry below
+#: slot 50 is unchanged since its last driver-green row and re-verified
+#: in CORRECTNESS_LOCAL_r05.json.
 _VERIFY_FIRST = (
     # --- tier 1: changed in round 5 ---
     "emb_pq_adc_topk",                 # NEW: PQ ADC top-k, unrolled per-subspace Lloyd oracle
@@ -62,6 +62,7 @@ _VERIFY_FIRST = (
     "weather_humidity_decile_agg",
     "weather_seasonal_anomaly",
     "docs_minhash_jaccard_estimate",   # agreement fan-out semi-joined to candidate ids (both sides)
+    "docs_unigram_logprob",            # tf localCheckpoint — corpus tokenized once (value-identical)
     # --- tier 1 (cont.): fsum/fwsum sweep — rolling/running window sums,
     # ratio gates, streaming weighted sums (both sides converted) ---
     "rel_rolling_revenue",

@@ -321,3 +321,15 @@ def test_hybrid_rrf_fuses_shortlists_not_corpora(spark, sf_dir, qs):
     # hashpartitioning exchanges allowed are the tiny tf/window ones
     # inside bm25 (key = w / doc_id on the filtered postings)
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_lm_stats_tokenize_once(spark, sf_dir, qs):
+    """unigram_logprob and source_kl derive cf/totals from a CHECKPOINTED
+    count table: the final plan must contain ZERO parquet scans (the one
+    corpus tokenization ran inside the checkpoint job) and read the
+    materialized RDD from every branch — without the checkpoint Spark
+    re-tokenized the corpus once per join input (probed: 4× and 6×)."""
+    for name in ("docs_unigram_logprob", "docs_source_kl"):
+        plan = _physical(qs[name](spark, sf_dir))
+        assert len(re.findall(r"Scan parquet|FileScan", plan)) == 0, name
+        assert len(re.findall(r"Scan ExistingRDD", plan)) >= 2, name
