@@ -333,3 +333,11 @@ def test_corpus_lm_stats_tokenize_once(spark, sf_dir, qs):
         plan = _physical(qs[name](spark, sf_dir))
         assert len(re.findall(r"Scan parquet|FileScan", plan)) == 0, name
         assert len(re.findall(r"Scan ExistingRDD", plan)) >= 2, name
+
+
+def test_minhash_estimator_candidate_pairs_materialized(spark, sf_dir, qs):
+    """The LSH candidate-pair table is referenced 3× (cand_ids union ×2 +
+    output join): it must be checkpoint-materialized so the
+    signature→banding pipeline runs once, not per reference."""
+    plan = _physical(qs["docs_minhash_jaccard_estimate"](spark, sf_dir))
+    assert len(re.findall(r"Scan ExistingRDD", plan)) >= 3
