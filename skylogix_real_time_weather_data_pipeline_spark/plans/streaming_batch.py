@@ -627,15 +627,19 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: per-group exact medians force two full-pass aggregations (the
     median of deviations can't start until the median is known); both
-    group tables are tiny and broadcast back. At 100 TB swap
-    ``percentile`` for ``approx_percentile`` and this becomes two
-    single-pass sketches with this batch form as its accuracy oracle.
-    Both median and deviations are rounded to 6 so the 6·MAD threshold
-    compares identical grid doubles on both engines."""
+    group tables are tiny, localCheckpoint-MATERIALIZED (each is
+    referenced by every downstream branch, and Spark re-evaluates shared
+    subtrees per reference — unmaterialized, the events table was
+    scanned 4× and the median aggregated 3×; now events is scanned once
+    per inherent pass) and broadcast back. At 100 TB swap ``percentile``
+    for ``approx_percentile`` and this becomes two single-pass sketches
+    with this batch form as its accuracy oracle. Both median and
+    deviations are rounded to 6 so the 6·MAD threshold compares
+    identical grid doubles on both engines."""
     ev = _events(spark, sf_dir)
     med = ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
-    )
+    ).localCheckpoint()
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type",
         "event_id",
@@ -645,7 +649,7 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = dev.groupBy("event_type").agg(
         F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
-    )
+    ).localCheckpoint()
     return (
         dev.join(F.broadcast(mad), "event_type")
         .filter(F.col("adev") > 6 * F.col("mad"))

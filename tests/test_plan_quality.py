@@ -269,12 +269,11 @@ def test_pagerank_iteration_joins_and_exact_fold(spark, sf_dir, qs):
 
 
 def test_anomaly_mad_broadcasts_group_tables(spark, sf_dir, qs):
-    """Every per-group table (median, MAD, and the median re-derived
-    inside the MAD branch — the dev subtree is deliberately recomputed
-    rather than materializing a fact-sized intermediate) attaches by
+    """Both per-group stats tables (median, MAD — checkpoint-materialized,
+    so each is computed once, not once per reference) attach by
     broadcast; the fact rows are never shuffle-joined on event_type."""
     plan = _physical(qs["events_anomaly_mad"](spark, sf_dir))
-    assert len(re.findall(r"BroadcastExchange", plan)) == 3
+    assert len(re.findall(r"BroadcastExchange", plan)) == 2
     # the only hash exchanges are the tiny per-type aggregations
     assert all(
         "event_type" in l
@@ -341,3 +340,12 @@ def test_minhash_estimator_candidate_pairs_materialized(spark, sf_dir, qs):
     signature→banding pipeline runs once, not per reference."""
     plan = _physical(qs["docs_minhash_jaccard_estimate"](spark, sf_dir))
     assert len(re.findall(r"Scan ExistingRDD", plan)) >= 3
+
+
+def test_anomaly_mad_stats_tables_materialized(spark, sf_dir, qs):
+    """The per-type median/MAD tables are checkpoint-materialized: the
+    events table appears at most twice in the final plan (its two
+    inherent robust-stats passes), never once per downstream branch."""
+    plan = _physical(qs["events_anomaly_mad"](spark, sf_dir))
+    assert len(re.findall(r"Scan parquet|FileScan", plan)) <= 2
+    assert len(re.findall(r"Scan ExistingRDD", plan)) >= 2
