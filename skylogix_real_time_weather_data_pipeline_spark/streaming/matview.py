@@ -80,3 +80,66 @@ def maintain_daily_view(src: DataFrame, state_path: str, checkpoint_dir: str):
     )
     q.awaitTermination(300)
     return q
+
+
+def combine_term_stats(state: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Merge a batch's per-term partial stats (w, cf, df) into the stored
+    term-statistics view — the incremental maintenance of the BM25/TF-IDF
+    corpus statistics (collection frequency + document frequency), so
+    retrieval scoring stays current without ever re-tokenizing history.
+
+    Both measures are additive monoids PROVIDED each document arrives in
+    exactly one micro-batch (append-only corpus — re-delivered documents
+    would double-count df; dedup upstream with dropDuplicates on the id
+    within the watermark if the source can replay). The join is O(touched
+    terms + vocabulary), never O(corpus)."""
+    if state is None:
+        return delta
+    s = state.select(
+        "w", F.col("cf").alias("_cf"), F.col("df").alias("_df"),
+    )
+    return s.join(delta, ["w"], "full_outer").select(
+        "w",
+        (F.coalesce(F.col("_cf"), F.lit(0)) + F.coalesce(F.col("cf"), F.lit(0))).alias("cf"),
+        (F.coalesce(F.col("_df"), F.lit(0)) + F.coalesce(F.col("df"), F.lit(0))).alias("df"),
+    )
+
+
+def maintain_term_stats_view(src: DataFrame, state_path: str, checkpoint_dir: str,
+                             text_col: str = "text", id_col: str = "doc_id"):
+    """Incrementally maintain the (w, cf, df) term-statistics view over a
+    streaming documents frame with trigger(availableNow): each micro-batch
+    tokenizes ONLY its own documents, partial-aggregates per term, and
+    monoid-combines into the parquet view through a staging swap.
+    Equivalence with the one-shot batch aggregation over the full corpus
+    is pinned in tests/test_matview.py."""
+    from ..ext.text import tokens
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = (
+            batch_df.select(id_col, F.explode(tokens(text_col)).alias("w"))
+            .groupBy("w")
+            .agg(
+                F.count(F.lit(1)).alias("cf"),
+                F.count_distinct(F.col(id_col)).alias("df"),
+            )
+        )
+        state = (
+            spark.read.parquet(state_path) if os.path.exists(state_path) else None
+        )
+        merged = combine_term_stats(state, delta)
+        staging = f"{state_path}__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(state_path):
+            shutil.rmtree(state_path)
+        shutil.move(staging, state_path)
+
+    q = (
+        src.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q

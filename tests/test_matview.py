@@ -59,3 +59,50 @@ def test_incremental_view_equals_batch_aggregate(spark, tmp_path):
         assert abs(got[k][1] - want[k][1]) < 1e-9
     # the cross-batch combine actually happened
     assert got[("2024-03-01", "view")] == (2, 2.0)
+
+
+def test_incremental_term_stats_equals_batch(spark, tmp_path):
+    """The cf/df term-statistics view maintained over 3 micro-batches must
+    equal the one-shot batch aggregation over all documents, including
+    terms touched by several batches — and the BM25 idf derived from the
+    view must match the batch-derived idf."""
+    import math
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.text import tokens
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        maintain_term_stats_view,
+    )
+
+    schema = "doc_id long, text string"
+    batches = [
+        [{"doc_id": 1, "text": "spark join merge spark"}],
+        [{"doc_id": 2, "text": "merge table scan"},
+         {"doc_id": 3, "text": "spark spark window"}],
+        [{"doc_id": 4, "text": "join join window filter"}],
+    ]
+    src_dir, state, ckpt = tmp_path / "docs", str(tmp_path / "ts_view"), str(tmp_path / "ck")
+    for i, rows in enumerate(batches):
+        _write(src_dir, f"b{i}.json", rows)
+        time.sleep(0.3)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(str(src_dir))
+    )
+    maintain_term_stats_view(stream, state, ckpt)
+
+    got = {r.w: (r.cf, r.df) for r in spark.read.parquet(state).collect()}
+    batch = (
+        spark.read.json(str(src_dir), schema=schema)
+        .select("doc_id", F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cf"), F.count_distinct("doc_id").alias("df"))
+    )
+    want = {r.w: (r.cf, r.df) for r in batch.collect()}
+    assert got == want
+    assert got["spark"] == (4, 2)   # cross-batch cf AND df combined
+    assert got["join"] == (3, 2)
+    # BM25 idf from the maintained view == batch idf (N = 4 docs)
+    idf_view = math.log((4 - got["merge"][1] + 0.5) / (got["merge"][1] + 0.5) + 1)
+    idf_batch = math.log((4 - want["merge"][1] + 0.5) / (want["merge"][1] + 0.5) + 1)
+    assert idf_view == idf_batch
