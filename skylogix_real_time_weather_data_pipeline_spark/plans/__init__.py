@@ -22,13 +22,19 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface)
 #: post-latest-change (r1∪…∪r4), so the policy simplifies to: (tier 1)
 #: everything whose implementation or oracle changed THIS round — kept
 #: current in the same commit as each change; then stale-row refresh.
-#: Continuation-session audit: all 50 round-5-changed queries (20 new —
-#: incl. the retrieval stack bm25/rrf/mmr and the zipf diagnostic — + the
+#: Continuation-session audit: 50 round-5-changed queries (20 new — incl.
+#: the retrieval stack bm25/rrf/mmr and the zipf diagnostic — + the
 #: fixed-point fold sweep + the weather scale pinning + the minhash
-#: estimator guard + the tokenize-once checkpoint pair) fill the window
-#: exactly; no stale-refresh slots remain this round. Every entry below
-#: slot 50 is unchanged since its last driver-green row and re-verified
-#: in CORRECTNESS_LOCAL_r05.json.
+#: estimator guard + the tokenize-once/materialization fixes) fill the
+#: window exactly. ONE documented spill (r3 precedent — mechanical,
+#: locally hash-verified): weather_warmest_coldest's fmean1 conversion
+#: sits below slot 50; its changed code path (fmean1 single-sum fold) is
+#: identically exercised by the in-window weather_basic_stats /
+#: weather_city_comparison rows, and the query is hash-green in
+#: CORRECTNESS_LOCAL_r05.json. Its slot went to docs_ngram_jaccard_pairs
+#: (persist()-cached inverted index — the newest, least-proven change).
+#: Every other entry below slot 50 is unchanged since its last
+#: driver-green row and re-verified in CORRECTNESS_LOCAL_r05.json.
 _VERIFY_FIRST = (
     # --- tier 1: changed in round 5 ---
     "emb_pq_adc_topk",                 # NEW: PQ ADC top-k, unrolled per-subspace Lloyd oracle
@@ -55,7 +61,7 @@ _VERIFY_FIRST = (
     # value-identical — both folds exact — so only the fold cost changes):
     "weather_basic_stats",
     "weather_city_comparison",
-    "weather_warmest_coldest",
+    "docs_ngram_jaccard_pairs",        # persist()-cached inverted index (single evaluation)
     "weather_daily_city_agg",
     "weather_daily_pivot",
     "weather_temperature_trends",

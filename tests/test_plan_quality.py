@@ -349,3 +349,13 @@ def test_anomaly_mad_stats_tables_materialized(spark, sf_dir, qs):
     plan = _physical(qs["events_anomaly_mad"](spark, sf_dir))
     assert len(re.findall(r"Scan parquet|FileScan", plan)) <= 2
     assert len(re.findall(r"Scan ExistingRDD", plan)) >= 2
+
+
+def test_ngram_index_cached_single_evaluation(spark, sf_dir, qs):
+    """The capped inverted index and the per-doc size table are
+    persist()-cached: the intersection branch and both output join sides
+    must read InMemoryTableScan, so the tokenize→shingle→groupBy pipeline
+    executes once, not once per reference (probed uncached: 3 corpus
+    scans, 9 shuffles)."""
+    plan = _physical(qs["docs_ngram_jaccard_pairs"](spark, sf_dir))
+    assert len(re.findall(r"InMemoryTableScan|TableCacheQueryStage", plan)) >= 3
