@@ -812,6 +812,56 @@ def bm25_topk(df: DataFrame, query_terms: Sequence[str], k: int = 10,
     )
 
 
+def bm25_topk_from_stats(df: DataFrame, stats: DataFrame, n_docs: int,
+                         avgdl: float, query_terms: Sequence[str], k: int = 10,
+                         k1: float = 1.2, b: float = 0.75,
+                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BM25 scoring against PRECOMPUTED corpus statistics — the production
+    split: term df comes from a maintained (w, cf, df) view (see
+    streaming/matview.maintain_term_stats_view) and N/avgdl from stored
+    corpus counters, so scoring never re-aggregates the corpus. With the
+    view current, results equal :func:`bm25_topk` recomputed from scratch
+    (pinned in tests/test_matview.py).
+
+    Plan: one term-filtered postings pass over the documents (same early
+    zero-match filter as bm25_topk) joined to the BROADCAST per-term df
+    rows — the only corpus-wide work is the scoring scan itself.
+    """
+    from ..functions.exact import fsum
+
+    terms = sorted(set(query_terms))
+    qarr = F.array(*[F.lit(t) for t in terms])
+    base = repartition_for_compute(df, id_col)
+    tf = (
+        base.select(
+            id_col,
+            F.size(tokens(text_col)).alias("dl"),
+            F.filter(tokens(text_col), lambda t: F.array_contains(qarr, t)).alias("qt"),
+        )
+        .filter(F.size("qt") > 0)
+        .select(id_col, "dl", F.explode("qt").alias("w"))
+        .groupBy(id_col, "dl", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = stats.filter(F.col("w").isin(terms)).select("w", "df")
+    idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    term_score = idf * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl))))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "w")
+        .select(id_col, term_score.alias("ts"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.round(fsum("ts", 6), 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def zipf_fit(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              top_terms: int = 100) -> DataFrame:
     """Zipf-law diagnostic: least-squares slope of ln(frequency) vs

@@ -899,3 +899,22 @@ def test_zipf_fit_recovers_planted_power_law(spark):
     # intercept ≈ ln(1000)
     import math
     assert abs(out.intercept - math.log(1000)) < 0.05
+
+
+def test_mmr_lambda_one_reduces_to_relevance_topk(spark):
+    """λ=1 removes the redundancy penalty entirely: MMR must degenerate to
+    the plain relevance ranking (rel desc, id asc) — the boundary that
+    pins the integer-unit recurrence against sign/scale mistakes."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.similarity import mmr_rerank
+
+    rows = [(0, [1.0, 0.0, 0.0])]
+    for i in range(1, 8):
+        rows.append((i, [1.0, 0.05 * i, 0.01 * i]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = mmr_rerank(df, query_id=0, k=5, shortlist=7, lam=1.0)
+    rows_out = out.orderBy("mmr_rank").collect()
+    rels = [r.relevance for r in rows_out]
+    assert rels == sorted(rels, reverse=True)
+    # mmr_score must equal λ·relevance exactly in integer units
+    for r in rows_out:
+        assert abs(r.mmr_score - round(r.relevance * 1e6) * 1000 / 1e9) < 1e-12

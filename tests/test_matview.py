@@ -106,3 +106,53 @@ def test_incremental_term_stats_equals_batch(spark, tmp_path):
     idf_view = math.log((4 - got["merge"][1] + 0.5) / (got["merge"][1] + 0.5) + 1)
     idf_batch = math.log((4 - want["merge"][1] + 0.5) / (want["merge"][1] + 0.5) + 1)
     assert idf_view == idf_batch
+
+
+def test_bm25_from_maintained_stats_equals_recompute(spark, tmp_path):
+    """Production split: BM25 scored against the incrementally maintained
+    term-stats view + stored N/avgdl must equal bm25_topk recomputing
+    everything from the corpus."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.text import (
+        bm25_topk,
+        bm25_topk_from_stats,
+        tokens,
+    )
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        maintain_term_stats_view,
+    )
+
+    schema = "doc_id long, text string"
+    batches = [
+        [{"doc_id": 1, "text": "spark join merge spark spark"},
+         {"doc_id": 2, "text": "merge table scan join"}],
+        [{"doc_id": 3, "text": "spark window filter"},
+         {"doc_id": 4, "text": "join join window the filter scan"}],
+    ]
+    src_dir, state, ckpt = tmp_path / "docs", str(tmp_path / "view"), str(tmp_path / "ck")
+    for i, rows in enumerate(batches):
+        _write(src_dir, f"b{i}.json", rows)
+        time.sleep(0.3)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(str(src_dir))
+    )
+    maintain_term_stats_view(stream, state, ckpt)
+
+    docs = spark.read.json(str(src_dir), schema=schema)
+    # stored corpus counters, derived the same way the scoring scan would
+    n_docs = docs.count()
+    total_dl = docs.select(F.sum(F.size(tokens("text"))).alias("s")).collect()[0].s
+    avgdl = total_dl / n_docs  # long/long → the same IEEE double as in-plan
+
+    stats = spark.read.parquet(state)
+    terms = ["spark", "join"]
+    got = [
+        (r.doc_id, r.n_terms_matched, r.bm25)
+        for r in bm25_topk_from_stats(docs, stats, n_docs, avgdl, terms, k=10).collect()
+    ]
+    want = [
+        (r.doc_id, r.n_terms_matched, r.bm25)
+        for r in bm25_topk(docs, terms, k=10).collect()
+    ]
+    assert got == want
+    assert len(got) == 4  # every doc matches at least one query term
