@@ -45,6 +45,8 @@ _STABILITY_QUERIES = [
     "docs_bm25_topk",
     "docs_hybrid_rrf",
     "emb_mmr_rerank",
+    "docs_zipf_fit",
+    "events_anomaly_mad",
 ]
 
 
