@@ -406,7 +406,14 @@ def temperature_mixture(df: DataFrame, alpha: float = 0.5, budget_frac: float = 
     """
     from .dedup import _md5_long
 
-    counts = df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    # The O(langs) counts table feeds the totals scalar, the conf table,
+    # and (via conf) the final join — Spark re-evaluates a shared subtree
+    # once per reference, so uncached the corpus groupBy scan ran ~4×
+    # (plan-probed). persist() (lazy — pipelines into the first action)
+    # collapses that to ONE corpus scan for all stats branches; the
+    # selection pass over df is the only other scan, the two-pass minimum
+    # for a data-derived-rate sampler.
+    counts = df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("n_docs")).persist()
     w = F.round(F.pow("n_docs", F.lit(alpha)), 6)
     weights = counts.select(lang_col, "n_docs", w.alias("w"))
     totals = weights.agg(

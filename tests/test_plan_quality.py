@@ -359,3 +359,19 @@ def test_ngram_index_cached_single_evaluation(spark, sf_dir, qs):
     scans, 9 shuffles)."""
     plan = _physical(qs["docs_ngram_jaccard_pairs"](spark, sf_dir))
     assert len(re.findall(r"InMemoryTableScan|TableCacheQueryStage", plan)) >= 3
+
+
+def test_temperature_mixture_counts_cached_two_pass(spark, sf_dir, qs):
+    """The O(langs) counts table is persist()-cached: the totals scalar,
+    conf table, and final join all read the cache, so the corpus groupBy
+    runs once and only the selection pass re-reads documents — the
+    two-pass minimum for a data-derived-rate sampler (probed uncached:
+    4 corpus scans)."""
+    plan = _physical(qs["docs_temperature_mixture"](spark, sf_dir))
+    assert len(re.findall(r"InMemoryTableScan|TableCacheQueryStage", plan)) >= 3
+    # documents feeds the cache fill once + the selection pass once; the
+    # remaining static scans in toString() are the cached subtree's own
+    # definition repeated per InMemoryTableScan reference (not executed)
+    mem = len(re.findall(r"InMemoryTableScan|TableCacheQueryStage", plan))
+    scans = len(re.findall(r"Scan parquet|FileScan", plan))
+    assert scans - mem <= 2
