@@ -379,6 +379,66 @@ def dup_chunk_ratio(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def remove_dup_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      chunk_tokens: int = 10) -> DataFrame:
+    """Corpus-level duplicate-span REMOVAL (the C4 "discard duplicated
+    spans, keep one occurrence" rewrite — C4 removes repeated
+    three-sentence spans; here the span unit is the same non-overlapping
+    ``chunk_tokens`` window :func:`dup_chunk_ratio` flags, which the
+    synthetic corpus's paragraph-free text calls for).
+
+    Keep-FIRST semantics: for every chunk hash the single occurrence with
+    the smallest (doc_id, start) survives; all later occurrences —
+    across documents AND within one — are dropped, and each document is
+    reassembled from its surviving chunks in original order. An exact
+    duplicate document therefore collapses to empty text while the first
+    copy is untouched.
+
+    Plan: one narrow pass chunks + hashes; ONE window row_number over the
+    chunk hash picks survivors (content-hash distributed — the only
+    corpus-moving shuffle, inherent to any global keep-one rewrite); one
+    groupBy(doc) re-concatenates. The chunk text rides the hash shuffle
+    because the rewrite needs it back — flags-only variants re-scan the
+    corpus to re-attach text and cost strictly more. Output:
+    (doc_id, n_chunks, n_removed, clean_text).
+    """
+    from pyspark.sql import Window
+
+    from .text import tokens
+
+    toks = tokens(F.col(text_col))
+    n_chunks = F.greatest(F.ceil(F.size(toks) / chunk_tokens), F.lit(1)).cast("int")
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * chunk_tokens, F.lit(chunk_tokens))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("s"),
+            F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)).alias("ct"),
+        ),
+    )
+    exploded = df.select(id_col, F.explode(chunks).alias("c")).select(
+        id_col,
+        F.col("c.s").alias("s"),
+        F.col("c.ct").alias("ct"),
+        F.md5(F.col("c.ct")).alias("h"),
+    )
+    # (doc_id, s) is unique per row, so the order is total — no ties, the
+    # survivor set is deterministic on both engines
+    rn = F.row_number().over(Window.partitionBy("h").orderBy(id_col, "s"))
+    flagged = exploded.select(id_col, "s", "ct", (rn == 1).cast("int").alias("keep"))
+    # when() without otherwise() yields NULL for dropped chunks and
+    # collect_list skips NULLs — only survivors are reassembled
+    kept = F.when(F.col("keep") == 1, F.struct(F.col("s"), F.col("ct")))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        (F.count(F.lit(1)) - F.sum("keep")).cast("long").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(F.array_sort(F.collect_list(kept)), lambda x: x["ct"]),
+        ).alias("clean_text"),
+    )
+
+
 def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
                          id_col: str = "doc_id", max_iterations: int = 20) -> DataFrame:
     """Cluster assignment over near-dup candidate pairs: connected

@@ -685,6 +685,153 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def winnowing_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 4, w: int = 5) -> DataFrame:
+    """True winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS scheme; :func:`fingerprint` is the cheaper
+    mod-p "0-prefix" sampler, this is the guaranteed-coverage one): hash
+    every k-token gram, then from every window of ``w`` consecutive
+    k-grams record the minimum hash. Guarantee: any shared substring of
+    ≥ w+k-1 tokens yields at least one shared fingerprint; expected
+    density 2/(w+1).
+
+    ENTIRELY narrow — per-doc windows are array slices over the k-gram
+    array (O(n·w) compute, w is small), so there is no shuffle at all
+    before the output projection; at 100 TB this is a pure map stage.
+    The selection key is the fixed-width string ``15-hex-md5 | zero-padded
+    position`` so a plain string MIN is the (hash, leftmost-position)
+    argmin — deterministic tie-break, bit-identical in ANSI SQL. Returns
+    per doc: n_kgrams, n_windows, n_fingerprints (distinct selected),
+    density, min/max fingerprint keys.
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_kg = F.greatest(n_tok - F.lit(k - 1), F.lit(0))
+    # guard: sequence(1, 0) would DESCEND in Spark — emit [] for short docs
+    kgrams = F.when(
+        n_kg >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_kg),
+            lambda i: F.concat(
+                F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 15),
+                F.lit("|"),
+                F.lpad((i - 1).cast("string"), 10, "0"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_kg = df.select(id_col, n_kg.alias("n_kg"), kgrams.alias("kg"))
+    n_win = F.greatest(F.col("n_kg") - F.lit(w - 1), F.lit(0))
+    wins = F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda j: F.array_min(F.slice(F.col("kg"), j, w)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sel = with_kg.select(
+        id_col,
+        F.col("n_kg").cast("long").alias("n_kgrams"),
+        n_win.cast("long").alias("n_windows"),
+        F.array_distinct(wins).alias("fps"),
+    )
+    return sel.select(
+        id_col,
+        "n_kgrams",
+        "n_windows",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.when(
+            F.col("n_windows") > 0, F.round(F.size("fps") / F.col("n_windows"), 6)
+        ).alias("density"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                   lam: float = 0.5, min_logprob: float = -9.0) -> DataFrame:
+    """Interpolated bigram-LM mean log-probability — the KenLM-style
+    upgrade of :func:`unigram_logprob`: score each transition with
+    ln(λ·P(w|prev) + (1−λ)·P(w)), probabilities from corpus-wide counts
+    (P(w|prev) = c(prev,w)/c(prev,·), P(w) = cf/N). Repetitive boilerplate
+    scores HIGH (its transitions dominate the corpus), incoherent word
+    salad scores low — the classic cheap perplexity proxy.
+
+    ONE corpus scan: a narrow per-doc pass emits (prev, w) transition
+    structs — the first token gets a NULL-prev sentinel so every token
+    occurs exactly once as ``w`` — folded to a per-doc transition tf
+    table which is persist()-cached; unigram counts, bigram counts,
+    prefix totals, and the scoring join are ALL derived from that cache
+    (mirrors unigram_logprob's tokenize-once posture; λ=0.5 is exact in
+    binary so the interpolation adds no float-parity hazard beyond the
+    ln both engines already share). fsum-quantized fold, order-
+    independent. Returns (doc_id, n_bigrams, avg_logprob, keep).
+    """
+    from ..functions.exact import fsum
+
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    empty = F.array().cast("array<struct<prev:string,w:string>>")
+    sentinel = F.array(
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.element_at(toks, 1).alias("w"),
+        )
+    )
+    rest = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(2), n_tok),
+            lambda i: F.struct(
+                F.element_at(toks, i - 1).alias("prev"),
+                F.element_at(toks, i).alias("w"),
+            ),
+        ),
+    ).otherwise(empty)
+    pairs = F.when(n_tok >= 1, F.concat(sentinel, rest)).otherwise(empty)
+    t = (
+        df.select(id_col, F.explode(pairs).alias("p"))
+        .select(id_col, "p.prev", "p.w")
+        .groupBy(id_col, "prev", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    uni = t.groupBy("w").agg(F.sum("tf").alias("cf"))
+    n_total = uni.agg(F.sum("cf").alias("n_total"))
+    tb = t.filter(F.col("prev").isNotNull())
+    bc = tb.groupBy("prev", "w").agg(F.sum("tf").alias("bc"))
+    pc = bc.groupBy("prev").agg(F.sum("bc").alias("pc"))
+    scored = (
+        tb.join(bc, ["prev", "w"])
+        .join(pc, "prev")
+        .join(uni, "w")
+        .crossJoin(F.broadcast(n_total))  # 1-row scalar
+        .select(
+            id_col,
+            "tf",
+            (
+                F.col("tf")
+                * F.log(
+                    F.lit(lam) * F.col("bc") / F.col("pc")
+                    + F.lit(1.0 - lam) * F.col("cf") / F.col("n_total")
+                )
+            ).alias("wlp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            (fsum("wlp", 6) / F.sum("tf")).alias("_avg"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round("_avg", 6).alias("avg_logprob"),
+            (F.col("_avg") >= min_logprob).alias("keep"),
+        )
+    )
+
+
 def token_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   min_entropy: float = 1.5) -> DataFrame:
     """Per-document token-distribution Shannon entropy — the vocabulary-

@@ -35,8 +35,24 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface)
 #: (persist()-cached inverted index — the newest, least-proven change).
 #: Every other entry below slot 50 is unchanged since its last
 #: driver-green row and re-verified in CORRECTNESS_LOCAL_r05.json.
+#:
+#: Second continuation session: +3 NEW queries (remove_dup_chunks,
+#: winnowing, bigram_logprob) and the temperature_mixture persist()
+#: change take the top 4 slots. Four more documented spills (same
+#: covered-path rule, all hash-green in the refreshed
+#: CORRECTNESS_LOCAL_r05.json): weather_daily_pivot (fmean1 path ==
+#: in-window basic_stats/city_comparison/daily_city_agg),
+#: rel_promo_revenue (fsum ratio-gate path == in-window
+#: rel_market_share), stream_sliding_6h (streaming weighted-sum path ==
+#: in-window stream_tumbling_daily), rel_salted_join (plain fsum
+#: group-sum path == in-window rel_supplier_value; salting invariance is
+#: separately plan-pinned and its oracle IS the plain join).
 _VERIFY_FIRST = (
     # --- tier 1: changed in round 5 ---
+    "docs_remove_dup_chunks",          # NEW: C4-style keep-first span removal rewrite
+    "docs_winnowing",                  # NEW: Schleimer et al. window-min fingerprints
+    "docs_bigram_logprob",             # NEW: interpolated bigram-LM quality proxy
+    "docs_temperature_mixture",        # counts table persist()-cached (two-pass plan)
     "emb_pq_adc_topk",                 # NEW: PQ ADC top-k, unrolled per-subspace Lloyd oracle
     "emb_ivfpq_topk",                  # NEW: IVF cell pruning over PQ codes
     "emb_pq_recall",                   # NEW: exact-L2 vs PQ-ADC recall@k eval
@@ -63,7 +79,6 @@ _VERIFY_FIRST = (
     "weather_city_comparison",
     "docs_ngram_jaccard_pairs",        # persist()-cached inverted index (single evaluation)
     "weather_daily_city_agg",
-    "weather_daily_pivot",
     "weather_temperature_trends",
     "weather_humidity_decile_agg",
     "weather_seasonal_anomaly",
@@ -74,15 +89,12 @@ _VERIFY_FIRST = (
     "rel_rolling_revenue",
     "rel_running_order_total",
     "rel_market_share",
-    "rel_promo_revenue",
     "stream_window_topk",
     "events_props_stats",
     "events_props_variant",
     "stream_tumbling_daily",
-    "stream_sliding_6h",
     "stream_sessionize",
     "stream_range_join_windows",
-    "rel_salted_join",
     "rel_supplier_value",
     "rel_lost_customers",
     "rel_volume_shipping",

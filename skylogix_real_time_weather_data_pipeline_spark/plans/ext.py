@@ -1314,6 +1314,128 @@ FROM flagged GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# C4-style duplicate-span removal (keep-first corpus rewrite)
+# --------------------------------------------------------------------------
+
+
+def q_remove_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.remove_dup_chunks(_docs(spark, sf_dir), chunk_tokens=_DUPCHUNK_TOKENS)
+
+
+O_REMOVE_DUP_CHUNKS = TOK_CTE + f"""
+, par AS (
+  SELECT doc_id, tk, greatest(CAST(ceil(len(tk) / {_DUPCHUNK_TOKENS}.0) AS BIGINT), 1) AS n_chunks
+  FROM toks
+), ch AS (
+  SELECT doc_id, s,
+         array_to_string(list_slice(tk, s + 1, s + {_DUPCHUNK_TOKENS}), ' ') AS ct
+  FROM (SELECT doc_id, tk, unnest(range(0, n_chunks * {_DUPCHUNK_TOKENS}, {_DUPCHUNK_TOKENS})) AS s FROM par)
+), flagged AS (
+  SELECT doc_id, s, ct,
+         CASE WHEN row_number() OVER (PARTITION BY md5(ct) ORDER BY doc_id, s) = 1
+              THEN 1 ELSE 0 END AS keep
+  FROM ch
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(list(ct ORDER BY s) FILTER (WHERE keep = 1), ' '), '') AS clean_text
+FROM flagged GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. 2003 window-min selection)
+# --------------------------------------------------------------------------
+
+_WINNOW_K = 4
+_WINNOW_W = 5
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.winnowing_stats(_docs(spark, sf_dir), k=_WINNOW_K, w=_WINNOW_W)
+
+
+O_WINNOWING = TOK_CTE + f"""
+, kg AS (
+  SELECT doc_id,
+         greatest(len(tk) - {_WINNOW_K - 1}, 0) AS n_kg,
+         CASE WHEN len(tk) >= {_WINNOW_K}
+              THEN list_transform(
+                     range(1, len(tk) - {_WINNOW_K - 1} + 1),
+                     i -> concat(substr(md5(array_to_string(list_slice(tk, i, i + {_WINNOW_K - 1}), ' ')), 1, 15),
+                                 '|', lpad(CAST(i - 1 AS VARCHAR), 10, '0')))
+              ELSE [] END AS kgs
+  FROM toks
+), sel AS (
+  SELECT doc_id, n_kg,
+         greatest(n_kg - {_WINNOW_W - 1}, 0) AS n_win,
+         CASE WHEN n_kg >= {_WINNOW_W}
+              THEN list_distinct(list_transform(
+                     range(1, n_kg - {_WINNOW_W - 1} + 1),
+                     j -> list_min(list_slice(kgs, j, j + {_WINNOW_W - 1}))))
+              ELSE [] END AS fps
+  FROM kg
+)
+SELECT doc_id,
+       CAST(n_kg AS BIGINT) AS n_kgrams,
+       CAST(n_win AS BIGINT) AS n_windows,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       CASE WHEN n_win > 0 THEN ROUND(len(fps) / n_win, 6) END AS density,
+       list_min(fps) AS min_fp,
+       list_max(fps) AS max_fp
+FROM sel
+"""
+
+
+# --------------------------------------------------------------------------
+# Interpolated bigram-LM mean log-probability (KenLM-style quality proxy)
+# --------------------------------------------------------------------------
+
+_BIGRAM_LAMBDA = 0.5
+_BIGRAM_MIN = -9.0
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bigram_logprob(
+        _docs(spark, sf_dir), lam=_BIGRAM_LAMBDA, min_logprob=_BIGRAM_MIN
+    )
+
+
+O_BIGRAM_LOGPROB = TOK_CTE + f"""
+, pr AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 2
+              THEN list_concat(
+                     [struct_pack(prev := CAST(NULL AS VARCHAR), w := tk[1])],
+                     list_transform(range(2, len(tk) + 1),
+                                    i -> struct_pack(prev := tk[i - 1], w := tk[i])))
+              WHEN len(tk) = 1 THEN [struct_pack(prev := CAST(NULL AS VARCHAR), w := tk[1])]
+              ELSE [] END AS ps
+  FROM toks
+), t AS (
+  SELECT doc_id, p.prev AS prev, p.w AS w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(ps) AS p FROM pr) GROUP BY 1, 2, 3
+), uni AS (SELECT w, SUM(tf) AS cf FROM t GROUP BY w),
+tot AS (SELECT SUM(cf) AS n_total FROM uni),
+tb AS (SELECT * FROM t WHERE prev IS NOT NULL),
+bc AS (SELECT prev, w, SUM(tf) AS bct FROM tb GROUP BY 1, 2),
+pc AS (SELECT prev, SUM(bct) AS pct FROM bc GROUP BY 1),
+sc AS (
+  SELECT tb.doc_id, tb.tf,
+         tb.tf * ln({_BIGRAM_LAMBDA} * bc.bct / pc.pct
+                    + {1.0 - _BIGRAM_LAMBDA} * uni.cf / tot.n_total) AS wlp
+  FROM tb JOIN bc USING (prev, w) JOIN pc USING (prev) JOIN uni USING (w), tot
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       ROUND({sql_fsum('wlp', 6)} / SUM(tf), 6) AS avg_logprob,
+       ({sql_fsum('wlp', 6)} / SUM(tf)) >= {_BIGRAM_MIN} AS keep
+FROM sc GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Unigram-LM mean log-probability (perplexity-proxy quality score)
 # --------------------------------------------------------------------------
 
@@ -2290,6 +2412,9 @@ QUERIES = {
     "emb_hamming_topk": q_hamming_topk,
     "emb_quantized_recall": q_quantized_recall,
     "docs_dup_chunk_ratio": q_dup_chunk_ratio,
+    "docs_remove_dup_chunks": q_remove_dup_chunks,
+    "docs_winnowing": q_winnowing,
+    "docs_bigram_logprob": q_bigram_logprob,
     "docs_unigram_logprob": q_unigram_logprob,
     "docs_token_entropy": q_token_entropy,
     "docs_bm25_topk": q_bm25_topk,
@@ -2351,6 +2476,9 @@ ORACLES = {
     "emb_hamming_topk": O_HAMMING_TOPK,
     "emb_quantized_recall": O_QUANTIZED_RECALL,
     "docs_dup_chunk_ratio": O_DUP_CHUNK_RATIO,
+    "docs_remove_dup_chunks": O_REMOVE_DUP_CHUNKS,
+    "docs_winnowing": O_WINNOWING,
+    "docs_bigram_logprob": O_BIGRAM_LOGPROB,
     "docs_unigram_logprob": O_UNIGRAM_LOGPROB,
     "docs_token_entropy": O_TOKEN_ENTROPY,
     "docs_bm25_topk": O_BM25_TOPK,

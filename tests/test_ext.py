@@ -596,6 +596,73 @@ def test_dup_chunk_ratio_model(spark):
     assert out[3].n_dup_chunks == 0 and out[3].keep
 
 
+def test_remove_dup_chunks_keep_first_rewrite(spark):
+    """C4-style span removal: the first occurrence (by doc_id, start)
+    survives, later ones — cross-doc and exact-duplicate docs — are cut,
+    and surviving chunks reassemble in original order."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import remove_dup_chunks
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),      # chunks: 'a b c', 'x y z' — both first
+            (2, "a b c q r s"),      # 'a b c' is a repeat; 'q r s' unique
+            (3, "a b c x y z"),      # exact duplicate of doc 1 → empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_dup_chunks(df, chunk_tokens=3).collect()}
+    assert out[1].n_removed == 0 and out[1].clean_text == "a b c x y z"
+    assert out[2].n_removed == 1 and out[2].clean_text == "q r s"
+    assert out[3].n_removed == 2 and out[3].clean_text == ""
+    assert all(out[d].n_chunks == 2 for d in (1, 2, 3))
+
+
+def test_winnowing_invariants_and_identical_docs(spark):
+    """Winnowing structural guarantees: n_kgrams = n−k+1, windows =
+    kgrams−w+1, and each fingerprint covers ≤ w windows so
+    n_fingerprints ≥ ceil(windows/w); identical text gives identical
+    fingerprint stats; sub-k docs degrade to zero counts, not a crash."""
+    import math
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.text import winnowing_stats
+
+    words = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, words), (2, words), (3, "a b")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in winnowing_stats(df, k=4, w=5).collect()}
+    assert out[1].n_kgrams == 17 and out[1].n_windows == 13
+    assert out[1].n_fingerprints >= math.ceil(13 / 5)
+    assert out[1].n_fingerprints <= out[1].n_windows
+    assert (out[1].min_fp, out[1].max_fp, out[1].n_fingerprints) == (
+        out[2].min_fp, out[2].max_fp, out[2].n_fingerprints
+    )
+    assert out[3].n_kgrams == 0 and out[3].n_fingerprints == 0
+    assert out[3].density is None
+
+
+def test_bigram_logprob_closed_form(spark):
+    """Interpolated bigram scores match the closed-form model and rank a
+    corpus-typical transition pattern above a one-off."""
+    import math
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b")], "doc_id long, text string"
+    )
+    # cf: a=4 b=3, N=7; bc: (a,b)=3 (b,a)=2; pc: a=3 b=2
+    p_ab = math.log(0.5 * 3 / 3 + 0.5 * 3 / 7)
+    p_ba = math.log(0.5 * 2 / 2 + 0.5 * 4 / 7)
+    out = {r.doc_id: r for r in bigram_logprob(df, lam=0.5, min_logprob=-0.3).collect()}
+    assert out[1].n_bigrams == 4 and out[2].n_bigrams == 1
+    assert abs(out[1].avg_logprob - round((2 * p_ab + 2 * p_ba) / 4, 6)) < 2e-6
+    assert abs(out[2].avg_logprob - round(p_ab, 6)) < 2e-6
+    assert out[1].avg_logprob > out[2].avg_logprob
+    assert out[1].keep and not out[2].keep
+
+
 def test_unigram_logprob_orders_common_above_rare(spark):
     """A doc of corpus-frequent words must out-score a doc of hapaxes, and
     the mean log-prob matches the closed-form unigram model."""

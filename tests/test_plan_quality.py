@@ -361,6 +361,37 @@ def test_ngram_index_cached_single_evaluation(spark, sf_dir, qs):
     assert len(re.findall(r"InMemoryTableScan|TableCacheQueryStage", plan)) >= 3
 
 
+def test_remove_dup_chunks_one_scan_two_shuffles(spark, sf_dir, qs):
+    """The C4-style rewrite is one narrow chunk+hash pass, one window over
+    the chunk hash, one groupBy(doc) reassembly — 1 scan, 2 shuffles; the
+    chunk text rides the hash shuffle by design (flags-only variants
+    re-scan to re-attach text)."""
+    plan = _physical(qs["docs_remove_dup_chunks"](spark, sf_dir))
+    assert len(re.findall(r"Scan parquet|FileScan", plan)) == 1
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+
+def test_winnowing_is_zero_shuffle_pure_map(spark, sf_dir, qs):
+    """Winnowing selects window-min fingerprints with per-doc array
+    slices: one scan, NO exchange of any kind — at scale it is a pure
+    map stage."""
+    plan = _physical(qs["docs_winnowing"](spark, sf_dir))
+    assert len(re.findall(r"Scan parquet|FileScan", plan)) == 1
+    assert "Exchange" not in plan
+
+
+def test_bigram_logprob_tokenizes_once(spark, sf_dir, qs):
+    """The per-doc transition tf table is persist()-cached and unigram/
+    bigram/prefix counts plus the scoring join all derive from it: every
+    parquet-scan string in the plan sits inside a cached-subtree
+    definition, so the corpus is tokenized exactly once (cache fill)."""
+    plan = _physical(qs["docs_bigram_logprob"](spark, sf_dir))
+    mem = len(re.findall(r"InMemoryTableScan|TableCacheQueryStage", plan))
+    scans = len(re.findall(r"Scan parquet|FileScan", plan))
+    assert mem >= 3
+    assert scans <= mem
+
+
 def test_temperature_mixture_counts_cached_two_pass(spark, sf_dir, qs):
     """The O(langs) counts table is persist()-cached: the totals scalar,
     conf table, and final join all read the cache, so the corpus groupBy
