@@ -59,6 +59,8 @@ EXTENDED = [
     "events_anomaly_mad",
     "docs_bm25_topk",
     "docs_hybrid_rrf",
+    "docs_remove_dup_chunks",
+    "docs_winnowing",
 ]
 
 

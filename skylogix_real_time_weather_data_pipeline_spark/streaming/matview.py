@@ -143,3 +143,113 @@ def maintain_term_stats_view(src: DataFrame, state_path: str, checkpoint_dir: st
     )
     q.awaitTermination(300)
     return q
+
+
+def _nearest_cell(vec_col: str, centroids: list[list[float]]):
+    """Argmin-of-squared-L2 cell id against a literal centroid table —
+    same strict fold + lexicographic struct-min tie-break as
+    ``ext.similarity.kmeans_assign`` so online assignment is bit-identical
+    to the batch path."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(scored)["c"]
+
+
+def combine_cell_stats(state: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Merge a batch's per-cell partial stats (cell, n_vecs, sums) into the
+    stored IVF cell-statistics view. n_vecs is an additive monoid; the
+    per-component vector sums combine element-wise (zip_with add) — so
+    cell balance and the running mean (sums/n_vecs, i.e. centroid DRIFT
+    vs the frozen codebook) stay current without rescanning vectors.
+    O(touched cells + ncells) per combine, never O(corpus)."""
+    if state is None:
+        return delta
+    s = state.select(
+        "cell", F.col("n_vecs").alias("_n"), F.col("sums").alias("_s"),
+    )
+    return s.join(delta, ["cell"], "full_outer").select(
+        "cell",
+        (F.coalesce(F.col("_n"), F.lit(0)) + F.coalesce(F.col("n_vecs"), F.lit(0))).alias("n_vecs"),
+        F.when(F.col("_s").isNull(), F.col("sums"))
+        .when(F.col("sums").isNull(), F.col("_s"))
+        .otherwise(F.zip_with(F.col("_s"), F.col("sums"), lambda a, b: a + b))
+        .alias("sums"),
+    )
+
+
+def maintain_ivf_cell_view(src: DataFrame, centroids: list[list[float]],
+                           state_path: str, assignments_path: str,
+                           checkpoint_dir: str, vec_col: str = "embedding",
+                           id_col: str = "vec_id"):
+    """Incrementally maintain an IVF index over a streaming vector frame —
+    the production ANN split: centroids are trained OFFLINE (frozen
+    codebook passed in), arriving vectors are assigned ONLINE. Each
+    micro-batch (trigger availableNow):
+
+    - assigns its own vectors to the nearest centroid (narrow
+      O(batch·k·dim) expression compute, nothing collected),
+    - APPENDS (id, cell) rows to the assignment table — the posting-list
+      side of the index that ``ivf_topk``-style probes read,
+    - partial-aggregates per-cell (count, component sums) and
+      monoid-combines into the cell-statistics view through a staging
+      swap — the balance/drift side that tells you when to retrain.
+
+    Equivalence with one-shot batch assignment + aggregation is pinned in
+    tests/test_matview.py. Append-only source assumed, as with
+    ``maintain_term_stats_view`` (replayed ids would duplicate postings)."""
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        assigned = batch_df.select(
+            id_col, F.col(vec_col), _nearest_cell(vec_col, centroids).alias("cell")
+        )
+        assigned.select(id_col, "cell").write.mode("append").parquet(assignments_path)
+        delta = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum(F.col("v").cast("double")).alias("s"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda x: x["s"]
+                ).alias("sums")
+            )
+            .join(
+                assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs")),
+                "cell",
+            )
+            .select("cell", "n_vecs", "sums")
+        )
+        state = (
+            spark.read.parquet(state_path) if os.path.exists(state_path) else None
+        )
+        merged = combine_cell_stats(state, delta)
+        staging = f"{state_path}__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(state_path):
+            shutil.rmtree(state_path)
+        shutil.move(staging, state_path)
+
+    q = (
+        src.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q

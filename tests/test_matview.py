@@ -156,3 +156,58 @@ def test_bm25_from_maintained_stats_equals_recompute(spark, tmp_path):
     ]
     assert got == want
     assert len(got) == 4  # every doc matches at least one query term
+
+
+def test_incremental_ivf_cell_view_equals_batch(spark, tmp_path):
+    """The IVF assignment table and cell-statistics view maintained over 2
+    micro-batches (frozen codebook, online assignment) must equal the
+    one-shot batch assignment + aggregation, including cells touched by
+    both batches — and the running mean sums/n_vecs exposes centroid
+    drift vs the codebook."""
+    import json as _json
+
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        _nearest_cell,
+        maintain_ivf_cell_view,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    b1 = [{"vec_id": 1, "embedding": [0.0, 1.0]},
+          {"vec_id": 2, "embedding": [9.0, 10.0]}]
+    b2 = [{"vec_id": 3, "embedding": [1.0, 1.0]},
+          {"vec_id": 4, "embedding": [10.0, 9.0]},
+          {"vec_id": 5, "embedding": [0.0, 0.0]}]
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+
+    src_dir = tmp_path / "vecs"
+    _write(src_dir, "b1.json", b1)
+    time.sleep(1.1)
+    _write(src_dir, "b2.json", b2)
+
+    state = str(tmp_path / "cells")
+    assigns = str(tmp_path / "assigns")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(str(src_dir))
+    )
+    maintain_ivf_cell_view(stream, cents, state, assigns, str(tmp_path / "ck"))
+
+    got_assign = {
+        r.vec_id: r.cell for r in spark.read.parquet(assigns).collect()
+    }
+    batch = spark.read.json(str(src_dir), schema=schema)
+    want_assign = {
+        r.vec_id: r.cell
+        for r in batch.select(
+            "vec_id", _nearest_cell("embedding", cents).alias("cell")
+        ).collect()
+    }
+    assert got_assign == want_assign == {1: 0, 2: 1, 3: 0, 4: 1, 5: 0}
+
+    got = {r.cell: (r.n_vecs, list(r.sums)) for r in spark.read.parquet(state).collect()}
+    assert got[0][0] == 3 and got[1][0] == 2
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got[0][1], [1.0, 2.0]))
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got[1][1], [19.0, 19.0]))
+    # drift: cell 0's running mean has moved off the frozen centroid
+    mean0 = [s / got[0][0] for s in got[0][1]]
+    assert any(abs(m - c) > 0.3 for m, c in zip(mean0, cents[0]))
