@@ -439,6 +439,46 @@ def remove_dup_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def winnowing_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 4, w: int = 5, min_shared: int = 2,
+                    max_fp_df: int = 1_000) -> DataFrame:
+    """MOSS-style near-dup candidate pairs from shared winnowing
+    fingerprints: docs sharing ≥ ``min_shared`` selected window-min
+    hashes. Winnowing's guarantee makes this a SUBSTRING-match detector
+    (any shared run of ≥ w+k-1 tokens shares a fingerprint) — the
+    plagiarism/attribution complement to MinHash's whole-document
+    Jaccard.
+
+    Plan mirrors :func:`minhash_lsh_pairs`: the narrow per-doc selection
+    (``ext.text.winnow_select``) explodes to distinct (doc, HASH) rows —
+    the position half of the selection key is doc-local and is stripped
+    before matching — then ONE groupBy(hash) builds posting lists, drops
+    boilerplate fingerprints (df > ``max_fp_df``: a hash shared by n docs
+    fans out n² pairs), and fans out in-bucket pairs; a pair groupBy
+    counts shared fingerprints. No self-join — the selection pipeline
+    evaluates once.
+    """
+    from .text import winnow_select
+
+    fp = (
+        winnow_select(df, text_col, id_col, k, w)
+        .select(id_col, F.explode("fps").alias("fpk"))
+        .select(id_col, F.substring("fpk", 1, 15).alias("h"))
+        .distinct()
+    )
+    buckets = (
+        fp.groupBy("h")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_fp_df))
+    )
+    return (
+        buckets.select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )
+
+
 def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
                          id_col: str = "doc_id", max_iterations: int = 20) -> DataFrame:
     """Cluster assignment over near-dup candidate pairs: connected

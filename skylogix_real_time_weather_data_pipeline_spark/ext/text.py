@@ -685,25 +685,12 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
-def winnowing_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                    k: int = 4, w: int = 5) -> DataFrame:
-    """True winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
-    SIGMOD 2003 — the MOSS scheme; :func:`fingerprint` is the cheaper
-    mod-p "0-prefix" sampler, this is the guaranteed-coverage one): hash
-    every k-token gram, then from every window of ``w`` consecutive
-    k-grams record the minimum hash. Guarantee: any shared substring of
-    ≥ w+k-1 tokens yields at least one shared fingerprint; expected
-    density 2/(w+1).
-
-    ENTIRELY narrow — per-doc windows are array slices over the k-gram
-    array (O(n·w) compute, w is small), so there is no shuffle at all
-    before the output projection; at 100 TB this is a pure map stage.
-    The selection key is the fixed-width string ``15-hex-md5 | zero-padded
-    position`` so a plain string MIN is the (hash, leftmost-position)
-    argmin — deterministic tie-break, bit-identical in ANSI SQL. Returns
-    per doc: n_kgrams, n_windows, n_fingerprints (distinct selected),
-    density, min/max fingerprint keys.
-    """
+def winnow_select(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 4, w: int = 5) -> DataFrame:
+    """Shared winnowing selection core: per doc, the distinct window-min
+    fingerprint keys (``15-hex-md5 | zero-padded position``) plus k-gram/
+    window counts — entirely narrow (array slices, no shuffle). Consumed
+    by :func:`winnowing_stats` and ``ext.dedup.winnowing_pairs``."""
     toks = tokens(text_col)
     n_tok = F.size(toks)
     n_kg = F.greatest(n_tok - F.lit(k - 1), F.lit(0))
@@ -728,12 +715,34 @@ def winnowing_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
             lambda j: F.array_min(F.slice(F.col("kg"), j, w)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sel = with_kg.select(
+    return with_kg.select(
         id_col,
         F.col("n_kg").cast("long").alias("n_kgrams"),
         n_win.cast("long").alias("n_windows"),
         F.array_distinct(wins).alias("fps"),
     )
+
+
+def winnowing_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 4, w: int = 5) -> DataFrame:
+    """True winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS scheme; :func:`fingerprint` is the cheaper
+    mod-p "0-prefix" sampler, this is the guaranteed-coverage one): hash
+    every k-token gram, then from every window of ``w`` consecutive
+    k-grams record the minimum hash. Guarantee: any shared substring of
+    ≥ w+k-1 tokens yields at least one shared fingerprint; expected
+    density 2/(w+1).
+
+    ENTIRELY narrow — per-doc windows are array slices over the k-gram
+    array (O(n·w) compute, w is small), so there is no shuffle at all
+    before the output projection; at 100 TB this is a pure map stage.
+    The selection key is the fixed-width string ``15-hex-md5 | zero-padded
+    position`` so a plain string MIN is the (hash, leftmost-position)
+    argmin — deterministic tie-break, bit-identical in ANSI SQL. Returns
+    per doc: n_kgrams, n_windows, n_fingerprints (distinct selected),
+    density, min/max fingerprint keys.
+    """
+    sel = winnow_select(df, text_col, id_col, k, w)
     return sel.select(
         id_col,
         "n_kgrams",

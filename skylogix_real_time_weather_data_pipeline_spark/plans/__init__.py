@@ -51,6 +51,10 @@ _VERIFY_FIRST = (
     # --- tier 1: changed in round 5 ---
     "docs_remove_dup_chunks",          # NEW: C4-style keep-first span removal rewrite
     "docs_winnowing",                  # NEW: Schleimer et al. window-min fingerprints
+    "docs_winnowing_pairs",            # NEW: MOSS-style shared-fingerprint candidate pairs
+    # (slot given up by rel_yearly_growth — plain fsum group-sum path,
+    # covered in-window by rel_supplier_value/rel_volume_shipping;
+    # hash-green in CORRECTNESS_LOCAL_r05.json)
     "docs_bigram_logprob",             # NEW: interpolated bigram-LM quality proxy
     "docs_temperature_mixture",        # counts table persist()-cached (two-pass plan)
     "emb_pq_adc_topk",                 # NEW: PQ ADC top-k, unrolled per-subspace Lloyd oracle
@@ -102,7 +106,6 @@ _VERIFY_FIRST = (
     "rel_small_qty_revenue",
     "rel_top_supplier",
     "rel_returned_items",
-    "rel_yearly_growth",
     # --- tier 3 head: r3-vintage rows (rel_product_profit deliberately
     # stays on the decimal fold: its 0.6*retailprice*qty term has
     # unbounded fractional digits — fsum's documented dsumx case) ---

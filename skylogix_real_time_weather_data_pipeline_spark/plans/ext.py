@@ -1356,7 +1356,9 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnowing_stats(_docs(spark, sf_dir), k=_WINNOW_K, w=_WINNOW_W)
 
 
-O_WINNOWING = TOK_CTE + f"""
+#: shared winnowing selection CTEs (kg → sel.fps) — prefix of both the
+#: stats and the candidate-pairs oracles
+_WINNOW_SEL_CTE = f"""
 , kg AS (
   SELECT doc_id,
          greatest(len(tk) - {_WINNOW_K - 1}, 0) AS n_kg,
@@ -1377,6 +1379,9 @@ O_WINNOWING = TOK_CTE + f"""
               ELSE [] END AS fps
   FROM kg
 )
+"""
+
+O_WINNOWING = TOK_CTE + _WINNOW_SEL_CTE + """
 SELECT doc_id,
        CAST(n_kg AS BIGINT) AS n_kgrams,
        CAST(n_win AS BIGINT) AS n_windows,
@@ -1385,6 +1390,31 @@ SELECT doc_id,
        list_min(fps) AS min_fp,
        list_max(fps) AS max_fp
 FROM sel
+"""
+
+_WINNOW_MIN_SHARED = 2
+_WINNOW_MAX_FP_DF = 1_000
+
+
+def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.winnowing_pairs(
+        _docs(spark, sf_dir), k=_WINNOW_K, w=_WINNOW_W,
+        min_shared=_WINNOW_MIN_SHARED, max_fp_df=_WINNOW_MAX_FP_DF,
+    )
+
+
+O_WINNOWING_PAIRS = TOK_CTE + _WINNOW_SEL_CTE + f"""
+, fpr AS (
+  SELECT DISTINCT doc_id, substr(f, 1, 15) AS h
+  FROM (SELECT doc_id, unnest(fps) AS f FROM sel)
+), elig AS (
+  SELECT h FROM fpr GROUP BY h HAVING COUNT(*) BETWEEN 2 AND {_WINNOW_MAX_FP_DF}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+FROM fpr a JOIN fpr b ON a.h = b.h AND a.doc_id < b.doc_id
+WHERE a.h IN (SELECT h FROM elig)
+GROUP BY 1, 2 HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
 """
 
 
@@ -2414,6 +2444,7 @@ QUERIES = {
     "docs_dup_chunk_ratio": q_dup_chunk_ratio,
     "docs_remove_dup_chunks": q_remove_dup_chunks,
     "docs_winnowing": q_winnowing,
+    "docs_winnowing_pairs": q_winnowing_pairs,
     "docs_bigram_logprob": q_bigram_logprob,
     "docs_unigram_logprob": q_unigram_logprob,
     "docs_token_entropy": q_token_entropy,
@@ -2478,6 +2509,7 @@ ORACLES = {
     "docs_dup_chunk_ratio": O_DUP_CHUNK_RATIO,
     "docs_remove_dup_chunks": O_REMOVE_DUP_CHUNKS,
     "docs_winnowing": O_WINNOWING,
+    "docs_winnowing_pairs": O_WINNOWING_PAIRS,
     "docs_bigram_logprob": O_BIGRAM_LOGPROB,
     "docs_unigram_logprob": O_UNIGRAM_LOGPROB,
     "docs_token_entropy": O_TOKEN_ENTROPY,

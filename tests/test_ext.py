@@ -985,3 +985,26 @@ def test_mmr_lambda_one_reduces_to_relevance_topk(spark):
     # mmr_score must equal λ·relevance exactly in integer units
     for r in rows_out:
         assert abs(r.mmr_score - round(r.relevance * 1e6) * 1000 / 1e9) < 1e-12
+
+
+def test_winnowing_pairs_detects_shared_run(spark):
+    """Two docs sharing a run of ≥ w+k-1 tokens must surface as a
+    candidate pair (the winnowing guarantee); an unrelated doc must not
+    pair; a boilerplate fingerprint over the df cap generates nothing."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import winnowing_pairs
+
+    shared = " ".join(f"s{i}" for i in range(10))   # 10-token shared run
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"zz yy {shared} xx ww"),
+            (3, "totally different words here with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnowing_pairs(df, k=4, w=5, min_shared=1).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    # cap: with max_fp_df=1 no posting list survives -> zero pairs
+    assert winnowing_pairs(df, k=4, w=5, min_shared=1, max_fp_df=1).count() == 0

@@ -380,6 +380,17 @@ def test_winnowing_is_zero_shuffle_pure_map(spark, sf_dir, qs):
     assert "Exchange" not in plan
 
 
+def test_winnowing_pairs_no_self_join(spark, sf_dir, qs):
+    """Candidate pairs come from the bucket-group fan-out, not a
+    fingerprint self-join: 1 scan, 2 shuffles (posting groupBy, pair
+    groupBy), ZERO join operators — the selection pipeline evaluates
+    once."""
+    plan = _physical(qs["docs_winnowing_pairs"](spark, sf_dir))
+    assert len(re.findall(r"Scan parquet|FileScan", plan)) == 1
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert len(re.findall(r"Join", plan)) == 0
+
+
 def test_bigram_logprob_tokenizes_once(spark, sf_dir, qs):
     """The per-doc transition tf table is persist()-cached and unigram/
     bigram/prefix counts plus the scoring join all derive from it: every
