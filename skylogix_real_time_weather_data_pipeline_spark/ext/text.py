@@ -621,6 +621,183 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
     return df.select(id_col, *[c.alias(n) for n, c in feats.items()])
 
 
+def _div_half_away(n: Column, d) -> Column:
+    """Exact half-away-from-zero integer division for a NON-NEGATIVE long
+    numerator: (2n + d) div (2d), with no float anywhere — pmod makes the
+    numerator an exact multiple of the divisor and the division runs in
+    decimal(38,0), so the result is exact for the FULL long range (a
+    double-division formulation loses integer exactness past 2^53, which
+    standardized-feature dot products here do exceed)."""
+    d = F.lit(d) if isinstance(d, int) else d
+    num = F.lit(2) * n + d
+    den = F.lit(2) * d
+    exact = (num - F.pmod(num, den)).cast("decimal(38,0)")
+    return (exact / den.cast("decimal(38,0)")).cast("long")
+
+
+def _sdiv_half_away(n: Column, d) -> Column:
+    """Signed half-away integer division (d > 0)."""
+    return F.when(n >= 0, _div_half_away(n, d)).otherwise(-_div_half_away(-n, d))
+
+
+def _pydiv_half_away(n: int, d: int) -> int:
+    """Python twin of the SQL half-away division — driver-side weight
+    updates must replay bit-identically in the oracle."""
+    if n >= 0:
+        return (2 * n + d) // (2 * d)
+    return -((-2 * n + d) // (2 * d))
+
+
+def distill_quality_classifier(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id", n_iter: int = 15,
+                               lr2: int = 4) -> DataFrame:
+    """Distill the Gopher rule filter into a 4-feature linear model — the
+    production curation pattern of replacing an expensive filter with a
+    cheap learned scorer (labels = :func:`gopher_features` ``keep``;
+    features = word count, mean word length, capped stopword hits, and
+    distance from the word-count band center — the last because the
+    25..80 band rule is linearly inseparable from the raw count; none
+    need the filter's shingle pass at inference time). Reaches ~0.86
+    train accuracy vs the 0.54 majority class on the synthetic corpus.
+
+    Full-batch gradient descent (lr = ``lr2``/2) on a quasi-logistic
+    loss with the RATIONAL squashing function σ(z) = 1/2 + z/(2(1+|z|))
+    — chosen over exp() deliberately: the whole recurrence then runs in
+    EXACT integer micro-units (features, standardization, z, σ,
+    gradients, weights all on 1e-6 grids; the PageRank/MMR determinism
+    rule), so the DuckDB oracle replays training bit-identically with
+    zero libm/rounding hazard. Features are STANDARDIZED with exact
+    integer mean and floor-isqrt standard deviation (GD on raw scales
+    oscillates; floor(sqrt(double)) of an int below 2^52 is provably
+    exact — non-square ints sit ≥ 1/(2√v) from any integer, far beyond
+    0.5 ulp — so both engines compute the identical sd).
+
+    Scale shape: the integer feature table builds in one narrow pass and
+    is persist()-cached; each iteration is ONE map-side-combinable
+    aggregate (per-row long products < 2^63, accumulated in
+    decimal(38,0) — exact at any corpus size; the oracle divides the
+    aggregated gradient in HUGEINT) returning an O(features) row to the
+    driver — the same driver-state posture as ``similarity.kmeans_assign``.
+    Returns one row per feature: (feature, weight, train_accuracy,
+    n_docs, n_keep).
+    """
+    import math
+
+    U = 1_000_000
+    feats = gopher_features(text_col)
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    chars = F.length(F.regexp_replace(F.col(text_col), "\\s+", ""))
+    stop_hits = feats["stopword_hits"]
+    f1u = (n_words.cast("long") * F.lit(10_000)).alias("f1u")  # n_words/100
+    f2u = F.when(
+        n_words > 0, _div_half_away(chars.cast("long") * F.lit(100_000), n_words.cast("long"))
+    ).otherwise(F.lit(0)).alias("f2u")                          # mean_word_len/10
+    # the stopword rule thresholds the raw HIT COUNT (>= 2), so feed the
+    # capped count, not the length-normalized fraction: min(hits, 6)/6
+    f3u = _div_half_away(
+        F.least(stop_hits.cast("long"), F.lit(6)) * F.lit(U), F.lit(6)
+    ).alias("f3u")
+    # the Gopher word-count rule is a BAND (25..80) — linearly inseparable
+    # from the raw count, so distill its shape as distance-from-band-center
+    # (|n_words - 52.5| / 100): small inside the band, large outside
+    f4u = F.abs(n_words.cast("long") * F.lit(10_000) - F.lit(525_000)).alias("f4u")
+    y = F.when(feats["keep"], F.lit(1)).otherwise(F.lit(0)).alias("y")
+    feat = df.select(f1u, f2u, f3u, f4u, y).persist()
+
+    names = ("bias", "n_words_c", "mean_word_len_c", "stop_hits_c", "wc_band_dist")
+    fnames = ("f1u", "f2u", "f3u", "f4u")
+    w = [0] * len(names)  # 1e-6-unit integer weights, Python-exact
+
+    # STANDARDIZE: exact integer mean m_j and sd_j = max(1, isqrt(E[f²]−m²))
+    # in 1e-6 units (variance grid is 1e-12, so its isqrt is back on the
+    # 1e-6 grid). One O(1)-row stats pass.
+    mrow = feat.agg(
+        *[F.sum(F.col(c).cast("decimal(38,0)")).alias(f"s{c}") for c in fnames],
+        *[F.sum((F.col(c) * F.col(c)).cast("decimal(38,0)")).alias(f"q{c}") for c in fnames],
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n_all = int(mrow["n"])
+    m = [_pydiv_half_away(int(mrow[f"s{c}"]), n_all) for c in fnames]
+    sd = [
+        max(1, math.isqrt(max(0, _pydiv_half_away(int(mrow[f"q{c}"]), n_all) - m[j] * m[j])))
+        for j, c in enumerate(fnames)
+    ]
+
+    # Materialize the standardized table BEHIND A CACHE BARRIER before the
+    # loop: the division/σ expressions nest the z subtree several times,
+    # so inlining the standardization into every iteration's aggregate
+    # blows the expression tree up combinatorially (measured: ~14 s of
+    # analysis/codegen per iteration vs sub-second with the barrier).
+    # Standardization is iteration-invariant, so this is also the right
+    # work shape: one narrow pass, then 15 tiny aggregates over longs.
+    xnames = ("x1u", "x2u", "x3u", "x4u")
+    xfeat = feat.select(
+        *[
+            _sdiv_half_away(
+                (F.col(c) - F.lit(m[j]).cast("long")) * F.lit(U), F.lit(sd[j])
+            ).alias(xnames[j])
+            for j, c in enumerate(fnames)
+        ],
+        "y",
+    ).persist()
+
+    def x_cols() -> list[Column]:
+        return [F.lit(U).cast("long")] + [F.col(c) for c in xnames]
+
+    def z_col() -> Column:
+        # weight literals MUST be long: int×int literals stay 32-bit under
+        # ANSI mode and 1e-6-unit weights × 1e6-unit features overflow
+        xs = x_cols()
+        zu12 = F.lit(w[0]).cast("long") * xs[0]
+        for j in range(1, len(xs)):
+            zu12 = zu12 + F.lit(w[j]).cast("long") * xs[j]
+        return _sdiv_half_away(zu12, U)
+
+    for _ in range(n_iter):
+        zu = z_col()
+        pu = F.lit(U // 2) + _sdiv_half_away(
+            F.lit(U) * zu, F.lit(2) * (F.lit(U) + F.abs(zu))
+        )
+        err = pu - F.col("y") * F.lit(U)
+        fcols = x_cols()
+        row = (
+            xfeat.select(*[(fc * err).cast("decimal(38,0)").alias(f"t{j}")
+                          for j, fc in enumerate(fcols)])
+            .agg(
+                *[F.sum(f"t{j}").alias(f"g{j}") for j in range(len(fcols))],
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        n = row["n"]
+        for j in range(len(fcols)):
+            # w_j -= round(lr2 * g_j / (2 n U)): lr = lr2/2, integer-exact
+            w[j] -= _pydiv_half_away(lr2 * int(row[f"g{j}"]), 2 * n * U)
+
+    zu = z_col()
+    stats = (
+        xfeat.select(
+            ((zu >= 0) == (F.col("y") == 1)).cast("long").alias("correct"),
+            F.col("y").cast("long").alias("yl"),
+        )
+        .agg(
+            F.sum("correct").alias("n_correct"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("yl").alias("n_keep"),
+        )
+        .collect()[0]
+    )
+    accu = _pydiv_half_away(int(stats["n_correct"]) * U, int(stats["n_docs"]))
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(nm, w[j] / U, accu / U, stats["n_docs"], stats["n_keep"])
+         for j, nm in enumerate(names)],
+        "feature string, weight double, train_accuracy double, n_docs long, n_keep long",
+    )
+    return out
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as strings ('w1 w2 w3'), distinct per doc.
 

@@ -56,6 +56,10 @@ _VERIFY_FIRST = (
     # covered in-window by rel_supplier_value/rel_volume_shipping;
     # hash-green in CORRECTNESS_LOCAL_r05.json)
     "docs_bigram_logprob",             # NEW: interpolated bigram-LM quality proxy
+    "docs_distill_filter",             # NEW: integer-exact GD filter distillation
+    # (slot given up by rel_returned_items — plain fsum group-sum path,
+    # covered in-window by rel_supplier_value/rel_volume_shipping;
+    # hash-green in CORRECTNESS_LOCAL_r05.json)
     "docs_temperature_mixture",        # counts table persist()-cached (two-pass plan)
     "emb_pq_adc_topk",                 # NEW: PQ ADC top-k, unrolled per-subspace Lloyd oracle
     "emb_ivfpq_topk",                  # NEW: IVF cell pruning over PQ codes
@@ -105,7 +109,6 @@ _VERIFY_FIRST = (
     "rel_disjunctive_revenue",
     "rel_small_qty_revenue",
     "rel_top_supplier",
-    "rel_returned_items",
     # --- tier 3 head: r3-vintage rows (rel_product_profit deliberately
     # stays on the decimal fold: its 0.6*retailprice*qty term has
     # unbounded fractional digits — fsum's documented dsumx case) ---

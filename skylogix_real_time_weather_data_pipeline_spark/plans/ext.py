@@ -1629,6 +1629,138 @@ FROM feat
 
 
 # --------------------------------------------------------------------------
+# Filter distillation: quasi-logistic GD on integer micro-units
+# (ext.text.distill_quality_classifier). The oracle replays the FULL
+# training recurrence — every iteration's gradient and weight update —
+# as unrolled MATERIALIZED CTEs in exact integer arithmetic (HUGEINT for
+# the aggregated-gradient division), so hash equality proves the
+# distributed trainer step-for-step.
+# --------------------------------------------------------------------------
+
+_DISTILL_ITER = 15
+_DISTILL_LR2 = 4  # lr = lr2/2
+
+
+def q_distill_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.distill_quality_classifier(
+        _docs(spark, sf_dir), n_iter=_DISTILL_ITER, lr2=_DISTILL_LR2
+    )
+
+
+def _sql_divha(n: str, d: str) -> str:
+    """Half-away integer division for a non-negative numerator."""
+    return f"((2*({n}) + ({d})) // (2*({d})))"
+
+
+def _sql_sdivha(n: str, d: str) -> str:
+    return (f"(CASE WHEN ({n}) >= 0 THEN {_sql_divha(n, d)} "
+            f"ELSE -{_sql_divha(f'-({n})', d)} END)")
+
+
+def _distill_oracle(n_iter: int, lr2: int) -> str:
+    fus = ("f1u", "f2u", "f3u", "f4u")
+    mexprs = ", ".join(
+        f"CAST({_sql_divha(f'CAST(SUM(CAST({c} AS DECIMAL(38,0))) AS HUGEINT)', 'CAST(COUNT(*) AS HUGEINT)')} AS BIGINT) AS m{j}"
+        for j, c in enumerate(fus, 1)
+    )
+    qexprs = ", ".join(
+        f"CAST({_sql_divha(f'CAST(SUM(CAST({c}*{c} AS DECIMAL(38,0))) AS HUGEINT)', 'CAST(COUNT(*) AS HUGEINT)')} AS BIGINT) AS q{j}"
+        for j, c in enumerate(fus, 1)
+    )
+    sdexprs = ", ".join(
+        f"greatest(1, CAST(FLOOR(SQRT(CAST(greatest(q{j} - m{j}*m{j}, 0) AS DOUBLE))) AS BIGINT)) AS sd{j}"
+        for j in range(1, 5)
+    )
+    xexprs = ", ".join(
+        f"{_sql_sdivha(f'(f.{c} - fm.m{j})*1000000', f'fm.sd{j}')} AS x{j}u"
+        for j, c in enumerate(fus, 1)
+    )
+    head = TOK_CTE + f"""
+, gfeat AS MATERIALIZED (
+  SELECT t.doc_id,
+         CAST(len(t.tk) AS BIGINT) AS n_words,
+         CAST(len(regexp_replace(t.text, '\\s+', '', 'g')) AS BIGINT) AS chars,
+         CAST(len(list_filter(t.tk,
+             x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS BIGINT) AS stop_hits,
+         1 - len(s.shingles) * 1.0 / greatest(len(t.tk) - 2, 1) AS dup_ratio
+  FROM toks t JOIN sh s USING (doc_id)
+), feat AS MATERIALIZED (
+  SELECT doc_id,
+         n_words * 10000 AS f1u,
+         CASE WHEN n_words > 0 THEN {_sql_divha('chars*100000', 'n_words')} ELSE 0 END AS f2u,
+         {_sql_divha('least(stop_hits, 6)*1000000', '6')} AS f3u,
+         abs(n_words * 10000 - 525000) AS f4u,
+         CASE WHEN (n_words BETWEEN 25 AND 80)
+               AND COALESCE(chars * 1.0 / nullif(n_words, 0) BETWEEN 3.5 AND 5.0, FALSE)
+               AND dup_ratio <= 0.05 AND stop_hits >= 2 THEN 1 ELSE 0 END AS y
+  FROM gfeat
+), fmraw AS MATERIALIZED (
+  SELECT {mexprs}, {qexprs}, COUNT(*) AS n FROM feat
+), fm AS MATERIALIZED (
+  SELECT *, {sdexprs} FROM fmraw
+), xfeat AS MATERIALIZED (
+  SELECT f.doc_id, {xexprs}, f.y
+  FROM feat f CROSS JOIN fm
+), w0 AS (SELECT CAST(0 AS BIGINT) AS a0, CAST(0 AS BIGINT) AS a1, CAST(0 AS BIGINT) AS a2,
+                 CAST(0 AS BIGINT) AS a3, CAST(0 AS BIGINT) AS a4)
+"""
+    its = []
+    z = ("w.a0*1000000 + w.a1*f.x1u + w.a2*f.x2u + w.a3*f.x3u + w.a4*f.x4u")
+    xs = ("1000000", "x1u", "x2u", "x3u", "x4u")
+    for k in range(1, n_iter + 1):
+        upd = ", ".join(
+            "CAST(w.a{j} - (CASE WHEN g.g{j} >= 0 THEN "
+            "(2*{lr2}*CAST(g.g{j} AS HUGEINT) + d.d)//(2*d.d) "
+            "ELSE -((-2*{lr2}*CAST(g.g{j} AS HUGEINT) + d.d)//(2*d.d)) END) AS BIGINT) AS a{j}".format(
+                j=j, lr2=lr2)
+            for j in range(5)
+        )
+        gs = ", ".join(
+            f"SUM(CAST({xu}*(pu - y*1000000) AS DECIMAL(38,0))) AS g{j}"
+            for j, xu in enumerate(xs)
+        )
+        its.append(f"""
+, s{k} AS (
+  SELECT f.x1u, f.x2u, f.x3u, f.x4u, f.y, {_sql_sdivha(z, '1000000')} AS zu
+  FROM xfeat f CROSS JOIN w{k - 1} w
+), p{k} AS (
+  SELECT x1u, x2u, x3u, x4u, y,
+         500000 + {_sql_sdivha('1000000*zu', '2*(1000000 + abs(zu))')} AS pu
+  FROM s{k}
+), g{k} AS MATERIALIZED (
+  SELECT {gs}, COUNT(*) AS n FROM p{k}
+), w{k} AS MATERIALIZED (
+  SELECT {upd}
+  FROM w{k - 1} w CROSS JOIN g{k} g
+       CROSS JOIN (SELECT 2*CAST(g{k}.n AS HUGEINT)*1000000 AS d FROM g{k}) d
+)""")
+    tail = f"""
+, sf AS (
+  SELECT f.y, {_sql_sdivha(z, '1000000')} AS zu FROM xfeat f CROSS JOIN w{n_iter} w
+), acc AS (
+  SELECT SUM(CASE WHEN (zu >= 0) = (y = 1) THEN 1 ELSE 0 END) AS n_correct,
+         COUNT(*) AS n_docs, SUM(y) AS n_keep
+  FROM sf
+), wt AS (
+  SELECT 'bias' AS nm, a0 AS wv FROM w{n_iter}
+  UNION ALL SELECT 'n_words_c', a1 FROM w{n_iter}
+  UNION ALL SELECT 'mean_word_len_c', a2 FROM w{n_iter}
+  UNION ALL SELECT 'stop_hits_c', a3 FROM w{n_iter}
+  UNION ALL SELECT 'wc_band_dist', a4 FROM w{n_iter}
+)
+SELECT nm AS feature, wv / 1000000.0 AS weight,
+       {_sql_divha('n_correct*1000000', 'n_docs')} / 1000000.0 AS train_accuracy,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_keep AS BIGINT) AS n_keep
+FROM wt CROSS JOIN acc
+"""
+    return head + "".join(its) + tail
+
+
+O_DISTILL_FILTER = _distill_oracle(_DISTILL_ITER, _DISTILL_LR2)
+
+
+# --------------------------------------------------------------------------
 # Deterministic train/val/test split (ext.text.split_assign).
 # --------------------------------------------------------------------------
 
@@ -2446,6 +2578,7 @@ QUERIES = {
     "docs_winnowing": q_winnowing,
     "docs_winnowing_pairs": q_winnowing_pairs,
     "docs_bigram_logprob": q_bigram_logprob,
+    "docs_distill_filter": q_distill_filter,
     "docs_unigram_logprob": q_unigram_logprob,
     "docs_token_entropy": q_token_entropy,
     "docs_bm25_topk": q_bm25_topk,
@@ -2511,6 +2644,7 @@ ORACLES = {
     "docs_winnowing": O_WINNOWING,
     "docs_winnowing_pairs": O_WINNOWING_PAIRS,
     "docs_bigram_logprob": O_BIGRAM_LOGPROB,
+    "docs_distill_filter": O_DISTILL_FILTER,
     "docs_unigram_logprob": O_UNIGRAM_LOGPROB,
     "docs_token_entropy": O_TOKEN_ENTROPY,
     "docs_bm25_topk": O_BM25_TOPK,

@@ -1008,3 +1008,36 @@ def test_winnowing_pairs_detects_shared_run(spark):
     assert all(3 not in p for p in pairs)
     # cap: with max_fp_df=1 no posting list survives -> zero pairs
     assert winnowing_pairs(df, k=4, w=5, min_shared=1, max_fp_df=1).count() == 0
+
+
+def test_distill_filter_beats_majority_and_learns_band(spark):
+    """The distilled linear model must beat the majority class on a corpus
+    where keep is driven by the word-count band and stopword threshold,
+    with the expected weight signs (band distance negative, stop hits
+    positive); training is deterministic across invocations."""
+    import random
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.text import distill_quality_classifier
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        # wide vocabulary of ~5-char words keeps the repetition and
+        # word-length rules satisfied, so keep is driven by the band
+        # (~3/4 in 25..80) and the stopword threshold (~3/4 past it) →
+        # keep ≈ 55%: balanced enough that majority-class is beatable
+        n = rng.choice([30, 40, 50, 60, 70, 75, 10, 120])
+        stops = rng.choice([0, 2, 3, 4])
+        words = ["the"] * stops + [f"a{rng.randint(0, 9999)}" for _ in range(n - stops)]
+        rng.shuffle(words)
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = distill_quality_classifier(df, n_iter=15, lr2=4).collect()
+    acc = out[0].train_accuracy
+    n, k = out[0].n_docs, out[0].n_keep
+    majority = max(k, n - k) / n
+    assert acc > majority + 0.05, (acc, majority)
+    w = {r.feature: r.weight for r in out}
+    assert w["wc_band_dist"] < 0 and w["stop_hits_c"] > 0
+    out2 = distill_quality_classifier(df, n_iter=15, lr2=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
