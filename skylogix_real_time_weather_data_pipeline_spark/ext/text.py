@@ -352,7 +352,7 @@ def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
     Returns (doc_id, n_tokens, avg_logprob, keep = avg ≥ min_logprob).
     """
-    from ..functions.exact import fsum
+    from ..functions.exact import fsum_units
 
     tf = (
         df.select(id_col, F.explode(tokens(text_col)).alias("w"))
@@ -371,17 +371,22 @@ def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
             (F.col("tf") * F.log(F.col("cf") / F.col("n_total"))).alias("wlp"),
         )
     )
+    # mean + threshold in EXACT integer micro-units: the quantized fold
+    # divided by an integer count routinely lands on .5 display
+    # boundaries (e.g. -95.35645/28 = -3.4055875 exactly at sf0.1), and
+    # Spark's double round vs DuckDB's decimal round then diverge — the
+    # half-away integer division keeps both engines on one grid
     return (
         scored.groupBy(id_col)
         .agg(
             F.sum("tf").cast("long").alias("n_tokens"),
-            (fsum("wlp", 6) / F.sum("tf")).alias("_avg"),
+            fsum_units("wlp", 6).cast("long").alias("_su"),
         )
         .select(
             id_col,
             "n_tokens",
-            F.round("_avg", 6).alias("avg_logprob"),
-            (F.col("_avg") >= min_logprob).alias("keep"),
+            (_sdiv_half_away(F.col("_su"), F.col("n_tokens")) / F.lit(1_000_000.0)).alias("avg_logprob"),
+            (F.col("_su") >= F.lit(int(round(min_logprob * 1_000_000))) * F.col("n_tokens")).alias("keep"),
         )
     )
 
@@ -952,7 +957,7 @@ def bigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ln both engines already share). fsum-quantized fold, order-
     independent. Returns (doc_id, n_bigrams, avg_logprob, keep).
     """
-    from ..functions.exact import fsum
+    from ..functions.exact import fsum_units
 
     toks = tokens(text_col)
     n_tok = F.size(toks)
@@ -1003,17 +1008,20 @@ def bigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             ).alias("wlp"),
         )
     )
+    # integer-unit mean + threshold — same boundary-safe shape as
+    # unigram_logprob (a quantized fold / integer count lands exactly on
+    # .5 display boundaries; found live at sf0.1, doc 1714)
     return (
         scored.groupBy(id_col)
         .agg(
             F.sum("tf").cast("long").alias("n_bigrams"),
-            (fsum("wlp", 6) / F.sum("tf")).alias("_avg"),
+            fsum_units("wlp", 6).cast("long").alias("_su"),
         )
         .select(
             id_col,
             "n_bigrams",
-            F.round("_avg", 6).alias("avg_logprob"),
-            (F.col("_avg") >= min_logprob).alias("keep"),
+            (_sdiv_half_away(F.col("_su"), F.col("n_bigrams")) / F.lit(1_000_000.0)).alias("avg_logprob"),
+            (F.col("_su") >= F.lit(int(round(min_logprob * 1_000_000))) * F.col("n_bigrams")).alias("keep"),
         )
     )
 
@@ -1032,7 +1040,7 @@ def token_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     (doc_id, n_tokens, n_distinct, entropy, keep = entropy ≥ threshold,
     keep compared on the rounded value both engines).
     """
-    from ..functions.exact import fsum
+    from ..functions.exact import fsum_units
 
     tf = (
         df.select(id_col, F.explode(tokens(text_col)).alias("w"))

@@ -231,6 +231,33 @@ def sql_fmean(expr: str, scale: int = 6) -> str:
     return f"({sql_fsum(expr, scale)} / COUNT({expr}))"
 
 
+def fsum_units(c: Column | str, scale: int = 6) -> Column:
+    """fsum's exact fixed-point sum WITHOUT the final double division:
+    returns the integer 10^-scale-unit total as decimal(38,0). Use this
+    whenever the quantized sum feeds further EXACT integer arithmetic
+    (half-away mean division, integer threshold compares) — routing the
+    units through fsum's double quotient and multiplying back truncates
+    off-by-one at the long cast (found live: bigram means at sf0.01)."""
+    c = _col(c)
+    u = F.round(c * F.lit(float(10**scale))).cast("long")
+    r = u % _SPLIT
+    q = ((u - r) / _SPLIT).cast("long")
+    return F.sum(q).cast("decimal(38,0)") * _SPLIT + F.sum(r).cast("decimal(38,0)")
+
+
+def sql_fsum_units(expr: str, scale: int = 6) -> str:
+    """DuckDB twin of fsum_units: the exact integer unit total (HUGEINT
+    via the decimal casts), no double anywhere."""
+    p = 10**scale
+    u = f"CAST(ROUND(({expr}) * {p}) AS BIGINT)"
+    r = f"({u} % {_SPLIT})"
+    q = f"CAST(({u} - {r}) / {_SPLIT} AS BIGINT)"
+    return (
+        f"(CAST(SUM({q}) AS DECIMAL(38,0)) * {_SPLIT}"
+        f" + CAST(SUM({r}) AS DECIMAL(38,0)))"
+    )
+
+
 def sql_fsum1(expr: str, scale: int = 2) -> str:
     """DuckDB twin of fsum1 (SUM(BIGINT) is exact — hugeint accumulator)."""
     p = 10**scale

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ext import dedup, similarity, text
-from ..functions.exact import dmean, sql_dsumx, sql_fsum
+from ..functions.exact import dmean, sql_dsumx, sql_fsum, sql_fsum_units
 
 _N_HASHES = 16
 _BANDS = 4
@@ -62,6 +62,16 @@ def _sql_hash(seed: int, expr: str) -> str:
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def _sql_divha(n: str, d: str) -> str:
+    """Half-away integer division for a non-negative numerator."""
+    return f"((2*({n}) + ({d})) // (2*({d})))"
+
+
+def _sql_sdivha(n: str, d: str) -> str:
+    return (f"(CASE WHEN ({n}) >= 0 THEN {_sql_divha(n, d)} "
+            f"ELSE -{_sql_divha(f'-({n})', d)} END)")
 
 
 O_EXACT_DEDUP = """
@@ -1457,11 +1467,14 @@ sc AS (
                     + {1.0 - _BIGRAM_LAMBDA} * uni.cf / tot.n_total) AS wlp
   FROM tb JOIN bc USING (prev, w) JOIN pc USING (prev) JOIN uni USING (w), tot
 )
-SELECT doc_id,
-       CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-       ROUND({sql_fsum('wlp', 6)} / SUM(tf), 6) AS avg_logprob,
-       ({sql_fsum('wlp', 6)} / SUM(tf)) >= {_BIGRAM_MIN} AS keep
-FROM sc GROUP BY doc_id
+SELECT doc_id, n_bigrams,
+       {_sql_sdivha('su', 'n_bigrams')} / 1000000.0 AS avg_logprob,
+       su >= {int(round(_BIGRAM_MIN * 1_000_000))} * n_bigrams AS keep
+FROM (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         CAST({sql_fsum_units('wlp', 6)} AS BIGINT) AS su
+  FROM sc GROUP BY doc_id
+)
 """
 
 
@@ -1485,11 +1498,14 @@ scored AS (
   SELECT doc_id, tf, tf * ln(cf / n_total) AS wlp
   FROM tf JOIN cf USING (w), nt
 )
-SELECT doc_id,
-       CAST(SUM(tf) AS BIGINT) AS n_tokens,
-       ROUND({sql_fsum('wlp', 6)} / SUM(tf), 6) AS avg_logprob,
-       ({sql_fsum('wlp', 6)} / SUM(tf)) >= {_LOGPROB_MIN} AS keep
-FROM scored GROUP BY doc_id
+SELECT doc_id, n_tokens,
+       {_sql_sdivha('su', 'n_tokens')} / 1000000.0 AS avg_logprob,
+       su >= {int(round(_LOGPROB_MIN * 1_000_000))} * n_tokens AS keep
+FROM (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         CAST({sql_fsum_units('wlp', 6)} AS BIGINT) AS su
+  FROM scored GROUP BY doc_id
+)
 """
 
 
@@ -1645,16 +1661,6 @@ def q_distill_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.distill_quality_classifier(
         _docs(spark, sf_dir), n_iter=_DISTILL_ITER, lr2=_DISTILL_LR2
     )
-
-
-def _sql_divha(n: str, d: str) -> str:
-    """Half-away integer division for a non-negative numerator."""
-    return f"((2*({n}) + ({d})) // (2*({d})))"
-
-
-def _sql_sdivha(n: str, d: str) -> str:
-    return (f"(CASE WHEN ({n}) >= 0 THEN {_sql_divha(n, d)} "
-            f"ELSE -{_sql_divha(f'-({n})', d)} END)")
 
 
 def _distill_oracle(n_iter: int, lr2: int) -> str:
