@@ -1040,7 +1040,7 @@ def token_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     (doc_id, n_tokens, n_distinct, entropy, keep = entropy ≥ threshold,
     keep compared on the rounded value both engines).
     """
-    from ..functions.exact import fsum_units
+    from ..functions.exact import fsum
 
     tf = (
         df.select(id_col, F.explode(tokens(text_col)).alias("w"))
