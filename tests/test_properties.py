@@ -376,3 +376,24 @@ def test_fsum1_matches_split_fsum_on_bounded_inputs(spark):
     ).collect()
     for r in out:
         assert r.one == r.split, (r.g, r.one, r.split)
+
+
+def test_fsum_units_is_exact_integer_total(spark):
+    """fsum_units must equal the Python-exact integer unit total (the
+    split-long combine with NO double division), and dividing it
+    half-away must match the decimal mean — the path the double quotient
+    provably breaks on .5 boundaries (the sf0.1 bigram regression)."""
+    import random
+
+    from skylogix_real_time_weather_data_pipeline_spark.functions.exact import fsum_units
+
+    rng = random.Random(13)
+    rows = [(i % 5, round(rng.uniform(-50, 50), 6)) for i in range(4000)]
+    # plant the regression's exact group: units sum to -95356450
+    rows += [(9, -3.405587), (9, -95.356450 + 3.405587)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    out = {r.g: int(r.su) for r in df.groupBy("g").agg(fsum_units("v", 6).alias("su")).collect()}
+    expect = {}
+    for g, v in rows:
+        expect[g] = expect.get(g, 0) + round(v * 1_000_000)
+    assert out == expect
