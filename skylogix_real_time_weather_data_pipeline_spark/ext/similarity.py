@@ -143,6 +143,50 @@ def ivf_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10, nprobe: int
     return cosine_topk(df.filter(F.col(label_col).isin(probed)), query_vec, k, vec_col, id_col)
 
 
+def ivf_filtered_topk(df: DataFrame, query_vec: Sequence[float], pred: Column,
+                      k: int = 10, oversample: int = 2,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      label_col: str = "label") -> DataFrame:
+    """Filtered vector search over the IVF index — the production ANN
+    case a plain nprobe constant gets wrong: a metadata predicate shrinks
+    every cell, so a FIXED probe count silently under-fills k. Adaptive
+    probing instead: rank cells by centroid similarity, pre-count the
+    PREDICATE-MATCHING rows per cell (one tiny agg — this is the
+    "filtered IVF" cardinality trick), and scan the minimal prefix of
+    ranked cells whose matching count reaches k·oversample (all cells if
+    the predicate is rarer than that).
+
+    Index stays predicate-agnostic (centroids over ALL vectors — built
+    once, filtered at query time). Driver state is O(ncells): the ranked
+    cell list and the per-cell counts; the corpus scan is pruned to the
+    chosen cells AND the predicate (both reach the parquet scan).
+    Returns (vec_id, cosine_sim, n_probed).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cents = centroids_by_label(df, vec_col, label_col)
+    ranked = [
+        r[0]
+        for r in cents.select(label_col, cosine(F.col("centroid"), q).alias("s"))
+        .orderBy(F.desc("s"), F.asc(label_col))
+        .collect()
+    ]
+    counts = {
+        r[0]: r[1]
+        for r in df.filter(pred).groupBy(label_col).agg(F.count(F.lit(1))).collect()
+    }
+    need = k * oversample
+    probed, have = [], 0
+    for cell in ranked:
+        probed.append(cell)
+        have += counts.get(cell, 0)
+        if have >= need:
+            break
+    out = cosine_topk(
+        df.filter(pred & F.col(label_col).isin(probed)), query_vec, k, vec_col, id_col
+    )
+    return out.select("*", F.lit(len(probed)).alias("n_probed"))
+
+
 def pca_top_component(df: DataFrame, vec_col: str = "embedding",
                       n_iter: int = 2, round_to: int = 6) -> DataFrame:
     """Top principal component by distributed power iteration — PCA

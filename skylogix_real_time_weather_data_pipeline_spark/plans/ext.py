@@ -1034,6 +1034,66 @@ ORDER BY cosine_sim DESC, vec_id ASC LIMIT {_TOPK}
 
 
 # --------------------------------------------------------------------------
+# Filtered vector search: adaptive-probe IVF under a metadata predicate
+# (similarity.ivf_filtered_topk). The predicate-matching per-cell counts
+# choose the minimal ranked-cell prefix reaching k·oversample candidates.
+# --------------------------------------------------------------------------
+
+_FILTER_MOD = 37
+_FILTER_OVERSAMPLE = 2
+
+
+def q_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    row = embs.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in row[0]]
+    return similarity.ivf_filtered_topk(
+        embs.filter(F.col("vec_id") != 0), qv,
+        pred=F.col("vec_id") % _FILTER_MOD == 0,
+        k=_TOPK, oversample=_FILTER_OVERSAMPLE,
+    )
+
+
+O_IVF_FILTERED_TOPK = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0),
+pe AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+  FROM corpus
+),
+centv AS (
+  SELECT label, list(m ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, (CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(24,10))) AS DOUBLE) / COUNT(v)) AS m FROM pe GROUP BY label, pos)
+  GROUP BY label
+),
+ranked AS (
+  SELECT label, row_number() OVER (ORDER BY ({_COS_CENT_Q}) DESC, label ASC) AS rn
+  FROM centv, q
+),
+cellcnt AS (
+  SELECT label, COUNT(*) AS c FROM corpus WHERE vec_id % {_FILTER_MOD} = 0 GROUP BY label
+),
+cum AS (
+  SELECT r.rn, SUM(COALESCE(c.c, 0)) OVER (ORDER BY r.rn) AS cum
+  FROM ranked r LEFT JOIN cellcnt c USING (label)
+),
+np AS (
+  SELECT COALESCE(
+           (SELECT MIN(rn) FROM cum WHERE cum >= {_TOPK * _FILTER_OVERSAMPLE}),
+           (SELECT MAX(rn) FROM ranked)) AS n_probed
+),
+scored AS (
+  SELECT vec_id, ROUND({_COS_EMB_Q}, 6) AS cosine_sim
+  FROM corpus, q
+  WHERE vec_id % {_FILTER_MOD} = 0
+    AND label IN (SELECT label FROM ranked WHERE rn <= (SELECT n_probed FROM np))
+)
+SELECT vec_id, cosine_sim, CAST((SELECT n_probed FROM np) AS INT) AS n_probed
+FROM scored ORDER BY cosine_sim DESC, vec_id ASC LIMIT {_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
 # IVF + int8 ADC + exact re-rank: the three-stage production-ANN
 # composition (similarity.ivf_quantized_topk), single scan.
 # --------------------------------------------------------------------------
@@ -2597,6 +2657,7 @@ QUERIES = {
     "emb_lsh_buckets": q_lsh_buckets,
     "emb_lsh_near_dup_pairs": q_lsh_near_dup_pairs,
     "emb_ivf_topk": q_ivf_topk,
+    "emb_ivf_filtered_topk": q_ivf_filtered_topk,
     "emb_pairwise_topk": q_pairwise_topk,
     "docs_decontaminate": q_decontaminate,
     "emb_centroids_by_label": q_centroids_by_label,
@@ -2663,6 +2724,7 @@ ORACLES = {
     "emb_lsh_buckets": O_LSH_BUCKETS,
     "emb_lsh_near_dup_pairs": O_LSH_NEAR_DUP,
     "emb_ivf_topk": O_IVF_TOPK,
+    "emb_ivf_filtered_topk": O_IVF_FILTERED_TOPK,
     "emb_pairwise_topk": O_PAIRWISE_TOPK,
     "docs_decontaminate": O_DECONTAMINATE,
     "emb_centroids_by_label": O_CENTROIDS_BY_LABEL,

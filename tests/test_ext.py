@@ -1041,3 +1041,38 @@ def test_distill_filter_beats_majority_and_learns_band(spark):
     assert w["wc_band_dist"] < 0 and w["stop_hits_c"] > 0
     out2 = distill_quality_classifier(df, n_iter=15, lr2=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_ivf_filtered_topk_adapts_probe_depth(spark):
+    """A rare predicate must WIDEN the probed-cell prefix until enough
+    matching candidates exist (the fixed-nprobe under-fill bug), and with
+    oversample covering everything the result equals the exact filtered
+    brute force."""
+    import random
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.similarity import (
+        cosine_topk, ivf_filtered_topk,
+    )
+
+    rng = random.Random(3)
+    centers = {0: (10.0, 0.0), 1: (0.0, 10.0), 2: (-10.0, -10.0)}
+    rows = []
+    i = 0
+    for lab, (cx, cy) in centers.items():
+        for _ in range(30):
+            rows.append((i, [cx + rng.gauss(0, 0.5), cy + rng.gauss(0, 0.5)], lab))
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    qv = [10.0, 0.5]
+    pred = F.col("vec_id") % 7 == 0
+
+    out = ivf_filtered_topk(df, qv, pred, k=4, oversample=2).collect()
+    assert len(out) == 4
+    assert all(r.vec_id % 7 == 0 for r in out)
+    # ~30/7 ≈ 4 matches per cell < k·oversample=8 → at least 2 cells probed
+    assert out[0].n_probed >= 2
+
+    full = ivf_filtered_topk(df, qv, pred, k=4, oversample=1000).collect()
+    assert full[0].n_probed == 3
+    exact = cosine_topk(df.filter(pred), qv, k=4).collect()
+    assert [(r.vec_id, r.cosine_sim) for r in full] == [(r.vec_id, r.cosine_sim) for r in exact]
