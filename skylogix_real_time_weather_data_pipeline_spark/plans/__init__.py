@@ -58,6 +58,10 @@ _VERIFY_FIRST = (
     "docs_bigram_logprob",             # NEW: interpolated bigram-LM quality proxy
     "docs_distill_filter",             # NEW: integer-exact GD filter distillation
     "emb_ivf_filtered_topk",           # NEW: adaptive-probe filtered vector search
+    "emb_filtered_recall",             # NEW: filtered-ANN recall@k eval
+    # (slot given up by rel_small_qty_revenue — plain fsum group-sum
+    # path, covered in-window by rel_supplier_value; hash-green in
+    # CORRECTNESS_LOCAL_r05.json)
     # (slot given up by rel_top_supplier — plain fsum group-sum path,
     # covered in-window by rel_supplier_value; hash-green in
     # CORRECTNESS_LOCAL_r05.json)
@@ -111,7 +115,6 @@ _VERIFY_FIRST = (
     "rel_lost_customers",
     "rel_volume_shipping",
     "rel_disjunctive_revenue",
-    "rel_small_qty_revenue",
     # --- tier 3 head: r3-vintage rows (rel_product_profit deliberately
     # stays on the decimal fold: its 0.6*retailprice*qty term has
     # unbounded fractional digits — fsum's documented dsumx case) ---

@@ -2100,6 +2100,76 @@ FROM exact_l2 JOIN adc USING (vec_id)
 """
 
 
+def q_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|exact FILTERED cosine top-k ∩ adaptive-probe filtered top-k| / k —
+    the recall eval for ``ivf_filtered_topk``, keeping the repo invariant
+    that every approximate index reports a measured recall. The exact
+    baseline is brute force over predicate-matching vectors only; O(k)
+    join on two k-row results."""
+    embs = _embs(spark, sf_dir)
+    row = embs.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in row[0]]
+    rest = embs.filter(F.col("vec_id") != 0)
+    pred = F.col("vec_id") % _FILTER_MOD == 0
+    exact = similarity.cosine_topk(rest.filter(pred), qv, k=_TOPK).select("vec_id")
+    approx = similarity.ivf_filtered_topk(
+        rest, qv, pred=pred, k=_TOPK, oversample=_FILTER_OVERSAMPLE
+    ).select("vec_id")
+    return exact.join(approx, "vec_id").agg(
+        F.lit(_TOPK).cast("int").alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / F.lit(_TOPK), 6).alias("recall_at_k"),
+    )
+
+
+O_FILTERED_RECALL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0),
+fcorpus AS (SELECT * FROM corpus WHERE vec_id % {_FILTER_MOD} = 0),
+exact_topk AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, ROUND({_COS_EMB_Q}, 6) AS cosine_sim FROM fcorpus, q
+  ) ORDER BY cosine_sim DESC, vec_id ASC LIMIT {_TOPK}
+),
+pe AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+  FROM corpus
+),
+centv AS (
+  SELECT label, list(m ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, (CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(24,10))) AS DOUBLE) / COUNT(v)) AS m FROM pe GROUP BY label, pos)
+  GROUP BY label
+),
+ranked AS (
+  SELECT label, row_number() OVER (ORDER BY ({_COS_CENT_Q}) DESC, label ASC) AS rn
+  FROM centv, q
+),
+cellcnt AS (
+  SELECT label, COUNT(*) AS c FROM fcorpus GROUP BY label
+),
+cum AS (
+  SELECT r.rn, SUM(COALESCE(c.c, 0)) OVER (ORDER BY r.rn) AS cum
+  FROM ranked r LEFT JOIN cellcnt c USING (label)
+),
+np AS (
+  SELECT COALESCE(
+           (SELECT MIN(rn) FROM cum WHERE cum >= {_TOPK * _FILTER_OVERSAMPLE}),
+           (SELECT MAX(rn) FROM ranked)) AS n_probed
+),
+approx_topk AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, ROUND({_COS_EMB_Q}, 6) AS cosine_sim
+    FROM fcorpus, q
+    WHERE label IN (SELECT label FROM ranked WHERE rn <= (SELECT n_probed FROM np))
+  ) ORDER BY cosine_sim DESC, vec_id ASC LIMIT {_TOPK}
+)
+SELECT CAST({_TOPK} AS INT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       ROUND(COUNT(*) / {_TOPK}.0, 6) AS recall_at_k
+FROM exact_topk JOIN approx_topk USING (vec_id)
+"""
+
+
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """|exact cosine top-k ∩ IVF top-k| / k at nprobe=2 — completes the
     eval trio (int8 ADC, PQ ADC, IVF cell pruning): every approximate
@@ -2658,6 +2728,7 @@ QUERIES = {
     "emb_lsh_near_dup_pairs": q_lsh_near_dup_pairs,
     "emb_ivf_topk": q_ivf_topk,
     "emb_ivf_filtered_topk": q_ivf_filtered_topk,
+    "emb_filtered_recall": q_filtered_recall,
     "emb_pairwise_topk": q_pairwise_topk,
     "docs_decontaminate": q_decontaminate,
     "emb_centroids_by_label": q_centroids_by_label,
@@ -2725,6 +2796,7 @@ ORACLES = {
     "emb_lsh_near_dup_pairs": O_LSH_NEAR_DUP,
     "emb_ivf_topk": O_IVF_TOPK,
     "emb_ivf_filtered_topk": O_IVF_FILTERED_TOPK,
+    "emb_filtered_recall": O_FILTERED_RECALL,
     "emb_pairwise_topk": O_PAIRWISE_TOPK,
     "docs_decontaminate": O_DECONTAMINATE,
     "emb_centroids_by_label": O_CENTROIDS_BY_LABEL,
