@@ -786,9 +786,29 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     degenerate identical-fingerprint case, same as the MinHash path.
     """
     s = simhash(df, text_col, id_col, n_bits)
+    return hamming_near_pairs(
+        s, hash_col="simhash", id_col=id_col, n_bits=n_bits,
+        max_hamming=max_hamming, max_bucket_size=max_bucket_size,
+    )
+
+
+def hamming_near_pairs(hashed: DataFrame, hash_col: str = "simhash",
+                       id_col: str = "doc_id", n_bits: int = 60,
+                       max_hamming: int = 3,
+                       max_bucket_size: int = 100_000) -> DataFrame:
+    """Generic pigeonhole near-pair generator over ANY non-negative
+    integer fingerprint column (SimHash, perceptual image hash, packed
+    sign bits): the chunk/bucket/pair machinery of
+    :func:`simhash_near_pairs`, factored out so other fingerprint
+    families reuse the single-evaluation grouped formulation. The
+    pigeonhole bound holds even when ``n_bits`` is not divisible by
+    chunks+1 — bits past the covered span only make chunk collisions MORE
+    likely, never drop a true pair."""
+    s = hashed
     chunks = max_hamming + 1
     chunk_bits = n_bits // chunks
     mask = (1 << chunk_bits) - 1
+    s = s.select(id_col, F.col(hash_col).alias("simhash"))
     chunked = s.select(
         id_col,
         "simhash",

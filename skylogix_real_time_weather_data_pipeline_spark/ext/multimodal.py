@@ -288,3 +288,109 @@ def synthetic_assets(spark, documents: DataFrame, modality: str = "image") -> Da
         F.lit("application/octet-stream").alias("mime_type"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (pHash) — near-duplicate IMAGE detection on top
+# of the in-repo codecs. DCT-based: resize to 32×32 grayscale, 2D DCT-II,
+# threshold the 8×8 low-frequency block against its AC median. Robust to
+# uniform brightness shifts and contrast scaling (both leave the
+# bit-vs-median pattern unchanged) and to resizing; Hamming distance
+# between hashes measures visual similarity.
+# ---------------------------------------------------------------------------
+
+
+def _decode_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """Full pixel decode via the in-repo codecs; None when only a header
+    probe (GIF/BMP/progressive-JPEG) or nothing is possible."""
+    try:
+        from . import jpeg, png
+
+        if png.is_png(payload):
+            return png.decode(payload)
+        if payload[:2] == b"\xff\xd8":
+            return jpeg.decode(payload)
+    except Exception:
+        return None
+    return None
+
+
+def _phash64(payload: bytes) -> int | None:
+    """63-bit DCT perceptual hash (bit 63 kept clear so the value stays a
+    non-negative long — the pigeonhole pair generator shifts arithmetically).
+    Deterministic float DCT; no SQL oracle claim (codec-dependent), so the
+    contract is pinned by tests like the rest of the multimodal stack."""
+    import numpy as np
+
+    dec = _decode_pixels(payload)
+    if dec is None:
+        return None
+    w, h, ch, data = dec
+    if w < 2 or h < 2:
+        return None
+    a = np.frombuffer(data, dtype=np.uint8).reshape(h, w, ch).astype(np.int64)
+    if ch >= 3:
+        gray = (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+    else:
+        gray = a[..., 0]
+    n = 32
+    ys = (np.arange(n) * h) // n
+    xs = (np.arange(n) * w) // n
+    g = gray[ys][:, xs].astype(np.float64)
+    k = np.arange(n)
+    dct = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    dct[0, :] = np.sqrt(1.0 / n)
+    d = dct @ g @ dct.T
+    block = d[:8, :8].flatten()
+    med = float(np.median(block[1:]))
+    bits = 0
+    for i, c in enumerate(block[1:]):
+        if c > med:
+            bits |= 1 << i
+    return bits
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def phash_assets(assets: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual hashing: (asset_id, phash) with NULL for
+    undecodable payloads / non-image modalities — broken assets degrade,
+    never kill the task. Payloads stay on executors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                _phash64(bytes(p)) if (m == "image" and p is not None) else None
+                for m, p in zip(pdf["modality"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "phash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return assets.mapInPandas(run, PHASH_SCHEMA)
+
+
+def image_near_dup_pairs(assets: DataFrame, max_hamming: int = 4,
+                         max_bucket_size: int = 100_000) -> DataFrame:
+    """Near-duplicate image pairs: pHash + the generic pigeonhole pair
+    generator (``ext.dedup.hamming_near_pairs``). Default max_hamming=4
+    keeps chunk width at 12 bits (63//5) so bucket occupancy stays
+    sub-quadratic at corpus scale; raising it widens recall but shrinks
+    chunks — at web scale keep it ≤ 4 and verify borderline pairs with a
+    pixel-space check downstream."""
+    from .dedup import hamming_near_pairs
+
+    hashed = phash_assets(assets).filter(F.col("phash").isNotNull())
+    return hamming_near_pairs(
+        hashed, hash_col="phash", id_col="asset_id", n_bits=63,
+        max_hamming=max_hamming, max_bucket_size=max_bucket_size,
+    )
