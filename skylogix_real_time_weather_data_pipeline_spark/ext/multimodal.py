@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -392,5 +393,133 @@ def image_near_dup_pairs(assets: DataFrame, max_hamming: int = 4,
     hashed = phash_assets(assets).filter(F.col("phash").isNotNull())
     return hamming_near_pairs(
         hashed, hash_col="phash", id_col="asset_id", n_bits=63,
+        max_hamming=max_hamming, max_bucket_size=max_bucket_size,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio features + fingerprinting — the audio analog of the pHash stack.
+# WAV/PCM decodes with stdlib ``wave``; compressed formats degrade to NULL.
+# Fingerprint = sign of frame-to-frame energy deltas (an echoprint-lite
+# contour hash): exactly invariant to uniform volume scaling, Hamming
+# distance measures contour similarity, and pairs reuse
+# ``dedup.hamming_near_pairs``.
+# ---------------------------------------------------------------------------
+
+
+def _decode_wav_samples(payload: bytes):
+    """Mono float64 sample array from a PCM WAV payload, else None."""
+    import numpy as np
+
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None, 0
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as w:
+            sr = w.getframerate()
+            ch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        if width == 2:
+            a = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        elif width == 1:
+            a = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        else:
+            return None, 0
+        if ch > 1:
+            a = a[: (len(a) // ch) * ch].reshape(-1, ch).mean(axis=1)
+        return a, sr
+    except Exception:
+        return None, 0
+
+
+def _audio_features_one(payload: bytes):
+    """(sample_rate, n_samples, rms, zcr) or Nones."""
+    import numpy as np
+
+    a, sr = _decode_wav_samples(payload)
+    if a is None or len(a) == 0:
+        return None, None, None, None
+    rms = float(np.sqrt(np.mean(a * a)))
+    signs = np.signbit(a)
+    zcr = float(np.mean(signs[1:] != signs[:-1])) if len(a) > 1 else 0.0
+    return sr, len(a), round(rms, 6), round(zcr, 6)
+
+
+def _audio_fingerprint_one(payload: bytes, n_frames: int = 64) -> int | None:
+    """63-bit energy-contour fingerprint: split into ``n_frames`` frames,
+    bit i = energy(frame i+1) > energy(frame i). Uniform volume scaling
+    multiplies every frame energy by the same factor, so the bits — and
+    the fingerprint — are EXACTLY invariant. Bit 63 stays clear (long
+    stays non-negative for the pigeonhole pair generator)."""
+    import numpy as np
+
+    a, _sr = _decode_wav_samples(payload)
+    if a is None or len(a) < n_frames:
+        return None
+    usable = (len(a) // n_frames) * n_frames
+    frames = a[:usable].reshape(n_frames, -1)
+    e = (frames * frames).sum(axis=1)
+    bits = 0
+    for i in range(n_frames - 1):
+        if e[i + 1] > e[i]:
+            bits |= 1 << i
+    return bits
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("zcr", DoubleType()),
+        StructField("afp", LongType()),
+    ]
+)
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched audio analysis: per asset (sample_rate, n_samples,
+    RMS energy, zero-crossing rate, energy-contour fingerprint), NULLs
+    for non-audio/undecodable payloads. Payloads stay on executors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _audio_features_one(bytes(p)) if (m == "audio" and p is not None)
+                else (None, None, None, None)
+                for m, p in zip(pdf["modality"], pdf["payload"])
+            ]
+            fps = [
+                _audio_fingerprint_one(bytes(p)) if (m == "audio" and p is not None)
+                else None
+                for m, p in zip(pdf["modality"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "sample_rate": pd.array([f[0] for f in feats], dtype="Int32"),
+                    "n_samples": pd.array([f[1] for f in feats], dtype="Int64"),
+                    "rms": pd.array([f[2] for f in feats], dtype="Float64"),
+                    "zcr": pd.array([f[3] for f in feats], dtype="Float64"),
+                    "afp": pd.array(fps, dtype="Int64"),
+                }
+            )
+
+    return assets.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+def audio_near_dup_pairs(assets: DataFrame, max_hamming: int = 4,
+                         max_bucket_size: int = 100_000) -> DataFrame:
+    """Near-duplicate audio pairs by energy-contour fingerprint — same
+    pigeonhole scale shape as ``image_near_dup_pairs``."""
+    from .dedup import hamming_near_pairs
+
+    hashed = audio_features(assets).filter(F.col("afp").isNotNull())
+    return hamming_near_pairs(
+        hashed, hash_col="afp", id_col="asset_id", n_bits=63,
         max_hamming=max_hamming, max_bucket_size=max_bucket_size,
     )

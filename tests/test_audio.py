@@ -1,0 +1,70 @@
+"""Audio feature extraction + energy-contour fingerprinting over WAV
+payloads (stdlib wave) through mapInPandas."""
+
+from __future__ import annotations
+
+import io
+import math
+import wave
+
+from skylogix_real_time_weather_data_pipeline_spark.ext.multimodal import (
+    _audio_fingerprint_one,
+    audio_features,
+    audio_near_dup_pairs,
+)
+
+
+def _wav(melody, sr=8000, dur=0.05, amp=12000, sw=2, ch=1):
+    """PCM WAV of a tone sequence; ``melody`` is a list of frequencies."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(sw)
+        w.setframerate(sr)
+        frames = bytearray()
+        for j, f in enumerate(melody):
+            n = int(sr * dur)
+            for i in range(n):
+                # taper each note so the energy CONTOUR varies note-to-note
+                env = 0.2 + 0.8 * abs(math.sin(math.pi * (j + 1) * i / n))
+                v = int(amp * env * math.sin(2 * math.pi * f * i / sr))
+                frames += int(v).to_bytes(2, "little", signed=True) * ch
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+MELODY_A = [440, 660, 220, 880, 330, 550, 770, 110]
+MELODY_B = [880, 110, 770, 220, 660, 330, 550, 440]
+
+
+def _ham(a, b):
+    return bin(a ^ b).count("1")
+
+
+def test_fingerprint_volume_invariant_and_discriminative():
+    a = _audio_fingerprint_one(_wav(MELODY_A))
+    assert a is not None and 0 <= a < 2 ** 63
+    quiet = _audio_fingerprint_one(_wav(MELODY_A, amp=3000))
+    assert _ham(a, quiet) == 0          # uniform gain scales every frame energy
+    b = _audio_fingerprint_one(_wav(MELODY_B))
+    assert _ham(a, b) > 8
+
+
+def test_audio_features_pipeline(spark):
+    rows = [
+        (1, "audio", _wav(MELODY_A)),
+        (2, "audio", _wav(MELODY_A, amp=4000)),   # same content, quieter
+        (3, "audio", _wav(MELODY_B)),             # different melody
+        (4, "audio", b"not a wav"),
+        (5, "image", b"\x89PNG"),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, modality string, payload binary")
+    got = {r.asset_id: r for r in audio_features(df).collect()}
+    assert got[1].sample_rate == 8000 and got[1].n_samples == 8 * 400
+    assert got[1].rms > got[2].rms          # quieter file has lower energy
+    assert 0 < got[1].zcr < 1
+    assert got[4].afp is None and got[5].afp is None
+
+    pairs = {(r.id_a, r.id_b): r.hamming for r in audio_near_dup_pairs(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert all(3 not in p for p in pairs)
