@@ -59,6 +59,10 @@ _VERIFY_FIRST = (
     "docs_distill_filter",             # NEW: integer-exact GD filter distillation
     "emb_ivf_filtered_topk",           # NEW: adaptive-probe filtered vector search
     "emb_filtered_recall",             # NEW: filtered-ANN recall@k eval
+    "docs_simhash_near_pairs",         # pigeonhole pairing factored into generic hamming_near_pairs
+    # (slot given up by rel_disjunctive_revenue — plain fsum group-sum
+    # path, covered in-window by rel_supplier_value; hash-green in
+    # CORRECTNESS_LOCAL_r05.json)
     # (slot given up by rel_small_qty_revenue — plain fsum group-sum
     # path, covered in-window by rel_supplier_value; hash-green in
     # CORRECTNESS_LOCAL_r05.json)
@@ -114,7 +118,6 @@ _VERIFY_FIRST = (
     "rel_supplier_value",
     "rel_lost_customers",
     "rel_volume_shipping",
-    "rel_disjunctive_revenue",
     # --- tier 3 head: r3-vintage rows (rel_product_profit deliberately
     # stays on the decimal fold: its 0.6*retailprice*qty term has
     # unbounded fractional digits — fsum's documented dsumx case) ---
