@@ -3,11 +3,13 @@
 Images/audio/video travel as ``binary`` columns with a metadata struct;
 decode / feature-extract run as Arrow-batched ``mapInPandas`` stages.
 Image decode and resize are REAL for PNG payloads (pure-stdlib codec,
-ext/png.py; PIL is preferred automatically when installed), dimension
-probing is REAL for JPEG/GIF/BMP headers, and the audio probe is REAL for
-WAV payloads (stdlib ``wave``); video probing, compressed-audio formats,
-and non-PNG pixel decode stay STUBBED behind ``DECODERS`` (deterministic
-sha256 fakes, honestly labeled) — the Spark-side contract
+ext/png.py; PIL is preferred automatically when installed) and baseline
+JPEG (ext/jpeg.py), dimension probing is REAL for JPEG/GIF/BMP headers,
+the audio path is REAL for PCM WAV (stdlib ``wave``: features + an
+energy-contour fingerprint), and video frame extraction is REAL for
+uncompressed DIB/BGR24 AVI (stdlib RIFF parsing + the pHash core);
+compressed video/audio codecs stay STUBBED or degrade to zero rows
+(deterministic sha256 fakes, honestly labeled) — the Spark-side contract
 (schemas, batch iteration, partitioning) is identical either way.
 
 Scale notes: binary payloads stay off the driver; ``mapInPandas`` streams
@@ -316,24 +318,14 @@ def _decode_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
     return None
 
 
-def _phash64(payload: bytes) -> int | None:
-    """63-bit DCT perceptual hash (bit 63 kept clear so the value stays a
-    non-negative long — the pigeonhole pair generator shifts arithmetically).
-    Deterministic float DCT; no SQL oracle claim (codec-dependent), so the
-    contract is pinned by tests like the rest of the multimodal stack."""
+def _phash_gray(gray) -> int | None:
+    """63-bit DCT hash of a 2D grayscale integer array — the shared core
+    of the image pHash and the per-frame video hashes."""
     import numpy as np
 
-    dec = _decode_pixels(payload)
-    if dec is None:
-        return None
-    w, h, ch, data = dec
+    h, w = gray.shape
     if w < 2 or h < 2:
         return None
-    a = np.frombuffer(data, dtype=np.uint8).reshape(h, w, ch).astype(np.int64)
-    if ch >= 3:
-        gray = (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
-    else:
-        gray = a[..., 0]
     n = 32
     ys = (np.arange(n) * h) // n
     xs = (np.arange(n) * w) // n
@@ -349,6 +341,28 @@ def _phash64(payload: bytes) -> int | None:
         if c > med:
             bits |= 1 << i
     return bits
+
+
+def _rgb_to_gray(a):
+    """Integer luma from an (h, w, ch) uint8-ish array."""
+    if a.shape[-1] >= 3:
+        return (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+    return a[..., 0]
+
+
+def _phash64(payload: bytes) -> int | None:
+    """63-bit DCT perceptual hash (bit 63 kept clear so the value stays a
+    non-negative long — the pigeonhole pair generator shifts arithmetically).
+    Deterministic float DCT; no SQL oracle claim (codec-dependent), so the
+    contract is pinned by tests like the rest of the multimodal stack."""
+    import numpy as np
+
+    dec = _decode_pixels(payload)
+    if dec is None:
+        return None
+    w, h, ch, data = dec
+    a = np.frombuffer(data, dtype=np.uint8).reshape(h, w, ch).astype(np.int64)
+    return _phash_gray(_rgb_to_gray(a))
 
 
 PHASH_SCHEMA = StructType(
@@ -522,4 +536,139 @@ def audio_near_dup_pairs(assets: DataFrame, max_hamming: int = 4,
     return hamming_near_pairs(
         hashed, hash_col="afp", id_col="asset_id", n_bits=63,
         max_hamming=max_hamming, max_bucket_size=max_bucket_size,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video: REAL frame extraction for uncompressed (DIB/BGR24) AVI — RIFF is
+# plain stdlib parsing, frames reuse the pHash core, and near-dup videos
+# surface through shared sampled-frame hashes. Compressed codecs stay out
+# of repo and degrade to zero rows (the honest 100 TB posture, same as
+# progressive JPEG).
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunks(data: bytes, offset: int, end: int):
+    """Yield (fourcc, payload) over a RIFF chunk span; LIST chunks recurse
+    with their list-type as fourcc prefix. Lenient: stops at truncation."""
+    i = offset
+    while i + 8 <= end:
+        fourcc = data[i:i + 4]
+        size = int.from_bytes(data[i + 4:i + 8], "little")
+        body_end = min(i + 8 + size, end)
+        if fourcc == b"LIST" and body_end >= i + 12:
+            yield from _riff_chunks(data, i + 12, body_end)
+        else:
+            yield fourcc, data[i + 8:body_end]
+        i += 8 + size + (size & 1)
+
+
+def _avi_raw_frames(payload: bytes):
+    """(width, height, [BGR24 frame bytes]) for an uncompressed AVI, else
+    None. Dims come from the strf BITMAPINFOHEADER (bit count 24,
+    compression 0 = BI_RGB); frames are the '..db' DIB chunks."""
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            return None
+        w = h = None
+        frames = []
+        for fourcc, body in _riff_chunks(payload, 12, len(payload)):
+            if fourcc == b"strf" and len(body) >= 20 and w is None:
+                bw = int.from_bytes(body[4:8], "little", signed=True)
+                bh = int.from_bytes(body[8:12], "little", signed=True)
+                bits = int.from_bytes(body[14:16], "little")
+                comp = int.from_bytes(body[16:20], "little")
+                if bits == 24 and comp == 0 and bw > 0:
+                    w, h = bw, abs(bh)
+            elif fourcc[2:4] == b"db":
+                frames.append(body)
+        if w is None or h is None or not frames:
+            return None
+        return w, h, frames
+    except Exception:
+        return None
+
+
+def _video_frame_hashes_one(payload: bytes, every_n: int = 2):
+    """[(frame_idx, phash)] for the sampled frames of one video."""
+    import numpy as np
+
+    dec = _avi_raw_frames(payload)
+    if dec is None:
+        return []
+    w, h, frames = dec
+    stride = ((w * 3) + 3) & ~3  # DIB rows pad to 4 bytes
+    out = []
+    for idx in range(0, len(frames), every_n):
+        body = frames[idx]
+        if len(body) < stride * h:
+            continue
+        rows = np.frombuffer(body[: stride * h], dtype=np.uint8).reshape(h, stride)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)[::-1]  # DIB is bottom-up
+        gray = (299 * bgr[..., 2].astype(np.int64)
+                + 587 * bgr[..., 1].astype(np.int64)
+                + 114 * bgr[..., 0].astype(np.int64)) // 1000
+        ph = _phash_gray(gray)
+        if ph is not None:
+            out.append((idx, ph))
+    return out
+
+
+VIDEO_HASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def video_frame_hashes(assets: DataFrame, every_n: int = 2) -> DataFrame:
+    """Arrow-batched frame sampling + perceptual hashing: one row per
+    SAMPLED frame (asset_id, frame_idx, phash). Non-video / compressed /
+    corrupt payloads contribute zero rows — they degrade, never fail."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for aid, m, p in zip(pdf["asset_id"], pdf["modality"], pdf["payload"]):
+                if m != "video" or p is None:
+                    continue
+                for fi, ph in _video_frame_hashes_one(bytes(p), every_n):
+                    ids.append(aid)
+                    idxs.append(fi)
+                    hashes.append(ph)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(ids, dtype="Int64"),
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "phash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return assets.mapInPandas(run, VIDEO_HASH_SCHEMA)
+
+
+def video_near_dup_pairs(assets: DataFrame, every_n: int = 2,
+                         min_shared: int = 2,
+                         max_hash_df: int = 10_000) -> DataFrame:
+    """Near-duplicate videos: pairs sharing ≥ ``min_shared`` sampled-frame
+    perceptual hashes (brightness/contrast/resolution variants hash
+    identically per frame, so re-encodes match EXACTLY on the hash).
+    Same bucket-group fan-out as every other pair generator — distinct
+    (video, hash) rows, posting lists per hash with a df cap (a black
+    frame appears everywhere), no self-join."""
+    from .dedup import _pairs_from_sorted_ids
+
+    fh = video_frame_hashes(assets, every_n).select("asset_id", "phash").distinct()
+    buckets = (
+        fh.groupBy("phash")
+        .agg(F.array_sort(F.collect_set("asset_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_hash_df))
+    )
+    return (
+        buckets.select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= min_shared)
     )
