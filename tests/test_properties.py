@@ -397,3 +397,41 @@ def test_fsum_units_is_exact_integer_total(spark):
     for g, v in rows:
         expect[g] = expect.get(g, 0) + round(v * 1_000_000)
     assert out == expect
+
+
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=12),
+        min_size=1, max_size=8,
+    ),
+    chunk_tokens=st.integers(1, 4),
+)
+@_settings
+def test_remove_dup_chunks_invariants(spark, corpus, chunk_tokens):
+    """Keep-first rewrite invariants on arbitrary corpora: (a) corpus-wide
+    kept-chunk count equals the number of DISTINCT chunk texts (exactly
+    one survivor per hash); (b) every clean_text is the concatenation of
+    a subset of that doc's chunks in original order; (c) n_chunks -
+    n_removed chunks survive per doc."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import remove_dup_chunks
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_dup_chunks(df, chunk_tokens=chunk_tokens).collect()}
+
+    # python model: chunks per doc in (doc, start) order
+    all_chunks, per_doc = [], {}
+    for i, words in enumerate(corpus):
+        cs = [" ".join(words[s:s + chunk_tokens]) for s in range(0, len(words), chunk_tokens)]
+        per_doc[i] = cs
+        all_chunks.extend(cs)
+    distinct = len(set(all_chunks))
+
+    kept_total = sum(out[i].n_chunks - out[i].n_removed for i in per_doc)
+    assert kept_total == distinct
+    seen = set()
+    for i, cs in per_doc.items():
+        kept = [c for c in cs if c not in seen]
+        seen.update(cs)
+        assert out[i].clean_text == " ".join(kept)
+        assert out[i].n_chunks == len(cs)
