@@ -1305,3 +1305,55 @@ def source_kl_divergence(df: DataFrame, text_col: str = "text",
         .groupBy(source_col)
         .agg(F.round(fsum("t", 6), 6).alias("kl_div"), F.count(F.lit(1)).alias("n_terms"))
     )
+
+
+def lang_source_chisq(df: DataFrame, a_col: str = "lang",
+                      b_col: str = "source") -> DataFrame:
+    """Chi-square independence test between two corpus facets (language ×
+    source here) — the mixture-diagnostics staple: a large statistic
+    means sources have very different language mixes, so per-source
+    sampling decisions interact with language balance.
+
+    One corpus scan folds the contingency table; row/column/grand totals
+    come from WINDOW sums over the tiny (L×S)-row counts table — no
+    second scan, no joins. The (n−e)²/e cell terms fold through fsum so
+    the statistic is order-independent and engine-portable. Returns one
+    row: (n_total, n_rows, n_cols, dof, chi2).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.exact import fsum
+
+    counts = df.groupBy(a_col, b_col).agg(F.count(F.lit(1)).alias("n"))
+    # groupBy only yields OBSERVED cells, but a structural zero still
+    # contributes (0−e)²/e = e to the statistic — cross the observed
+    # margins into the full L×S grid (tiny; broadcast) and fill zeros
+    grid = (
+        counts.select(a_col).distinct()
+        .crossJoin(F.broadcast(counts.select(b_col).distinct()))
+        .join(counts, [a_col, b_col], "left")
+        .select(a_col, b_col, F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    r = F.sum("n").over(Window.partitionBy(a_col))
+    c = F.sum("n").over(Window.partitionBy(b_col))
+    tot = F.sum("n").over(Window.partitionBy())
+    cells = grid.select(
+        a_col,
+        b_col,
+        "n",
+        r.alias("r"),
+        c.alias("c"),
+        tot.alias("t"),
+    )
+    e = F.col("r") * F.col("c") / F.col("t")
+    term = (F.col("n") - e) * (F.col("n") - e) / e
+    return cells.agg(
+        F.max("t").cast("long").alias("n_total"),
+        F.count_distinct(F.col(a_col)).alias("n_rows"),
+        F.count_distinct(F.col(b_col)).alias("n_cols"),
+        (
+            (F.count_distinct(F.col(a_col)) - 1)
+            * (F.count_distinct(F.col(b_col)) - 1)
+        ).alias("dof"),
+        F.round(fsum(term, 6), 6).alias("chi2"),
+    )

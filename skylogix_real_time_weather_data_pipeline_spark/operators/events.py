@@ -131,3 +131,41 @@ def retention_cohorts(df: DataFrame, user_col: str = "user_id",
         "cohort_size",
         F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
     )
+
+
+def ab_test(df: DataFrame, variant_col: Column, converted: Column,
+            z_threshold: float = 1.96) -> DataFrame:
+    """Two-proportion z-test between two experiment arms — the A/B
+    readout every event pipeline ends with. ``variant_col`` must take the
+    values 'A'/'B'; ``converted`` is a boolean per event.
+
+    One scan, one tiny agg: per-arm (n, conversions) via conditional
+    counts, then the pooled z statistic
+    z = (p_A − p_B) / sqrt(p(1−p)(1/n_A + 1/n_B)) computed on the
+    aggregated scalars only. All inputs to the float expression are exact
+    integers, so both engines evaluate the identical IEEE expression; the
+    significance flag compares the unrounded double to the threshold.
+    Returns one row: (n_a, conv_a, rate_a, n_b, conv_b, rate_b, z_score,
+    significant).
+    """
+    agg = df.agg(
+        F.sum(F.when(variant_col == "A", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(variant_col == "A", converted.cast("int")).otherwise(0)).cast("long").alias("conv_a"),
+        F.sum(F.when(variant_col == "B", 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(variant_col == "B", converted.cast("int")).otherwise(0)).cast("long").alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b")))
+    z = (p_a - p_b) / se
+    return agg.select(
+        "n_a",
+        "conv_a",
+        F.round(p_a, 6).alias("rate_a"),
+        "n_b",
+        "conv_b",
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > z_threshold).alias("significant"),
+    )

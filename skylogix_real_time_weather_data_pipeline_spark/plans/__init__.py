@@ -60,6 +60,11 @@ _VERIFY_FIRST = (
     "emb_ivf_filtered_topk",           # NEW: adaptive-probe filtered vector search
     "emb_filtered_recall",             # NEW: filtered-ANN recall@k eval
     "docs_simhash_near_pairs",         # pigeonhole pairing factored into generic hamming_near_pairs
+    "docs_lang_source_chisq",          # NEW: chi-square facet-independence diagnostic
+    "events_ab_test",                  # NEW: two-proportion z-test A/B readout
+    # (slots given up by rel_volume_shipping and rel_lost_customers —
+    # plain fsum group-sum paths, covered in-window by
+    # rel_supplier_value; both hash-green in CORRECTNESS_LOCAL_r05.json)
     # (slot given up by rel_disjunctive_revenue — plain fsum group-sum
     # path, covered in-window by rel_supplier_value; hash-green in
     # CORRECTNESS_LOCAL_r05.json)
@@ -116,8 +121,6 @@ _VERIFY_FIRST = (
     "stream_sessionize",
     "stream_range_join_windows",
     "rel_supplier_value",
-    "rel_lost_customers",
-    "rel_volume_shipping",
     # --- tier 3 head: r3-vintage rows (rel_product_profit deliberately
     # stays on the decimal fold: its 0.6*retailprice*qty term has
     # unbounded fractional digits — fsum's documented dsumx case) ---

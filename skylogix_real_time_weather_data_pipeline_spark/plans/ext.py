@@ -2483,6 +2483,35 @@ ORDER BY rrf_score DESC, doc_id ASC LIMIT {_RRF_K}
 _ZIPF_TOP = 100
 
 
+def q_lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_source_chisq(_docs(spark, sf_dir))
+
+
+O_LANG_SOURCE_CHISQ = f"""
+WITH counts AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2
+), grid AS (
+  SELECT l.lang, s.source, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT lang FROM counts) l
+  CROSS JOIN (SELECT DISTINCT source FROM counts) s
+  LEFT JOIN counts c USING (lang, source)
+), cells AS (
+  SELECT n,
+         SUM(n) OVER (PARTITION BY lang) AS r,
+         SUM(n) OVER (PARTITION BY source) AS c,
+         SUM(n) OVER () AS t,
+         lang, source
+  FROM grid
+)
+SELECT CAST(MAX(t) AS BIGINT) AS n_total,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_cols,
+       CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof,
+       ROUND({sql_fsum('(n - r*c/t) * (n - r*c/t) / (r*c/t)', 6)}, 6) AS chi2
+FROM cells
+"""
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.zipf_fit(_docs(spark, sf_dir), top_terms=_ZIPF_TOP)
 
@@ -2720,6 +2749,7 @@ QUERIES = {
     "docs_bm25_topk": q_bm25_topk,
     "docs_hybrid_rrf": q_hybrid_rrf,
     "docs_zipf_fit": q_zipf_fit,
+    "docs_lang_source_chisq": q_lang_source_chisq,
     "docs_source_kl": q_source_kl,
     "emb_pca_top_component": q_pca_top_component,
     "docs_stratified_sample": q_stratified_sample,
@@ -2788,6 +2818,7 @@ ORACLES = {
     "docs_bm25_topk": O_BM25_TOPK,
     "docs_hybrid_rrf": O_HYBRID_RRF,
     "docs_zipf_fit": O_ZIPF_FIT,
+    "docs_lang_source_chisq": O_LANG_SOURCE_CHISQ,
     "docs_source_kl": O_SOURCE_KL,
     "emb_pca_top_component": O_PCA_TOP_COMPONENT,
     "docs_stratified_sample": O_STRATIFIED_SAMPLE,

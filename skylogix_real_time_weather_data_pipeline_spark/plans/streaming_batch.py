@@ -26,6 +26,47 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: arm = parity of the props.k field (a
+    deterministic data-derived assignment), conversion = purchase
+    events. All float inputs are exact integers, so both engines
+    evaluate the identical IEEE expression."""
+    from ..operators.events import ab_test
+
+    ev = _events(spark, sf_dir)
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    variant = F.when(F.pmod(k, F.lit(2)) == 0, F.lit("A")).otherwise(F.lit("B"))
+    return ab_test(ev, variant_col=variant, converted=F.col("event_type") == "purchase")
+
+
+O_AB_TEST = """
+WITH tagged AS (
+  SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events
+), agg AS (
+  SELECT CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM tagged
+)
+SELECT n_a, conv_a, ROUND(conv_a * 1.0 / n_a, 6) AS rate_a,
+       n_b, conv_b, ROUND(conv_b * 1.0 / n_b, 6) AS rate_b,
+       ROUND((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+             / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                    * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score,
+       abs((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+           / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                  * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                  * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
+FROM agg
+"""
+
+
+
 def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-day event-time window per condition — the streaming gold
     aggregate (SURVEY §2.9 'tumbling daily aggregation'). ``F.window`` works
@@ -703,10 +744,12 @@ QUERIES = {
     "stream_window_percentiles": q_window_percentiles,
     "events_cumulative_users": q_cumulative_users,
     "events_anomaly_mad": q_anomaly_mad,
+    "events_ab_test": q_ab_test,
 }
 
 ORACLES = {
     "events_funnel": O_FUNNEL,
+    "events_ab_test": O_AB_TEST,
     "events_props_stats": O_PROPS_STATS,
     "events_gap_fill": O_GAP_FILL,
     "events_retention": O_RETENTION,

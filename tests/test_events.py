@@ -85,3 +85,22 @@ def test_retention_cohorts_triangle(spark):
     assert abs(out[(1, 2)].retention - 0.5) < 1e-6
     assert out[(8, 1)].n_active == 1 and out[(8, 1)].cohort_size == 1
     assert (1, 1) not in out  # nobody from cohort 1 active in week 1
+
+
+def test_ab_test_closed_form(spark):
+    """Hand-built arms: A = 3/10 conversions, B = 1/10 — z matches the
+    textbook pooled two-proportion formula."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from skylogix_real_time_weather_data_pipeline_spark.operators.events import ab_test
+
+    rows = [("A", i < 3) for i in range(10)] + [("B", i < 1) for i in range(10)]
+    df = spark.createDataFrame(rows, "arm string, conv boolean")
+    out = ab_test(df, variant_col=F.col("arm"), converted=F.col("conv")).collect()[0]
+    assert (out.n_a, out.conv_a, out.n_b, out.conv_b) == (10, 3, 10, 1)
+    p, se = 4 / 20, math.sqrt((4 / 20) * (16 / 20) * (1 / 10 + 1 / 10))
+    z = (0.3 - 0.1) / se
+    assert abs(out.z_score - round(z, 6)) < 1e-9
+    assert not out.significant  # |z| ≈ 1.118 < 1.96

@@ -1076,3 +1076,22 @@ def test_ivf_filtered_topk_adapts_probe_depth(spark):
     assert full[0].n_probed == 3
     exact = cosine_topk(df.filter(pred), qv, k=4).collect()
     assert [(r.vec_id, r.cosine_sim) for r in full] == [(r.vec_id, r.cosine_sim) for r in exact]
+
+
+def test_lang_source_chisq_closed_form(spark):
+    """2×2 contingency with a known statistic: independence gives chi2≈0;
+    a fully dependent layout gives chi2 = N."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.text import lang_source_chisq
+
+    indep = [(i, "en" if i % 2 == 0 else "de", "web" if i < 20 else "books")
+             for i in range(40)]
+    df = spark.createDataFrame([(i, l, s) for i, l, s in indep],
+                               "doc_id long, lang string, source string")
+    out = lang_source_chisq(df).collect()[0]
+    assert (out.n_rows, out.n_cols, out.dof, out.n_total) == (2, 2, 1, 40)
+    assert abs(out.chi2) < 1e-6  # perfectly independent by construction
+
+    dep = [(i, "en", "web") for i in range(20)] + [(i + 20, "de", "books") for i in range(20)]
+    df2 = spark.createDataFrame(dep, "doc_id long, lang string, source string")
+    out2 = lang_source_chisq(df2).collect()[0]
+    assert abs(out2.chi2 - 40.0) < 1e-5  # perfect dependence: chi2 = N
