@@ -431,7 +431,10 @@ def test_remove_dup_chunks_invariants(spark, corpus, chunk_tokens):
     assert kept_total == distinct
     seen = set()
     for i, cs in per_doc.items():
-        kept = [c for c in cs if c not in seen]
-        seen.update(cs)
+        kept = []
+        for c in cs:  # within-doc repeats are duplicates too — dedup as we go
+            if c not in seen:
+                kept.append(c)
+                seen.add(c)
         assert out[i].clean_text == " ".join(kept)
         assert out[i].n_chunks == len(cs)
