@@ -14,11 +14,41 @@ via the checkpoint) and each batch touches O(batch) groups.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _already_applied(state_path: str, batch_id: int) -> bool:
+    """True when the stored view already contains this micro-batch.
+
+    foreachBatch gives at-least-once delivery: a crash between the view
+    swap and the streaming checkpoint commit REPLAYS the batch, and a
+    blind combine would double-count it. The last applied batch id is
+    written INSIDE the staging directory before the atomic rename, so
+    view contents and the guard commit together — replays become no-ops
+    and the combine is effectively exactly-once."""
+    meta = os.path.join(state_path, "_last_batch.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            return json.load(f)["batch_id"] >= batch_id
+    return False
+
+
+def _commit_view(merged: DataFrame, state_path: str, batch_id: int) -> None:
+    """Staging write + batch-id marker + atomic directory swap. The
+    underscore-prefixed marker is invisible to Spark's parquet reader
+    (same convention as _SUCCESS)."""
+    staging = f"{state_path}__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    with open(os.path.join(staging, "_last_batch.json"), "w") as f:
+        json.dump({"batch_id": batch_id}, f)
+    if os.path.exists(state_path):
+        shutil.rmtree(state_path)
+    shutil.move(staging, state_path)
 
 
 def combine_daily_counts(state: DataFrame | None, delta: DataFrame) -> DataFrame:
@@ -45,6 +75,24 @@ def combine_daily_counts(state: DataFrame | None, delta: DataFrame) -> DataFrame
     )
 
 
+def apply_daily_batch(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
+    """One micro-batch of the daily view: partial aggregate → combine →
+    atomic commit, skipped entirely when the batch was already applied
+    (see _already_applied — the replay guard is what the equivalence and
+    replay tests pin)."""
+    if _already_applied(state_path, batch_id):
+        return
+    spark = batch_df.sparkSession
+    delta = (
+        batch_df.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    state = spark.read.parquet(state_path) if os.path.exists(state_path) else None
+    _commit_view(combine_daily_counts(state, delta), state_path, batch_id)
+
+
 def maintain_daily_view(src: DataFrame, state_path: str, checkpoint_dir: str):
     """Run the incremental maintenance over a streaming events frame
     (ts, event_type, value) with trigger(availableNow): each micro-batch
@@ -53,24 +101,7 @@ def maintain_daily_view(src: DataFrame, state_path: str, checkpoint_dir: str):
     StreamingQuery."""
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        delta = (
-            batch_df.groupBy(
-                F.to_date("ts").alias("day"), "event_type"
-            ).agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("value").alias("sum_value"),
-            )
-        )
-        state = (
-            spark.read.parquet(state_path) if os.path.exists(state_path) else None
-        )
-        merged = combine_daily_counts(state, delta)
-        staging = f"{state_path}__staging"
-        merged.write.mode("overwrite").parquet(staging)
-        if os.path.exists(state_path):
-            shutil.rmtree(state_path)
-        shutil.move(staging, state_path)
+        apply_daily_batch(batch_df, batch_id, state_path)
 
     q = (
         src.writeStream.foreachBatch(_upsert)
@@ -116,6 +147,8 @@ def maintain_term_stats_view(src: DataFrame, state_path: str, checkpoint_dir: st
     from ..ext.text import tokens
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if _already_applied(state_path, batch_id):
+            return
         spark = batch_df.sparkSession
         delta = (
             batch_df.select(id_col, F.explode(tokens(text_col)).alias("w"))
@@ -128,12 +161,7 @@ def maintain_term_stats_view(src: DataFrame, state_path: str, checkpoint_dir: st
         state = (
             spark.read.parquet(state_path) if os.path.exists(state_path) else None
         )
-        merged = combine_term_stats(state, delta)
-        staging = f"{state_path}__staging"
-        merged.write.mode("overwrite").parquet(staging)
-        if os.path.exists(state_path):
-            shutil.rmtree(state_path)
-        shutil.move(staging, state_path)
+        _commit_view(combine_term_stats(state, delta), state_path, batch_id)
 
     q = (
         src.writeStream.foreachBatch(_upsert)
@@ -214,11 +242,19 @@ def maintain_ivf_cell_view(src: DataFrame, centroids: list[list[float]],
     ``maintain_term_stats_view`` (replayed ids would duplicate postings)."""
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if _already_applied(state_path, batch_id):
+            return
         spark = batch_df.sparkSession
         assigned = batch_df.select(
             id_col, F.col(vec_col), _nearest_cell(vec_col, centroids).alias("cell")
         )
-        assigned.select(id_col, "cell").write.mode("append").parquet(assignments_path)
+        # per-batch partition directory + overwrite, NOT a bare append: the
+        # posting table and the stats view cannot commit atomically
+        # together, so a replay that raced the stats commit must REWRITE
+        # its own partition instead of appending duplicates
+        assigned.select(id_col, "cell").write.mode("overwrite").parquet(
+            f"{assignments_path}/batch_id={batch_id}"
+        )
         delta = (
             assigned.select("cell", F.posexplode(vec_col).alias("pos", "v"))
             .groupBy("cell", "pos")
@@ -238,12 +274,7 @@ def maintain_ivf_cell_view(src: DataFrame, centroids: list[list[float]],
         state = (
             spark.read.parquet(state_path) if os.path.exists(state_path) else None
         )
-        merged = combine_cell_stats(state, delta)
-        staging = f"{state_path}__staging"
-        merged.write.mode("overwrite").parquet(staging)
-        if os.path.exists(state_path):
-            shutil.rmtree(state_path)
-        shutil.move(staging, state_path)
+        _commit_view(combine_cell_stats(state, delta), state_path, batch_id)
 
     q = (
         src.writeStream.foreachBatch(_upsert)

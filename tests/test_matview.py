@@ -211,3 +211,32 @@ def test_incremental_ivf_cell_view_equals_batch(spark, tmp_path):
     # drift: cell 0's running mean has moved off the frozen centroid
     mean0 = [s / got[0][0] for s in got[0][1]]
     assert any(abs(m - c) > 0.3 for m, c in zip(mean0, cents[0]))
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering an already-applied
+    micro-batch (crash between view swap and checkpoint commit) must be
+    a no-op — the batch-id marker commits atomically with the view — while
+    a genuinely new batch id still applies."""
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import apply_daily_batch
+
+    state = str(tmp_path / "view")
+    b1 = spark.createDataFrame(
+        [("2024-03-01T09:00:00", "view", 1.5), ("2024-03-01T10:00:00", "view", 2.5)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    apply_daily_batch(b1, 0, state)
+    first = {(str(r.day), r.event_type): (r.n, r.sum_value)
+             for r in spark.read.parquet(state).collect()}
+    assert first == {("2024-03-01", "view"): (2, 4.0)}
+
+    apply_daily_batch(b1, 0, state)          # REPLAY: same id → no-op
+    again = {(str(r.day), r.event_type): (r.n, r.sum_value)
+             for r in spark.read.parquet(state).collect()}
+    assert again == first
+
+    apply_daily_batch(b1, 1, state)          # new id → combines
+    after = {(str(r.day), r.event_type): (r.n, r.sum_value)
+             for r in spark.read.parquet(state).collect()}
+    assert after == {("2024-03-01", "view"): (4, 8.0)}
