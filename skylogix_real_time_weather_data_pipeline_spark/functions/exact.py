@@ -245,6 +245,85 @@ def fsum_units(c: Column | str, scale: int = 6) -> Column:
     return F.sum(q).cast("decimal(38,0)") * _SPLIT + F.sum(r).cast("decimal(38,0)")
 
 
+def _sdivha_long(num: Column, den: Column) -> Column:
+    """Signed half-away integer division on longs (den > 0), float-free:
+    pmod makes the numerator an exact multiple, the division runs in
+    decimal(38,0) so exactness holds across the full long range."""
+
+    def pos(n: Column) -> Column:
+        m = F.lit(2) * n + den
+        d2 = F.lit(2) * den
+        exact = (m - F.pmod(m, d2)).cast("decimal(38,0)")
+        return (exact / d2.cast("decimal(38,0)")).cast("long")
+
+    return F.when(num >= 0, pos(num)).otherwise(-pos(-num))
+
+
+def fmean1_round(c: Column | str, scale: int, k: int) -> Column:
+    """round(mean, k) computed EXACTLY in integer units with half-away
+    rounding — the display form of fmean1. The double-quotient route
+    (ROUND(sum_double / count, k)) parks routinely on .5 display
+    boundaries where Spark's shortest-repr HALF_UP and DuckDB's binary
+    multiply-round can disagree (the sf0.1 bigram lesson); here the mean
+    never leaves the integer grid until the final exact /10^k.
+
+    Overflow headroom: the numerator is su·10^(k−s) (k ≥ s) — for
+    weather-scale values at k−s ≤ 4 that is exact past ~10^10 rows per
+    group; for larger groups drop to the su-reducing k < s branch or a
+    wider display grid. NULL when the group has no non-null values
+    (AVG semantics)."""
+    c = _col(c)
+    u = F.round(c * F.lit(float(10**scale))).cast("long")
+    su = F.sum(u)
+    n = F.count(c)
+    if k >= scale:
+        num, den = su * F.lit(10 ** (k - scale)), n
+    else:
+        num, den = su, n * F.lit(10 ** (scale - k))
+    return F.when(n > 0, _sdivha_long(num, den) / F.lit(float(10**k)))
+
+
+def sql_fmean1_round(expr: str, scale: int, k: int) -> str:
+    """DuckDB twin of fmean1_round — identical integer grid, BIGINT //."""
+    p = 10**scale
+    su = f"SUM(CAST(ROUND(({expr}) * {p}) AS BIGINT))"
+    n = f"COUNT({expr})"
+    if k >= scale:
+        num, den = f"({su} * {10 ** (k - scale)})", f"({n})"
+    else:
+        num, den = f"({su})", f"({n} * {10 ** (scale - k)})"
+    divha = (f"(CASE WHEN {num} >= 0 THEN ((2*{num} + {den}) // (2*{den})) "
+             f"ELSE -((-2*{num} + {den}) // (2*{den})) END)")
+    return f"(CASE WHEN {n} > 0 THEN {divha} / {float(10**k)} END)"
+
+
+def fmean_round(c: Column | str, k: int, scale: int = 6) -> Column:
+    """Display form of the split-long fmean: exact integer-unit mean with
+    half-away rounding at digit ``k``. The unit total comes from
+    fsum_units (decimal-exact at any corpus size) and is cast to long for
+    the division — exact while |Σc|·10^scale < 9.2e18 (the documented
+    fsum per-group bound)."""
+    su = fsum_units(c, scale).cast("long")
+    n = F.count(_col(c))
+    if k >= scale:
+        num, den = su * F.lit(10 ** (k - scale)), n
+    else:
+        num, den = su, n * F.lit(10 ** (scale - k))
+    return F.when(n > 0, _sdivha_long(num, den) / F.lit(float(10**k)))
+
+
+def sql_fmean_round(expr: str, k: int, scale: int = 6) -> str:
+    su = f"CAST({sql_fsum_units(expr, scale)} AS BIGINT)"
+    n = f"COUNT({expr})"
+    if k >= scale:
+        num, den = f"({su} * {10 ** (k - scale)})", f"({n})"
+    else:
+        num, den = f"({su})", f"({n} * {10 ** (scale - k)})"
+    divha = (f"(CASE WHEN {num} >= 0 THEN ((2*{num} + {den}) // (2*{den})) "
+             f"ELSE -((-2*{num} + {den}) // (2*{den})) END)")
+    return f"(CASE WHEN {n} > 0 THEN {divha} / {float(10**k)} END)"
+
+
 def sql_fsum_units(expr: str, scale: int = 6) -> str:
     """DuckDB twin of fsum_units: the exact integer unit total (HUGEINT
     via the decimal casts), no double anywhere."""

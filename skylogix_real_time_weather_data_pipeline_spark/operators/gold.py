@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 # whole-stage-codegen long arithmetic (functions/exact.py documents the
 # 100 TB overflow headroom); dmean remains for callers needing >6 fractional
 # digits of per-row fidelity.
-from ..functions.exact import dmean, fmean, fmean1, fsum
+from ..functions.exact import dmean, fmean, fmean1, fmean1_round, fmean_round, fsum
 
 
 def _mean(c: str, scales: dict[str, int] | None):
@@ -40,6 +40,17 @@ def _mean(c: str, scales: dict[str, int] | None):
     return fmean(c)
 
 
+def _mean_round(c: str, scales: dict[str, int] | None, k: int):
+    """Display-rounded exact mean (see fmean1_round): the quotient stays
+    on the integer grid until the final /10^k, so the rounded value is
+    half-away-exact and bit-identical across engines — round(double)
+    display means were the last systematically boundary-exposed sites
+    after the LM fix."""
+    if scales and c in scales:
+        return fmean1_round(c, scales[c], k)
+    return fmean_round(c, k)
+
+
 def basic_stats(df: DataFrame, ts: str = "timestamp", temp: str = "temperature",
                 humidity: str = "humidity", wind: str = "wind_speed",
                 scales: dict[str, int] | None = None) -> DataFrame:
@@ -53,14 +64,14 @@ def basic_stats(df: DataFrame, ts: str = "timestamp", temp: str = "temperature",
         F.max(ts).alias("ts_max"),
         F.round(F.min(temp), 6).alias("temp_min"),
         F.round(F.max(temp), 6).alias("temp_max"),
-        F.round(_mean(temp, scales), 6).alias("temp_mean"),
+        _mean_round(temp, scales, 6).alias("temp_mean"),
         F.round(F.expr(f"percentile({temp}, 0.5)"), 6).alias("temp_median"),
         F.round(F.min(humidity), 6).alias("humidity_min"),
         F.round(F.max(humidity), 6).alias("humidity_max"),
-        F.round(_mean(humidity, scales), 6).alias("humidity_mean"),
+        _mean_round(humidity, scales, 6).alias("humidity_mean"),
         F.round(F.min(wind), 6).alias("wind_min"),
         F.round(F.max(wind), 6).alias("wind_max"),
-        F.round(_mean(wind, scales), 6).alias("wind_mean"),
+        _mean_round(wind, scales, 6).alias("wind_mean"),
     )
 
 
@@ -70,11 +81,11 @@ def city_comparison(df: DataFrame, city: str = "city", temp: str = "temperature"
     """A2/A3: per-city multi-aggregate summary (reference src/analyze.py:185-213,
     src/load.py:188-196). Rounding to 2 mirrors the summary sink (P13)."""
     return df.groupBy(city).agg(
-        F.round(_mean(temp, scales), 2).alias("temp_mean"),
+        _mean_round(temp, scales, 2).alias("temp_mean"),
         F.round(F.min(temp), 2).alias("temp_min"),
         F.round(F.max(temp), 2).alias("temp_max"),
-        F.round(_mean(humidity, scales), 2).alias("humidity_mean"),
-        F.round(_mean(wind, scales), 2).alias("wind_mean"),
+        _mean_round(humidity, scales, 2).alias("humidity_mean"),
+        _mean_round(wind, scales, 2).alias("wind_mean"),
         F.count(F.lit(1)).alias("n_obs"),
     )
 
@@ -87,7 +98,7 @@ def warmest_coldest(df: DataFrame, city: str = "city", temp: str = "temperature"
     Implemented as rank-1 selection over the (small) per-city aggregate —
     the aggregate shuffles once; the window runs on the tiny result.
     """
-    per_city = df.groupBy(city).agg(F.round(_mean(temp, scales), 6).alias("temp_mean"))
+    per_city = df.groupBy(city).agg(_mean_round(temp, scales, 6).alias("temp_mean"))
     w_hot = Window.orderBy(F.desc("temp_mean"), F.asc(city))
     w_cold = Window.orderBy(F.asc("temp_mean"), F.asc(city))
     hot = (
@@ -108,7 +119,7 @@ def daily_city_agg(df: DataFrame, city: str = "city", temp: str = "temperature",
                    scales: dict[str, int] | None = None) -> DataFrame:
     """A5: two-key (date, city) daily aggregate (reference src/analyze.py:239-243)."""
     return df.groupBy(date, city).agg(
-        F.round(_mean(temp, scales), 6).alias("temp_mean"),
+        _mean_round(temp, scales, 6).alias("temp_mean"),
         F.round(F.min(temp), 6).alias("temp_low"),
         F.round(F.max(temp), 6).alias("temp_high"),
         F.count(F.lit(1)).alias("n_obs"),
@@ -147,7 +158,7 @@ def daily_pivot(df: DataFrame, pivot_values: Sequence[str], city: str = "city",
     Explicit ``pivot_values`` keeps the plan single-pass and the output
     column order deterministic (SURVEY §7.4.3).
     """
-    out = df.groupBy(date).pivot(city, list(pivot_values)).agg(F.round(_mean(temp, scales), 6))
+    out = df.groupBy(date).pivot(city, list(pivot_values)).agg(_mean_round(temp, scales, 6))
     # normalize pivot column names in ONE select (chained withColumnRenamed
     # nests a projection per value — O(values) plan depth on wide pivots)
     return out.select(
@@ -269,7 +280,7 @@ def temperature_trends(df: DataFrame, city: str = "city", temp: str = "temperatu
         delta.filter(F.col("change").isNotNull())
         .groupBy(city)
         .agg(
-            F.round(fmean("change"), 6).alias("avg_change"),
+            fmean_round("change", 6).alias("avg_change"),
             F.round(F.max("change"), 6).alias("max_change"),
             F.round(F.min("change"), 6).alias("min_change"),
             F.round(fsum("change", 6), 6).alias("sum_change"),

@@ -13,8 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact import fmean1, fmean1_round, fsum, fsum1, sql_fmean1, sql_fmean1_round, sql_fsum, sql_fsum1  # noqa: F401
+
 # decimal-exact folds for every rounded sum/mean (see functions/exact.py)
-from ..functions.exact import fmean1, fsum, fsum1, sql_fmean1, sql_fsum, sql_fsum1  # noqa: F401
+
 
 GAP = "2 hours"
 GAP_SQL = "INTERVAL 2 HOUR"
@@ -76,7 +78,7 @@ def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(fmean1("value", 2), 6).alias("value_mean"),
+            fmean1_round("value", 2, 6).alias("value_mean"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -93,7 +95,7 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
        CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND({sql_fmean1('value', 2)}, 6) AS value_mean
+       {sql_fmean1_round('value', 2, 6)} AS value_mean
 FROM events GROUP BY 1, 2, 3
 """
 
@@ -469,7 +471,7 @@ def q_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
             # k is a small int and value is 2-dp, so both fixed-point folds
             # are exact on the long fast path
-            F.round(fmean1("k", 0), 6).alias("k_mean"),
+            fmean1_round("k", 0, 6).alias("k_mean"),
             F.countDistinct("k").alias("k_distinct"),
             F.round(fsum(F.col("value") * F.col("k"), 2), 2).alias("weighted_value"),
         )
@@ -487,7 +489,7 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
        MIN(k) AS k_min,
        MAX(k) AS k_max,
-       ROUND({sql_fmean1('k', 0)}, 6) AS k_mean,
+       {sql_fmean1_round('k', 0, 6)} AS k_mean,
        CAST(COUNT(DISTINCT k) AS BIGINT) AS k_distinct,
        ROUND({sql_fsum('value * k', 2)}, 2) AS weighted_value
 FROM parsed GROUP BY event_type

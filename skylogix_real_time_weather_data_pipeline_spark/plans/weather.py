@@ -22,7 +22,7 @@ from ..functions import (
     iso_format,
     weather_icon,
 )
-from ..functions.exact import fmean1, sql_fmean, sql_fmean1, sql_fsum
+from ..functions.exact import fmean1, fmean1_round, fmean_round, sql_fmean, sql_fmean1, sql_fmean1_round, sql_fmean_round, sql_fsum
 
 #: dataset-true decimal scales of the observation metrics (value is exact
 #: 2-dp, props.k an integer, wind = value/10 exact 3-dp) — pins the gold
@@ -92,14 +92,14 @@ SELECT CAST(COUNT(*) AS BIGINT)                       AS total_records,
        MAX("timestamp")                               AS ts_max,
        ROUND(MIN(temperature), 6)                     AS temp_min,
        ROUND(MAX(temperature), 6)                     AS temp_max,
-       ROUND({sql_fmean1('temperature', 2)}, 6) AS temp_mean,
+       {sql_fmean1_round('temperature', 2, 6)} AS temp_mean,
        ROUND(quantile_cont(temperature, 0.5), 6)      AS temp_median,
        ROUND(MIN(humidity), 6)                        AS humidity_min,
        ROUND(MAX(humidity), 6)                        AS humidity_max,
-       ROUND({sql_fmean1('humidity', 0)}, 6) AS humidity_mean,
+       {sql_fmean1_round('humidity', 0, 6)} AS humidity_mean,
        ROUND(MIN(wind_speed), 6)                      AS wind_min,
        ROUND(MAX(wind_speed), 6)                      AS wind_max,
-       ROUND({sql_fmean1('wind_speed', 3)}, 6) AS wind_mean
+       {sql_fmean1_round('wind_speed', 3, 6)} AS wind_mean
 FROM obs
 """
 
@@ -114,11 +114,11 @@ def q_city_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_CITY_COMPARISON = OBS_CTE + f"""
 SELECT city,
-       ROUND({sql_fmean1('temperature', 2)}, 2) AS temp_mean,
+       {sql_fmean1_round('temperature', 2, 2)} AS temp_mean,
        ROUND(MIN(temperature), 2) AS temp_min,
        ROUND(MAX(temperature), 2) AS temp_max,
-       ROUND({sql_fmean1('humidity', 0)}, 2) AS humidity_mean,
-       ROUND({sql_fmean1('wind_speed', 3)}, 2) AS wind_mean,
+       {sql_fmean1_round('humidity', 0, 2)} AS humidity_mean,
+       {sql_fmean1_round('wind_speed', 3, 2)} AS wind_mean,
        CAST(COUNT(*) AS BIGINT)   AS n_obs
 FROM obs GROUP BY city
 """
@@ -134,7 +134,7 @@ def q_warmest_coldest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_WARMEST_COLDEST = OBS_CTE + f"""
 , per_city AS (
-  SELECT city, ROUND({sql_fmean1('temperature', 2)}, 6) AS temp_mean FROM obs GROUP BY city
+  SELECT city, {sql_fmean1_round('temperature', 2, 6)} AS temp_mean FROM obs GROUP BY city
 )
 SELECT 'warmest' AS label, city, temp_mean FROM (
   SELECT city, temp_mean,
@@ -158,7 +158,7 @@ def q_daily_city_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_DAILY_CITY_AGG = OBS_CTE + f"""
 SELECT "date", city,
-       ROUND({sql_fmean1('temperature', 2)}, 6) AS temp_mean,
+       {sql_fmean1_round('temperature', 2, 6)} AS temp_mean,
        ROUND(MIN(temperature), 6) AS temp_low,
        ROUND(MAX(temperature), 6) AS temp_high,
        CAST(COUNT(*) AS BIGINT)   AS n_obs
@@ -321,7 +321,7 @@ O_TEMPERATURE_TRENDS = OBS_CTE + f"""
   SELECT city, t - lag(t) OVER (PARTITION BY city ORDER BY "date") AS change FROM daily
 )
 SELECT city,
-       ROUND({sql_fmean('change')}, 6) AS avg_change,
+       {sql_fmean_round('change', 6)} AS avg_change,
        ROUND(MAX(change), 6) AS max_change,
        ROUND(MIN(change), 6) AS min_change,
        ROUND({sql_fsum('change', 6)}, 6) AS sum_change,
@@ -437,7 +437,7 @@ def q_humidity_decile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("decile", F.floor(F.col("humidity") / 10.0))
         .groupBy("decile")
         .agg(
-            F.round(fmean1("temperature", 2), 6).alias("temp_mean"),
+            fmean1_round("temperature", 2, 6).alias("temp_mean"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -445,7 +445,7 @@ def q_humidity_decile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_HUMIDITY_DECILE = OBS_CTE + f"""
 SELECT CAST(floor(humidity / 10.0) AS BIGINT) AS decile,
-       ROUND({sql_fmean1('temperature', 2)}, 6) AS temp_mean,
+       {sql_fmean1_round('temperature', 2, 6)} AS temp_mean,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM obs WHERE humidity IS NOT NULL GROUP BY 1
 """
@@ -596,13 +596,13 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = observations(spark, sf_dir)
     dow = (F.unix_date(F.col("date")) % 7).cast("int")
     daily = obs.groupBy("city", "date").agg(
-        F.round(fmean1("temperature", 2), 6).alias("daily_mean"),
+        fmean1_round("temperature", 2, 6).alias("daily_mean"),
         F.count(F.lit(1)).alias("n_obs"),
     )
     prof = (
         obs.withColumn("dow_idx", dow)
         .groupBy("city", "dow_idx")
-        .agg(F.round(fmean1("temperature", 2), 6).alias("dow_mean"))
+        .agg(fmean1_round("temperature", 2, 6).alias("dow_mean"))
     )
     dev = F.round(F.col("daily_mean") - F.col("dow_mean"), 6)
     return (
@@ -617,12 +617,12 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_SEASONAL_ANOMALY = OBS_CTE + f"""
 , daily AS (
   SELECT city, "date",
-         ROUND({sql_fmean1('temperature', 2)}, 6) AS daily_mean,
+         {sql_fmean1_round('temperature', 2, 6)} AS daily_mean,
          CAST(COUNT(*) AS BIGINT) AS n_obs
   FROM obs GROUP BY 1, 2
 ), prof AS (
   SELECT city, CAST(("date" - DATE '1970-01-01') % 7 AS INTEGER) AS dow_idx,
-         ROUND({sql_fmean1('temperature', 2)}, 6) AS dow_mean
+         {sql_fmean1_round('temperature', 2, 6)} AS dow_mean
   FROM obs GROUP BY 1, 2
 )
 SELECT d.city, d."date",
@@ -658,7 +658,7 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.greatest(F.col("temperature"), F.col("lo")), F.col("hi")).alias("t"),
     )
     return clamped.groupBy("city").agg(
-        F.round(fmean("t"), 6).alias("wins_mean"),
+        fmean_round("t", 6).alias("wins_mean"),
         F.min("lo").alias("p05"),
         F.min("hi").alias("p95"),
         F.count(F.lit(1)).alias("n_obs"),
@@ -678,7 +678,7 @@ clamped AS (
   FROM obs o JOIN bounds USING (city)
 )
 SELECT city,
-       ROUND({sql_fmean('t')}, 6) AS wins_mean,
+       {sql_fmean_round('t', 6)} AS wins_mean,
        MIN(lo) AS p05,
        MIN(hi) AS p95,
        CAST(COUNT(*) AS BIGINT) AS n_obs
