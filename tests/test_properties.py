@@ -438,3 +438,34 @@ def test_remove_dup_chunks_invariants(spark, corpus, chunk_tokens):
                 seen.add(c)
         assert out[i].clean_text == " ".join(kept)
         assert out[i].n_chunks == len(cs)
+
+
+@given(
+    vals=st.lists(
+        st.decimals(min_value=-500, max_value=500, places=2).map(float),
+        min_size=1, max_size=25,
+    ),
+    k=st.sampled_from([2, 6]),
+)
+@_settings
+def test_fmean1_round_matches_exact_half_away(spark, vals, k):
+    """Display-rounded mean == round-half-away of the EXACT rational mean
+    (Fraction model), including planted .5-boundary groups — the class
+    where rounding a double quotient diverges between engines."""
+    from fractions import Fraction
+
+    from skylogix_real_time_weather_data_pipeline_spark.functions.exact import fmean1_round
+
+    # plant the sf0.1 regression shape: -95.35645 over 28 rows at k=6 hits
+    # an exact display boundary
+    cases = [vals, [-3.405587] * 27 + [-95.35645 + 26 * 3.405587 - 23 * 3.405587]]
+    for data in cases:
+        df = spark.createDataFrame([(float(v),) for v in data], "x double")
+        got = df.agg(fmean1_round("x", 2, k).alias("m")).first().m
+        su = sum(round(v * 100) for v in data)
+        q = Fraction(su, len(data) * 100) * 10 ** k
+        whole = q.numerator // q.denominator if q >= 0 else -((-q.numerator) // q.denominator)
+        rem = abs(q - whole)
+        half = (1 if q >= 0 else -1) if rem * 2 >= 1 else 0
+        expect = (whole + half) / 10 ** k
+        assert got == expect, (data[:3], got, expect)
