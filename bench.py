@@ -61,6 +61,12 @@ EXTENDED = [
     "docs_hybrid_rrf",
     "docs_remove_dup_chunks",
     "docs_winnowing",
+    "emb_ivf_filtered_topk",
+    "events_ab_test",
+    "docs_lang_source_chisq",
+    # docs_distill_filter deliberately NOT benched: 15 driver-looped
+    # training jobs (~20 s) would dominate the wall-clock total without
+    # measuring anything scan/shuffle-shaped
 ]
 
 
