@@ -47,6 +47,11 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface)
 #: in-window stream_tumbling_daily), rel_salted_join (plain fsum
 #: group-sum path == in-window rel_supplier_value; salting invariance is
 #: separately plan-pinned and its oracle IS the plain join).
+#: rel_unpivot_city_metrics changed TRANSITIVELY (it melts the converted
+#: city_comparison aggregate; its oracle moved to the matching exact
+#: display-mean form) and stays below slot 50 under the covered-path
+#: rule: the identical operator call is in-window as
+#: weather_city_comparison, and the query is hash-green locally.
 _VERIFY_FIRST = (
     # --- tier 1: changed in round 5 ---
     "docs_remove_dup_chunks",          # NEW: C4-style keep-first span removal rewrite

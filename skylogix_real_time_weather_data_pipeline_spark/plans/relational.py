@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 # plain. Each oracle uses the sql_* twin so both engines fold identically.
 from ..functions.exact import (
     fmean, fsum, fwsum,
-    sql_fmean, sql_fsum, sql_fwsum,
+    sql_fmean, sql_fmean_round, sql_fsum, sql_fwsum,
 )
 
 
@@ -664,11 +664,11 @@ def _o_unpivot() -> str:
     return OBS_CTE + f"""
 , wide AS (
   SELECT city,
-         ROUND({sql_fmean('temperature')}, 2) AS temp_mean,
+         {sql_fmean_round('temperature', 2)} AS temp_mean,
          ROUND(MIN(temperature), 2) AS temp_min,
          ROUND(MAX(temperature), 2) AS temp_max,
-         ROUND({sql_fmean('humidity')}, 2) AS humidity_mean,
-         ROUND({sql_fmean('wind_speed')}, 2) AS wind_mean
+         {sql_fmean_round('humidity', 2)} AS humidity_mean,
+         {sql_fmean_round('wind_speed', 2)} AS wind_mean
   FROM obs GROUP BY city
 )
 SELECT city, metric, value
