@@ -641,8 +641,12 @@ def _div_half_away(n: Column, d) -> Column:
 
 
 def _sdiv_half_away(n: Column, d) -> Column:
-    """Signed half-away integer division (d > 0)."""
-    return F.when(n >= 0, _div_half_away(n, d)).otherwise(-_div_half_away(-n, d))
+    """Signed half-away integer division (d > 0). Sign folds out first so
+    the decimal-division subtree appears ONCE (the dual-branch form
+    duplicated it and, nested through σ/z expressions, ballooned plan
+    analysis — the distill expression-blowup lesson)."""
+    sgn = F.when(n < 0, F.lit(-1)).otherwise(F.lit(1))
+    return sgn * _div_half_away(F.abs(n), d)
 
 
 def _pydiv_half_away(n: int, d: int) -> int:

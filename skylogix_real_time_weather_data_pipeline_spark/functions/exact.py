@@ -248,15 +248,16 @@ def fsum_units(c: Column | str, scale: int = 6) -> Column:
 def _sdivha_long(num: Column, den: Column) -> Column:
     """Signed half-away integer division on longs (den > 0), float-free:
     pmod makes the numerator an exact multiple, the division runs in
-    decimal(38,0) so exactness holds across the full long range."""
-
-    def pos(n: Column) -> Column:
-        m = F.lit(2) * n + den
-        d2 = F.lit(2) * den
-        exact = (m - F.pmod(m, d2)).cast("decimal(38,0)")
-        return (exact / d2.cast("decimal(38,0)")).cast("long")
-
-    return F.when(num >= 0, pos(num)).otherwise(-pos(-num))
+    decimal(38,0) so exactness holds across the full long range. The
+    sign folds out FIRST (|num| once, multiply the quotient back) so the
+    expensive division subtree appears once instead of once per sign
+    branch — measured ~half the per-group cost on 4k-group displays."""
+    sgn = F.when(num < 0, F.lit(-1)).otherwise(F.lit(1))
+    a = F.abs(num)
+    m = F.lit(2) * a + den
+    d2 = F.lit(2) * den
+    exact = (m - F.pmod(m, d2)).cast("decimal(38,0)")
+    return sgn * (exact / d2.cast("decimal(38,0)")).cast("long")
 
 
 def fmean1_round(c: Column | str, scale: int, k: int) -> Column:
