@@ -1349,7 +1349,11 @@ def lang_source_chisq(df: DataFrame, a_col: str = "lang",
         c.alias("c"),
         tot.alias("t"),
     )
-    e = F.col("r") * F.col("c") / F.col("t")
+    # r and c are long window sums; long*long overflows (ANSI error) once
+    # margin products pass ~9.2e18 (~3e9-row margins). Promote to double
+    # BEFORE the product — matching the oracle, whose HUGEINT product is
+    # divided into a double anyway, so the computed e is identical.
+    e = F.col("r").cast("double") * F.col("c") / F.col("t")
     term = (F.col("n") - e) * (F.col("n") - e) / e
     return cells.agg(
         F.max("t").cast("long").alias("n_total"),

@@ -656,8 +656,8 @@ WITH first_seen AS (
   SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM first_seen GROUP BY day
 )
 SELECT day, new_users,
-       SUM(new_users) OVER (ORDER BY day
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+       CAST(SUM(new_users) OVER (ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
 FROM daily
 """
 

@@ -534,7 +534,9 @@ O_TEMPERATURE_BUCKETS = OBS_CTE + """
   SELECT CAST(LEAST(9, GREATEST(0, FLOOR(temperature / 50))) AS INTEGER) AS bucket
   FROM obs
 )
-SELECT bucket, bucket * 50.0 AS lo, (bucket + 1) * 50.0 AS hi,
+SELECT bucket,
+       CAST(bucket * 50.0 AS DOUBLE) AS lo,
+       CAST((bucket + 1) * 50.0 AS DOUBLE) AS hi,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM b GROUP BY bucket
 """
