@@ -449,11 +449,10 @@ def _decode_wav_samples(payload: bytes):
         return None, 0
 
 
-def _audio_features_one(payload: bytes):
-    """(sample_rate, n_samples, rms, zcr) or Nones."""
+def _audio_feats_from_samples(a, sr):
+    """(sample_rate, n_samples, rms, zcr) from a decoded sample array."""
     import numpy as np
 
-    a, sr = _decode_wav_samples(payload)
     if a is None or len(a) == 0:
         return None, None, None, None
     rms = float(np.sqrt(np.mean(a * a)))
@@ -462,15 +461,13 @@ def _audio_features_one(payload: bytes):
     return sr, len(a), round(rms, 6), round(zcr, 6)
 
 
-def _audio_fingerprint_one(payload: bytes, n_frames: int = 64) -> int | None:
-    """63-bit energy-contour fingerprint: split into ``n_frames`` frames,
-    bit i = energy(frame i+1) > energy(frame i). Uniform volume scaling
-    multiplies every frame energy by the same factor, so the bits — and
-    the fingerprint — are EXACTLY invariant. Bit 63 stays clear (long
-    stays non-negative for the pigeonhole pair generator)."""
-    import numpy as np
-
-    a, _sr = _decode_wav_samples(payload)
+def _audio_fp_from_samples(a, n_frames: int = 64) -> int | None:
+    """63-bit energy-contour fingerprint from a decoded sample array:
+    split into ``n_frames`` frames, bit i = energy(frame i+1) >
+    energy(frame i). Uniform volume scaling multiplies every frame energy
+    by the same factor, so the bits — and the fingerprint — are EXACTLY
+    invariant. Bit 63 stays clear (long stays non-negative for the
+    pigeonhole pair generator)."""
     if a is None or len(a) < n_frames:
         return None
     usable = (len(a) // n_frames) * n_frames
@@ -481,6 +478,20 @@ def _audio_fingerprint_one(payload: bytes, n_frames: int = 64) -> int | None:
         if e[i + 1] > e[i]:
             bits |= 1 << i
     return bits
+
+
+def _audio_analyze_one(payload: bytes, n_frames: int = 64):
+    """One decode, both outputs: (sr, n, rms, zcr, afp). WAV decoding
+    dominates the audio stage's cost, so features and the energy-contour
+    fingerprint must derive from a SINGLE shared sample array."""
+    a, sr = _decode_wav_samples(payload)
+    return (*_audio_feats_from_samples(a, sr), _audio_fp_from_samples(a, n_frames))
+
+
+def _audio_fingerprint_one(payload: bytes, n_frames: int = 64) -> int | None:
+    """Standalone fingerprint (tests / single-purpose callers)."""
+    a, _sr = _decode_wav_samples(payload)
+    return _audio_fp_from_samples(a, n_frames)
 
 
 AUDIO_FEATURE_SCHEMA = StructType(
@@ -502,24 +513,19 @@ def audio_features(assets: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _audio_features_one(bytes(p)) if (m == "audio" and p is not None)
-                else (None, None, None, None)
-                for m, p in zip(pdf["modality"], pdf["payload"])
-            ]
-            fps = [
-                _audio_fingerprint_one(bytes(p)) if (m == "audio" and p is not None)
-                else None
+            rows = [
+                _audio_analyze_one(bytes(p)) if (m == "audio" and p is not None)
+                else (None, None, None, None, None)
                 for m, p in zip(pdf["modality"], pdf["payload"])
             ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "sample_rate": pd.array([f[0] for f in feats], dtype="Int32"),
-                    "n_samples": pd.array([f[1] for f in feats], dtype="Int64"),
-                    "rms": pd.array([f[2] for f in feats], dtype="Float64"),
-                    "zcr": pd.array([f[3] for f in feats], dtype="Float64"),
-                    "afp": pd.array(fps, dtype="Int64"),
+                    "sample_rate": pd.array([r[0] for r in rows], dtype="Int32"),
+                    "n_samples": pd.array([r[1] for r in rows], dtype="Int64"),
+                    "rms": pd.array([r[2] for r in rows], dtype="Float64"),
+                    "zcr": pd.array([r[3] for r in rows], dtype="Float64"),
+                    "afp": pd.array([r[4] for r in rows], dtype="Int64"),
                 }
             )
 

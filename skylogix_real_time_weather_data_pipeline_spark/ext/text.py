@@ -417,7 +417,11 @@ def temperature_mixture(df: DataFrame, alpha: float = 0.5, budget_frac: float = 
     # (plan-probed). persist() (lazy — pipelines into the first action)
     # collapses that to ONE corpus scan for all stats branches; the
     # selection pass over df is the only other scan, the two-pass minimum
-    # for a data-derived-rate sampler.
+    # for a data-derived-rate sampler. CALLER-OWNED CACHE: the returned
+    # frame references it lazily, so it cannot be unpersisted here —
+    # long-lived sessions invoking this repeatedly should
+    # spark.catalog.clearCache() between runs (blocks are also evictable
+    # LRU, so leakage degrades to recompute, never to OOM).
     counts = df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("n_docs")).persist()
     w = F.round(F.pow("n_docs", F.lit(alpha)), 6)
     weights = counts.select(lang_col, "n_docs", w.alias("w"))
@@ -679,7 +683,15 @@ def distill_quality_classifier(df: DataFrame, text_col: str = "text",
     integer mean and floor-isqrt standard deviation (GD on raw scales
     oscillates; floor(sqrt(double)) of an int below 2^52 is provably
     exact — non-square ints sit ≥ 1/(2√v) from any integer, far beyond
-    0.5 ulp — so both engines compute the identical sd).
+    0.5 ulp — so both engines compute the identical sd). PARITY BOUND:
+    that 2^52 argument covers the VARIANCE, i.e. E[f²] micro-units² must
+    stay below 2^52 ≈ 4.5e15. The largest feature is f1u = n_words·10^4,
+    so E[f1u²] ≈ (n_words·10^4)² caps the guarantee at roughly
+    n_words ≲ 6,700 per document (√(4.5e15)/10^4); corpora with longer
+    documents must either clamp the word-count feature or replace the
+    oracle's FLOOR(SQRT(double)) with an integer isqrt (Newton CTE) to
+    keep the step-for-step replay exact. The driver testdata tops out
+    near 10² words — 60× inside the bound.
 
     Scale shape: the integer feature table builds in one narrow pass and
     is persist()-cached; each iteration is ONE map-side-combinable
@@ -798,6 +810,11 @@ def distill_quality_classifier(df: DataFrame, text_col: str = "text",
         .collect()[0]
     )
     accu = _pydiv_half_away(int(stats["n_correct"]) * U, int(stats["n_docs"]))
+    # every result is now driver-side (weights, accuracy, counts), so both
+    # training caches can be released before returning — without this a
+    # long-lived session accumulates cached blocks per invocation
+    xfeat.unpersist()
+    feat.unpersist()
     spark = df.sparkSession
     out = spark.createDataFrame(
         [(nm, w[j] / U, accu / U, stats["n_docs"], stats["n_keep"])
@@ -983,6 +1000,10 @@ def bigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         ),
     ).otherwise(empty)
     pairs = F.when(n_tok >= 1, F.concat(sentinel, rest)).otherwise(empty)
+    # CALLER-OWNED CACHE (same contract as temperature_mixture's counts):
+    # the returned frame evaluates t lazily, so it cannot be unpersisted
+    # here; repeated invocations in one session should clearCache() — the
+    # blocks are LRU-evictable, so the worst case is recompute, not OOM.
     t = (
         df.select(id_col, F.explode(pairs).alias("p"))
         .select(id_col, "p.prev", "p.w")

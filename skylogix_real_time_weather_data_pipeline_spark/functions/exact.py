@@ -129,25 +129,86 @@ def fsum(c: Column | str, scale: int = 4) -> Column:
     )
 
 
+def _units_long(c: Column, scale: int) -> Column:
+    """Per-row fixed-point unit extraction for EXACT-SCALE inputs:
+    ``floor(c·10^scale + 0.5)`` instead of ``round(c·10^scale).cast(long)``.
+
+    Spark's ``Round`` on DoubleType allocates a BigDecimal per row
+    (RoundBase codegen: ``BigDecimal.valueOf(x).setScale(0, HALF_UP)``);
+    ``floor`` is a bare ``Math.floor`` + long conversion inside codegen —
+    measured ~25% off a 100k-row single-column fold, and it is the whole
+    fold-cost gap of the weather display-mean family vs plain AVG.
+
+    Value-safety argument: under the fsum1-family precondition (input
+    decimal-valued at <= ``scale`` digits), ``c·10^scale`` computed in
+    IEEE double lands within ~1 ulp of the true INTEGER d — never near a
+    .5 tie — so floor(x+0.5), ROUND half-up and half-away all recover
+    exactly d, for either sign (x = d±ε → x+0.5 ∈ (d, d+1) → floor = d).
+    The tie rule only differs on exact .5, which the precondition
+    excludes; the QUANTIZING folds (fsum/fsum_units on unbounded-fraction
+    inputs), where x can land on .5, keep ROUND so Spark and the
+    ``sql_*`` DuckDB twins (ROUND = half-away on both) stay bit-identical.
+    """
+    return F.floor(c * F.lit(float(10**scale)) + F.lit(0.5))
+
+
+def _spark_units(col_sql: str, scale: int) -> str:
+    """Spark-SQL text of _units_long — same ops, same values (the CAST
+    keeps the 10^scale literal a double like F.lit(float(p)); a bare
+    ``100.0`` would parse as DECIMAL(4,1))."""
+    return f"FLOOR(({col_sql}) * CAST({10**scale} AS DOUBLE) + 0.5D)"
+
+
+def _spark_divha(num: str, den: str) -> str:
+    """Spark-SQL half-away integer division on longs (den > 0) via the
+    ``div`` integral operator — both branch operands are non-negative so
+    trunc == floor and the result matches the DuckDB ``//`` twin
+    (sql_fmean1_round) bit for bit. Pure long arithmetic: the
+    decimal(38,0) detour the Column builder (_sdivha_long) uses for
+    arbitrary Column inputs is unnecessary here because ``div`` is exact
+    on the full long range; 2·|num| halves the documented headroom, which
+    the fmean1_round bound (~10^10 rows/group) already accounts for."""
+    return (f"(CASE WHEN {num} >= 0 THEN ((2*{num} + {den}) div (2*{den})) "
+            f"ELSE -((2*(-{num}) + {den}) div (2*{den})) END)")
+
+
+def _qid(name: str) -> str:
+    return f"`{name}`"
+
+
 def fsum1(c: Column | str, scale: int = 2) -> Column:
     """Single-long-sum fsum for BOUNDED low-scale inputs — the cheapest
-    exact fold: one round+cast per row, one long sum, one decimal combine
-    on the aggregated scalar.
+    exact fold: one floor per row (see _units_long), one long sum, one
+    double combine on the aggregated scalar.
 
     Preconditions (stricter than fsum): inputs decimal-valued at <=
     ``scale`` digits AND per-group Σ|c|·10^scale < 9.2e18. For a bounded
     metric |c| <= 1e4 at scale 2 that is ~9.2e12 rows/group — the same
     100 TB bound fsum documents. Use fsum when the input's magnitude or
     the group's row count can push the single accumulator past long
-    range (money totals at scale 4 over petabyte groups)."""
-    c = _col(c)
-    u = F.round(c * F.lit(float(10**scale))).cast("long")
-    return F.sum(u).cast("double") / (10**scale)
+    range (money totals at scale 4 over petabyte groups).
+
+    String-named columns take the ONE-CALL F.expr path: the Column
+    builder issues ~10 py4j round-trips per helper and the bench showed
+    driver-side plan construction, not execution, dominating the
+    display-mean family at sf0.1 (~0.4 s of a ~0.5 s count) — a single
+    parsed SQL string is the same tree for a fraction of the chatter."""
+    if isinstance(c, str):
+        u = _spark_units(_qid(c), scale)
+        return F.expr(f"(CAST(SUM({u}) AS DOUBLE) / {10**scale})")
+    return F.sum(_units_long(_col(c), scale)).cast("double") / (10**scale)
 
 
 def fmean1(c: Column | str, scale: int = 2) -> Column:
     """Order-independent mean on the single-long-sum path (AVG null
-    semantics; fsum1's preconditions)."""
+    semantics; fsum1's preconditions). String names take the one-call
+    F.expr path (see fsum1) with the identical (sum/10^s)/count
+    double-division order."""
+    if isinstance(c, str):
+        u = _spark_units(_qid(c), scale)
+        return F.expr(
+            f"((CAST(SUM({u}) AS DOUBLE) / {10**scale}) / COUNT({_qid(c)}))"
+        )
     c = _col(c)
     return fsum1(c, scale) / F.count(c)
 
@@ -167,9 +228,11 @@ def fwsum(c: Column | str, w, scale: int = 2) -> Column:
     DuckDB's segment-tree evaluation computing the same frame in a
     different association order. Overflow headroom is per-FRAME rather
     than per-group; the fsum bound (~9.2e12 rows) applies to the largest
-    frame."""
+    frame. Unit extraction takes the floor fast path (_units_long) —
+    valid because fwsum's precondition, unlike fsum's quantizing mode,
+    REQUIRES decimal-valued inputs."""
     c = _col(c)
-    u = F.round(c * F.lit(float(10**scale))).cast("long")
+    u = _units_long(c, scale)
     r = u % _SPLIT
     q = ((u - r) / _SPLIT).cast("long")
     return (
@@ -272,10 +335,28 @@ def fmean1_round(c: Column | str, scale: int, k: int) -> Column:
     weather-scale values at k−s ≤ 4 that is exact past ~10^10 rows per
     group; for larger groups drop to the su-reducing k < s branch or a
     wider display grid. NULL when the group has no non-null values
-    (AVG semantics)."""
+    (AVG semantics).
+
+    String names take the one-call F.expr path: the whole aggregate —
+    floor units, long sum, half-away ``div`` division, display scale —
+    parses in a single py4j call instead of the ~30 Column round-trips
+    of the tree builder, and the ``div`` form also gives the optimizer a
+    pure-long tree (no decimal(38,0) coercion rules to fire). Values are
+    bit-identical to the Column path and to sql_fmean1_round."""
+    if isinstance(c, str):
+        q = _qid(c)
+        su = f"SUM({_spark_units(q, scale)})"
+        n = f"COUNT({q})"
+        if k >= scale:
+            num, den = f"({su} * {10 ** (k - scale)})", f"({n})"
+        else:
+            num, den = f"({su})", f"({n} * {10 ** (scale - k)})"
+        divha = _spark_divha(num, den)
+        return F.expr(
+            f"(CASE WHEN {n} > 0 THEN {divha} / CAST({10**k} AS DOUBLE) END)"
+        )
     c = _col(c)
-    u = F.round(c * F.lit(float(10**scale))).cast("long")
-    su = F.sum(u)
+    su = F.sum(_units_long(c, scale))
     n = F.count(c)
     if k >= scale:
         num, den = su * F.lit(10 ** (k - scale)), n

@@ -42,7 +42,9 @@ U = 10**10
 
 def pagerank(edges: DataFrame, n_iter: int = 2, damping_num: int = 17,
              damping_den: int = 20, src: str = "src", dst: str = "dst",
-             weight: str = "weight", checkpoint_edges: bool = True) -> DataFrame:
+             weight: str = "weight", checkpoint_edges: bool = True,
+             complete_in_degree: bool = False,
+             n_nodes: int | None = None) -> DataFrame:
     """Weighted PageRank over a directed edge list; returns (node, rank).
 
     ``damping_num/damping_den`` is the damping factor as an exact rational
@@ -50,6 +52,25 @@ def pagerank(edges: DataFrame, n_iter: int = 2, damping_num: int = 17,
     edge (no dangling-mass redistribution — the symmetric/bipartite graphs
     this engine builds satisfy that by construction; callers with dangling
     nodes should add self-loops first).
+
+    ``complete_in_degree=True`` asserts every node ALSO has an incoming
+    edge (true for any symmetric union by construction): the per-iteration
+    ``nodes`` left-join that re-attaches in-degree-0 nodes is then skipped
+    entirely — the contribution aggregate already covers every node — which
+    removes one join+shuffle per iteration with identical values (the
+    coalesce fallback never fired).
+
+    Iteration 1 never joins: the initial rank is the uniform constant
+    U//N, so the first contribution pass is a narrow map over the share
+    table (round(const·share)) — the ranks⋈edges join only starts paying
+    from iteration 2, where ranks genuinely vary by node.
+
+    ``n_nodes``: with ``complete_in_degree`` the distinct-nodes frame is
+    only ever consulted for its COUNT (uniform init is a constant, the
+    re-attach join is skipped); a caller that can compute N more cheaply
+    than distinct-over-2·|E| (e.g. a bipartite build summing two
+    count_distincts on the pre-union pair table) passes it here and the
+    nodes frame is never built.
     """
     # materialize the edge build ONCE: nodes, out-weights and the share
     # table all branch from `edges`, and without this checkpoint each
@@ -59,45 +80,65 @@ def pagerank(edges: DataFrame, n_iter: int = 2, damping_num: int = 17,
     # checkpoint_edges=False to skip the redundant materialization.
     if checkpoint_edges:
         edges = edges.localCheckpoint()
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
-        .localCheckpoint()  # reused every iteration AND for the final join
-    )
-    n_nodes = nodes.count()  # O(1) driver scalar, like kmeans' k·dim state
+    if complete_in_degree and n_nodes is not None and n_iter > 0:
+        nodes = None  # never consulted (see docstring)
+    else:
+        nodes = (
+            edges.select(F.col(src).alias("node"))
+            .unionByName(edges.select(F.col(dst).alias("node")))
+            .distinct()
+            .localCheckpoint()  # reused every iteration AND for the final join
+        )
+        n_nodes = nodes.count()  # O(1) driver scalar, like kmeans' k·dim state
     base_num = (damping_den - damping_num) * U // n_nodes  # 3·U/N for 0.85
 
     outw = edges.groupBy(src).agg(F.sum(weight).alias("w_out"))
-    # NOT checkpointed: with `edges` materialized, re-deriving the share
-    # table per iteration is a cheap narrow join whose exchanges Spark
-    # dedupes (ReusedExchange); measured faster than materializing the
-    # full edge-sized frame a second time
     share = edges.join(outw, src).select(
         F.col(src).alias("e_src"),
         F.col(dst).alias("e_dst"),
         (F.col(weight) / F.col("w_out")).alias("share"),
     )
+    # NOT materialized: the share build does re-run once per iteration
+    # (no ReusedExchange — each reference sits under a different join
+    # ancestor), but with `edges` already checkpointed the rebuild is two
+    # small exchanges over materialized rows, and a controlled A/B at
+    # sf0.1 (warm, median of repeats) measured persist() and
+    # localCheckpoint() at-or-above the lazy rebuild (3.4s / 2.9s vs
+    # 2.9s end-to-end): an edge-sized cache write costs more than the
+    # n_iter-1 rebuilds it saves at 2 iterations. Revisit if n_iter
+    # grows past ~4 — the break-even shifts with iteration count.
 
-    ranks = nodes.select("node", F.lit(U // n_nodes).alias("rank_u"))
+    ranks = None  # None ⇒ the uniform constant U//N (iteration-1 fast path)
     for _ in range(n_iter):
-        contrib = share.join(
-            ranks, share["e_src"] == ranks["node"]
-        ).select(
-            F.col("e_dst").alias("node"),
-            F.round(F.col("rank_u") * F.col("share")).cast("long").alias("c_u"),
-        )
+        if ranks is None:
+            contrib = share.select(
+                F.col("e_dst").alias("node"),
+                F.round(F.lit(U // n_nodes).cast("long") * F.col("share"))
+                .cast("long").alias("c_u"),
+            )
+        else:
+            contrib = share.join(
+                ranks, share["e_src"] == ranks["node"]
+            ).select(
+                F.col("e_dst").alias("node"),
+                F.round(F.col("rank_u") * F.col("share")).cast("long").alias("c_u"),
+            )
         agg = contrib.groupBy("node").agg(
             F.floor(
                 (F.lit(base_num) + damping_num * F.sum("c_u")) / damping_den
             ).cast("long").alias("rank_u")
         )
-        # symmetric graphs give every node an in-edge; the coalesce is the
-        # documented no-incoming fallback (= base mass only)
-        ranks = nodes.join(agg, "node", "left").select(
-            "node",
-            F.coalesce("rank_u", F.lit(base_num // damping_den)).alias("rank_u"),
-        )
+        if complete_in_degree:
+            ranks = agg
+        else:
+            # the coalesce is the documented no-incoming fallback (= base
+            # mass only) for graphs where some node receives no edge
+            ranks = nodes.join(agg, "node", "left").select(
+                "node",
+                F.coalesce("rank_u", F.lit(base_num // damping_den)).alias("rank_u"),
+            )
+    if ranks is None:  # n_iter == 0: uniform ranks
+        ranks = nodes.select("node", F.lit(U // n_nodes).cast("long").alias("rank_u"))
     return ranks.select(
         "node", (F.col("rank_u").cast("double") / U).alias("rank")
     )

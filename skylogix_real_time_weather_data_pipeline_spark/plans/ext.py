@@ -26,11 +26,15 @@ _MAX_SHINGLE_DF = 100_000
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..sources import load_table
+
+    return load_table(spark, sf_dir, "documents")
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from ..sources import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
 
 
 #: DuckDB mirrors of ext.text.tokens / ext.text.shingles(n=3)

@@ -28,7 +28,11 @@ from ..functions.exact import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # load_table's plan cache: repeat driver/bench invocations skip the
+    # per-call spark.read.parquet file-listing + footer-schema resolution
+    from ..sources import load_table
+
+    return load_table(spark, sf_dir, name)
 
 
 # --------------------------------------------------------------------------
@@ -1697,7 +1701,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the symmetric bipartite customer↔supplier graph
     (edge weight = number of lineitems traded). The edge build is one
     join + one groupBy; each iteration is the ranks⋈edges join + an
-    exact-fold groupBy (operators/graph.py documents the pins)."""
+    exact-fold groupBy (operators/graph.py documents the pins).
+
+    The iterations run on LONG node ids (custkey·2 / suppkey·2+1 — the
+    bipartite sides are disjoint by parity): long hash/compare beats the
+    'c123'-string keys in every join and aggregate, and the symmetric
+    union lets ``complete_in_degree=True`` drop the per-iteration node
+    re-attach join. The display 'c…'/'s…' labels are re-derived only in
+    the final O(nodes) projection, so the output — and the string-keyed
+    oracle — is unchanged."""
     from ..operators.graph import pagerank
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -1707,8 +1719,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey", "l_suppkey")
         .agg(F.count(F.lit(1)).alias("w"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cnode"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("snode"),
+            (F.col("o_custkey").cast("long") * 2).alias("cnode"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("snode"),
             "w",
         )
         # materialize the aggregated pair table BEFORE the symmetric
@@ -1721,7 +1733,26 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         cs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"), "w")
     )
-    return pagerank(edges, n_iter=_PR_ITER, weight="w", checkpoint_edges=False)
+    # N from the pre-union pair table: the bipartite sides are disjoint,
+    # so two count_distincts in ONE aggregate replace the generic
+    # distinct-over-2·|E| nodes build (the pair table is already
+    # materialized — this is a sub-shuffle-sized scan of it)
+    nrow = cs.agg(
+        F.count_distinct("cnode").alias("nc"),
+        F.count_distinct("snode").alias("ns"),
+    ).collect()[0]
+    ranked = pagerank(edges, n_iter=_PR_ITER, weight="w",
+                      checkpoint_edges=False, complete_in_degree=True,
+                      n_nodes=int(nrow.nc) + int(nrow.ns))
+    return ranked.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), (F.col("node") / 2).cast("long").cast("string")),
+        ).otherwise(
+            F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long").cast("string"))
+        ).alias("node"),
+        "rank",
+    )
 
 
 #: per-iteration CTE pair: integer-unit contributions r{i} → ranks r{i+1}

@@ -36,6 +36,13 @@ from ..operators import gold, silver
 CONDITIONS = ["click", "error", "purchase", "signup", "view"]
 
 
+#: plan cache (same contract as sources.batch._TABLE_CACHE): every weather
+#: query starts from this projection, so rebuilding its ~12-column py4j
+#: expression tree per driver/bench call is pure chatter — the plan is
+#: immutable and session-keyed.
+_OBS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical observation view over events.parquet.
 
@@ -45,8 +52,12 @@ def observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..sources import load_table
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _OBS_CACHE.get(key)
+    if cached is not None:
+        return cached
     events = load_table(spark, sf_dir, "events")
-    return events.select(
+    obs = events.select(
         F.col("event_id"),
         F.col("user_id").cast("string").alias("city"),
         F.col("ts").alias("timestamp"),
@@ -58,6 +69,8 @@ def observations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("hour"),
         F.date_format("ts", "EEEE").alias("day_of_week"),
     )
+    _OBS_CACHE[key] = obs
+    return obs
 
 
 #: DuckDB mirror of ``observations`` — prefix for every oracle below.

@@ -13,6 +13,16 @@ from pyspark.sql.types import LongType, TimestampNTZType
 from ..schemas import PROCESSED_WEATHER_SCHEMA, RAW_WEATHER_SCHEMA
 
 
+#: plan cache for load_table: DataFrames are immutable descriptions, so
+#: handing the same logical plan to every caller is safe and skips the
+#: ~0.2 s/driver-call cost of spark.read.parquet (JVM file listing + footer
+#: schema resolution) plus the ts-normalization rebuild. Keyed by
+#: applicationId so a new SparkSession never sees another session's plans
+#: (a stale plan would carry a dead JVM reference). Bounded: one entry per
+#: (session, sf_dir, table) — ~tens of plan objects, no row data.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a driver testdata table, normalizing physical quirks.
 
@@ -24,11 +34,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TimestampType so every downstream plan sees one type; the NTZ→LTZ cast
     reinterprets the wall clock in the session zone, which is pinned UTC —
     the same instants the nanos encoding produced.
+
+    Repeat calls return the cached logical plan (see _TABLE_CACHE) — the
+    parquet snapshot is immutable driver testdata, and even against a
+    mutable path Spark would re-list files at ACTION time only if the
+    relation cached file status expired; callers needing a re-list can
+    bypass with spark.read.parquet directly.
     """
     # parity pin (SURVEY §7.4.1b): temporal derivations must be computed in
     # UTC even when the calling session (e.g. the external driver's) didn't
-    # use our factory; runtime-settable, idempotent
+    # use our factory; runtime-settable, idempotent — and re-applied even on
+    # cache hits, so a caller flipping the zone between calls is re-pinned
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     path = f"{sf_dir}/{name}.parquet"
     try:
         df = spark.read.parquet(path)
@@ -59,6 +80,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 + (F.date_part(F.lit("SECOND"), "ts") * 1_000_000).cast("long")
             )
             df = df.withColumn("ts", F.timestamp_micros(us))
+    _TABLE_CACHE[key] = df
     return df
 
 

@@ -22,6 +22,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _recover(state_path: str) -> None:
+    """Roll an interrupted :func:`_commit_view` swap forward or back.
+
+    The swap keeps the previous view aside as ``state__old`` until the new
+    directory is in place, so every crash point leaves a recoverable pair:
+
+    - ``state`` missing + ``state__old`` present → died between the
+      rename-aside and the move-in; restore the prior view (the batch
+      replays and recombines — at-least-once is preserved, nothing lost).
+    - both present → died after the move-in, before the cleanup; the new
+      view (with its batch-id marker) is authoritative, drop the aside.
+    - a leftover ``state__staging`` is always an incomplete write; drop it
+      (the replay rebuilds it from the same batch).
+    """
+    old, staging = f"{state_path}__old", f"{state_path}__staging"
+    if os.path.exists(old):
+        if os.path.exists(state_path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, state_path)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+
+
 def _already_applied(state_path: str, batch_id: int) -> bool:
     """True when the stored view already contains this micro-batch.
 
@@ -30,7 +54,13 @@ def _already_applied(state_path: str, batch_id: int) -> bool:
     blind combine would double-count it. The last applied batch id is
     written INSIDE the staging directory before the atomic rename, so
     view contents and the guard commit together — replays become no-ops
-    and the combine is effectively exactly-once."""
+    and the combine is effectively exactly-once.
+
+    Every apply path calls this before reading the view, so crash
+    recovery (:func:`_recover`) hooks here: the state read that follows
+    always sees either the prior committed view or the new one — never a
+    half-swapped directory."""
+    _recover(state_path)
     meta = os.path.join(state_path, "_last_batch.json")
     if os.path.exists(meta):
         with open(meta) as f:
@@ -39,16 +69,28 @@ def _already_applied(state_path: str, batch_id: int) -> bool:
 
 
 def _commit_view(merged: DataFrame, state_path: str, batch_id: int) -> None:
-    """Staging write + batch-id marker + atomic directory swap. The
+    """Staging write + batch-id marker + crash-safe directory swap. The
     underscore-prefixed marker is invisible to Spark's parquet reader
-    (same convention as _SUCCESS)."""
+    (same convention as _SUCCESS).
+
+    The swap never has a window where no committed view exists on disk:
+    the old view is RENAMED aside (same-filesystem, atomic) rather than
+    deleted, the staging directory moves into place, and only then is the
+    aside copy removed — :func:`_recover` resolves every intermediate
+    state on the next apply. The old rmtree-then-move ordering destroyed
+    both the view and its batch marker if the process died between the
+    two calls, silently resetting the view to a single batch's delta on
+    replay."""
     staging = f"{state_path}__staging"
+    old = f"{state_path}__old"
     merged.write.mode("overwrite").parquet(staging)
     with open(os.path.join(staging, "_last_batch.json"), "w") as f:
         json.dump({"batch_id": batch_id}, f)
     if os.path.exists(state_path):
-        shutil.rmtree(state_path)
+        os.rename(state_path, old)
     shutil.move(staging, state_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def combine_daily_counts(state: DataFrame | None, delta: DataFrame) -> DataFrame:
@@ -136,32 +178,43 @@ def combine_term_stats(state: DataFrame | None, delta: DataFrame) -> DataFrame:
     )
 
 
+def apply_term_stats_batch(batch_df: DataFrame, batch_id: int, state_path: str,
+                           text_col: str = "text", id_col: str = "doc_id") -> None:
+    """One micro-batch of the term-stats view: tokenize ONLY this batch's
+    documents, partial-aggregate per term, monoid-combine into the stored
+    view (replay-guarded, crash-safe swap). Public batch form so callers
+    (and the bench's maintenance cycle) can drive maintenance without a
+    streaming source."""
+    if _already_applied(state_path, batch_id):
+        return
+    from ..ext.text import tokens
+
+    spark = batch_df.sparkSession
+    delta = (
+        batch_df.select(id_col, F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("cf"),
+            F.count_distinct(F.col(id_col)).alias("df"),
+        )
+    )
+    state = (
+        spark.read.parquet(state_path) if os.path.exists(state_path) else None
+    )
+    _commit_view(combine_term_stats(state, delta), state_path, batch_id)
+
+
 def maintain_term_stats_view(src: DataFrame, state_path: str, checkpoint_dir: str,
                              text_col: str = "text", id_col: str = "doc_id"):
     """Incrementally maintain the (w, cf, df) term-statistics view over a
     streaming documents frame with trigger(availableNow): each micro-batch
-    tokenizes ONLY its own documents, partial-aggregates per term, and
-    monoid-combines into the parquet view through a staging swap.
-    Equivalence with the one-shot batch aggregation over the full corpus
-    is pinned in tests/test_matview.py."""
-    from ..ext.text import tokens
+    applies :func:`apply_term_stats_batch`. Equivalence with the one-shot
+    batch aggregation over the full corpus is pinned in
+    tests/test_matview.py."""
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
-        if _already_applied(state_path, batch_id):
-            return
-        spark = batch_df.sparkSession
-        delta = (
-            batch_df.select(id_col, F.explode(tokens(text_col)).alias("w"))
-            .groupBy("w")
-            .agg(
-                F.count(F.lit(1)).alias("cf"),
-                F.count_distinct(F.col(id_col)).alias("df"),
-            )
-        )
-        state = (
-            spark.read.parquet(state_path) if os.path.exists(state_path) else None
-        )
-        _commit_view(combine_term_stats(state, delta), state_path, batch_id)
+        apply_term_stats_batch(batch_df, batch_id, state_path,
+                               text_col=text_col, id_col=id_col)
 
     q = (
         src.writeStream.foreachBatch(_upsert)

@@ -240,3 +240,61 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     after = {(str(r.day), r.event_type): (r.n, r.sum_value)
              for r in spark.read.parquet(state).collect()}
     assert after == {("2024-03-01", "view"): (4, 8.0)}
+
+
+def test_interrupted_swap_recovers(spark, tmp_path):
+    """Crash-safety of the commit swap: simulate every intermediate crash
+    state _commit_view can leave behind and check the next apply sees
+    either the prior committed view or the new one — never an empty or
+    single-delta view (the failure mode of the old rmtree-then-move
+    ordering)."""
+    import shutil
+
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_daily_batch,
+    )
+
+    state = str(tmp_path / "view")
+    b1 = spark.createDataFrame(
+        [("2024-03-01T09:00:00", "view", 1.5), ("2024-03-01T10:00:00", "view", 2.5)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b2 = spark.createDataFrame(
+        [("2024-03-02T09:00:00", "click", 1.0)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    apply_daily_batch(b1, 0, state)
+
+    def snapshot():
+        return {(str(r.day), r.event_type): (r.n, r.sum_value)
+                for r in spark.read.parquet(state).collect()}
+
+    committed = snapshot()
+    assert committed == {("2024-03-01", "view"): (2, 4.0)}
+
+    # crash point A: old view renamed aside, new view not yet moved in —
+    # the window the rmtree ordering destroyed. Replaying the NEXT batch
+    # must restore the prior view and combine into it.
+    shutil.move(state, state + "__old")
+    apply_daily_batch(b2, 1, state)
+    assert snapshot() == {("2024-03-01", "view"): (2, 4.0),
+                          ("2024-03-02", "click"): (1, 1.0)}
+
+    # crash point B: new view moved in, aside copy not yet deleted →
+    # the new view (with its marker) wins; replaying batch 1 is a no-op
+    # and the stale aside is garbage-collected.
+    shutil.copytree(state, state + "__old")
+    apply_daily_batch(b2, 1, state)
+    import os
+    assert not os.path.exists(state + "__old")
+    assert snapshot() == {("2024-03-01", "view"): (2, 4.0),
+                          ("2024-03-02", "click"): (1, 1.0)}
+
+    # crash point C: an orphaned staging dir from an interrupted write is
+    # discarded, then rebuilt by the replay.
+    os.makedirs(state + "__staging", exist_ok=True)
+    apply_daily_batch(b2, 2, state)
+    assert not os.path.exists(state + "__staging")
+    assert snapshot() == {("2024-03-01", "view"): (2, 4.0),
+                          ("2024-03-02", "click"): (2, 2.0)}

@@ -262,10 +262,28 @@ def test_pagerank_iteration_joins_and_exact_fold(spark, sf_dir, qs):
     """The per-iteration rank fold must aggregate LONGs (integer units, no
     decimal/BigDecimal buffer) and the checkpointed edge list must not be
     recomputed: no parquet scan appears in the final iteration's plan —
-    only the checkpoint scans."""
+    only the checkpoint scans. The fact join runs exactly once, at edge
+    checkpoint time, BEFORE this plan exists."""
     plan = _physical(qs["rel_pagerank"](spark, sf_dir))
     assert "Scan parquet" not in plan  # inputs come from the localCheckpoints
     assert "ExistingRDD" in plan or "LogicalRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_pagerank_first_iteration_joinless_no_node_reattach(spark, sf_dir, qs):
+    """Two structural wins pinned: (1) iteration 1 contributes
+    round(const·share) — a map over the share table, NOT a ranks⋈edges
+    join, because the uniform init is a constant; (2) the symmetric graph
+    passes complete_in_degree, so no per-iteration nodes-left-join
+    re-attach. Net: exactly ONE join total for 2 iterations (it2's
+    ranks⋈share) beyond the share build's edges⋈outw — i.e. at most 3
+    join operators in the whole executed plan, and no LeftOuter
+    anywhere."""
+    plan = _physical(qs["rel_pagerank"](spark, sf_dir))
+    n_joins = len(re.findall(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan))
+    # share build join appears once per iteration reference (2) + the it2
+    # ranks join = 3; the old shape had 5+ (init join, per-iter re-attach)
+    assert n_joins <= 3, f"unexpected join count {n_joins}"
+    assert "LeftOuter" not in plan
 
 
 def test_anomaly_mad_broadcasts_group_tables(spark, sf_dir, qs):
