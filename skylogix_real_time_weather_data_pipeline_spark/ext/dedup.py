@@ -451,8 +451,9 @@ def winnowing_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
     Plan mirrors :func:`minhash_lsh_pairs`: the narrow per-doc selection
     (``ext.text.winnow_select``) explodes to distinct (doc, HASH) rows —
-    the position half of the selection key is doc-local and is stripped
-    before matching — then ONE groupBy(hash) builds posting lists, drops
+    the position field of the selection struct is doc-local and is
+    dropped before matching — then ONE groupBy(hash) builds posting
+    lists, drops
     boilerplate fingerprints (df > ``max_fp_df``: a hash shared by n docs
     fans out n² pairs), and fans out in-bucket pairs; a pair groupBy
     counts shared fingerprints. No self-join — the selection pipeline
@@ -463,7 +464,7 @@ def winnowing_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     fp = (
         winnow_select(df, text_col, id_col, k, w)
         .select(id_col, F.explode("fps").alias("fpk"))
-        .select(id_col, F.substring("fpk", 1, 15).alias("h"))
+        .select(id_col, F.col("fpk.h").alias("h"))
         .distinct()
     )
     buckets = (

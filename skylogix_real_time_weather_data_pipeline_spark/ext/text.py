@@ -888,41 +888,102 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def _let(value: Column, body) -> Column:
+    """Expression-level let-binding: evaluate ``value`` ONCE, bind it as a
+    higher-order-function lambda variable, and build ``body`` over it —
+    ``element_at(transform(array(value), v -> body(v)), 1)``.
+
+    Why this exists: referencing a non-trivial expression N times in a
+    projection re-evaluates it N times, and hiding it behind a separate
+    ``select`` is NOT safe — Catalyst's CollapseProject merges stacked
+    projections and re-inlines the alias into every reference (measured on
+    the winnowing kernel: the collapsed form re-ran an O(n) array build per
+    element access, 22 s vs 1.8 s at sf0.1). A lambda variable is the one
+    expression-level binder the optimizer never substitutes through."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+#: 30-bit split point and packing base for the winnowing k-gram hash
+_W_HALF = 1 << 30
+
+
 def winnow_select(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   k: int = 4, w: int = 5) -> DataFrame:
     """Shared winnowing selection core: per doc, the distinct window-min
-    fingerprint keys (``15-hex-md5 | zero-padded position``) plus k-gram/
-    window counts — entirely narrow (array slices, no shuffle). Consumed
-    by :func:`winnowing_stats` and ``ext.dedup.winnowing_pairs``."""
+    fingerprints as ``struct<h:bigint, p:bigint>`` (62-bit k-gram hash,
+    0-based leftmost selected position) plus k-gram/window counts —
+    entirely narrow (array math, no shuffle). Consumed by
+    :func:`winnowing_stats` and ``ext.dedup.winnowing_pairs``.
+
+    K-gram hashing is tokenize-hash-combine, not hash-of-concat: each
+    token is md5'd ONCE into a 60-bit value, and every k-gram hash is two
+    independent Carter-Wegman combinations of its tokens' 30-bit halves
+    ((Σ_j a_j·lo_j + b_j·hi_j) mod 2^31−1, coefficients from
+    ``dedup.mh_params`` — the MinHash family), packed into 62 bits. The
+    previous form (md5 of the concatenated k tokens per position) built a
+    k-token string per position; the rebuilt string dominated the whole
+    operator (~2.4 s of 3.3 s at sf0.1 — md5 itself was only ~0.3 s).
+    Combining precomputed token hashes is pure long arithmetic: measured
+    1.8 s vs 3.3 s, same zero-shuffle plan. Each term is < 2^16·2^30 so
+    k ≤ 2^17 never overflows a long; both combines are expressible in
+    ANSI SQL on the same md5, so the DuckDB oracle replays them exactly.
+
+    Window selection stays exact winnowing: per window of ``w`` k-gram
+    hashes, the minimum with LEFTMOST tie-break — ``array_min`` over a
+    long slice plus ``array_position`` for the position, both bound via
+    :func:`_let` so the slice and its min evaluate once per window.
+    """
+    from .dedup import MH_P, mh_params
+
+    prm = mh_params(2 * k)
+    co1, co2 = prm[:k], prm[k:]
     toks = tokens(text_col)
     n_tok = F.size(toks)
-    n_kg = F.greatest(n_tok - F.lit(k - 1), F.lit(0))
-    # guard: sequence(1, 0) would DESCEND in Spark — emit [] for short docs
-    kgrams = F.when(
-        n_kg >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_kg),
-            lambda i: F.concat(
-                F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 15),
-                F.lit("|"),
-                F.lpad((i - 1).cast("string"), 10, "0"),
+
+    def kgram_hashes(th: Column) -> Column:
+        n_kg = F.greatest(F.size(th) - F.lit(k - 1), F.lit(0))
+
+        def poly(i, coefs):
+            s = None
+            for j, (a, b) in enumerate(coefs):
+                e = F.element_at(th, i + j)
+                t = F.lit(a) * (e % F.lit(_W_HALF)) + F.lit(b) * F.shiftright(e, 30)
+                s = t if s is None else s + t
+            return s % F.lit(MH_P)
+
+        # guard: sequence(1, 0) would DESCEND in Spark — emit [] for short docs
+        return F.when(
+            n_kg >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_kg),
+                lambda i: poly(i, co1) * F.lit(1 << 31) + poly(i, co2),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    with_kg = df.select(id_col, n_kg.alias("n_kg"), kgrams.alias("kg"))
-    n_win = F.greatest(F.col("n_kg") - F.lit(w - 1), F.lit(0))
-    wins = F.when(
-        n_win >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_win),
-            lambda j: F.array_min(F.slice(F.col("kg"), j, w)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return with_kg.select(
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    def window_mins(hs: Column) -> Column:
+        n_win = F.greatest(F.size(hs) - F.lit(w - 1), F.lit(0))
+        return F.when(
+            n_win >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda j: _let(F.slice(hs, j, w), lambda sl: _let(
+                    F.array_min(sl), lambda mn: F.struct(
+                        mn.alias("h"),
+                        (j - 2 + F.array_position(sl, mn)).cast("long").alias("p"),
+                    ))),
+            ),
+        ).otherwise(F.array().cast("array<struct<h:bigint,p:bigint>>"))
+
+    th_expr = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    fps = _let(th_expr, lambda th: _let(
+        kgram_hashes(th), lambda hs: F.array_distinct(window_mins(hs))))
+    return df.select(
         id_col,
-        F.col("n_kg").cast("long").alias("n_kgrams"),
-        n_win.cast("long").alias("n_windows"),
-        F.array_distinct(wins).alias("fps"),
+        F.greatest(n_tok - F.lit(k - 1), F.lit(0)).cast("long").alias("n_kgrams"),
+        F.greatest(n_tok - F.lit(k + w - 2), F.lit(0)).cast("long").alias("n_windows"),
+        fps.alias("fps"),
     )
 
 
@@ -937,13 +998,13 @@ def winnowing_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     density 2/(w+1).
 
     ENTIRELY narrow — per-doc windows are array slices over the k-gram
-    array (O(n·w) compute, w is small), so there is no shuffle at all
-    before the output projection; at 100 TB this is a pure map stage.
-    The selection key is the fixed-width string ``15-hex-md5 | zero-padded
-    position`` so a plain string MIN is the (hash, leftmost-position)
-    argmin — deterministic tie-break, bit-identical in ANSI SQL. Returns
-    per doc: n_kgrams, n_windows, n_fingerprints (distinct selected),
-    density, min/max fingerprint keys.
+    hash array (O(n·w) long compares, w is small), so there is no shuffle
+    at all before the output projection; at 100 TB this is a pure map
+    stage. Selection and hashing are documented on :func:`winnow_select`;
+    a fingerprint's identity is the (hash, leftmost-position) pair, with
+    struct ordering = (h, p) lexicographic — identical in ANSI SQL.
+    Returns per doc: n_kgrams, n_windows, n_fingerprints (distinct
+    selected), density, and the min/max fingerprint's h/p fields.
     """
     sel = winnow_select(df, text_col, id_col, k, w)
     return sel.select(
@@ -954,8 +1015,10 @@ def winnowing_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.when(
             F.col("n_windows") > 0, F.round(F.size("fps") / F.col("n_windows"), 6)
         ).alias("density"),
-        F.array_min("fps").alias("min_fp"),
-        F.array_max("fps").alias("max_fp"),
+        F.array_min("fps").getField("h").alias("min_fp_h"),
+        F.array_min("fps").getField("p").alias("min_fp_p"),
+        F.array_max("fps").getField("h").alias("max_fp_h"),
+        F.array_max("fps").getField("p").alias("max_fp_p"),
     )
 
 

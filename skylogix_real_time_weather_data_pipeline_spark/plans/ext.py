@@ -1430,40 +1430,77 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnowing_stats(_docs(spark, sf_dir), k=_WINNOW_K, w=_WINNOW_W)
 
 
-#: shared winnowing selection CTEs (kg → sel.fps) — prefix of both the
-#: stats and the candidate-pairs oracles
+def _winnow_poly_sql(coefs: list[tuple[int, int]]) -> str:
+    """DuckDB twin of winnow_select's Carter-Wegman k-gram combine: the
+    Σ_j a_j·(th[i+j] mod 2^30) + b_j·(th[i+j] div 2^30) polynomial over
+    the precomputed per-token 60-bit md5 hashes, mod MH_P. ``th[i+j]``
+    is 1-based on both engines and non-negative, so // == shiftright."""
+    terms = " + ".join(
+        f"{a} * (th[i + {j}] % {1 << 30}) + {b} * (th[i + {j}] // {1 << 30})"
+        for j, (a, b) in enumerate(coefs)
+    )
+    return f"(({terms}) % {dedup.MH_P})"
+
+
+_W_PRM = dedup.mh_params(2 * _WINNOW_K)
+
+#: shared winnowing selection CTEs (th → kg → wins) — prefix of both the
+#: stats and the candidate-pairs oracles. Mirrors ext.text.winnow_select:
+#: per-token 60-bit md5 hash computed once, two CW combines packed into a
+#: 62-bit k-gram hash, window-min with leftmost tie-break via
+#: list_position (first occurrence — same rule as Spark array_position).
 _WINNOW_SEL_CTE = f"""
-, kg AS (
+, th AS (
   SELECT doc_id,
          greatest(len(tk) - {_WINNOW_K - 1}, 0) AS n_kg,
-         CASE WHEN len(tk) >= {_WINNOW_K}
-              THEN list_transform(
-                     range(1, len(tk) - {_WINNOW_K - 1} + 1),
-                     i -> concat(substr(md5(array_to_string(list_slice(tk, i, i + {_WINNOW_K - 1}), ' ')), 1, 15),
-                                 '|', lpad(CAST(i - 1 AS VARCHAR), 10, '0')))
-              ELSE [] END AS kgs
+         greatest(len(tk) - {_WINNOW_K + _WINNOW_W - 2}, 0) AS n_win,
+         list_transform(tk, t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS th
   FROM toks
-), sel AS (
-  SELECT doc_id, n_kg,
-         greatest(n_kg - {_WINNOW_W - 1}, 0) AS n_win,
+), kg AS (
+  SELECT doc_id, n_kg, n_win,
+         CASE WHEN n_kg >= 1
+              THEN list_transform(
+                     range(1, n_kg + 1),
+                     i -> {_winnow_poly_sql(_W_PRM[:_WINNOW_K])} * {1 << 31}
+                          + {_winnow_poly_sql(_W_PRM[_WINNOW_K:])})
+              ELSE [] END AS hs
+  FROM th
+), wins AS (
+  SELECT doc_id, n_kg, n_win,
          CASE WHEN n_kg >= {_WINNOW_W}
-              THEN list_distinct(list_transform(
+              THEN list_transform(
                      range(1, n_kg - {_WINNOW_W - 1} + 1),
-                     j -> list_min(list_slice(kgs, j, j + {_WINNOW_W - 1}))))
-              ELSE [] END AS fps
+                     j -> struct_pack(
+                            h := list_min(list_slice(hs, j, j + {_WINNOW_W - 1})),
+                            p := j - 2 + list_position(
+                                   list_slice(hs, j, j + {_WINNOW_W - 1}),
+                                   list_min(list_slice(hs, j, j + {_WINNOW_W - 1})))))
+              ELSE [] END AS wn
   FROM kg
+), fpr AS (
+  SELECT DISTINCT doc_id, s.h AS h, s.p AS p
+  FROM (SELECT doc_id, unnest(wn) AS s FROM wins)
 )
 """
 
 O_WINNOWING = TOK_CTE + _WINNOW_SEL_CTE + """
-SELECT doc_id,
-       CAST(n_kg AS BIGINT) AS n_kgrams,
-       CAST(n_win AS BIGINT) AS n_windows,
-       CAST(len(fps) AS BIGINT) AS n_fingerprints,
-       CASE WHEN n_win > 0 THEN ROUND(len(fps) / n_win, 6) END AS density,
-       list_min(fps) AS min_fp,
-       list_max(fps) AS max_fp
-FROM sel
+, agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_fp,
+         MIN(struct_pack(h := h, p := p)) AS mn,
+         MAX(struct_pack(h := h, p := p)) AS mx
+  FROM fpr GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(w.n_kg AS BIGINT) AS n_kgrams,
+       CAST(w.n_win AS BIGINT) AS n_windows,
+       CAST(COALESCE(a.n_fp, 0) AS BIGINT) AS n_fingerprints,
+       CASE WHEN w.n_win > 0 THEN ROUND(COALESCE(a.n_fp, 0) / w.n_win, 6) END AS density,
+       CAST(struct_extract(a.mn, 'h') AS BIGINT) AS min_fp_h,
+       CAST(struct_extract(a.mn, 'p') AS BIGINT) AS min_fp_p,
+       CAST(struct_extract(a.mx, 'h') AS BIGINT) AS max_fp_h,
+       CAST(struct_extract(a.mx, 'p') AS BIGINT) AS max_fp_p
+FROM wins w LEFT JOIN agg a USING (doc_id)
 """
 
 _WINNOW_MIN_SHARED = 2
@@ -1478,15 +1515,14 @@ def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_WINNOWING_PAIRS = TOK_CTE + _WINNOW_SEL_CTE + f"""
-, fpr AS (
-  SELECT DISTINCT doc_id, substr(f, 1, 15) AS h
-  FROM (SELECT doc_id, unnest(fps) AS f FROM sel)
+, fph AS (
+  SELECT DISTINCT doc_id, h FROM fpr
 ), elig AS (
-  SELECT h FROM fpr GROUP BY h HAVING COUNT(*) BETWEEN 2 AND {_WINNOW_MAX_FP_DF}
+  SELECT h FROM fph GROUP BY h HAVING COUNT(*) BETWEEN 2 AND {_WINNOW_MAX_FP_DF}
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(COUNT(*) AS BIGINT) AS n_shared_fps
-FROM fpr a JOIN fpr b ON a.h = b.h AND a.doc_id < b.doc_id
+FROM fph a JOIN fph b ON a.h = b.h AND a.doc_id < b.doc_id
 WHERE a.h IN (SELECT h FROM elig)
 GROUP BY 1, 2 HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
 """

@@ -635,8 +635,12 @@ def test_winnowing_invariants_and_identical_docs(spark):
     assert out[1].n_kgrams == 17 and out[1].n_windows == 13
     assert out[1].n_fingerprints >= math.ceil(13 / 5)
     assert out[1].n_fingerprints <= out[1].n_windows
-    assert (out[1].min_fp, out[1].max_fp, out[1].n_fingerprints) == (
-        out[2].min_fp, out[2].max_fp, out[2].n_fingerprints
+    assert (
+        out[1].min_fp_h, out[1].min_fp_p, out[1].max_fp_h,
+        out[1].max_fp_p, out[1].n_fingerprints,
+    ) == (
+        out[2].min_fp_h, out[2].min_fp_p, out[2].max_fp_h,
+        out[2].max_fp_p, out[2].n_fingerprints,
     )
     assert out[3].n_kgrams == 0 and out[3].n_fingerprints == 0
     assert out[3].density is None
