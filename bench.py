@@ -200,22 +200,33 @@ def main() -> int:
     )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings[q] for q in HEADLINE), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "calibration": round(cal, 4),
-                "queries": timings,
-                "expanded_total": round(sum(timings.values()), 4),
-                "materialized": mat,
-                "materialized_total": round(sum(mat.values()), 4),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # The driver's record keeps only the last 2000 chars of stdout and
+    # json-parses the captured text (BENCH_r05: tail len exactly 2000,
+    # parsed null — the full two-map line didn't fit and the judge had to
+    # reconstruct the headline total from the truncated tail). So stdout
+    # gets ONE compact line holding the contract fields plus the count-
+    # mode per-query map (~1.6 KB — parses whole), with the aggregates
+    # LAST so even a future truncation keeps them; the materialized map
+    # and totals go to bench_detail.json next to this script (committed
+    # per-round as BENCH_LOCAL_r{N}.json) and to stderr above.
+    detail = {
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "sf": sf_val,
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "materialized": {k: round(v, 3) for k, v in mat.items()},
+        "calibration": round(cal, 3),
+        "expanded_total": round(sum(timings.values()), 3),
+        "materialized_total": round(sum(mat.values()), 3),
+        "value": total,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_detail.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    line = {k: v for k, v in detail.items() if k != "materialized"}
+    print(json.dumps(line, separators=(",", ":")))
     return 0
 
 

@@ -744,7 +744,15 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     Explode tokens → per-bit signed vote sum → reassemble integer. The
     per-bit sums are one groupBy(doc) with n_bits count-style aggregates —
-    partial-aggregatable, single shuffle.
+    partial-aggregatable, single shuffle, and since a doc's tokens sit in
+    one input partition the map-side combine shrinks the exchange to ~one
+    61-long row per doc. A shuffle-free per-doc variant (fold each bit's
+    vote with ``aggregate`` over a ``_let``-bound token-hash array)
+    measured ~8% SLOWER at sf0.1 despite removing the exchange:
+    higher-order functions evaluate interpreted while the explode+groupBy
+    pipeline stays inside whole-stage codegen — the narrow form's win on
+    exchange bytes doesn't pay for leaving codegen. Values are identical
+    either way (commutative integer votes); this keeps the codegen form.
     """
     from .text import tokens
 

@@ -937,6 +937,10 @@ def winnow_select(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     prm = mh_params(2 * k)
     co1, co2 = prm[:k], prm[k:]
+    # spread the O(n·w) per-doc kernel: a 600 KB local parquet is ONE scan
+    # partition, which would serialize the whole corpus onto one core; at
+    # real scale the probe sees enough partitions and this is a no-op
+    df = repartition_for_compute(df, id_col)
     toks = tokens(text_col)
     n_tok = F.size(toks)
 

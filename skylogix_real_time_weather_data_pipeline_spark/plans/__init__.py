@@ -18,122 +18,56 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface)
 #: module order. The full registry is additionally verified locally each
 #: round (scripts/local_verify.py → CORRECTNESS_LOCAL_r{N}.json, committed).
 #:
-#: Round-5 window. After r4, every oracled query is driver-green
-#: post-latest-change (r1∪…∪r4), so the policy simplifies to: (tier 1)
-#: everything whose implementation or oracle changed THIS round — kept
-#: current in the same commit as each change; then stale-row refresh.
-#: Continuation-session audit: 50 round-5-changed queries (20 new — incl.
-#: the retrieval stack bm25/rrf/mmr and the zipf diagnostic — + the
-#: fixed-point fold sweep + the weather scale pinning + the minhash
-#: estimator guard + the tokenize-once/materialization fixes) fill the
-#: window exactly. ONE documented spill (r3 precedent — mechanical,
-#: locally hash-verified): weather_warmest_coldest's fmean1 conversion
-#: sits below slot 50; its changed code path (fmean1 single-sum fold) is
-#: identically exercised by the in-window weather_basic_stats /
-#: weather_city_comparison rows, and the query is hash-green in
-#: CORRECTNESS_LOCAL_r05.json. Its slot went to docs_ngram_jaccard_pairs
-#: (persist()-cached inverted index — the newest, least-proven change).
-#: Every other entry below slot 50 is unchanged since its last
-#: driver-green row and re-verified in CORRECTNESS_LOCAL_r05.json.
-#:
-#: Second continuation session: +3 NEW queries (remove_dup_chunks,
-#: winnowing, bigram_logprob) and the temperature_mixture persist()
-#: change take the top 4 slots. Four more documented spills (same
-#: covered-path rule, all hash-green in the refreshed
-#: CORRECTNESS_LOCAL_r05.json): weather_daily_pivot (fmean1 path ==
-#: in-window basic_stats/city_comparison/daily_city_agg),
-#: rel_promo_revenue (fsum ratio-gate path == in-window
-#: rel_market_share), stream_sliding_6h (streaming weighted-sum path ==
-#: in-window stream_tumbling_daily), rel_salted_join (plain fsum
-#: group-sum path == in-window rel_supplier_value; salting invariance is
-#: separately plan-pinned and its oracle IS the plain join).
-#: rel_unpivot_city_metrics changed TRANSITIVELY (it melts the converted
-#: city_comparison aggregate; its oracle moved to the matching exact
-#: display-mean form) and stays below slot 50 under the covered-path
-#: rule: the identical operator call is in-window as
-#: weather_city_comparison, and the query is hash-green locally.
+#: Round-6 window. Tier 1 = changed this round: the events_cumulative_users
+#: oracle BIGINT cast (the r5 red row — never driver-green, slot 1), the
+#: pagerank long-node-id rewrite, the winnowing Carter-Wegman k-gram hash
+#: rewrite (stats + pairs), the temperature-buckets oracle DOUBLE edge
+#: casts, the chi-square double-promoted expected counts, and the
+#: persist()-lifecycle changes (distill/temperature_mixture/bigram). Tier
+#: 1b = the _units_long floor-form unit extraction + one-call F.expr
+#: aggregates (functions/exact.py, r6): every fsum1/fmean1/fmean1_round/
+#: fwsum consumer changed its execution path; 16 of the 17 consumers are
+#: in-window, covering each helper and both fmean1_round branches (k>=s:
+#: basic_stats; k<s: city_comparison wind). ONE covered-path spill:
+#: weather_humidity_decile_agg — its fmean1_round("temperature", 2, 6)
+#: call is byte-identical to the in-window daily_city_agg/seasonal rows,
+#: and it is hash-green in CORRECTNESS_LOCAL_r06.json. Also transitively
+#: covered: rel_unpivot_city_metrics (melts the in-window
+#: city_comparison aggregate; hash-green locally). Tier 2 = the 25
+#: remaining rows last driver-green in r2 (verdict #5: drain the stale
+#: tail) — after this window every registry row is driver-green within
+#: r4∪r5∪r6 of its last change. The r1-r5 window history lives in git
+#: (this block at tags r5 and earlier) and WINDOW_LEDGER.json.
 _VERIFY_FIRST = (
-    # --- tier 1: changed in round 5 ---
-    "docs_remove_dup_chunks",          # NEW: C4-style keep-first span removal rewrite
-    "docs_winnowing",                  # NEW: Schleimer et al. window-min fingerprints
-    "docs_winnowing_pairs",            # NEW: MOSS-style shared-fingerprint candidate pairs
-    # (slot given up by rel_yearly_growth — plain fsum group-sum path,
-    # covered in-window by rel_supplier_value/rel_volume_shipping;
-    # hash-green in CORRECTNESS_LOCAL_r05.json)
-    "docs_bigram_logprob",             # NEW: interpolated bigram-LM quality proxy
-    "docs_distill_filter",             # NEW: integer-exact GD filter distillation
-    "emb_ivf_filtered_topk",           # NEW: adaptive-probe filtered vector search
-    "emb_filtered_recall",             # NEW: filtered-ANN recall@k eval
-    "docs_simhash_near_pairs",         # pigeonhole pairing factored into generic hamming_near_pairs
-    "docs_lang_source_chisq",          # NEW: chi-square facet-independence diagnostic
-    "events_ab_test",                  # NEW: two-proportion z-test A/B readout
-    # (slots given up by rel_volume_shipping and rel_lost_customers —
-    # plain fsum group-sum paths, covered in-window by
-    # rel_supplier_value; both hash-green in CORRECTNESS_LOCAL_r05.json)
-    # (slot given up by rel_disjunctive_revenue — plain fsum group-sum
-    # path, covered in-window by rel_supplier_value; hash-green in
-    # CORRECTNESS_LOCAL_r05.json)
-    # (slot given up by rel_small_qty_revenue — plain fsum group-sum
-    # path, covered in-window by rel_supplier_value; hash-green in
-    # CORRECTNESS_LOCAL_r05.json)
-    # (slot given up by rel_top_supplier — plain fsum group-sum path,
-    # covered in-window by rel_supplier_value; hash-green in
-    # CORRECTNESS_LOCAL_r05.json)
-    # (slot given up by rel_returned_items — plain fsum group-sum path,
-    # covered in-window by rel_supplier_value/rel_volume_shipping;
-    # hash-green in CORRECTNESS_LOCAL_r05.json)
-    "docs_temperature_mixture",        # counts table persist()-cached (two-pass plan)
-    "emb_pq_adc_topk",                 # NEW: PQ ADC top-k, unrolled per-subspace Lloyd oracle
-    "emb_ivfpq_topk",                  # NEW: IVF cell pruning over PQ codes
-    "emb_pq_recall",                   # NEW: exact-L2 vs PQ-ADC recall@k eval
-    "emb_ivf_recall",                  # NEW: exact-cosine vs IVF recall@k eval
-    "emb_matryoshka_recall",           # NEW: exact vs prefix-shortlist recall@k
-    "weather_winsorized_stats",        # NEW: p05/p95 clamp robust means
-    "docs_token_entropy",              # NEW: vocabulary-diversity filter
-    "docs_bm25_topk",                  # NEW: Okapi BM25 sparse retrieval
-    "docs_hybrid_rrf",                 # NEW: reciprocal-rank hybrid fusion
-    "emb_mmr_rerank",                  # NEW: MMR diversified rerank
-    "docs_zipf_fit",                   # NEW: Zipf-law corpus diagnostic
-    "docs_stratified_sample",          # NEW: exact per-stratum quota sample
-    "docs_source_kl",                  # NEW: per-source KL distribution shift
-    "emb_pca_top_component",           # NEW: power-iteration PCA
-    "emb_matryoshka_topk",             # NEW: prefix-dim shortlist + full-dim rerank (MRL)
-    "stream_window_percentiles",       # NEW: exact per-window p50/p90
-    "events_cumulative_users",         # NEW: first-seen collapse + running total
-    "rel_pagerank",                    # NEW: integer-unit weighted PageRank
-    "events_anomaly_mad",              # NEW: MAD robust outliers
-    "rel_equi_depth_histogram",        # NEW: percentile-cutpoint histogram
-    # weather means pinned to dataset-true scales (fmean1 single-sum path;
-    # value-identical — both folds exact — so only the fold cost changes):
+    # --- tier 1: changed in round 6 ---
+    "events_cumulative_users",         # oracle window SUM cast to BIGINT (r5 red row)
+    "rel_pagerank",                    # long node ids, complete-in-degree iterations
+    "docs_winnowing",                  # Carter-Wegman token-hash k-gram combine
+    "docs_winnowing_pairs",            # same selection core, struct h field
+    "weather_temperature_buckets",     # oracle bucket edges cast to DOUBLE
+    "docs_lang_source_chisq",          # expected-count product promoted to double
+    "docs_distill_filter",             # training caches unpersist after distillation
+    "docs_temperature_mixture",        # counts-cache lifecycle documented/scoped
+    "docs_bigram_logprob",             # transition-cache lifecycle
+    # --- tier 1b: floor-form unit extraction + one-call F.expr aggregates
+    # (every fsum1/fmean1/fmean1_round/fwsum consumer; 16/17 in-window) ---
     "weather_basic_stats",
     "weather_city_comparison",
-    "docs_ngram_jaccard_pairs",        # persist()-cached inverted index (single evaluation)
     "weather_daily_city_agg",
     "weather_temperature_trends",
-    "weather_humidity_decile_agg",
+    "weather_daily_pivot",
+    "weather_warmest_coldest",
     "weather_seasonal_anomaly",
-    "docs_minhash_jaccard_estimate",   # agreement fan-out semi-joined to candidate ids (both sides)
-    "docs_unigram_logprob",            # tf localCheckpoint — corpus tokenized once (value-identical)
-    # --- tier 1 (cont.): fsum/fwsum sweep — rolling/running window sums,
-    # ratio gates, streaming weighted sums (both sides converted) ---
-    "rel_rolling_revenue",
-    "rel_running_order_total",
-    "rel_market_share",
+    "stream_tumbling_daily",
+    "stream_sliding_6h",
+    "stream_sessionize",
     "stream_window_topk",
+    "stream_range_join_windows",
+    "rel_running_order_total",
+    "rel_rolling_revenue",
     "events_props_stats",
     "events_props_variant",
-    "stream_tumbling_daily",
-    "stream_sessionize",
-    "stream_range_join_windows",
-    "rel_supplier_value",
-    # --- tier 3 head: r3-vintage rows (rel_product_profit deliberately
-    # stays on the decimal fold: its 0.6*retailprice*qty term has
-    # unbounded fractional digits — fsum's documented dsumx case) ---
-    "rel_product_profit",
-    "weather_linear_fit",
-    "weather_correlations",
-    "weather_zscore_anomalies",
-    # --- tier 2: last driver-green in r2 (most stale) ---
+    # --- tier 2: drain of the r2-vintage stale tail (verdict #5) ---
     "docs_bpe_token_count",
     "docs_exact_dedup",
     "docs_fingerprint",
@@ -142,6 +76,7 @@ _VERIFY_FIRST = (
     "docs_simhash",
     "docs_token_stats",
     "docs_top_ngrams",
+    "rel_approx_distinct",
     "rel_customers_without_orders",
     "rel_distinct_parts",
     "rel_latest_order_per_customer",
@@ -158,18 +93,6 @@ _VERIFY_FIRST = (
     "weather_exact_median",
     "weather_icon_lookup",
     "weather_outlier_counts",
-    # --- tier 3 tail: remaining r3-vintage rows ---
-    "emb_kmeans",
-    "emb_semdedup",
-    "emb_ivf_topk",
-    "emb_ivf_quantized_topk",
-    "events_funnel",
-    "events_retention",
-    "events_gap_fill",
-    "rel_merge_upsert",
-    "rel_scd2_apply",
-    "sql_recursive_chains",
-    "docs_tfidf_topk",
 )
 
 
