@@ -1,0 +1,183 @@
+"""Empirical scale-up probe: measure how the scale-critical operators
+grow from sf0.01 → sf0.1 → a synthetic 10×-sf0.1 ("sf1x") replica set.
+
+The question the probe answers with data instead of argument: does each
+operator's runtime grow ~linearly in input size (the pure-map and
+bucket-bounded plans), or does hidden quadratic structure leak in? A
+plan-shape audit (PLAN_AUDIT.md) proves there is no cartesian/self-join;
+this measures the constants actually realized on 32 cores.
+
+Synthetic 10× construction (written under .scale_probe/, gitignored):
+- documents: 10 replicas, doc_id offset by replica·1e6; every TOKEN gets a
+  per-replica suffix (regexp '$1_r<i>') so replicas share no shingles —
+  near-dup/candidate structure per replica matches the original corpus and
+  the true output (pairs, buckets) scales exactly 10×. Naive replication
+  would instead make every doc a 10-way near-duplicate family and blow the
+  pair output up combinatorially — measuring output explosion, not engine
+  scaling.
+- embeddings: id offset per replica, vectors unchanged (ANN cost is
+  matvec/scan-bound; duplicate vectors don't change the work).
+- events: event_id/user_id offset per replica, timestamps unchanged —
+  10× density per time window, the realistic direction of growth.
+- lineitem/orders: all keys offset by replica·10^7 → ten disjoint copies
+  of the trade graph (pagerank components scale linearly; join/agg
+  cardinalities scale 10×).
+
+Usage: python scripts/scaling_probe.py [--skip-gen]
+Writes SCALING_r06.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _HERE)
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+SF001 = "/root/testdata/sf0.01"
+SF01 = "/root/testdata/sf0.1"
+SF1X = os.path.join(_HERE, ".scale_probe", "sf1x")
+REPLICAS = 10
+
+#: the probe set: every family whose 100 TB story depends on plan shape
+PROBE = [
+    "docs_winnowing",            # pure map (window-min fingerprints)
+    "docs_token_stats",          # narrow text features
+    "docs_minhash_lsh_pairs",    # band-bucket candidate generation
+    "docs_simhash_near_pairs",   # pigeonhole hamming buckets
+    "docs_bm25_topk",            # term-filtered postings retrieval
+    "docs_exact_dedup",          # hash-groupBy
+    "emb_cosine_topk",           # brute-force matvec baseline
+    "emb_ivf_topk",              # cell-pruned ANN
+    "rel_pagerank",              # iterative joins (10 disjoint components)
+    "rel_supplier_value",        # fact join + exact-fold agg
+    "stream_sessionize",         # gap sessionization over event time
+    "events_cumulative_users",   # first-seen collapse + running total
+    "weather_basic_stats",       # exact display-mean fold
+]
+
+
+def _gen(spark: SparkSession) -> None:
+    shutil.rmtree(SF1X, ignore_errors=True)
+    os.makedirs(SF1X, exist_ok=True)
+
+    def reps():
+        return list(range(REPLICAS))
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    out = None
+    for i in reps():
+        # replica 0 keeps the ORIGINAL text (and ids): term-anchored
+        # queries (bm25, hybrid) must still find their query terms, and
+        # the original near-dup structure must survive verbatim
+        text = (
+            F.col("text") if i == 0
+            else F.regexp_replace(F.col("text"), r"(\S+)", f"$1_r{i}")
+        )
+        r = docs.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+            text.alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+        out = r if out is None else out.unionByName(r)
+    out.write.mode("overwrite").parquet(f"{SF1X}/documents.parquet")
+
+    embs = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    id_col = "emb_id" if "emb_id" in embs.columns else embs.columns[0]
+    out = None
+    for i in reps():
+        r = embs.withColumn(id_col, F.col(id_col) + F.lit(i * 1_000_000))
+        out = r if out is None else out.unionByName(r)
+    out.write.mode("overwrite").parquet(f"{SF1X}/embeddings.parquet")
+
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    out = None
+    for i in reps():
+        r = ev
+        for c in ("event_id", "user_id"):
+            if c in ev.columns:
+                r = r.withColumn(c, F.col(c) + F.lit(i * 10_000_000))
+        out = r if out is None else out.unionByName(r)
+    out.write.mode("overwrite").parquet(f"{SF1X}/events.parquet")
+
+    for tbl, keys in (
+        ("lineitem", ("l_orderkey", "l_suppkey", "l_partkey")),
+        ("orders", ("o_orderkey", "o_custkey")),
+        ("customer", ("c_custkey", "c_nationkey")),
+        ("supplier", ("s_suppkey", "s_nationkey")),
+        ("part", ("p_partkey",)),
+    ):
+        t = spark.read.parquet(f"{SF01}/{tbl}.parquet")
+        out = None
+        for i in reps():
+            r = t
+            for c in keys:
+                if c in t.columns and not c.endswith("nationkey"):
+                    r = r.withColumn(c, F.col(c) + F.lit(i * 10_000_000))
+            out = r if out is None else out.unionByName(r)
+        out.write.mode("overwrite").parquet(f"{SF1X}/{tbl}.parquet")
+
+    # small dims unchanged
+    for tbl in ("region", "nation"):
+        spark.read.parquet(f"{SF01}/{tbl}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{SF1X}/{tbl}.parquet")
+
+
+def _median_noop(df_builder, runs: int = 3) -> float:
+    df_builder().write.format("noop").mode("overwrite").save()  # warm
+    ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        df_builder().write.format("noop").mode("overwrite").save()
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
+
+
+def main() -> int:
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--skip-gen" not in sys.argv:
+        t0 = time.time()
+        _gen(spark)
+        print(f"# generated 10x replica set in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    out: dict[str, dict] = {}
+    for name in PROBE:
+        fn = qs[name]
+        rec = {}
+        for label, sf in (("sf0.01", SF001), ("sf0.1", SF01), ("sf1x", SF1X)):
+            try:
+                rec[label] = round(_median_noop(lambda: fn(spark, sf)), 3)
+            except Exception as exc:  # noqa: BLE001
+                rec[label] = f"ERROR {type(exc).__name__}: {exc}"[:120]
+        if isinstance(rec.get("sf1x"), float) and isinstance(rec.get("sf0.1"), float):
+            rec["growth_10x"] = round(rec["sf1x"] / max(rec["sf0.1"], 1e-9), 2)
+        out[name] = rec
+        print(f"# {name}: {rec}", file=sys.stderr)
+    path = os.path.join(_HERE, "SCALING_r06.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({"written": path, "queries": len(out)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
