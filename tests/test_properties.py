@@ -469,3 +469,51 @@ def test_fmean1_round_matches_exact_half_away(spark, vals, k):
         half = (1 if q >= 0 else -1) if rem * 2 >= 1 else 0
         expect = (whole + half) / 10 ** k
         assert got == expect, (data[:3], got, expect)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.one_of(
+                # small vocab → repeated k-grams → tie-heavy window mins
+                st.sampled_from(["a", "b", "ab", "ba", "aa"]),
+                # arbitrary non-whitespace tokens incl. unicode
+                st.text(
+                    alphabet=st.characters(
+                        blacklist_categories=("Zs", "Zl", "Zp", "Cc", "Cs")
+                    ),
+                    min_size=1, max_size=6,
+                ),
+            ),
+            min_size=0, max_size=40,
+        ),
+        min_size=1, max_size=6,
+    ),
+)
+@_settings
+def test_winnowing_cross_engine_parity(spark, docs):
+    """The Carter-Wegman k-gram hash + leftmost-tie-break window min must
+    be BIT-identical between Spark and the DuckDB oracle on arbitrary
+    token streams — unicode tokens, repeated k-grams (forcing hash ties
+    inside a window), and sub-k/sub-w documents. Random inputs cover the
+    tie and degenerate classes the fixed corpus never hits."""
+    import duckdb
+
+    from skylogix_real_time_weather_data_pipeline_spark.plans.ext import O_WINNOWING
+    from skylogix_real_time_weather_data_pipeline_spark.ext.text import winnowing_stats
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in winnowing_stats(df, k=4, w=5).collect())
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        cols = [d[0] for d in con.execute(O_WINNOWING + " LIMIT 0").description]
+        spark_cols = winnowing_stats(df, k=4, w=5).columns
+        assert cols == spark_cols
+        expect = sorted(tuple(r) for r in con.execute(O_WINNOWING).fetchall())
+    finally:
+        con.close()
+    assert got == expect
