@@ -1,0 +1,282 @@
+"""Distributed sketch operators: KMV distinct, count-min heavy hitters,
+Bloom-filter semi-join pruning.
+
+These are the mergeable-summary primitives a 100 TB pipeline leans on when
+an exact answer is either unnecessary (cardinality estimates, heavy-hitter
+shortlists) or unaffordable as a first pass (joining a fact table against a
+selective dimension without shuffling the fact side). All three follow the
+same Spark shape: a map-side-combinable aggregate collapses the input to a
+sketch whose size is a CONSTANT independent of input rows (k minima, d·w
+counters, m bits), so the shuffle each one pays moves kilobytes no matter
+how many terabytes were scanned.
+
+Determinism pins: hashing is the repo-wide portable 60-bit md5
+(``ext.dedup._md5_long``), and every estimate is derived with pure integer
+arithmetic (floor divisions on decimal(38,0)/HUGEINT), so a DuckDB oracle
+replays each sketch bit-for-bit — these "approximate" operators are
+approximate w.r.t. the truth, never w.r.t. the oracle.
+
+Public provenance: KMV is the k-minimum-values estimator of Bar-Yossef et
+al. (RANDOM 2002) as refined by Beyer et al. (SIGMOD 2007, the (k-1)/h_(k)
+unbiased form); count-min is Cormode & Muthukrishnan (J. Algorithms 2005);
+Bloom-filter join pruning is the classic semi-join reduction (Bloom, CACM
+1970) that Spark itself ships as runtime row-group filtering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _md5_long
+
+#: hash space of ext.dedup._md5_long: 15 hex chars = 60 uniform bits
+HASH_BITS = 60
+
+
+def kmv_distinct(df: DataFrame, key_col: str, k: int = 256,
+                 seed: int = 0) -> DataFrame:
+    """K-minimum-values distinct-count sketch over ``key_col``; returns ONE
+    row (k, kept, hk, kmv_estimate, exact_distinct, err_ppm).
+
+    Estimator: hash every key into the uniform 60-bit space, keep the k
+    smallest DISTINCT hashes; the k-th smallest h_(k) divides the space into
+    k-1 average gaps, so distinct ≈ (k-1)·2^60 / h_(k) (Beyer et al.'s
+    unbiased form). When fewer than k distinct hashes exist the sketch IS
+    the exact distinct set and the estimate is its size.
+
+    Spark shape: the distinct() is one shuffle sized by DISTINCT keys (not
+    input rows), then ``sort().limit(k)`` compiles to TakeOrderedAndProject
+    — each partition keeps its own k minima and the driver merges k·P longs.
+    The sketch is trivially mergeable (union the minima, re-take k), which
+    is what makes it a per-shard summary at 100 TB. The exact_distinct
+    eval column costs a second single-column scan + count_distinct shuffle
+    — the expensive exact pass the sketch exists to replace; a production
+    caller at scale reports the estimate alone and drops that branch.
+
+    Integer exactness: (k-1)·2^60 exceeds int64, so the quotient is
+    computed as floor(decimal(38,0) / hk). Spark's decimal division
+    carries ≥21 fractional digits while the true quotient's fractional
+    part is a multiple of 1/h_k > 8e-19, so the HALF_UP at the division
+    scale can never cross an integer boundary — floor() matches DuckDB's
+    HUGEINT ``//`` exactly (probe-verified).
+    """
+    num = (k - 1) * (1 << HASH_BITS)
+    h = df.select(
+        _md5_long(F.col(key_col).cast("string"), seed).alias("h"),
+        F.col(key_col).alias("k_orig"),
+    )
+    hashes = h.select("h").distinct()
+    kmin = hashes.sort("h").limit(k)
+    sk = kmin.agg(
+        F.max("h").alias("hk"), F.count(F.lit(1)).cast("long").alias("kept")
+    )
+    exact = h.select("k_orig").agg(
+        F.count_distinct(F.col("k_orig")).alias("exact_distinct")
+    )
+    est = (
+        F.when(F.col("kept") < k, F.col("kept"))
+        .otherwise(
+            F.expr(
+                f"CAST(floor(CAST({num} AS DECIMAL(38,0)) / hk) AS BIGINT)"
+            )
+        )
+        .cast("long")
+    )
+    # 1-row scalar combine (bnlj-scalar: broadcast nested loop of two
+    # single-row aggregates, no real cartesian)
+    return (
+        sk.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(k).alias("k"),
+            "kept",
+            "hk",
+            est.alias("kmv_estimate"),
+            "exact_distinct",
+        )
+        # integer ppm: long DIV long (floor on non-negatives) — a double
+        # `/` here would reintroduce the float path the sketch avoids
+        .withColumn(
+            "err_ppm",
+            F.expr(
+                "(abs(kmv_estimate - exact_distinct) * CAST(1000000 AS BIGINT))"
+                " DIV exact_distinct"
+            ),
+        )
+    )
+
+
+def cms_heavy_hitters(df: DataFrame, key_col: str, depth: int = 3,
+                      width: int = 256, top_n: int = 10) -> DataFrame:
+    """Count-min-sketch frequency estimates for the exact top-``top_n``
+    keys: (key, exact_count, cms_count, overestimate) — cms_count ≥
+    exact_count always (one-sided error), and the overestimate column
+    measures the collision noise at this depth×width.
+
+    Sketch: ``depth`` independent hash rows of ``width`` counters; a key's
+    estimate is the MIN of its counters across rows (each row overcounts by
+    whatever collides into the same bucket; the min takes the least-noisy
+    row). Updates are pure increments, so the whole sketch is one
+    map-side-combinable groupBy(row, bucket) — d·w counter rows total,
+    CONSTANT in input size; that is the entire point at 100 TB, where a
+    per-key exact groupBy may be unaffordable as a first pass.
+
+    This eval variant aggregates per-key counts once (one shuffle, also
+    feeding the exact top-N shortlist the estimates are judged against)
+    and derives the sketch from those counts — identical counters to a
+    direct streaming build, which would simply sum 1s from the raw rows
+    through the same (row, bucket) aggregate without ever materializing
+    per-key state.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    key_str = F.col("key").cast("string")
+    bucket_rows = counts.select(
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (_md5_long(key_str, d) % width).alias("b"),
+                    )
+                    for d in range(1, depth + 1)
+                ]
+            )
+        ).alias("db"),
+    )
+    sketch = (
+        bucket_rows.groupBy(
+            F.col("db.d").alias("d"), F.col("db.b").alias("b")
+        )
+        .agg(F.sum("exact_count").alias("bucket_count"))
+    )
+    top = counts.sort(
+        F.desc("exact_count"), F.asc("key")
+    ).limit(top_n)
+    probes = top.select(
+        "key",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (_md5_long(key_str, d) % width).alias("b"),
+                    )
+                    for d in range(1, depth + 1)
+                ]
+            )
+        ).alias("db"),
+    ).select("key", "exact_count", F.col("db.d").alias("d"), F.col("db.b").alias("b"))
+    # the sketch is d·w rows — broadcast it; the probe side is top_n·d rows
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "b"])
+        .groupBy("key", "exact_count")
+        .agg(F.min("bucket_count").alias("cms_count"))
+    )
+    return est.select(
+        "key",
+        "exact_count",
+        "cms_count",
+        (F.col("cms_count") - F.col("exact_count")).alias("overestimate"),
+    )
+
+
+def bloom_semijoin_stats(build: DataFrame, build_key: str, probe: DataFrame,
+                         probe_key: str, m_bits: int = 4096, n_hashes: int = 3,
+                         ) -> DataFrame:
+    """Bloom-filter semi-join reduction with a measured false-positive rate;
+    returns ONE row (m_bits, n_hashes, n_build_distinct, n_probe,
+    bloom_pass, true_members, false_positives, fp_rate_ppm).
+
+    The production shape this demonstrates: to semi-join a huge probe side
+    against a selective build side, build an ``m_bits`` Bloom filter over
+    the build keys — a groupBy(block) bit_or that map-side-combines to
+    m_bits/32 rows regardless of build size — broadcast it, and pre-filter
+    the probe side with ``n_hashes`` bit tests BEFORE any shuffle. Only
+    bloom survivors reach the exact semi-join, so the shuffled volume drops
+    by the filter's selectivity. Spark's own runtime row-group filtering
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) does exactly this
+    inside the optimizer; this operator is the explicit, oracle-checkable
+    form with the fp-rate made visible.
+
+    Bit layout: positions are the portable 60-bit md5 mod m_bits; 32-bit
+    blocks (mask = 1 << (pos % 32)) keep every block value strictly
+    positive, so the bit_or/bit-test arithmetic is sign-free and identical
+    in Spark longs and DuckDB BIGINTs.
+    """
+    n_blocks = m_bits // 32
+    bkeys = build.select(F.col(build_key).cast("long").alias("bk")).distinct()
+    bkey_str = F.col("bk").cast("string")
+
+    def positions(key_expr):
+        return F.array(
+            *[(_md5_long(key_expr, d) % m_bits).alias(f"p{d}")
+              for d in range(1, n_hashes + 1)]
+        )
+
+    bloom = (
+        bkeys.select(F.explode(positions(bkey_str)).alias("pos"))
+        .select(
+            F.expr("pos DIV 32").alias("block"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
+        )
+        .groupBy("block")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    pkeys = probe.select(F.col(probe_key).cast("long").alias("pk"))
+    pk_str = F.col("pk").cast("string")
+    probe_pos = pkeys.select(
+        "pk", F.explode(positions(pk_str)).alias("pos")
+    ).select(
+        "pk",
+        F.expr("pos DIV 32").alias("block"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
+    )
+    # bloom is <= m_bits/32 rows: always broadcast — the probe side never
+    # shuffles for the membership test
+    hits = (
+        probe_pos.join(F.broadcast(bloom), "block", "left")
+        .select(
+            "pk",
+            # SQL `&` — PySpark's Column `&` operator is logical AND
+            F.expr(
+                "CASE WHEN bits IS NOT NULL AND (bits & mask) != 0"
+                " THEN 1 ELSE 0 END"
+            ).alias("hit"),
+        )
+        .groupBy("pk")
+        .agg(F.sum("hit").alias("nhit"))
+        .select("pk", (F.col("nhit") == n_hashes).cast("int").alias("pass"))
+    )
+    truth = hits.join(
+        F.broadcast(bkeys.select(F.col("bk").alias("pk"), F.lit(1).alias("member"))),
+        "pk",
+        "left",
+    ).select("pk", "pass", F.coalesce(F.col("member"), F.lit(0)).alias("member"))
+    agg = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum("pass").cast("long").alias("bloom_pass"),
+        F.sum("member").cast("long").alias("true_members"),
+        F.sum(
+            F.when((F.col("pass") == 1) & (F.col("member") == 0), 1).otherwise(0)
+        ).cast("long").alias("false_positives"),
+    )
+    nb = bkeys.agg(F.count(F.lit(1)).cast("long").alias("n_build_distinct"))
+    return agg.crossJoin(F.broadcast(nb)).select(
+        F.lit(m_bits).alias("m_bits"),
+        F.lit(n_hashes).alias("n_hashes"),
+        "n_build_distinct",
+        "n_probe",
+        "bloom_pass",
+        "true_members",
+        "false_positives",
+        # fp rate over the true negatives the filter was asked to reject;
+        # long DIV long keeps the ppm on the integer grid
+        F.expr(
+            "(false_positives * CAST(1000000 AS BIGINT))"
+            " DIV greatest(n_probe - true_members, CAST(1 AS BIGINT))"
+        ).alias("fp_rate_ppm"),
+    )

@@ -142,3 +142,64 @@ def pagerank(edges: DataFrame, n_iter: int = 2, damping_num: int = 17,
     return ranks.select(
         "node", (F.col("rank_u").cast("double") / U).alias("rank")
     )
+
+
+def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Triangle count + global clustering coefficient for an UNDIRECTED
+    simple graph given as canonical edges (``a`` < ``b``, no duplicates);
+    returns ONE row (n_nodes, n_edges, n_wedges, n_triangles,
+    clustering_ppm).
+
+    Spark shape — the edge-iterator algorithm on the canonical orientation:
+    every triangle {x<y<z} is counted exactly once as the wedge
+    (x,y)+(y,z) closed by (x,z), so the plan is two equi-joins on the edge
+    table (wedge build on the shared middle vertex, then a semi-join-shaped
+    closure probe) with NO explosion beyond the true wedge count. Wedge
+    totals come from the degree fold (Σ d·(d−1)/2 — d·(d−1) is even, so
+    the division is exact integer). At 100 TB the refinement is
+    degree-descending orientation (direct each edge toward the
+    higher-degree endpoint, bounding per-vertex join fan-out by O(√|E|) on
+    skewed graphs — Suri & Vassilvitskii, WWW 2011); the id-ordered
+    orientation here keeps the oracle replay trivial and is identical in
+    cost on the bounded-degree graphs this engine builds.
+
+    clustering_ppm = floor(3e6 · triangles / wedges): integer DIV on longs,
+    zero float hazards (the repo-wide ppm convention).
+    """
+    e = edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    base = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        # d·(d−1) is even so the halving is exact; DIV keeps it on the
+        # integer grid (a double `/` would round past 2^53)
+        F.expr("CAST(sum(d * (d - 1)) DIV 2 AS BIGINT)").alias("n_wedges"),
+    )
+    ne = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    # wedges (x<y<z): (x,y) joined to (y,z) on the middle vertex y
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y").select("x", "z")
+    closure = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (
+        wedges.join(closure, ["x", "z"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        base.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "(n_triangles * CAST(3000000 AS BIGINT))"
+                " DIV greatest(n_wedges, CAST(1 AS BIGINT))"
+            ).alias("clustering_ppm"),
+        )
+    )

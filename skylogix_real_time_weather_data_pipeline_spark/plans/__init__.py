@@ -6,9 +6,9 @@ parquet tables). Keys are disjoint across submodules; __spark_entry__ merges
 them.
 """
 
-from . import ext, relational, sql_surface, streaming_batch, weather  # noqa: F401
+from . import ext, relational, sketches, sql_surface, streaming_batch, weather  # noqa: F401
 
-_MODULES = (weather, relational, ext, streaming_batch, sql_surface)
+_MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 
 #: The driver's correctness harness checks the FIRST 50 queries() entries in
 #: insertion order. Pinning policy (r2 ADVICE): any query whose
@@ -33,12 +33,26 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface)
 #: call is byte-identical to the in-window daily_city_agg/seasonal rows,
 #: and it is hash-green in CORRECTNESS_LOCAL_r06.json. Also transitively
 #: covered: rel_unpivot_city_metrics (melts the in-window
-#: city_comparison aggregate; hash-green locally). Tier 2 = the 25
-#: remaining rows last driver-green in r2 (verdict #5: drain the stale
-#: tail) — after this window every registry row is driver-green within
-#: r4∪r5∪r6 of its last change. The r1-r5 window history lives in git
-#: (this block at tags r5 and earlier) and WINDOW_LEDGER.json.
+#: city_comparison aggregate; hash-green locally). Tier 0 = the four NEW
+#: sketch queries (plans/sketches.py) — never driver-checked, so they
+#: outrank everything. Tier 2 = 21 of the 25 rows last driver-green in r2
+#: (verdict #5: drain the stale tail); the four displaced to make room
+#: for tier 0 are the lowest-risk trivial projections/lookups (named at
+#: tier 0 below), unchanged since r2 and hash-green under the typed r6
+#: local harness. The r1-r5 window history lives in git (this block at
+#: tags r5 and earlier) and WINDOW_LEDGER.json.
 _VERIFY_FIRST = (
+    # --- tier 0: NEW in round 6 (never driver-checked) — the sketch
+    # family (plans/sketches.py): KMV distinct, count-min heavy hitters,
+    # Bloom semi-join, triangle count. To fit them, four of the LOWEST-RISK
+    # tier-2 rows (trivial projections/lookups, unchanged since r2,
+    # hash-green under the r6 TYPED local harness) yield their slots:
+    # weather_date_range, weather_icon_lookup, weather_derived_projection,
+    # rel_distinct_parts.
+    "rel_kmv_distinct",
+    "rel_cms_heavy_hitters",
+    "rel_bloom_semijoin",
+    "rel_triangle_count",
     # --- tier 1: changed in round 6 ---
     "events_cumulative_users",         # oracle window SUM cast to BIGINT (r5 red row)
     "rel_pagerank",                    # long node ids, complete-in-degree iterations
@@ -78,7 +92,6 @@ _VERIFY_FIRST = (
     "docs_top_ngrams",
     "rel_approx_distinct",
     "rel_customers_without_orders",
-    "rel_distinct_parts",
     "rel_latest_order_per_customer",
     "rel_parts_shipped",
     "rel_rollup_lineitem",
@@ -88,10 +101,7 @@ _VERIFY_FIRST = (
     "weather_clean_outliers",
     "weather_condition_histogram",
     "weather_condition_mode_by_city",
-    "weather_date_range",
-    "weather_derived_projection",
     "weather_exact_median",
-    "weather_icon_lookup",
     "weather_outlier_counts",
 )
 

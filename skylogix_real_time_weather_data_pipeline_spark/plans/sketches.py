@@ -1,0 +1,315 @@
+"""Sketch / graph-analytics driver queries: KMV distinct, count-min heavy
+hitters, Bloom semi-join pruning, triangle counting.
+
+Every query here is deterministic end to end (portable md5 hashing +
+integer-only estimate arithmetic), so each DuckDB oracle replays the
+sketch bit-for-bit — the estimates are approximate w.r.t. the truth, never
+w.r.t. the oracle. The truth rides along in the output (exact_distinct /
+exact_count / true_members columns), so the accuracy of each sketch is
+itself an asserted, hash-checked value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+#: 60-bit portable hash (mirror of ext.dedup._md5_long)
+def _sql_hash(seed, expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5(concat({seed}, '|', {expr})), 1, 15)) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# KMV distinct estimate: distinct l_partkey in lineitem
+# --------------------------------------------------------------------------
+
+KMV_K = 256
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV cardinality sketch vs exact distinct for lineitem.l_partkey —
+    the oracle-replayable counterpart of ``rel_approx_distinct`` (whose
+    Spark-native HLL hash cannot be reproduced in ANSI SQL, leaving it
+    rows-only). See ext/sketch.py for the estimator and the scale shape."""
+    from ..ext.sketch import kmv_distinct
+
+    return kmv_distinct(_t(spark, sf_dir, "lineitem"), "l_partkey", k=KMV_K)
+
+
+O_KMV_DISTINCT = f"""
+WITH h AS (
+  SELECT DISTINCT {_sql_hash("'0'", "CAST(l_partkey AS VARCHAR)")} AS h
+  FROM lineitem
+),
+kmin AS (SELECT h FROM h ORDER BY h LIMIT {KMV_K}),
+sk AS (SELECT MAX(h) AS hk, COUNT(*) AS kept FROM kmin),
+ex AS (SELECT COUNT(DISTINCT l_partkey) AS exact_distinct FROM lineitem),
+est AS (
+  SELECT sk.hk, sk.kept, ex.exact_distinct,
+         CASE WHEN sk.kept < {KMV_K} THEN sk.kept
+              ELSE CAST(({KMV_K - 1} * (1::HUGEINT << 60)) // sk.hk AS BIGINT)
+         END AS kmv_estimate
+  FROM sk, ex
+)
+SELECT {KMV_K} AS k,
+       CAST(kept AS BIGINT) AS kept,
+       hk,
+       CAST(kmv_estimate AS BIGINT) AS kmv_estimate,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       CAST((ABS(kmv_estimate - exact_distinct) * 1000000) // exact_distinct
+            AS BIGINT) AS err_ppm
+FROM est
+"""
+
+
+# --------------------------------------------------------------------------
+# Count-min-sketch heavy hitters: l_partkey frequencies in lineitem
+# --------------------------------------------------------------------------
+
+CMS_D = 3
+CMS_W = 256
+CMS_TOP = 10
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min estimates for the exact top-10 partkeys by lineitem count
+    (d=3 rows × w=256 counters). cms_count ≥ exact_count by construction;
+    the overestimate column exposes the collision noise the d×w budget
+    buys. See ext/sketch.py for the constant-size aggregate shape."""
+    from ..ext.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        _t(spark, sf_dir, "lineitem"), "l_partkey",
+        depth=CMS_D, width=CMS_W, top_n=CMS_TOP,
+    )
+
+
+_CMS_ROWS = " UNION ALL ".join(
+    f"SELECT {d} AS d, {_sql_hash(d, 'CAST(key AS VARCHAR)')} % {CMS_W} AS b,"
+    f" exact_count FROM counts"
+    for d in range(1, CMS_D + 1)
+)
+
+O_CMS_HEAVY_HITTERS = f"""
+WITH counts AS (
+  SELECT l_partkey AS key, COUNT(*) AS exact_count
+  FROM lineitem GROUP BY l_partkey
+),
+cells AS ({_CMS_ROWS}),
+sketch AS (
+  SELECT d, b, SUM(exact_count) AS bucket_count FROM cells GROUP BY d, b
+),
+top AS (
+  SELECT key, exact_count FROM counts
+  ORDER BY exact_count DESC, key ASC LIMIT {CMS_TOP}
+),
+probes AS (
+  {" UNION ALL ".join(
+      f"SELECT key, exact_count, {d} AS d,"
+      f" {_sql_hash(d, 'CAST(key AS VARCHAR)')} % {CMS_W} AS b FROM top"
+      for d in range(1, CMS_D + 1)
+  )}
+)
+SELECT p.key,
+       CAST(p.exact_count AS BIGINT) AS exact_count,
+       CAST(MIN(s.bucket_count) AS BIGINT) AS cms_count,
+       CAST(MIN(s.bucket_count) - p.exact_count AS BIGINT) AS overestimate
+FROM probes p JOIN sketch s ON s.d = p.d AND s.b = p.b
+GROUP BY p.key, p.exact_count
+"""
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter semi-join: customers with urgent orders
+# --------------------------------------------------------------------------
+
+BLOOM_M = 4096
+BLOOM_K = 3
+
+
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-filter of customer against urgent-order custkeys,
+    with the false-positive rate measured against the exact semi-join —
+    the explicit, oracle-checkable form of Spark's runtime bloom-filter
+    join pruning. See ext/sketch.py for the bit layout and scale shape."""
+    from ..ext.sketch import bloom_semijoin_stats
+
+    build = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return bloom_semijoin_stats(
+        build, "o_custkey", _t(spark, sf_dir, "customer"), "c_custkey",
+        m_bits=BLOOM_M, n_hashes=BLOOM_K,
+    )
+
+
+def _bloom_positions(key_expr: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT k, {_sql_hash(d, key_expr)} % {BLOOM_M} AS pos FROM keys"
+        for d in range(1, BLOOM_K + 1)
+    )
+
+
+O_BLOOM_SEMIJOIN = f"""
+WITH keys AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS k FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+),
+bpos AS ({_bloom_positions("CAST(k AS VARCHAR)")}),
+bloom AS (
+  SELECT pos // 32 AS block,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+  FROM bpos GROUP BY pos // 32
+),
+probe AS (SELECT CAST(c_custkey AS BIGINT) AS pk FROM customer),
+ppos AS (
+  {" UNION ALL ".join(
+      f"SELECT pk, {_sql_hash(d, 'CAST(pk AS VARCHAR)')} % {BLOOM_M} AS pos"
+      f" FROM probe"
+      for d in range(1, BLOOM_K + 1)
+  )}
+),
+hits AS (
+  SELECT p.pk,
+         CASE WHEN b.bits IS NOT NULL
+                   AND (b.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER))) != 0
+              THEN 1 ELSE 0 END AS hit
+  FROM ppos p LEFT JOIN bloom b ON b.block = p.pos // 32
+),
+passed AS (
+  SELECT pk, CASE WHEN SUM(hit) = {BLOOM_K} THEN 1 ELSE 0 END AS pass
+  FROM hits GROUP BY pk
+),
+truth AS (
+  SELECT p.pk, p.pass,
+         CASE WHEN k.k IS NOT NULL THEN 1 ELSE 0 END AS member
+  FROM passed p LEFT JOIN keys k ON k.k = p.pk
+),
+agg AS (
+  SELECT COUNT(*) AS n_probe, SUM(pass) AS bloom_pass,
+         SUM(member) AS true_members,
+         SUM(CASE WHEN pass = 1 AND member = 0 THEN 1 ELSE 0 END)
+           AS false_positives
+  FROM truth
+),
+nb AS (SELECT COUNT(*) AS n_build_distinct FROM keys)
+SELECT {BLOOM_M} AS m_bits, {BLOOM_K} AS n_hashes,
+       CAST(n_build_distinct AS BIGINT) AS n_build_distinct,
+       CAST(n_probe AS BIGINT) AS n_probe,
+       CAST(bloom_pass AS BIGINT) AS bloom_pass,
+       CAST(true_members AS BIGINT) AS true_members,
+       CAST(false_positives AS BIGINT) AS false_positives,
+       CAST((false_positives * 1000000)
+            // greatest(n_probe - true_members, 1) AS BIGINT) AS fp_rate_ppm
+FROM agg, nb
+"""
+
+
+# --------------------------------------------------------------------------
+# Triangle count on the supplier co-trade graph
+# --------------------------------------------------------------------------
+
+TRI_MIN_SHARED = 2
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + clustering coefficient of the supplier co-trade
+    graph (suppliers adjacent iff they serve ≥2 common customers).
+
+    Edge build is the repo's bucket-pair pattern: distinct
+    (custkey, suppkey) pairs, per-customer sorted supplier list, pair
+    explode (computes the upstream join ONCE — a self-join would evaluate
+    it per side), then a groupBy(s1,s2) whose count IS the shared-customer
+    count. Per-customer fan-out is O(d²) in the customer's supplier degree
+    — bounded for trade graphs; heavy-key capping would mirror the LSH
+    bucket cap if a hub customer appeared. Triangle join shape:
+    operators/graph.py triangle_stats."""
+    from ..ext.dedup import _pairs_from_sorted_ids
+    from ..operators.graph import triangle_stats
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    pairs = (
+        cs.groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("ids"))
+        .select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a").alias("a"), F.col("p.id_b").alias("b"))
+    )
+    edges = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= TRI_MIN_SHARED)
+        .select("a", "b")
+        # triangle_stats branches over the edge table six ways (degrees,
+        # wedge sides, closure, edge count): materialize the edge BUILD
+        # once or every branch re-runs the fact join + pair explode
+        # (same shared-subtree blowup the r5 plan audit caught on
+        # unigram_logprob; audited: 12 scans → 2)
+        .localCheckpoint()
+    )
+    return triangle_stats(edges)
+
+
+O_TRIANGLE_COUNT = f"""
+WITH cs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT t1.s AS a, t2.s AS b
+  FROM cs t1 JOIN cs t2 ON t1.c = t2.c AND t1.s < t2.s
+  GROUP BY t1.s, t2.s
+  HAVING COUNT(*) >= {TRI_MIN_SHARED}
+),
+deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+  ) GROUP BY v
+),
+base AS (
+  SELECT COUNT(*) AS n_nodes,
+         SUM(d * (d - 1)) // 2 AS n_wedges
+  FROM deg
+),
+ne AS (SELECT COUNT(*) AS n_edges FROM edges),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_wedges AS BIGINT) AS n_wedges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       CAST((n_triangles * 3000000) // greatest(n_wedges, 1) AS BIGINT)
+         AS clustering_ppm
+FROM base, ne, tri
+"""
+
+
+QUERIES = {
+    "rel_kmv_distinct": q_kmv_distinct,
+    "rel_cms_heavy_hitters": q_cms_heavy_hitters,
+    "rel_bloom_semijoin": q_bloom_semijoin,
+    "rel_triangle_count": q_triangle_count,
+}
+
+ORACLES = {
+    "rel_kmv_distinct": O_KMV_DISTINCT,
+    "rel_cms_heavy_hitters": O_CMS_HEAVY_HITTERS,
+    "rel_bloom_semijoin": O_BLOOM_SEMIJOIN,
+    "rel_triangle_count": O_TRIANGLE_COUNT,
+}

@@ -1,0 +1,105 @@
+"""Sketch-operator invariants: KMV exactness/degradation, CMS one-sided
+error, Bloom zero-false-negative guarantee, triangle count on a known graph.
+
+The cross-engine value parity of each driver query is covered by the
+differential oracle harness (test_oracle_differential.py); these tests pin
+the ALGORITHMIC contracts that hold for any input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from skylogix_real_time_weather_data_pipeline_spark.ext.sketch import (
+    bloom_semijoin_stats,
+    cms_heavy_hitters,
+    kmv_distinct,
+)
+from skylogix_real_time_weather_data_pipeline_spark.operators.graph import triangle_stats
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame([(i % 37,) for i in range(500)], ["key"])
+    row = kmv_distinct(df, "key", k=256).collect()[0]
+    # fewer than k distinct hashes: the sketch IS the distinct set
+    assert row.kept == 37
+    assert row.kmv_estimate == 37 == row.exact_distinct
+    assert row.err_ppm == 0
+
+
+def test_kmv_estimates_when_saturated(spark):
+    df = spark.createDataFrame([(i,) for i in range(5000)], ["key"])
+    row = kmv_distinct(df, "key", k=64).collect()[0]
+    assert row.kept == 64
+    assert row.exact_distinct == 5000
+    # KMV sd ≈ 1/sqrt(k-1) ≈ 12.6% at k=64: 3σ bound, deterministic value
+    assert abs(row.kmv_estimate - 5000) < 5000 * 0.38
+    assert row.err_ppm == abs(row.kmv_estimate - 5000) * 1_000_000 // 5000
+
+
+def test_cms_one_sided_and_exact_when_wide(spark):
+    rows = [(k,) for k in range(20) for _ in range(k + 1)]
+    df = spark.createDataFrame(rows, ["key"])
+    out = cms_heavy_hitters(df, "key", depth=3, width=4096, top_n=5).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.cms_count >= r.exact_count  # one-sided error, always
+        # 20 keys in 4096 buckets × 3 rows: a shared bucket in every row is
+        # (20/4096)^3-unlikely; the min across rows is exact here
+        assert r.overestimate == 0
+    # exact top-5 by construction: counts 20..16
+    assert sorted(r.exact_count for r in out) == [16, 17, 18, 19, 20]
+
+
+def test_cms_collisions_overestimate_only(spark):
+    rows = [(k,) for k in range(200) for _ in range(2)]
+    df = spark.createDataFrame(rows, ["key"])
+    out = cms_heavy_hitters(df, "key", depth=2, width=16, top_n=10).collect()
+    # 200 keys into 16 buckets: collisions certain; error stays one-sided
+    assert all(r.cms_count >= r.exact_count for r in out)
+    assert any(r.overestimate > 0 for r in out)
+
+
+def test_bloom_never_false_negative(spark):
+    build = spark.createDataFrame([(i,) for i in range(0, 300, 3)], ["k"])
+    probe = spark.createDataFrame([(i,) for i in range(300)], ["k"])
+    row = bloom_semijoin_stats(build, "k", probe, "k", m_bits=1024, n_hashes=3).collect()[0]
+    assert row.n_build_distinct == 100
+    assert row.n_probe == 300
+    assert row.true_members == 100
+    # every member passes: bloom_pass = members + false positives exactly
+    assert row.bloom_pass == row.true_members + row.false_positives
+    assert row.fp_rate_ppm == row.false_positives * 1_000_000 // 200
+
+
+def test_bloom_saturated_filter_passes_everything(spark):
+    # m_bits tiny vs build side: the filter saturates to all-ones and must
+    # degrade to "pass everything", never to a false negative
+    build = spark.createDataFrame([(i,) for i in range(500)], ["k"])
+    probe = spark.createDataFrame([(i,) for i in range(1000)], ["k"])
+    row = bloom_semijoin_stats(build, "k", probe, "k", m_bits=32, n_hashes=3).collect()[0]
+    assert row.bloom_pass == row.n_probe
+    assert row.false_positives == row.n_probe - row.true_members
+
+
+def test_triangle_known_graph(spark):
+    # 4-cycle with one chord: triangles {1,2,3} and {1,3,4}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)], ["a", "b"]
+    )
+    row = triangle_stats(edges).collect()[0]
+    assert row.n_nodes == 4
+    assert row.n_edges == 5
+    # degrees 3,2,3,2 → wedges 3+1+3+1 = 8
+    assert row.n_wedges == 8
+    assert row.n_triangles == 2
+    assert row.clustering_ppm == 3_000_000 * 2 // 8
+
+
+def test_triangle_free_graph(spark):
+    # star graph: wedges but zero triangles
+    edges = spark.createDataFrame([(1, i) for i in range(2, 7)], ["a", "b"])
+    row = triangle_stats(edges).collect()[0]
+    assert row.n_triangles == 0
+    assert row.clustering_ppm == 0
+    assert row.n_wedges == 10
