@@ -1,24 +1,29 @@
-"""Distributed sketch operators: KMV distinct, count-min heavy hitters,
-Bloom-filter semi-join pruning.
+"""Distributed sketch operators: KMV distinct + set algebra, HyperLogLog,
+count-min heavy hitters, Bloom-filter semi-join pruning.
 
 These are the mergeable-summary primitives a 100 TB pipeline leans on when
 an exact answer is either unnecessary (cardinality estimates, heavy-hitter
 shortlists) or unaffordable as a first pass (joining a fact table against a
-selective dimension without shuffling the fact side). All three follow the
-same Spark shape: a map-side-combinable aggregate collapses the input to a
-sketch whose size is a CONSTANT independent of input rows (k minima, d·w
-counters, m bits), so the shuffle each one pays moves kilobytes no matter
-how many terabytes were scanned.
+selective dimension without shuffling the fact side). All follow the same
+Spark shape: a map-side-combinable aggregate collapses the input to a
+sketch whose size is a CONSTANT independent of input rows (k minima, m
+registers, d·w counters, m bits), so the shuffle each one pays moves
+kilobytes no matter how many terabytes were scanned — and each sketch is a
+monoid (min-set union / register max / counter add / bit or), which is
+what makes per-shard summaries combinable without re-scans.
 
 Determinism pins: hashing is the repo-wide portable 60-bit md5
-(``ext.dedup._md5_long``), and every estimate is derived with pure integer
-arithmetic (floor divisions on decimal(38,0)/HUGEINT), so a DuckDB oracle
+(``ext.dedup._md5_long``), and every estimate is derived with either pure
+integer arithmetic (floor divisions on decimal(38,0)/HUGEINT) or doubles
+whose bit pattern is provably identical cross-engine, so a DuckDB oracle
 replays each sketch bit-for-bit — these "approximate" operators are
 approximate w.r.t. the truth, never w.r.t. the oracle.
 
 Public provenance: KMV is the k-minimum-values estimator of Bar-Yossef et
 al. (RANDOM 2002) as refined by Beyer et al. (SIGMOD 2007, the (k-1)/h_(k)
-unbiased form); count-min is Cormode & Muthukrishnan (J. Algorithms 2005);
+unbiased form), with the set-algebra extension of the theta sketch
+(Dasgupta et al., 2016); HyperLogLog is Flajolet-Fusy-Gandouet-Meunier
+(AofA 2007); count-min is Cormode & Muthukrishnan (J. Algorithms 2005);
 Bloom-filter join pruning is the classic semi-join reduction (Bloom, CACM
 1970) that Spark itself ships as runtime row-group filtering.
 """
@@ -279,4 +284,193 @@ def bloom_semijoin_stats(build: DataFrame, build_key: str, probe: DataFrame,
             "(false_positives * CAST(1000000 AS BIGINT))"
             " DIV greatest(n_probe - true_members, CAST(1 AS BIGINT))"
         ).alias("fp_rate_ppm"),
+    )
+
+
+def hll_distinct(df: DataFrame, key_col: str, p: int = 8,
+                 seed: int = 0) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al., AofA 2007) with
+    m = 2^p registers, fully oracle-replayable; returns ONE row
+    (m, v_zero, s2, hll_estimate, exact_distinct, err_ppm).
+
+    Register build on the portable 60-bit hash: bucket = top p bits,
+    rho = leading-zero count of the (60-p)-bit suffix + 1, computed
+    EXACTLY in both engines as ``(60-p) + 1 - length(bin(w))`` (bin() —
+    binary-digit string — exists with identical semantics in Spark and
+    DuckDB; w=0 pins rho to the max). The register table is a
+    groupBy(bucket).max(rho) — m rows, map-side-combinable, mergeable by
+    max(): the canonical per-shard cardinality summary at 100 TB (Spark's
+    own approx_count_distinct is this sketch; this form's hash is
+    replayable in ANSI SQL, which that one's is not).
+
+    Estimate arithmetic, pinned cross-engine:
+    - s2 = Σ 2^((60-p)+1 − M_j) over ALL m registers (empty → M=0) — an
+      EXACT long (max m·2^53 = 2^61 at p=8), the hash-checkable core of
+      the sketch state;
+    - raw = α_m·m²·2^((60-p)+1) / s2 with α_m = 0.7213/(1+1.079/m): every
+      literal parses to the same IEEE double in both engines and the
+      long→double cast of s2 rounds identically, so ``raw`` is the SAME
+      double bit pattern in Spark and DuckDB;
+    - small-range branch (raw ≤ 2.5m and zero registers exist): linear
+      counting m·ln(m/v_zero). The single ROUND on these transcendental
+      doubles is the only float→int step; a cross-libm 1-ulp ln()
+      difference could flip it only at an exact .5 boundary — measure-zero
+      on transcendental values (same argument as the pagerank contribution
+      rounding). No large-range correction: at 60 hash bits collisions are
+      negligible far beyond any real cardinality.
+    """
+    m = 1 << p
+    q = HASH_BITS - p  # suffix bits
+    rho_max = q + 1
+    spark = df.sparkSession
+    h = df.select(_md5_long(F.col(key_col).cast("string"), seed).alias("h"))
+    regs = (
+        h.select(
+            F.expr(f"h DIV {1 << q}").alias("bucket"),
+            F.expr(
+                f"CASE WHEN h % {1 << q} = 0 THEN {rho_max} "
+                f"ELSE {rho_max} - length(bin(h % {1 << q})) END"
+            ).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    all_regs = (
+        spark.range(m).select(F.col("id").alias("bucket"))
+        .join(regs, "bucket", "left")
+        .select(F.coalesce("rho", F.lit(0)).alias("M"))
+    )
+    # e0 suffixes force DOUBLE literals in BOTH engines (a bare 0.7213
+    # parses as DECIMAL in Spark SQL and DuckDB alike, whose division
+    # rules then differ — doubles are IEEE-identical)
+    alpha_expr = (
+        f"(0.7213e0 / (1.0e0 + 1.079e0 / {m}e0)) * {m * m}e0 * {1 << rho_max}e0"
+    )
+    state = all_regs.agg(
+        F.expr(
+            f"sum(shiftleft(CAST(1 AS BIGINT), CAST({rho_max} - M AS INT)))"
+        ).alias("s2"),
+        F.sum(F.when(F.col("M") == 0, 1).otherwise(0)).cast("long").alias("v_zero"),
+    )
+    exact = df.agg(
+        F.count_distinct(F.col(key_col)).alias("exact_distinct")
+    )
+    return (
+        state.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(m).alias("m"),
+            "v_zero",
+            "s2",
+            F.expr(
+                f"CASE WHEN ({alpha_expr} / CAST(s2 AS DOUBLE)) <= 2.5e0 * {m}e0"
+                f"          AND v_zero > 0"
+                f" THEN CAST(round({m}e0 * ln({m}e0 / CAST(v_zero AS DOUBLE))) AS BIGINT)"
+                f" ELSE CAST(round({alpha_expr} / CAST(s2 AS DOUBLE)) AS BIGINT)"
+                f" END"
+            ).alias("hll_estimate"),
+            "exact_distinct",
+        )
+        .withColumn(
+            "err_ppm",
+            F.expr(
+                "(abs(hll_estimate - exact_distinct) * CAST(1000000 AS BIGINT))"
+                " DIV exact_distinct"
+            ),
+        )
+    )
+
+
+def kmv_set_relations(df_a: DataFrame, key_a: str, df_b: DataFrame,
+                      key_b: str, k: int = 256, seed: int = 0) -> DataFrame:
+    """Set-algebra on KMV sketches (the theta-sketch idea, Dasgupta et al.):
+    estimate |A∪B| and |A∩B| from the two k-minima sets alone; returns ONE
+    row (k, union_kept, est_union, exact_union, est_intersection,
+    exact_intersection, err_union_ppm, err_intersection_ppm).
+
+    The union sketch is the k smallest of minsA ∪ minsB (KMV is a monoid —
+    this IS how per-shard sketches merge at 100 TB, no re-scan of either
+    input). Intersection: among the union's kept minima, the fraction
+    present in BOTH input sketches is an unbiased Jaccard-on-sample, so
+    est_inter = |common| · est_union // kept. When both sets are smaller
+    than k the sketches are the exact hash sets and both estimates
+    collapse to the exact values.
+
+    The two k-minima frames are localCheckpointed: they are the stored
+    sketch state (k longs each — in production these live in a summary
+    table, not recomputed per set-operation), and the union + two
+    membership probes would otherwise re-run each input's scan three
+    times.
+    """
+    num = (k - 1) * (1 << HASH_BITS)
+
+    def mins(df, key):
+        return (
+            df.select(_md5_long(F.col(key).cast("string"), seed).alias("h"))
+            .distinct()
+            .sort("h")
+            .limit(k)
+            .localCheckpoint()
+        )
+
+    mins_a, mins_b = mins(df_a, key_a), mins(df_b, key_b)
+    union_mins = (
+        mins_a.unionByName(mins_b).distinct().sort("h").limit(k)
+    )
+    common = (
+        union_mins.join(mins_a, "h", "left_semi")
+        .join(mins_b, "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    usk = union_mins.agg(
+        F.max("h").alias("hk"), F.count(F.lit(1)).cast("long").alias("union_kept")
+    )
+    a_keys = df_a.select(F.col(key_a).alias("key"))
+    b_keys = df_b.select(F.col(key_b).alias("key"))
+    exact_u = (
+        a_keys.unionByName(b_keys)
+        .agg(F.count_distinct("key").alias("exact_union"))
+    )
+    exact_i = (
+        a_keys.distinct()
+        .join(b_keys.distinct(), "key", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    est_union = (
+        F.when(F.col("union_kept") < k, F.col("union_kept"))
+        .otherwise(
+            F.expr(f"CAST(floor(CAST({num} AS DECIMAL(38,0)) / hk) AS BIGINT)")
+        )
+        .cast("long")
+    )
+    return (
+        usk.crossJoin(F.broadcast(common))
+        .crossJoin(F.broadcast(exact_u))
+        .crossJoin(F.broadcast(exact_i))
+        .select(
+            F.lit(k).alias("k"),
+            "union_kept",
+            est_union.alias("est_union"),
+            "exact_union",
+            F.expr("n_common").alias("n_common"),
+            "exact_intersection",
+        )
+        .withColumn(
+            "est_intersection",
+            F.expr("(n_common * est_union) DIV union_kept"),
+        )
+        .withColumn(
+            "err_union_ppm",
+            F.expr(
+                "(abs(est_union - exact_union) * CAST(1000000 AS BIGINT))"
+                " DIV exact_union"
+            ),
+        )
+        .withColumn(
+            "err_intersection_ppm",
+            F.expr(
+                "(abs(est_intersection - exact_intersection)"
+                " * CAST(1000000 AS BIGINT))"
+                " DIV greatest(exact_intersection, CAST(1 AS BIGINT))"
+            ),
+        )
     )

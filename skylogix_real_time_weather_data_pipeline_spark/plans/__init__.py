@@ -33,26 +33,31 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 #: call is byte-identical to the in-window daily_city_agg/seasonal rows,
 #: and it is hash-green in CORRECTNESS_LOCAL_r06.json. Also transitively
 #: covered: rel_unpivot_city_metrics (melts the in-window
-#: city_comparison aggregate; hash-green locally). Tier 0 = the four NEW
+#: city_comparison aggregate; hash-green locally). Tier 0 = the six NEW
 #: sketch queries (plans/sketches.py) — never driver-checked, so they
-#: outrank everything. Tier 2 = 21 of the 25 rows last driver-green in r2
-#: (verdict #5: drain the stale tail); the four displaced to make room
-#: for tier 0 are the lowest-risk trivial projections/lookups (named at
-#: tier 0 below), unchanged since r2 and hash-green under the typed r6
-#: local harness. The r1-r5 window history lives in git (this block at
+#: outrank everything. Tier 2 = 19 of the 25 rows last driver-green in r2
+#: (verdict #5: drain the stale tail); the six displaced to make room
+#: for tier 0 are the lowest-risk rows (named at tier 0 below), unchanged
+#: since r2 and green under the typed r6 local harness. The r1-r5 window history lives in git (this block at
 #: tags r5 and earlier) and WINDOW_LEDGER.json.
 _VERIFY_FIRST = (
     # --- tier 0: NEW in round 6 (never driver-checked) — the sketch
-    # family (plans/sketches.py): KMV distinct, count-min heavy hitters,
-    # Bloom semi-join, triangle count. To fit them, four of the LOWEST-RISK
-    # tier-2 rows (trivial projections/lookups, unchanged since r2,
-    # hash-green under the r6 TYPED local harness) yield their slots:
+    # family (plans/sketches.py): KMV distinct + set algebra, HyperLogLog,
+    # count-min heavy hitters, Bloom semi-join, triangle count. To fit
+    # them, six of the LOWEST-RISK tier-2 rows (unchanged since r2, green
+    # under the r6 TYPED local harness) yield their slots:
     # weather_date_range, weather_icon_lookup, weather_derived_projection,
-    # rel_distinct_parts.
+    # rel_distinct_parts, rel_approx_distinct (its driver check is
+    # rows+schema only — the weakest slot in the window — and the new
+    # fully-oracled KMV/HLL rows cover the same operator family far more
+    # strictly), docs_exact_dedup (5-line md5 groupBy, unchanged since
+    # r2, typed-green locally).
     "rel_kmv_distinct",
     "rel_cms_heavy_hitters",
     "rel_bloom_semijoin",
     "rel_triangle_count",
+    "rel_hll_distinct",
+    "rel_kmv_intersection",
     # --- tier 1: changed in round 6 ---
     "events_cumulative_users",         # oracle window SUM cast to BIGINT (r5 red row)
     "rel_pagerank",                    # long node ids, complete-in-degree iterations
@@ -83,14 +88,12 @@ _VERIFY_FIRST = (
     "events_props_variant",
     # --- tier 2: drain of the r2-vintage stale tail (verdict #5) ---
     "docs_bpe_token_count",
-    "docs_exact_dedup",
     "docs_fingerprint",
     "docs_language_id",
     "docs_minhash_signatures",
     "docs_simhash",
     "docs_token_stats",
     "docs_top_ngrams",
-    "rel_approx_distinct",
     "rel_customers_without_orders",
     "rel_latest_order_per_customer",
     "rel_parts_shipped",

@@ -300,11 +300,158 @@ FROM base, ne, tri
 """
 
 
+# --------------------------------------------------------------------------
+# HyperLogLog distinct estimate with register-level oracle replay
+# --------------------------------------------------------------------------
+
+HLL_P = 8  # m = 256 registers
+_HLL_M = 1 << HLL_P
+_HLL_Q = 60 - HLL_P
+_HLL_RHO_MAX = _HLL_Q + 1
+_HLL_ALPHA = f"(0.7213e0 / (1.0e0 + 1.079e0 / {_HLL_M}e0)) * {_HLL_M * _HLL_M}e0 * {1 << _HLL_RHO_MAX}e0"
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog over lineitem.l_partkey — the actual algorithm behind
+    Spark's approx_count_distinct, rebuilt on the portable hash so the
+    oracle replays every register (rows-only `rel_approx_distinct` shows
+    the native one). At sf0.001 the small-range linear-counting branch
+    fires; at sf0.01+ the raw harmonic-mean branch does — the differential
+    harness covers both. See ext/sketch.py:hll_distinct."""
+    from ..ext.sketch import hll_distinct
+
+    return hll_distinct(_t(spark, sf_dir, "lineitem"), "l_partkey", p=HLL_P)
+
+
+O_HLL_DISTINCT = f"""
+WITH h AS (
+  SELECT {_sql_hash("'0'", "CAST(l_partkey AS VARCHAR)")} AS h FROM lineitem
+),
+regs AS (
+  SELECT h // {1 << _HLL_Q} AS bucket,
+         MAX(CASE WHEN h % {1 << _HLL_Q} = 0 THEN {_HLL_RHO_MAX}
+                  ELSE {_HLL_RHO_MAX} - length(bin(h % {1 << _HLL_Q})) END) AS rho
+  FROM h GROUP BY 1
+),
+allregs AS (
+  SELECT COALESCE(r.rho, 0) AS M
+  FROM range({_HLL_M}) t(bucket) LEFT JOIN regs r ON r.bucket = t.bucket
+),
+state AS (
+  SELECT CAST(SUM(CAST(1 AS BIGINT) << CAST({_HLL_RHO_MAX} - M AS INTEGER)) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+  FROM allregs
+),
+ex AS (SELECT COUNT(DISTINCT l_partkey) AS exact_distinct FROM lineitem),
+est AS (
+  SELECT state.s2, state.v_zero, ex.exact_distinct,
+         CASE WHEN ({_HLL_ALPHA} / CAST(state.s2 AS DOUBLE)) <= 2.5e0 * {_HLL_M}e0
+                   AND state.v_zero > 0
+              THEN CAST(round({_HLL_M}e0 * ln({_HLL_M}e0 / CAST(state.v_zero AS DOUBLE))) AS BIGINT)
+              ELSE CAST(round({_HLL_ALPHA} / CAST(state.s2 AS DOUBLE)) AS BIGINT)
+         END AS hll_estimate
+  FROM state, ex
+)
+SELECT {_HLL_M} AS m, v_zero, s2, hll_estimate,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       CAST((ABS(hll_estimate - exact_distinct) * 1000000) // exact_distinct
+            AS BIGINT) AS err_ppm
+FROM est
+"""
+
+
+# --------------------------------------------------------------------------
+# KMV sketch set algebra: union / intersection of urgent vs high customers
+# --------------------------------------------------------------------------
+
+KMV_SET_K = 256
+
+
+def q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style set algebra on KMV sketches: estimate the union
+    and intersection cardinality of {customers with 1-URGENT orders} and
+    {customers with 2-HIGH orders} from the two k-minima summaries alone —
+    the per-shard merge + intersect path a 100 TB profile store uses
+    instead of re-scanning either side. At sf0.001 both sets are below k
+    and the estimates collapse to exact; at sf0.01+ they genuinely
+    estimate. See ext/sketch.py:kmv_set_relations."""
+    from ..ext.sketch import kmv_set_relations
+
+    o = _t(spark, sf_dir, "orders")
+    return kmv_set_relations(
+        o.filter(F.col("o_orderpriority") == "1-URGENT"), "o_custkey",
+        o.filter(F.col("o_orderpriority") == "2-HIGH"), "o_custkey",
+        k=KMV_SET_K,
+    )
+
+
+_KMV_CUST_HASH = _sql_hash("'0'", "CAST(o_custkey AS VARCHAR)")
+
+
+def _kmv_mins(pri: str) -> str:
+    return (
+        f"SELECT DISTINCT {_KMV_CUST_HASH} AS h"
+        f" FROM orders WHERE o_orderpriority = '{pri}'"
+        f" ORDER BY h LIMIT {KMV_SET_K}"
+    )
+
+
+O_KMV_INTERSECTION = f"""
+WITH mins_a AS ({_kmv_mins("1-URGENT")}),
+mins_b AS ({_kmv_mins("2-HIGH")}),
+u AS (
+  SELECT DISTINCT h FROM (
+    SELECT h FROM mins_a UNION ALL SELECT h FROM mins_b
+  ) ORDER BY h LIMIT {KMV_SET_K}
+),
+usk AS (SELECT MAX(h) AS hk, COUNT(*) AS union_kept FROM u),
+common AS (
+  SELECT COUNT(*) AS n_common FROM u
+  WHERE h IN (SELECT h FROM mins_a) AND h IN (SELECT h FROM mins_b)
+),
+ex_u AS (
+  SELECT COUNT(DISTINCT o_custkey) AS exact_union FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+),
+ex_i AS (
+  SELECT COUNT(*) AS exact_intersection FROM (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  )
+  WHERE o_custkey IN (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+  )
+),
+est AS (
+  SELECT usk.union_kept, common.n_common, ex_u.exact_union,
+         ex_i.exact_intersection,
+         CASE WHEN usk.union_kept < {KMV_SET_K} THEN usk.union_kept
+              ELSE CAST(({KMV_SET_K - 1} * (1::HUGEINT << 60)) // usk.hk AS BIGINT)
+         END AS est_union
+  FROM usk, common, ex_u, ex_i
+)
+SELECT {KMV_SET_K} AS k,
+       CAST(union_kept AS BIGINT) AS union_kept,
+       CAST(est_union AS BIGINT) AS est_union,
+       CAST(exact_union AS BIGINT) AS exact_union,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(exact_intersection AS BIGINT) AS exact_intersection,
+       CAST((n_common * est_union) // union_kept AS BIGINT) AS est_intersection,
+       CAST((ABS(est_union - exact_union) * 1000000) // exact_union AS BIGINT)
+         AS err_union_ppm,
+       CAST((ABS((n_common * est_union) // union_kept - exact_intersection)
+             * 1000000) // greatest(exact_intersection, 1) AS BIGINT)
+         AS err_intersection_ppm
+FROM est
+"""
+
+
 QUERIES = {
     "rel_kmv_distinct": q_kmv_distinct,
     "rel_cms_heavy_hitters": q_cms_heavy_hitters,
     "rel_bloom_semijoin": q_bloom_semijoin,
     "rel_triangle_count": q_triangle_count,
+    "rel_hll_distinct": q_hll_distinct,
+    "rel_kmv_intersection": q_kmv_intersection,
 }
 
 ORACLES = {
@@ -312,4 +459,6 @@ ORACLES = {
     "rel_cms_heavy_hitters": O_CMS_HEAVY_HITTERS,
     "rel_bloom_semijoin": O_BLOOM_SEMIJOIN,
     "rel_triangle_count": O_TRIANGLE_COUNT,
+    "rel_hll_distinct": O_HLL_DISTINCT,
+    "rel_kmv_intersection": O_KMV_INTERSECTION,
 }

@@ -103,3 +103,55 @@ def test_triangle_free_graph(spark):
     assert row.n_triangles == 0
     assert row.clustering_ppm == 0
     assert row.n_wedges == 10
+
+
+def test_hll_register_state_and_estimate(spark):
+    from skylogix_real_time_weather_data_pipeline_spark.ext.sketch import hll_distinct
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], ["key"])
+    row = hll_distinct(df, "key", p=8).collect()[0]
+    assert row.m == 256
+    # 3000 keys into 256 buckets: every register occupied
+    assert row.v_zero == 0
+    # raw branch: HLL σ ≈ 1.04/√m ≈ 6.5% — 4σ bound on the fixed value
+    assert abs(row.hll_estimate - 3000) < 3000 * 0.26
+    assert row.err_ppm == abs(row.hll_estimate - 3000) * 1_000_000 // 3000
+
+
+def test_hll_linear_counting_branch(spark):
+    from skylogix_real_time_weather_data_pipeline_spark.ext.sketch import hll_distinct
+
+    df = spark.createDataFrame([(i % 50,) for i in range(400)], ["key"])
+    row = hll_distinct(df, "key", p=8).collect()[0]
+    # 50 keys, 256 registers: small-range regime, zeros must exist and
+    # linear counting applies (estimate near-exact at this occupancy)
+    assert row.v_zero >= 256 - 50
+    assert abs(row.hll_estimate - 50) <= 6
+    assert row.exact_distinct == 50
+
+
+def test_kmv_set_relations_exact_collapse(spark):
+    from skylogix_real_time_weather_data_pipeline_spark.ext.sketch import kmv_set_relations
+
+    a = spark.createDataFrame([(i,) for i in range(0, 100)], ["k"])
+    b = spark.createDataFrame([(i,) for i in range(60, 160)], ["k"])
+    row = kmv_set_relations(a, "k", b, "k", k=256).collect()[0]
+    # both sets below k: sketches are the exact hash sets
+    assert row.union_kept == 160
+    assert row.est_union == 160 == row.exact_union
+    assert row.est_intersection == 40 == row.exact_intersection
+    assert row.err_union_ppm == 0 and row.err_intersection_ppm == 0
+
+
+def test_kmv_set_relations_estimating(spark):
+    from skylogix_real_time_weather_data_pipeline_spark.ext.sketch import kmv_set_relations
+
+    a = spark.createDataFrame([(i,) for i in range(0, 2000)], ["k"])
+    b = spark.createDataFrame([(i,) for i in range(1000, 3000)], ["k"])
+    row = kmv_set_relations(a, "k", b, "k", k=128).collect()[0]
+    assert row.union_kept == 128
+    assert row.exact_union == 3000 and row.exact_intersection == 1000
+    # σ ≈ 1/√(k-1) ≈ 8.9%: 4σ bounds on the fixed values
+    assert abs(row.est_union - 3000) < 3000 * 0.36
+    # intersection ratio estimator compounds: generous fixed bound
+    assert abs(row.est_intersection - 1000) < 1000 * 0.5
