@@ -64,6 +64,15 @@ EXTENDED = [
     "emb_ivf_filtered_topk",
     "events_ab_test",
     "docs_lang_source_chisq",
+    # r6 sketch family: one per sketch shape — k-minima merge (kmv set
+    # algebra subsumes kmv_distinct's scan), register build (hll),
+    # counter build (cms), bit filter + probe (bloom), graph joins
+    # (triangles)
+    "rel_hll_distinct",
+    "rel_kmv_intersection",
+    "rel_cms_heavy_hitters",
+    "rel_bloom_semijoin",
+    "rel_triangle_count",
     # docs_distill_filter deliberately NOT benched: 15 driver-looped
     # training jobs (~20 s) would dominate the wall-clock total without
     # measuring anything scan/shuffle-shaped

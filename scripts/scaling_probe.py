@@ -61,6 +61,12 @@ PROBE = [
     "stream_sessionize",         # gap sessionization over event time
     "events_cumulative_users",   # first-seen collapse + running total
     "weather_basic_stats",       # exact display-mean fold
+    # r6 sketch family: constant-size summaries must stay scan-bound
+    "rel_hll_distinct",          # register build (m rows out, any input)
+    "rel_kmv_intersection",      # two k-minima sketches + merge
+    "rel_bloom_semijoin",        # bit filter build + broadcast probe
+    "rel_triangle_count",        # pair explode + two edge joins (the
+                                 # quadratic-risk candidate of the family)
 ]
 
 

@@ -39,6 +39,45 @@ from .dedup import _md5_long
 HASH_BITS = 60
 
 
+def kmv_mins(df: DataFrame, key_col: str, k: int = 256,
+             seed: int = 0) -> DataFrame:
+    """The KMV sketch itself: the k smallest distinct 60-bit hashes of
+    ``key_col`` as a (h) frame — the per-shard/per-batch summary that
+    :func:`kmv_merge` combines and :func:`kmv_estimate_from_mins` reads."""
+    return (
+        df.select(_md5_long(F.col(key_col).cast("string"), seed).alias("h"))
+        .distinct()
+        .sort("h")
+        .limit(k)
+    )
+
+
+def kmv_merge(state: DataFrame | None, delta: DataFrame, k: int) -> DataFrame:
+    """Monoid combine of two k-minima frames: union → distinct → re-take k.
+    Associative and commutative, so shards/batches merge in any order."""
+    if state is None:
+        return delta
+    return state.unionByName(delta).distinct().sort("h").limit(k)
+
+
+def kmv_estimate_from_mins(mins: DataFrame, k: int) -> DataFrame:
+    """ONE row (kept, hk, kmv_estimate) from a stored k-minima sketch —
+    the read path shared by the one-shot operator and the incremental
+    view (streaming/matview.py)."""
+    num = (k - 1) * (1 << HASH_BITS)
+    sk = mins.agg(
+        F.max("h").alias("hk"), F.count(F.lit(1)).cast("long").alias("kept")
+    )
+    est = (
+        F.when(F.col("kept") < k, F.col("kept"))
+        .otherwise(
+            F.expr(f"CAST(floor(CAST({num} AS DECIMAL(38,0)) / hk) AS BIGINT)")
+        )
+        .cast("long")
+    )
+    return sk.select("kept", "hk", est.alias("kmv_estimate"))
+
+
 def kmv_distinct(df: DataFrame, key_col: str, k: int = 256,
                  seed: int = 0) -> DataFrame:
     """K-minimum-values distinct-count sketch over ``key_col``; returns ONE
@@ -66,27 +105,9 @@ def kmv_distinct(df: DataFrame, key_col: str, k: int = 256,
     scale can never cross an integer boundary — floor() matches DuckDB's
     HUGEINT ``//`` exactly (probe-verified).
     """
-    num = (k - 1) * (1 << HASH_BITS)
-    h = df.select(
-        _md5_long(F.col(key_col).cast("string"), seed).alias("h"),
-        F.col(key_col).alias("k_orig"),
-    )
-    hashes = h.select("h").distinct()
-    kmin = hashes.sort("h").limit(k)
-    sk = kmin.agg(
-        F.max("h").alias("hk"), F.count(F.lit(1)).cast("long").alias("kept")
-    )
-    exact = h.select("k_orig").agg(
-        F.count_distinct(F.col("k_orig")).alias("exact_distinct")
-    )
-    est = (
-        F.when(F.col("kept") < k, F.col("kept"))
-        .otherwise(
-            F.expr(
-                f"CAST(floor(CAST({num} AS DECIMAL(38,0)) / hk) AS BIGINT)"
-            )
-        )
-        .cast("long")
+    sk = kmv_estimate_from_mins(kmv_mins(df, key_col, k, seed), k)
+    exact = df.agg(
+        F.count_distinct(F.col(key_col)).alias("exact_distinct")
     )
     # 1-row scalar combine (bnlj-scalar: broadcast nested loop of two
     # single-row aggregates, no real cartesian)
@@ -96,7 +117,7 @@ def kmv_distinct(df: DataFrame, key_col: str, k: int = 256,
             F.lit(k).alias("k"),
             "kept",
             "hk",
-            est.alias("kmv_estimate"),
+            "kmv_estimate",
             "exact_distinct",
         )
         # integer ppm: long DIV long (floor on non-negatives) — a double
@@ -186,6 +207,50 @@ def cms_heavy_hitters(df: DataFrame, key_col: str, depth: int = 3,
         "exact_count",
         "cms_count",
         (F.col("cms_count") - F.col("exact_count")).alias("overestimate"),
+    )
+
+
+def cms_counters(df: DataFrame, key_col: str, depth: int = 3,
+                 width: int = 256) -> DataFrame:
+    """(d, b, bucket_count) counter delta straight from raw rows — the
+    direct streaming build: one map-side-combinable aggregate, d·w rows
+    out, no per-key state ever materialized. :func:`cms_merge` adds
+    deltas; point estimates read MIN over the d rows of a key's buckets
+    (see :func:`cms_heavy_hitters`, whose counters this matches exactly)."""
+    key_str = F.col(key_col).cast("string")
+    return (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            (_md5_long(key_str, d) % width).alias("b"),
+                        )
+                        for d in range(1, depth + 1)
+                    ]
+                )
+            ).alias("db")
+        )
+        .groupBy(F.col("db.d").alias("d"), F.col("db.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("bucket_count"))
+    )
+
+
+def cms_merge(state: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Monoid combine of counter frames: per-(d,b) ADD. Additive — each
+    input row must reach exactly one delta (the replay guard in
+    streaming/matview.py enforces that under at-least-once delivery)."""
+    if state is None:
+        return delta
+    st = state.select("d", "b", F.col("bucket_count").alias("_c"))
+    return st.join(delta, ["d", "b"], "full_outer").select(
+        "d",
+        "b",
+        (
+            F.coalesce(F.col("_c"), F.lit(0))
+            + F.coalesce(F.col("bucket_count"), F.lit(0))
+        ).cast("long").alias("bucket_count"),
     )
 
 
@@ -287,6 +352,78 @@ def bloom_semijoin_stats(build: DataFrame, build_key: str, probe: DataFrame,
     )
 
 
+def hll_registers(df: DataFrame, key_col: str, p: int = 8,
+                  seed: int = 0) -> DataFrame:
+    """The HLL sketch itself: occupied (bucket, rho) registers of
+    ``key_col`` — at most 2^p rows from any input. :func:`hll_merge`
+    max-combines them; :func:`hll_estimate_from_registers` reads them."""
+    q = HASH_BITS - p
+    rho_max = q + 1
+    h = df.select(_md5_long(F.col(key_col).cast("string"), seed).alias("h"))
+    return (
+        h.select(
+            F.expr(f"h DIV {1 << q}").alias("bucket"),
+            F.expr(
+                f"CASE WHEN h % {1 << q} = 0 THEN {rho_max} "
+                f"ELSE {rho_max} - length(bin(h % {1 << q})) END"
+            ).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(state: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Monoid combine of register frames: per-bucket max. Associative,
+    commutative, idempotent — re-merging the same registers is harmless
+    (unlike additive sketches), the strongest replay posture of the
+    family."""
+    if state is None:
+        return delta
+    return (
+        state.unionByName(delta).groupBy("bucket").agg(F.max("rho").alias("rho"))
+    )
+
+
+def _hll_alpha_expr(m: int, rho_max: int) -> str:
+    # e0 suffixes force DOUBLE literals in BOTH engines (a bare 0.7213
+    # parses as DECIMAL in Spark SQL and DuckDB alike, whose division
+    # rules then differ — doubles are IEEE-identical)
+    return f"(0.7213e0 / (1.0e0 + 1.079e0 / {m}e0)) * {m * m}e0 * {1 << rho_max}e0"
+
+
+def hll_estimate_from_registers(regs: DataFrame, p: int = 8) -> DataFrame:
+    """ONE row (m, v_zero, s2, hll_estimate) from stored registers — the
+    read path shared by the one-shot operator and the incremental view."""
+    m = 1 << p
+    rho_max = HASH_BITS - p + 1
+    spark = regs.sparkSession
+    all_regs = (
+        spark.range(m).select(F.col("id").alias("bucket"))
+        .join(regs, "bucket", "left")
+        .select(F.coalesce("rho", F.lit(0)).alias("M"))
+    )
+    alpha_expr = _hll_alpha_expr(m, rho_max)
+    state = all_regs.agg(
+        F.expr(
+            f"sum(shiftleft(CAST(1 AS BIGINT), CAST({rho_max} - M AS INT)))"
+        ).alias("s2"),
+        F.sum(F.when(F.col("M") == 0, 1).otherwise(0)).cast("long").alias("v_zero"),
+    )
+    return state.select(
+        F.lit(m).alias("m"),
+        "v_zero",
+        "s2",
+        F.expr(
+            f"CASE WHEN ({alpha_expr} / CAST(s2 AS DOUBLE)) <= 2.5e0 * {m}e0"
+            f"          AND v_zero > 0"
+            f" THEN CAST(round({m}e0 * ln({m}e0 / CAST(v_zero AS DOUBLE))) AS BIGINT)"
+            f" ELSE CAST(round({alpha_expr} / CAST(s2 AS DOUBLE)) AS BIGINT)"
+            f" END"
+        ).alias("hll_estimate"),
+    )
+
+
 def hll_distinct(df: DataFrame, key_col: str, p: int = 8,
                  seed: int = 0) -> DataFrame:
     """HyperLogLog distinct-count sketch (Flajolet et al., AofA 2007) with
@@ -319,57 +456,12 @@ def hll_distinct(df: DataFrame, key_col: str, p: int = 8,
       rounding). No large-range correction: at 60 hash bits collisions are
       negligible far beyond any real cardinality.
     """
-    m = 1 << p
-    q = HASH_BITS - p  # suffix bits
-    rho_max = q + 1
-    spark = df.sparkSession
-    h = df.select(_md5_long(F.col(key_col).cast("string"), seed).alias("h"))
-    regs = (
-        h.select(
-            F.expr(f"h DIV {1 << q}").alias("bucket"),
-            F.expr(
-                f"CASE WHEN h % {1 << q} = 0 THEN {rho_max} "
-                f"ELSE {rho_max} - length(bin(h % {1 << q})) END"
-            ).alias("rho"),
-        )
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("rho"))
-    )
-    all_regs = (
-        spark.range(m).select(F.col("id").alias("bucket"))
-        .join(regs, "bucket", "left")
-        .select(F.coalesce("rho", F.lit(0)).alias("M"))
-    )
-    # e0 suffixes force DOUBLE literals in BOTH engines (a bare 0.7213
-    # parses as DECIMAL in Spark SQL and DuckDB alike, whose division
-    # rules then differ — doubles are IEEE-identical)
-    alpha_expr = (
-        f"(0.7213e0 / (1.0e0 + 1.079e0 / {m}e0)) * {m * m}e0 * {1 << rho_max}e0"
-    )
-    state = all_regs.agg(
-        F.expr(
-            f"sum(shiftleft(CAST(1 AS BIGINT), CAST({rho_max} - M AS INT)))"
-        ).alias("s2"),
-        F.sum(F.when(F.col("M") == 0, 1).otherwise(0)).cast("long").alias("v_zero"),
-    )
+    est = hll_estimate_from_registers(hll_registers(df, key_col, p, seed), p)
     exact = df.agg(
         F.count_distinct(F.col(key_col)).alias("exact_distinct")
     )
     return (
-        state.crossJoin(F.broadcast(exact))
-        .select(
-            F.lit(m).alias("m"),
-            "v_zero",
-            "s2",
-            F.expr(
-                f"CASE WHEN ({alpha_expr} / CAST(s2 AS DOUBLE)) <= 2.5e0 * {m}e0"
-                f"          AND v_zero > 0"
-                f" THEN CAST(round({m}e0 * ln({m}e0 / CAST(v_zero AS DOUBLE))) AS BIGINT)"
-                f" ELSE CAST(round({alpha_expr} / CAST(s2 AS DOUBLE)) AS BIGINT)"
-                f" END"
-            ).alias("hll_estimate"),
-            "exact_distinct",
-        )
+        est.crossJoin(F.broadcast(exact))
         .withColumn(
             "err_ppm",
             F.expr(
@@ -404,13 +496,7 @@ def kmv_set_relations(df_a: DataFrame, key_a: str, df_b: DataFrame,
     num = (k - 1) * (1 << HASH_BITS)
 
     def mins(df, key):
-        return (
-            df.select(_md5_long(F.col(key).cast("string"), seed).alias("h"))
-            .distinct()
-            .sort("h")
-            .limit(k)
-            .localCheckpoint()
-        )
+        return kmv_mins(df, key, k, seed).localCheckpoint()
 
     mins_a, mins_b = mins(df_a, key_a), mins(df_b, key_b)
     union_mins = (

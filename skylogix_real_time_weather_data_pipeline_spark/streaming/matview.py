@@ -337,3 +337,93 @@ def maintain_ivf_cell_view(src: DataFrame, centroids: list[list[float]],
     )
     q.awaitTermination(300)
     return q
+
+
+# ---------------------------------------------------------------------------
+# Cardinality / frequency sketch views (ext/sketch.py monoids under the
+# same replay-guarded, crash-safe commit)
+# ---------------------------------------------------------------------------
+
+
+def apply_kmv_batch(batch_df: DataFrame, batch_id: int, state_path: str,
+                    key_col: str, k: int = 256) -> None:
+    """One micro-batch of a KMV distinct-count view: sketch ONLY this
+    batch's keys (k minima), min-set-merge into the stored sketch. The
+    stored view is ≤ k longs — the cheapest "how many distinct X ever"
+    answer a stream can keep. The min-set monoid is idempotent (a
+    re-delivered row re-proposes a hash the distinct absorbs), so the
+    replay guard protects cost, not correctness, on this view."""
+    if _already_applied(state_path, batch_id):
+        return
+    from ..ext.sketch import kmv_merge, kmv_mins
+
+    spark = batch_df.sparkSession
+    delta = kmv_mins(batch_df, key_col, k)
+    state = (
+        spark.read.parquet(state_path) if os.path.exists(state_path) else None
+    )
+    _commit_view(kmv_merge(state, delta, k), state_path, batch_id)
+
+
+def apply_hll_batch(batch_df: DataFrame, batch_id: int, state_path: str,
+                    key_col: str, p: int = 8) -> None:
+    """One micro-batch of an HLL register view: register max-merge. The
+    max monoid is fully idempotent — even a re-delivered ROW cannot
+    corrupt it — the most replay-tolerant view in the module."""
+    if _already_applied(state_path, batch_id):
+        return
+    from ..ext.sketch import hll_merge, hll_registers
+
+    spark = batch_df.sparkSession
+    delta = hll_registers(batch_df, key_col, p)
+    state = (
+        spark.read.parquet(state_path) if os.path.exists(state_path) else None
+    )
+    _commit_view(hll_merge(state, delta), state_path, batch_id)
+
+
+def apply_cms_batch(batch_df: DataFrame, batch_id: int, state_path: str,
+                    key_col: str, depth: int = 3, width: int = 256) -> None:
+    """One micro-batch of a count-min counter view: per-(d,b) ADD. Additive
+    — exactly the case the batch-id replay guard exists for: a replayed
+    batch would double-count every counter without it."""
+    if _already_applied(state_path, batch_id):
+        return
+    from ..ext.sketch import cms_counters, cms_merge
+
+    spark = batch_df.sparkSession
+    delta = cms_counters(batch_df, key_col, depth=depth, width=width)
+    state = (
+        spark.read.parquet(state_path) if os.path.exists(state_path) else None
+    )
+    _commit_view(cms_merge(state, delta), state_path, batch_id)
+
+
+def maintain_sketch_views(src: DataFrame, base_dir: str, checkpoint_dir: str,
+                          key_col: str, k: int = 256, p: int = 8,
+                          depth: int = 3, width: int = 256):
+    """Incrementally maintain the KMV + HLL + CMS sketch views over one
+    streaming frame with trigger(availableNow) — the profile-store shape:
+    one pass per micro-batch feeds three constant-size summaries
+    (distinct estimate, register state, frequency counters) under
+    ``<base_dir>/{kmv,hll,cms}``. Each view commits with its own batch-id
+    marker, so a crash between commits replays into per-view no-ops /
+    applies — exactly-once per view. Equivalence of every view with its
+    one-shot batch sketch is pinned in tests/test_sketch_views.py."""
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        apply_kmv_batch(batch_df, batch_id, os.path.join(base_dir, "kmv"),
+                        key_col, k=k)
+        apply_hll_batch(batch_df, batch_id, os.path.join(base_dir, "hll"),
+                        key_col, p=p)
+        apply_cms_batch(batch_df, batch_id, os.path.join(base_dir, "cms"),
+                        key_col, depth=depth, width=width)
+
+    q = (
+        src.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q

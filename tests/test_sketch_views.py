@@ -1,0 +1,133 @@
+"""Incremental sketch views (streaming/matview.py): each maintained view
+must equal the one-shot batch sketch over the full data, replays must be
+no-ops, and estimates read from views must match the one-shot operators.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from skylogix_real_time_weather_data_pipeline_spark.ext.sketch import (
+    cms_counters,
+    hll_estimate_from_registers,
+    hll_registers,
+    kmv_estimate_from_mins,
+    kmv_mins,
+)
+from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+    apply_cms_batch,
+    apply_hll_batch,
+    apply_kmv_batch,
+)
+
+
+def _batches(spark, n=3, rows_per=400, dup_across=True):
+    """n key batches with cross-batch overlap (the interesting merge case)."""
+    out = []
+    for i in range(n):
+        lo = i * rows_per // (2 if dup_across else 1)
+        out.append(
+            spark.createDataFrame(
+                [(lo + j,) for j in range(rows_per)], ["key"]
+            )
+        )
+    return out
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_kmv_view_equals_batch_and_replay_noop(spark):
+    batches = _batches(spark)
+    full = batches[0]
+    for b in batches[1:]:
+        full = full.unionByName(b)
+    with tempfile.TemporaryDirectory() as d:
+        state = os.path.join(d, "kmv")
+        for i, b in enumerate(batches):
+            apply_kmv_batch(b, i, state, "key", k=128)
+        view = spark.read.parquet(state)
+        expect = kmv_mins(full, "key", k=128)
+        assert _rows(view, ["h"]) == _rows(expect, ["h"])
+        # replaying the last batch must not change the view
+        apply_kmv_batch(batches[-1], len(batches) - 1, state, "key", k=128)
+        assert _rows(spark.read.parquet(state), ["h"]) == _rows(expect, ["h"])
+        # estimate read from the view == one-shot estimate
+        ve = kmv_estimate_from_mins(spark.read.parquet(state), 128).collect()[0]
+        be = kmv_estimate_from_mins(expect, 128).collect()[0]
+        assert ve.kmv_estimate == be.kmv_estimate and ve.hk == be.hk
+
+
+def test_hll_view_equals_batch_and_replay_noop(spark):
+    batches = _batches(spark)
+    full = batches[0]
+    for b in batches[1:]:
+        full = full.unionByName(b)
+    with tempfile.TemporaryDirectory() as d:
+        state = os.path.join(d, "hll")
+        for i, b in enumerate(batches):
+            apply_hll_batch(b, i, state, "key", p=6)
+        view = spark.read.parquet(state)
+        expect = hll_registers(full, "key", p=6)
+        assert _rows(view, ["bucket", "rho"]) == _rows(expect, ["bucket", "rho"])
+        apply_hll_batch(batches[0], 0, state, "key", p=6)  # stale replay
+        assert _rows(spark.read.parquet(state), ["bucket", "rho"]) == _rows(
+            expect, ["bucket", "rho"]
+        )
+        ve = hll_estimate_from_registers(spark.read.parquet(state), 6).collect()[0]
+        be = hll_estimate_from_registers(expect, 6).collect()[0]
+        assert (ve.hll_estimate, ve.s2, ve.v_zero) == (be.hll_estimate, be.s2, be.v_zero)
+
+
+def test_cms_view_equals_batch_and_replay_guard(spark):
+    batches = _batches(spark)
+    full = batches[0]
+    for b in batches[1:]:
+        full = full.unionByName(b)
+    with tempfile.TemporaryDirectory() as d:
+        state = os.path.join(d, "cms")
+        for i, b in enumerate(batches):
+            apply_cms_batch(b, i, state, "key", depth=2, width=32)
+        view = spark.read.parquet(state)
+        expect = cms_counters(full, "key", depth=2, width=32)
+        assert _rows(view, ["d", "b", "bucket_count"]) == _rows(
+            expect, ["d", "b", "bucket_count"]
+        )
+        # CMS is ADDITIVE: a replayed batch would double-count without the
+        # batch-id guard — this is the view the guard exists for
+        apply_cms_batch(batches[-1], len(batches) - 1, state, "key",
+                        depth=2, width=32)
+        assert _rows(spark.read.parquet(state), ["d", "b", "bucket_count"]) == _rows(
+            expect, ["d", "b", "bucket_count"]
+        )
+
+
+def test_maintain_sketch_views_streaming(spark, tmp_path):
+    """End-to-end availableNow run over a file stream: all three views
+    equal their one-shot batch sketches."""
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        maintain_sketch_views,
+    )
+
+    src_dir = str(tmp_path / "src")
+    full = spark.createDataFrame([(i % 700,) for i in range(2000)], ["key"])
+    full.write.parquet(src_dir)
+    stream = spark.readStream.schema("key bigint").parquet(src_dir)
+    base = str(tmp_path / "views")
+    maintain_sketch_views(
+        stream, base, str(tmp_path / "ckpt"), "key", k=128, p=6, depth=2, width=32
+    )
+    kmv_view = spark.read.parquet(os.path.join(base, "kmv"))
+    assert _rows(kmv_view, ["h"]) == _rows(kmv_mins(full, "key", k=128), ["h"])
+    hll_view = spark.read.parquet(os.path.join(base, "hll"))
+    assert _rows(hll_view, ["bucket", "rho"]) == _rows(
+        hll_registers(full, "key", p=6), ["bucket", "rho"]
+    )
+    cms_view = spark.read.parquet(os.path.join(base, "cms"))
+    assert _rows(cms_view, ["d", "b", "bucket_count"]) == _rows(
+        cms_counters(full, "key", depth=2, width=32), ["d", "b", "bucket_count"]
+    )
