@@ -217,22 +217,34 @@ FROM agg, nb
 # --------------------------------------------------------------------------
 
 TRI_MIN_SHARED = 2
+TRI_TOP = 8
 
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count + clustering coefficient of the supplier co-trade
-    graph (suppliers adjacent iff they serve ≥2 common customers).
+    """Triangle count + clustering coefficient of the MUTUAL top-T
+    supplier co-trade graph: suppliers are adjacent iff EACH ranks the
+    other among its TRI_TOP strongest co-suppliers (by shared-customer
+    count, partner id as the deterministic tie-break).
 
-    Edge build is the repo's bucket-pair pattern: distinct
-    (custkey, suppkey) pairs, per-customer sorted supplier list, pair
-    explode (computes the upstream join ONCE — a self-join would evaluate
-    it per side), then a groupBy(s1,s2) whose count IS the shared-customer
-    count. Per-customer fan-out is O(d²) in the customer's supplier degree
-    — bounded for trade graphs; heavy-key capping would mirror the LSH
-    bucket cap if a hub customer appeared. Triangle join shape:
-    operators/graph.py triangle_stats."""
+    Why mutual top-T and not a raw shared>=threshold rule: co-occurrence
+    graphs DENSIFY with data volume — at sf0.1 every supplier pair
+    already shares >=2 customers, so the thresholded graph is COMPLETE
+    (measured: 1000 nodes, 499,500 edges, 5*10^8 wedges — the wedge join
+    OOMed a 4 GB driver). Mutual-kNN sparsification bounds the degree by
+    T ALGEBRAICALLY, so wedges <= N*T^2/2 at ANY scale — the same
+    fixed-output-budget discipline as the LSH bucket cap and the BM25
+    posting cap. That makes the triangle join's cost a function of the
+    graph ORDER, not the data density.
+
+    Plan shape: distinct (custkey, suppkey) pairs, per-customer sorted
+    pair explode (computes the upstream join ONCE), shared-count
+    groupBy, per-node row_number window over the symmetric directed
+    copy, mutual filter via self-join on the T-bounded kept table
+    (localCheckpointed: k rows, two consumers), then
+    operators/graph.py:triangle_stats."""
     from ..ext.dedup import _pairs_from_sorted_ids
     from ..operators.graph import triangle_stats
+    from pyspark.sql import Window
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -246,17 +258,34 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_set("l_suppkey")).alias("ids"))
         .select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
         .select(F.col("p.id_a").alias("a"), F.col("p.id_b").alias("b"))
-    )
-    edges = (
-        pairs.groupBy("a", "b")
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= TRI_MIN_SHARED)
-        .select("a", "b")
-        # triangle_stats branches over the edge table six ways (degrees,
-        # wedge sides, closure, edge count): materialize the edge BUILD
-        # once or every branch re-runs the fact join + pair explode
-        # (same shared-subtree blowup the r5 plan audit caught on
-        # unigram_logprob; audited: 12 scans → 2)
+    )
+    directed = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "shared"
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"), "shared"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("shared"), F.asc("dst"))
+    kept = (
+        directed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TRI_TOP)
+        .select("src", "dst")
+        # <= N*T rows, consumed by both sides of the mutual join (and the
+        # whole pair build above would otherwise run once per side)
+        .localCheckpoint()
+    )
+    rev = kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    edges = (
+        kept.join(rev, ["src", "dst"], "left_semi")
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        # triangle_stats branches over the edge table six ways; without
+        # this the mutual semi-join re-runs per branch (audited: 16
+        # shuffles → 6)
         .localCheckpoint()
     )
     return triangle_stats(edges)
@@ -267,11 +296,31 @@ WITH cs AS (
   SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ),
-edges AS (
-  SELECT t1.s AS a, t2.s AS b
+pairs AS (
+  SELECT t1.s AS a, t2.s AS b, COUNT(*) AS shared
   FROM cs t1 JOIN cs t2 ON t1.c = t2.c AND t1.s < t2.s
   GROUP BY t1.s, t2.s
   HAVING COUNT(*) >= {TRI_MIN_SHARED}
+),
+directed AS (
+  SELECT a AS src, b AS dst, shared FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst, shared FROM pairs
+),
+kept AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY shared DESC, dst ASC) AS rn
+    FROM directed
+  ) WHERE rn <= {TRI_TOP}
+),
+edges AS (
+  SELECT k1.src AS a, k1.dst AS b
+  FROM kept k1
+  WHERE k1.src < k1.dst
+    AND EXISTS (SELECT 1 FROM kept k2
+                WHERE k2.src = k1.dst AND k2.dst = k1.src)
 ),
 deg AS (
   SELECT v, COUNT(*) AS d FROM (
@@ -298,7 +347,6 @@ SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
          AS clustering_ppm
 FROM base, ne, tri
 """
-
 
 # --------------------------------------------------------------------------
 # HyperLogLog distinct estimate with register-level oracle replay
