@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .dedup import _md5_long
 
@@ -557,6 +558,99 @@ def kmv_set_relations(df_a: DataFrame, key_a: str, df_b: DataFrame,
                 "(abs(est_intersection - exact_intersection)"
                 " * CAST(1000000 AS BIGINT))"
                 " DIV greatest(exact_intersection, CAST(1 AS BIGINT))"
+            ),
+        )
+    )
+
+
+def priority_sample_subset_sums(df: DataFrame, id_col: str, weight_col: str,
+                                group_col: str, k: int = 256,
+                                seed: int = 0) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup, JACM 2007): ONE stored
+    k-item weighted sample answers ANY posterior subset-sum query with
+    Σ max(w_i, τ) over the sample's subset members. Returns per-group
+    (group, n_sampled, est_sum, exact_sum, err_ppm) — the groups play the
+    role of arbitrary subsets the sample was NOT built for.
+
+    Priorities are integer: q_i = w_i·2^60 // h_i (h the portable 60-bit
+    hash of the item id — the u_i uniform draw), sample = the k largest
+    priorities, τ = the (k+1)-th. With n ≤ k the sample is the whole
+    input, τ = 0, and every estimate is exact. The published estimator is
+    unbiased with near-optimal subset-sum variance; here it is also
+    DETERMINISTIC given the data (fixed hash), so the oracle replays the
+    sample membership, τ, and every estimate bit-for-bit.
+
+    Spark shape: priorities are a narrow map; the k+1 selection is
+    sort().limit() → TakeOrderedAndProject (per-partition top-k, driver
+    merges k·P rows); estimates are one groupBy over k rows joined to a
+    broadcast τ scalar. The exact sums are the eval-only second scan.
+    At 100 TB the sample (k rows) lives in a summary table and subset
+    queries never touch the fact table again — that is the operator's
+    entire point.
+
+    Integer pins: q is decimal(38,0) via the same floor(decimal/long)
+    device as KMV (exact vs DuckDB HUGEINT ``//``); ties in q are broken
+    by id so the boundary row is unique in both engines; max(w, τ) and
+    the per-group sums stay on the integer grid; est_sum is cast to
+    BIGINT at the end (subset sums fit 64 bits by precondition of the
+    cents-scaled inputs this engine feeds it).
+    """
+    items = df.select(
+        F.col(id_col).alias("id"),
+        F.col(weight_col).cast("long").alias("w"),
+        F.col(group_col).alias("grp"),
+        _md5_long(F.col(id_col).cast("string"), seed).alias("h"),
+    ).withColumn(
+        "q",
+        F.expr(f"CAST(w AS DECIMAL(19,0)) * CAST({1 << HASH_BITS} AS DECIMAL(19,0))")
+        / F.col("h"),
+    ).withColumn("q", F.expr("CAST(floor(q) AS DECIMAL(38,0))"))
+    topk1 = (
+        items.sort(F.desc("q"), F.asc("id"))
+        .limit(k + 1)
+        # the sample IS the stored sketch; two consumers (τ scalar +
+        # sample rows) must not re-run the selection scan
+        .localCheckpoint()
+    )
+    ranked = topk1.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.desc("q"), F.asc("id"))),
+    )
+    tau = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k + 1, F.col("q"))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("tau")
+    )
+    sample = ranked.filter(F.col("rn") <= k)
+    est = (
+        sample.crossJoin(F.broadcast(tau))
+        .select(
+            "grp",
+            F.greatest(F.expr("CAST(w AS DECIMAL(38,0))"), F.col("tau")).alias("we"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.expr("CAST(sum(we) AS BIGINT)").alias("est_sum"),
+        )
+    )
+    exact = items.groupBy("grp").agg(
+        F.sum("w").cast("long").alias("exact_sum")
+    )
+    return (
+        exact.join(est, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            F.coalesce("n_sampled", F.lit(0).cast("long")).alias("n_sampled"),
+            F.coalesce("est_sum", F.lit(0).cast("long")).alias("est_sum"),
+            "exact_sum",
+        )
+        .withColumn(
+            "err_ppm",
+            F.expr(
+                "(abs(est_sum - exact_sum) * CAST(1000000 AS BIGINT))"
+                " DIV greatest(exact_sum, CAST(1 AS BIGINT))"
             ),
         )
     )

@@ -236,13 +236,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting cap. That makes the triangle join's cost a function of the
     graph ORDER, not the data density.
 
-    Plan shape: distinct (custkey, suppkey) pairs, per-customer sorted
-    pair explode (computes the upstream join ONCE), shared-count
-    groupBy, per-node row_number window over the symmetric directed
-    copy, mutual filter via self-join on the T-bounded kept table
-    (localCheckpointed: k rows, two consumers), then
-    operators/graph.py:triangle_stats."""
-    from ..ext.dedup import _pairs_from_sorted_ids
+    Plan shape: distinct (custkey, suppkey) pairs (checkpointed; both
+    self-join sides read it), codegen equi-self-join pair fan-out with
+    shared-count groupBy, per-node row_number window over the symmetric
+    directed copy, mutual filter via semi-join on the T-bounded kept
+    table, then operators/graph.py:triangle_stats."""
     from ..operators.graph import triangle_stats
     from pyspark.sql import Window
 
@@ -252,12 +250,27 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select("o_custkey", "l_suppkey")
         .distinct()
+        # both self-join sides read this; materializing it keeps the
+        # fact join single-evaluation (the usual reason to prefer the
+        # collect_set + _pairs_from_sorted_ids explode). The explode
+        # form was MEASURED 6x SLOWER here (7.6s vs 1.2s at sf0.1):
+        # at co-trade degree ~39 the nested transform/slice pair builder
+        # evaluates interpreted with O(d) array copies per element,
+        # while the equi-self-join + filter stays in whole-stage codegen
+        # — the same HOF-vs-codegen trade the simhash docstring records,
+        # landing the other way because this upstream is checkpointable.
+        .localCheckpoint()
     )
+    t1, t2 = cs.alias("t1"), cs.alias("t2")
     pairs = (
-        cs.groupBy("o_custkey")
-        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("ids"))
-        .select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
-        .select(F.col("p.id_a").alias("a"), F.col("p.id_b").alias("b"))
+        t1.join(
+            t2,
+            (F.col("t1.o_custkey") == F.col("t2.o_custkey"))
+            & (F.col("t1.l_suppkey") < F.col("t2.l_suppkey")),
+        )
+        .select(
+            F.col("t1.l_suppkey").alias("a"), F.col("t2.l_suppkey").alias("b")
+        )
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= TRI_MIN_SHARED)
