@@ -572,28 +572,27 @@ def priority_sample_subset_sums(df: DataFrame, id_col: str, weight_col: str,
     (group, n_sampled, est_sum, exact_sum, err_ppm) — the groups play the
     role of arbitrary subsets the sample was NOT built for.
 
-    Priorities are integer: q_i = w_i·2^60 // h_i (h the portable 60-bit
-    hash of the item id — the u_i uniform draw), sample = the k largest
-    priorities, τ = the (k+1)-th. With n ≤ k the sample is the whole
-    input, τ = 0, and every estimate is exact. The published estimator is
-    unbiased with near-optimal subset-sum variance; here it is also
-    DETERMINISTIC given the data (fixed hash), so the oracle replays the
-    sample membership, τ, and every estimate bit-for-bit.
+    Priorities are pure integers: q_i = w_i·2^60 div max(h_i, w_i) (h the
+    portable 60-bit hash of the item id, standing in for the uniform draw
+    u_i = h_i/2^60; the max() clamp bounds q ≤ 2^60 so the div stays in
+    int64 — it only touches items with u_i < w_i/2^60 ≈ certain picks).
+    Sample = the k largest priorities (ties broken by id), τ = the
+    (k+1)-th priority in the SAME weight units, estimate per sampled item
+    = max(w_i, τ). With n ≤ k the sample is everything, τ = 0, and every
+    estimate is exact. The published estimator is unbiased with
+    near-optimal subset-sum variance; floored priorities quantize u to
+    the 2^-60 grid (bias far below the measured err), and the fixed hash
+    makes sample membership, τ, and every estimate DETERMINISTIC — the
+    oracle replays them bit-for-bit (Spark's decimal `div` == DuckDB
+    HUGEINT `//`, probe-verified).
 
     Spark shape: priorities are a narrow map; the k+1 selection is
     sort().limit() → TakeOrderedAndProject (per-partition top-k, driver
     merges k·P rows); estimates are one groupBy over k rows joined to a
-    broadcast τ scalar. The exact sums are the eval-only second scan.
-    At 100 TB the sample (k rows) lives in a summary table and subset
+    broadcast τ scalar. The exact sums are the eval-only second scan. At
+    100 TB the sample (k rows) lives in a summary table and subset
     queries never touch the fact table again — that is the operator's
     entire point.
-
-    Integer pins: q is decimal(38,0) via the same floor(decimal/long)
-    device as KMV (exact vs DuckDB HUGEINT ``//``); ties in q are broken
-    by id so the boundary row is unique in both engines; max(w, τ) and
-    the per-group sums stay on the integer grid; est_sum is cast to
-    BIGINT at the end (subset sums fit 64 bits by precondition of the
-    cents-scaled inputs this engine feeds it).
     """
     items = df.select(
         F.col(id_col).alias("id"),
@@ -602,9 +601,11 @@ def priority_sample_subset_sums(df: DataFrame, id_col: str, weight_col: str,
         _md5_long(F.col(id_col).cast("string"), seed).alias("h"),
     ).withColumn(
         "q",
-        F.expr(f"CAST(w AS DECIMAL(19,0)) * CAST({1 << HASH_BITS} AS DECIMAL(19,0))")
-        / F.col("h"),
-    ).withColumn("q", F.expr("CAST(floor(q) AS DECIMAL(38,0))"))
+        F.expr(
+            f"(CAST(w AS DECIMAL(19,0)) * CAST({1 << HASH_BITS} AS DECIMAL(19,0)))"
+            " div greatest(h, w)"
+        ),
+    )
     topk1 = (
         items.sort(F.desc("q"), F.asc("id"))
         .limit(k + 1)
@@ -618,28 +619,28 @@ def priority_sample_subset_sums(df: DataFrame, id_col: str, weight_col: str,
     )
     tau = ranked.agg(
         F.coalesce(
-            F.max(F.when(F.col("rn") == k + 1, F.col("q"))),
-            F.lit(0).cast("decimal(38,0)"),
-        ).alias("tau")
+            F.max(F.when(F.col("rn") == k + 1, F.col("q"))), F.lit(0)
+        ).cast("long").alias("tau")
     )
     sample = ranked.filter(F.col("rn") <= k)
     est = (
         sample.crossJoin(F.broadcast(tau))
-        .select(
-            "grp",
-            F.greatest(F.expr("CAST(w AS DECIMAL(38,0))"), F.col("tau")).alias("we"),
-        )
+        .select("grp", F.greatest(F.col("w"), F.col("tau")).alias("we"))
         .groupBy("grp")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_sampled"),
-            F.expr("CAST(sum(we) AS BIGINT)").alias("est_sum"),
+            F.sum("we").cast("long").alias("est_sum"),
         )
+        # fresh attribute id: both aggregates descend from `items`, and
+        # Spark cannot auto-dedup the shared refs when the source is not
+        # a re-aliasable relation (e.g. createDataFrame input)
+        .withColumnRenamed("grp", "grp_s")
     )
     exact = items.groupBy("grp").agg(
         F.sum("w").cast("long").alias("exact_sum")
     )
     return (
-        exact.join(est, "grp", "left")
+        exact.join(est, exact["grp"] == est["grp_s"], "left")
         .select(
             F.col("grp").alias(group_col),
             F.coalesce("n_sampled", F.lit(0).cast("long")).alias("n_sampled"),

@@ -506,6 +506,70 @@ FROM est
 """
 
 
+# --------------------------------------------------------------------------
+# Priority sampling: subset sums of order revenue from one stored sample
+# --------------------------------------------------------------------------
+
+PS_K = 256
+_PS_HASH = _sql_hash("'0'", "CAST(o_orderkey AS VARCHAR)")
+
+
+def q_priority_sample_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority-class order revenue estimated from ONE stored 256-item
+    priority sample (weights = total price in cents via the repo's
+    floor-form unit extraction) vs the exact sums — the
+    answer-subset-queries-from-a-sample primitive
+    (ext/sketch.py:priority_sample_subset_sums). The o_orderpriority
+    classes are subsets the sample was not built for."""
+    from ..ext.sketch import priority_sample_subset_sums
+    from ..functions.exact import _units_long
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "price_cents", _units_long(F.col("o_totalprice"), 2).cast("long")
+    )
+    return priority_sample_subset_sums(
+        o, "o_orderkey", "price_cents", "o_orderpriority", k=PS_K
+    )
+
+
+O_PRIORITY_SAMPLE_REVENUE = f"""
+WITH items AS (
+  SELECT o_orderkey AS id,
+         CAST(floor(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT) AS w,
+         o_orderpriority AS grp,
+         {_PS_HASH} AS h
+  FROM orders
+),
+pri AS (
+  SELECT id, w, grp,
+         CAST((CAST(w AS HUGEINT) * (1::HUGEINT << 60))
+              // greatest(h, w) AS BIGINT) AS q
+  FROM items
+),
+topk1 AS (SELECT * FROM pri ORDER BY q DESC, id ASC LIMIT {PS_K + 1}),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY q DESC, id ASC) AS rn FROM topk1
+),
+tau AS (
+  SELECT COALESCE(MAX(CASE WHEN rn = {PS_K + 1} THEN q END), 0) AS tau
+  FROM ranked
+),
+est AS (
+  SELECT grp, COUNT(*) AS n_sampled,
+         SUM(greatest(w, tau.tau)) AS est_sum
+  FROM ranked, tau WHERE rn <= {PS_K} GROUP BY grp, tau.tau
+),
+exact AS (SELECT grp, SUM(w) AS exact_sum FROM items GROUP BY grp)
+SELECT exact.grp AS o_orderpriority,
+       CAST(COALESCE(est.n_sampled, 0) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(est.est_sum, 0) AS BIGINT) AS est_sum,
+       CAST(exact.exact_sum AS BIGINT) AS exact_sum,
+       CAST((ABS(COALESCE(est.est_sum, 0) - exact.exact_sum) * 1000000)
+            // greatest(exact.exact_sum, 1) AS BIGINT) AS err_ppm
+FROM exact LEFT JOIN est ON est.grp = exact.grp
+"""
+
+
 QUERIES = {
     "rel_kmv_distinct": q_kmv_distinct,
     "rel_cms_heavy_hitters": q_cms_heavy_hitters,
@@ -513,6 +577,7 @@ QUERIES = {
     "rel_triangle_count": q_triangle_count,
     "rel_hll_distinct": q_hll_distinct,
     "rel_kmv_intersection": q_kmv_intersection,
+    "rel_priority_sample_revenue": q_priority_sample_revenue,
 }
 
 ORACLES = {
@@ -522,4 +587,5 @@ ORACLES = {
     "rel_triangle_count": O_TRIANGLE_COUNT,
     "rel_hll_distinct": O_HLL_DISTINCT,
     "rel_kmv_intersection": O_KMV_INTERSECTION,
+    "rel_priority_sample_revenue": O_PRIORITY_SAMPLE_REVENUE,
 }

@@ -155,3 +155,41 @@ def test_kmv_set_relations_estimating(spark):
     assert abs(row.est_union - 3000) < 3000 * 0.36
     # intersection ratio estimator compounds: generous fixed bound
     assert abs(row.est_intersection - 1000) < 1000 * 0.5
+
+
+def test_priority_sample_exact_when_small(spark):
+    from skylogix_real_time_weather_data_pipeline_spark.ext.sketch import (
+        priority_sample_subset_sums,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i % 7) + 1, "g" + str(i % 3)) for i in range(100)],
+        ["id", "w", "grp"],
+    )
+    out = priority_sample_subset_sums(df, "id", "w", "grp", k=256).collect()
+    # n <= k: sample is everything, tau = 0, estimates exact
+    assert all(r.est_sum == r.exact_sum and r.err_ppm == 0 for r in out)
+    assert sum(r.n_sampled for r in out) == 100
+
+
+def test_priority_sample_estimates_subsets(spark):
+    from skylogix_real_time_weather_data_pipeline_spark.ext.sketch import (
+        priority_sample_subset_sums,
+    )
+
+    rows = [(i, 100 + (i * 37) % 900, "g" + str(i % 4)) for i in range(5000)]
+    df = spark.createDataFrame(rows, ["id", "w", "grp"])
+    out = priority_sample_subset_sums(df, "id", "w", "grp", k=256).collect()
+    assert len(out) == 4
+    assert sum(r.n_sampled for r in out) == 256
+    exact_by = {r.grp: r.exact_sum for r in out}
+    for r in out:
+        # ~64 sampled per subset → σ ≈ 12%; fixed deterministic values,
+        # 4σ bound
+        assert abs(r.est_sum - r.exact_sum) < r.exact_sum * 0.5
+        assert r.err_ppm == abs(r.est_sum - r.exact_sum) * 1_000_000 // r.exact_sum
+    # total estimate across ALL groups is the full-population estimate —
+    # priority sampling's total-sum accuracy is far tighter than per-subset
+    tot_est = sum(r.est_sum for r in out)
+    tot_exact = sum(exact_by.values())
+    assert abs(tot_est - tot_exact) < tot_exact * 0.15
