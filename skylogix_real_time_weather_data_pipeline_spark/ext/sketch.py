@@ -319,8 +319,12 @@ def bloom_semijoin_stats(build: DataFrame, build_key: str, probe: DataFrame,
             ).alias("hit"),
         )
         .groupBy("pk")
-        .agg(F.sum("hit").alias("nhit"))
-        .select("pk", (F.col("nhit") == n_hashes).cast("int").alias("pass"))
+        # min, not sum==n_hashes: a probe key delivered twice contributes
+        # 2·n_hashes position rows, and a sum test would false-negative
+        # every duplicated member (caught by the hypothesis membership
+        # model); min(hit)==1 ⇔ every position row hit, at any multiplicity
+        .agg(F.min("hit").alias("allhit"))
+        .select("pk", (F.col("allhit") == 1).cast("int").alias("pass"))
     )
     truth = hits.join(
         F.broadcast(bkeys.select(F.col("bk").alias("pk"), F.lit(1).alias("member"))),

@@ -184,7 +184,7 @@ hits AS (
   FROM ppos p LEFT JOIN bloom b ON b.block = p.pos // 32
 ),
 passed AS (
-  SELECT pk, CASE WHEN SUM(hit) = {BLOOM_K} THEN 1 ELSE 0 END AS pass
+  SELECT pk, CASE WHEN MIN(hit) = 1 THEN 1 ELSE 0 END AS pass
   FROM hits GROUP BY pk
 ),
 truth AS (

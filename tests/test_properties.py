@@ -517,3 +517,121 @@ def test_winnowing_cross_engine_parity(spark, docs):
     finally:
         con.close()
     assert got == expect
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n_nodes=st.integers(3, 12),
+    p_edge=st.integers(10, 90),
+)
+@_settings
+def test_triangle_stats_matches_bruteforce(spark, seed, n_nodes, p_edge):
+    """triangle_stats == O(n³) Python brute force on random graphs."""
+    import itertools
+    import random
+
+    from skylogix_real_time_weather_data_pipeline_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    rnd = random.Random(seed)
+    edges = [
+        (a, b)
+        for a, b in itertools.combinations(range(n_nodes), 2)
+        if rnd.randint(1, 100) <= p_edge
+    ]
+    if not edges:
+        return
+    eset = set(edges)
+    tri = sum(
+        1
+        for x, y, z in itertools.combinations(range(n_nodes), 3)
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset
+    )
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    row = triangle_stats(spark.createDataFrame(edges, ["a", "b"])).collect()[0]
+    assert row.n_triangles == tri
+    assert row.n_wedges == wedges
+    assert row.n_edges == len(edges)
+    assert row.n_nodes == len(deg)
+    assert row.clustering_ppm == (3_000_000 * tri // wedges if wedges else 0)
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(1, 60),
+    dup=st.integers(1, 4),
+)
+@_settings
+def test_bloom_membership_model(spark, seed, n, dup):
+    """Bloom stats == a Python replay of the same bit array: identical
+    pass/member/fp counts (not just the no-false-negative invariant)."""
+    import hashlib
+    import random
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.sketch import (
+        bloom_semijoin_stats,
+    )
+
+    rnd = random.Random(seed)
+    build = sorted(rnd.sample(range(200), min(n, 100)))
+    probe = [i for i in range(200) for _ in range(dup)]
+    m_bits, kh = 256, 3
+
+    def h(seed_i, v):
+        return int(hashlib.md5(f"{seed_i}|{v}".encode()).hexdigest()[:15], 16)
+
+    bits = set()
+    for v in build:
+        for d in range(1, kh + 1):
+            bits.add(h(d, v) % m_bits)
+    passing = {
+        v for v in set(probe)
+        if all((h(d, v) % m_bits) in bits for d in range(1, kh + 1))
+    }
+    members = set(build) & set(probe)
+    row = bloom_semijoin_stats(
+        spark.createDataFrame([(v,) for v in build], ["k"]),
+        "k",
+        spark.createDataFrame([(v,) for v in probe], ["k"]),
+        "k",
+        m_bits=m_bits,
+        n_hashes=kh,
+    ).collect()[0]
+    # the operator (and its oracle) count DISTINCT probe keys — the
+    # groupBy(pk) membership vote dedups repeated probes
+    pset = set(probe)
+    assert row.n_probe == len(pset)
+    assert row.bloom_pass == len(passing)
+    assert row.true_members == len(members)
+    assert row.false_positives == len(passing - members)
+
+
+@given(seed=st.integers(0, 10_000), n=st.integers(1, 300))
+@_settings
+def test_kmv_matches_python_model(spark, seed, n):
+    """KMV estimate == a Python replay of hash → k-minima → floor-div."""
+    import hashlib
+    import random
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.sketch import kmv_distinct
+
+    rnd = random.Random(seed)
+    keys = [rnd.randint(0, 500) for _ in range(n)]
+    k = 32
+    hs = sorted({int(hashlib.md5(f"0|{v}".encode()).hexdigest()[:15], 16)
+                 for v in set(keys)})
+    mins = hs[:k]
+    if len(mins) < k:
+        expect = len(mins)
+    else:
+        expect = (k - 1) * (1 << 60) // max(mins)
+    row = kmv_distinct(
+        spark.createDataFrame([(v,) for v in keys], ["key"]), "key", k=k
+    ).collect()[0]
+    assert row.kmv_estimate == expect
+    assert row.exact_distinct == len(set(keys))
