@@ -73,6 +73,8 @@ EXTENDED = [
     "rel_cms_heavy_hitters",
     "rel_bloom_semijoin",
     "rel_triangle_count",
+    "rel_priority_sample_revenue",
+    "rel_ams_f2",
     # docs_distill_filter deliberately NOT benched: 15 driver-looped
     # training jobs (~20 s) would dominate the wall-clock total without
     # measuring anything scan/shuffle-shaped

@@ -659,3 +659,85 @@ def priority_sample_subset_sums(df: DataFrame, id_col: str, weight_col: str,
             ),
         )
     )
+
+
+def ams_f2(df: DataFrame, key_col: str, depth: int = 5, group: int = 32,
+           seed: int = 100) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy, STOC'96)
+    in the standard median-of-means form: estimate F2 = Σ f_x² — the
+    self-join size / repeat rate of ``key_col`` — from depth·group
+    ±1-signed counters; returns ONE row (depth, group, ams_estimate,
+    exact_f2, err_ppm).
+
+    Each counter keeps z = Σ_rows s(x) for a hash-derived sign s(x) ∈
+    {−1,+1}; E[z²] = F2 with Var ≈ 2F2², so each output row AVERAGES
+    ``group`` independent z² (Var/group) and the estimate is the MEDIAN
+    over ``depth`` rows — the textbook (ε,δ) shape. The whole sketch is
+    still ONE aggregate emitting depth·group longs — no explode, no
+    per-key state, map-side-combined from any input (F2 is what a
+    cost-based optimizer wants for join-size estimation; the additive
+    counters are the streaming/mergeable form).
+
+    Sign economy: counter i draws its sign from BIT (i mod 54) of the
+    54-bit-truncated portable hash h_(i div 54) — 160 independent signs
+    cost ceil(160/54) = 3 md5s per row instead of 160 (the bits of a
+    cryptographic hash are pairwise independent; same device as the
+    Carter-Wegman MinHash family). shiftright/& extraction is identical
+    in Spark and DuckDB.
+
+    Integer exactness: every z is an exact long (|z| ≤ rows), z² ≤ rows²,
+    a group sum ≤ group·rows² (int64-safe to ~10⁸ rows per slice); the
+    median of ``depth`` group-sums is an array_sort index and the final
+    ams_estimate = median DIV group stays on the integer grid. The exact
+    F2 rides along from a per-key count pass (eval-only — the expensive
+    aggregation the sketch replaces).
+    """
+    n_signs = depth * group
+    n_hashes = (n_signs + 53) // 54
+    key_str = F.col(key_col).cast("string")
+    hashed = df.select(
+        *[
+            _md5_long(key_str, seed + k).alias(f"h{k}")
+            for k in range(n_hashes)
+        ]
+    )
+
+    def sign_expr(i: int) -> str:
+        return f"(1 - 2 * ((h{i // 54} >> {i % 54}) & 1))"
+
+    sums = hashed.agg(
+        *[
+            F.expr(f"CAST(sum({sign_expr(i)}) AS BIGINT)").alias(f"z{i}")
+            for i in range(n_signs)
+        ]
+    )
+    row_sums = [
+        " + ".join(
+            f"z{d * group + g} * z{d * group + g}" for g in range(group)
+        )
+        for d in range(depth)
+    ]
+    est = sums.select(
+        F.expr(
+            f"array_sort(array({', '.join(row_sums)}))[{depth // 2}]"
+            f" DIV CAST({group} AS BIGINT)"
+        ).alias("ams_estimate")
+    )
+    exact = (
+        df.groupBy(F.col(key_col).alias("k"))
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(F.sum(F.expr("f * f")).cast("long").alias("exact_f2"))
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(depth).alias("depth"),
+            F.lit(group).alias("group"),
+            "ams_estimate",
+            "exact_f2",
+            F.expr(
+                "(abs(ams_estimate - exact_f2) * CAST(1000000 AS BIGINT))"
+                " DIV greatest(exact_f2, CAST(1 AS BIGINT))"
+            ).alias("err_ppm"),
+        )
+    )

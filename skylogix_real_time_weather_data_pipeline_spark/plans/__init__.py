@@ -35,8 +35,8 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 #: covered: rel_unpivot_city_metrics (melts the in-window
 #: city_comparison aggregate; hash-green locally). Tier 0 = the six NEW
 #: sketch queries (plans/sketches.py) — never driver-checked, so they
-#: outrank everything. Tier 2 = 18 of the 25 rows last driver-green in r2
-#: (verdict #5: drain the stale tail); the seven displaced to make room
+#: outrank everything. Tier 2 = 17 of the 25 rows last driver-green in r2
+#: (verdict #5: drain the stale tail); the eight displaced to make room
 #: for tier 0 are the lowest-risk rows (named at tier 0 below), unchanged
 #: since r2 and green under the typed r6 local harness. The r1-r5 window history lives in git (this block at
 #: tags r5 and earlier) and WINDOW_LEDGER.json.
@@ -52,7 +52,8 @@ _VERIFY_FIRST = (
     # fully-oracled KMV/HLL rows cover the same operator family far more
     # strictly), docs_exact_dedup (5-line md5 groupBy, unchanged since
     # r2, typed-green locally), docs_fingerprint (winnowing-lite map;
-    # the full winnowing pair sits in tier 1 this round).
+    # the full winnowing pair sits in tier 1 this round),
+    # docs_language_id (stopword-ratio projection, typed-green locally).
     "rel_kmv_distinct",
     "rel_cms_heavy_hitters",
     "rel_bloom_semijoin",
@@ -60,6 +61,7 @@ _VERIFY_FIRST = (
     "rel_hll_distinct",
     "rel_kmv_intersection",
     "rel_priority_sample_revenue",
+    "rel_ams_f2",
     # --- tier 1: changed in round 6 ---
     "events_cumulative_users",         # oracle window SUM cast to BIGINT (r5 red row)
     "rel_pagerank",                    # long node ids, complete-in-degree iterations
@@ -90,7 +92,6 @@ _VERIFY_FIRST = (
     "events_props_variant",
     # --- tier 2: drain of the r2-vintage stale tail (verdict #5) ---
     "docs_bpe_token_count",
-    "docs_language_id",
     "docs_minhash_signatures",
     "docs_simhash",
     "docs_token_stats",

@@ -570,6 +570,71 @@ FROM exact LEFT JOIN est ON est.grp = exact.grp
 """
 
 
+# --------------------------------------------------------------------------
+# AMS F2: self-join size of lineitem.l_suppkey from 5 signed counters
+# --------------------------------------------------------------------------
+
+AMS_D = 5
+AMS_G = 32
+AMS_SEED = 100
+
+
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS median-of-means second-moment estimate of lineitem.l_suppkey
+    (the self-join size a cost-based optimizer wants before planning a
+    suppkey join) vs the exact Σ f². See ext/sketch.py:ams_f2 for the
+    one-aggregate sketch shape and the bits-of-one-md5 sign economy."""
+    from ..ext.sketch import ams_f2
+
+    return ams_f2(_t(spark, sf_dir, "lineitem"), "l_suppkey",
+                  depth=AMS_D, group=AMS_G, seed=AMS_SEED)
+
+
+def _ams_oracle() -> str:
+    n_signs = AMS_D * AMS_G
+    n_hashes = (n_signs + 53) // 54
+    hs = ",\n         ".join(
+        f"{_sql_hash(AMS_SEED + k, 'CAST(l_suppkey AS VARCHAR)')} AS h{k}"
+        for k in range(n_hashes)
+    )
+    zs = ",\n         ".join(
+        f"CAST(SUM(1 - 2 * ((h{i // 54} >> {i % 54}) & 1)) AS BIGINT) AS z{i}"
+        for i in range(n_signs)
+    )
+    rows = ", ".join(
+        " + ".join(f"z{d * AMS_G + g} * z{d * AMS_G + g}" for g in range(AMS_G))
+        for d in range(AMS_D)
+    )
+    return f"""
+WITH h AS (
+  SELECT {hs}
+  FROM lineitem
+),
+sums AS (
+  SELECT {zs}
+  FROM h
+),
+est AS (
+  SELECT list_sort([{rows}])[{AMS_D // 2 + 1}] // {AMS_G} AS ams_estimate
+  FROM sums
+),
+ex AS (
+  SELECT CAST(SUM(f * f) AS BIGINT) AS exact_f2 FROM (
+    SELECT COUNT(*) AS f FROM lineitem GROUP BY l_suppkey
+  )
+)
+SELECT {AMS_D} AS depth, {AMS_G} AS "group",
+       CAST(ams_estimate AS BIGINT) AS ams_estimate,
+       exact_f2,
+       CAST((ABS(ams_estimate - exact_f2) * 1000000)
+            // greatest(exact_f2, 1) AS BIGINT) AS err_ppm
+FROM est, ex
+"""
+
+
+O_AMS_F2 = _ams_oracle()
+
+
 QUERIES = {
     "rel_kmv_distinct": q_kmv_distinct,
     "rel_cms_heavy_hitters": q_cms_heavy_hitters,
@@ -578,6 +643,7 @@ QUERIES = {
     "rel_hll_distinct": q_hll_distinct,
     "rel_kmv_intersection": q_kmv_intersection,
     "rel_priority_sample_revenue": q_priority_sample_revenue,
+    "rel_ams_f2": q_ams_f2,
 }
 
 ORACLES = {
@@ -588,4 +654,5 @@ ORACLES = {
     "rel_hll_distinct": O_HLL_DISTINCT,
     "rel_kmv_intersection": O_KMV_INTERSECTION,
     "rel_priority_sample_revenue": O_PRIORITY_SAMPLE_REVENUE,
+    "rel_ams_f2": O_AMS_F2,
 }

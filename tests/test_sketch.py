@@ -193,3 +193,46 @@ def test_priority_sample_estimates_subsets(spark):
     tot_est = sum(r.est_sum for r in out)
     tot_exact = sum(exact_by.values())
     assert abs(tot_est - tot_exact) < tot_exact * 0.15
+
+
+def test_ams_f2_matches_python_model(spark):
+    import hashlib
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.sketch import ams_f2
+
+    keys = [i % 40 for i in range(1000)]
+    df = spark.createDataFrame([(k,) for k in keys], ["key"])
+    depth, group = 3, 8
+    n_signs = depth * group
+    n_hashes = (n_signs + 53) // 54
+
+    def h(k, v):
+        return int(hashlib.md5(f"{100+k}|{v}".encode()).hexdigest()[:15], 16)
+
+    def sign(i, v):
+        return 1 - 2 * ((h(i // 54, v) >> (i % 54)) & 1)
+
+    zs = [sum(sign(i, k) for k in keys) for i in range(n_signs)]
+    rows = [
+        sum(zs[d * group + g] ** 2 for g in range(group))
+        for d in range(depth)
+    ]
+    expect = sorted(rows)[depth // 2] // group
+    from collections import Counter
+
+    exact = sum(f * f for f in Counter(keys).values())
+    row = ams_f2(df, "key", depth=depth, group=group).collect()[0]
+    assert row.ams_estimate == expect
+    assert row.exact_f2 == exact
+    assert row.err_ppm == abs(expect - exact) * 1_000_000 // exact
+
+
+def test_ams_f2_concentrates_on_distinct_keys(spark):
+    from skylogix_real_time_weather_data_pipeline_spark.ext.sketch import ams_f2
+
+    # all-distinct input: F2 = n; the median-of-means estimate must land
+    # within a few sigma (sqrt(2/group) ~ 25%) of it — fixed value, 3x slack
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["key"])
+    row = ams_f2(df, "key").collect()[0]
+    assert row.exact_f2 == 2000
+    assert abs(row.ams_estimate - 2000) < 2000 * 0.75
