@@ -741,3 +741,61 @@ def ams_f2(df: DataFrame, key_col: str, depth: int = 5, group: int = 32,
             ).alias("err_ppm"),
         )
     )
+
+
+def hll_registers_grouped(df: DataFrame, key_col: str, group_cols: list[str],
+                          p: int = 8, seed: int = 0) -> DataFrame:
+    """Per-group HLL registers: (group_cols..., bucket, rho) — at most 2^p
+    rows per group. The grouped form of :func:`hll_registers`; merge
+    across groups (e.g. time windows) is still per-bucket max."""
+    q = HASH_BITS - p
+    rho_max = q + 1
+    h = df.select(
+        *[F.col(c) for c in group_cols],
+        _md5_long(F.col(key_col).cast("string"), seed).alias("h"),
+    )
+    return (
+        h.select(
+            *group_cols,
+            F.expr(f"h DIV {1 << q}").alias("bucket"),
+            F.expr(
+                f"CASE WHEN h % {1 << q} = 0 THEN {rho_max} "
+                f"ELSE {rho_max} - length(bin(h % {1 << q})) END"
+            ).alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_grouped(regs: DataFrame, group_cols: list[str],
+                         p: int = 8) -> DataFrame:
+    """Per-group (group_cols..., v_zero, s2, hll_estimate) from grouped
+    registers, WITHOUT generating the m-bucket grid per group: present
+    registers always have rho ≥ 1, so the closed form
+    ``s2 = Σ_present 2^(rho_max − rho) + (m − n_present)·2^rho_max``
+    folds the empty buckets in algebraically — one aggregate per group,
+    no range/grid join, which is what lets the sketch estimate run per
+    DAY (or per any high-cardinality group) at 100 TB."""
+    m = 1 << p
+    rho_max = HASH_BITS - p + 1
+    alpha_expr = _hll_alpha_expr(m, rho_max)
+    state = regs.groupBy(*group_cols).agg(
+        (F.lit(m) - F.count(F.lit(1))).cast("long").alias("v_zero"),
+        F.expr(
+            f"CAST(sum(shiftleft(CAST(1 AS BIGINT), CAST({rho_max} - rho AS INT)))"
+            f" + ({m} - count(1)) * CAST({1 << rho_max} AS BIGINT) AS BIGINT)"
+        ).alias("s2"),
+    )
+    return state.select(
+        *group_cols,
+        "v_zero",
+        "s2",
+        F.expr(
+            f"CASE WHEN ({alpha_expr} / CAST(s2 AS DOUBLE)) <= 2.5e0 * {m}e0"
+            f"          AND v_zero > 0"
+            f" THEN CAST(round({m}e0 * ln({m}e0 / CAST(v_zero AS DOUBLE))) AS BIGINT)"
+            f" ELSE CAST(round({alpha_expr} / CAST(s2 AS DOUBLE)) AS BIGINT)"
+            f" END"
+        ).alias("hll_estimate"),
+    )

@@ -35,8 +35,8 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 #: covered: rel_unpivot_city_metrics (melts the in-window
 #: city_comparison aggregate; hash-green locally). Tier 0 = the six NEW
 #: sketch queries (plans/sketches.py) — never driver-checked, so they
-#: outrank everything. Tier 2 = 17 of the 25 rows last driver-green in r2
-#: (verdict #5: drain the stale tail); the eight displaced to make room
+#: outrank everything. Tier 2 = 15 of the 25 rows last driver-green in r2
+#: (verdict #5: drain the stale tail); the ten displaced to make room
 #: for tier 0 are the lowest-risk rows (named at tier 0 below), unchanged
 #: since r2 and green under the typed r6 local harness. The r1-r5 window history lives in git (this block at
 #: tags r5 and earlier) and WINDOW_LEDGER.json.
@@ -53,7 +53,12 @@ _VERIFY_FIRST = (
     # strictly), docs_exact_dedup (5-line md5 groupBy, unchanged since
     # r2, typed-green locally), docs_fingerprint (winnowing-lite map;
     # the full winnowing pair sits in tier 1 this round),
-    # docs_language_id (stopword-ratio projection, typed-green locally).
+    # docs_language_id (stopword-ratio projection, typed-green locally),
+    # docs_bpe_token_count (regex token count), docs_simhash (signature
+    # map whose heavy pair consumer was driver-green in r5 and is
+    # benched). Risk logic: a never-externally-checked NEW query always
+    # outranks an unchanged-since-r2 row that the now-driver-equivalent
+    # typed local harness re-greens every round.
     "rel_kmv_distinct",
     "rel_cms_heavy_hitters",
     "rel_bloom_semijoin",
@@ -62,6 +67,8 @@ _VERIFY_FIRST = (
     "rel_kmv_intersection",
     "rel_priority_sample_revenue",
     "rel_ams_f2",
+    "rel_hll_monthly_customers",
+    "rel_hll_rolling_distinct",
     # --- tier 1: changed in round 6 ---
     "events_cumulative_users",         # oracle window SUM cast to BIGINT (r5 red row)
     "rel_pagerank",                    # long node ids, complete-in-degree iterations
@@ -91,9 +98,7 @@ _VERIFY_FIRST = (
     "events_props_stats",
     "events_props_variant",
     # --- tier 2: drain of the r2-vintage stale tail (verdict #5) ---
-    "docs_bpe_token_count",
     "docs_minhash_signatures",
-    "docs_simhash",
     "docs_token_stats",
     "docs_top_ngrams",
     "rel_customers_without_orders",

@@ -635,6 +635,177 @@ FROM est, ex
 O_AMS_F2 = _ams_oracle()
 
 
+# --------------------------------------------------------------------------
+# Grouped + rolling-window HLL: monthly / trailing-3-month distinct
+# customers from monthly register tables
+# --------------------------------------------------------------------------
+
+HLLG_P = 8
+_HLLG_M = 1 << HLLG_P
+_HLLG_Q = 60 - HLLG_P
+_HLLG_RMAX = _HLLG_Q + 1
+
+
+def q_hll_monthly_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct ordering customers per month, estimated from per-month HLL
+    registers — the canonical "distinct users per day" sketch workload,
+    with the per-group estimate in closed form (no bucket-grid join; see
+    ext/sketch.py:hll_estimate_grouped). Exact count + integer-ppm error
+    ride along per month."""
+    from ..ext.sketch import hll_estimate_grouped, hll_registers_grouped
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx"),
+        "o_custkey",
+    )
+    regs = hll_registers_grouped(o, "o_custkey", ["midx"], p=HLLG_P)
+    est = hll_estimate_grouped(regs, ["midx"], p=HLLG_P)
+    exact = o.groupBy("midx").agg(
+        F.count_distinct("o_custkey").alias("exact_distinct")
+    ).withColumnRenamed("midx", "midx_e")
+    return (
+        est.join(exact, est["midx"] == exact["midx_e"])
+        .select("midx", "v_zero", "s2", "hll_estimate", "exact_distinct")
+        .withColumn(
+            "err_ppm",
+            F.expr(
+                "(abs(hll_estimate - exact_distinct) * CAST(1000000 AS BIGINT))"
+                " DIV exact_distinct"
+            ),
+        )
+    )
+
+
+def q_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-3-month distinct customers per month computed by MERGING
+    the stored monthly register tables (per-bucket max over the window) —
+    distinct-over-arbitrary-window-unions WITHOUT re-scanning the fact
+    table, the property that makes HLL the rolling-retention sketch. The
+    register-merge join touches months × window (tiny); the exact rolling
+    distinct (eval-only) pays the real range-join + count_distinct the
+    sketch avoids."""
+    from ..ext.sketch import hll_estimate_grouped, hll_registers_grouped
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx"),
+        "o_custkey",
+    )
+    # the stored monthly sketch table: both the month list and the merge
+    # read it; k·m rows, materialized once
+    regs = hll_registers_grouped(o, "o_custkey", ["midx"], p=HLLG_P).localCheckpoint()
+    months = regs.select("midx").distinct().withColumnRenamed("midx", "tmidx")
+    rolled = (
+        regs.join(
+            F.broadcast(months),
+            (F.col("midx") >= F.col("tmidx") - 2)
+            & (F.col("midx") <= F.col("tmidx")),
+        )
+        .groupBy("tmidx", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    est = hll_estimate_grouped(rolled, ["tmidx"], p=HLLG_P)
+    pairs = o.distinct()
+    exact = (
+        pairs.join(
+            F.broadcast(months.withColumnRenamed("tmidx", "emidx")),
+            (F.col("midx") >= F.col("emidx") - 2)
+            & (F.col("midx") <= F.col("emidx")),
+        )
+        .groupBy("emidx")
+        .agg(F.count_distinct("o_custkey").alias("exact_distinct"))
+    )
+    return (
+        est.join(exact, est["tmidx"] == exact["emidx"])
+        .select(
+            F.col("tmidx").alias("midx"),
+            "v_zero",
+            "s2",
+            "hll_estimate",
+            "exact_distinct",
+        )
+        .withColumn(
+            "err_ppm",
+            F.expr(
+                "(abs(hll_estimate - exact_distinct) * CAST(1000000 AS BIGINT))"
+                " DIV exact_distinct"
+            ),
+        )
+    )
+
+
+_HLLG_ALPHA = f"(0.7213e0 / (1.0e0 + 1.079e0 / {_HLLG_M}e0)) * {_HLLG_M * _HLLG_M}e0 * {1 << _HLLG_RMAX}e0"
+
+_HLLG_BASE = f"""
+o AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS midx, o_custkey
+  FROM orders
+),
+h AS (
+  SELECT midx, {_sql_hash("'0'", "CAST(o_custkey AS VARCHAR)")} AS h FROM o
+),
+regs AS (
+  SELECT midx, h // {1 << _HLLG_Q} AS bucket,
+         MAX(CASE WHEN h % {1 << _HLLG_Q} = 0 THEN {_HLLG_RMAX}
+                  ELSE {_HLLG_RMAX} - length(bin(h % {1 << _HLLG_Q})) END) AS rho
+  FROM h GROUP BY 1, 2
+)"""
+
+
+def _hllg_state_sql(src: str, grp: str) -> str:
+    return f"""
+state AS (
+  SELECT {grp},
+         CAST({_HLLG_M} - COUNT(*) AS BIGINT) AS v_zero,
+         CAST(SUM(CAST(1 AS BIGINT) << CAST({_HLLG_RMAX} - rho AS INTEGER))
+              + ({_HLLG_M} - COUNT(*)) * CAST({1 << _HLLG_RMAX} AS BIGINT)
+              AS BIGINT) AS s2
+  FROM {src} GROUP BY {grp}
+),
+est AS (
+  SELECT {grp}, v_zero, s2,
+         CASE WHEN ({_HLLG_ALPHA} / CAST(s2 AS DOUBLE)) <= 2.5e0 * {_HLLG_M}e0
+                   AND v_zero > 0
+              THEN CAST(round({_HLLG_M}e0 * ln({_HLLG_M}e0 / CAST(v_zero AS DOUBLE))) AS BIGINT)
+              ELSE CAST(round({_HLLG_ALPHA} / CAST(s2 AS DOUBLE)) AS BIGINT)
+         END AS hll_estimate
+  FROM state
+)"""
+
+
+O_HLL_MONTHLY_CUSTOMERS = f"""
+WITH {_HLLG_BASE},
+{_hllg_state_sql("regs", "midx")},
+ex AS (SELECT midx, COUNT(DISTINCT o_custkey) AS exact_distinct FROM o GROUP BY midx)
+SELECT est.midx, est.v_zero, est.s2, est.hll_estimate,
+       CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+       CAST((ABS(est.hll_estimate - ex.exact_distinct) * 1000000)
+            // ex.exact_distinct AS BIGINT) AS err_ppm
+FROM est JOIN ex ON ex.midx = est.midx
+"""
+
+O_HLL_ROLLING_DISTINCT = f"""
+WITH {_HLLG_BASE},
+months AS (SELECT DISTINCT midx AS tmidx FROM regs),
+rolled AS (
+  SELECT t.tmidx, r.bucket, MAX(r.rho) AS rho
+  FROM months t JOIN regs r ON r.midx BETWEEN t.tmidx - 2 AND t.tmidx
+  GROUP BY t.tmidx, r.bucket
+),
+{_hllg_state_sql("rolled", "tmidx")},
+pairs AS (SELECT DISTINCT midx, o_custkey FROM o),
+ex AS (
+  SELECT t.tmidx, COUNT(DISTINCT p.o_custkey) AS exact_distinct
+  FROM months t JOIN pairs p ON p.midx BETWEEN t.tmidx - 2 AND t.tmidx
+  GROUP BY t.tmidx
+)
+SELECT est.tmidx AS midx, est.v_zero, est.s2, est.hll_estimate,
+       CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+       CAST((ABS(est.hll_estimate - ex.exact_distinct) * 1000000)
+            // ex.exact_distinct AS BIGINT) AS err_ppm
+FROM est JOIN ex ON ex.tmidx = est.tmidx
+"""
+
+
 QUERIES = {
     "rel_kmv_distinct": q_kmv_distinct,
     "rel_cms_heavy_hitters": q_cms_heavy_hitters,
@@ -644,6 +815,8 @@ QUERIES = {
     "rel_kmv_intersection": q_kmv_intersection,
     "rel_priority_sample_revenue": q_priority_sample_revenue,
     "rel_ams_f2": q_ams_f2,
+    "rel_hll_monthly_customers": q_hll_monthly_customers,
+    "rel_hll_rolling_distinct": q_hll_rolling_distinct,
 }
 
 ORACLES = {
@@ -655,4 +828,6 @@ ORACLES = {
     "rel_kmv_intersection": O_KMV_INTERSECTION,
     "rel_priority_sample_revenue": O_PRIORITY_SAMPLE_REVENUE,
     "rel_ams_f2": O_AMS_F2,
+    "rel_hll_monthly_customers": O_HLL_MONTHLY_CUSTOMERS,
+    "rel_hll_rolling_distinct": O_HLL_ROLLING_DISTINCT,
 }

@@ -236,3 +236,47 @@ def test_ams_f2_concentrates_on_distinct_keys(spark):
     row = ams_f2(df, "key").collect()[0]
     assert row.exact_f2 == 2000
     assert abs(row.ams_estimate - 2000) < 2000 * 0.75
+
+
+def test_hll_grouped_closed_form_equals_grid_form(spark):
+    """hll_estimate_grouped's closed-form empty-bucket s2 must equal the
+    bucket-grid s2 of hll_estimate_from_registers on the same registers."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.sketch import (
+        hll_estimate_from_registers,
+        hll_estimate_grouped,
+        hll_registers,
+        hll_registers_grouped,
+    )
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame([(i % 300, "g") for i in range(900)], ["key", "g"])
+    grid = hll_estimate_from_registers(hll_registers(df, "key", p=6), 6).collect()[0]
+    grouped = hll_estimate_grouped(
+        hll_registers_grouped(df, "key", ["g"], p=6), ["g"], p=6
+    ).collect()[0]
+    assert (grouped.s2, grouped.v_zero, grouped.hll_estimate) == (
+        grid.s2, grid.v_zero, grid.hll_estimate
+    )
+    assert F2 is not None
+
+
+def test_hll_rolling_merge_equals_direct_window_sketch(spark):
+    """Merging per-period registers over a window must equal sketching the
+    window's rows directly (the register max-merge is lossless)."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.sketch import (
+        hll_registers,
+        hll_registers_grouped,
+    )
+    from pyspark.sql import functions as F2
+
+    rows = [(m, (m * 97 + i) % 500) for m in range(4) for i in range(200)]
+    df = spark.createDataFrame(rows, ["midx", "key"])
+    regs = hll_registers_grouped(df, "key", ["midx"], p=6)
+    merged = (
+        regs.filter(F2.col("midx").between(1, 3))
+        .groupBy("bucket")
+        .agg(F2.max("rho").alias("rho"))
+    )
+    direct = hll_registers(df.filter(F2.col("midx").between(1, 3)), "key", p=6)
+    key = lambda d: sorted((r.bucket, r.rho) for r in d.collect())
+    assert key(merged) == key(direct)
