@@ -75,6 +75,7 @@ EXTENDED = [
     "rel_triangle_count",
     "rel_priority_sample_revenue",
     "rel_ams_f2",
+    "rel_hll_rolling_distinct",
     # docs_distill_filter deliberately NOT benched: 15 driver-looped
     # training jobs (~20 s) would dominate the wall-clock total without
     # measuring anything scan/shuffle-shaped
