@@ -441,3 +441,20 @@ def test_temperature_mixture_counts_cached_two_pass(spark, sf_dir, qs):
     mem = len(re.findall(r"InMemoryTableScan|TableCacheQueryStage", plan))
     scans = len(re.findall(r"Scan parquet|FileScan", plan))
     assert scans <= 2 * mem + 2
+
+
+def test_ams_f2_aggregate_stays_lane_packed(spark, sf_dir, qs):
+    """The AMS sketch aggregate keeps TWO 31-bit bit-counters per long
+    (z_i = n − 2·ones_i recovered in the projection), so the sketch
+    HashAggregate emits ~94 packed sums — under
+    spark.sql.codegen.maxFields (default 100), where the naive
+    depth·group=160 ±1-sum form falls out of whole-stage codegen and runs
+    interpreted (measured 5.1 s vs 2.3 s per cold run at sf0.1). Pin the
+    widest aggregate under that threshold so the regression can't
+    silently return."""
+    plan = _physical(qs["rel_ams_f2"](spark, sf_dir))
+    max_fields = 0
+    for m in re.finditer(r"HashAggregate\(keys=\[\], functions=\[(.*?)\]\)", plan):
+        n = m.group(1).count("sum(") + m.group(1).count("count(")
+        max_fields = max(max_fields, n)
+    assert 0 < max_fields <= 100, f"widest global aggregate = {max_fields}"
