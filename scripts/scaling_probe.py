@@ -67,6 +67,9 @@ PROBE = [
     "rel_bloom_semijoin",        # bit filter build + broadcast probe
     "rel_triangle_count",        # pair explode + two edge joins (the
                                  # quadratic-risk candidate of the family)
+    "rel_ams_f2",                # lane-packed one-pass sign aggregate
+                                 # (+ the exact per-key F2 it is judged
+                                 # against — the latter owns the shuffle)
 ]
 
 
