@@ -76,6 +76,7 @@ EXTENDED = [
     "rel_priority_sample_revenue",
     "rel_ams_f2",
     "rel_hll_rolling_distinct",
+    "rel_bottomk_quantiles",
     # docs_distill_filter deliberately NOT benched: 15 driver-looped
     # training jobs (~20 s) would dominate the wall-clock total without
     # measuring anything scan/shuffle-shaped

@@ -832,3 +832,84 @@ def hll_estimate_grouped(regs: DataFrame, group_cols: list[str],
             f" END"
         ).alias("hll_estimate"),
     )
+
+
+def bottomk_quantiles(df: DataFrame, key_col, value_col: str,
+                      probs_ppm: list[int], k: int = 256,
+                      seed: int = 0) -> DataFrame:
+    """Mergeable quantile estimates from ONE stored bottom-k sample
+    (the missing sibling of the KMV/HLL/CMS/AMS family): keep the k rows
+    whose portable hash of ``key_col`` is smallest — a uniform
+    without-replacement sample and the SAME monoid as the KMV sketch
+    (merge = union + re-trim to k) — and answer any posterior quantile
+    query from the sample's order statistics. Returns one row per
+    requested probability: (p_ppm, est_value, rank_ppm, rank_err_ppm,
+    sample_k, n_total).
+
+    Estimator: est(p) = the ceil(p·k)-th smallest sampled value, the
+    classic sample-quantile bound (rank error concentrates at
+    O(1/√k) ≈ 6% for k=256 — Manku et al., SIGMOD 1998 frame the
+    bottom-k/random-sample summary this family refines). Quality is
+    reported the way quantile-sketch papers report it: the TRUE rank of
+    the returned value (one conditional-count pass, the eval-only scan
+    the sketch replaces) against the requested rank, as rank_err_ppm —
+    NOT value error, which is meaningless for heavy-tailed columns.
+
+    Everything is deterministic and integer-exact, so the DuckDB oracle
+    replays it bit-for-bit: the sample is ORDER BY (h, v) LIMIT k on the
+    60-bit md5 hash, the order-statistic index is the integer
+    idx = (p_ppm·k + 999999) DIV 10⁶, and ranks/errors are ppm DIVs on
+    longs. Ties: (h, v) then (v, h) orderings are both total because h
+    is unique over distinct keys w.h.p. and duplicated keys carry equal
+    sampling fate (correct for row-population quantiles as long as
+    ``key_col`` is a ROW identity, which the callers guarantee).
+
+    Spark shape: the selection is sort(h, v).limit(k) →
+    TakeOrderedAndProject (per-partition top-k, k·P rows to the driver
+    merge — never a global sort); the k-row sample gets its order
+    statistics from a single-partition window over k rows; rank
+    evaluation broadcasts the |probs| estimate rows against one
+    conditional-count aggregate scan. At 100 TB the sample IS the stored
+    summary table — posterior quantile queries, like the priority
+    sample's subset sums, never rescan the fact table.
+    """
+    key_str = key_col if isinstance(key_col, str) else None
+    kc = F.col(key_str).cast("string") if key_str else key_col.cast("string")
+    hashed = df.select(
+        _md5_long(kc, seed).alias("h"),
+        F.col(value_col).alias("v"),
+    )
+    samp = hashed.sort(F.asc("h"), F.asc("v")).limit(k)
+    ord_ = samp.select(
+        "v", F.row_number().over(Window.orderBy(F.asc("v"), F.asc("h"))).alias("r")
+    )
+    idx = {p: (p * k + 999_999) // 1_000_000 for p in probs_ppm}
+    est = ord_.filter(
+        F.col("r").isin(*sorted(set(idx.values())))
+    ).select("r", F.col("v").alias("est_value"))
+    probs = df.sparkSession.createDataFrame(
+        [(p, i) for p, i in sorted(idx.items())], "p_ppm bigint, r int"
+    )
+    targets = probs.join(est, "r").select("p_ppm", "est_value")
+    ranked = (
+        df.select(F.col(value_col).alias("v"))
+        .crossJoin(F.broadcast(targets))
+        .groupBy("p_ppm", "est_value")
+        .agg(
+            F.expr("CAST(sum(CASE WHEN v <= est_value THEN 1 ELSE 0 END)"
+                   " AS BIGINT)").alias("le"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+    )
+    return (
+        ranked.select(
+            "p_ppm",
+            "est_value",
+            F.expr("(le * CAST(1000000 AS BIGINT)) DIV n_total").alias("rank_ppm"),
+            F.expr("abs((le * CAST(1000000 AS BIGINT)) DIV n_total - p_ppm)")
+            .alias("rank_err_ppm"),
+            F.lit(k).cast("long").alias("sample_k"),
+            "n_total",
+        )
+        .sort("p_ppm")
+    )

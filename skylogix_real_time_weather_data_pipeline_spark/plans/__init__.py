@@ -69,6 +69,10 @@ _VERIFY_FIRST = (
     "rel_ams_f2",
     "rel_hll_monthly_customers",
     "rel_hll_rolling_distinct",
+    # late-r6 addition (never driver-checked; outranks tier 2 per the
+    # risk logic above — weather_outlier_counts yields its slot: unchanged
+    # since r2, typed-green in CORRECTNESS_LOCAL_r06):
+    "rel_bottomk_quantiles",
     # --- tier 1: changed in round 6 ---
     "events_cumulative_users",         # oracle window SUM cast to BIGINT (r5 red row)
     "rel_pagerank",                    # long node ids, complete-in-degree iterations
@@ -112,7 +116,6 @@ _VERIFY_FIRST = (
     "weather_condition_histogram",
     "weather_condition_mode_by_city",
     "weather_exact_median",
-    "weather_outlier_counts",
 )
 
 

