@@ -458,3 +458,14 @@ def test_ams_f2_aggregate_stays_lane_packed(spark, sf_dir, qs):
         n = m.group(1).count("sum(") + m.group(1).count("count(")
         max_fields = max(max_fields, n)
     assert 0 < max_fields <= 100, f"widest global aggregate = {max_fields}"
+
+
+def test_bottomk_quantiles_takeordered_never_global_sort(spark, sf_dir, qs):
+    """The bottom-k sample selection must compile to TakeOrderedAndProject
+    (per-partition top-k, k·P rows to the driver merge) — a global sort
+    here would serialize the whole fact table through one partition. Two
+    scans total: the sample build and the rank-evaluation pass."""
+    plan = _physical(qs["rel_bottomk_quantiles"](spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") == 1
+    assert not re.search(r"\bSort\b.*global=true", plan)
+    assert len(re.findall(r"Scan parquet|FileScan", plan)) == 2
