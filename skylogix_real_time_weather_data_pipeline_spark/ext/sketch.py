@@ -546,14 +546,21 @@ def kmv_set_relations(df_a: DataFrame, key_a: str, df_b: DataFrame,
             "exact_intersection",
         )
         .withColumn(
+            # greatest(…, 1): two EMPTY inputs give union_kept = 0 (and
+            # n_common = 0, so the estimate is still the exact 0) — the
+            # guard keeps the degenerate case a 0, not a NULL (or a
+            # division-by-zero error in the DuckDB oracle replay)
             "est_intersection",
-            F.expr("(n_common * est_union) DIV union_kept"),
+            F.expr(
+                "(n_common * est_union)"
+                " DIV greatest(union_kept, CAST(1 AS BIGINT))"
+            ),
         )
         .withColumn(
             "err_union_ppm",
             F.expr(
                 "(abs(est_union - exact_union) * CAST(1000000 AS BIGINT))"
-                " DIV exact_union"
+                " DIV greatest(exact_union, CAST(1 AS BIGINT))"
             ),
         )
         .withColumn(
@@ -849,7 +856,10 @@ def bottomk_quantiles(df: DataFrame, key_col, value_col: str,
     Estimator: est(p) = the ceil(p·k)-th smallest sampled value, the
     classic sample-quantile bound (rank error concentrates at
     O(1/√k) ≈ 6% for k=256 — Manku et al., SIGMOD 1998 frame the
-    bottom-k/random-sample summary this family refines). Quality is
+    bottom-k/random-sample summary this family refines; when the input
+    holds fewer than k rows the index is clamped to the sample size, so
+    est(p) degrades to the exact maximum instead of dropping the row).
+    Quality is
     reported the way quantile-sketch papers report it: the TRUE rank of
     the returned value (one conditional-count pass, the eval-only scan
     the sketch replaces) against the requested rank, as rank_err_ppm —
@@ -858,8 +868,8 @@ def bottomk_quantiles(df: DataFrame, key_col, value_col: str,
     Everything is deterministic and integer-exact, so the DuckDB oracle
     replays it bit-for-bit: the sample is ORDER BY (h, v) LIMIT k on the
     60-bit md5 hash, the order-statistic index is the integer
-    idx = (p_ppm·k + 999999) DIV 10⁶, and ranks/errors are ppm DIVs on
-    longs. Ties: (h, v) then (v, h) orderings are both total because h
+    idx = least((p_ppm·k + 999999) DIV 10⁶, kept), and ranks/errors are
+    ppm DIVs on longs. Ties: (h, v) then (v, h) orderings are both total because h
     is unique over distinct keys w.h.p. and duplicated keys carry equal
     sampling fate (correct for row-population quantiles as long as
     ``key_col`` is a ROW identity, which the callers guarantee).
@@ -884,13 +894,23 @@ def bottomk_quantiles(df: DataFrame, key_col, value_col: str,
         "v", F.row_number().over(Window.orderBy(F.asc("v"), F.asc("h"))).alias("r")
     )
     idx = {p: (p * k + 999_999) // 1_000_000 for p in probs_ppm}
-    est = ord_.filter(
-        F.col("r").isin(*sorted(set(idx.values())))
-    ).select("r", F.col("v").alias("est_value"))
+    # clamp the order-statistic index to the ACTUAL sample size: with
+    # n < k the sample holds fewer than ceil(p·k) rows for large p, and
+    # an unclamped index would silently drop that probability's output
+    # row (violating the one-row-per-requested-probability contract).
+    # `kept` is a 1-row scalar over the ≤k-row sample — broadcast-free
+    # cost — and the clamp makes est(p) the sample maximum, the correct
+    # order statistic for any p once the sample IS the population tail.
+    kept = ord_.agg(F.max("r").alias("kept"))
     probs = df.sparkSession.createDataFrame(
         [(p, i) for p, i in sorted(idx.items())], "p_ppm bigint, r int"
     )
-    targets = probs.join(est, "r").select("p_ppm", "est_value")
+    targets = (
+        probs.crossJoin(F.broadcast(kept))
+        .select("p_ppm", F.least("r", "kept").alias("r"))
+        .join(ord_, "r")
+        .select("p_ppm", F.col("v").alias("est_value"))
+    )
     ranked = (
         df.select(F.col(value_col).alias("v"))
         .crossJoin(F.broadcast(targets))

@@ -496,10 +496,13 @@ SELECT {KMV_SET_K} AS k,
        CAST(exact_union AS BIGINT) AS exact_union,
        CAST(n_common AS BIGINT) AS n_common,
        CAST(exact_intersection AS BIGINT) AS exact_intersection,
-       CAST((n_common * est_union) // union_kept AS BIGINT) AS est_intersection,
-       CAST((ABS(est_union - exact_union) * 1000000) // exact_union AS BIGINT)
+       CAST((n_common * est_union) // greatest(union_kept, 1) AS BIGINT)
+         AS est_intersection,
+       CAST((ABS(est_union - exact_union) * 1000000)
+            // greatest(exact_union, 1) AS BIGINT)
          AS err_union_ppm,
-       CAST((ABS((n_common * est_union) // union_kept - exact_intersection)
+       CAST((ABS((n_common * est_union) // greatest(union_kept, 1)
+                 - exact_intersection)
              * 1000000) // greatest(exact_intersection, 1) AS BIGINT)
          AS err_intersection_ppm
 FROM est
@@ -855,8 +858,12 @@ ord AS (
   SELECT v, row_number() OVER (ORDER BY v ASC, h ASC) AS r FROM samp
 ),
 probs(p_ppm, r) AS (VALUES {values}),
+kept AS (SELECT MAX(r) AS kept FROM ord),
 est AS (
-  SELECT p.p_ppm, o.v AS est_value FROM probs p JOIN ord o USING (r)
+  -- index clamped to the sample size (mirrors ext/sketch.py: n < k
+  -- inputs still emit one row per requested probability)
+  SELECT p.p_ppm, o.v AS est_value
+  FROM probs p CROSS JOIN kept JOIN ord o ON o.r = LEAST(p.r, kept.kept)
 ),
 ranked AS (
   SELECT e.p_ppm, e.est_value,

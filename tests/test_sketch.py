@@ -334,6 +334,9 @@ def test_bottomk_quantiles_exact_when_population_fits(spark):
         [100_000, 500_000, 1_000_000], k=64, seed=1,
     ).collect()
     n = len(vals)
+    # the contract: ONE row per requested probability even though n < k
+    # (the order-statistic index is clamped to the sample size)
+    assert [r.p_ppm for r in out] == [100_000, 500_000, 1_000_000]
     for r in out:
         true_idx = -(-r.p_ppm * n // 1_000_000)  # ceil(p*n)
         # sample index ceil(p*k) overshoots ceil(p*n) by at most the
@@ -341,3 +344,19 @@ def test_bottomk_quantiles_exact_when_population_fits(spark):
         # order statistic's TRUE rank can only sit at or above p
         assert r.est_value in vals
         assert r.rank_ppm >= r.p_ppm - 1_000_000 // n
+    # indexes past the sample clamp to the maximum — p=1.0 returns the
+    # true max with exact rank
+    top = out[-1]
+    assert top.est_value == max(vals) and top.rank_ppm == 1_000_000
+
+
+def test_kmv_set_relations_empty_inputs(spark):
+    from skylogix_real_time_weather_data_pipeline_spark.ext.sketch import kmv_set_relations
+
+    empty = spark.createDataFrame([], "k int")
+    row = kmv_set_relations(empty, "k", empty, "k", k=16).collect()[0]
+    # degenerate guard: union_kept = exact_union = 0 must yield integer
+    # zeros, not NULLs (Spark) or a division-by-zero (the oracle replay)
+    assert row.union_kept == 0 and row.est_union == 0
+    assert row.est_intersection == 0 and row.exact_intersection == 0
+    assert row.err_union_ppm == 0 and row.err_intersection_ppm == 0
