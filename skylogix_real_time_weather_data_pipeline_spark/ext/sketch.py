@@ -898,18 +898,30 @@ def bottomk_quantiles(df: DataFrame, key_col, value_col: str,
     # n < k the sample holds fewer than ceil(p·k) rows for large p, and
     # an unclamped index would silently drop that probability's output
     # row (violating the one-row-per-requested-probability contract).
-    # `kept` is a 1-row scalar over the ≤k-row sample — broadcast-free
-    # cost — and the clamp makes est(p) the sample maximum, the correct
-    # order statistic for any p once the sample IS the population tail.
-    kept = ord_.agg(F.max("r").alias("kept"))
+    # `kept` rides along as a window count over the SAME ≤k-row ordered
+    # frame (a separate scalar aggregate would reference — and re-run —
+    # the whole sample-selection scan a second time); the clamp makes
+    # est(p) the sample maximum, the correct order statistic for any p
+    # once the sample IS the population tail. The probs⋈sample clamp
+    # join is a |probs|×k nested loop over driver-side-tiny frames.
+    sized = ord_.withColumn(
+        "kept",
+        F.count(F.lit(1)).over(
+            Window.orderBy(F.asc("r")).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
     probs = df.sparkSession.createDataFrame(
         [(p, i) for p, i in sorted(idx.items())], "p_ppm bigint, r int"
     )
     targets = (
-        probs.crossJoin(F.broadcast(kept))
-        .select("p_ppm", F.least("r", "kept").alias("r"))
-        .join(ord_, "r")
-        .select("p_ppm", F.col("v").alias("est_value"))
+        probs.alias("p")
+        .join(
+            sized.alias("o"),
+            F.col("o.r") == F.least(F.col("p.r"), F.col("o.kept")),
+        )
+        .select("p.p_ppm", F.col("o.v").alias("est_value"))
     )
     ranked = (
         df.select(F.col(value_col).alias("v"))

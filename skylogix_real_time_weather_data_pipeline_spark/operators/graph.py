@@ -150,18 +150,21 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     returns ONE row (n_nodes, n_edges, n_wedges, n_triangles,
     clustering_ppm).
 
-    Spark shape — the edge-iterator algorithm on the canonical orientation:
-    every triangle {x<y<z} is counted exactly once as the wedge
-    (x,y)+(y,z) closed by (x,z), so the plan is two equi-joins on the edge
-    table (wedge build on the shared middle vertex, then a semi-join-shaped
-    closure probe) with NO explosion beyond the true wedge count. Wedge
-    totals come from the degree fold (Σ d·(d−1)/2 — d·(d−1) is even, so
-    the division is exact integer). At 100 TB the refinement is
-    degree-descending orientation (direct each edge toward the
-    higher-degree endpoint, bounding per-vertex join fan-out by O(√|E|) on
-    skewed graphs — Suri & Vassilvitskii, WWW 2011); the id-ordered
-    orientation here keeps the oracle replay trivial and is identical in
-    cost on the bounded-degree graphs this engine builds.
+    Spark shape — the edge-iterator algorithm on the DEGREE-DESCENDING
+    orientation (Suri & Vassilvitskii's MR-NodeIterator++, WWW 2011):
+    each undirected edge is directed toward its higher-degree endpoint
+    (id tie-break, so the direction is a total order and deterministic),
+    giving every vertex out-degree O(√|E|) even on arbitrarily skewed
+    graphs. Every triangle x≺y≺z under the (degree, id) order is counted
+    exactly once as the out-wedge y←x→z closed by the oriented edge y→z,
+    so the plan is two equi-joins on the oriented edge table with wedge
+    fan-out bounded by Σ outdeg² = O(|E|^1.5) REGARDLESS of the degree
+    distribution — the id-ordered orientation this replaced blows up
+    O(d_max²) when a hub vertex has the smallest id. The triangle COUNT
+    is orientation-invariant, so the simpler id-ordered DuckDB oracle
+    replays the result unchanged. Reported wedge totals come from the
+    undirected degree fold (Σ d·(d−1)/2 — d·(d−1) is even, so the
+    division is exact integer).
 
     clustering_ppm = floor(3e6 · triangles / wedges): integer DIV on longs,
     zero float hazards (the repo-wide ppm convention).
@@ -180,11 +183,43 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         F.expr("CAST(sum(d * (d - 1)) DIV 2 AS BIGINT)").alias("n_wedges"),
     )
     ne = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    # wedges (x<y<z): (x,y) joined to (y,z) on the middle vertex y
-    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    wedges = e1.join(e2, "y").select("x", "z")
-    closure = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    # orient a—b toward the higher (d, id): two node-keyed joins attach
+    # endpoint degrees (AQE broadcasts deg when it is small — it has
+    # n_nodes rows against |E| edges), then a narrow projection flips.
+    # `dd` carries the DESTINATION's degree so the wedge canonicalization
+    # below needs no third join.
+    da, db = deg.alias("da"), deg.alias("db")
+    ed = (
+        e.join(da, F.col("a") == F.col("da.v"))
+        .join(db, F.col("b") == F.col("db.v"))
+        .select(
+            "a", "b",
+            F.col("da.d").alias("d_a"), F.col("db.d").alias("d_b"),
+        )
+    )
+    a_first = (F.col("d_a") < F.col("d_b")) | (
+        (F.col("d_a") == F.col("d_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("d_b")).otherwise(F.col("d_a")).alias("dd"),
+    )
+    # out-wedges at the lowest-order vertex of each candidate triangle:
+    # (u→v, u→w) with ord(v) < ord(w), closed iff oriented edge v→w exists
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            (F.col("o1.dd") < F.col("o2.dd"))
+            | (
+                (F.col("o1.dd") == F.col("o2.dd"))
+                & (F.col("o1.dst") < F.col("o2.dst"))
+            )
+        ),
+    ).select(F.col("o1.dst").alias("x"), F.col("o2.dst").alias("z"))
+    closure = oriented.select(F.col("src").alias("x"), F.col("dst").alias("z"))
     tri = (
         wedges.join(closure, ["x", "z"])
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

@@ -1711,22 +1711,18 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final O(nodes) projection, so the output — and the string-keyed
     oracle — is unchanged."""
     from ..operators.graph import pagerank
+    from ._shared import co_trade_pair_counts
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cs = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_custkey", "l_suppkey")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .select(
-            (F.col("o_custkey").cast("long") * 2).alias("cnode"),
-            (F.col("l_suppkey").cast("long") * 2 + 1).alias("snode"),
-            "w",
-        )
-        # materialize the aggregated pair table BEFORE the symmetric
-        # union — otherwise both union branches re-run the fact join
-        # (profiled: the doubled join dominated the whole query)
-        .localCheckpoint()
+    # the aggregated pair table is the shared co-trade frame — built and
+    # checkpointed ONCE per session, reused by rel_triangle_count (it was
+    # previously re-derived from the fact join independently per query;
+    # the checkpoint also keeps the symmetric-union branches below from
+    # re-running the join). The node encoding is a narrow projection over
+    # the checkpointed rows, re-run per branch at scan cost only.
+    cs = co_trade_pair_counts(spark, sf_dir).select(
+        (F.col("o_custkey").cast("long") * 2).alias("cnode"),
+        (F.col("l_suppkey").cast("long") * 2 + 1).alias("snode"),
+        "w",
     )
     edges = cs.select(
         F.col("cnode").alias("src"), F.col("snode").alias("dst"), "w"

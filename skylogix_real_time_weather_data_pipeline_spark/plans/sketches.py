@@ -242,25 +242,22 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     directed copy, mutual filter via semi-join on the T-bounded kept
     table, then operators/graph.py:triangle_stats."""
     from ..operators.graph import triangle_stats
+    from ._shared import co_trade_pair_counts
     from pyspark.sql import Window
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cs = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-        # both self-join sides read this; materializing it keeps the
-        # fact join single-evaluation (the usual reason to prefer the
-        # collect_set + _pairs_from_sorted_ids explode). The explode
-        # form was MEASURED 6x SLOWER here (7.6s vs 1.2s at sf0.1):
-        # at co-trade degree ~39 the nested transform/slice pair builder
-        # evaluates interpreted with O(d) array copies per element,
-        # while the equi-self-join + filter stays in whole-stage codegen
-        # — the same HOF-vs-codegen trade the simhash docstring records,
-        # landing the other way because this upstream is checkpointable.
-        .localCheckpoint()
-    )
+    # distinct (custkey, suppkey) pairs = the groupBy KEYS of the shared
+    # co-trade frame (plans/_shared.py) — built and checkpointed once per
+    # session, shared with rel_pagerank. Both self-join sides read the
+    # checkpointed rows, keeping the fact join single-evaluation (the
+    # usual reason to prefer the collect_set + _pairs_from_sorted_ids
+    # explode). The explode form was MEASURED 6x SLOWER here (7.6s vs
+    # 1.2s at sf0.1): at co-trade degree ~39 the nested transform/slice
+    # pair builder evaluates interpreted with O(d) array copies per
+    # element, while the equi-self-join + filter stays in whole-stage
+    # codegen — the same HOF-vs-codegen trade the simhash docstring
+    # records, landing the other way because this upstream is
+    # checkpointable.
+    cs = co_trade_pair_counts(spark, sf_dir).select("o_custkey", "l_suppkey")
     t1, t2 = cs.alias("t1"), cs.alias("t2")
     pairs = (
         t1.join(

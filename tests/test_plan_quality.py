@@ -286,6 +286,44 @@ def test_pagerank_first_iteration_joinless_no_node_reattach(spark, sf_dir, qs):
     assert "LeftOuter" not in plan
 
 
+def test_graph_queries_share_co_trade_frame(spark, sf_dir, qs):
+    """rel_pagerank and rel_triangle_count both branch from the SAME
+    memoized, checkpointed co-trade pair frame (plans/_shared.py): the
+    lineitem⋈orders fact join is evaluated once per session, and the
+    second query's plan reads only checkpointed rows — zero parquet
+    scans. A regression here doubles the dominant fact-join cost."""
+    from skylogix_real_time_weather_data_pipeline_spark.plans._shared import (
+        co_trade_pair_counts,
+    )
+
+    first = co_trade_pair_counts(spark, sf_dir)
+    assert co_trade_pair_counts(spark, sf_dir) is first  # memo hit
+    for name in ("rel_pagerank", "rel_triangle_count"):
+        plan = _physical(qs[name](spark, sf_dir))
+        assert "Scan parquet" not in plan, f"{name} re-scans the fact tables"
+
+
+def test_triangle_orientation_is_degree_descending(spark):
+    """On a skewed star-plus-edge graph the hub must emit NO wedges: each
+    star edge is directed toward the hub (higher degree), so out-wedges
+    only form at low-degree vertices — the Suri & Vassilvitskii bound the
+    100 TB story depends on. The id-ordered orientation this replaced
+    would have fanned the hub (smallest id) into d·(d−1)/2 wedge rows."""
+    from skylogix_real_time_weather_data_pipeline_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    # hub 1 connected to 2..41; one closing edge (2,3) → exactly 1 triangle
+    edges = spark.createDataFrame(
+        [(1, i) for i in range(2, 42)] + [(2, 3)], ["a", "b"]
+    )
+    row = triangle_stats(edges).collect()[0]
+    assert row.n_triangles == 1
+    assert row.n_nodes == 41 and row.n_edges == 41
+    # hub degree 40 dominates; vertices 2 and 3 (degree 2) add 1 wedge each
+    assert row.n_wedges == 40 * 39 // 2 + 2
+
+
 def test_anomaly_mad_broadcasts_group_tables(spark, sf_dir, qs):
     """Both per-group stats tables (median, MAD — checkpoint-materialized,
     so each is computed once, not once per reference) attach by
