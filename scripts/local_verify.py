@@ -203,6 +203,15 @@ def main() -> int:
             rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
             failed.append(name)
             print(f"{name}: ERROR {rec['err']}", file=sys.stderr)
+        finally:
+            # release every cache the query pinned (the owned-persist
+            # contract, cache.py): the sweep proves per-query cache
+            # hygiene instead of accumulating 163 queries of entries
+            from skylogix_real_time_weather_data_pipeline_spark.cache import (
+                release_owned_caches,
+            )
+
+            release_owned_caches(spark)
         results[name] = rec
     print(json.dumps(results, indent=2))
     if failed:

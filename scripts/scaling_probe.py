@@ -23,8 +23,15 @@ Synthetic 10× construction (written under .scale_probe/, gitignored):
   of the trade graph (pagerank components scale linearly; join/agg
   cardinalities scale 10×).
 
-Usage: python scripts/scaling_probe.py [--skip-gen]
-Writes SCALING_r06.json at the repo root.
+Beyond the registry queries, a SYNTHETIC skewed-graph case probes
+triangle counting directly: the engine's own co-trade graph is
+degree-bounded by construction (mutual top-T), so it cannot exercise the
+degree-descending orientation's reason to exist — a hub whose id-ordered
+wedge fan-out would be O(d_max²). The synthetic graph gives hubs degree
+~L/5 with leaves closing triangles through them, at two sizes 10× apart.
+
+Usage: python scripts/scaling_probe.py [--skip-gen] [--round N]
+Writes SCALING_r{N}.json at the repo root (default round 7).
 """
 
 from __future__ import annotations
@@ -150,6 +157,48 @@ def _median_noop(df_builder, runs: int = 3) -> float:
     return statistics.median(ts)
 
 
+def _skewed_triangle_probe(spark: SparkSession) -> dict:
+    """Triangle counting on a hub-skewed graph at L and 10·L leaves.
+
+    Construction: 10 hub vertices (ids 0..9, degree ~L/5 each — the ids
+    an ID-ORDERED orientation would fan out on), all 45 hub-hub edges,
+    and L leaves each tied to two distinct hubs — so every leaf closes
+    exactly one triangle through its hub pair. Degree-descending
+    orientation points leaf→hub and lower-degree-hub→higher, keeping
+    per-vertex join fan-out bounded; the probe asserts the wall-clock
+    growth for 10× leaves stays near-linear (<4 is the round gate).
+    """
+    from skylogix_real_time_weather_data_pipeline_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    def edges(n_leaves: int):
+        leaves = spark.range(n_leaves).select(
+            (F.col("id") + 100).alias("leaf"),
+            (F.col("id") % 10).alias("h1"),
+            ((F.col("id") + 1) % 10).alias("h2"),
+        )
+        leaf_edges = leaves.select(F.col("h1").alias("a"), F.col("leaf").alias("b")).unionByName(
+            leaves.select(F.col("h2").alias("a"), F.col("leaf").alias("b"))
+        )
+        hub_edges = spark.createDataFrame(
+            [(i, j) for i in range(10) for j in range(i + 1, 10)], ["a", "b"]
+        )
+        return leaf_edges.unionByName(hub_edges)
+
+    rec: dict[str, object] = {}
+    sizes = {"L100k": 100_000, "L1m": 1_000_000}
+    for label, n in sizes.items():
+        t = _median_noop(lambda: triangle_stats(edges(n)))
+        row = triangle_stats(edges(n)).collect()[0]
+        # each leaf closes one triangle through its hub pair; the 10
+        # hubs' K10 clique adds C(10,3) = 120 hub-only triangles
+        assert row.n_triangles == n + 120, row
+        rec[label] = round(t, 3)
+    rec["growth_10x"] = round(rec["L1m"] / max(rec["L100k"], 1e-9), 2)
+    return rec
+
+
 def main() -> int:
     spark = (
         SparkSession.builder.master("local[32]")
@@ -181,7 +230,13 @@ def main() -> int:
             rec["growth_10x"] = round(rec["sf1x"] / max(rec["sf0.1"], 1e-9), 2)
         out[name] = rec
         print(f"# {name}: {rec}", file=sys.stderr)
-    path = os.path.join(_HERE, "SCALING_r06.json")
+    out["synthetic_skewed_triangles"] = _skewed_triangle_probe(spark)
+    print(f"# synthetic_skewed_triangles: {out['synthetic_skewed_triangles']}",
+          file=sys.stderr)
+    rnd = 7
+    if "--round" in sys.argv:
+        rnd = int(sys.argv[sys.argv.index("--round") + 1])
+    path = os.path.join(_HERE, f"SCALING_r{rnd:02d}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({"written": path, "queries": len(out)}))

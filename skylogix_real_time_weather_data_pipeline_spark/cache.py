@@ -1,0 +1,60 @@
+"""Owned persist() registry: every cache the package creates is released
+deterministically, never leaked.
+
+The problem (round-6 review): operators that ``persist()`` a subtree whose
+result frame references it LAZILY (mixture-sampling language counts, the
+bigram transition table, n-gram Jaccard posting lists, the distributed
+shuffle's range table) cannot unpersist inside the operator — the caller
+has not run an action yet. Spark's CacheManager keeps those entries until
+an explicit unpersist/clearCache, so a long-lived session accumulates
+cached plans query after query (blocks are LRU-evictable, but the entries
+are not).
+
+The contract here: package code calls :func:`owned_persist` instead of
+``.persist()``. The frame is persisted exactly as before (lazy — it still
+pipelines into the caller's first action) AND recorded in a per-session
+registry; harness-level callers (the local correctness sweep, tests, any
+long-lived service loop) call :func:`release_owned_caches` between queries
+to unpersist everything the previous query pinned. Operators that already
+scope their caches (materialize → unpersist in-function, e.g. the distill
+trainer) also route through here — release is idempotent, so an early
+in-function unpersist simply makes the registry entry a no-op.
+
+``localCheckpoint`` frames are NOT tracked: their RDDs are owned by the
+ContextCleaner and vanish when the result frame is garbage-collected —
+the leak class this module fixes is specific to CacheManager entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: applicationId → list of persisted DataFrames awaiting release
+_OWNED: dict[str, list[DataFrame]] = {}
+
+
+def owned_persist(df: DataFrame, storage_level=None) -> DataFrame:
+    """persist() a DataFrame and record it for deterministic release."""
+    persisted = df.persist(storage_level) if storage_level is not None else df.persist()
+    app = df.sparkSession.sparkContext.applicationId
+    _OWNED.setdefault(app, []).append(persisted)
+    return persisted
+
+
+def release_owned_caches(spark: SparkSession) -> int:
+    """Unpersist every cache the package created in this session; returns
+    how many entries were released. Safe to call at any point — frames a
+    caller is still iterating simply recompute on next access."""
+    app = spark.sparkContext.applicationId
+    entries = _OWNED.pop(app, [])
+    for df in entries:
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+    return len(entries)
+
+
+def owned_cache_count(spark: SparkSession) -> int:
+    """How many persisted frames the registry currently pins (test hook)."""
+    return len(_OWNED.get(spark.sparkContext.applicationId, []))

@@ -229,14 +229,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     buckets = sh.groupBy("shingle").agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
     if max_shingle_df is not None:
         buckets = buckets.filter(F.size("ids") <= max_shingle_df)
-    buckets = buckets.persist()
+    from ..cache import owned_persist
+
+    buckets = owned_persist(buckets)
     # sizes is referenced by both the id_a and id_b join sides — cache the
     # tiny per-doc table too, or each side re-aggregates the index
-    sizes = (
+    sizes = owned_persist(
         buckets.select(F.explode("ids").alias(id_col))
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_sh"))
-        .persist()
     )
     inter = (
         buckets.filter(F.size("ids") >= 2)

@@ -417,12 +417,15 @@ def temperature_mixture(df: DataFrame, alpha: float = 0.5, budget_frac: float = 
     # (plan-probed). persist() (lazy — pipelines into the first action)
     # collapses that to ONE corpus scan for all stats branches; the
     # selection pass over df is the only other scan, the two-pass minimum
-    # for a data-derived-rate sampler. CALLER-OWNED CACHE: the returned
-    # frame references it lazily, so it cannot be unpersisted here —
-    # long-lived sessions invoking this repeatedly should
-    # spark.catalog.clearCache() between runs (blocks are also evictable
-    # LRU, so leakage degrades to recompute, never to OOM).
-    counts = df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("n_docs")).persist()
+    # for a data-derived-rate sampler. OWNED CACHE (cache.py): the
+    # returned frame references it lazily, so it cannot be unpersisted
+    # here — the session-scoped registry releases it via
+    # release_owned_caches() between queries.
+    from ..cache import owned_persist
+
+    counts = owned_persist(
+        df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    )
     w = F.round(F.pow("n_docs", F.lit(alpha)), 6)
     weights = counts.select(lang_col, "n_docs", w.alias("w"))
     totals = weights.agg(
@@ -683,15 +686,14 @@ def distill_quality_classifier(df: DataFrame, text_col: str = "text",
     integer mean and floor-isqrt standard deviation (GD on raw scales
     oscillates; floor(sqrt(double)) of an int below 2^52 is provably
     exact — non-square ints sit ≥ 1/(2√v) from any integer, far beyond
-    0.5 ulp — so both engines compute the identical sd). PARITY BOUND:
-    that 2^52 argument covers the VARIANCE, i.e. E[f²] micro-units² must
-    stay below 2^52 ≈ 4.5e15. The largest feature is f1u = n_words·10^4,
-    so E[f1u²] ≈ (n_words·10^4)² caps the guarantee at roughly
-    n_words ≲ 6,700 per document (√(4.5e15)/10^4); corpora with longer
-    documents must either clamp the word-count feature or replace the
-    oracle's FLOOR(SQRT(double)) with an integer isqrt (Newton CTE) to
-    keep the step-for-step replay exact. The driver testdata tops out
-    near 10² words — 60× inside the bound.
+    0.5 ulp — so both engines compute the identical sd). PARITY: the
+    trainer uses Python ``math.isqrt`` (exact at any magnitude); the
+    oracle replays it with an INTEGER isqrt chain (double seed → one
+    Newton step → two downward clamps, all HUGEINT after the seed — see
+    plans/ext.py:_distill_oracle), exact for variances far past the 2^52
+    double bound that FLOOR(SQRT(double)) alone would hit around
+    n_words ≈ 6,700 (tests/test_oracle_differential.py pins parity on a
+    20k-word corpus and on adversarial near-square variances).
 
     Scale shape: the integer feature table builds in one narrow pass and
     is persist()-cached; each iteration is ONE map-side-combinable
@@ -724,7 +726,11 @@ def distill_quality_classifier(df: DataFrame, text_col: str = "text",
     # (|n_words - 52.5| / 100): small inside the band, large outside
     f4u = F.abs(n_words.cast("long") * F.lit(10_000) - F.lit(525_000)).alias("f4u")
     y = F.when(feats["keep"], F.lit(1)).otherwise(F.lit(0)).alias("y")
-    feat = df.select(f1u, f2u, f3u, f4u, y).persist()
+    # scoped caches (unpersisted in-function after training), routed
+    # through the owned registry so release stays idempotent repo-wide
+    from ..cache import owned_persist
+
+    feat = owned_persist(df.select(f1u, f2u, f3u, f4u, y))
 
     names = ("bias", "n_words_c", "mean_word_len_c", "stop_hits_c", "wc_band_dist")
     fnames = ("f1u", "f2u", "f3u", "f4u")
@@ -753,7 +759,7 @@ def distill_quality_classifier(df: DataFrame, text_col: str = "text",
     # Standardization is iteration-invariant, so this is also the right
     # work shape: one narrow pass, then 15 tiny aggregates over longs.
     xnames = ("x1u", "x2u", "x3u", "x4u")
-    xfeat = feat.select(
+    xfeat = owned_persist(feat.select(
         *[
             _sdiv_half_away(
                 (F.col(c) - F.lit(m[j]).cast("long")) * F.lit(U), F.lit(sd[j])
@@ -761,7 +767,7 @@ def distill_quality_classifier(df: DataFrame, text_col: str = "text",
             for j, c in enumerate(fnames)
         ],
         "y",
-    ).persist()
+    ))
 
     def x_cols() -> list[Column]:
         return [F.lit(U).cast("long")] + [F.col(c) for c in xnames]
@@ -1067,16 +1073,16 @@ def bigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         ),
     ).otherwise(empty)
     pairs = F.when(n_tok >= 1, F.concat(sentinel, rest)).otherwise(empty)
-    # CALLER-OWNED CACHE (same contract as temperature_mixture's counts):
-    # the returned frame evaluates t lazily, so it cannot be unpersisted
-    # here; repeated invocations in one session should clearCache() — the
-    # blocks are LRU-evictable, so the worst case is recompute, not OOM.
-    t = (
+    # OWNED CACHE (same contract as temperature_mixture's counts): the
+    # returned frame evaluates t lazily, so it cannot be unpersisted
+    # here; the cache.py registry releases it between queries.
+    from ..cache import owned_persist
+
+    t = owned_persist(
         df.select(id_col, F.explode(pairs).alias("p"))
         .select(id_col, "p.prev", "p.w")
         .groupBy(id_col, "prev", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
     )
     uni = t.groupBy("w").agg(F.sum("tf").alias("cf"))
     n_total = uni.agg(F.sum("cf").alias("n_total"))

@@ -42,12 +42,14 @@ def global_rank(df: DataFrame, id_col: str, seed: int = 0,
     regardless of input partitioning or cluster size."""
     keyed = df.withColumn("_h", _shuffle_hash(id_col, seed))
     n = n_partitions or keyed.sparkSession.sparkContext.defaultParallelism
-    # persisted: the count pass and the rank pass must observe the SAME
-    # range boundaries and partition ids
-    parts = (
+    # persisted (owned — cache.py releases it between queries): the count
+    # pass and the rank pass must observe the SAME range boundaries and
+    # partition ids
+    from ..cache import owned_persist
+
+    parts = owned_persist(
         keyed.repartitionByRange(n, "_h", id_col)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
     counts = {r["_pid"]: r["cnt"] for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     offsets, acc = {}, 0

@@ -1773,8 +1773,32 @@ def _distill_oracle(n_iter: int, lr2: int) -> str:
         f"CAST({_sql_divha(f'CAST(SUM(CAST({c}*{c} AS DECIMAL(38,0))) AS HUGEINT)', 'CAST(COUNT(*) AS HUGEINT)')} AS BIGINT) AS q{j}"
         for j, c in enumerate(fus, 1)
     )
+    # INTEGER isqrt of the variance, exact for any HUGEINT input: double
+    # FLOOR(SQRT(v)) is only provably exact below 2^52 (ext/text.py's
+    # parity bound — docs ≳6,700 words push E[f1u²] past it), so the
+    # double value is demoted to a SEED: one integer Newton step
+    # (s0 + v//s0)//2 lands at isqrt(v) or at most 2 above it (the seed
+    # is within ~2^-52 relative of √v, so the step's error e²/(2√v) < 1),
+    # and two conditional decrements clamp down exactly. Every op after
+    # the seed is HUGEINT — no float can reach the result.
+    vexprs = ", ".join(
+        f"CAST(greatest(q{j} - m{j}*m{j}, 0) AS HUGEINT) AS v{j}"
+        for j in range(1, 5)
+    )
+    s0exprs = ", ".join(
+        f"CAST(FLOOR(SQRT(CAST(v{j} AS DOUBLE))) AS HUGEINT) AS s0_{j}"
+        for j in range(1, 5)
+    )
+    s1exprs = ", ".join(
+        f"CASE WHEN s0_{j} = 0 THEN 0 ELSE (s0_{j} + v{j} // s0_{j}) // 2 END AS s1_{j}"
+        for j in range(1, 5)
+    )
+    s2exprs = ", ".join(
+        f"CASE WHEN s1_{j}*s1_{j} > v{j} THEN s1_{j} - 1 ELSE s1_{j} END AS s2_{j}"
+        for j in range(1, 5)
+    )
     sdexprs = ", ".join(
-        f"greatest(1, CAST(FLOOR(SQRT(CAST(greatest(q{j} - m{j}*m{j}, 0) AS DOUBLE))) AS BIGINT)) AS sd{j}"
+        f"greatest(1, CAST(CASE WHEN s2_{j}*s2_{j} > v{j} THEN s2_{j} - 1 ELSE s2_{j} END AS BIGINT)) AS sd{j}"
         for j in range(1, 5)
     )
     xexprs = ", ".join(
@@ -1802,8 +1826,12 @@ def _distill_oracle(n_iter: int, lr2: int) -> str:
   FROM gfeat
 ), fmraw AS MATERIALIZED (
   SELECT {mexprs}, {qexprs}, COUNT(*) AS n FROM feat
+), fmv AS (SELECT *, {vexprs} FROM fmraw
+), fms0 AS (SELECT *, {s0exprs} FROM fmv
+), fms1 AS (SELECT *, {s1exprs} FROM fms0
+), fms2 AS (SELECT *, {s2exprs} FROM fms1
 ), fm AS MATERIALIZED (
-  SELECT *, {sdexprs} FROM fmraw
+  SELECT *, {sdexprs} FROM fms2
 ), xfeat AS MATERIALIZED (
   SELECT f.doc_id, {xexprs}, f.y
   FROM feat f CROSS JOIN fm

@@ -96,3 +96,71 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "temp_mean" in df.columns
+
+
+def test_oracle_isqrt_exact_on_adversarial_values():
+    """The distill oracle's integer-isqrt chain (double seed → Newton step
+    → two downward clamps) must equal math.isqrt for variances past the
+    2^52 double-exactness bound, including the worst cases: perfect
+    squares and squares±1, where FLOOR(SQRT(double)) flips."""
+    con = duckdb.connect()
+    ks = [3, 10**6, 67_000_000, 10**8 + 7, 10**9 + 123, 2**31 - 1, 10**12 + 3]
+    vals = sorted({k * k + d for k in ks for d in (-1, 0, 1)} | {0, 1, 2})
+    rows = con.execute(
+        """
+        WITH v(v) AS (SELECT CAST(UNNEST(?) AS HUGEINT)),
+        s0 AS (SELECT v, CAST(FLOOR(SQRT(CAST(v AS DOUBLE))) AS HUGEINT) AS s0 FROM v),
+        s1 AS (SELECT v, CASE WHEN s0 = 0 THEN 0 ELSE (s0 + v // s0) // 2 END AS s1 FROM s0),
+        s2 AS (SELECT v, CASE WHEN s1*s1 > v THEN s1 - 1 ELSE s1 END AS s2 FROM s1)
+        SELECT v, CASE WHEN s2*s2 > v THEN s2 - 1 ELSE s2 END AS s FROM s2 ORDER BY v
+        """,
+        [vals],
+    ).fetchall()
+    for v, s in rows:
+        assert int(s) == math.isqrt(int(v)), (v, s, math.isqrt(int(v)))
+
+
+def test_distill_long_doc_parity(spark):
+    """End-to-end distill parity on a corpus with documents past the
+    ~6,700-word bound where E[f1u²] exceeds 2^52 and the old
+    FLOOR(SQRT(double)) oracle could diverge from the trainer's
+    math.isqrt. The full training replay must stay bit-identical."""
+    import random
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.text import (
+        distill_quality_classifier,
+    )
+    from skylogix_real_time_weather_data_pipeline_spark.plans.ext import _distill_oracle
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(30):
+        if i < 8:  # long docs: 15k-20k words → f1u² ≈ 2-4e16 ≫ 2^52
+            n = rng.choice([15_000, 18_000, 20_000])
+        else:
+            n = rng.choice([30, 50, 75, 120])
+        stops = rng.choice([0, 2, 4])
+        words = ["the"] * stops + [f"b{rng.randint(0, 9999)}" for _ in range(n - stops)]
+        rng.shuffle(words)
+        rows.append((i, " ".join(words)))
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(map(tuple, distill_quality_classifier(sdf, n_iter=3, lr2=4).collect()))
+
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    ores = con.execute(_distill_oracle(3, 4))
+    ocols = [c[0] for c in ores.description]
+    # align column order to the Spark schema before comparing tuples
+    orows = sorted(
+        tuple(r[ocols.index(c)] for c in
+              ("feature", "weight", "train_accuracy", "n_docs", "n_keep"))
+        for r in ores.fetchall()
+    )
+    assert len(out) == 5
+    for srow, orow in zip(out, orows):
+        assert srow[0] == orow[0]
+        assert srow[1] == pytest.approx(float(orow[1]), abs=0), (srow, orow)
+        assert srow[2] == pytest.approx(float(orow[2]), abs=0)
+        assert (srow[3], srow[4]) == (int(orow[3]), int(orow[4]))
