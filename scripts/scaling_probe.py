@@ -199,13 +199,87 @@ def _skewed_triangle_probe(spark: SparkSession) -> dict:
     return rec
 
 
+def _streaming_state_probe(spark: SparkSession) -> dict:
+    """10× state growth for the stateful-streaming path under RocksDB
+    (the engine's default provider): run the applyInPandasWithState
+    running-stats operator over K and 10·K distinct keys (two
+    micro-batches each, every batch touching every key), then read the
+    final progress's state-operator metrics. The 100 TB question this
+    answers with data: does per-batch latency track the BATCH size (good
+    — RocksDB keeps state off-heap and updates are point writes) or the
+    TOTAL state size (bad — a provider that rewrites its store per batch
+    cannot hold 10⁹-key state)?"""
+    import tempfile
+
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.stateful import (
+        running_key_stats,
+    )
+
+    rec: dict[str, object] = {}
+    for label, nkeys in (("keys100k", 100_000), ("keys1m", 1_000_000)):
+        with tempfile.TemporaryDirectory() as td:
+            src, ckpt = os.path.join(td, "src"), os.path.join(td, "ckpt")
+            for b in range(2):
+                (
+                    spark.range(nkeys)
+                    .select(
+                        F.concat(F.lit("k"), F.col("id")).alias("k"),
+                        (F.col("id") % 97).cast("double").alias("v"),
+                    )
+                    .coalesce(4)
+                    .write.mode("append" if b else "overwrite").json(src)
+                )
+            stream = (
+                spark.readStream.schema("k string, v double")
+                .option("maxFilesPerTrigger", 4)
+                .json(src)
+            )
+            t0 = time.perf_counter()
+            q = (
+                running_key_stats(stream, "k", "v")
+                .writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+            wall = time.perf_counter() - t0
+            progresses = [p for p in q.recentProgress if p["stateOperators"]]
+            last = progresses[-1]["stateOperators"][0]
+            rec[label] = {
+                "wall_s": round(wall, 2),
+                "n_batches": len(progresses),
+                "state_rows": last["numRowsTotal"],
+                "state_mem_bytes": last["memoryUsedBytes"],
+                "last_batch_update_ms": last["allUpdatesTimeMs"],
+                "last_batch_commit_ms": last["commitTimeMs"],
+                "rocksdb_sst_bytes": last.get("customMetrics", {}).get(
+                    "rocksdbSstFileSize"
+                ),
+            }
+    k1, k10 = rec["keys100k"], rec["keys1m"]
+    rec["growth_10x_wall"] = round(k10["wall_s"] / max(k1["wall_s"], 1e-9), 2)
+    rec["growth_10x_state_rows"] = round(
+        k10["state_rows"] / max(k1["state_rows"], 1), 2
+    )
+    return rec
+
+
 def main() -> int:
+    from skylogix_real_time_weather_data_pipeline_spark.session import ROCKSDB_PROVIDER
+
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", "8g")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -232,6 +306,9 @@ def main() -> int:
         print(f"# {name}: {rec}", file=sys.stderr)
     out["synthetic_skewed_triangles"] = _skewed_triangle_probe(spark)
     print(f"# synthetic_skewed_triangles: {out['synthetic_skewed_triangles']}",
+          file=sys.stderr)
+    out["streaming_state_rocksdb"] = _streaming_state_probe(spark)
+    print(f"# streaming_state_rocksdb: {out['streaming_state_rocksdb']}",
           file=sys.stderr)
     rnd = 7
     if "--round" in sys.argv:
