@@ -169,8 +169,18 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     clustering_ppm = floor(3e6 · triangles / wedges): integer DIV on longs,
     zero float hazards (the repo-wide ppm convention).
     """
+    from ..cache import owned_persist
+
     e = edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
-    deg = (
+    # deg feeds THREE consumers (the wedge-count fold plus both endpoint
+    # joins) and oriented feeds three more (both wedge sides + the closure
+    # probe); without pinning them, Spark re-executes the degree groupBy
+    # and the double endpoint join once per consumer — measured 8.8×
+    # growth at 10× input (SCALING_r07 pre-fix) purely from the
+    # re-evaluated lineage. Both frames are O(|V|) / O(|E|) — the same
+    # rows a production deployment would keep as the adjacency summary —
+    # and are released by the harness via release_owned_caches().
+    deg = owned_persist(
         e.select(F.col("a").alias("v"))
         .unionByName(e.select(F.col("b").alias("v")))
         .groupBy("v")
@@ -200,10 +210,12 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     a_first = (F.col("d_a") < F.col("d_b")) | (
         (F.col("d_a") == F.col("d_b")) & (F.col("a") < F.col("b"))
     )
-    oriented = ed.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        F.when(a_first, F.col("d_b")).otherwise(F.col("d_a")).alias("dd"),
+    oriented = owned_persist(
+        ed.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(a_first, F.col("d_b")).otherwise(F.col("d_a")).alias("dd"),
+        )
     )
     # out-wedges at the lowest-order vertex of each candidate triangle:
     # (u→v, u→w) with ord(v) < ord(w), closed iff oriented edge v→w exists
