@@ -77,6 +77,9 @@ EXTENDED = [
     "rel_ams_f2",
     "rel_hll_rolling_distinct",
     "rel_bottomk_quantiles",
+    # r7: the winnowing PAIR join (the stats map was benched since r5;
+    # the posting-list self-join it feeds was a plan-audit blind spot)
+    "docs_winnowing_pairs",
     # docs_distill_filter deliberately NOT benched: 15 driver-looped
     # training jobs (~20 s) would dominate the wall-clock total without
     # measuring anything scan/shuffle-shaped
@@ -209,6 +212,43 @@ def main() -> int:
     mat["matview_term_stats_cycle"] = round(med_mv, 4)  # cycle IS materialized
     print(
         f"# matview_term_stats_cycle: {med_mv:.3f}s ({n_mv} rows)",
+        file=sys.stderr,
+    )
+
+    # sketch-view maintenance cycle (r7): build the KMV+HLL+CMS summary
+    # views from half of orders, apply the other half as the incremental
+    # batch, then read every view back — the per-ingest-batch steady
+    # state of the profile-store deployment (constant-size state, no
+    # fact re-scan). Mirrors matview_term_stats_cycle's protocol.
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_cms_batch,
+        apply_hll_batch,
+        apply_kmv_batch,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    ohalf1 = orders.filter(SF.col("o_orderkey") % 2 == 0)
+    ohalf2 = orders.filter(SF.col("o_orderkey") % 2 == 1)
+
+    def _sketch_views_cycle() -> int:
+        root = tempfile.mkdtemp(prefix="bench_skviews_")
+        try:
+            for b, half in enumerate((ohalf1, ohalf2)):
+                apply_kmv_batch(half, b, f"{root}/kmv", "o_custkey")
+                apply_hll_batch(half, b, f"{root}/hll", "o_custkey")
+                apply_cms_batch(half, b, f"{root}/cms", "o_custkey")
+            return sum(
+                spark.read.parquet(f"{root}/{v}").count()
+                for v in ("kmv", "hll", "cms")
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    med_sv, n_sv = _median_time(_sketch_views_cycle)
+    timings["maintain_sketch_views_cycle"] = round(med_sv, 4)
+    mat["maintain_sketch_views_cycle"] = round(med_sv, 4)
+    print(
+        f"# maintain_sketch_views_cycle: {med_sv:.3f}s ({n_sv} rows)",
         file=sys.stderr,
     )
 
