@@ -324,6 +324,27 @@ def test_triangle_orientation_is_degree_descending(spark):
     assert row.n_wedges == 40 * 39 // 2 + 2
 
 
+def test_triangle_pins_degree_and_oriented_frames(spark, sf_dir, qs):
+    """`deg` feeds three consumers (wedge-count fold + both endpoint
+    joins) and `oriented` feeds three more (both wedge sides + the
+    closure probe). Both must serve from the cache (InMemoryTableScan in
+    every consumer's branch) — unpinned, Spark re-executes the degree
+    groupBy and the double endpoint join once per consumer, which
+    measured 8.8× growth at 10× input (SCALING_r07 pre-fix)."""
+    from skylogix_real_time_weather_data_pipeline_spark.cache import (
+        release_owned_caches,
+    )
+
+    release_owned_caches(spark)
+    try:
+        plan = _physical(qs["rel_triangle_count"](spark, sf_dir))
+        # 3 oriented consumers + 2 deg consumers read the cached frames
+        # (deg's third consumer is inside the cached oriented build)
+        assert len(re.findall(r"InMemoryTableScan", plan)) >= 5, plan
+    finally:
+        release_owned_caches(spark)
+
+
 def test_anomaly_mad_broadcasts_group_tables(spark, sf_dir, qs):
     """Both per-group stats tables (median, MAD — checkpoint-materialized,
     so each is computed once, not once per reference) attach by
