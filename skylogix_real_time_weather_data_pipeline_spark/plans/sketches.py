@@ -268,6 +268,22 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("t1.l_suppkey").alias("a"), F.col("t2.l_suppkey").alias("b")
         )
+        # force the shuffle BEFORE aggregating: the pair stream's global
+        # duplication (shared-count avg ~20) is spread across ALL map
+        # tasks, so per-task duplication is <1 and the default map-side
+        # combine collapses nothing while paying a multi-million-entry
+        # hash map per task (measured 9s of the 12.5s sf1x runtime, with
+        # spill). Hash-repartitioning on the pair key first brings every
+        # copy of a pair to one task, where the combine realizes the full
+        # ~20x collapse over a small map (sf1x: 10.8s → 4.5s). The more
+        # tasks a cluster has, the SMALLER per-map-task duplication gets,
+        # so skipping the pre-shuffle combine is the asymptotically
+        # correct shape for co-occurrence counting. 2x the session
+        # shuffle parallelism keeps each post-shuffle map cache-resident;
+        # AQE coalesces the tail on small inputs.
+        .repartition(
+            2 * int(spark.conf.get("spark.sql.shuffle.partitions")), "a", "b"
+        )
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= TRI_MIN_SHARED)
