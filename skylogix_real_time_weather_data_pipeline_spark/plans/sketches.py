@@ -220,46 +220,26 @@ TRI_MIN_SHARED = 2
 TRI_TOP = 8
 
 
-def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count + clustering coefficient of the MUTUAL top-T
-    supplier co-trade graph: suppliers are adjacent iff EACH ranks the
-    other among its TRI_TOP strongest co-suppliers (by shared-customer
-    count, partner id as the deterministic tie-break).
+def co_supplier_shared_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a, b, shared): supplier pairs a<b with the number of customers
+    both traded with, shared >= TRI_MIN_SHARED. The candidate-edge input
+    of q_triangle_count's mutual-kNN sparsification, exposed as its own
+    frame so the plan-quality suite can pin its aggregation shape (the
+    localCheckpoint downstream hides it from the final executed plan).
 
-    Why mutual top-T and not a raw shared>=threshold rule: co-occurrence
-    graphs DENSIFY with data volume — at sf0.1 every supplier pair
-    already shares >=2 customers, so the thresholded graph is COMPLETE
-    (measured: 1000 nodes, 499,500 edges, 5*10^8 wedges — the wedge join
-    OOMed a 4 GB driver). Mutual-kNN sparsification bounds the degree by
-    T ALGEBRAICALLY, so wedges <= N*T^2/2 at ANY scale — the same
-    fixed-output-budget discipline as the LSH bucket cap and the BM25
-    posting cap. That makes the triangle join's cost a function of the
-    graph ORDER, not the data density.
-
-    Plan shape: distinct (custkey, suppkey) pairs (checkpointed; both
-    self-join sides read it), codegen equi-self-join pair fan-out with
-    shared-count groupBy, per-node row_number window over the symmetric
-    directed copy, mutual filter via semi-join on the T-bounded kept
-    table, then operators/graph.py:triangle_stats."""
-    from ..operators.graph import triangle_stats
+    Both self-join sides read the session-shared checkpointed co-trade
+    frame (plans/_shared.py), keeping the fact join single-evaluation.
+    The explode form was MEASURED 6x SLOWER here (7.6s vs 1.2s at
+    sf0.1): at co-trade degree ~39 the nested transform/slice pair
+    builder evaluates interpreted with O(d) array copies per element,
+    while the equi-self-join + filter stays in whole-stage codegen —
+    the same HOF-vs-codegen trade the simhash docstring records,
+    landing the other way because this upstream is checkpointable."""
     from ._shared import co_trade_pair_counts
-    from pyspark.sql import Window
 
-    # distinct (custkey, suppkey) pairs = the groupBy KEYS of the shared
-    # co-trade frame (plans/_shared.py) — built and checkpointed once per
-    # session, shared with rel_pagerank. Both self-join sides read the
-    # checkpointed rows, keeping the fact join single-evaluation (the
-    # usual reason to prefer the collect_set + _pairs_from_sorted_ids
-    # explode). The explode form was MEASURED 6x SLOWER here (7.6s vs
-    # 1.2s at sf0.1): at co-trade degree ~39 the nested transform/slice
-    # pair builder evaluates interpreted with O(d) array copies per
-    # element, while the equi-self-join + filter stays in whole-stage
-    # codegen — the same HOF-vs-codegen trade the simhash docstring
-    # records, landing the other way because this upstream is
-    # checkpointable.
     cs = co_trade_pair_counts(spark, sf_dir).select("o_custkey", "l_suppkey")
     t1, t2 = cs.alias("t1"), cs.alias("t2")
-    pairs = (
+    return (
         t1.join(
             t2,
             (F.col("t1.o_custkey") == F.col("t2.o_custkey"))
@@ -288,6 +268,33 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= TRI_MIN_SHARED)
     )
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + clustering coefficient of the MUTUAL top-T
+    supplier co-trade graph: suppliers are adjacent iff EACH ranks the
+    other among its TRI_TOP strongest co-suppliers (by shared-customer
+    count, partner id as the deterministic tie-break).
+
+    Why mutual top-T and not a raw shared>=threshold rule: co-occurrence
+    graphs DENSIFY with data volume — at sf0.1 every supplier pair
+    already shares >=2 customers, so the thresholded graph is COMPLETE
+    (measured: 1000 nodes, 499,500 edges, 5*10^8 wedges — the wedge join
+    OOMed a 4 GB driver). Mutual-kNN sparsification bounds the degree by
+    T ALGEBRAICALLY, so wedges <= N*T^2/2 at ANY scale — the same
+    fixed-output-budget discipline as the LSH bucket cap and the BM25
+    posting cap. That makes the triangle join's cost a function of the
+    graph ORDER, not the data density.
+
+    Plan shape: shared-customer pair counts (co_supplier_shared_counts —
+    codegen equi-self-join over the checkpointed co-trade frame,
+    pair-key-partitioned count), per-node row_number window over the
+    symmetric directed copy, mutual filter via semi-join on the
+    T-bounded kept table, then operators/graph.py:triangle_stats."""
+    from ..operators.graph import triangle_stats
+    from pyspark.sql import Window
+
+    pairs = co_supplier_shared_counts(spark, sf_dir)
     directed = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "shared"
     ).unionByName(
