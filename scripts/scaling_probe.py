@@ -77,6 +77,10 @@ PROBE = [
     "rel_ams_f2",                # lane-packed one-pass sign aggregate
                                  # (+ the exact per-key F2 it is judged
                                  # against — the latter owns the shuffle)
+    # r7 additions: the remaining bench-heavy rows with no scaling row
+    "docs_winnowing_pairs",      # posting-list pair fan-out + pair count
+    "rel_bottomk_quantiles",     # KMV row-sample + rank evaluation
+    "rel_cms_heavy_hitters",     # counter grid + candidate verify pass
 ]
 
 
