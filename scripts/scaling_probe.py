@@ -251,6 +251,7 @@ def _streaming_state_probe(spark: SparkSession) -> dict:
             wall = time.perf_counter() - t0
             progresses = [p for p in q.recentProgress if p["stateOperators"]]
             last = progresses[-1]["stateOperators"][0]
+            cm = last.get("customMetrics", {})
             rec[label] = {
                 "wall_s": round(wall, 2),
                 "n_batches": len(progresses),
@@ -258,8 +259,16 @@ def _streaming_state_probe(spark: SparkSession) -> dict:
                 "state_mem_bytes": last["memoryUsedBytes"],
                 "last_batch_update_ms": last["allUpdatesTimeMs"],
                 "last_batch_commit_ms": last["commitTimeMs"],
-                "rocksdb_sst_bytes": last.get("customMetrics", {}).get(
-                    "rocksdbSstFileSize"
+                # rocksdbSstFileSize stays 0 at these state sizes (the
+                # memtable absorbs everything and changelog checkpointing
+                # defers snapshot flushes), so record the counters that DO
+                # move: point writes, bytes written, and the fsync part of
+                # the commit — the per-batch costs a 10⁹-key deployment
+                # pays.
+                "rocksdb_put_count": cm.get("rocksdbPutCount"),
+                "rocksdb_bytes_written": cm.get("rocksdbTotalBytesWritten"),
+                "rocksdb_commit_fsync_ms": cm.get(
+                    "rocksdbCommitFileSyncLatencyMs"
                 ),
             }
     k1, k10 = rec["keys100k"], rec["keys1m"]
@@ -291,6 +300,23 @@ def main() -> int:
         t0 = time.time()
         _gen(spark)
         print(f"# generated 10x replica set in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    rnd0 = 7
+    if "--round" in sys.argv:
+        rnd0 = int(sys.argv[sys.argv.index("--round") + 1])
+    path0 = os.path.join(_HERE, f"SCALING_r{rnd0:02d}.json")
+    if "--state-only" in sys.argv:
+        # patch just the streaming-state section of an existing round
+        # file (the query probes are ~25 min; the state probe ~4)
+        with open(path0) as fh:
+            out = json.load(fh)
+        out["streaming_state_rocksdb"] = _streaming_state_probe(spark)
+        print(f"# streaming_state_rocksdb: {out['streaming_state_rocksdb']}",
+              file=sys.stderr)
+        with open(path0, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print(json.dumps({"written": path0, "queries": len(out)}))
+        return 0
 
     import __spark_entry__ as E
 
