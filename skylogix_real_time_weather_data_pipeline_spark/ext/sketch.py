@@ -841,6 +841,83 @@ def hll_estimate_grouped(regs: DataFrame, group_cols: list[str],
     )
 
 
+def bottomk_rows(df: DataFrame, key_col, value_col: str, k: int = 256,
+                 seed: int = 0) -> DataFrame:
+    """The bottom-k row sample itself: the k (h, v) rows with the smallest
+    (60-bit portable hash of ``key_col``, value) — the per-shard/per-batch
+    summary that :func:`bottomk_merge` combines and
+    :func:`bottomk_estimates_from_sample` reads. Selection compiles to
+    TakeOrderedAndProject (per-partition top-k, never a global sort)."""
+    key_str = key_col if isinstance(key_col, str) else None
+    kc = F.col(key_str).cast("string") if key_str else key_col.cast("string")
+    return (
+        df.select(
+            _md5_long(kc, seed).alias("h"),
+            F.col(value_col).alias("v"),
+        )
+        .sort(F.asc("h"), F.asc("v"))
+        .limit(k)
+    )
+
+
+def bottomk_merge(state: DataFrame | None, delta: DataFrame,
+                  k: int) -> DataFrame:
+    """Monoid combine of two bottom-k row samples: multiset union →
+    re-take the k smallest (h, v). Associative and commutative. Unlike
+    :func:`kmv_merge` there is deliberately NO distinct — the sample is
+    over ROWS (two genuine rows may share (h, v) when a key is
+    duplicated), so idempotence under replay comes from the view's
+    batch-id guard, not from the merge itself."""
+    if state is None:
+        return delta
+    return (
+        state.unionByName(delta).sort(F.asc("h"), F.asc("v")).limit(k)
+    )
+
+
+def bottomk_estimates_from_sample(samp: DataFrame, k: int,
+                                  probs_ppm: list[int]) -> DataFrame:
+    """(p_ppm, est_value) — one row per requested probability — from a
+    stored bottom-k sample: est(p) = the least(ceil(p·k), kept)-th
+    smallest sampled value. The read path shared by the one-shot
+    :func:`bottomk_quantiles` operator and the incremental view
+    (streaming/matview.py:apply_bottomk_batch); see the operator's
+    docstring for the estimator and determinism pins."""
+    ord_ = samp.select(
+        "v", F.row_number().over(Window.orderBy(F.asc("v"), F.asc("h"))).alias("r")
+    )
+    idx = {p: (p * k + 999_999) // 1_000_000 for p in probs_ppm}
+    # clamp the order-statistic index to the ACTUAL sample size: with
+    # n < k the sample holds fewer than ceil(p·k) rows for large p, and
+    # an unclamped index would silently drop that probability's output
+    # row (violating the one-row-per-requested-probability contract).
+    # `kept` rides along as a window count over the SAME ≤k-row ordered
+    # frame (a separate scalar aggregate would reference — and re-run —
+    # the whole sample-selection scan a second time); the clamp makes
+    # est(p) the sample maximum, the correct order statistic for any p
+    # once the sample IS the population tail. The probs⋈sample clamp
+    # join is a |probs|×k nested loop over driver-side-tiny frames.
+    sized = ord_.withColumn(
+        "kept",
+        F.count(F.lit(1)).over(
+            Window.orderBy(F.asc("r")).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    probs = samp.sparkSession.createDataFrame(
+        [(p, i) for p, i in sorted(idx.items())], "p_ppm bigint, r int"
+    )
+    return (
+        probs.alias("p")
+        .join(
+            sized.alias("o"),
+            F.col("o.r") == F.least(F.col("p.r"), F.col("o.kept")),
+        )
+        .select("p.p_ppm", F.col("o.v").alias("est_value"))
+    )
+
+
 def bottomk_quantiles(df: DataFrame, key_col, value_col: str,
                       probs_ppm: list[int], k: int = 256,
                       seed: int = 0) -> DataFrame:
@@ -883,46 +960,8 @@ def bottomk_quantiles(df: DataFrame, key_col, value_col: str,
     summary table — posterior quantile queries, like the priority
     sample's subset sums, never rescan the fact table.
     """
-    key_str = key_col if isinstance(key_col, str) else None
-    kc = F.col(key_str).cast("string") if key_str else key_col.cast("string")
-    hashed = df.select(
-        _md5_long(kc, seed).alias("h"),
-        F.col(value_col).alias("v"),
-    )
-    samp = hashed.sort(F.asc("h"), F.asc("v")).limit(k)
-    ord_ = samp.select(
-        "v", F.row_number().over(Window.orderBy(F.asc("v"), F.asc("h"))).alias("r")
-    )
-    idx = {p: (p * k + 999_999) // 1_000_000 for p in probs_ppm}
-    # clamp the order-statistic index to the ACTUAL sample size: with
-    # n < k the sample holds fewer than ceil(p·k) rows for large p, and
-    # an unclamped index would silently drop that probability's output
-    # row (violating the one-row-per-requested-probability contract).
-    # `kept` rides along as a window count over the SAME ≤k-row ordered
-    # frame (a separate scalar aggregate would reference — and re-run —
-    # the whole sample-selection scan a second time); the clamp makes
-    # est(p) the sample maximum, the correct order statistic for any p
-    # once the sample IS the population tail. The probs⋈sample clamp
-    # join is a |probs|×k nested loop over driver-side-tiny frames.
-    sized = ord_.withColumn(
-        "kept",
-        F.count(F.lit(1)).over(
-            Window.orderBy(F.asc("r")).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ),
-    )
-    probs = df.sparkSession.createDataFrame(
-        [(p, i) for p, i in sorted(idx.items())], "p_ppm bigint, r int"
-    )
-    targets = (
-        probs.alias("p")
-        .join(
-            sized.alias("o"),
-            F.col("o.r") == F.least(F.col("p.r"), F.col("o.kept")),
-        )
-        .select("p.p_ppm", F.col("o.v").alias("est_value"))
-    )
+    samp = bottomk_rows(df, key_col, value_col, k, seed)
+    targets = bottomk_estimates_from_sample(samp, k, probs_ppm)
     ranked = (
         df.select(F.col(value_col).alias("v"))
         .crossJoin(F.broadcast(targets))

@@ -399,9 +399,34 @@ def apply_cms_batch(batch_df: DataFrame, batch_id: int, state_path: str,
     _commit_view(cms_merge(state, delta), state_path, batch_id)
 
 
+def apply_bottomk_batch(batch_df: DataFrame, batch_id: int, state_path: str,
+                        key_col: str, value_col: str, k: int = 256) -> None:
+    """One micro-batch of a bottom-k quantile-sample view: bottom-k the
+    batch's (hash, value) rows, min-merge into the stored sample — the
+    quantile member of the sketch-view family (distinct = KMV,
+    cardinality = HLL, frequency = CMS, quantiles = this). The stored
+    view is ≤ k (h, v) rows; any posterior quantile query reads it via
+    ``ext.sketch.bottomk_estimates_from_sample`` without rescanning the
+    fact stream. The merge is NOT idempotent per row (a re-delivered row
+    would occupy a second sample slot — rows, not a distinct-absorbing
+    key set), so the batch-id replay guard protects correctness here,
+    like the CMS counters."""
+    if _already_applied(state_path, batch_id):
+        return
+    from ..ext.sketch import bottomk_merge, bottomk_rows
+
+    spark = batch_df.sparkSession
+    delta = bottomk_rows(batch_df, key_col, value_col, k)
+    state = (
+        spark.read.parquet(state_path) if os.path.exists(state_path) else None
+    )
+    _commit_view(bottomk_merge(state, delta, k), state_path, batch_id)
+
+
 def maintain_sketch_views(src: DataFrame, base_dir: str, checkpoint_dir: str,
                           key_col: str, k: int = 256, p: int = 8,
-                          depth: int = 3, width: int = 256):
+                          depth: int = 3, width: int = 256,
+                          value_col: str | None = None):
     """Incrementally maintain the KMV + HLL + CMS sketch views over one
     streaming frame with trigger(availableNow) — the profile-store shape:
     one pass per micro-batch feeds three constant-size summaries
@@ -409,7 +434,10 @@ def maintain_sketch_views(src: DataFrame, base_dir: str, checkpoint_dir: str,
     ``<base_dir>/{kmv,hll,cms}``. Each view commits with its own batch-id
     marker, so a crash between commits replays into per-view no-ops /
     applies — exactly-once per view. Equivalence of every view with its
-    one-shot batch sketch is pinned in tests/test_sketch_views.py."""
+    one-shot batch sketch is pinned in tests/test_sketch_views.py.
+
+    ``value_col`` (optional) adds the quantile member: a bottom-k
+    (hash, value) row sample under ``<base_dir>/bottomk``."""
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         apply_kmv_batch(batch_df, batch_id, os.path.join(base_dir, "kmv"),
@@ -418,6 +446,11 @@ def maintain_sketch_views(src: DataFrame, base_dir: str, checkpoint_dir: str,
                         key_col, p=p)
         apply_cms_batch(batch_df, batch_id, os.path.join(base_dir, "cms"),
                         key_col, depth=depth, width=width)
+        if value_col is not None:
+            apply_bottomk_batch(
+                batch_df, batch_id, os.path.join(base_dir, "bottomk"),
+                key_col, value_col, k=k,
+            )
 
     q = (
         src.writeStream.foreachBatch(_upsert)

@@ -106,20 +106,89 @@ def test_cms_view_equals_batch_and_replay_guard(spark):
         )
 
 
+def _value_batches(spark, n=3, rows_per=400):
+    """(key, value) batches with disjoint row identities — the bottom-k
+    sample is over ROWS, so cross-batch key overlap is irrelevant but the
+    value distribution must differ per batch (the interesting merge)."""
+    out = []
+    for i in range(n):
+        out.append(
+            spark.createDataFrame(
+                [(i * rows_per + j, (j * 37 + i * 11) % 997)
+                 for j in range(rows_per)],
+                ["key", "value"],
+            )
+        )
+    return out
+
+
+def test_bottomk_view_equals_batch_and_replay_guard(spark):
+    from skylogix_real_time_weather_data_pipeline_spark.ext.sketch import (
+        bottomk_estimates_from_sample,
+        bottomk_quantiles,
+        bottomk_rows,
+    )
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_bottomk_batch,
+    )
+
+    batches = _value_batches(spark)
+    full = batches[0]
+    for b in batches[1:]:
+        full = full.unionByName(b)
+    probs = [100_000, 500_000, 900_000, 1_000_000]
+    with tempfile.TemporaryDirectory() as d:
+        state = os.path.join(d, "bottomk")
+        for i, b in enumerate(batches):
+            apply_bottomk_batch(b, i, state, "key", "value", k=128)
+        view = spark.read.parquet(state)
+        expect = bottomk_rows(full, "key", "value", k=128)
+        assert _rows(view, ["h", "v"]) == _rows(expect, ["h", "v"])
+        # the bottom-k merge is NOT row-idempotent (a re-delivered row
+        # would take a second sample slot) — the batch-id guard is what
+        # makes the replay a no-op, like the additive CMS counters
+        apply_bottomk_batch(batches[-1], len(batches) - 1, state, "key",
+                            "value", k=128)
+        assert _rows(spark.read.parquet(state), ["h", "v"]) == _rows(
+            expect, ["h", "v"]
+        )
+        # quantile estimates read from the view == the one-shot operator's
+        # (est_value per probability; the operator adds the rank-error
+        # evaluation pass the view read deliberately skips)
+        ve = _rows(
+            bottomk_estimates_from_sample(
+                spark.read.parquet(state), 128, probs
+            ),
+            ["p_ppm", "est_value"],
+        )
+        be = _rows(
+            bottomk_quantiles(full, "key", "value", probs, k=128)
+            .select("p_ppm", "est_value"),
+            ["p_ppm", "est_value"],
+        )
+        assert ve == be and len(ve) == len(probs)
+
+
 def test_maintain_sketch_views_streaming(spark, tmp_path):
-    """End-to-end availableNow run over a file stream: all three views
+    """End-to-end availableNow run over a file stream: all four views
     equal their one-shot batch sketches."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.sketch import (
+        bottomk_rows,
+    )
     from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
         maintain_sketch_views,
     )
 
     src_dir = str(tmp_path / "src")
-    full = spark.createDataFrame([(i % 700,) for i in range(2000)], ["key"])
+    full = spark.createDataFrame(
+        [(i % 700, (i * 13) % 411) for i in range(2000)], ["key", "value"]
+    )
     full.write.parquet(src_dir)
-    stream = spark.readStream.schema("key bigint").parquet(src_dir)
+    stream = spark.readStream.schema("key bigint, value bigint").parquet(src_dir)
     base = str(tmp_path / "views")
     maintain_sketch_views(
-        stream, base, str(tmp_path / "ckpt"), "key", k=128, p=6, depth=2, width=32
+        stream, base, str(tmp_path / "ckpt"), "key", k=128, p=6, depth=2,
+        width=32, value_col="value",
     )
     kmv_view = spark.read.parquet(os.path.join(base, "kmv"))
     assert _rows(kmv_view, ["h"]) == _rows(kmv_mins(full, "key", k=128), ["h"])
@@ -130,4 +199,8 @@ def test_maintain_sketch_views_streaming(spark, tmp_path):
     cms_view = spark.read.parquet(os.path.join(base, "cms"))
     assert _rows(cms_view, ["d", "b", "bucket_count"]) == _rows(
         cms_counters(full, "key", depth=2, width=32), ["d", "b", "bucket_count"]
+    )
+    bk_view = spark.read.parquet(os.path.join(base, "bottomk"))
+    assert _rows(bk_view, ["h", "v"]) == _rows(
+        bottomk_rows(full, "key", "value", k=128), ["h", "v"]
     )
