@@ -221,6 +221,7 @@ def main() -> int:
     # state of the profile-store deployment (constant-size state, no
     # fact re-scan). Mirrors matview_term_stats_cycle's protocol.
     from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_bottomk_batch,
         apply_cms_batch,
         apply_hll_batch,
         apply_kmv_batch,
@@ -237,9 +238,12 @@ def main() -> int:
                 apply_kmv_batch(half, b, f"{root}/kmv", "o_custkey")
                 apply_hll_batch(half, b, f"{root}/hll", "o_custkey")
                 apply_cms_batch(half, b, f"{root}/cms", "o_custkey")
+                apply_bottomk_batch(
+                    half, b, f"{root}/bottomk", "o_orderkey", "o_totalprice"
+                )
             return sum(
                 spark.read.parquet(f"{root}/{v}").count()
-                for v in ("kmv", "hll", "cms")
+                for v in ("kmv", "hll", "cms", "bottomk")
             )
         finally:
             shutil.rmtree(root, ignore_errors=True)
