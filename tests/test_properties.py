@@ -635,3 +635,66 @@ def test_kmv_matches_python_model(spark, seed, n):
     ).collect()[0]
     assert row.kmv_estimate == expect
     assert row.exact_distinct == len(set(keys))
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(1, 120),
+    n_batches=st.integers(1, 4),
+)
+@_settings
+def test_bottomk_sample_monoid_and_quantile_model(spark, seed, n, n_batches):
+    """The bottom-k row sample is a true monoid (merge of per-batch
+    samples == one-shot sample over the concatenation, for ANY batch
+    split) and the clamped quantile read matches a Python replay of
+    hash → bottom-k by (h, v) → least(ceil(p·k), kept)-th order
+    statistic — including n < k, where every estimate degrades to the
+    exact maximum."""
+    import hashlib
+    import random
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.sketch import (
+        bottomk_estimates_from_sample,
+        bottomk_merge,
+        bottomk_rows,
+    )
+
+    rnd = random.Random(seed)
+    k = 16
+    rows = [(rnd.randint(0, 10_000_000), rnd.randint(-500, 500))
+            for _ in range(n)]
+
+    def h(key):
+        return int(hashlib.md5(f"0|{key}".encode()).hexdigest()[:15], 16)
+
+    model = sorted(((h(key), v) for key, v in rows))[:k]
+
+    # arbitrary split into batches; merge must reproduce the one-shot
+    cuts = sorted(rnd.randint(0, n) for _ in range(n_batches - 1))
+    parts, lo = [], 0
+    for c in cuts + [n]:
+        parts.append(rows[lo:c])
+        lo = c
+    merged = None
+    for part in parts:
+        if not part:
+            continue
+        delta = bottomk_rows(
+            spark.createDataFrame(part, ["key", "value"]), "key", "value", k
+        )
+        merged = bottomk_merge(merged, delta, k)
+    got = sorted((r.h, r.v) for r in merged.collect())
+    assert got == model
+
+    probs = [1, 250_000, 500_000, 999_999, 1_000_000]
+    kept = len(model)
+    by_v = sorted((v, hh) for hh, v in model)
+    expect = sorted(
+        (p, by_v[min((p * k + 999_999) // 1_000_000, kept) - 1][0])
+        for p in probs
+    )
+    est = sorted(
+        (r.p_ppm, r.est_value)
+        for r in bottomk_estimates_from_sample(merged, k, probs).collect()
+    )
+    assert est == expect
