@@ -206,12 +206,19 @@ def main() -> int:
         finally:
             # release every cache the query pinned (the owned-persist
             # contract, cache.py): the sweep proves per-query cache
-            # hygiene instead of accumulating 163 queries of entries
+            # hygiene instead of accumulating 163 queries of entries.
+            # cache_clean records that the release actually drained
+            # Spark's CacheManager — a False here is a persist() that
+            # escaped the owned registry (localCheckpoint RDDs are
+            # ContextCleaner-owned and deliberately not counted).
             from skylogix_real_time_weather_data_pipeline_spark.cache import (
                 release_owned_caches,
             )
 
             release_owned_caches(spark)
+            rec["cache_clean"] = bool(
+                spark._jsparkSession.sharedState().cacheManager().isEmpty()
+            )
         results[name] = rec
     print(json.dumps(results, indent=2))
     if failed:
