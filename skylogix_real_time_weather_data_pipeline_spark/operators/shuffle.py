@@ -6,17 +6,29 @@ order, cut into fixed-size shards. The naive Spark spelling —
 whole table into one task (the classic global-window bottleneck). Here the
 global rank is computed distributively:
 
-1. repartitionByRange on the (hash, id) sort key — disjoint, ordered key
-   ranges per partition;
-2. per-partition row counts → cumulative offsets (an O(partitions) driver
-   list, broadcast back);
-3. rank = partition offset + intra-partition row_number, where the window
-   partitions by the physical partition id — every task ranks its own slice
-   in parallel.
+1. bucket each row by the HIGH BITS of its 60-bit md5 shuffle hash
+   (``_pid = _h div ceil(2^60 / n)``) — the hash is uniform, so the n
+   buckets are balanced, and the bucket id is monotone in the sort key, so
+   bucket p holds exactly the rows ranked between buckets p-1 and p+1;
+2. per-bucket row counts → cumulative offsets (an O(n) driver list,
+   broadcast back);
+3. rank = bucket offset + intra-bucket row_number, where the window
+   partitions by the bucket id — every task ranks its own slice in
+   parallel.
 
 The hash is md5-based (portable: an ANSI oracle reproduces the exact
 permutation bit-for-bit), with the id as tiebreaker so the total order is
-unique and the result is independent of partition-boundary placement.
+unique and the result is independent of physical partitioning.
+
+Why explicit hash buckets instead of ``repartitionByRange`` (the r7 shape):
+RangePartitioner picks boundaries by SAMPLING, seeded from the RDD id — a
+recompute of the lineage (e.g. after the owned-cache registry releases the
+persisted frame) could draw different boundaries than the ones the collected
+offsets were built from, silently corrupting ranks (r7 advisor, medium).
+``_h div width`` is a pure function of the data: every recompute assigns
+every row the same bucket, so the persist below is a pure performance
+optimization and release-then-recompute is always safe. It also drops the
+range-sampling job (one fewer pass over the input).
 """
 
 from __future__ import annotations
@@ -40,16 +52,16 @@ def global_rank(df: DataFrame, id_col: str, seed: int = 0,
     """Attach ``_rank`` (0-based) in md5-shuffled order without a global
     single-partition sort. Deterministic for a given (data, seed)
     regardless of input partitioning or cluster size."""
-    keyed = df.withColumn("_h", _shuffle_hash(id_col, seed))
-    n = n_partitions or keyed.sparkSession.sparkContext.defaultParallelism
-    # persisted (owned — cache.py releases it between queries): the count
-    # pass and the rank pass must observe the SAME range boundaries and
-    # partition ids
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # bucket id from the hash's high bits: deterministic (data-only, no
+    # sampling, no RDD-id dependence) and monotone in _h, so offsets stay
+    # valid across recomputes; `div` keeps the 60-bit arithmetic integral
+    width = ((1 << 60) + n - 1) // n
     from ..cache import owned_persist
 
     parts = owned_persist(
-        keyed.repartitionByRange(n, "_h", id_col)
-        .withColumn("_pid", F.spark_partition_id())
+        df.withColumn("_h", _shuffle_hash(id_col, seed))
+        .withColumn("_pid", F.expr(f"CAST(_h DIV {width}L AS INT)"))
     )
     counts = {r["_pid"]: r["cnt"] for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     offsets, acc = {}, 0
