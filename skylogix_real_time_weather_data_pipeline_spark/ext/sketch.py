@@ -908,11 +908,17 @@ def bottomk_estimates_from_sample(samp: DataFrame, k: int,
     probs = samp.sparkSession.createDataFrame(
         [(p, i) for p, i in sorted(idx.items())], "p_ppm bigint, r int"
     )
+    # LEFT join so an EMPTY sample (fresh view, empty input) still emits
+    # one row per requested probability — with a NULL est_value — instead
+    # of silently dropping every output row (r7 advisor): the inner join
+    # against a zero-row ordered frame produced nothing, and since the
+    # oracle was empty too, differential tests could not see the drop.
     return (
         probs.alias("p")
         .join(
             sized.alias("o"),
             F.col("o.r") == F.least(F.col("p.r"), F.col("o.kept")),
+            "left",
         )
         .select("p.p_ppm", F.col("o.v").alias("est_value"))
     )

@@ -881,9 +881,11 @@ probs(p_ppm, r) AS (VALUES {values}),
 kept AS (SELECT MAX(r) AS kept FROM ord),
 est AS (
   -- index clamped to the sample size (mirrors ext/sketch.py: n < k
-  -- inputs still emit one row per requested probability)
+  -- inputs still emit one row per requested probability); LEFT join so
+  -- an EMPTY sample yields NULL est_value rather than dropping rows
   SELECT p.p_ppm, o.v AS est_value
-  FROM probs p CROSS JOIN kept JOIN ord o ON o.r = LEAST(p.r, kept.kept)
+  FROM probs p CROSS JOIN kept
+  LEFT JOIN ord o ON o.r = LEAST(p.r, kept.kept)
 ),
 ranked AS (
   SELECT e.p_ppm, e.est_value,

@@ -204,3 +204,32 @@ def test_maintain_sketch_views_streaming(spark, tmp_path):
     assert _rows(bk_view, ["h", "v"]) == _rows(
         bottomk_rows(full, "key", "value", k=128), ["h", "v"]
     )
+
+
+def test_bottomk_estimates_empty_sample_keeps_probability_rows(spark):
+    """An EMPTY sample (fresh view / empty input) must still emit one row
+    per requested probability, with NULL est_value — the r7 advisor found
+    the inner join silently dropped every row, invisible to differential
+    tests because the oracle was empty too."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.sketch import (
+        bottomk_estimates_from_sample,
+        bottomk_rows,
+    )
+
+    probs = [100_000, 500_000, 1_000_000]
+    empty = bottomk_rows(
+        spark.createDataFrame([], "key bigint, value bigint"),
+        "key", "value", k=64,
+    )
+    got = bottomk_estimates_from_sample(empty, 64, probs).collect()
+    assert sorted(r.p_ppm for r in got) == probs
+    assert all(r.est_value is None for r in got)
+
+    # n = 1 < k still answers every probability with the lone value
+    one = bottomk_rows(
+        spark.createDataFrame([(7, 42)], ["key", "value"]), "key", "value",
+        k=64,
+    )
+    got1 = bottomk_estimates_from_sample(one, 64, probs).collect()
+    assert sorted(r.p_ppm for r in got1) == probs
+    assert all(r.est_value == 42 for r in got1)
