@@ -152,13 +152,24 @@ def _gen(spark: SparkSession) -> None:
 
 
 def _median_noop(df_builder, runs: int = 3) -> float:
-    df_builder().write.format("noop").mode("overwrite").save()  # warm
-    ts = []
-    for _ in range(runs):
+    from skylogix_real_time_weather_data_pipeline_spark.cache import (
+        release_owned_caches,
+    )
+
+    def _run() -> float:
+        df = df_builder()
         t0 = time.perf_counter()
-        df_builder().write.format("noop").mode("overwrite").save()
-        ts.append(time.perf_counter() - t0)
-    return statistics.median(ts)
+        df.write.format("noop").mode("overwrite").save()
+        t = time.perf_counter() - t0
+        # each build registers fresh owned persists (graph deg/oriented,
+        # postings, ...); drain them per run like local_verify does, or
+        # ~16 zombie cached frames per probe ride along and squeeze every
+        # later timing (r7 advisor)
+        release_owned_caches(df.sparkSession)
+        return t
+
+    _run()  # warm
+    return statistics.median(_run() for _ in range(runs))
 
 
 def _skewed_triangle_probe(spark: SparkSession) -> dict:
@@ -195,6 +206,11 @@ def _skewed_triangle_probe(spark: SparkSession) -> dict:
     for label, n in sizes.items():
         t = _median_noop(lambda: triangle_stats(edges(n)))
         row = triangle_stats(edges(n)).collect()[0]
+        from skylogix_real_time_weather_data_pipeline_spark.cache import (
+            release_owned_caches,
+        )
+
+        release_owned_caches(spark)
         # each leaf closes one triangle through its hub pair; the 10
         # hubs' K10 clique adds C(10,3) = 120 hub-only triangles
         assert row.n_triangles == n + 120, row

@@ -33,10 +33,21 @@ from pyspark.sql import DataFrame, SparkSession
 _OWNED: dict[str, list[DataFrame]] = {}
 
 
+def _evict_dead_sessions(live_app: str) -> None:
+    """Drop registry entries from sessions other than the live one. Spark
+    allows one active SparkContext per process, so any other applicationId
+    is a stopped session whose frames cannot be unpersisted anyway — a
+    process that cycles SparkSessions must not accumulate their registry
+    lists (and the strong DataFrame references inside) forever."""
+    for dead in [app for app in _OWNED if app != live_app]:
+        del _OWNED[dead]
+
+
 def owned_persist(df: DataFrame, storage_level=None) -> DataFrame:
     """persist() a DataFrame and record it for deterministic release."""
     persisted = df.persist(storage_level) if storage_level is not None else df.persist()
     app = df.sparkSession.sparkContext.applicationId
+    _evict_dead_sessions(app)
     _OWNED.setdefault(app, []).append(persisted)
     return persisted
 

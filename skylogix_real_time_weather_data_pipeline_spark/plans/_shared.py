@@ -33,6 +33,11 @@ def co_trade_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     query ran second).
     """
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    # one active SparkContext per process: entries under any OTHER app id
+    # belong to a stopped session — evict them so a session-cycling
+    # process doesn't pin dead checkpointed frames forever (r7 advisor)
+    for dead in [k for k in _CO_TRADE_CACHE if k[0] != key[0]]:
+        del _CO_TRADE_CACHE[dead]
     cached = _CO_TRADE_CACHE.get(key)
     if cached is not None:
         return cached

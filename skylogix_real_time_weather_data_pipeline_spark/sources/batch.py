@@ -47,6 +47,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # cache hits, so a caller flipping the zone between calls is re-pinned
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (spark.sparkContext.applicationId, sf_dir, name)
+    # evict plans from stopped sessions (one live SparkContext per process)
+    # so a session-cycling process doesn't grow the cache unboundedly
+    for dead in [k for k in _TABLE_CACHE if k[0] != key[0]]:
+        del _TABLE_CACHE[dead]
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached

@@ -77,3 +77,27 @@ def test_release_empties_cache_manager(spark, sf_dir):
     assert released >= 5
     assert owned_cache_count(spark) == 0
     assert _cache_manager_empty(spark), "CacheManager entries survived release"
+
+
+def test_dead_session_entries_evicted(spark, sf_dir):
+    """Registry/memoization dicts keyed by applicationId must not grow
+    across session cycles: only one SparkContext is live per process, so
+    entries under any other app id are unreleasable garbage (r7 advisor)."""
+    from skylogix_real_time_weather_data_pipeline_spark import cache
+    from skylogix_real_time_weather_data_pipeline_spark.plans import _shared
+    from skylogix_real_time_weather_data_pipeline_spark.sources import batch
+    from skylogix_real_time_weather_data_pipeline_spark.sources.batch import (
+        load_table,
+    )
+
+    cache._OWNED["dead-app"] = []
+    _shared._CO_TRADE_CACHE[("dead-app", "/x")] = None
+    batch._TABLE_CACHE[("dead-app", "/x", "orders")] = None
+
+    df = load_table(spark, sf_dir, "orders")
+    assert ("dead-app", "/x", "orders") not in batch._TABLE_CACHE
+    cache.owned_persist(df.limit(1))
+    assert "dead-app" not in cache._OWNED
+    _shared.co_trade_pair_counts(spark, sf_dir)
+    assert ("dead-app", "/x") not in _shared._CO_TRADE_CACHE
+    cache.release_owned_caches(spark)
