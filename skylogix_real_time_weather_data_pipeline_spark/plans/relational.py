@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 # Integer-valued double sums (quantities, counts) are exact as-is and stay
 # plain. Each oracle uses the sql_* twin so both engines fold identically.
 from ..functions.exact import (
-    fmean, fsum, fwsum,
+    fmean, fsum, fsum_units, fwsum,
     sql_fmean, sql_fmean_round, sql_fsum, sql_fwsum,
 )
 
@@ -409,12 +409,26 @@ SELECT 'either', CAST(COUNT(*) AS BIGINT) FROM (SELECT k FROM c UNION SELECT k F
 
 def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    # fmean scale 6 is exact on the 2-dp discounts; the grand-total cell at
-    # 100 TB sums ~6e11 rows × 0.1 → ~6e10 units of q-weight, 8 orders
-    # under the split-long cap
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(fmean("l_discount"), 6).alias("avg_disc"),
+    # Pre-aggregate to the FINEST grouping set first, then cube the 6-row
+    # pre-agg: a direct .cube() Expands every fact row ×4 BEFORE the
+    # partial aggregate (2.4M hashed rows at sf0.1; 4× the fact table at
+    # 100 TB), while both measures are algebraic — count adds, and fmean's
+    # fixed-point unit total (fsum_units, exact integers in decimal(38,0))
+    # adds — so recombining per-cell is bit-identical to the one-pass
+    # fold. fmean scale 6 is exact on the 2-dp discounts; the grand-total
+    # cell at 100 TB sums ~6e11 rows × 0.1 → ~6e10 units of q-weight, 8
+    # orders under the split-long cap.
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("_n"),
+        fsum_units("l_discount", 6).alias("_units"),
+        F.count("l_discount").alias("_cd"),
+    )
+    # same float arithmetic as fmean: units→double, /10^6, /count, round 6
+    return base.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("_n").alias("n"),
+        F.round(
+            (F.sum("_units").cast("double") / 10**6) / F.sum("_cd"), 6
+        ).alias("avg_disc"),
     )
 
 

@@ -549,3 +549,25 @@ def test_bottomk_quantiles_takeordered_never_global_sort(spark, sf_dir, qs):
     assert plan.count("TakeOrderedAndProject") == 1
     assert not re.search(r"\bSort\b.*global=true", plan)
     assert len(re.findall(r"Scan parquet|FileScan", plan)) == 2
+
+
+def test_cube_lineitem_expands_preaggregate_not_fact_rows(spark, sf_dir, qs):
+    """The cube's ×4 Expand must consume the finest-grouping-set
+    PRE-AGGREGATE (6 rows), never the fact table — a direct .cube() pushes
+    every lineitem row through Expand before the partial aggregate (4× the
+    fact table at 100 TB). Both measures are algebraic (count adds,
+    fmean's fixed-point unit totals add), so the two-level fold is
+    bit-identical. Pin: exactly one scan, and the Expand sits ABOVE a
+    HashAggregate in the operator chain (aggregate output feeds Expand)."""
+    plan = _physical(qs["rel_cube_lineitem"](spark, sf_dir))
+    assert len(re.findall(r"FileScan", plan)) == 1
+    expand_at = plan.index("Expand")
+    # the pre-aggregate's exchange (finest grouping keys, no grouping id)
+    # must appear BELOW (later in the tree dump than) the Expand
+    pre_agg_exchange = re.search(
+        r"Exchange hashpartitioning\(l_returnflag#\d+, l_linestatus#\d+, \d+\)",
+        plan,
+    )
+    assert pre_agg_exchange and pre_agg_exchange.start() > expand_at, (
+        "Expand is not consuming the finest-grouping pre-aggregate"
+    )
