@@ -80,6 +80,9 @@ EXTENDED = [
     # r7: the winnowing PAIR join (the stats map was benched since r5;
     # the posting-list self-join it feeds was a plan-audit blind spot)
     "docs_winnowing_pairs",
+    # r8: exact substring-run dedup (two gram-row exchanges — the
+    # heaviest shuffle shape in the docs family)
+    "docs_substring_dedup",
     # docs_distill_filter deliberately NOT benched: 15 driver-looped
     # training jobs (~20 s) would dominate the wall-clock total without
     # measuring anything scan/shuffle-shaped

@@ -81,6 +81,9 @@ PROBE = [
     "docs_winnowing_pairs",      # posting-list pair fan-out + pair count
     "rel_bottomk_quantiles",     # KMV row-sample + rank evaluation
     "rel_cms_heavy_hitters",     # counter grid + candidate verify pass
+    # r8: exact substring-run dedup — two token-count-sized exchanges
+    # (gram hash, then doc); growth must track corpus size, not pairs
+    "docs_substring_dedup",
 ]
 
 

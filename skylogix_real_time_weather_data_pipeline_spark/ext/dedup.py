@@ -440,6 +440,102 @@ def remove_dup_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def substring_dup_spans(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 8,
+                        min_count: int = 2) -> DataFrame:
+    """EXACT substring-span dedup statistics — the distributed
+    sorted-k-gram-run formulation of suffix-array substring dedup (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better", ACL
+    2022: ExactSubstr with a ≥50-token threshold; reference has no
+    counterpart — LLM-pipeline extension). A substring of ≥ k tokens is
+    duplicated iff EVERY k-gram inside it is duplicated, so: hash every
+    k-token gram (the shared Carter-Wegman 62-bit combine the winnowing
+    family uses), count each gram corpus-wide, call a position COVERED
+    when its gram occurs ≥ ``min_count`` times (across documents or
+    within one — same as ExactSubstr's "appears more than once in the
+    corpus"), and merge covered positions closer than k into maximal
+    duplicated spans.
+
+    The span merge needs no gaps-and-islands sub-grouping: with positions
+    sorted per doc, the previous covered position is
+    ``MAX(CASE WHEN covered THEN pos END) OVER (rows < current)`` (max ==
+    last because pos ascends — and MAX, unlike lag-ignore-nulls, is ANSI
+    and portable), a covered row opens a NEW span iff ``pos − prev >
+    k−1``, and it extends total duplicated-token coverage by
+    ``least(pos − prev, k)`` (first row of a span contributes k, an
+    overlap-or-adjacent continuation contributes exactly its gap), so the
+    interval union is one running window + one groupBy with NO double
+    counting of overlapping k-windows.
+
+    Plan shape / 100 TB: one narrow tokenize+hash map, then exactly TWO
+    gram-row exchanges — by gram hash (the corpus-wide count; window
+    count, so no second scan and no giant-join) and by doc (span merge +
+    final per-doc aggregate, which reuses the same partitioning — the
+    groupBy adds no third exchange). A token-count-sized shuffle ×2 is
+    inherent to exact substring dedup (the suffix-array formulation sorts
+    the same volume); there is no all-pairs stage anywhere and no
+    per-gram state beyond a count. Short docs survive via
+    posexplode_outer (one NULL-gram row, never covered). Output per doc:
+    (doc_id, n_tokens, n_kgrams, n_dup_spans, dup_tokens, dup_ratio_ppm)
+    — all integers, so the DuckDB oracle replays bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    from .text import (
+        kgram_hash_array,
+        repartition_for_compute,
+        token_hash_array,
+        tokens,
+    )
+
+    df = repartition_for_compute(df, id_col)
+    toks = tokens(text_col)
+    grams = df.select(
+        id_col,
+        F.size(toks).alias("n_tokens"),
+        F.posexplode_outer(kgram_hash_array(token_hash_array(toks), k)).alias(
+            "pos", "h"
+        ),
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    covered = grams.withColumn(
+        "cov", F.col("h").isNotNull() & (cnt >= min_count)
+    )
+    wdoc = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.max(F.when(F.col("cov"), F.col("pos"))).over(wdoc)
+    flagged = covered.select(
+        id_col,
+        "n_tokens",
+        F.when(
+            F.col("cov"),
+            F.when(
+                prev.isNull() | (F.col("pos") - prev > k - 1), F.lit(1)
+            ).otherwise(F.lit(0)),
+        ).alias("new_span"),
+        F.when(
+            F.col("cov"),
+            F.least(F.coalesce(F.col("pos") - prev, F.lit(k)), F.lit(k)),
+        ).alias("contrib"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.first("n_tokens").cast("long").alias("n_tokens"),
+        F.greatest(F.first("n_tokens") - F.lit(k - 1), F.lit(0))
+        .cast("long")
+        .alias("n_kgrams"),
+        F.coalesce(F.sum("new_span"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce(F.sum("contrib"), F.lit(0)).cast("long").alias("dup_tokens"),
+        F.expr(
+            "CASE WHEN first(n_tokens) > 0 THEN (coalesce(sum(contrib), 0)"
+            " * CAST(1000000 AS BIGINT)) DIV first(n_tokens)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("dup_ratio_ppm"),
+    )
+
+
 def winnowing_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                     k: int = 4, w: int = 5, min_shared: int = 2,
                     max_fp_df: int = 1_000) -> DataFrame:

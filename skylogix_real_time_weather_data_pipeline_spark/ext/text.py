@@ -913,6 +913,51 @@ def _let(value: Column, body) -> Column:
 _W_HALF = 1 << 30
 
 
+def token_hash_array(toks: Column) -> Column:
+    """Per-token 60-bit portable hash array: each token md5'd once, first
+    15 hex chars as a long — the shared base of every k-gram hash (the
+    winnowing fingerprints and the exact substring-run dedup). An ANSI
+    oracle reproduces it as CAST(concat('0x', substr(md5(t),1,15)) AS
+    BIGINT)."""
+    return F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+
+
+def kgram_hash_array(th: Column, k: int) -> Column:
+    """62-bit k-gram hash array from a token-hash array: two independent
+    Carter-Wegman combinations of the tokens' 30-bit halves
+    ((Σ_j a_j·lo_j + b_j·hi_j) mod 2^31−1, coefficients from
+    ``dedup.mh_params``), packed into one long. Combining precomputed
+    token hashes is pure long arithmetic — the hash-of-concat form
+    rebuilt a k-token string per position and dominated the winnowing
+    operator (~2.4 s of 3.3 s at sf0.1). Each term is < 2^16·2^30 so
+    k ≤ 2^17 never overflows a long; both combines are expressible in
+    ANSI SQL on the same md5, so DuckDB oracles replay them exactly."""
+    from .dedup import MH_P, mh_params
+
+    prm = mh_params(2 * k)
+    co1, co2 = prm[:k], prm[k:]
+    n_kg = F.greatest(F.size(th) - F.lit(k - 1), F.lit(0))
+
+    def poly(i, coefs):
+        s = None
+        for j, (a, b) in enumerate(coefs):
+            e = F.element_at(th, i + j)
+            t = F.lit(a) * (e % F.lit(_W_HALF)) + F.lit(b) * F.shiftright(e, 30)
+            s = t if s is None else s + t
+        return s % F.lit(MH_P)
+
+    # guard: sequence(1, 0) would DESCEND in Spark — emit [] for short docs
+    return F.when(
+        n_kg >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_kg),
+            lambda i: poly(i, co1) * F.lit(1 << 31) + poly(i, co2),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def winnow_select(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   k: int = 4, w: int = 5) -> DataFrame:
     """Shared winnowing selection core: per doc, the distinct window-min
@@ -939,36 +984,12 @@ def winnow_select(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     long slice plus ``array_position`` for the position, both bound via
     :func:`_let` so the slice and its min evaluate once per window.
     """
-    from .dedup import MH_P, mh_params
-
-    prm = mh_params(2 * k)
-    co1, co2 = prm[:k], prm[k:]
     # spread the O(n·w) per-doc kernel: a 600 KB local parquet is ONE scan
     # partition, which would serialize the whole corpus onto one core; at
     # real scale the probe sees enough partitions and this is a no-op
     df = repartition_for_compute(df, id_col)
     toks = tokens(text_col)
     n_tok = F.size(toks)
-
-    def kgram_hashes(th: Column) -> Column:
-        n_kg = F.greatest(F.size(th) - F.lit(k - 1), F.lit(0))
-
-        def poly(i, coefs):
-            s = None
-            for j, (a, b) in enumerate(coefs):
-                e = F.element_at(th, i + j)
-                t = F.lit(a) * (e % F.lit(_W_HALF)) + F.lit(b) * F.shiftright(e, 30)
-                s = t if s is None else s + t
-            return s % F.lit(MH_P)
-
-        # guard: sequence(1, 0) would DESCEND in Spark — emit [] for short docs
-        return F.when(
-            n_kg >= 1,
-            F.transform(
-                F.sequence(F.lit(1), n_kg),
-                lambda i: poly(i, co1) * F.lit(1 << 31) + poly(i, co2),
-            ),
-        ).otherwise(F.array().cast("array<bigint>"))
 
     def window_mins(hs: Column) -> Column:
         n_win = F.greatest(F.size(hs) - F.lit(w - 1), F.lit(0))
@@ -984,11 +1005,8 @@ def winnow_select(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             ),
         ).otherwise(F.array().cast("array<struct<h:bigint,p:bigint>>"))
 
-    th_expr = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
-    )
-    fps = _let(th_expr, lambda th: _let(
-        kgram_hashes(th), lambda hs: F.array_distinct(window_mins(hs))))
+    fps = _let(token_hash_array(toks), lambda th: _let(
+        kgram_hash_array(th, k), lambda hs: F.array_distinct(window_mins(hs))))
     return df.select(
         id_col,
         F.greatest(n_tok - F.lit(k - 1), F.lit(0)).cast("long").alias("n_kgrams"),

@@ -18,79 +18,75 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 #: module order. The full registry is additionally verified locally each
 #: round (scripts/local_verify.py → CORRECTNESS_LOCAL_r{N}.json, committed).
 #:
-#: Round-7 window (the r1-r6 window history lives in git — this block at
-#: earlier tags — and WINDOW_LEDGER.json). Tier 1 = the 8 queries whose
-#: implementation or oracle changed this round: the two graph queries
-#: (shared checkpointed co-trade frame, degree-descending triangle
-#: orientation), the two sketch queries with degenerate-input guards
-#: (bottom-k index clamp, KMV division guards — both mirrored into their
-#: oracles), the distill oracle's integer-isqrt rewrite, and the three
-#: queries whose lazily-referenced persist() moved to the owned-cache
-#: registry (cache.py; results unchanged, execution path not). Tier 2 =
-#: the certification drain (r6 verdict #1): ALL 11 rows last driver-green
-#: in r2 plus the 31 highest-complexity rows last green in r3 —
-#: oldest-first. The 9 r3 rows deferred to round 8 (named below) are the
-#: simplest single-fact relational aggregates, unchanged since r3
-#: (fingerprint-pinned) and hash-green under the typed local harness
-#: every round since; the 33 r4 rows follow in round 8's drain.
+#: Round-8 window (the r1-r7 window history lives in git — this block at
+#: earlier tags — and WINDOW_LEDGER.json). Tier 1 = the 9 rows changed or
+#: new this round: the pre-aggregated cube rewrite, the bottom-k
+#: empty-sample LEFT-join contract fix (query + oracle), the two
+#: global-rank consumers (deterministic hash-bucket partitioning replaced
+#: sampled ranges in operators/shuffle.py — deep change, shallow
+#: fingerprint), the new exact substring-run dedup, and the 4 rows whose
+#: registry fingerprints moved AFTER r7's mid-round ledger write (the
+#: driver re-greened the final r7 code, but the ledger can't know that —
+#: re-window them rather than argue). Tier 2 = the END of the
+#: certification drain (r7 verdict #1): all 41 remaining rows last
+#: driver-green in r3/r4 (the 9 deferred single-fact r3 aggregates + the
+#: 32 remaining r4 rows; rel_cube_lineitem graduated to tier 1),
+#: oldest-first within vintage. 9 + 41 = the full 50-slot window; after
+#: this round no ledger row should have last_green < 5.
 _VERIFY_FIRST = (
-    # --- tier 1: changed in round 7 ---
-    "rel_pagerank",            # shared co-trade frame (plans/_shared.py)
-    "rel_triangle_count",      # shared frame + degree-descending orientation
-    "rel_bottomk_quantiles",   # n<k index clamp via sample-window count
-    "rel_kmv_intersection",    # greatest(...,1) guards on empty-input DIVs
-    "docs_distill_filter",     # oracle integer isqrt (Newton seed + clamps)
-    "docs_temperature_mixture",  # counts cache → owned registry
-    "docs_bigram_logprob",       # transition cache → owned registry
-    "docs_ngram_jaccard_pairs",  # postings/sizes caches → owned registry
-    # --- tier 2a: the whole r2-vintage tail (11 rows) ---
-    "docs_bpe_token_count",
-    "docs_exact_dedup",
-    "docs_fingerprint",
-    "docs_language_id",
-    "docs_simhash",
-    "rel_approx_distinct",
-    "rel_distinct_parts",
-    "weather_date_range",
-    "weather_derived_projection",
-    "weather_icon_lookup",
-    "weather_outlier_counts",
-    # --- tier 2b: r3-vintage drain, 31 of 40 (deferred to r8: the
-    # simplest unchanged-since-r3 single-fact aggregates
-    # rel_disjunctive_revenue, rel_large_orders, rel_lost_customers,
-    # rel_product_profit, rel_promo_revenue, rel_returned_items,
-    # rel_small_qty_revenue, rel_top_supplier, rel_volume_shipping) ---
-    "docs_curation_pipeline",
-    "docs_decontaminate",
-    "docs_mixture_sample",
-    "docs_quality_filter",
-    "docs_quality_topk_per_source",
-    "docs_repetition_stats",
-    "docs_shard",
-    "docs_split_assign",
-    "docs_tfidf_topk",
-    "docs_token_quantiles_by_lang",
-    "emb_ivf_quantized_topk",
-    "emb_ivf_topk",
-    "emb_kmeans",
-    "emb_semdedup",
-    "events_funnel",
-    "events_gap_fill",
-    "events_retention",
-    "events_top_transitions",
-    "rel_fuzzy_part_names",
-    "rel_late_shipment_priority",
-    "rel_merge_upsert",
-    "rel_order_count_distribution",
-    "rel_salted_join",
-    "rel_scd2_apply",
-    "rel_waiting_suppliers",
-    "rel_yearly_growth",
-    "sql_priority_with_exists",
-    "sql_recursive_chains",
-    "weather_correlations",
-    "weather_linear_fit",
-    "weather_zscore_anomalies",
+    # --- tier 1: changed or new in round 8 ---
+    "rel_cube_lineitem",       # cube over finest-grouping pre-aggregate
+    "rel_bottomk_quantiles",   # empty-sample LEFT join (query + oracle)
+    "docs_shard",              # global_rank: hash-bucket partitioning
+    "docs_split_assign",       # global_rank consumer (same deep change)
+    "docs_substring_dedup",    # NEW: exact substring-run dedup
+    "rel_pagerank",            # late-r7 fingerprint (ledger re-window)
+    "rel_triangle_count",      # late-r7 fingerprint (ledger re-window)
+    "rel_kmv_intersection",    # late-r7 fingerprint (ledger re-window)
+    "docs_distill_filter",     # late-r7 fingerprint (ledger re-window)
+    # --- tier 2a: the 9 deferred r3-vintage single-fact aggregates ---
+    "rel_disjunctive_revenue",
+    "rel_large_orders",
+    "rel_lost_customers",
+    "rel_product_profit",
+    "rel_promo_revenue",
+    "rel_returned_items",
+    "rel_small_qty_revenue",
+    "rel_top_supplier",
+    "rel_volume_shipping",
+    # --- tier 2b: the whole remaining r4-vintage tail (32 rows) ---
+    "docs_chunk",
+    "docs_dedup_clusters",
+    "docs_dedup_decisions",
+    "docs_dup_chunk_ratio",
+    "docs_minhash_lsh_pairs",
+    "docs_normalize",
+    "docs_pack",
+    "docs_pii_scrub",
+    "emb_centroids_by_label",
+    "emb_cosine_topk",
+    "emb_hamming_topk",
+    "emb_lsh_buckets",
+    "emb_lsh_near_dup_pairs",
+    "emb_pairwise_topk",
+    "emb_quantize_int8",
+    "emb_quantized_recall",
+    "emb_quantized_topk",
+    "rel_customer_ntile_segments",
+    "rel_grouping_sets",
+    "rel_min_cost_supplier",
+    "rel_order_percentiles",
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_segment_monthly",
+    "rel_shipping_priority",
+    "rel_supplier_part_counts",
+    "rel_top_customers_per_nation",
+    "rel_unpivot_city_metrics",
+    "sql_forecast_revenue",
+    "stream_asof_last_purchase",
+    "stream_hopping_distinct",
+    "weather_quantile_summary",
 )
 
 

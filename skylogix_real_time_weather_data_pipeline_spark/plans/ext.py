@@ -1529,6 +1529,75 @@ GROUP BY 1, 2 HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
 
 
 # --------------------------------------------------------------------------
+# Exact substring-span dedup (Lee et al. 2022 ExactSubstr, k-gram-run form)
+# --------------------------------------------------------------------------
+
+_SUBSTR_K = 8
+_SUBSTR_PRM = dedup.mh_params(2 * _SUBSTR_K)
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc exact duplicated-substring coverage: maximal runs of
+    k-grams that occur ≥2× corpus-wide, merged into token spans — the
+    distributed sorted-k-gram-run formulation of suffix-array substring
+    dedup (see ext/dedup.py:substring_dup_spans for the algorithm and
+    the two-exchange plan shape)."""
+    return dedup.substring_dup_spans(_docs(spark, sf_dir), k=_SUBSTR_K)
+
+
+O_SUBSTRING_DEDUP = TOK_CTE + f"""
+, th8 AS (
+  SELECT doc_id, len(tk) AS n_tokens,
+         greatest(len(tk) - {_SUBSTR_K - 1}, 0) AS n_kg,
+         list_transform(tk, t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS th
+  FROM toks
+), kg8 AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_kg >= 1
+              THEN list_transform(
+                     range(1, n_kg + 1),
+                     i -> struct_pack(
+                            p := i,
+                            h := {_winnow_poly_sql(_SUBSTR_PRM[:_SUBSTR_K])} * {1 << 31}
+                                 + {_winnow_poly_sql(_SUBSTR_PRM[_SUBSTR_K:])}))
+              ELSE [] END AS gr
+  FROM th8
+), g AS (
+  SELECT doc_id, struct_extract(s, 'p') AS pos, struct_extract(s, 'h') AS h
+  FROM (SELECT doc_id, unnest(gr) AS s FROM kg8)
+), gc AS (
+  SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) >= 2 AS cov FROM g
+), fl AS (
+  -- previous covered position: MAX over the preceding frame == last
+  -- covered (pos ascends) — the same portable spelling the Spark side uses
+  SELECT doc_id, pos, cov,
+         MAX(CASE WHEN cov THEN pos END) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+  FROM gc
+), agg AS (
+  SELECT doc_id,
+         SUM(CASE WHEN cov AND (prev IS NULL OR pos - prev > {_SUBSTR_K - 1})
+                  THEN 1 ELSE 0 END) AS n_dup_spans,
+         SUM(CASE WHEN cov
+                  THEN least(coalesce(pos - prev, {_SUBSTR_K}), {_SUBSTR_K})
+                  ELSE 0 END) AS dup_tokens
+  FROM fl GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(t.n_kg AS BIGINT) AS n_kgrams,
+       CAST(COALESCE(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CASE WHEN t.n_tokens > 0
+            THEN CAST((COALESCE(a.dup_tokens, 0) * CAST(1000000 AS BIGINT))
+                      // t.n_tokens AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS dup_ratio_ppm
+FROM th8 t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # Interpolated bigram-LM mean log-probability (KenLM-style quality proxy)
 # --------------------------------------------------------------------------
 
@@ -2810,6 +2879,7 @@ QUERIES = {
     "docs_remove_dup_chunks": q_remove_dup_chunks,
     "docs_winnowing": q_winnowing,
     "docs_winnowing_pairs": q_winnowing_pairs,
+    "docs_substring_dedup": q_substring_dedup,
     "docs_bigram_logprob": q_bigram_logprob,
     "docs_distill_filter": q_distill_filter,
     "docs_unigram_logprob": q_unigram_logprob,
@@ -2879,6 +2949,7 @@ ORACLES = {
     "docs_remove_dup_chunks": O_REMOVE_DUP_CHUNKS,
     "docs_winnowing": O_WINNOWING,
     "docs_winnowing_pairs": O_WINNOWING_PAIRS,
+    "docs_substring_dedup": O_SUBSTRING_DEDUP,
     "docs_bigram_logprob": O_BIGRAM_LOGPROB,
     "docs_distill_filter": O_DISTILL_FILTER,
     "docs_unigram_logprob": O_UNIGRAM_LOGPROB,

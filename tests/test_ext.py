@@ -1099,3 +1099,80 @@ def test_lang_source_chisq_closed_form(spark):
     df2 = spark.createDataFrame(dep, "doc_id long, lang string, source string")
     out2 = lang_source_chisq(df2).collect()[0]
     assert abs(out2.chi2 - 40.0) < 1e-5  # perfect dependence: chi2 = N
+
+
+def _substring_model(docs, k, min_count=2):
+    """Brute-force reference for substring_dup_spans: count k-grams as
+    TUPLES (no hashing), mark covered positions, union the [p, p+k)
+    intervals per doc."""
+    from collections import Counter
+
+    toks = {d: t.split() for d, t in docs}
+    grams = Counter()
+    for d, ts in toks.items():
+        for i in range(max(len(ts) - k + 1, 0)):
+            grams[tuple(ts[i:i + k])] += 1
+    out = {}
+    for d, ts in toks.items():
+        cov = [i for i in range(max(len(ts) - k + 1, 0))
+               if grams[tuple(ts[i:i + k])] >= min_count]
+        spans, dup_tokens, prev_end = 0, 0, None
+        cur_start = None
+        merged = []
+        for p in cov:
+            if cur_start is None or p > prev_end + 1:
+                if cur_start is not None:
+                    merged.append((cur_start, prev_end + k))
+                cur_start = p
+            prev_end = p
+        if cur_start is not None:
+            merged.append((cur_start, prev_end + k))
+        spans = len(merged)
+        dup_tokens = sum(e - s for s, e in merged)
+        n_tok = len(ts)
+        out[d] = (n_tok, max(n_tok - k + 1, 0), spans, dup_tokens,
+                  (dup_tokens * 1_000_000) // n_tok if n_tok else 0)
+    return out
+
+
+def test_substring_dup_spans_matches_bruteforce_model(spark):
+    """Adversarial shapes: overlapping covered windows (no double count),
+    adjacent-but-separate spans, intra-doc repetition, doc shorter than
+    k, empty doc, and a whole-doc duplicate pair."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        substring_dup_spans,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    docs = [
+        # whole-doc duplicate pair
+        (1, boiler),
+        (2, boiler),
+        # shared span embedded mid-doc with unique flanks (overlap-merge)
+        (3, "alpha beta " + boiler + " gamma delta epsilon"),
+        # TWO disjoint duplicated spans in one doc
+        (4, boiler + " unique1 unique2 unique3 unique4 " + boiler),
+        # intra-doc repetition only (gram duplicated within ONE doc)
+        (5, "x1 x2 x3 x4 mid1 mid2 x1 x2 x3 x4 tail1"),
+        # shorter than k
+        (6, "a b"),
+        # empty
+        (7, ""),
+        # no duplication at all
+        (8, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+    ]
+    k = 3
+    model = _substring_model(docs, k)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.n_kgrams, r.n_dup_spans, r.dup_tokens,
+                   r.dup_ratio_ppm)
+        for r in substring_dup_spans(df, k=k).collect()
+    }
+    assert got == model
+    # sanity on the interesting rows: the whole-doc pair is fully covered
+    assert got[1][3] == got[1][0]
+    # doc 5's intra-doc repeat covers both copies of the x-run
+    assert got[5][2] == 2 and got[5][3] == 8
+    # short/empty docs emit zero-rows, not nothing
+    assert got[6] == (2, 0, 0, 0, 0) and got[7] == (0, 0, 0, 0, 0)

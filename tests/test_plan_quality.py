@@ -571,3 +571,19 @@ def test_cube_lineitem_expands_preaggregate_not_fact_rows(spark, sf_dir, qs):
     assert pre_agg_exchange and pre_agg_exchange.start() > expand_at, (
         "Expand is not consuming the finest-grouping pre-aggregate"
     )
+
+
+def test_substring_dedup_two_gram_exchanges_one_scan(spark, sf_dir, qs):
+    """Exact substring dedup must stay at ONE corpus scan and exactly two
+    gram-row exchanges — by gram hash (corpus-wide count via window, no
+    second scan) and by doc (span merge) — with the final per-doc
+    aggregate REUSING the doc partitioning (no third gram-row exchange
+    between the doc window and the aggregate). The only other allowed
+    exchange is repartition_for_compute's local-parallelism spread."""
+    plan = _physical(qs["docs_substring_dedup"](spark, sf_dir))
+    assert len(re.findall(r"FileScan", plan)) == 1
+    assert len(re.findall(r"Exchange hashpartitioning\(h#", plan)) == 1
+    assert len(re.findall(r"Exchange", plan)) <= 3
+    agg_at = plan.index("HashAggregate")
+    win_at = plan.index("Window", agg_at)
+    assert "Exchange" not in plan[agg_at:win_at]

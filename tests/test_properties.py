@@ -698,3 +698,33 @@ def test_bottomk_sample_monoid_and_quantile_model(spark, seed, n, n_batches):
         for r in bottomk_estimates_from_sample(merged, k, probs).collect()
     )
     assert est == expect
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=12).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(2, 4),
+)
+@_settings
+def test_substring_dup_spans_matches_model(spark, texts, k):
+    """Random tiny-vocab corpora (duplication-dense by construction) match
+    the brute-force interval-union model for every doc."""
+    from tests.test_ext import _substring_model
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        substring_dup_spans,
+    )
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.n_kgrams, r.n_dup_spans, r.dup_tokens,
+                   r.dup_ratio_ppm)
+        for r in substring_dup_spans(df, k=k).collect()
+    }
+    assert got == _substring_model(docs, k)
