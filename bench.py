@@ -224,10 +224,7 @@ def main() -> int:
     # state of the profile-store deployment (constant-size state, no
     # fact re-scan). Mirrors matview_term_stats_cycle's protocol.
     from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
-        apply_bottomk_batch,
-        apply_cms_batch,
-        apply_hll_batch,
-        apply_kmv_batch,
+        apply_sketch_views_batch,
     )
 
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
@@ -238,11 +235,11 @@ def main() -> int:
         root = tempfile.mkdtemp(prefix="bench_skviews_")
         try:
             for b, half in enumerate((ohalf1, ohalf2)):
-                apply_kmv_batch(half, b, f"{root}/kmv", "o_custkey")
-                apply_hll_batch(half, b, f"{root}/hll", "o_custkey")
-                apply_cms_batch(half, b, f"{root}/cms", "o_custkey")
-                apply_bottomk_batch(
-                    half, b, f"{root}/bottomk", "o_orderkey", "o_totalprice"
+                # fused apply (r8): one shared scan of the batch feeds all
+                # four monoid deltas; per-view replay-guarded commits stay
+                apply_sketch_views_batch(
+                    half, b, root, "o_custkey",
+                    value_col="o_totalprice", bk_key_col="o_orderkey",
                 )
             return sum(
                 spark.read.parquet(f"{root}/{v}").count()

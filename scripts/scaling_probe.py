@@ -236,12 +236,22 @@ def _streaming_state_probe(spark: SparkSession) -> dict:
 
     from skylogix_real_time_weather_data_pipeline_spark.streaming.stateful import (
         running_key_stats,
+        running_key_stats_bucketed,
     )
 
+    variants = {
+        # per-key state: one Python call + one state put PER KEY per batch
+        "perkey": running_key_stats,
+        # r8: bucketed state (1024 buckets) — one vectorized Python call
+        # + one array-blob put per TOUCHED BUCKET; same output contract
+        "bucketed": lambda s, k, v: running_key_stats_bucketed(
+            s, k, v, n_buckets=1024
+        ),
+    }
     rec: dict[str, object] = {}
     for label, nkeys in (("keys100k", 100_000), ("keys1m", 1_000_000)):
         with tempfile.TemporaryDirectory() as td:
-            src, ckpt = os.path.join(td, "src"), os.path.join(td, "ckpt")
+            src = os.path.join(td, "src")
             for b in range(2):
                 (
                     spark.range(nkeys)
@@ -252,48 +262,58 @@ def _streaming_state_probe(spark: SparkSession) -> dict:
                     .coalesce(4)
                     .write.mode("append" if b else "overwrite").json(src)
                 )
-            stream = (
-                spark.readStream.schema("k string, v double")
-                .option("maxFilesPerTrigger", 4)
-                .json(src)
-            )
-            t0 = time.perf_counter()
-            q = (
-                running_key_stats(stream, "k", "v")
-                .writeStream.format("noop")
-                .outputMode("update")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(600)
-            wall = time.perf_counter() - t0
-            progresses = [p for p in q.recentProgress if p["stateOperators"]]
-            last = progresses[-1]["stateOperators"][0]
-            cm = last.get("customMetrics", {})
-            rec[label] = {
-                "wall_s": round(wall, 2),
-                "n_batches": len(progresses),
-                "state_rows": last["numRowsTotal"],
-                "state_mem_bytes": last["memoryUsedBytes"],
-                "last_batch_update_ms": last["allUpdatesTimeMs"],
-                "last_batch_commit_ms": last["commitTimeMs"],
-                # rocksdbSstFileSize stays 0 at these state sizes (the
-                # memtable absorbs everything and changelog checkpointing
-                # defers snapshot flushes), so record the counters that DO
-                # move: point writes, bytes written, and the fsync part of
-                # the commit — the per-batch costs a 10⁹-key deployment
-                # pays.
-                "rocksdb_put_count": cm.get("rocksdbPutCount"),
-                "rocksdb_bytes_written": cm.get("rocksdbTotalBytesWritten"),
-                "rocksdb_commit_fsync_ms": cm.get(
-                    "rocksdbCommitFileSyncLatencyMs"
-                ),
-            }
-    k1, k10 = rec["keys100k"], rec["keys1m"]
+            for vlabel, op in variants.items():
+                ckpt = os.path.join(td, f"ckpt_{vlabel}")
+                stream = (
+                    spark.readStream.schema("k string, v double")
+                    .option("maxFilesPerTrigger", 4)
+                    .json(src)
+                )
+                t0 = time.perf_counter()
+                q = (
+                    op(stream, "k", "v")
+                    .writeStream.format("noop")
+                    .outputMode("update")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(600)
+                wall = time.perf_counter() - t0
+                progresses = [p for p in q.recentProgress if p["stateOperators"]]
+                last = progresses[-1]["stateOperators"][0]
+                cm = last.get("customMetrics", {})
+                rec[f"{label}_{vlabel}"] = {
+                    "wall_s": round(wall, 2),
+                    "n_batches": len(progresses),
+                    "state_rows": last["numRowsTotal"],
+                    "state_mem_bytes": last["memoryUsedBytes"],
+                    "last_batch_update_ms": last["allUpdatesTimeMs"],
+                    "last_batch_commit_ms": last["commitTimeMs"],
+                    # rocksdbSstFileSize stays 0 at these state sizes (the
+                    # memtable absorbs everything and changelog
+                    # checkpointing defers snapshot flushes), so record the
+                    # counters that DO move: point writes, bytes written,
+                    # and the fsync part of the commit — the per-batch
+                    # costs a 10⁹-key deployment pays.
+                    "rocksdb_put_count": cm.get("rocksdbPutCount"),
+                    "rocksdb_bytes_written": cm.get("rocksdbTotalBytesWritten"),
+                    "rocksdb_commit_fsync_ms": cm.get(
+                        "rocksdbCommitFileSyncLatencyMs"
+                    ),
+                }
+    k1, k10 = rec["keys100k_perkey"], rec["keys1m_perkey"]
     rec["growth_10x_wall"] = round(k10["wall_s"] / max(k1["wall_s"], 1e-9), 2)
     rec["growth_10x_state_rows"] = round(
         k10["state_rows"] / max(k1["state_rows"], 1), 2
+    )
+    b1, b10 = rec["keys100k_bucketed"], rec["keys1m_bucketed"]
+    rec["growth_10x_wall_bucketed"] = round(
+        b10["wall_s"] / max(b1["wall_s"], 1e-9), 2
+    )
+    # the r7 verdict's target: >=3x update-throughput at 1M keys
+    rec["bucketed_speedup_keys1m"] = round(
+        k10["wall_s"] / max(b10["wall_s"], 1e-9), 2
     )
     return rec
 

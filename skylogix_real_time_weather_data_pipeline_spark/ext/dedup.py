@@ -482,6 +482,7 @@ def substring_dup_spans(df: DataFrame, text_col: str = "text",
     from pyspark.sql import Window
 
     from .text import (
+        _let,
         kgram_hash_array,
         repartition_for_compute,
         token_hash_array,
@@ -490,12 +491,15 @@ def substring_dup_spans(df: DataFrame, text_col: str = "text",
 
     df = repartition_for_compute(df, id_col)
     toks = tokens(text_col)
+    # _let-bind the token-hash array: kgram_hash_array references it k
+    # times per position via element_at, and an unbound reference would
+    # re-inline (and re-evaluate) the whole O(n) md5 transform at every
+    # site — measured 31 s vs ~2 s for this map stage at sf0.1
+    hs = _let(token_hash_array(toks), lambda th: kgram_hash_array(th, k))
     grams = df.select(
         id_col,
         F.size(toks).alias("n_tokens"),
-        F.posexplode_outer(kgram_hash_array(token_hash_array(toks), k)).alias(
-            "pos", "h"
-        ),
+        F.posexplode_outer(hs).alias("pos", "h"),
     )
     cnt = F.count(F.lit(1)).over(Window.partitionBy("h"))
     covered = grams.withColumn(

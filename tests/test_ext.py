@@ -1103,8 +1103,14 @@ def test_lang_source_chisq_closed_form(spark):
 
 def _substring_model(docs, k, min_count=2):
     """Brute-force reference for substring_dup_spans: count k-grams as
-    TUPLES (no hashing), mark covered positions, union the [p, p+k)
-    intervals per doc."""
+    TUPLES (no hashing), mark covered positions, then compute
+    ``dup_tokens`` as the size of an EXPLICIT token-index set (the union
+    of the [p, p+k) windows — independent of the operator's incremental
+    contribution accounting, which a first model version got wrong by
+    double-counting overlapping windows) and ``n_dup_spans`` as the
+    number of overlapping-window chains (a new span starts when the gap
+    to the previous covered position exceeds k−1, i.e. the windows no
+    longer share a token)."""
     from collections import Counter
 
     toks = {d: t.split() for d, t in docs}
@@ -1116,19 +1122,14 @@ def _substring_model(docs, k, min_count=2):
     for d, ts in toks.items():
         cov = [i for i in range(max(len(ts) - k + 1, 0))
                if grams[tuple(ts[i:i + k])] >= min_count]
-        spans, dup_tokens, prev_end = 0, 0, None
-        cur_start = None
-        merged = []
+        covered_tokens: set[int] = set()
+        spans, prev = 0, None
         for p in cov:
-            if cur_start is None or p > prev_end + 1:
-                if cur_start is not None:
-                    merged.append((cur_start, prev_end + k))
-                cur_start = p
-            prev_end = p
-        if cur_start is not None:
-            merged.append((cur_start, prev_end + k))
-        spans = len(merged)
-        dup_tokens = sum(e - s for s, e in merged)
+            covered_tokens.update(range(p, p + k))
+            if prev is None or p - prev > k - 1:
+                spans += 1
+            prev = p
+        dup_tokens = len(covered_tokens)
         n_tok = len(ts)
         out[d] = (n_tok, max(n_tok - k + 1, 0), spans, dup_tokens,
                   (dup_tokens * 1_000_000) // n_tok if n_tok else 0)

@@ -233,3 +233,54 @@ def test_bottomk_estimates_empty_sample_keeps_probability_rows(spark):
     got1 = bottomk_estimates_from_sample(one, 64, probs).collect()
     assert sorted(r.p_ppm for r in got1) == probs
     assert all(r.est_value == 42 for r in got1)
+
+
+def test_fused_apply_equals_separate_and_guards_stay_per_view(spark):
+    """apply_sketch_views_batch (one shared scan) must produce byte-equal
+    views to the four separate apply_*_batch calls, and a PARTIAL crash —
+    some views committed at batch N, others not — must replay into
+    per-view no-ops/applies exactly like the unfused path."""
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_bottomk_batch,
+        apply_cms_batch,
+        apply_hll_batch,
+        apply_kmv_batch,
+        apply_sketch_views_batch,
+    )
+
+    batches = _value_batches(spark)
+    with tempfile.TemporaryDirectory() as d:
+        fused, sep = os.path.join(d, "fused"), os.path.join(d, "sep")
+        for b, df in enumerate(batches):
+            apply_sketch_views_batch(df, b, fused, "key",
+                                     value_col="value")
+            apply_kmv_batch(df, b, os.path.join(sep, "kmv"), "key")
+            apply_hll_batch(df, b, os.path.join(sep, "hll"), "key")
+            apply_cms_batch(df, b, os.path.join(sep, "cms"), "key")
+            apply_bottomk_batch(df, b, os.path.join(sep, "bottomk"),
+                                "key", "value")
+        for view, cols in (("kmv", ["h"]), ("hll", None), ("cms", None),
+                           ("bottomk", ["h", "v"])):
+            fv = spark.read.parquet(os.path.join(fused, view))
+            sv = spark.read.parquet(os.path.join(sep, view))
+            cols = cols or fv.columns
+            assert _rows(fv, cols) == _rows(sv, cols), view
+
+        # partial-crash replay: advance ONLY the cms view to batch 3,
+        # then run the fused apply for batch 3 — cms must be a no-op
+        # (marker already at 3), the other three must apply
+        extra = spark.createDataFrame(
+            [(9_000_001 + j, j) for j in range(50)], ["key", "value"]
+        )
+        apply_cms_batch(extra, 3, os.path.join(fused, "cms"), "key")
+        cms_path = os.path.join(fused, "cms")
+        cms_cols = spark.read.parquet(cms_path).columns
+        before_cms = _rows(spark.read.parquet(cms_path), cms_cols)
+        before_kmv = _rows(spark.read.parquet(os.path.join(fused, "kmv")),
+                           ["h"])
+        apply_sketch_views_batch(extra, 3, fused, "key", value_col="value")
+        after_cms = _rows(spark.read.parquet(cms_path), cms_cols)
+        after_kmv = _rows(spark.read.parquet(os.path.join(fused, "kmv")),
+                          ["h"])
+        assert after_cms == before_cms          # replay no-op for cms
+        assert after_kmv != before_kmv          # genuine apply elsewhere

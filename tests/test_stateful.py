@@ -173,3 +173,51 @@ def test_listener_reports_state_size_gauges(spark, tmp_path):
         assert listener.registry.values["weather_state_rows_updated"] >= 3.0
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_bucketed_stats_equal_per_key_stats(spark, tmp_path):
+    """running_key_stats_bucketed must emit EXACTLY the same rows as the
+    per-key operator across multiple micro-batches — bucketing is a state
+    granularity choice, not a semantics change. Includes a key whose batch
+    rows are all NULL (touched but unchanged), cross-batch accumulation,
+    and more keys than buckets (forced array growth within buckets)."""
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.stateful import (
+        running_key_stats_bucketed,
+    )
+
+    b1 = [(f"k{i}", float(i % 7)) for i in range(40)] + [("knull", None)]
+    b2 = [(f"k{i}", float(i % 5)) for i in range(0, 40, 2)] + [("knew", 9.0)]
+    results = {}
+    for variant, fn in (
+        ("perkey", running_key_stats),
+        ("bucketed", lambda s, k, v: running_key_stats_bucketed(
+            s, k, v, n_buckets=4)),
+    ):
+        src = tmp_path / f"src_{variant}"
+        ckpt = tmp_path / f"ckpt_{variant}"
+        _write_batch(src, "b1.json", b1)
+        time.sleep(1.1)
+        _write_batch(src, "b2.json", b2)
+        stream = (
+            spark.readStream.schema("k string, v double")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            fn(stream, "k", "v")
+            .writeStream.format("memory")
+            .queryName(f"bq_{variant}")
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        results[variant] = sorted(
+            (r.key, r.n, r.total, r.vmin, r.vmax, r.mean)
+            for r in spark.table(f"bq_{variant}").collect()
+        )
+    assert results["bucketed"] == results["perkey"]
+    # the all-null key is emitted with empty stats by both paths
+    knull = [t for t in results["bucketed"] if t[0] == "knull"]
+    assert len(knull) == 1 and knull[0][1] == 0
