@@ -40,10 +40,17 @@ _VERIFY_FIRST = (
     "docs_shard",              # global_rank: hash-bucket partitioning
     "docs_split_assign",       # global_rank consumer (same deep change)
     "docs_substring_dedup",    # NEW: exact substring-run dedup
+    "rel_merge_upsert",        # integer-cent repricing (sf0.1 spot found
+                               # an engine-divergent double ROUND tie)
     "rel_pagerank",            # late-r7 fingerprint (ledger re-window)
     "rel_triangle_count",      # late-r7 fingerprint (ledger re-window)
     "rel_kmv_intersection",    # late-r7 fingerprint (ledger re-window)
-    "docs_distill_filter",     # late-r7 fingerprint (ledger re-window)
+    # docs_distill_filter is the 4th late-r7 fingerprint mover, displaced
+    # when the sf0.1 spot-check's merge_upsert find took its slot: its
+    # code is byte-identical to what the r7 driver run greened (the
+    # fingerprint moved only because the ledger was written mid-r7), it
+    # is typed-local-green this round, and it is the most expensive row
+    # to drive (15 training jobs). Re-certify in r9 if the ledger flags.
     # --- tier 2a: the 9 deferred r3-vintage single-fact aggregates ---
     "rel_disjunctive_revenue",
     "rel_large_orders",

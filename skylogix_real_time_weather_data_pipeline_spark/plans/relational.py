@@ -484,12 +484,23 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a shifted-key copy (insert); merge_upsert applies both against the
     base table. The oracle expresses the same MERGE in ANSI SQL (source ∪
     target-minus-source-keys), so the hash check pins update, insert AND
-    carry-over semantics."""
+    carry-over semantics.
+
+    The repricing runs in EXACT integer cents with explicit half-up
+    division — ROUND(price * 1.1, 2) on doubles is engine-divergent on
+    representation ties (found by the r8 sf0.1 spot-check: 71995.15 × 1.1
+    prints as 79194.665 but sits below the binary tie, so Spark's
+    shortest-repr HALF_UP said .67 while DuckDB's binary round said .66;
+    1 such tie in 150k orders, none in 15k)."""
     from ..operators.merge import merge_upsert
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     updates = o.filter(F.col("o_orderkey") % 97 == 0).withColumn(
-        "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
+        "o_totalprice",
+        F.expr(
+            "CAST((CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 + 5)"
+            " DIV 10 AS DOUBLE) / 100"
+        ),
     )
     inserts = updates.select(
         (F.col("o_orderkey") + 50_000_000).alias("o_orderkey"), "o_custkey", "o_totalprice"
@@ -501,7 +512,11 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_MERGE_UPSERT = """
 WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
 updates AS (
-  SELECT o_orderkey, o_custkey, ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+  -- exact integer-cent repricing with half-up DIV (see q_merge_upsert:
+  -- double ROUND diverges across engines on representation ties)
+  SELECT o_orderkey, o_custkey,
+         CAST((CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 + 5)
+              // 10 AS DOUBLE) / 100 AS o_totalprice
   FROM base WHERE o_orderkey % 97 = 0
 ),
 source AS (
