@@ -537,12 +537,13 @@ def maintain_sketch_views(src: DataFrame, base_dir: str, checkpoint_dir: str,
                           value_col: str | None = None):
     """Incrementally maintain the KMV + HLL + CMS sketch views over one
     streaming frame with trigger(availableNow) — the profile-store shape:
-    one pass per micro-batch feeds three constant-size summaries
-    (distinct estimate, register state, frequency counters) under
-    ``<base_dir>/{kmv,hll,cms}``. Each view commits with its own batch-id
-    marker, so a crash between commits replays into per-view no-ops /
-    applies — exactly-once per view. Equivalence of every view with its
-    one-shot batch sketch is pinned in tests/test_sketch_views.py.
+    ONE shared scan per micro-batch (apply_sketch_views_batch) feeds the
+    constant-size summaries (distinct estimate, register state, frequency
+    counters) under ``<base_dir>/{kmv,hll,cms}``. Each view commits with
+    its own batch-id marker, so a crash between commits replays into
+    per-view no-ops / applies — exactly-once per view. Equivalence of
+    every view with its one-shot batch sketch is pinned in
+    tests/test_sketch_views.py.
 
     ``value_col`` (optional) adds the quantile member: a bottom-k
     (hash, value) row sample under ``<base_dir>/bottomk``."""
