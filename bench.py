@@ -83,6 +83,7 @@ EXTENDED = [
     # r8: exact substring-run dedup (two gram-row exchanges — the
     # heaviest shuffle shape in the docs family)
     "docs_substring_dedup",
+    "docs_substring_rewrite",
     # docs_distill_filter deliberately NOT benched: 15 driver-looped
     # training jobs (~20 s) would dominate the wall-clock total without
     # measuring anything scan/shuffle-shaped

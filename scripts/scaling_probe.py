@@ -84,6 +84,7 @@ PROBE = [
     # r8: exact substring-run dedup — two token-count-sized exchanges
     # (gram hash, then doc); growth must track corpus size, not pairs
     "docs_substring_dedup",
+    "docs_substring_rewrite",    # span removal: k-fan-out + rebuild
 ]
 
 

@@ -540,6 +540,99 @@ def substring_dup_spans(df: DataFrame, text_col: str = "text",
     )
 
 
+def substring_dedup_rewrite(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 8,
+                            min_count: int = 2) -> DataFrame:
+    """EXACT substring-span REMOVAL — the action counterpart of
+    :func:`substring_dup_spans` (Lee et al. 2022 ExactSubstr: cut every
+    duplicated span, keep ONE occurrence). Keep-FIRST semantics at gram
+    granularity: for every k-gram occurring ≥ ``min_count`` times
+    corpus-wide, the occurrence minimizing (doc_id, pos) is KEPT and all
+    others are duplicates. A token is removed iff it lies under some
+    duplicate-occurrence window and under NO kept window (kept wins on
+    overlap, so the surviving copy of a repeated run — across documents
+    or within one — is never nibbled by its own duplicates). Documents
+    are reassembled from surviving tokens in original order; an exact
+    duplicate document collapses to empty text while the first copy is
+    untouched (same contract as :func:`remove_dup_chunks`, but at
+    arbitrary-alignment span granularity instead of fixed chunks).
+
+    The (doc, pos) order is encoded as ``doc_id·2^20 + pos`` so the
+    per-gram argmin is ONE portable MIN window (documented bounds:
+    pos < 2^20 tokens per document, doc_id < 2^43 — both loose at any
+    real corpus scale; the same encoding replays in ANSI SQL).
+
+    Plan shape / 100 TB: one narrow gram map → exchange on gram hash
+    (count + argmin in one window pass) → each gram row fans out to its
+    k token indexes → exchange on (doc, token) folding window flags →
+    join with the token rows (same partitioning) → groupBy(doc)
+    reconstruction. The k× fan-out through one hash exchange is the
+    honest cost of token-resolution span removal — linear in corpus
+    size, no pair stage anywhere; the reconstruction shuffle carries
+    each surviving token exactly once (remove_dup_chunks pays the same
+    to rebuild text). Output: (doc_id, n_tokens, n_removed, clean_text).
+    """
+    from pyspark.sql import Window
+
+    from .text import (
+        _let,
+        kgram_hash_array,
+        repartition_for_compute,
+        token_hash_array,
+        tokens,
+    )
+
+    df = repartition_for_compute(df, id_col)
+    toks = tokens(text_col)
+    hs = _let(token_hash_array(toks), lambda th: kgram_hash_array(th, k))
+    grams = df.select(
+        id_col, F.posexplode(hs).alias("pos", "h")
+    )
+    wh = Window.partitionBy("h")
+    okey = F.col(id_col).cast("long") * F.lit(1 << 20) + F.col("pos")
+    flagged = grams.select(
+        id_col,
+        "pos",
+        (F.count(F.lit(1)).over(wh) >= min_count).alias("_dupd"),
+        (okey == F.min(okey).over(wh)).alias("_first"),
+    )
+    tok_flags = (
+        flagged.filter(F.col("_dupd"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("t"),
+            (~F.col("_first")).cast("int").alias("dup"),
+            F.col("_first").cast("int").alias("kept"),
+        )
+        .groupBy(id_col, "t")
+        .agg(F.max("dup").alias("dup_any"), F.max("kept").alias("kept_any"))
+    )
+    tok_rows = df.select(
+        id_col, F.posexplode_outer(toks).alias("t", "tok")
+    )
+    resolved = tok_rows.join(tok_flags, [id_col, "t"], "left").select(
+        id_col,
+        "t",
+        "tok",
+        (
+            (F.coalesce(F.col("dup_any"), F.lit(0)) == 1)
+            & (F.coalesce(F.col("kept_any"), F.lit(0)) == 0)
+        ).cast("int").alias("removed"),
+    )
+    surv = F.when(
+        (F.col("removed") == 0) & F.col("tok").isNotNull(),
+        F.struct(F.col("t"), F.col("tok")),
+    )
+    return resolved.groupBy(id_col).agg(
+        F.count("tok").cast("long").alias("n_tokens"),
+        F.coalesce(F.sum("removed"), F.lit(0)).cast("long").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(F.array_sort(F.collect_list(surv)), lambda x: x["tok"]),
+        ).alias("clean_text"),
+    )
+
+
 def winnowing_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                     k: int = 4, w: int = 5, min_shared: int = 2,
                     max_fp_df: int = 1_000) -> DataFrame:

@@ -1597,6 +1597,75 @@ FROM th8 t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (keep-first): the rewrite counterpart of
+    docs_substring_dedup — see ext/dedup.py:substring_dedup_rewrite for
+    the keep-first/kept-wins semantics and the k-fan-out plan shape."""
+    return dedup.substring_dedup_rewrite(_docs(spark, sf_dir), k=_SUBSTR_K)
+
+
+O_SUBSTRING_REWRITE = TOK_CTE + f"""
+, thr AS (
+  SELECT doc_id, len(tk) AS n_tokens,
+         greatest(len(tk) - {_SUBSTR_K - 1}, 0) AS n_kg, tk,
+         list_transform(tk, t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS th
+  FROM toks
+), kgr AS (
+  SELECT doc_id, n_tokens, tk,
+         CASE WHEN n_kg >= 1
+              THEN list_transform(
+                     range(1, n_kg + 1),
+                     i -> struct_pack(
+                            p := i,
+                            h := {_winnow_poly_sql(_SUBSTR_PRM[:_SUBSTR_K])} * {1 << 31}
+                                 + {_winnow_poly_sql(_SUBSTR_PRM[_SUBSTR_K:])}))
+              ELSE [] END AS gr
+  FROM thr
+), grr AS (
+  SELECT doc_id, struct_extract(s, 'p') AS p, struct_extract(s, 'h') AS h
+  FROM (SELECT doc_id, unnest(gr) AS s FROM kgr)
+), gf AS (
+  -- keep-first: the occurrence minimizing (doc_id, pos), encoded as one
+  -- portable MIN over doc_id·2^20 + pos (same bounds as the Spark side)
+  SELECT doc_id, p,
+         COUNT(*) OVER (PARTITION BY h) AS cnt,
+         (doc_id * 1048576 + p) =
+           MIN(doc_id * 1048576 + p) OVER (PARTITION BY h) AS is_first
+  FROM grr
+), tf AS (
+  SELECT doc_id, t,
+         MAX(CASE WHEN NOT is_first THEN 1 ELSE 0 END) AS dup_any,
+         MAX(CASE WHEN is_first THEN 1 ELSE 0 END) AS kept_any
+  FROM (SELECT doc_id, is_first, unnest(range(p, p + {_SUBSTR_K})) AS t
+        FROM gf WHERE cnt >= 2)
+  GROUP BY 1, 2
+), tokr AS (
+  SELECT doc_id, struct_extract(s, 't') AS t, struct_extract(s, 'w') AS w
+  FROM (SELECT doc_id,
+               unnest(CASE WHEN len(tk) >= 1
+                           THEN list_transform(range(1, len(tk) + 1),
+                                               i -> struct_pack(t := i, w := tk[i]))
+                           ELSE [] END) AS s
+        FROM kgr)
+), res AS (
+  SELECT k.doc_id, k.t, k.w,
+         CASE WHEN COALESCE(f.dup_any, 0) = 1 AND COALESCE(f.kept_any, 0) = 0
+              THEN 1 ELSE 0 END AS removed
+  FROM tokr k LEFT JOIN tf f ON k.doc_id = f.doc_id AND k.t = f.t
+), agg AS (
+  SELECT doc_id, SUM(removed) AS n_removed,
+         COALESCE(string_agg(CASE WHEN removed = 0 THEN w END, ' ' ORDER BY t),
+                  '') AS clean_text
+  FROM res GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM kgr b LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Interpolated bigram-LM mean log-probability (KenLM-style quality proxy)
 # --------------------------------------------------------------------------
@@ -2880,6 +2949,7 @@ QUERIES = {
     "docs_winnowing": q_winnowing,
     "docs_winnowing_pairs": q_winnowing_pairs,
     "docs_substring_dedup": q_substring_dedup,
+    "docs_substring_rewrite": q_substring_rewrite,
     "docs_bigram_logprob": q_bigram_logprob,
     "docs_distill_filter": q_distill_filter,
     "docs_unigram_logprob": q_unigram_logprob,
@@ -2950,6 +3020,7 @@ ORACLES = {
     "docs_winnowing": O_WINNOWING,
     "docs_winnowing_pairs": O_WINNOWING_PAIRS,
     "docs_substring_dedup": O_SUBSTRING_DEDUP,
+    "docs_substring_rewrite": O_SUBSTRING_REWRITE,
     "docs_bigram_logprob": O_BIGRAM_LOGPROB,
     "docs_distill_filter": O_DISTILL_FILTER,
     "docs_unigram_logprob": O_UNIGRAM_LOGPROB,

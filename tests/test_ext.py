@@ -1177,3 +1177,62 @@ def test_substring_dup_spans_matches_bruteforce_model(spark):
     assert got[5][2] == 2 and got[5][3] == 8
     # short/empty docs emit zero-rows, not nothing
     assert got[6] == (2, 0, 0, 0, 0) and got[7] == (0, 0, 0, 0, 0)
+
+
+def _rewrite_model(docs, k, min_count=2):
+    """Brute-force reference for substring_dedup_rewrite: gram tuples
+    counted corpus-wide, keep-first = argmin (doc_id, pos) per gram,
+    token removed iff covered by a duplicate-occurrence window and by no
+    kept window."""
+    from collections import defaultdict
+
+    toks = {d: t.split() for d, t in docs}
+    occ = defaultdict(list)
+    for d, ts in sorted(toks.items()):
+        for i in range(max(len(ts) - k + 1, 0)):
+            occ[tuple(ts[i:i + k])].append((d, i))
+    out = {}
+    for d, ts in toks.items():
+        dup_cov, kept_cov = set(), set()
+        for i in range(max(len(ts) - k + 1, 0)):
+            g = occ[tuple(ts[i:i + k])]
+            if len(g) >= min_count:
+                target = dup_cov if min(g) != (d, i) else kept_cov
+                target.update(range(i, i + k))
+        removed = dup_cov - kept_cov
+        clean = " ".join(t for i, t in enumerate(ts) if i not in removed)
+        out[d] = (len(ts), len(removed), clean)
+    return out
+
+
+def test_substring_dedup_rewrite_matches_bruteforce_model(spark):
+    """Keep-first span removal: whole-doc duplicate collapses to empty,
+    the first copy is untouched; intra-doc repeats keep the first run;
+    overlapping kept/dup windows resolve kept-wins; short docs pass
+    through untouched."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        substring_dedup_rewrite,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    docs = [
+        (1, boiler),
+        (2, boiler),                                     # exact dup → empty
+        (3, "alpha beta " + boiler + " gamma delta"),    # embedded copy cut
+        (4, "x1 x2 x3 x4 mid x1 x2 x3 x4"),              # intra-doc repeat
+        (5, "a b"),                                       # shorter than k
+        (6, ""),                                          # empty
+        (7, "u1 u2 u3 u4 u5 u6 u7 u8"),                   # no duplication
+    ]
+    k = 3
+    model = _rewrite_model(docs, k)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in substring_dedup_rewrite(df, k=k).collect()
+    }
+    assert got == model
+    assert got[1] == (10, 0, boiler)          # first copy untouched
+    assert got[2][2] == "" and got[2][1] == 10  # exact dup fully removed
+    assert got[4] == (9, 4, "x1 x2 x3 x4 mid")  # second run cut
+    assert got[6] == (0, 0, "")

@@ -587,3 +587,15 @@ def test_substring_dedup_two_gram_exchanges_one_scan(spark, sf_dir, qs):
     agg_at = plan.index("HashAggregate")
     win_at = plan.index("Window", agg_at)
     assert "Exchange" not in plan[agg_at:win_at]
+
+
+def test_substring_rewrite_two_scans_no_pair_stage(spark, sf_dir, qs):
+    """The span-removal rewrite needs the corpus twice (gram flags +
+    token reconstruction) and must stay linear: exactly one gram-hash
+    exchange for the corpus-wide count/argmin window, no cartesian or
+    pair-generating join anywhere, and the k-fan-out resolves through
+    hash exchanges only."""
+    plan = _physical(qs["docs_substring_rewrite"](spark, sf_dir))
+    assert len(re.findall(r"FileScan", plan)) == 2
+    assert len(re.findall(r"Exchange hashpartitioning\(h#", plan)) == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
