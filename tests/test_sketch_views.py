@@ -284,3 +284,31 @@ def test_fused_apply_equals_separate_and_guards_stay_per_view(spark):
                           ["h"])
         assert after_cms == before_cms          # replay no-op for cms
         assert after_kmv != before_kmv          # genuine apply elsewhere
+
+
+def test_fused_apply_without_value_col_maintains_three_views(spark):
+    """value_col=None → only kmv/hll/cms directories exist and match
+    their one-shot sketches (the fused path must not require or create
+    the quantile member)."""
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_sketch_views_batch,
+    )
+
+    batches = _batches(spark)
+    full = batches[0]
+    for b in batches[1:]:
+        full = full.unionByName(b)
+    with tempfile.TemporaryDirectory() as d:
+        for b, df in enumerate(batches):
+            apply_sketch_views_batch(df, b, d, "key", k=64, p=5, depth=2,
+                                     width=16)
+        assert not os.path.exists(os.path.join(d, "bottomk"))
+        assert _rows(spark.read.parquet(os.path.join(d, "kmv")), ["h"]) == \
+            _rows(kmv_mins(full, "key", k=64), ["h"])
+        assert _rows(spark.read.parquet(os.path.join(d, "hll")),
+                     ["bucket", "rho"]) == \
+            _rows(hll_registers(full, "key", p=5), ["bucket", "rho"])
+        assert _rows(spark.read.parquet(os.path.join(d, "cms")),
+                     ["d", "b", "bucket_count"]) == \
+            _rows(cms_counters(full, "key", depth=2, width=16),
+                  ["d", "b", "bucket_count"])
