@@ -135,15 +135,30 @@ def main() -> int:
 
     import statistics
 
+    from skylogix_real_time_weather_data_pipeline_spark.cache import (
+        release_owned_caches,
+    )
+
     def _median_time(run) -> tuple[float, int]:
         """Median of 3 executions (the first still pays per-plan codegen
         compilation; the median discards that outlier without the
-        best-of-N bias toward lucky scheduling)."""
+        best-of-N bias toward lucky scheduling). Owned caches are drained
+        after each execution, OUTSIDE the timed span (so the legacy
+        series stays comparable) — the operators that persist (graph
+        deg/oriented, posting lists, LM tables) register a fresh entry
+        per run, and before this drain the 50-query bench accumulated
+        hundreds of cached frames, squeezing executor memory under every
+        LATE row (measured: rel_triangle_count / docs_winnowing_pairs
+        drifting ~1.5× calibration-normalized by the end of the run while
+        early rows held). local_verify and the scaling probe drain
+        identically, so per-query numbers now measure the query, not the
+        bench's position in the list."""
         times, n = [], 0
         for _ in range(3):
             t0 = time.perf_counter()
             n = run()
             times.append(time.perf_counter() - t0)
+            release_owned_caches(spark)
         return statistics.median(times), n
 
     # Two executors per query:
