@@ -185,8 +185,13 @@ def test_bucketed_stats_equal_per_key_stats(spark, tmp_path):
         running_key_stats_bucketed,
     )
 
+    # knull: all-null in batch 1 (empty state round-trips through the
+    # array-state NaN encoding), then receives a real value in batch 2 —
+    # np.fmin/fmax must treat the stored NaN as identity, like the
+    # per-key operator's None checks
     b1 = [(f"k{i}", float(i % 7)) for i in range(40)] + [("knull", None)]
-    b2 = [(f"k{i}", float(i % 5)) for i in range(0, 40, 2)] + [("knew", 9.0)]
+    b2 = ([(f"k{i}", float(i % 5)) for i in range(0, 40, 2)]
+          + [("knew", 9.0), ("knull", 4.5)])
     results = {}
     for variant, fn in (
         ("perkey", running_key_stats),
@@ -218,6 +223,9 @@ def test_bucketed_stats_equal_per_key_stats(spark, tmp_path):
             for r in spark.table(f"bq_{variant}").collect()
         )
     assert results["bucketed"] == results["perkey"]
-    # the all-null key is emitted with empty stats by both paths
-    knull = [t for t in results["bucketed"] if t[0] == "knull"]
-    assert len(knull) == 1 and knull[0][1] == 0
+    # knull: one empty-stats emission (batch 1), then the stored-NaN
+    # state absorbs its first real value (batch 2)
+    knull = sorted(t for t in results["bucketed"] if t[0] == "knull")
+    assert len(knull) == 2
+    assert knull[0][1] == 0
+    assert knull[1][1:] == (1, 4.5, 4.5, 4.5, 4.5)
