@@ -728,3 +728,33 @@ def test_substring_dup_spans_matches_model(spark, texts, k):
         for r in substring_dup_spans(df, k=k).collect()
     }
     assert got == _substring_model(docs, k)
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=12).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(2, 4),
+)
+@_settings
+def test_substring_dedup_rewrite_matches_model(spark, texts, k):
+    """Random duplication-dense corpora: keep-first span removal matches
+    the brute-force model on counts AND reconstructed text for every
+    doc."""
+    from tests.test_ext import _rewrite_model
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        substring_dedup_rewrite,
+    )
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in substring_dedup_rewrite(df, k=k).collect()
+    }
+    assert got == _rewrite_model(docs, k)
