@@ -84,6 +84,7 @@ EXTENDED = [
     # heaviest shuffle shape in the docs family)
     "docs_substring_dedup",
     "docs_substring_rewrite",
+    "docs_substring_pairs",
     # docs_distill_filter deliberately NOT benched: 15 driver-looped
     # training jobs (~20 s) would dominate the wall-clock total without
     # measuring anything scan/shuffle-shaped

@@ -85,6 +85,7 @@ PROBE = [
     # (gram hash, then doc); growth must track corpus size, not pairs
     "docs_substring_dedup",
     "docs_substring_rewrite",    # span removal: k-fan-out + rebuild
+    "docs_substring_pairs",      # df-capped posting-list pair fan-out
 ]
 
 

@@ -674,6 +674,54 @@ def winnowing_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def substring_shared_gram_pairs(df: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id", k: int = 8,
+                                min_shared: int = 2,
+                                max_gram_df: int = 1_000) -> DataFrame:
+    """EXACT shared-substring document pairs — the pair detector of the
+    ExactSubstr family (:func:`substring_dup_spans` measures coverage,
+    :func:`substring_dedup_rewrite` removes; this answers WHICH document
+    pairs share material): pairs of docs sharing ≥ ``min_shared``
+    distinct k-gram hashes. Where :func:`winnowing_pairs` matches on the
+    winnowed SAMPLE of grams (guaranteed ≥1 shared fingerprint per
+    shared run of w+k−1 tokens, expected density 2/(w+1)), this matches
+    on EVERY gram: n_shared_grams is the exact count of distinct shared
+    k-grams, so ``n_shared_grams + k − 1`` lower-bounds the total shared
+    token mass for contiguous overlaps — the exact-evidence complement
+    the sampled detector trades away.
+
+    Same bucketed plan as the winnowing/MinHash detectors: one narrow
+    gram map (shared Carter-Wegman hashing) → distinct (doc, h) →
+    groupBy(h) posting lists with a df cap (a gram in n docs fans out n²
+    pairs; boilerplate grams above ``max_gram_df`` docs are dropped,
+    mirrored in the oracle) → in-bucket pair fan-out → pair groupBy. No
+    self-join, no all-pairs; gram-mass shuffle like the stats operator.
+    """
+    from .text import (
+        _let,
+        kgram_hash_array,
+        repartition_for_compute,
+        token_hash_array,
+        tokens,
+    )
+
+    df = repartition_for_compute(df, id_col)
+    toks = tokens(text_col)
+    hs = _let(token_hash_array(toks), lambda th: kgram_hash_array(th, k))
+    grams = df.select(id_col, F.explode(hs).alias("h")).distinct()
+    buckets = (
+        grams.groupBy("h")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_gram_df))
+    )
+    return (
+        buckets.select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= min_shared)
+    )
+
+
 def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
                          id_col: str = "doc_id", max_iterations: int = 20) -> DataFrame:
     """Cluster assignment over near-dup candidate pairs: connected

@@ -1597,6 +1597,49 @@ FROM th8 t LEFT JOIN agg a USING (doc_id)
 """
 
 
+_SUBSTR_MIN_SHARED = 2
+_SUBSTR_MAX_GRAM_DF = 1_000
+
+
+def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-substring doc pairs: docs sharing ≥2 distinct k-gram
+    hashes, df-capped posting lists (see
+    ext/dedup.py:substring_shared_gram_pairs)."""
+    return dedup.substring_shared_gram_pairs(
+        _docs(spark, sf_dir), k=_SUBSTR_K, min_shared=_SUBSTR_MIN_SHARED,
+        max_gram_df=_SUBSTR_MAX_GRAM_DF,
+    )
+
+
+O_SUBSTRING_PAIRS = TOK_CTE + f"""
+, th8 AS (
+  SELECT doc_id, greatest(len(tk) - {_SUBSTR_K - 1}, 0) AS n_kg,
+         list_transform(tk, t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS th
+  FROM toks
+), kg8 AS (
+  SELECT doc_id,
+         CASE WHEN n_kg >= 1
+              THEN list_transform(
+                     range(1, n_kg + 1),
+                     i -> {_winnow_poly_sql(_SUBSTR_PRM[:_SUBSTR_K])} * {1 << 31}
+                          + {_winnow_poly_sql(_SUBSTR_PRM[_SUBSTR_K:])})
+              ELSE [] END AS hs
+  FROM th8
+), gh AS (
+  SELECT DISTINCT doc_id, h
+  FROM (SELECT doc_id, unnest(hs) AS h FROM kg8)
+), elig AS (
+  SELECT h FROM gh GROUP BY h
+  HAVING COUNT(*) BETWEEN 2 AND {_SUBSTR_MAX_GRAM_DF}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM gh a JOIN gh b ON a.h = b.h AND a.doc_id < b.doc_id
+WHERE a.h IN (SELECT h FROM elig)
+GROUP BY 1, 2 HAVING COUNT(*) >= {_SUBSTR_MIN_SHARED}
+"""
+
+
 def q_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr span REMOVAL (keep-first): the rewrite counterpart of
     docs_substring_dedup — see ext/dedup.py:substring_dedup_rewrite for
@@ -2950,6 +2993,7 @@ QUERIES = {
     "docs_winnowing_pairs": q_winnowing_pairs,
     "docs_substring_dedup": q_substring_dedup,
     "docs_substring_rewrite": q_substring_rewrite,
+    "docs_substring_pairs": q_substring_pairs,
     "docs_bigram_logprob": q_bigram_logprob,
     "docs_distill_filter": q_distill_filter,
     "docs_unigram_logprob": q_unigram_logprob,
@@ -3021,6 +3065,7 @@ ORACLES = {
     "docs_winnowing_pairs": O_WINNOWING_PAIRS,
     "docs_substring_dedup": O_SUBSTRING_DEDUP,
     "docs_substring_rewrite": O_SUBSTRING_REWRITE,
+    "docs_substring_pairs": O_SUBSTRING_PAIRS,
     "docs_bigram_logprob": O_BIGRAM_LOGPROB,
     "docs_distill_filter": O_DISTILL_FILTER,
     "docs_unigram_logprob": O_UNIGRAM_LOGPROB,

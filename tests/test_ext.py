@@ -1236,3 +1236,32 @@ def test_substring_dedup_rewrite_matches_bruteforce_model(spark):
     assert got[2][2] == "" and got[2][1] == 10  # exact dup fully removed
     assert got[4] == (9, 4, "x1 x2 x3 x4 mid")  # second run cut
     assert got[6] == (0, 0, "")
+
+
+def test_substring_shared_gram_pairs_planted_and_df_cap(spark):
+    """The exact pair detector finds a planted shared-span pair with the
+    exact distinct-gram count, and the df cap suppresses
+    boilerplate-only pairs."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        substring_shared_gram_pairs,
+    )
+
+    span = "s1 s2 s3 s4 s5 s6"
+    boiler = "b1 b2 b3 b4"
+    rows = [
+        (0, span + " left0 tail0"),
+        (1, "head1 " + span + " tail1"),
+    ] + [(10 + i, boiler + f" unique{i} filler{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    k = 3
+    got = {(r.id_a, r.id_b): r.n_shared_grams
+           for r in substring_shared_gram_pairs(df, k=k, min_shared=2,
+                                                max_gram_df=1000).collect()}
+    # span has 6 tokens → 4 k-grams, all shared between docs 0 and 1
+    assert got[(0, 1)] == 4
+    # boilerplate docs share only the 2 grams inside `boiler` — with the
+    # df cap at 3 those grams (df=6) drop and no boiler pair survives
+    capped = {(r.id_a, r.id_b)
+              for r in substring_shared_gram_pairs(df, k=k, min_shared=2,
+                                                   max_gram_df=3).collect()}
+    assert capped == {(0, 1)}
