@@ -52,6 +52,22 @@ def owned_persist(df: DataFrame, storage_level=None) -> DataFrame:
     return persisted
 
 
+def release_one(df: DataFrame) -> None:
+    """Unpersist ONE owned frame now and drop its registry entry — for
+    operators whose cache is fully scoped inside the function (persist →
+    materialize → release before returning). A bare ``df.unpersist()``
+    would free the blocks but leave the registry holding a dead
+    DataFrame reference per call — unbounded for a per-micro-batch
+    caller in a long-lived stream (r8 review)."""
+    try:
+        df.unpersist()
+    finally:
+        app = df.sparkSession.sparkContext.applicationId
+        entries = _OWNED.get(app)
+        if entries is not None:
+            _OWNED[app] = [e for e in entries if e is not df]
+
+
 def release_owned_caches(spark: SparkSession) -> int:
     """Unpersist every cache the package created in this session; returns
     how many entries were released. Safe to call at any point — frames a

@@ -440,6 +440,27 @@ def remove_dup_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def _doc_gram_hashes(df, text_col, id_col, k):
+    """Shared preamble of the ExactSubstr family (stats / rewrite /
+    pairs): spread the per-doc kernel across cores, tokenize, and
+    _let-bind the token-hash array into the Carter-Wegman k-gram combine
+    (an unbound reference would re-inline the O(n) md5 transform at every
+    element_at site — measured 26 s vs 1.3 s at sf0.1). Returns
+    (repartitioned df, tokens column, k-gram hash-array column)."""
+    from .text import (
+        _let,
+        kgram_hash_array,
+        repartition_for_compute,
+        token_hash_array,
+        tokens,
+    )
+
+    df = repartition_for_compute(df, id_col)
+    toks = tokens(text_col)
+    hs = _let(token_hash_array(toks), lambda th: kgram_hash_array(th, k))
+    return df, toks, hs
+
+
 def substring_dup_spans(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 8,
                         min_count: int = 2) -> DataFrame:
@@ -481,21 +502,7 @@ def substring_dup_spans(df: DataFrame, text_col: str = "text",
     """
     from pyspark.sql import Window
 
-    from .text import (
-        _let,
-        kgram_hash_array,
-        repartition_for_compute,
-        token_hash_array,
-        tokens,
-    )
-
-    df = repartition_for_compute(df, id_col)
-    toks = tokens(text_col)
-    # _let-bind the token-hash array: kgram_hash_array references it k
-    # times per position via element_at, and an unbound reference would
-    # re-inline (and re-evaluate) the whole O(n) md5 transform at every
-    # site — measured 31 s vs ~2 s for this map stage at sf0.1
-    hs = _let(token_hash_array(toks), lambda th: kgram_hash_array(th, k))
+    df, toks, hs = _doc_gram_hashes(df, text_col, id_col, k)
     grams = df.select(
         id_col,
         F.size(toks).alias("n_tokens"),
@@ -559,8 +566,15 @@ def substring_dedup_rewrite(df: DataFrame, text_col: str = "text",
 
     The (doc, pos) order is encoded as ``doc_id·2^20 + pos`` so the
     per-gram argmin is ONE portable MIN window (documented bounds:
-    pos < 2^20 tokens per document, doc_id < 2^43 — both loose at any
-    real corpus scale; the same encoding replays in ANSI SQL).
+    pos < 2^20 tokens per document, 0 ≤ doc_id < 2^43 — both loose at
+    any real corpus scale; the same encoding replays in ANSI SQL). The
+    encoding REQUIRES an integral ``id_col``: a non-numeric id would
+    cast to NULL and silently turn the whole rewrite into a no-op
+    (every dup/kept flag NULL → removed=0), so non-integral id types
+    are rejected up front — re-key string-identified corpora first
+    (e.g. via zipWithUniqueId/monotonically_increasing_id or a
+    dimension table), which a 100 TB pipeline wants anyway for the
+    narrower shuffles.
 
     Plan shape / 100 TB: one narrow gram map → exchange on gram hash
     (count + argmin in one window pass) → each gram row fans out to its
@@ -573,18 +587,17 @@ def substring_dedup_rewrite(df: DataFrame, text_col: str = "text",
     to rebuild text). Output: (doc_id, n_tokens, n_removed, clean_text).
     """
     from pyspark.sql import Window
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
-    from .text import (
-        _let,
-        kgram_hash_array,
-        repartition_for_compute,
-        token_hash_array,
-        tokens,
-    )
-
-    df = repartition_for_compute(df, id_col)
-    toks = tokens(text_col)
-    hs = _let(token_hash_array(toks), lambda th: kgram_hash_array(th, k))
+    if not isinstance(df.schema[id_col].dataType,
+                      (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"substring_dedup_rewrite requires an integral {id_col!r} for "
+            f"the (doc, pos) order encoding; got "
+            f"{df.schema[id_col].dataType.simpleString()} — re-key the "
+            "corpus to integer ids first"
+        )
+    df, toks, hs = _doc_gram_hashes(df, text_col, id_col, k)
     grams = df.select(
         id_col, F.posexplode(hs).alias("pos", "h")
     )
@@ -697,17 +710,7 @@ def substring_shared_gram_pairs(df: DataFrame, text_col: str = "text",
     mirrored in the oracle) → in-bucket pair fan-out → pair groupBy. No
     self-join, no all-pairs; gram-mass shuffle like the stats operator.
     """
-    from .text import (
-        _let,
-        kgram_hash_array,
-        repartition_for_compute,
-        token_hash_array,
-        tokens,
-    )
-
-    df = repartition_for_compute(df, id_col)
-    toks = tokens(text_col)
-    hs = _let(token_hash_array(toks), lambda th: kgram_hash_array(th, k))
+    df, _toks, hs = _doc_gram_hashes(df, text_col, id_col, k)
     grams = df.select(id_col, F.explode(hs).alias("h")).distinct()
     buckets = (
         grams.groupBy("h")

@@ -931,9 +931,10 @@ def kgram_hash_array(th: Column, k: int) -> Column:
     ``dedup.mh_params``), packed into one long. Combining precomputed
     token hashes is pure long arithmetic — the hash-of-concat form
     rebuilt a k-token string per position and dominated the winnowing
-    operator (~2.4 s of 3.3 s at sf0.1). Each term is < 2^16·2^30 so
-    k ≤ 2^17 never overflows a long; both combines are expressible in
-    ANSI SQL on the same md5, so DuckDB oracles replay them exactly."""
+    operator (~2.4 s of 3.3 s at sf0.1). Each term is < 2^16·2^31 < 2^47,
+    so the unreduced k-term sum stays under the long range for k ≤ 2^15
+    (k·2^47 < 2^63); both combines are expressible in ANSI SQL on the
+    same md5, so DuckDB oracles replay them exactly."""
     from .dedup import MH_P, mh_params
 
     prm = mh_params(2 * k)

@@ -39,9 +39,18 @@ from pyspark.sql import functions as F
 
 def _shuffle_hash(id_col: str, seed: int) -> F.Column:
     """Portable 60-bit shuffle key: first 15 hex chars of md5(seed|id).
-    Mirrors SQL CAST(concat('0x', substr(md5(...), 1, 15)) AS BIGINT)."""
+    Mirrors SQL CAST(concat('0x', substr(md5(...), 1, 15)) AS BIGINT).
+
+    A NULL id hashes via a \\x00-prefixed sentinel (no cast of a real id
+    can produce it) instead of propagating NULL — an un-coalesced concat
+    would make _h, and then the bucket id, NULL, and the driver's
+    sorted(counts) would crash on the None key. Rank determinism for a
+    null id follows the same contract as any id: unique → deterministic;
+    duplicated (two NULL ids, like two equal ids) → ties break
+    arbitrarily, which callers already must not rely on."""
+    id_str = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null"))
     return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))), 1, 15),
+        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), id_str)), 1, 15),
         16,
         10,
     ).cast("long")

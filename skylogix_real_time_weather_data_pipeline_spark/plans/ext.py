@@ -1535,6 +1535,25 @@ GROUP BY 1, 2 HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
 _SUBSTR_K = 8
 _SUBSTR_PRM = dedup.mh_params(2 * _SUBSTR_K)
 
+#: shared per-token-hash CTE of the three ExactSubstr oracles (stats /
+#: rewrite / pairs): doc_id, token count, k-gram count, the token list,
+#: and the 60-bit per-token md5 hashes — each oracle derives its own
+#: gram structure from this superset, so the hashing replay lives in ONE
+#: place (mirrors ext/dedup.py:_doc_gram_hashes on the Spark side)
+_SUBSTR_TH_CTE = f"""
+, th8 AS (
+  SELECT doc_id, len(tk) AS n_tokens,
+         greatest(len(tk) - {_SUBSTR_K - 1}, 0) AS n_kg, tk,
+         list_transform(tk, t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS th
+  FROM toks
+)"""
+
+#: the packed 62-bit k-gram hash at 1-based position i over th
+_SUBSTR_HASH_SQL = (
+    f"{_winnow_poly_sql(_SUBSTR_PRM[:_SUBSTR_K])} * {1 << 31}"
+    f" + {_winnow_poly_sql(_SUBSTR_PRM[_SUBSTR_K:])}"
+)
+
 
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc exact duplicated-substring coverage: maximal runs of
@@ -1545,21 +1564,13 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_dup_spans(_docs(spark, sf_dir), k=_SUBSTR_K)
 
 
-O_SUBSTRING_DEDUP = TOK_CTE + f"""
-, th8 AS (
-  SELECT doc_id, len(tk) AS n_tokens,
-         greatest(len(tk) - {_SUBSTR_K - 1}, 0) AS n_kg,
-         list_transform(tk, t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS th
-  FROM toks
-), kg8 AS (
+O_SUBSTRING_DEDUP = TOK_CTE + _SUBSTR_TH_CTE + f"""
+, kg8 AS (
   SELECT doc_id, n_tokens,
          CASE WHEN n_kg >= 1
               THEN list_transform(
                      range(1, n_kg + 1),
-                     i -> struct_pack(
-                            p := i,
-                            h := {_winnow_poly_sql(_SUBSTR_PRM[:_SUBSTR_K])} * {1 << 31}
-                                 + {_winnow_poly_sql(_SUBSTR_PRM[_SUBSTR_K:])}))
+                     i -> struct_pack(p := i, h := {_SUBSTR_HASH_SQL}))
               ELSE [] END AS gr
   FROM th8
 ), g AS (
@@ -1611,18 +1622,11 @@ def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_SUBSTRING_PAIRS = TOK_CTE + f"""
-, th8 AS (
-  SELECT doc_id, greatest(len(tk) - {_SUBSTR_K - 1}, 0) AS n_kg,
-         list_transform(tk, t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS th
-  FROM toks
-), kg8 AS (
+O_SUBSTRING_PAIRS = TOK_CTE + _SUBSTR_TH_CTE + f"""
+, kg8 AS (
   SELECT doc_id,
          CASE WHEN n_kg >= 1
-              THEN list_transform(
-                     range(1, n_kg + 1),
-                     i -> {_winnow_poly_sql(_SUBSTR_PRM[:_SUBSTR_K])} * {1 << 31}
-                          + {_winnow_poly_sql(_SUBSTR_PRM[_SUBSTR_K:])})
+              THEN list_transform(range(1, n_kg + 1), i -> {_SUBSTR_HASH_SQL})
               ELSE [] END AS hs
   FROM th8
 ), gh AS (
@@ -1647,23 +1651,15 @@ def q_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_dedup_rewrite(_docs(spark, sf_dir), k=_SUBSTR_K)
 
 
-O_SUBSTRING_REWRITE = TOK_CTE + f"""
-, thr AS (
-  SELECT doc_id, len(tk) AS n_tokens,
-         greatest(len(tk) - {_SUBSTR_K - 1}, 0) AS n_kg, tk,
-         list_transform(tk, t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS th
-  FROM toks
-), kgr AS (
+O_SUBSTRING_REWRITE = TOK_CTE + _SUBSTR_TH_CTE + f"""
+, kgr AS (
   SELECT doc_id, n_tokens, tk,
          CASE WHEN n_kg >= 1
               THEN list_transform(
                      range(1, n_kg + 1),
-                     i -> struct_pack(
-                            p := i,
-                            h := {_winnow_poly_sql(_SUBSTR_PRM[:_SUBSTR_K])} * {1 << 31}
-                                 + {_winnow_poly_sql(_SUBSTR_PRM[_SUBSTR_K:])}))
+                     i -> struct_pack(p := i, h := {_SUBSTR_HASH_SQL}))
               ELSE [] END AS gr
-  FROM thr
+  FROM th8
 ), grr AS (
   SELECT doc_id, struct_extract(s, 'p') AS p, struct_extract(s, 'h') AS h
   FROM (SELECT doc_id, unnest(gr) AS s FROM kgr)

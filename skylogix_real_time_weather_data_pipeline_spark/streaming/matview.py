@@ -528,7 +528,12 @@ def apply_sketch_views_batch(batch_df: DataFrame, batch_id: int,
         for v, fut in futures.items():
             fut.result()  # surface the first per-view failure
     finally:
-        shared.unpersist()
+        # scoped cache: release the blocks AND the registry entry — a
+        # bare unpersist would leak one dead registry reference per
+        # micro-batch in a long-lived stream (r8 review)
+        from ..cache import release_one
+
+        release_one(shared)
 
 
 def maintain_sketch_views(src: DataFrame, base_dir: str, checkpoint_dir: str,

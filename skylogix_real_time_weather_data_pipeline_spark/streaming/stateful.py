@@ -67,6 +67,14 @@ BUCKET_STATS_STATE_SCHEMA = (
     "vmins array<double>, vmaxs array<double>"
 )
 
+#: NULL keys ride the bucketed path as this sentinel (no real key cast
+#: can start with \x00): pandas' groupby would silently DROP the None
+#: group (dropna defaults True) and a None key cannot live in the
+#: string-array state, so the encode happens Spark-side and the emit
+#: decodes back to None — keeping row equality with the per-key operator,
+#: whose Spark groupBy keeps the null group (r8 review finding).
+_NULL_KEY = "\x00null"
+
 
 def _update_bucket(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
     import numpy as np
@@ -107,6 +115,9 @@ def _update_bucket(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iter
     ))
     out = m.loc[m.index.intersection(touched)].reset_index()
     out["mean"] = out["total"] / out["n"].where(out["n"] > 0)
+    # decode the NULL-key sentinel (see running_key_stats_bucketed) so the
+    # emitted row carries key=None exactly like the per-key operator
+    out.loc[out["key"] == _NULL_KEY, "key"] = None
     yield out[["key", "n", "total", "vmin", "vmax", "mean"]]
 
 
@@ -139,10 +150,13 @@ def running_key_stats_bucketed(stream: DataFrame, key_col: str,
     batches (the profile-store shape) bucketing is strictly better."""
     from pyspark.sql import functions as F
 
+    key_str = F.coalesce(
+        F.col(key_col).cast("string"), F.lit(_NULL_KEY)
+    )
     src = stream.select(
-        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
+        F.pmod(F.xxhash64(key_str), F.lit(n_buckets))
         .cast("int").alias("bucket"),
-        F.col(key_col).cast("string").alias("key"),
+        key_str.alias("key"),
         F.col(value_col).cast("double").alias("value"),
     )
     return src.groupBy("bucket").applyInPandasWithState(

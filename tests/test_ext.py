@@ -1265,3 +1265,34 @@ def test_substring_shared_gram_pairs_planted_and_df_cap(spark):
               for r in substring_shared_gram_pairs(df, k=k, min_shared=2,
                                                    max_gram_df=3).collect()}
     assert capped == {(0, 1)}
+
+
+def test_global_rank_handles_null_id(spark):
+    """A NULL id must rank like any other (sentinel-hashed), not crash
+    the driver-side offset fold (r8 review: NULL hash → NULL bucket →
+    sorted(counts) TypeError)."""
+    from skylogix_real_time_weather_data_pipeline_spark.operators.shuffle import (
+        global_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (3,)], "doc_id long"
+    )
+    got = global_rank(df, "doc_id", n_partitions=3).collect()
+    assert sorted(r._rank for r in got) == [0, 1, 2, 3]
+    assert sum(1 for r in got if r.doc_id is None) == 1
+
+
+def test_substring_rewrite_rejects_non_integral_ids(spark):
+    """String doc ids would cast to NULL inside the (doc, pos) order
+    encoding and silently make the rewrite a no-op — the operator must
+    fail fast instead (r8 review)."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        substring_dedup_rewrite,
+    )
+
+    df = spark.createDataFrame(
+        [("doc-1", "a b c"), ("doc-2", "a b c")], ["doc_id", "text"]
+    )
+    with pytest.raises(ValueError, match="integral"):
+        substring_dedup_rewrite(df, k=2)

@@ -189,9 +189,10 @@ def test_bucketed_stats_equal_per_key_stats(spark, tmp_path):
     # array-state NaN encoding), then receives a real value in batch 2 —
     # np.fmin/fmax must treat the stored NaN as identity, like the
     # per-key operator's None checks
-    b1 = [(f"k{i}", float(i % 7)) for i in range(40)] + [("knull", None)]
+    b1 = ([(f"k{i}", float(i % 7)) for i in range(40)]
+          + [("knull", None), (None, 7.0)])
     b2 = ([(f"k{i}", float(i % 5)) for i in range(0, 40, 2)]
-          + [("knew", 9.0), ("knull", 4.5)])
+          + [("knew", 9.0), ("knull", 4.5), (None, 3.0), (None, None)])
     results = {}
     for variant, fn in (
         ("perkey", running_key_stats),
@@ -219,10 +220,15 @@ def test_bucketed_stats_equal_per_key_stats(spark, tmp_path):
         )
         q.awaitTermination(120)
         results[variant] = sorted(
-            (r.key, r.n, r.total, r.vmin, r.vmax, r.mean)
-            for r in spark.table(f"bq_{variant}").collect()
+            ((r.key, r.n, r.total, r.vmin, r.vmax, r.mean)
+             for r in spark.table(f"bq_{variant}").collect()),
+            key=lambda t: (t[0] is None, t[0] or "", t[1]),
         )
     assert results["bucketed"] == results["perkey"]
+    # the NULL key accumulates across batches and is emitted as key=None
+    # by BOTH paths (the bucketed path rides a sentinel internally)
+    nulls = [t for t in results["bucketed"] if t[0] is None]
+    assert len(nulls) == 2 and max(t[1] for t in nulls) == 2
     # knull: one empty-stats emission (batch 1), then the stored-NaN
     # state absorbs its first real value (batch 2)
     knull = sorted(t for t in results["bucketed"] if t[0] == "knull")
