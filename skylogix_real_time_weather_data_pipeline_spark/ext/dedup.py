@@ -446,7 +446,14 @@ def _doc_gram_hashes(df, text_col, id_col, k):
     _let-bind the token-hash array into the Carter-Wegman k-gram combine
     (an unbound reference would re-inline the O(n) md5 transform at every
     element_at site — measured 26 s vs 1.3 s at sf0.1). Returns
-    (repartitioned df, tokens column, k-gram hash-array column)."""
+    (repartitioned df, tokens column, k-gram hash-array column).
+
+    NULL text is coalesced to the empty string before tokenizing (r8
+    advisor): tokens('') is already the empty array, but tokens(NULL) is
+    NULL, and ``F.size(NULL array)`` is -1 — a corpus with NULL texts
+    would report n_tokens = -1 in substring_dup_spans. The coalesce pins
+    NULL text == empty doc for all three ExactSubstr operators, mirrored
+    in the oracles' shared th8 CTE."""
     from .text import (
         _let,
         kgram_hash_array,
@@ -456,7 +463,7 @@ def _doc_gram_hashes(df, text_col, id_col, k):
     )
 
     df = repartition_for_compute(df, id_col)
-    toks = tokens(text_col)
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     hs = _let(token_hash_array(toks), lambda th: kgram_hash_array(th, k))
     return df, toks, hs
 
@@ -565,9 +572,12 @@ def substring_dedup_rewrite(df: DataFrame, text_col: str = "text",
     arbitrary-alignment span granularity instead of fixed chunks).
 
     The (doc, pos) order is encoded as ``doc_id·2^20 + pos`` so the
-    per-gram argmin is ONE portable MIN window (documented bounds:
-    pos < 2^20 tokens per document, 0 ≤ doc_id < 2^43 — both loose at
-    any real corpus scale; the same encoding replays in ANSI SQL). The
+    per-gram argmin is ONE portable MIN window (ENFORCED bounds: gram
+    pos < 2^20 — i.e. < 2^20 + k - 1 tokens per document — and
+    0 ≤ doc_id < 2^43; a violating row raises mid-scan via assert_true
+    instead of silently perturbing the argmin, since the oracle shares
+    the encoding and differential tests could not catch it; the same
+    encoding replays in ANSI SQL). The
     encoding REQUIRES an integral ``id_col``: a non-numeric id would
     cast to NULL and silently turn the whole rewrite into a no-op
     (every dup/kept flag NULL → removed=0), so non-integral id types
@@ -602,7 +612,27 @@ def substring_dedup_rewrite(df: DataFrame, text_col: str = "text",
         id_col, F.posexplode(hs).alias("pos", "h")
     )
     wh = Window.partitionBy("h")
-    okey = F.col(id_col).cast("long") * F.lit(1 << 20) + F.col("pos")
+    # ENFORCE the documented encoding bounds instead of trusting them (r8
+    # advisor): a doc with >= 2^20 + k - 1 tokens (gram pos >= 2^20) or a
+    # doc_id outside [0, 2^43) would silently perturb the keep-first
+    # argmin — and the oracle shares the encoding, so the differential
+    # harness could never catch it. assert_true returns NULL on success
+    # (the when() then yields the real key) and raises mid-scan on the
+    # first violating row.
+    idl = F.col(id_col).cast("long")
+    _bounds_ok = (
+        (idl >= 0) & (idl < F.lit(1 << 43)) & (F.col("pos") < F.lit(1 << 20))
+    )
+    okey = F.when(
+        F.assert_true(
+            _bounds_ok,
+            F.lit(
+                "substring_dedup_rewrite (doc,pos) order-encoding overflow: "
+                "requires 0 <= doc_id < 2^43 and gram pos < 2^20 tokens"
+            ),
+        ).isNull(),
+        idl * F.lit(1 << 20) + F.col("pos"),
+    )
     flagged = grams.select(
         id_col,
         "pos",

@@ -1542,10 +1542,12 @@ _SUBSTR_PRM = dedup.mh_params(2 * _SUBSTR_K)
 #: place (mirrors ext/dedup.py:_doc_gram_hashes on the Spark side)
 _SUBSTR_TH_CTE = f"""
 , th8 AS (
+  -- coalesce(tk, []): NULL text == empty doc (n_tokens 0, never -1/NULL)
+  -- — mirrors the Spark side's text coalesce in _doc_gram_hashes
   SELECT doc_id, len(tk) AS n_tokens,
          greatest(len(tk) - {_SUBSTR_K - 1}, 0) AS n_kg, tk,
          list_transform(tk, t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS th
-  FROM toks
+  FROM (SELECT doc_id, coalesce(tk, []) AS tk FROM toks)
 )"""
 
 #: the packed 62-bit k-gram hash at 1-based position i over th

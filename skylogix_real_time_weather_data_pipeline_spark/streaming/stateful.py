@@ -67,23 +67,33 @@ BUCKET_STATS_STATE_SCHEMA = (
     "vmins array<double>, vmaxs array<double>"
 )
 
-#: NULL keys ride the bucketed path as this sentinel (no real key cast
-#: can start with \x00): pandas' groupby would silently DROP the None
-#: group (dropna defaults True) and a None key cannot live in the
-#: string-array state, so the encode happens Spark-side and the emit
-#: decodes back to None — keeping row equality with the per-key operator,
-#: whose Spark groupBy keeps the null group (r8 review finding).
+#: NULL keys ride the bucketed path as this sentinel: pandas' groupby
+#: would silently DROP the None group (dropna defaults True) and a None
+#: key cannot live in the string-array state, so the encode happens
+#: Spark-side and the emit decodes back to None — keeping row equality
+#: with the per-key operator, whose Spark groupBy keeps the null group
+#: (r8 review finding). A GENUINE key may contain any bytes, including
+#: this literal, so real keys starting with \x00 are escaped with one
+#: extra \x00 prefix before bucketing and unescaped on emit (r8 advisor):
+#: the encoding is a bijection — NULL ↔ the bare sentinel, "\x00..." ↔
+#: "\x00\x00...", everything else ↔ itself.
 _NULL_KEY = "\x00null"
 
 
 def _update_bucket(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
     import numpy as np
 
+    # ALL key hashing below runs on BYTES, not str: pandas' object-dtype
+    # string hash table compares keys as C strings, so two str keys that
+    # differ only past an embedded NUL byte ("x\x00a" vs "x\x00b" — or the
+    # \x00-escaped sentinel forms) silently MERGE in groupby/unique/
+    # reindex. bytes objects hash over their full buffer. Keys decode back
+    # to str only at the state write and the emit.
     if state.exists:
         ks, ns, ts, mns, mxs = state.get
         st = pd.DataFrame(
             {"n": ns, "total": ts, "vmin": mns, "vmax": mxs},
-            index=pd.Index(list(ks), name="key"),
+            index=pd.Index([k.encode("utf-8") for k in ks], name="key"),
         )
     else:
         st = pd.DataFrame(
@@ -92,6 +102,7 @@ def _update_bucket(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iter
             index=pd.Index([], name="key"),
         )
     batch = pd.concat(list(pdfs), ignore_index=True)
+    batch["key"] = batch["key"].str.encode("utf-8")
     agg = (
         batch.dropna(subset=["value"])
         .groupby("key")["value"]
@@ -110,14 +121,20 @@ def _update_bucket(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iter
     m["vmax"] = np.fmax(m["vmax"], m["bmax"])
     m = m.drop(columns=["bn", "btotal", "bmin", "bmax"]).sort_index()
     state.update((
-        list(m.index), list(m["n"]), list(m["total"]),
+        [k.decode("utf-8") for k in m.index], list(m["n"]), list(m["total"]),
         list(m["vmin"]), list(m["vmax"]),
     ))
     out = m.loc[m.index.intersection(touched)].reset_index()
+    out["key"] = out["key"].str.decode("utf-8")
     out["mean"] = out["total"] / out["n"].where(out["n"] > 0)
-    # decode the NULL-key sentinel (see running_key_stats_bucketed) so the
-    # emitted row carries key=None exactly like the per-key operator
-    out.loc[out["key"] == _NULL_KEY, "key"] = None
+    # decode the NULL-key sentinel and the \x00 escape (see
+    # running_key_stats_bucketed): the bare sentinel becomes key=None
+    # exactly like the per-key operator; any other \x00-prefixed key had
+    # one escape \x00 prepended Spark-side — strip it
+    is_null = out["key"] == _NULL_KEY
+    escaped = out["key"].str.startswith("\x00", na=False) & ~is_null
+    out.loc[escaped, "key"] = out.loc[escaped, "key"].str[1:]
+    out.loc[is_null, "key"] = None
     yield out[["key", "n", "total", "vmin", "vmax", "mean"]]
 
 
@@ -150,8 +167,13 @@ def running_key_stats_bucketed(stream: DataFrame, key_col: str,
     batches (the profile-store shape) bucketing is strictly better."""
     from pyspark.sql import functions as F
 
+    raw = F.col(key_col).cast("string")
     key_str = F.coalesce(
-        F.col(key_col).cast("string"), F.lit(_NULL_KEY)
+        # escape real keys that collide with the sentinel's \x00 prefix
+        # (incl. a genuine "\x00null"): one extra \x00, stripped on emit
+        F.when(raw.startswith("\x00"), F.concat(F.lit("\x00"), raw))
+        .otherwise(raw),
+        F.lit(_NULL_KEY),
     )
     src = stream.select(
         F.pmod(F.xxhash64(key_str), F.lit(n_buckets))

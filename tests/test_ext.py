@@ -1296,3 +1296,49 @@ def test_substring_rewrite_rejects_non_integral_ids(spark):
     )
     with pytest.raises(ValueError, match="integral"):
         substring_dedup_rewrite(df, k=2)
+
+
+def test_substring_rewrite_enforces_order_encoding_bounds(spark):
+    """doc_id outside [0, 2^43) would silently perturb the keep-first
+    argmin (the oracle shares the encoding, so differential tests can't
+    see it) — the plan must RAISE on a violating row instead (r8
+    advisor). In-bounds ids at the top of the range still work."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        substring_dedup_rewrite,
+    )
+
+    # negative doc_id → assert_true fires during execution
+    bad = spark.createDataFrame(
+        [(-1, "a b c d"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    with pytest.raises(Exception, match="order-encoding"):
+        substring_dedup_rewrite(bad, k=2).collect()
+    # oversized doc_id (>= 2^43) → same
+    big = spark.createDataFrame(
+        [(1 << 43, "a b c d"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    with pytest.raises(Exception, match="order-encoding"):
+        substring_dedup_rewrite(big, k=2).collect()
+    # the largest legal id passes and keep-first still favors the SMALLER id
+    ok = spark.createDataFrame(
+        [((1 << 43) - 1, "a b c d"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r.clean_text for r in substring_dedup_rewrite(ok, k=2).collect()}
+    assert rows[2] == "a b c d" and rows[(1 << 43) - 1] == ""
+
+
+def test_substring_spans_null_text_counts_zero_tokens(spark):
+    """NULL text == empty doc: n_tokens must be 0, never the -1 that
+    F.size(NULL array) yields (r8 advisor)."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        substring_dup_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c d"), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.dup_tokens)
+           for r in substring_dup_spans(df, k=3).collect()}
+    assert got[1] == (0, 0) and got[2] == (0, 0)
+    assert got[3] == (4, 4) and got[4] == (4, 4)

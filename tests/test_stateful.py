@@ -189,10 +189,20 @@ def test_bucketed_stats_equal_per_key_stats(spark, tmp_path):
     # array-state NaN encoding), then receives a real value in batch 2 —
     # np.fmin/fmax must treat the stored NaN as identity, like the
     # per-key operator's None checks
+    # adversarial keys for the sentinel encoding (r8 advisor): a GENUINE
+    # key equal to the internal NULL sentinel literal and another
+    # \x00-prefixed key — both must round-trip as real keys, distinct
+    # from the true-NULL group
+    # x\x00a / x\x00b: distinct keys that differ only past an embedded
+    # NUL — pandas' str hash table merges those (C-string compare), so
+    # the bucketed op hashes keys as BYTES internally
     b1 = ([(f"k{i}", float(i % 7)) for i in range(40)]
-          + [("knull", None), (None, 7.0)])
+          + [("knull", None), (None, 7.0),
+             ("\x00null", 1.0), ("\x00x", 2.0),
+             ("x\x00a", 10.0), ("x\x00b", 20.0)])
     b2 = ([(f"k{i}", float(i % 5)) for i in range(0, 40, 2)]
-          + [("knew", 9.0), ("knull", 4.5), (None, 3.0), (None, None)])
+          + [("knew", 9.0), ("knull", 4.5), (None, 3.0), (None, None),
+             ("\x00null", 5.0)])
     results = {}
     for variant, fn in (
         ("perkey", running_key_stats),
@@ -235,3 +245,13 @@ def test_bucketed_stats_equal_per_key_stats(spark, tmp_path):
     assert len(knull) == 2
     assert knull[0][1] == 0
     assert knull[1][1:] == (1, 4.5, 4.5, 4.5, 4.5)
+    # the sentinel-literal key stays a REAL key (escaped internally, never
+    # folded into the NULL group) and accumulates across batches
+    sent = sorted(t for t in results["bucketed"] if t[0] == "\x00null")
+    assert [t[1] for t in sent] == [1, 2]
+    assert sent[1][2:] == (6.0, 1.0, 5.0, 3.0)
+    assert any(t[0] == "\x00x" and t[1] == 1 for t in results["bucketed"])
+    # keys differing only past an embedded NUL stay DISTINCT (bytes-keyed
+    # pandas ops — the str-keyed form silently merged them)
+    assert any(t[0] == "x\x00a" and t[2] == 10.0 for t in results["bucketed"])
+    assert any(t[0] == "x\x00b" and t[2] == 20.0 for t in results["bucketed"])
