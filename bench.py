@@ -85,6 +85,12 @@ EXTENDED = [
     "docs_substring_dedup",
     "docs_substring_rewrite",
     "docs_substring_pairs",
+    # r9 (r8 verdict #5): the remaining top-cost registry rows without
+    # round-over-round tracking — interpolated bigram LM, ratio-gate
+    # market share, SemDeDup centroid near-dup
+    "docs_bigram_logprob",
+    "rel_market_share",
+    "emb_semdedup",
     # docs_distill_filter deliberately NOT benched: 15 driver-looped
     # training jobs (~20 s) would dominate the wall-clock total without
     # measuring anything scan/shuffle-shaped

@@ -210,47 +210,81 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     computed over the same capped universe, so Jaccard stays
     self-consistent (near-dup clusters are ≪ the cap; scores for real
     near-dups are unchanged). None disables the cap.
+
+    Per-doc set sizes are CARRIED, not joined (r9): each exploded shingle
+    row carries the doc's raw distinct-shingle count (one long, computed
+    map-side — ``shingle_rows(with_count=True)``), posting lists store
+    (doc, n_raw) members, and the pair aggregate reads both sizes off the
+    rows it already shuffles. The capped size is then
+    ``n_raw − n_dropped`` where ``n_dropped`` counts the doc's shingles
+    in OVERSIZE posting lists — a table bounded by boilerplate-shingle
+    membership, usually empty, LEFT-joined onto the (tiny) pair output.
+    The previous form materialized a second owned persist (per-doc sizes
+    = explode + groupBy over the whole index) and inner-joined the pair
+    stream against that corpus-sized table TWICE; at 100 TB that is a
+    per-doc shuffle plus two wide joins, versus 8 extra bytes per
+    shuffled gram row here. Output values are identical (same capped
+    universe, same ratio), so the DuckDB oracle is unchanged.
     """
     # distinct=False + collect_set: per-(id,shingle) dedup folds into the
     # bucket aggregation itself instead of costing a separate shuffle
-    sh = shingle_rows(df, text_col, id_col, shingle_n, distinct=False)
+    sh = shingle_rows(df, text_col, id_col, shingle_n, distinct=False,
+                      with_count=True)
     # ONE groupBy(shingle) is simultaneously the inverted index, the df cap
     # (oversize posting lists dropped before any pair exists), and the pair
     # generator — no hot-set anti-join, no self-join re-evaluating the
     # shingle pipeline per side. The index is persist()-CACHED: it feeds
-    # the intersection branch and (via the size table) BOTH join sides of
-    # the output, and Spark re-evaluates a shared subtree once per
-    # reference — uncached, the tokenize→shingle→groupBy pipeline ran 3×
-    # (plan-probed: 3 corpus scans, 9 shuffles). persist (lazy, spills to
-    # disk) rather than localCheckpoint (eager) so the single evaluation
-    # pipelines into the first action instead of serializing a build job —
-    # materializing the index once is exactly what a production dedup
-    # pipeline does (build the index, then query it).
-    buckets = sh.groupBy("shingle").agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
-    if max_shingle_df is not None:
-        buckets = buckets.filter(F.size("ids") <= max_shingle_df)
+    # the pair branch and the dropped-shingle correction branch, and Spark
+    # re-evaluates a shared subtree once per reference — uncached, the
+    # tokenize→shingle→groupBy pipeline ran 3× (plan-probed: 3 corpus
+    # scans, 9 shuffles). persist (lazy, spills to disk) rather than
+    # localCheckpoint (eager) so the single evaluation pipelines into the
+    # first action instead of serializing a build job — materializing the
+    # index once is exactly what a production dedup pipeline does (build
+    # the index, then query it).
+    buckets = sh.groupBy("shingle").agg(
+        F.array_sort(
+            F.collect_set(F.struct(F.col(id_col), F.col("n_raw")))
+        ).alias("mems")
+    )
     from ..cache import owned_persist
 
     buckets = owned_persist(buckets)
-    # sizes is referenced by both the id_a and id_b join sides — cache the
-    # tiny per-doc table too, or each side re-aggregates the index
-    sizes = owned_persist(
-        buckets.select(F.explode("ids").alias(id_col))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_sh"))
+    kept = buckets
+    if max_shingle_df is not None:
+        kept = buckets.filter(F.size("mems") <= max_shingle_df)
+    # n_raw is constant within a pair group (it is a function of the doc),
+    # so max() == the value; max is map-side combinable and deterministic
+    pairs = (
+        kept.filter(F.size("mems") >= 2)
+        .select(F.explode(_pairs_from_sorted_ids(F.col("mems"))).alias("p"))
+        .groupBy(
+            F.col("p.id_a." + id_col).alias("id_a"),
+            F.col("p.id_b." + id_col).alias("id_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.max("p.id_a.n_raw").alias("raw_a"),
+            F.max("p.id_b.n_raw").alias("raw_b"),
+        )
     )
-    inter = (
-        buckets.filter(F.size("ids") >= 2)
-        .select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    if max_shingle_df is not None:
+        corr = (
+            buckets.filter(F.size("mems") > max_shingle_df)
+            .select(F.explode("mems").alias("m"))
+            .groupBy(F.col("m." + id_col).alias("cid"))
+            .agg(F.count(F.lit(1)).alias("n_drop"))
+        )
+        ca = corr.select(F.col("cid").alias("id_a"), F.col("n_drop").alias("drop_a"))
+        cb = corr.select(F.col("cid").alias("id_b"), F.col("n_drop").alias("drop_b"))
+        pairs = pairs.join(ca, "id_a", "left").join(cb, "id_b", "left")
+        n_a = F.col("raw_a") - F.coalesce(F.col("drop_a"), F.lit(0))
+        n_b = F.col("raw_b") - F.coalesce(F.col("drop_b"), F.lit(0))
+    else:
+        n_a, n_b = F.col("raw_a"), F.col("raw_b")
+    jac = F.col("n_inter") / (n_a + n_b - F.col("n_inter"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        pairs
         .filter(jac >= threshold)  # threshold on the unrounded ratio (oracle parity)
         .select("id_a", "id_b", "n_inter", F.round(jac, 6).alias("jaccard"))
     )
@@ -597,28 +631,43 @@ def substring_dedup_rewrite(df: DataFrame, text_col: str = "text",
     to rebuild text). Output: (doc_id, n_tokens, n_removed, clean_text).
     """
     from pyspark.sql import Window
+
+    df, toks, occ = _gram_occurrences(df, text_col, id_col, k)
+    wh = Window.partitionBy("h")
+    flagged = occ.select(
+        id_col,
+        "pos",
+        (F.count(F.lit(1)).over(wh) >= min_count).alias("_dupd"),
+        (F.col("okey") == F.min("okey").over(wh)).alias("_first"),
+    )
+    return _resolve_removals(df, toks, flagged, id_col, k)
+
+
+def _gram_occurrences(df: DataFrame, text_col: str, id_col: str, k: int):
+    """Shared gram-occurrence builder of the keep-first rewrite family
+    (:func:`substring_dedup_rewrite`, the incremental gram-index matview,
+    and :func:`substring_dedup_rewrite_from_index`): returns
+    (repartitioned df, tokens column, occ) where occ =
+    (id, pos, h, okey) rows — one per k-gram occurrence, ``okey`` the
+    (doc, pos) order encoding ``doc_id·2^20 + pos``.
+
+    Bounds are ENFORCED in-plan (r8 advisor): 0 ≤ doc_id < 2^43 and gram
+    pos < 2^20; a violating row raises via assert_true instead of
+    silently perturbing the keep-first argmin (the oracle shares the
+    encoding, so differential tests could never catch it). Non-integral
+    id types are rejected up front — they would cast to NULL and turn
+    the whole rewrite into a no-op."""
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
     if not isinstance(df.schema[id_col].dataType,
                       (ByteType, ShortType, IntegerType, LongType)):
         raise ValueError(
-            f"substring_dedup_rewrite requires an integral {id_col!r} for "
+            f"substring rewrite requires an integral {id_col!r} for "
             f"the (doc, pos) order encoding; got "
             f"{df.schema[id_col].dataType.simpleString()} — re-key the "
             "corpus to integer ids first"
         )
     df, toks, hs = _doc_gram_hashes(df, text_col, id_col, k)
-    grams = df.select(
-        id_col, F.posexplode(hs).alias("pos", "h")
-    )
-    wh = Window.partitionBy("h")
-    # ENFORCE the documented encoding bounds instead of trusting them (r8
-    # advisor): a doc with >= 2^20 + k - 1 tokens (gram pos >= 2^20) or a
-    # doc_id outside [0, 2^43) would silently perturb the keep-first
-    # argmin — and the oracle shares the encoding, so the differential
-    # harness could never catch it. assert_true returns NULL on success
-    # (the when() then yields the real key) and raises mid-scan on the
-    # first violating row.
     idl = F.col(id_col).cast("long")
     _bounds_ok = (
         (idl >= 0) & (idl < F.lit(1 << 43)) & (F.col("pos") < F.lit(1 << 20))
@@ -627,18 +676,25 @@ def substring_dedup_rewrite(df: DataFrame, text_col: str = "text",
         F.assert_true(
             _bounds_ok,
             F.lit(
-                "substring_dedup_rewrite (doc,pos) order-encoding overflow: "
+                "substring rewrite (doc,pos) order-encoding overflow: "
                 "requires 0 <= doc_id < 2^43 and gram pos < 2^20 tokens"
             ),
         ).isNull(),
         idl * F.lit(1 << 20) + F.col("pos"),
     )
-    flagged = grams.select(
-        id_col,
-        "pos",
-        (F.count(F.lit(1)).over(wh) >= min_count).alias("_dupd"),
-        (okey == F.min(okey).over(wh)).alias("_first"),
+    occ = df.select(id_col, F.posexplode(hs).alias("pos", "h")).select(
+        id_col, "pos", "h", okey.alias("okey")
     )
+    return df, toks, occ
+
+
+def _resolve_removals(df: DataFrame, toks, flagged: DataFrame,
+                      id_col: str, k: int) -> DataFrame:
+    """Token-resolution tail of the rewrite family: fan each flagged
+    duplicate gram occurrence out to its k token indexes, fold kept-wins
+    flags per (doc, token), join the token rows, and reassemble surviving
+    text. ``flagged`` = (id, pos, _dupd, _first) — the evidence source
+    (corpus window vs maintained index) is the caller's choice."""
     tok_flags = (
         flagged.filter(F.col("_dupd"))
         .select(
@@ -676,6 +732,37 @@ def substring_dedup_rewrite(df: DataFrame, text_col: str = "text",
     )
 
 
+def substring_dedup_rewrite_from_index(df: DataFrame, index: DataFrame,
+                                       text_col: str = "text",
+                                       id_col: str = "doc_id", k: int = 8,
+                                       min_count: int = 2) -> DataFrame:
+    """:func:`substring_dedup_rewrite` with duplicate/keep-first evidence
+    read from a MAINTAINED gram-index view (h, cnt, min_okey — built
+    incrementally by ``streaming.matview.apply_gram_index_batch``)
+    instead of a corpus-wide window: the streaming form of ExactSubstr
+    span removal. ``df`` is the document set to rewrite (a new batch, or
+    the whole corpus); the index carries corpus-wide occurrence counts
+    and the global keep-first argmin, so the rewrite never re-scans
+    history. With the index built over exactly ``df``, the output equals
+    the one-shot batch rewrite row-for-row (pytest-pinned equivalence).
+
+    Plan shape / 100 TB: gram map over ONLY the docs being rewritten →
+    hash join against the index on h (both sides h-distributed; the
+    window pass of the batch form is replaced by the join, so no sort) →
+    the same k-fan-out + token-resolution tail as the batch rewrite."""
+    df, toks, occ = _gram_occurrences(df, text_col, id_col, k)
+    j = occ.join(
+        index.select("h", "cnt", "min_okey"), "h", "left"
+    )
+    flagged = j.select(
+        id_col,
+        "pos",
+        (F.coalesce(F.col("cnt"), F.lit(0)) >= min_count).alias("_dupd"),
+        (F.col("okey") == F.col("min_okey")).alias("_first"),
+    )
+    return _resolve_removals(df, toks, flagged, id_col, k)
+
+
 def winnowing_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                     k: int = 4, w: int = 5, min_shared: int = 2,
                     max_fp_df: int = 1_000) -> DataFrame:
@@ -689,20 +776,25 @@ def winnowing_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     Plan mirrors :func:`minhash_lsh_pairs`: the narrow per-doc selection
     (``ext.text.winnow_select``) explodes to distinct (doc, HASH) rows —
     the position field of the selection struct is doc-local and is
-    dropped before matching — then ONE groupBy(hash) builds posting
-    lists, drops
-    boilerplate fingerprints (df > ``max_fp_df``: a hash shared by n docs
-    fans out n² pairs), and fans out in-bucket pairs; a pair groupBy
-    counts shared fingerprints. No self-join — the selection pipeline
-    evaluates once.
+    dropped before matching (``array_distinct`` MAP-SIDE, since the same
+    hash can be selected at several positions; the r8 form paid a whole
+    separate ``.distinct()`` exchange for this) — then ONE groupBy(hash)
+    builds posting lists (collect_set dedups doc ids inside the same
+    exchange), drops boilerplate fingerprints (df > ``max_fp_df``: a
+    hash shared by n docs fans out n² pairs), and fans out in-bucket
+    pairs; a pair groupBy counts shared fingerprints. No self-join — the
+    selection pipeline evaluates once.
     """
     from .text import winnow_select
 
     fp = (
         winnow_select(df, text_col, id_col, k, w)
-        .select(id_col, F.explode("fps").alias("fpk"))
-        .select(id_col, F.col("fpk.h").alias("h"))
-        .distinct()
+        .select(
+            id_col,
+            F.explode(
+                F.array_distinct(F.transform("fps", lambda x: x["h"]))
+            ).alias("h"),
+        )
     )
     buckets = (
         fp.groupBy("h")
@@ -734,14 +826,22 @@ def substring_shared_gram_pairs(df: DataFrame, text_col: str = "text",
     the sampled detector trades away.
 
     Same bucketed plan as the winnowing/MinHash detectors: one narrow
-    gram map (shared Carter-Wegman hashing) → distinct (doc, h) →
-    groupBy(h) posting lists with a df cap (a gram in n docs fans out n²
-    pairs; boilerplate grams above ``max_gram_df`` docs are dropped,
-    mirrored in the oracle) → in-bucket pair fan-out → pair groupBy. No
-    self-join, no all-pairs; gram-mass shuffle like the stats operator.
+    gram map (shared Carter-Wegman hashing) → groupBy(h) posting lists
+    with a df cap (a gram in n docs fans out n² pairs; boilerplate grams
+    above ``max_gram_df`` docs are dropped, mirrored in the oracle) →
+    in-bucket pair fan-out → pair groupBy. No self-join, no all-pairs;
+    gram-mass shuffle like the stats operator.
+
+    (doc, h) distinctness is free, not a shuffle (r9): intra-doc repeat
+    grams drop map-side via ``array_distinct`` before the explode, and
+    ``collect_set`` dedups doc ids inside the one posting-list exchange —
+    the earlier separate ``.distinct()`` exchanged the full gram mass a
+    SECOND time for semantics the aggregation already provides
+    (sf10x/27M-token probe: the extra exchange was the dominant cost of
+    the r8 form).
     """
     df, _toks, hs = _doc_gram_hashes(df, text_col, id_col, k)
-    grams = df.select(id_col, F.explode(hs).alias("h")).distinct()
+    grams = df.select(id_col, F.explode(F.array_distinct(hs)).alias("h"))
     buckets = (
         grams.groupBy("h")
         .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))

@@ -848,7 +848,8 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 
 
 def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                 n: int = 3, distinct: bool = True) -> DataFrame:
+                 n: int = 3, distinct: bool = True,
+                 with_count: bool = False) -> DataFrame:
     """Exploded (id, shingle) rows — the scale path for dedup pipelines.
 
     Shingles come from a ``transform`` over the token array (element_at
@@ -860,6 +861,13 @@ def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ``shingles``. Input is spread across cores via
     ``repartition_for_compute`` — a shuffle only when the source has too few
     partitions to keep the CPU-heavy hashing busy; at scale it's a no-op.
+
+    ``with_count=True`` adds an ``n_raw`` column — the doc's DISTINCT
+    shingle count, computed in the same narrow pass (``_let``-bound so the
+    window array builds once) and riding every exploded row as one long.
+    Consumers that need per-doc set sizes downstream of a shingle groupBy
+    (ngram Jaccard) read them off the rows they already shuffle instead of
+    re-aggregating the corpus per doc.
     """
     base = repartition_for_compute(df, id_col).select(
         id_col, tokens(text_col).alias("tk")
@@ -872,6 +880,19 @@ def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j + 1) for j in range(n)]),
         ),
     ).otherwise(F.array(F.concat_ws(" ", tk)))
+    if with_count:
+        payload = _let(
+            windows,
+            lambda w: F.struct(
+                F.size(F.array_distinct(w)).alias("n_raw"), w.alias("ws")
+            ),
+        )
+        out = base.select(id_col, payload.alias("_p")).select(
+            id_col,
+            F.col("_p.n_raw").alias("n_raw"),
+            F.explode("_p.ws").alias("shingle"),
+        )
+        return out.distinct() if distinct else out
     out = base.select(id_col, F.explode(windows).alias("shingle"))
     return out.distinct() if distinct else out
 

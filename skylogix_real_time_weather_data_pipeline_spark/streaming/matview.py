@@ -238,6 +238,79 @@ def maintain_term_stats_view(src: DataFrame, state_path: str, checkpoint_dir: st
     return q
 
 
+def combine_gram_index(state: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Merge a batch's per-k-gram partial evidence (h, cnt, min_okey) into
+    the stored gram-index view — the incremental maintenance of the
+    ExactSubstr (Lee et al. 2022) duplicate-evidence index. Both measures
+    are monoids: occurrence counts ADD and the keep-first order key
+    (doc_id·2^20 + pos) MINS, provided each document arrives in exactly
+    one micro-batch (append-only corpus, same contract as the term-stats
+    view). The join is O(touched grams + view), never O(corpus)."""
+    if state is None:
+        return delta
+    s = state.select(
+        "h", F.col("cnt").alias("_cnt"), F.col("min_okey").alias("_mo"),
+    )
+    return s.join(delta, ["h"], "full_outer").select(
+        "h",
+        (F.coalesce(F.col("_cnt"), F.lit(0)) + F.coalesce(F.col("cnt"), F.lit(0))).alias("cnt"),
+        F.least(
+            F.coalesce(F.col("_mo"), F.col("min_okey")),
+            F.coalesce(F.col("min_okey"), F.col("_mo")),
+        ).alias("min_okey"),
+    )
+
+
+def apply_gram_index_batch(batch_df: DataFrame, batch_id: int, state_path: str,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           k: int = 8) -> None:
+    """One micro-batch of the gram-index view: hash ONLY this batch's
+    documents' k-grams (the shared Carter-Wegman combine — bit-identical
+    to the batch ExactSubstr operators), partial-aggregate
+    (count, min order key) per gram, monoid-combine into the stored view
+    (replay-guarded, crash-safe swap). The maintained view feeds
+    ``ext.dedup.substring_dedup_rewrite_from_index``, which resolves
+    span removal for any doc set against corpus-wide evidence without
+    re-scanning history."""
+    if _already_applied(state_path, batch_id):
+        return
+    from ..ext.dedup import _gram_occurrences
+
+    spark = batch_df.sparkSession
+    _, _, occ = _gram_occurrences(batch_df, text_col, id_col, k)
+    delta = occ.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("okey").alias("min_okey"),
+    )
+    state = (
+        spark.read.parquet(state_path) if os.path.exists(state_path) else None
+    )
+    _commit_view(combine_gram_index(state, delta), state_path, batch_id)
+
+
+def maintain_gram_index_view(src: DataFrame, state_path: str, checkpoint_dir: str,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             k: int = 8):
+    """Incrementally maintain the (h, cnt, min_okey) ExactSubstr gram
+    index over a streaming documents frame with trigger(availableNow):
+    each micro-batch applies :func:`apply_gram_index_batch`. Equivalence
+    with the one-shot batch gram aggregate — and of the index-driven
+    rewrite with the batch rewrite — is pinned in tests/test_matview.py."""
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        apply_gram_index_batch(batch_df, batch_id, state_path,
+                               text_col=text_col, id_col=id_col, k=k)
+
+    q = (
+        src.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
+
+
 def _nearest_cell(vec_col: str, centroids: list[list[float]]):
     """Argmin-of-squared-L2 cell id against a literal centroid table —
     same strict fold + lexicographic struct-min tie-break as

@@ -298,3 +298,100 @@ def test_interrupted_swap_recovers(spark, tmp_path):
     assert not os.path.exists(state + "__staging")
     assert snapshot() == {("2024-03-01", "view"): (2, 4.0),
                           ("2024-03-02", "click"): (2, 2.0)}
+
+
+def test_incremental_gram_index_equals_batch_and_drives_rewrite(spark, tmp_path):
+    """The ExactSubstr gram-index view (h, cnt, min_okey) maintained over
+    3 micro-batches must equal the one-shot gram aggregate over the full
+    corpus — including grams touched by several batches, where counts add
+    and the keep-first order key MINs across batches — and the
+    index-driven rewrite of the whole corpus must equal the batch
+    rewrite row-for-row (the streaming form of ExactSubstr removal)."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        _gram_occurrences,
+        substring_dedup_rewrite,
+        substring_dedup_rewrite_from_index,
+    )
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        maintain_gram_index_view,
+    )
+
+    k = 3
+    schema = "doc_id long, text string"
+    boiler = "the quick brown fox jumps over the lazy dog"
+    batches = [
+        # batch 0 holds the KEPT copy of the boilerplate run
+        [{"doc_id": 1, "text": boiler + " alpha beta"}],
+        # batch 1 duplicates it (cross-batch argmin: min_okey from batch 0)
+        [{"doc_id": 2, "text": "gamma " + boiler},
+         {"doc_id": 3, "text": "unique one two three four"}],
+        # batch 2: exact duplicate of doc 3 (whole-doc collapse) + short doc
+        [{"doc_id": 4, "text": "unique one two three four"},
+         {"doc_id": 5, "text": "a b"}],
+    ]
+    src_dir, state, ckpt = tmp_path / "docs", str(tmp_path / "gi_view"), str(tmp_path / "ck")
+    for i, rows in enumerate(batches):
+        _write(src_dir, f"b{i}.json", rows)
+        time.sleep(0.3)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(str(src_dir))
+    )
+    maintain_gram_index_view(stream, state, ckpt, k=k)
+
+    corpus = spark.read.json(str(src_dir), schema=schema)
+    got = {r.h: (r.cnt, r.min_okey) for r in spark.read.parquet(state).collect()}
+    _, _, occ = _gram_occurrences(corpus, "text", "doc_id", k)
+    want = {
+        r.h: (r.cnt, r.min_okey)
+        for r in occ.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("okey").alias("min_okey"))
+        .collect()
+    }
+    assert got == want
+    # cross-batch evidence exists: some gram occurs in both docs 1 and 2,
+    # and its argmin must point into doc 1 (okey < 2 * 2^20)
+    cross = [mo for cnt, mo in got.values() if cnt >= 2]
+    assert cross and min(cross) < (2 << 20)
+
+    view = spark.read.parquet(state)
+    got_rw = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in substring_dedup_rewrite_from_index(
+            corpus, view, k=k
+        ).collect()
+    }
+    want_rw = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in substring_dedup_rewrite(corpus, k=k).collect()
+    }
+    assert got_rw == want_rw
+    # sanity on the semantics: doc 2's boilerplate copy was removed, doc 1
+    # (the keep-first survivor) is untouched, doc 4 collapses to empty
+    assert got_rw[1][1] == 0
+    assert got_rw[2][1] == len(boiler.split())
+    assert got_rw[4] == (5, 5, "")
+    assert got_rw[5][1] == 0
+
+
+def test_gram_index_replay_is_idempotent(spark, tmp_path):
+    """Re-applying an already-committed batch id must be a no-op (the
+    at-least-once replay guard) — counts must not double."""
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_gram_index_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x y z x y z"), (2, "x y z")], "doc_id long, text string"
+    )
+    state = str(tmp_path / "gi")
+    apply_gram_index_batch(docs, 0, state, k=3)
+    first = sorted(
+        (r.h, r.cnt, r.min_okey) for r in spark.read.parquet(state).collect()
+    )
+    apply_gram_index_batch(docs, 0, state, k=3)  # replay
+    again = sorted(
+        (r.h, r.cnt, r.min_okey) for r in spark.read.parquet(state).collect()
+    )
+    assert first == again
