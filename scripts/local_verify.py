@@ -147,17 +147,29 @@ def main() -> int:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # the default session deliberately mirrors the driver's (1g heap is
+    # plenty at sf0.01); big replica sweeps (the sf1x spot-check) opt into
+    # a larger single-JVM heap explicitly
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver testdata ships single .parquet FILES; Spark-written
+        # replica sets (the scaling probe's sf1x) are DIRECTORIES of
+        # part files — glob those for DuckDB
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     qs, osql = E.queries(), E.oracle_sql()
     names = sys.argv[1:] or list(qs)

@@ -18,82 +18,62 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 #: module order. The full registry is additionally verified locally each
 #: round (scripts/local_verify.py → CORRECTNESS_LOCAL_r{N}.json, committed).
 #:
-#: Round-8 window (the r1-r7 window history lives in git — this block at
-#: earlier tags — and WINDOW_LEDGER.json). Tier 1 = the 9 rows changed or
-#: new this round: the pre-aggregated cube rewrite, the bottom-k
-#: empty-sample LEFT-join contract fix (query + oracle), the two
-#: global-rank consumers (deterministic hash-bucket partitioning replaced
-#: sampled ranges in operators/shuffle.py — deep change, shallow
-#: fingerprint), the new exact substring-run dedup, and the 4 rows whose
-#: registry fingerprints moved AFTER r7's mid-round ledger write (the
-#: driver re-greened the final r7 code, but the ledger can't know that —
-#: re-window them rather than argue). Tier 2 = the END of the
-#: certification drain (r7 verdict #1): all 41 remaining rows last
-#: driver-green in r3/r4 (the 9 deferred single-fact r3 aggregates + the
-#: 32 remaining r4 rows; rel_cube_lineitem graduated to tier 1),
-#: oldest-first within vintage. 9 + 41 = the full 50-slot window; after
-#: this round no ledger row should have last_green < 5.
+#: Round-9 window (the r1-r8 window history lives in git — this block at
+#: earlier tags — and WINDOW_LEDGER.json). Tier 1 = the 7 rows changed
+#: this round plus the one UNVERIFIED carry-over: the two never-driver-
+#: green post-window registrations from r8 (substring rewrite + pairs —
+#: both also changed again this round: NULL-text coalesce, enforced
+#: order-encoding bounds, map-side distinctness), the substring stats row
+#: (shares the changed _doc_gram_hashes preamble), the rewritten
+#: carried-sizes ngram Jaccard and its estimator consumer, the winnowing
+#: pair detector (distinct-exchange removal), and docs_distill_filter
+#: (code byte-identical to what the r7 driver greened; the ledger's one
+#: UNVERIFIED row — displaced from the r8 window by the merge_upsert
+#: find), plus the NEW maintained-gram-index rewrite (its oracle is
+#: byte-identical to docs_substring_rewrite's by contract, so the driver
+#: hash-certifies the matview machinery). Tier 2 = the ONLY remaining
+#: stale vintage: the 28 rows last driver-green in r5 (one of them, the
+#: estimator, graduated to tier 1 as a changed row). 8 + 27 = 35 slots —
+#: 15 of headroom; after this round every ledger row should have
+#: last_green ≥ 6.
 _VERIFY_FIRST = (
-    # --- tier 1: changed or new in round 8 ---
-    "rel_cube_lineitem",       # cube over finest-grouping pre-aggregate
-    "rel_bottomk_quantiles",   # empty-sample LEFT join (query + oracle)
-    "docs_shard",              # global_rank: hash-bucket partitioning
-    "docs_split_assign",       # global_rank consumer (same deep change)
-    "docs_substring_dedup",    # NEW: exact substring-run dedup
-    "rel_merge_upsert",        # integer-cent repricing (sf0.1 spot found
-                               # an engine-divergent double ROUND tie)
-    "rel_pagerank",            # late-r7 fingerprint (ledger re-window)
-    "rel_triangle_count",      # late-r7 fingerprint (ledger re-window)
-    "rel_kmv_intersection",    # late-r7 fingerprint (ledger re-window)
-    # docs_distill_filter is the 4th late-r7 fingerprint mover, displaced
-    # when the sf0.1 spot-check's merge_upsert find took its slot: its
-    # code is byte-identical to what the r7 driver run greened (the
-    # fingerprint moved only because the ledger was written mid-r7), it
-    # is typed-local-green this round, and it is the most expensive row
-    # to drive (15 training jobs). Re-certify in r9 if the ledger flags.
-    # --- tier 2a: the 9 deferred r3-vintage single-fact aggregates ---
-    "rel_disjunctive_revenue",
-    "rel_large_orders",
-    "rel_lost_customers",
-    "rel_product_profit",
-    "rel_promo_revenue",
-    "rel_returned_items",
-    "rel_small_qty_revenue",
-    "rel_top_supplier",
-    "rel_volume_shipping",
-    # --- tier 2b: the whole remaining r4-vintage tail (32 rows) ---
-    "docs_chunk",
-    "docs_dedup_clusters",
-    "docs_dedup_decisions",
-    "docs_dup_chunk_ratio",
-    "docs_minhash_lsh_pairs",
-    "docs_normalize",
-    "docs_pack",
-    "docs_pii_scrub",
-    "emb_centroids_by_label",
-    "emb_cosine_topk",
-    "emb_hamming_topk",
-    "emb_lsh_buckets",
-    "emb_lsh_near_dup_pairs",
-    "emb_pairwise_topk",
-    "emb_quantize_int8",
-    "emb_quantized_recall",
-    "emb_quantized_topk",
-    "rel_customer_ntile_segments",
-    "rel_grouping_sets",
-    "rel_min_cost_supplier",
-    "rel_order_percentiles",
-    "rel_pricing_summary",
-    "rel_revenue_by_nation",
-    "rel_segment_monthly",
-    "rel_shipping_priority",
-    "rel_supplier_part_counts",
-    "rel_top_customers_per_nation",
-    "rel_unpivot_city_metrics",
-    "sql_forecast_revenue",
-    "stream_asof_last_purchase",
-    "stream_hopping_distinct",
-    "weather_quantile_summary",
+    # --- tier 1: changed in round 9 / never driver-green ---
+    "docs_substring_rewrite",   # NEVER; shared-preamble + bounds + matview refactor
+    "docs_substring_pairs",     # NEVER; map-side distinctness (one less exchange)
+    "docs_substring_dedup",     # shared-preamble NULL-text coalesce (query+oracle)
+    "docs_ngram_jaccard_pairs", # carried-sizes rewrite (persist + 2 joins dropped)
+    "docs_minhash_jaccard_estimate",  # consumes the rewritten inverted index
+    "docs_winnowing_pairs",     # distinct-exchange removal
+    "docs_substring_rewrite_indexed",  # NEW: maintained gram-index rewrite
+    "docs_distill_filter",      # UNVERIFIED carry-over (byte-identical to r7 green)
+    # --- tier 2: the whole remaining r5-vintage tail (28 rows) ---
+    "docs_bm25_topk",
+    "docs_hybrid_rrf",
+    "docs_remove_dup_chunks",
+    "docs_simhash_near_pairs",
+    "docs_source_kl",
+    "docs_stratified_sample",
+    "docs_token_entropy",
+    "docs_unigram_logprob",
+    "docs_zipf_fit",
+    "emb_filtered_recall",
+    "emb_ivf_filtered_topk",
+    "emb_ivf_recall",
+    "emb_ivfpq_topk",
+    "emb_matryoshka_recall",
+    "emb_matryoshka_topk",
+    "emb_mmr_rerank",
+    "emb_pca_top_component",
+    "emb_pq_adc_topk",
+    "emb_pq_recall",
+    "events_ab_test",
+    "events_anomaly_mad",
+    "rel_equi_depth_histogram",
+    "rel_market_share",
+    "rel_supplier_value",
+    "stream_window_percentiles",
+    "weather_humidity_decile_agg",
+    "weather_winsorized_stats",
 )
 
 

@@ -1653,6 +1653,41 @@ def q_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_dedup_rewrite(_docs(spark, sf_dir), k=_SUBSTR_K)
 
 
+def q_substring_rewrite_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION index-maintenance split of ExactSubstr removal,
+    driven end-to-end: build the gram-index matview (h, cnt, min_okey)
+    from two halves of the corpus as two replay-guarded micro-batch
+    applies (streaming/matview.py:apply_gram_index_batch — counts add,
+    the keep-first order key mins across batches), then rewrite the
+    corpus against the MAINTAINED view
+    (ext/dedup.py:substring_dedup_rewrite_from_index) with no corpus-wide
+    window pass. The oracle is byte-identical to docs_substring_rewrite's
+    — index-driven == one-shot batch rewrite is the operator's contract —
+    so the driver's hash check certifies the matview machinery itself,
+    not just a rows-only smoke. The view directory is a deterministic
+    per-session temp path, rebuilt per call (a deployment would keep it —
+    that is the point of the split)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.matview import apply_gram_index_batch
+
+    docs = _docs(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    app = spark.sparkContext.applicationId
+    root = os.path.join(tempfile.gettempdir(), f"skylogix_gram_index_{app}_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    state = os.path.join(root, "view")
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+    apply_gram_index_batch(half1, 0, state, k=_SUBSTR_K)
+    apply_gram_index_batch(half2, 1, state, k=_SUBSTR_K)
+    view = spark.read.parquet(state)
+    return dedup.substring_dedup_rewrite_from_index(docs, view, k=_SUBSTR_K)
+
+
 O_SUBSTRING_REWRITE = TOK_CTE + _SUBSTR_TH_CTE + f"""
 , kgr AS (
   SELECT doc_id, n_tokens, tk,
@@ -2991,6 +3026,7 @@ QUERIES = {
     "docs_winnowing_pairs": q_winnowing_pairs,
     "docs_substring_dedup": q_substring_dedup,
     "docs_substring_rewrite": q_substring_rewrite,
+    "docs_substring_rewrite_indexed": q_substring_rewrite_indexed,
     "docs_substring_pairs": q_substring_pairs,
     "docs_bigram_logprob": q_bigram_logprob,
     "docs_distill_filter": q_distill_filter,
@@ -3063,6 +3099,9 @@ ORACLES = {
     "docs_winnowing_pairs": O_WINNOWING_PAIRS,
     "docs_substring_dedup": O_SUBSTRING_DEDUP,
     "docs_substring_rewrite": O_SUBSTRING_REWRITE,
+    # identical oracle BY CONTRACT: the maintained-index rewrite must
+    # equal the one-shot batch rewrite row-for-row
+    "docs_substring_rewrite_indexed": O_SUBSTRING_REWRITE,
     "docs_substring_pairs": O_SUBSTRING_PAIRS,
     "docs_bigram_logprob": O_BIGRAM_LOGPROB,
     "docs_distill_filter": O_DISTILL_FILTER,
