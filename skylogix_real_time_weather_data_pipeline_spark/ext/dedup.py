@@ -553,6 +553,17 @@ def substring_dup_spans(df: DataFrame, text_col: str = "text",
     covered = grams.withColumn(
         "cov", F.col("h").isNotNull() & (cnt >= min_count)
     )
+    return _spans_from_covered(covered, id_col, k)
+
+
+def _spans_from_covered(covered: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Interval-union span merge + per-doc aggregate shared by
+    :func:`substring_dup_spans` and
+    :func:`substring_dup_spans_from_index`: ``covered`` =
+    (id, n_tokens, pos, cov) gram rows; the coverage-evidence source
+    (corpus window vs maintained index) is the caller's choice."""
+    from pyspark.sql import Window
+
     wdoc = (
         Window.partitionBy(id_col)
         .orderBy("pos")
@@ -586,6 +597,34 @@ def substring_dup_spans(df: DataFrame, text_col: str = "text",
             " ELSE CAST(0 AS BIGINT) END"
         ).alias("dup_ratio_ppm"),
     )
+
+
+def substring_dup_spans_from_index(df: DataFrame, index: DataFrame,
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id", k: int = 8,
+                                   min_count: int = 2) -> DataFrame:
+    """:func:`substring_dup_spans` with coverage evidence read from the
+    MAINTAINED gram-index view (h, cnt — built incrementally by
+    ``streaming.matview.apply_gram_index_batch``): duplicated-span
+    statistics for any doc set against corpus-wide gram counts with no
+    history re-scan — the monitoring read path of the streaming
+    ExactSubstr story (the rewrite read path is
+    :func:`substring_dedup_rewrite_from_index`). With the index built
+    over exactly ``df``, output == the one-shot batch stats
+    (pytest-pinned). The corpus-count window becomes a LEFT hash join
+    (missing gram ⇒ cnt NULL ⇒ not covered; the NULL-gram row of a
+    short doc never joins)."""
+    df, toks, hs = _doc_gram_hashes(df, text_col, id_col, k)
+    grams = df.select(
+        id_col,
+        F.size(toks).alias("n_tokens"),
+        F.posexplode_outer(hs).alias("pos", "h"),
+    )
+    covered = grams.join(index.select("h", "cnt"), "h", "left").withColumn(
+        "cov",
+        F.col("h").isNotNull() & (F.coalesce(F.col("cnt"), F.lit(0)) >= min_count),
+    )
+    return _spans_from_covered(covered, id_col, k)
 
 
 def substring_dedup_rewrite(df: DataFrame, text_col: str = "text",

@@ -325,11 +325,19 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_TRIANGLE_COUNT = f"""
-WITH cs AS (
+WITH cs AS MATERIALIZED (
   SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ),
-pairs AS (
+-- MATERIALIZED throughout (r9): cs feeds both self-join sides, pairs
+-- feeds both UNION ALL branches, kept both the edge scan and the EXISTS
+-- probe, edges SIX downstream references (deg x2, ne, tri x3). DuckDB
+-- inlines CTEs by default, so the un-hinted form re-ran the whole
+-- cs->pairs->window chain once per reference — at the sf1x replica set
+-- that spilled >50 GB of temp without finishing; hinted it runs in
+-- ~44 s with no spill (the r5 MMR lesson: multi-referenced CTEs in an
+-- oracle MUST be materialized).
+pairs AS MATERIALIZED (
   SELECT t1.s AS a, t2.s AS b, COUNT(*) AS shared
   FROM cs t1 JOIN cs t2 ON t1.c = t2.c AND t1.s < t2.s
   GROUP BY t1.s, t2.s
@@ -340,7 +348,7 @@ directed AS (
   UNION ALL
   SELECT b AS src, a AS dst, shared FROM pairs
 ),
-kept AS (
+kept AS MATERIALIZED (
   SELECT src, dst FROM (
     SELECT src, dst,
            row_number() OVER (PARTITION BY src
@@ -348,7 +356,7 @@ kept AS (
     FROM directed
   ) WHERE rn <= {TRI_TOP}
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT k1.src AS a, k1.dst AS b
   FROM kept k1
   WHERE k1.src < k1.dst

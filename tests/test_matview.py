@@ -374,6 +374,18 @@ def test_incremental_gram_index_equals_batch_and_drives_rewrite(spark, tmp_path)
     assert got_rw[4] == (5, 5, "")
     assert got_rw[5][1] == 0
 
+    # the stats read path against the same maintained view == one-shot
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        substring_dup_spans,
+        substring_dup_spans_from_index,
+    )
+
+    got_sp = sorted(
+        tuple(r) for r in substring_dup_spans_from_index(corpus, view, k=k).collect()
+    )
+    want_sp = sorted(tuple(r) for r in substring_dup_spans(corpus, k=k).collect())
+    assert got_sp == want_sp
+
 
 def test_gram_index_replay_is_idempotent(spark, tmp_path):
     """Re-applying an already-committed batch id must be a no-op (the
