@@ -355,7 +355,11 @@ def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     from ..functions.exact import fsum_units
 
     tf = (
-        df.select(id_col, F.explode(tokens(text_col)).alias("w"))
+        # spread the tokenize+explode across cores — single-partition
+        # local sources otherwise serialize the whole LM build (the
+        # bigram sibling measured 6.9 s single-core vs 1.4 s spread)
+        repartition_for_compute(df, id_col)
+        .select(id_col, F.explode(tokens(text_col)).alias("w"))
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint()
@@ -1093,33 +1097,42 @@ def bigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     """
     from ..functions.exact import fsum_units
 
-    toks = tokens(text_col)
-    n_tok = F.size(toks)
-    empty = F.array().cast("array<struct<prev:string,w:string>>")
-    sentinel = F.array(
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.element_at(toks, 1).alias("w"),
+    # _let-bind the token array (r9): the transition transform references
+    # it at 3+ element_at sites, and an unbound reference re-inlines the
+    # O(n) split per site (the winnowing lesson); also spread the build
+    # across cores — the LM table build was running on the source's
+    # single partition and dominated the benched cost (solo probe:
+    # 6.9 s drained vs 1.0 s warm; the build IS the cost).
+    def _pairs(tk):
+        n_tok = F.size(tk)
+        empty = F.array().cast("array<struct<prev:string,w:string>>")
+        sentinel = F.array(
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.element_at(tk, 1).alias("w"),
+            )
         )
-    )
-    rest = F.when(
-        n_tok >= 2,
-        F.transform(
-            F.sequence(F.lit(2), n_tok),
-            lambda i: F.struct(
-                F.element_at(toks, i - 1).alias("prev"),
-                F.element_at(toks, i).alias("w"),
+        rest = F.when(
+            n_tok >= 2,
+            F.transform(
+                F.sequence(F.lit(2), n_tok),
+                lambda i: F.struct(
+                    F.element_at(tk, i - 1).alias("prev"),
+                    F.element_at(tk, i).alias("w"),
+                ),
             ),
-        ),
-    ).otherwise(empty)
-    pairs = F.when(n_tok >= 1, F.concat(sentinel, rest)).otherwise(empty)
+        ).otherwise(empty)
+        return F.when(n_tok >= 1, F.concat(sentinel, rest)).otherwise(empty)
+
+    pairs = _let(tokens(text_col), _pairs)
     # OWNED CACHE (same contract as temperature_mixture's counts): the
     # returned frame evaluates t lazily, so it cannot be unpersisted
     # here; the cache.py registry releases it between queries.
     from ..cache import owned_persist
 
     t = owned_persist(
-        df.select(id_col, F.explode(pairs).alias("p"))
+        repartition_for_compute(df, id_col)
+        .select(id_col, F.explode(pairs).alias("p"))
         .select(id_col, "p.prev", "p.w")
         .groupBy(id_col, "prev", "w")
         .agg(F.count(F.lit(1)).alias("tf"))

@@ -33,8 +33,8 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 #: byte-identical to docs_substring_rewrite's by contract, so the driver
 #: hash-certifies the matview machinery). Tier 2 = the ONLY remaining
 #: stale vintage: the 28 rows last driver-green in r5 (one of them, the
-#: estimator, graduated to tier 1 as a changed row). 8 + 27 = 35 slots —
-#: 15 of headroom; after this round every ledger row should have
+#: estimator, graduated to tier 1 as a changed row). 9 + 27 = 36 slots —
+#: 14 of headroom; after this round every ledger row should have
 #: last_green ≥ 6.
 _VERIFY_FIRST = (
     # --- tier 1: changed in round 9 / never driver-green ---
@@ -45,6 +45,8 @@ _VERIFY_FIRST = (
     "docs_minhash_jaccard_estimate",  # consumes the rewritten inverted index
     "docs_winnowing_pairs",     # distinct-exchange removal
     "docs_substring_rewrite_indexed",  # NEW: maintained gram-index rewrite
+    "docs_bigram_logprob",      # LM build: _let-bound tokens + compute spread
+                                # (was single-core; 6.9 -> 1.4 s drained)
     "docs_distill_filter",      # UNVERIFIED carry-over (byte-identical to r7 green)
     # --- tier 2: the whole remaining r5-vintage tail (28 rows) ---
     "docs_bm25_topk",
