@@ -21,7 +21,7 @@ scaling_probe._gen), so duplicate structure — and therefore true output —
 scales exactly with the corpus instead of exploding combinatorially.
 
 Usage: python scripts/substring_exponent.py [--round N]
-Writes SUBSTRING_EXPONENT_r{N}.json at the repo root. Requires
+Writes SUBSTRING_EXPONENT_r{N:02d}.json at the repo root. Requires
 .scale_probe/sf1x (scaling_probe.py --skip-gen builds it); generates
 .scale_probe/sf10x documents from sf1x if missing.
 """
@@ -148,7 +148,7 @@ def main() -> int:
             " super-linear structure"
         ),
     }
-    path = os.path.join(_HERE, f"SUBSTRING_EXPONENT_r{args.round}.json")
+    path = os.path.join(_HERE, f"SUBSTRING_EXPONENT_r{args.round:02d}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in fits.items()}, indent=1))
