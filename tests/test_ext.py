@@ -81,6 +81,62 @@ def test_ngram_hot_shingle_cap_bounds_candidates(spark):
     assert {(r.id_a, r.id_b) for r in capped.collect()} >= {(0, 100)}
 
 
+def _ngram_jaccard_model(rows, n, threshold, cap):
+    """Brute-force capped-universe Jaccard: distinct n-gram shingle sets
+    per doc (whole-doc shingle when shorter than n), drop shingles whose
+    document frequency exceeds the cap, score every pair."""
+    sets = {}
+    for doc_id, text in rows:
+        tk = text.split()
+        sh = (
+            {" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)}
+            if len(tk) >= n else {" ".join(tk)}
+        )
+        sets[doc_id] = sh
+    df_count = {}
+    for sh in sets.values():
+        for s in sh:
+            df_count[s] = df_count.get(s, 0) + 1
+    hot = {s for s, c in df_count.items() if cap is not None and c > cap}
+    capped = {d: sh - hot for d, sh in sets.items()}
+    out = {}
+    ids = sorted(capped)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(capped[a] & capped[b])
+            union = len(capped[a] | capped[b])
+            if inter and union and inter / union >= threshold:
+                out[(a, b)] = (inter, round(inter / union, 6))
+    return out
+
+
+def test_ngram_jaccard_matches_bruteforce_with_nonzero_corrections(spark):
+    """The carried-sizes form derives per-doc capped sizes as
+    n_raw − n_dropped; at the test SFs the cap never triggers, so this
+    pins the CORRECTION path against a brute-force model on a corpus
+    where boilerplate shingles genuinely exceed the cap — sizes, counts
+    and scores must all match, including pairs whose docs lose different
+    numbers of shingles to the cap, and short docs (whole-doc shingle)."""
+    boiler = "copyright two thousand site inc"
+    rows = [(i, f"{boiler} body part {i % 3} tail {i % 2} end") for i in range(8)]
+    rows += [(100, "tiny doc"), (101, "tiny doc"),        # short-doc pair
+             (102, f"{boiler} body part 0 tail 0 end extra words here")]
+    cap, th, n = 4, 0.05, 3
+    model = _ngram_jaccard_model(rows, n, th, cap)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): (r.n_inter, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            df, shingle_n=n, threshold=th, max_shingle_df=cap
+        ).collect()
+    }
+    # sanity: the scenario actually exercises nonzero corrections (the
+    # capped scores differ from the uncapped ones)
+    assert model != _ngram_jaccard_model(rows, n, th, None)
+    assert got == model
+    assert (100, 101) in got and got[(100, 101)][1] == 1.0
+
+
 def test_banded_lsh_finds_planted_near_dup_and_bounds_occupancy(spark):
     import math
     import random
