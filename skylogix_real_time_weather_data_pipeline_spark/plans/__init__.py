@@ -33,9 +33,12 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 #: byte-identical to docs_substring_rewrite's by contract, so the driver
 #: hash-certifies the matview machinery). Tier 2 = the ONLY remaining
 #: stale vintage: the 28 rows last driver-green in r5 (one of them, the
-#: estimator, graduated to tier 1 as a changed row). 9 + 27 = 36 slots —
-#: 14 of headroom; after this round every ledger row should have
-#: last_green ≥ 6.
+#: estimator, graduated to tier 1 as a changed row). 11 + 27 = 38 slots —
+#: 12 of headroom; after this round every ledger row should have
+#: last_green ≥ 6. The three NEW *_indexed/_incremental rows share their
+#: oracles with their one-shot twins BY CONTRACT (maintained view ==
+#: recompute), so a driver green on them certifies the matview /
+#: incremental machinery itself.
 _VERIFY_FIRST = (
     # --- tier 1: changed in round 9 / never driver-green ---
     "docs_substring_rewrite",   # NEVER; shared-preamble + bounds + matview refactor
@@ -45,6 +48,8 @@ _VERIFY_FIRST = (
     "docs_minhash_jaccard_estimate",  # consumes the rewritten inverted index
     "docs_winnowing_pairs",     # distinct-exchange removal
     "docs_substring_rewrite_indexed",  # NEW: maintained gram-index rewrite
+    "docs_bm25_topk_indexed",   # NEW: scoring vs the maintained term-stats view
+    "docs_dedup_clusters_incremental",  # NEW: 2-batch incremental CC == one-shot
     "docs_bigram_logprob",      # LM build: _let-bound tokens + compute spread
                                 # (was single-core; 6.9 -> 1.4 s drained)
     "docs_distill_filter",      # UNVERIFIED carry-over (byte-identical to r7 green)

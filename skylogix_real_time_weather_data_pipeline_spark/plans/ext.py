@@ -342,6 +342,43 @@ def q_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters maintained INCREMENTALLY across two batches of
+    candidate pairs (ext/dedup.py:incremental_clusters — the stored
+    state is the compressed star forest, one edge per seen node, so
+    per-batch work is O(corpus), never O(pairs history)) — driven end to
+    end as a driver query. The union-find compression property makes the
+    two-batch result equal the one-shot clustering over ALL pairs, so
+    the oracle is byte-identical to docs_dedup_clusters' and the driver
+    hash-certifies the incremental-clustering machinery (the streaming
+    dedup pipeline's reduce side)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, n_hashes=_N_HASHES, bands=_BANDS, max_bucket_size=_MAX_BUCKET
+    ).select("id_a", "id_b")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    app = spark.sparkContext.applicationId
+    root = os.path.join(tempfile.gettempdir(), f"skylogix_inc_clusters_{app}_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    state = os.path.join(root, "labels")
+    # deterministic 2-batch split of the candidate stream
+    dedup.incremental_clusters(
+        spark, pairs.filter((F.col("id_a") + F.col("id_b")) % 2 == 0), state
+    )
+    labels = dedup.incremental_clusters(
+        spark, pairs.filter((F.col("id_a") + F.col("id_b")) % 2 == 1), state
+    )
+    return docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+
+
 O_DEDUP_DECISIONS = O_DEDUP_CLUSTERS.replace(
     "SELECT d.doc_id AS doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id",
     "SELECT d.doc_id AS doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,\n"
@@ -2666,6 +2703,44 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 scored against the INCREMENTALLY MAINTAINED term-stats view —
+    the production index-maintenance split driven end-to-end as a driver
+    query: build the (w, cf, df) view from two halves of the corpus as
+    two replay-guarded micro-batch applies
+    (streaming/matview.py:apply_term_stats_batch), then score with
+    ext/text.py:bm25_topk_from_stats (term df from the view, N/avgdl as
+    stored scalars — no corpus re-aggregation in the scoring plan). The
+    oracle is byte-identical to docs_bm25_topk's: view-current scoring ==
+    from-scratch recompute is the operator contract (also pinned in
+    tests/test_matview.py), so the driver hash-certifies the term-stats
+    matview machinery."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..ext.text import tokens as _tokens
+    from ..streaming.matview import apply_term_stats_batch
+
+    docs = _docs(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    app = spark.sparkContext.applicationId
+    root = os.path.join(tempfile.gettempdir(), f"skylogix_term_stats_{app}_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    state = os.path.join(root, "view")
+    apply_term_stats_batch(docs.filter(F.col("doc_id") % 2 == 0), 0, state)
+    apply_term_stats_batch(docs.filter(F.col("doc_id") % 2 == 1), 1, state)
+    stats = spark.read.parquet(state)
+    counters = docs.select(F.size(_tokens("text")).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    return text.bm25_topk_from_stats(
+        docs, stats, counters.n, counters.s / counters.n,
+        _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B,
+    )
+
+
 def _bm25_cte(limit: int) -> str:
     """BM25 top-``limit`` as a CTE chain ending in ``bm`` (doc_id,
     n_terms_matched, bm25) — float constants embedded via repr() so the
@@ -2999,6 +3074,7 @@ QUERIES = {
     "docs_minhash_jaccard_estimate": q_minhash_jaccard_estimate,
     "docs_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "docs_dedup_clusters": q_dedup_clusters,
+    "docs_dedup_clusters_incremental": q_dedup_clusters_incremental,
     "docs_dedup_decisions": q_dedup_decisions,
     "docs_pii_scrub": q_pii_scrub,
     "docs_top_ngrams": q_top_ngrams,
@@ -3033,6 +3109,7 @@ QUERIES = {
     "docs_unigram_logprob": q_unigram_logprob,
     "docs_token_entropy": q_token_entropy,
     "docs_bm25_topk": q_bm25_topk,
+    "docs_bm25_topk_indexed": q_bm25_topk_indexed,
     "docs_hybrid_rrf": q_hybrid_rrf,
     "docs_zipf_fit": q_zipf_fit,
     "docs_lang_source_chisq": q_lang_source_chisq,
@@ -3072,6 +3149,9 @@ ORACLES = {
     "docs_minhash_jaccard_estimate": O_MINHASH_JACCARD_EST,
     "docs_ngram_jaccard_pairs": O_NGRAM_JACCARD,
     "docs_dedup_clusters": O_DEDUP_CLUSTERS,
+    # identical oracle BY CONTRACT: union-find star compression makes
+    # the two-batch incremental clustering equal the one-shot CC
+    "docs_dedup_clusters_incremental": O_DEDUP_CLUSTERS,
     "docs_dedup_decisions": O_DEDUP_DECISIONS,
     "docs_pii_scrub": O_PII_SCRUB,
     "docs_top_ngrams": O_TOP_NGRAMS,
@@ -3108,6 +3188,9 @@ ORACLES = {
     "docs_unigram_logprob": O_UNIGRAM_LOGPROB,
     "docs_token_entropy": O_TOKEN_ENTROPY,
     "docs_bm25_topk": O_BM25_TOPK,
+    # identical oracle BY CONTRACT: scoring against the maintained
+    # term-stats view must equal the from-scratch recompute
+    "docs_bm25_topk_indexed": O_BM25_TOPK,
     "docs_hybrid_rrf": O_HYBRID_RRF,
     "docs_zipf_fit": O_ZIPF_FIT,
     "docs_lang_source_chisq": O_LANG_SOURCE_CHISQ,
