@@ -242,11 +242,20 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     # first action instead of serializing a build job — materializing the
     # index once is exactly what a production dedup pipeline does (build
     # the index, then query it).
-    buckets = sh.groupBy("shingle").agg(
-        F.array_sort(
-            F.collect_set(F.struct(F.col(id_col), F.col("n_raw")))
-        ).alias("mems")
+    # members dedup BY DOC ID, not by struct: a doc_id appearing in
+    # several input rows (ill-formed but possible upstream) would yield
+    # distinct (id, n_raw) structs for ONE doc and the pair fan-out would
+    # emit self-pairs — the pre-r9 collect_set(id) form never could
+    # (r9 review finding). The sorted set groups equal ids adjacently, so
+    # keeping only the first struct per id is a pure array filter.
+    mem_set = F.array_sort(F.collect_set(F.struct(F.col(id_col), F.col("n_raw"))))
+    dedup_by_id = F.filter(
+        mem_set,
+        lambda m, i: F.when(i == 0, F.lit(True)).otherwise(
+            m[id_col] != F.element_at(mem_set, i)[id_col]  # 1-based: the previous element
+        ),
     )
+    buckets = sh.groupBy("shingle").agg(dedup_by_id.alias("mems"))
     from ..cache import owned_persist
 
     buckets = owned_persist(buckets)

@@ -53,7 +53,8 @@ _VERIFY_FIRST = (
     "docs_bigram_logprob",      # LM build: _let-bound tokens + compute spread
                                 # (was single-core; 6.9 -> 1.4 s drained)
     "docs_distill_filter",      # UNVERIFIED carry-over (byte-identical to r7 green)
-    # --- tier 2: the whole remaining r5-vintage tail (28 rows) ---
+    # --- tier 2: the whole remaining r5-vintage tail (27 rows; the 28th,
+    # the estimator, sits in tier 1 as a changed row) ---
     "docs_bm25_topk",
     "docs_hybrid_rrf",
     "docs_remove_dup_chunks",

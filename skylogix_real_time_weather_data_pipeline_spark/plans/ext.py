@@ -25,6 +25,27 @@ _MAX_BUCKET = 100_000
 _MAX_SHINGLE_DF = 100_000
 
 
+
+def _session_state_dir(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    """Deterministic per-(session, sf_dir) temp directory for driver
+    queries that exercise maintained-view machinery: rebuilt (rmtree) on
+    every call so the replay guard never sees stale batch ids from an
+    earlier code version, unique per Spark app so concurrent sessions
+    cannot collide. The directory is left in place after the query — the
+    view artifact IS the point of the maintenance split (and the next
+    invocation clears it)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    app = spark.sparkContext.applicationId
+    root = os.path.join(tempfile.gettempdir(), f"{prefix}_{app}_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import load_table
 
@@ -352,19 +373,17 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is byte-identical to docs_dedup_clusters' and the driver
     hash-certifies the incremental-clustering machinery (the streaming
     dedup pipeline's reduce side)."""
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     docs = _docs(spark, sf_dir)
+    # localCheckpoint: the pairs table feeds BOTH batch filters, and each
+    # incremental_clusters call is its own write action — uncheckpointed,
+    # the whole LSH candidate pipeline would evaluate once per batch (the
+    # minhash_jaccard_estimates lesson; r9 review finding)
     pairs = dedup.minhash_lsh_pairs(
         docs, n_hashes=_N_HASHES, bands=_BANDS, max_bucket_size=_MAX_BUCKET
-    ).select("id_a", "id_b")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    app = spark.sparkContext.applicationId
-    root = os.path.join(tempfile.gettempdir(), f"skylogix_inc_clusters_{app}_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
+    ).select("id_a", "id_b").localCheckpoint()
+    root = _session_state_dir(spark, sf_dir, "skylogix_inc_clusters")
     state = os.path.join(root, "labels")
     # deterministic 2-batch split of the candidate stream
     dedup.incremental_clusters(
@@ -1704,18 +1723,12 @@ def q_substring_rewrite_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just a rows-only smoke. The view directory is a deterministic
     per-session temp path, rebuilt per call (a deployment would keep it —
     that is the point of the split)."""
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from ..streaming.matview import apply_gram_index_batch
 
     docs = _docs(spark, sf_dir)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    app = spark.sparkContext.applicationId
-    root = os.path.join(tempfile.gettempdir(), f"skylogix_gram_index_{app}_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = _session_state_dir(spark, sf_dir, "skylogix_gram_index")
     state = os.path.join(root, "view")
     half1 = docs.filter(F.col("doc_id") % 2 == 0)
     half2 = docs.filter(F.col("doc_id") % 2 == 1)
@@ -2715,19 +2728,13 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from-scratch recompute is the operator contract (also pinned in
     tests/test_matview.py), so the driver hash-certifies the term-stats
     matview machinery."""
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from ..ext.text import tokens as _tokens
     from ..streaming.matview import apply_term_stats_batch
 
     docs = _docs(spark, sf_dir)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    app = spark.sparkContext.applicationId
-    root = os.path.join(tempfile.gettempdir(), f"skylogix_term_stats_{app}_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = _session_state_dir(spark, sf_dir, "skylogix_term_stats")
     state = os.path.join(root, "view")
     apply_term_stats_batch(docs.filter(F.col("doc_id") % 2 == 0), 0, state)
     apply_term_stats_batch(docs.filter(F.col("doc_id") % 2 == 1), 1, state)

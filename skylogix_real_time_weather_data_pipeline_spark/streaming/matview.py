@@ -163,7 +163,15 @@ def maintain_daily_view(src: DataFrame, state_path: str, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination(timeout) returns False WITHOUT stopping the query:
+    # a silent return here would hand the caller a partially-built view
+    # (r9 review finding) — surface the stall instead
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "view maintenance did not finish within 300s; state is "
+            "incomplete (the replay guard makes a rerun safe)"
+        )
     return q
 
 
@@ -234,7 +242,15 @@ def maintain_term_stats_view(src: DataFrame, state_path: str, checkpoint_dir: st
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination(timeout) returns False WITHOUT stopping the query:
+    # a silent return here would hand the caller a partially-built view
+    # (r9 review finding) — surface the stall instead
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "view maintenance did not finish within 300s; state is "
+            "incomplete (the replay guard makes a rerun safe)"
+        )
     return q
 
 
@@ -307,7 +323,15 @@ def maintain_gram_index_view(src: DataFrame, state_path: str, checkpoint_dir: st
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination(timeout) returns False WITHOUT stopping the query:
+    # a silent return here would hand the caller a partially-built view
+    # (r9 review finding) — surface the stall instead
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "view maintenance did not finish within 300s; state is "
+            "incomplete (the replay guard makes a rerun safe)"
+        )
     return q
 
 
@@ -420,7 +444,15 @@ def maintain_ivf_cell_view(src: DataFrame, centroids: list[list[float]],
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination(timeout) returns False WITHOUT stopping the query:
+    # a silent return here would hand the caller a partially-built view
+    # (r9 review finding) — surface the stall instead
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "view maintenance did not finish within 300s; state is "
+            "incomplete (the replay guard makes a rerun safe)"
+        )
     return q
 
 
@@ -638,5 +670,13 @@ def maintain_sketch_views(src: DataFrame, base_dir: str, checkpoint_dir: str,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination(timeout) returns False WITHOUT stopping the query:
+    # a silent return here would hand the caller a partially-built view
+    # (r9 review finding) — surface the stall instead
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "view maintenance did not finish within 300s; state is "
+            "incomplete (the replay guard makes a rerun safe)"
+        )
     return q

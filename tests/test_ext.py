@@ -137,6 +137,24 @@ def test_ngram_jaccard_matches_bruteforce_with_nonzero_corrections(spark):
     assert (100, 101) in got and got[(100, 101)][1] == 1.0
 
 
+def test_ngram_jaccard_duplicate_ids_never_self_pair(spark):
+    """A doc_id appearing in several input rows must not pair with itself:
+    the carried-sizes posting lists store (id, n_raw) structs, and two
+    rows with one id would otherwise be two distinct members of the same
+    bucket (r9 review finding — the pre-r9 collect_set(id) form could
+    never emit a self-pair)."""
+    df = spark.createDataFrame(
+        [(7, "a b c d e"), (7, "a b c d"), (9, "a b c x y")],
+        "doc_id long, text string",
+    )
+    rows = dedup.ngram_jaccard_pairs(
+        df, threshold=0.0, shingle_n=3, max_shingle_df=None
+    ).collect()
+    assert rows and all(r.id_a != r.id_b for r in rows)
+    # the cross pair is still found, counted once per shared shingle
+    assert {(r.id_a, r.id_b, r.n_inter) for r in rows} == {(7, 9, 1)}
+
+
 def test_banded_lsh_finds_planted_near_dup_and_bounds_occupancy(spark):
     import math
     import random
