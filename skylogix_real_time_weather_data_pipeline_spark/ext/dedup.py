@@ -903,6 +903,34 @@ def substring_shared_gram_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def keep_best_per_cluster(labels: DataFrame, scores: DataFrame,
+                          id_col: str = "doc_id",
+                          score_col: str = "score") -> DataFrame:
+    """Quality-aware dedup survivor selection: per near-dup cluster keep
+    the member with the HIGHEST score, ties broken by smallest id — the
+    keep-the-most-complete-copy policy production curation pipelines
+    apply instead of min-id (a truncated crawl of a page should lose to
+    the full copy, whatever their ids). ``labels`` = (id, cluster_id)
+    from a clustering pass; ``scores`` = (id, score) from any quality
+    scorer (token count, LM logprob, distilled filter score).
+
+    Output: (id, cluster_id, score, keep). The per-cluster argmax is one
+    row_number window partitioned by cluster_id — cluster sizes are
+    near-dup family sizes (bounded by the candidate generators' caps),
+    so the window carries no skew risk at corpus scale; the join
+    shuffles on the id key both sides already hash by."""
+    from pyspark.sql import Window
+
+    j = labels.join(scores, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return j.select(
+        id_col, "cluster_id", score_col,
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
                          id_col: str = "doc_id", max_iterations: int = 20) -> DataFrame:
     """Cluster assignment over near-dup candidate pairs: connected

@@ -398,6 +398,43 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection over the near-dup clusters: keep
+    the LONGEST member of each cluster (token count as the completeness
+    score — a truncated copy loses to the full one), ties broken by
+    smallest id; singletons keep themselves
+    (ext/dedup.py:keep_best_per_cluster). The policy upgrade of
+    docs_dedup_decisions' min-id rule."""
+    from ..ext.text import tokens as _tokens
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, n_hashes=_N_HASHES, bands=_BANDS, max_bucket_size=_MAX_BUCKET
+    )
+    clusters = dedup.connected_components(pairs, nodes=docs)
+    scores = docs.select(
+        "doc_id",
+        F.size(_tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long").alias("n_tokens"),
+    )
+    return dedup.keep_best_per_cluster(clusters, scores, score_col="n_tokens")
+
+
+O_DEDUP_KEEP_BEST = O_DEDUP_CLUSTERS.replace(
+    "SELECT d.doc_id AS doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id\n"
+    "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id",
+    "SELECT doc_id, cluster_id, n_tokens,\n"
+    "       row_number() OVER (PARTITION BY cluster_id\n"
+    "                          ORDER BY n_tokens DESC, doc_id ASC) = 1 AS keep\n"
+    "FROM (SELECT d.doc_id AS doc_id,\n"
+    "             COALESCE(c.cluster_id, d.doc_id) AS cluster_id,\n"
+    "             CAST(len(coalesce(t.tk, [])) AS BIGINT) AS n_tokens\n"
+    "      FROM documents d\n"
+    "      LEFT JOIN comp c ON c.id = d.doc_id\n"
+    "      JOIN toks t ON t.doc_id = d.doc_id)",
+)
+
+
 O_DEDUP_DECISIONS = O_DEDUP_CLUSTERS.replace(
     "SELECT d.doc_id AS doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id",
     "SELECT d.doc_id AS doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,\n"
@@ -3083,6 +3120,7 @@ QUERIES = {
     "docs_dedup_clusters": q_dedup_clusters,
     "docs_dedup_clusters_incremental": q_dedup_clusters_incremental,
     "docs_dedup_decisions": q_dedup_decisions,
+    "docs_dedup_keep_best": q_dedup_keep_best,
     "docs_pii_scrub": q_pii_scrub,
     "docs_top_ngrams": q_top_ngrams,
     "docs_simhash": q_simhash,
@@ -3160,6 +3198,7 @@ ORACLES = {
     # the two-batch incremental clustering equal the one-shot CC
     "docs_dedup_clusters_incremental": O_DEDUP_CLUSTERS,
     "docs_dedup_decisions": O_DEDUP_DECISIONS,
+    "docs_dedup_keep_best": O_DEDUP_KEEP_BEST,
     "docs_pii_scrub": O_PII_SCRUB,
     "docs_top_ngrams": O_TOP_NGRAMS,
     "docs_simhash": O_SIMHASH,

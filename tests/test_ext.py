@@ -1416,3 +1416,32 @@ def test_substring_spans_null_text_counts_zero_tokens(spark):
            for r in substring_dup_spans(df, k=3).collect()}
     assert got[1] == (0, 0) and got[2] == (0, 0)
     assert got[3] == (4, 4) and got[4] == (4, 4)
+
+
+def test_keep_best_per_cluster_prefers_longest_then_smallest_id(spark):
+    """Survivor = highest score, ties -> smallest id; singletons keep
+    themselves; exactly one keeper per cluster."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        keep_best_per_cluster,
+    )
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9), (5, 5), (6, 5)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 4), (2, 9), (3, 9), (9, 1), (5, 7), (6, 7)],
+        "doc_id long, score long",
+    )
+    got = {r.doc_id: (r.cluster_id, r.score, r.keep)
+           for r in keep_best_per_cluster(labels, scores).collect()}
+    # cluster 1: docs 2 and 3 tie on score 9 -> smallest id (2) kept
+    assert got[2][2] and not got[3][2] and not got[1][2]
+    # singleton keeps itself
+    assert got[9][2]
+    # cluster 5: tie -> id 5
+    assert got[5][2] and not got[6][2]
+    # exactly one keeper per cluster
+    from collections import Counter
+    keepers = Counter(v[0] for k, v in got.items() if v[2])
+    assert all(c == 1 for c in keepers.values()) and len(keepers) == 3
