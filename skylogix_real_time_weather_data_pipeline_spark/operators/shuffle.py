@@ -102,3 +102,71 @@ def shard_for_training(df: DataFrame, shard_size: int, id_col: str = "doc_id",
         (F.col("_rank") / shard_size).cast("long").alias("shard"),
         (F.col("_rank") % shard_size).alias("pos_in_shard"),
     )
+
+
+def budget_select(df: DataFrame, score_col: str, weight_col: str,
+                  budget: int, id_col: str = "doc_id") -> DataFrame:
+    """Token-budget corpus selection: walk the corpus in quality order
+    (``score_col`` DESC, id ASC) and keep every document while the
+    cumulative ``weight_col`` (token count) stays ≤ ``budget`` — the
+    greedy-prefix data-selection rule curation pipelines apply when a
+    training run has a fixed token budget ("take the best N tokens").
+
+    The global running total is computed WITHOUT a single-partition
+    window (the same discipline as :func:`global_rank`): the score
+    itself is the bucket key — it is trivially monotone in the sort
+    order, so bucket offsets are exact —
+
+    1. per-score weight totals → cumulative offsets in score-descending
+       order (an O(distinct scores) driver fold, broadcast back);
+    2. within each score, one window ordered by id accumulates weights;
+    3. cumulative = score-bucket offset + intra-score running sum.
+
+    PRECONDITION: ``score_col`` is a DISCRETE, bounded-cardinality value
+    (an integer quality score, a quantized probability) — the driver
+    fold is O(distinct scores) and each score's docs rank inside one
+    window partition. Quantize continuous scores first (which
+    deterministic selection wants anyway: float order is not portable).
+    Ties inside a score resolve by id, so the kept set is unique and
+    reproducible on any cluster layout.
+
+    Output: every input row with (cum_weight, keep) — the decision
+    table, like the dedup family; filter keep for the selected corpus.
+    """
+    from ..cache import owned_persist
+
+    parts = owned_persist(
+        df.select(id_col, score_col, F.col(weight_col).cast("long").alias("_w"))
+    )
+    totals = {
+        r["s"]: r["tw"]
+        for r in parts.groupBy(F.col(score_col).alias("s"))
+        .agg(F.sum("_w").alias("tw"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for s in sorted(totals, reverse=True):  # score DESC
+        offsets[s] = acc
+        acc += totals[s]
+    off_df = F.broadcast(
+        parts.sparkSession.createDataFrame(
+            [(s, o) for s, o in offsets.items()],
+            f"s long, _off long",
+        ).withColumnRenamed("s", score_col)
+    )
+    w = (
+        Window.partitionBy(score_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.col("_off") + F.sum("_w").over(w)
+    return (
+        parts.join(off_df, score_col)
+        .select(
+            id_col,
+            score_col,
+            F.col("_w").alias(weight_col),
+            cum.alias("cum_weight"),
+            (cum <= budget).alias("keep"),
+        )
+    )

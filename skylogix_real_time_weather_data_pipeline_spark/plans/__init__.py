@@ -33,8 +33,8 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 #: byte-identical to docs_substring_rewrite's by contract, so the driver
 #: hash-certifies the matview machinery). Tier 2 = the ONLY remaining
 #: stale vintage: the 28 rows last driver-green in r5 (one of them, the
-#: estimator, graduated to tier 1 as a changed row). 13 + 27 = 40 slots —
-#: 10 of headroom; after this round every ledger row should have
+#: estimator, graduated to tier 1 as a changed row). 14 + 27 = 41 slots —
+#: 9 of headroom; after this round every ledger row should have
 #: last_green ≥ 6. The three NEW *_indexed/_incremental rows share their
 #: oracles with their one-shot twins BY CONTRACT (maintained view ==
 #: recompute), so a driver green on them certifies the matview /
@@ -55,6 +55,7 @@ _VERIFY_FIRST = (
     "rel_triangle_count",       # oracle gained MATERIALIZED CTE hints
                                 # (value-neutral; sf0.01/0.1/1x re-verified)
     "docs_dedup_keep_best",     # NEW: quality-aware cluster survivor selection
+    "docs_budget_select",       # NEW: token-budget greedy-prefix selection
     "docs_distill_filter",      # UNVERIFIED carry-over (byte-identical to r7 green)
     # --- tier 2: the whole remaining r5-vintage tail (27 rows; the 28th,
     # the estimator, sits in tier 1 as a changed row) ---

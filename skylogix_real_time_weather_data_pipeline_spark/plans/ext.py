@@ -1446,6 +1446,48 @@ SELECT doc_id, CAST(rnk // 64 AS BIGINT) AS shard, rnk % 64 AS pos_in_shard FROM
 """
 
 
+_BUDGET_TOKENS = 15_000
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (operators/shuffle.py:budget_select):
+    walk docs in quality order — lexical diversity (distinct-token count,
+    an exact integer score) DESC, id ASC — and keep while the cumulative
+    token count stays ≤ the budget. The global running total is
+    distributed: per-score bucket offsets (the score is monotone in the
+    sort key) + one intra-score window — never a single-partition global
+    window."""
+    from ..ext.text import tokens as _tokens
+    from ..operators.shuffle import budget_select
+
+    toks = _tokens(F.coalesce(F.col("text"), F.lit("")))
+    scored = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    return budget_select(
+        scored, score_col="n_distinct", weight_col="n_tokens",
+        budget=_BUDGET_TOKENS,
+    )
+
+
+O_BUDGET_SELECT = TOK_CTE + f"""
+, scored AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(coalesce(tk, []))) AS BIGINT) AS n_distinct,
+         CAST(len(coalesce(tk, [])) AS BIGINT) AS n_tokens
+  FROM toks
+)
+SELECT doc_id, n_distinct, n_tokens,
+       CAST(SUM(n_tokens) OVER (ORDER BY n_distinct DESC, doc_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight,
+       SUM(n_tokens) OVER (ORDER BY n_distinct DESC, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING) <= {_BUDGET_TOKENS} AS keep
+FROM scored
+"""
+
+
 # --------------------------------------------------------------------------
 # Duplicated-chunk fraction (RefinedWeb-style corpus-wide redundancy filter)
 # --------------------------------------------------------------------------
@@ -3173,6 +3215,7 @@ QUERIES = {
     "emb_kmeans": q_kmeans,
     "emb_semdedup": q_semdedup,
     "docs_shard": q_shard,
+    "docs_budget_select": q_budget_select,
     "docs_tfidf_topk": q_tfidf_topk,
     "docs_quality_filter": q_quality_filter,
     "docs_split_assign": q_split_assign,
@@ -3255,6 +3298,7 @@ ORACLES = {
     "emb_kmeans": O_KMEANS,
     "emb_semdedup": O_SEMDEDUP,
     "docs_shard": O_SHARD,
+    "docs_budget_select": O_BUDGET_SELECT,
     "docs_tfidf_topk": O_TFIDF_TOPK,
     "docs_quality_filter": O_QUALITY_FILTER,
     "docs_split_assign": O_SPLIT_ASSIGN,

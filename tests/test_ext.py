@@ -1445,3 +1445,31 @@ def test_keep_best_per_cluster_prefers_longest_then_smallest_id(spark):
     from collections import Counter
     keepers = Counter(v[0] for k, v in got.items() if v[2])
     assert all(c == 1 for c in keepers.values()) and len(keepers) == 3
+
+
+def test_budget_select_matches_global_prefix_model(spark):
+    """The distributed score-bucket cumulative sum must equal the naive
+    global prefix walk (score DESC, id ASC), including a score shared by
+    many docs (intra-bucket window + offset seam) and the exact-budget
+    boundary doc."""
+    from skylogix_real_time_weather_data_pipeline_spark.operators.shuffle import (
+        budget_select,
+    )
+
+    rows = [(1, 5, 10), (2, 5, 20), (3, 9, 30), (4, 2, 40), (5, 9, 5),
+            (6, 5, 15)]  # (id, score, weight)
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    cum, model = 0, {}
+    for i, s, w in order:
+        cum += w
+        model[i] = (cum, cum <= 60)
+    df = spark.createDataFrame(rows, "doc_id long, score long, w long")
+    got = {r.doc_id: (r.cum_weight, r.keep)
+           for r in budget_select(df, "score", "w", budget=60).collect()}
+    assert got == model
+    # boundary behavior: score-9 bucket in id order (3→30, 5→35), then
+    # score-5 (1→45, 2→65, 6→80) — doc 2 crosses the budget and is cut,
+    # and so is everything after it in the walk
+    assert got[3] == (30, True) and got[5] == (35, True)
+    assert got[1] == (45, True) and not got[2][1] and not got[6][1]
+    assert not got[4][1]
