@@ -225,6 +225,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     per-doc shuffle plus two wide joins, versus 8 extra bytes per
     shuffled gram row here. Output values are identical (same capped
     universe, same ratio), so the DuckDB oracle is unchanged.
+
+    A doc_id arriving in SEVERAL input rows is treated as one document
+    whose shingle set is the UNION of the rows' sets (r10): pair counts
+    already behave that way (bucket members dedup by id), and a
+    usually-empty correction branch replaces the carried per-row n_raw
+    with the true capped union size for exactly the duplicated ids.
     """
     # distinct=False + collect_set: per-(id,shingle) dedup folds into the
     # bucket aggregation itself instead of costing a separate shuffle
@@ -291,6 +297,40 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         n_b = F.col("raw_b") - F.coalesce(F.col("drop_b"), F.lit(0))
     else:
         n_a, n_b = F.col("raw_a"), F.col("raw_b")
+    # Duplicate-id union correction (r10): n_raw is computed PER INPUT ROW,
+    # but bucket members dedup BY ID — so for a doc_id arriving in several
+    # rows, n_inter and n_drop already reflect the UNION of the rows'
+    # shingle sets while the carried n_raw is one row's count. The
+    # denominator would understate the capped union (jaccard > 1, or 0/NULL
+    # division). For duplicated ids ONLY, the true capped union size is
+    # read off the index itself: the count of kept posting lists containing
+    # the doc. The dup-id probe is a narrow id-column aggregate (usually
+    # empty); with zero duplicates AQE's empty-relation propagation prunes
+    # the semi-joined index explode at runtime, so well-formed corpora pay
+    # only the id scan. With duplicates the cost is proportional to the
+    # duplicated docs' postings — the honest price of union semantics.
+    dup_ids = (
+        df.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_rows"))
+        .filter(F.col("_n_rows") > 1)
+        .select(F.col(id_col).alias("_did"))
+    )
+    union_sizes = (
+        kept.select(F.explode("mems").alias("m"))
+        .select(F.col("m." + id_col).alias("_did"))
+        .join(dup_ids, "_did", "semi")
+        .groupBy("_did")
+        .agg(F.count(F.lit(1)).alias("_n_union"))
+    )
+    pairs = pairs.join(
+        union_sizes.select(F.col("_did").alias("id_a"), F.col("_n_union").alias("_union_a")),
+        "id_a", "left",
+    ).join(
+        union_sizes.select(F.col("_did").alias("id_b"), F.col("_n_union").alias("_union_b")),
+        "id_b", "left",
+    )
+    # the index count is already over the capped universe — no drop arithmetic
+    n_a = F.coalesce(F.col("_union_a"), n_a)
+    n_b = F.coalesce(F.col("_union_b"), n_b)
     jac = F.col("n_inter") / (n_a + n_b - F.col("n_inter"))
     return (
         pairs
@@ -918,12 +958,18 @@ def keep_best_per_cluster(labels: DataFrame, scores: DataFrame,
     row_number window partitioned by cluster_id — cluster sizes are
     near-dup family sizes (bounded by the candidate generators' caps),
     so the window carries no skew risk at corpus scale; the join
-    shuffles on the id key both sides already hash by."""
+    shuffles on the id key both sides already hash by.
+
+    ``scores`` is LEFT-joined (r10 ADVICE): a labeled member missing
+    from the scores frame stays in the decision table with a NULL score
+    ranked BELOW every real score (desc NULLS LAST) — a dedup decision
+    table must cover every labeled doc, and silently dropping unscored
+    members could both lose rows and flip which member survives."""
     from pyspark.sql import Window
 
-    j = labels.join(scores, id_col)
+    j = labels.join(scores, id_col, "left")
     w = Window.partitionBy("cluster_id").orderBy(
-        F.desc(score_col), F.asc(id_col)
+        F.desc_nulls_last(score_col), F.asc(id_col)
     )
     return j.select(
         id_col, "cluster_id", score_col,

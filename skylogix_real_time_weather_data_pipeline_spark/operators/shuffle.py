@@ -122,17 +122,21 @@ def budget_select(df: DataFrame, score_col: str, weight_col: str,
     2. within each score, one window ordered by id accumulates weights;
     3. cumulative = score-bucket offset + intra-score running sum.
 
-    PRECONDITION: ``score_col`` is a DISCRETE, bounded-cardinality value
-    (an integer quality score, a quantized probability) — the driver
-    fold is O(distinct scores) and each score's docs rank inside one
-    window partition. Quantize continuous scores first (which
-    deterministic selection wants anyway: float order is not portable).
-    Ties inside a score resolve by id, so the kept set is unique and
-    reproducible on any cluster layout.
+    PRECONDITION: ``score_col`` is a DISCRETE, bounded-cardinality,
+    NON-NULL value (an integer quality score, a quantized probability —
+    any orderable Spark type works; the offsets frame reuses the input
+    column's own DataType) — the driver fold is O(distinct scores) and
+    each score's docs rank inside one window partition. Quantize
+    continuous scores first (which deterministic selection wants anyway:
+    float order is not portable). NULL scores have no place in a total
+    quality order and raise ValueError. Ties inside a score resolve by
+    id, so the kept set is unique and reproducible on any cluster layout.
 
     Output: every input row with (cum_weight, keep) — the decision
     table, like the dedup family; filter keep for the selected corpus.
     """
+    from pyspark.sql.types import LongType, StructField, StructType
+
     from ..cache import owned_persist
 
     parts = owned_persist(
@@ -144,15 +148,23 @@ def budget_select(df: DataFrame, score_col: str, weight_col: str,
         .agg(F.sum("_w").alias("tw"))
         .collect()
     }
+    if None in totals:
+        raise ValueError(
+            f"budget_select: NULL values in score column {score_col!r} — "
+            "a total quality order is undefined; filter or impute first"
+        )
     offsets, acc = {}, 0
     for s in sorted(totals, reverse=True):  # score DESC
         offsets[s] = acc
         acc += totals[s]
+    off_schema = StructType([
+        StructField(score_col, parts.schema[score_col].dataType, False),
+        StructField("_off", LongType(), False),
+    ])
     off_df = F.broadcast(
         parts.sparkSession.createDataFrame(
-            [(s, o) for s, o in offsets.items()],
-            f"s long, _off long",
-        ).withColumnRenamed("s", score_col)
+            [(s, o) for s, o in offsets.items()], off_schema
+        )
     )
     w = (
         Window.partitionBy(score_col)

@@ -33,7 +33,22 @@ def _session_state_dir(spark: SparkSession, sf_dir: str, prefix: str) -> str:
     earlier code version, unique per Spark app so concurrent sessions
     cannot collide. The directory is left in place after the query — the
     view artifact IS the point of the maintenance split (and the next
-    invocation clears it)."""
+    invocation clears it).
+
+    Stale SIBLINGS — the same (prefix, sf_dir) left by EARLIER Spark
+    apps, whose applicationIds never recur — are swept here too (r10
+    ADVICE): without the sweep every session run leaked its predecessor's
+    gram-index/term-stats state into the system temp dir forever, and a
+    corpus-sized gram index is not small. Live sessions are safe: a
+    different app writing the same (prefix, tag) concurrently is exactly
+    the collision the app-id component exists to prevent, and the sweep
+    only removes dirs whose app id differs from OURS — concurrent apps
+    each sweep only what a third, finished app left behind. That window
+    (two concurrent apps, one sweeping the other's live dir) would need
+    two drivers maintaining the same view root on one machine — the
+    single-driver-per-state-dir rule streaming checkpoints already
+    impose."""
+    import glob
     import hashlib
     import os
     import shutil
@@ -42,6 +57,11 @@ def _session_state_dir(spark: SparkSession, sf_dir: str, prefix: str) -> str:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     app = spark.sparkContext.applicationId
     root = os.path.join(tempfile.gettempdir(), f"{prefix}_{app}_{tag}")
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), f"{prefix}_*_{tag}")
+    ):
+        if stale != root:
+            shutil.rmtree(stale, ignore_errors=True)
     shutil.rmtree(root, ignore_errors=True)
     return root
 

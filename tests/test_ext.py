@@ -153,6 +153,42 @@ def test_ngram_jaccard_duplicate_ids_never_self_pair(spark):
     assert rows and all(r.id_a != r.id_b for r in rows)
     # the cross pair is still found, counted once per shared shingle
     assert {(r.id_a, r.id_b, r.n_inter) for r in rows} == {(7, 9, 1)}
+    # UNION semantics for the duplicated id (r10 ADVICE): doc 7's shingle
+    # set is the union of its rows ({abc,bcd,cde} ∪ {abc,bcd} → 3), doc 9
+    # has {abc,bcx,cxy} → 3, intersection {abc} → J = 1/(3+3-1) = 0.2 —
+    # NOT one row's carried n_raw (which would give 1/(2+3-1) = 0.25 for
+    # the smaller row, or a >1/0-division in worse shapes)
+    assert rows[0].jaccard == pytest.approx(0.2)
+
+
+def test_ngram_jaccard_duplicate_ids_capped_union(spark):
+    """Union correction composes with the df cap: the duplicated doc's
+    size is the count of KEPT posting lists containing it, so a hot
+    shingle dropped by the cap leaves both n_inter and the denominator
+    consistent."""
+    # shingle 'h h h' is shared by 4 docs -> df cap 3 drops it everywhere
+    df = spark.createDataFrame(
+        [
+            (1, "h h h a b c d e"),   # row 1 of doc 1: {hhh,hha,hab,abc,bcd,cde}
+            (1, "a b c d"),           # row 2 of doc 1: {abc,bcd}
+            (2, "h h h a b c x y"),   # {hhh,hha,hab,abc,bcx,cxy}
+            (3, "h h h z1 z2 z3"),    # {hhh,hhz1,hz1z2,z1z2z3}
+            (4, "h h h w1 w2 w3"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.ngram_jaccard_pairs(
+        df, threshold=0.0, shingle_n=3, max_shingle_df=3
+    ).collect()
+    assert all(r.id_a != r.id_b for r in rows)
+    got = {(r.id_a, r.id_b): r for r in rows}
+    # pair (1,2): kept universe drops only 'h h h' (df=4 > 3).
+    # doc 1 union kept = {hha,hab,abc,bcd,cde} = 5; doc 2 kept =
+    # {hha,hab,abc,bcx,cxy} = 5; inter = {hha,hab,abc} = 3 -> 3/7
+    r = got[(1, 2)]
+    assert r.n_inter == 3
+    assert r.jaccard == pytest.approx(round(3 / 7, 6))
+    assert all(r.jaccard <= 1.0 for r in rows)
 
 
 def test_banded_lsh_finds_planted_near_dup_and_bounds_occupancy(spark):
@@ -1447,7 +1483,28 @@ def test_keep_best_per_cluster_prefers_longest_then_smallest_id(spark):
     assert all(c == 1 for c in keepers.values()) and len(keepers) == 3
 
 
-def test_budget_select_matches_global_prefix_model(spark):
+def test_keep_best_per_cluster_unscored_members_rank_last(spark):
+    """A labeled member missing from the scores frame stays in the
+    decision table (LEFT join, r10 ADVICE) with a NULL score ranked below
+    every real score — it never silently disappears, never wins over a
+    scored member, and an all-unscored cluster still elects exactly one
+    survivor (smallest id)."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        keep_best_per_cluster,
+    )
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+        "doc_id long, cluster_id long",
+    )
+    # doc 1 unscored in cluster 1; cluster 7 entirely unscored
+    scores = spark.createDataFrame([(2, 5), (3, 9)], "doc_id long, score long")
+    got = {r.doc_id: (r.score, r.keep)
+           for r in keep_best_per_cluster(labels, scores).collect()}
+    assert set(got) == {1, 2, 3, 7, 8}          # full coverage of labels
+    assert got[1] == (None, False)               # unscored loses to scored
+    assert got[3][1] and not got[2][1]           # argmax among scored
+    assert got[7] == (None, True) and got[8] == (None, False)  # id tiebreak
     """The distributed score-bucket cumulative sum must equal the naive
     global prefix walk (score DESC, id ASC), including a score shared by
     many docs (intra-bucket window + offset seam) and the exact-budget
@@ -1473,3 +1530,37 @@ def test_budget_select_matches_global_prefix_model(spark):
     assert got[3] == (30, True) and got[5] == (35, True)
     assert got[1] == (45, True) and not got[2][1] and not got[6][1]
     assert not got[4][1]
+
+
+def test_budget_select_score_types_and_null_rejection(spark):
+    """The offsets frame derives its schema from the input score column
+    (r10 ADVICE): int, double and string scores all work (not just long),
+    and a NULL score — undefined in a total quality order — raises
+    instead of crashing the driver sort."""
+    from skylogix_real_time_weather_data_pipeline_spark.operators.shuffle import (
+        budget_select,
+    )
+
+    # int score (would previously rely on an implicit cast into 's long')
+    df_i = spark.createDataFrame([(1, 3, 10), (2, 1, 10)],
+                                 "doc_id long, score int, w long")
+    got = {r.doc_id: r.keep for r in budget_select(df_i, "score", "w", 10).collect()}
+    assert got == {1: True, 2: False}
+
+    # double score (createDataFrame against 's long' used to raise)
+    df_d = spark.createDataFrame([(1, 0.75, 10), (2, 0.25, 10)],
+                                 "doc_id long, score double, w long")
+    got = {r.doc_id: r.keep for r in budget_select(df_d, "score", "w", 10).collect()}
+    assert got == {1: True, 2: False}
+
+    # string score: lexicographic DESC is the declared order
+    df_s = spark.createDataFrame([(1, "b", 10), (2, "a", 10)],
+                                 "doc_id long, score string, w long")
+    got = {r.doc_id: r.keep for r in budget_select(df_s, "score", "w", 10).collect()}
+    assert got == {1: True, 2: False}
+
+    import pytest as _pytest
+    df_n = spark.createDataFrame([(1, None, 10), (2, 5, 10)],
+                                 "doc_id long, score bigint, w long")
+    with _pytest.raises(ValueError, match="NULL values in score column"):
+        budget_select(df_n, "score", "w", 10)

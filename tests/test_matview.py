@@ -407,3 +407,39 @@ def test_gram_index_replay_is_idempotent(spark, tmp_path):
         (r.h, r.cnt, r.min_okey) for r in spark.read.parquet(state).collect()
     )
     assert first == again
+
+
+def test_session_state_dir_sweeps_stale_sibling_apps(spark):
+    """_session_state_dir must remove same-(prefix, sf_dir) state left by
+    EARLIER Spark apps (r10 ADVICE: app-id-named roots otherwise leak into
+    the system temp dir forever), while leaving other prefixes and other
+    sf_dir tags alone."""
+    import hashlib
+    import os
+    import tempfile
+
+    from skylogix_real_time_weather_data_pipeline_spark.plans.ext import (
+        _session_state_dir,
+    )
+
+    sf_dir = "/some/sf/dir"
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = tempfile.gettempdir()
+    stale = os.path.join(tmp, f"swtest_app-dead-123_{tag}")
+    other_tag = os.path.join(tmp, "swtest_app-dead-123_deadbeef")
+    other_prefix = os.path.join(tmp, f"swother_app-dead-123_{tag}")
+    for d in (stale, other_tag, other_prefix):
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "view.parquet"), "w") as f:
+            f.write("x")
+    try:
+        root = _session_state_dir(spark, sf_dir, "swtest")
+        assert not os.path.exists(stale)          # dead sibling swept
+        assert os.path.exists(other_tag)          # different sf_dir kept
+        assert os.path.exists(other_prefix)       # different prefix kept
+        assert tag in root and "swtest_" in root
+    finally:
+        import shutil
+
+        for d in (other_tag, other_prefix):
+            shutil.rmtree(d, ignore_errors=True)
