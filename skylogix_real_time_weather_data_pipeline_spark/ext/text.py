@@ -668,6 +668,83 @@ def _pydiv_half_away(n: int, d: int) -> int:
     return -((-2 * n + d) // (2 * d))
 
 
+def _distill_feature_cols(text_col: str) -> tuple[Column, Column, Column, Column]:
+    """The distilled filter's 4 integer-micro-unit feature expressions
+    (shared by the trainer and the frozen-model scorer): word count,
+    mean word length, capped stopword hits, distance from the Gopher
+    word-count band center. NONE requires the rule filter's shingle pass
+    — that is the whole point of distillation at inference time."""
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    chars = F.length(F.regexp_replace(F.col(text_col), "\\s+", ""))
+    stop_hits = gopher_features(text_col)["stopword_hits"]
+    f1u = (n_words.cast("long") * F.lit(10_000)).alias("f1u")  # n_words/100
+    f2u = F.when(
+        n_words > 0, _div_half_away(chars.cast("long") * F.lit(100_000), n_words.cast("long"))
+    ).otherwise(F.lit(0)).alias("f2u")                          # mean_word_len/10
+    # the stopword rule thresholds the raw HIT COUNT (>= 2), so feed the
+    # capped count, not the length-normalized fraction: min(hits, 6)/6
+    f3u = _div_half_away(
+        F.least(stop_hits.cast("long"), F.lit(6)) * F.lit(1_000_000), F.lit(6)
+    ).alias("f3u")
+    # the Gopher word-count rule is a BAND (25..80) — linearly inseparable
+    # from the raw count, so distill its shape as distance-from-band-center
+    # (|n_words - 52.5| / 100): small inside the band, large outside
+    f4u = F.abs(n_words.cast("long") * F.lit(10_000) - F.lit(525_000)).alias("f4u")
+    return f1u, f2u, f3u, f4u
+
+
+def distill_score(df: DataFrame, weights_u: "list[int]", means_u: "list[int]",
+                  sds_u: "list[int]", text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Score documents with a FROZEN distilled quality model — the
+    inference half of :func:`distill_quality_classifier` (which returns
+    the trained weights; a production pipeline trains once, freezes the
+    model, and scores every ingest batch with THIS operator).
+
+    ``weights_u`` = 5 integer 1e-6-unit weights (bias first),
+    ``means_u``/``sds_u`` = the 4 per-feature standardization constants
+    from training (1e-6-unit means, integer sds). All arithmetic stays on
+    the trainer's exact integer grids (half-away division, rational
+    squashing σ(z) = 1/2 + z/(2(1+|z|))), so a DuckDB replay of the same
+    constants is bit-identical.
+
+    Scale shape: ONE narrow projection over the corpus — no shuffle, no
+    aggregate, no shingle pass (the features deliberately exclude the
+    rule filter's dup-ratio) — the cheapest possible per-document scorer.
+
+    Output: (id, z double, score double, keep boolean), score = σ(z).
+    """
+    if len(weights_u) != 5 or len(means_u) != 4 or len(sds_u) != 4:
+        raise ValueError("distill_score: expected 5 weights, 4 means, 4 sds")
+    if any(s <= 0 for s in sds_u):
+        raise ValueError("distill_score: sds must be positive integers")
+    U = 1_000_000
+    fcols = _distill_feature_cols(text_col)
+    xs = [
+        _sdiv_half_away((fc - F.lit(int(means_u[j])).cast("long")) * F.lit(U),
+                        F.lit(int(sds_u[j])))
+        for j, fc in enumerate(fcols)
+    ]
+    zu12 = F.lit(int(weights_u[0])).cast("long") * F.lit(U).cast("long")
+    for j, x in enumerate(xs):
+        zu12 = zu12 + F.lit(int(weights_u[j + 1])).cast("long") * x
+    z_expr = _sdiv_half_away(zu12, U)
+    zu = F.col("_zu")
+    pu = F.lit(U // 2) + _sdiv_half_away(
+        F.lit(U) * zu, F.lit(2) * (F.lit(U) + F.abs(zu))
+    )
+    return (
+        df.select(id_col, z_expr.alias("_zu"))
+        .select(
+            id_col,
+            (zu / U).alias("z"),
+            (pu / U).alias("score"),
+            (zu >= 0).alias("keep"),
+        )
+    )
+
+
 def distill_quality_classifier(df: DataFrame, text_col: str = "text",
                                id_col: str = "doc_id", n_iter: int = 15,
                                lr2: int = 4) -> DataFrame:
@@ -711,25 +788,8 @@ def distill_quality_classifier(df: DataFrame, text_col: str = "text",
     import math
 
     U = 1_000_000
-    feats = gopher_features(text_col)
-    toks = tokens(text_col)
-    n_words = F.size(toks)
-    chars = F.length(F.regexp_replace(F.col(text_col), "\\s+", ""))
-    stop_hits = feats["stopword_hits"]
-    f1u = (n_words.cast("long") * F.lit(10_000)).alias("f1u")  # n_words/100
-    f2u = F.when(
-        n_words > 0, _div_half_away(chars.cast("long") * F.lit(100_000), n_words.cast("long"))
-    ).otherwise(F.lit(0)).alias("f2u")                          # mean_word_len/10
-    # the stopword rule thresholds the raw HIT COUNT (>= 2), so feed the
-    # capped count, not the length-normalized fraction: min(hits, 6)/6
-    f3u = _div_half_away(
-        F.least(stop_hits.cast("long"), F.lit(6)) * F.lit(U), F.lit(6)
-    ).alias("f3u")
-    # the Gopher word-count rule is a BAND (25..80) — linearly inseparable
-    # from the raw count, so distill its shape as distance-from-band-center
-    # (|n_words - 52.5| / 100): small inside the band, large outside
-    f4u = F.abs(n_words.cast("long") * F.lit(10_000) - F.lit(525_000)).alias("f4u")
-    y = F.when(feats["keep"], F.lit(1)).otherwise(F.lit(0)).alias("y")
+    f1u, f2u, f3u, f4u = _distill_feature_cols(text_col)
+    y = F.when(gopher_features(text_col)["keep"], F.lit(1)).otherwise(F.lit(0)).alias("y")
     # scoped caches (unpersisted in-function after training), routed
     # through the owned registry so release stays idempotent repo-wide
     from ..cache import owned_persist

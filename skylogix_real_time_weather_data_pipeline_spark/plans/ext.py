@@ -2258,6 +2258,69 @@ O_DISTILL_FILTER = _distill_oracle(_DISTILL_ITER, _DISTILL_LR2)
 
 
 # --------------------------------------------------------------------------
+# Frozen-model distilled scoring — the INFERENCE half of the distillation
+# story (r9 verdict #8): docs_distill_filter certifies the trainer (and is
+# deliberately unbenched — 15 driver-looped jobs measure nothing
+# scan-shaped); this row scores the corpus against a FROZEN model in one
+# narrow shingle-free projection, the per-ingest-batch cost a production
+# curation pipeline actually pays, and is benched as docs_distill_score.
+# Constants = the model the r10 trainer produced at sf0.01 (15 iters,
+# lr2=4, train accuracy 0.864); the point is fixed inference, so they are
+# literals on BOTH sides.
+# --------------------------------------------------------------------------
+
+_DISTILL_W_U = (395328, -459166, -420422, 1545456, -2873567)  # bias first
+_DISTILL_M_U = (543300, 450912, 531667, 218300)
+_DISTILL_SD_U = (249738, 21056, 323087, 122675)
+
+
+def q_distill_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.distill_score(
+        _docs(spark, sf_dir),
+        list(_DISTILL_W_U), list(_DISTILL_M_U), list(_DISTILL_SD_U),
+    )
+
+
+def _distill_score_oracle() -> str:
+    xs = ["1000000"] + [
+        _sql_sdivha(f"(f.f{j}u - {_DISTILL_M_U[j - 1]})*1000000",
+                    str(_DISTILL_SD_U[j - 1]))
+        for j in range(1, 5)
+    ]
+    zu12 = " + ".join(
+        f"CAST({_DISTILL_W_U[j]} AS BIGINT)*({x})" for j, x in enumerate(xs)
+    )
+    return TOK_CTE + f"""
+, gfeat AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_words,
+         CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS chars,
+         CAST(len(list_filter(tk,
+             x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS BIGINT) AS stop_hits
+  FROM toks
+), feat AS (
+  SELECT doc_id,
+         n_words * 10000 AS f1u,
+         CASE WHEN n_words > 0 THEN {_sql_divha('chars*100000', 'n_words')} ELSE 0 END AS f2u,
+         {_sql_divha('least(stop_hits, 6)*1000000', '6')} AS f3u,
+         abs(n_words * 10000 - 525000) AS f4u
+  FROM gfeat
+), scored AS (
+  SELECT doc_id, {_sql_sdivha(zu12, '1000000')} AS zu
+  FROM feat f
+)
+SELECT doc_id,
+       zu / 1000000.0 AS z,
+       (500000 + {_sql_sdivha('1000000*zu', '2*(1000000 + abs(zu))')}) / 1000000.0 AS score,
+       zu >= 0 AS keep
+FROM scored
+"""
+
+
+O_DISTILL_SCORE = _distill_score_oracle()
+
+
+# --------------------------------------------------------------------------
 # Deterministic train/val/test split (ext.text.split_assign).
 # --------------------------------------------------------------------------
 
@@ -3213,6 +3276,7 @@ QUERIES = {
     "docs_substring_pairs": q_substring_pairs,
     "docs_bigram_logprob": q_bigram_logprob,
     "docs_distill_filter": q_distill_filter,
+    "docs_distill_score": q_distill_score,
     "docs_unigram_logprob": q_unigram_logprob,
     "docs_token_entropy": q_token_entropy,
     "docs_bm25_topk": q_bm25_topk,
@@ -3294,6 +3358,7 @@ ORACLES = {
     "docs_substring_pairs": O_SUBSTRING_PAIRS,
     "docs_bigram_logprob": O_BIGRAM_LOGPROB,
     "docs_distill_filter": O_DISTILL_FILTER,
+    "docs_distill_score": O_DISTILL_SCORE,
     "docs_unigram_logprob": O_UNIGRAM_LOGPROB,
     "docs_token_entropy": O_TOKEN_ENTROPY,
     "docs_bm25_topk": O_BM25_TOPK,

@@ -1157,6 +1157,63 @@ def test_distill_filter_beats_majority_and_learns_band(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
+def test_distill_score_matches_python_model_and_is_shuffle_free(spark):
+    """Frozen-model inference: distill_score must replay the trainer's
+    exact integer arithmetic (half-away division, rational squashing) —
+    pinned against a Python replica — and its plan must be ONE narrow
+    projection: no exchange, no aggregate, no join."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.text import (
+        distill_score,
+    )
+
+    W = [395328, -459166, -420422, 1545456, -2873567]
+    M = [543300, 450912, 531667, 218300]
+    SD = [249738, 21056, 323087, 122675]
+    U = 1_000_000
+
+    def pydiv_ha(n, d):  # signed half-away integer division
+        return (2 * n + d) // (2 * d) if n >= 0 else -((2 * -n + d) // (2 * d))
+
+    texts = {
+        1: "the and of " + " ".join(f"w{i}" for i in range(40)),   # in-band
+        2: "tiny",                                                  # below band
+        3: " ".join(f"x{i}" for i in range(200)),                   # far above
+        4: "",                                                      # empty doc
+    }
+
+    def model(text):
+        tk = [t for t in text.split() if t]
+        n_words = len(tk)
+        chars = len(text.replace(" ", ""))
+        stops = sum(1 for t in tk if t in
+                    {"the", "and", "of", "to", "a", "in", "is", "it"})
+        f = [
+            n_words * 10_000,
+            pydiv_ha(chars * 100_000, n_words) if n_words else 0,
+            pydiv_ha(min(stops, 6) * U, 6),
+            abs(n_words * 10_000 - 525_000),
+        ]
+        x = [U] + [pydiv_ha((f[j] - M[j]) * U, SD[j]) for j in range(4)]
+        zu = pydiv_ha(sum(W[j] * x[j] for j in range(5)), U)
+        pu = U // 2 + pydiv_ha(U * zu, 2 * (U + abs(zu)))
+        return zu / U, pu / U, zu >= 0
+
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = distill_score(df, W, M, SD)
+    got = {r.doc_id: (r.z, r.score, r.keep) for r in out.collect()}
+    for i, text in texts.items():
+        assert got[i] == model(text), (i, got[i], model(text))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Exchange", "Aggregate", "Join", "Sort"):
+        assert bad not in plan, f"{bad} in distill_score plan"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        distill_score(df, W[:4], M, SD)
+    with _pytest.raises(ValueError):
+        distill_score(df, W, M, [0, 1, 1, 1])
+
+
 def test_ivf_filtered_topk_adapts_probe_depth(spark):
     """A rare predicate must WIDEN the probed-cell prefix until enough
     matching candidates exist (the fixed-nprobe under-fill bug), and with
