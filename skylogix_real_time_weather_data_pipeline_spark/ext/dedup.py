@@ -943,6 +943,40 @@ def substring_shared_gram_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def substring_shared_gram_pairs_from_index(index: DataFrame,
+                                           min_shared: int = 2) -> DataFrame:
+    """:func:`substring_shared_gram_pairs` answered from the MAINTAINED
+    gram-index view (h, cnt, min_okey, ids, over — built incrementally by
+    ``streaming.matview.apply_gram_index_batch``): WHICH document pairs
+    share ≥ ``min_shared`` distinct k-grams, with no corpus re-scan at
+    all — the view's capped posting lists ARE the detector's buckets.
+    Completes the streaming ExactSubstr triad (rewrite:
+    :func:`substring_dedup_rewrite_from_index`; stats:
+    :func:`substring_dup_spans_from_index`).
+
+    The df cap is baked into the view at BUILD time (``max_gram_df`` on
+    the apply/maintain side): a gram whose distinct-doc set ever exceeds
+    it stores (ids=NULL, over=true) and contributes no pairs —
+    exactly the batch detector's boilerplate-gram cutoff, so with the
+    same cap the output equals the one-shot batch pairs (pytest-pinned,
+    including a cap that only overflows through a cross-batch union).
+
+    Plan shape / 100 TB: NO document scan — one pass over the view
+    (already one row per gram), in-bucket pair fan-out, one pair
+    groupBy. The fan-out mass is Σ df² over non-boilerplate grams, the
+    same bound as the batch detector, minus its corpus scan + posting
+    exchange."""
+    buckets = index.filter(
+        (~F.coalesce(F.col("over"), F.lit(False))) & (F.size("ids") >= 2)
+    )
+    return (
+        buckets.select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= min_shared)
+    )
+
+
 def keep_best_per_cluster(labels: DataFrame, scores: DataFrame,
                           id_col: str = "doc_id",
                           score_col: str = "score") -> DataFrame:

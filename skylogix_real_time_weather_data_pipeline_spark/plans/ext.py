@@ -1822,19 +1822,63 @@ def q_substring_rewrite_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just a rows-only smoke. The view directory is a deterministic
     per-session temp path, rebuilt per call (a deployment would keep it —
     that is the point of the split)."""
+    view = _gram_index_view(spark, sf_dir, "skylogix_gram_index")
+    return dedup.substring_dedup_rewrite_from_index(
+        _docs(spark, sf_dir), view, k=_SUBSTR_K
+    )
+
+
+def _gram_index_view(spark: SparkSession, sf_dir: str, prefix: str,
+                     max_gram_df: int = 1_000) -> DataFrame:
+    """Build the ExactSubstr gram-index matview over the corpus as two
+    replay-guarded micro-batch applies and return it — the shared
+    maintenance preamble of the three *_indexed read-path queries (each
+    uses its own state prefix so sequential sweep runs never share
+    state)."""
     import os
 
     from ..streaming.matview import apply_gram_index_batch
 
     docs = _docs(spark, sf_dir)
-    root = _session_state_dir(spark, sf_dir, "skylogix_gram_index")
+    root = _session_state_dir(spark, sf_dir, prefix)
     state = os.path.join(root, "view")
-    half1 = docs.filter(F.col("doc_id") % 2 == 0)
-    half2 = docs.filter(F.col("doc_id") % 2 == 1)
-    apply_gram_index_batch(half1, 0, state, k=_SUBSTR_K)
-    apply_gram_index_batch(half2, 1, state, k=_SUBSTR_K)
-    view = spark.read.parquet(state)
-    return dedup.substring_dedup_rewrite_from_index(docs, view, k=_SUBSTR_K)
+    apply_gram_index_batch(docs.filter(F.col("doc_id") % 2 == 0), 0, state,
+                           k=_SUBSTR_K, max_gram_df=max_gram_df)
+    apply_gram_index_batch(docs.filter(F.col("doc_id") % 2 == 1), 1, state,
+                           k=_SUBSTR_K, max_gram_df=max_gram_df)
+    return spark.read.parquet(state)
+
+
+def q_substring_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr coverage STATS against the maintained gram-index view
+    (r10, r9 verdict #5): build the view as two replay-guarded
+    micro-batch applies, then read duplicated-span statistics for the
+    whole corpus from it (ext/dedup.py:substring_dup_spans_from_index —
+    the corpus-count window becomes a hash join against the view). The
+    oracle is byte-identical to docs_substring_dedup's: index-driven ==
+    one-shot batch stats is the operator's contract, so the driver's
+    hash check certifies the maintained-count read path itself."""
+    view = _gram_index_view(spark, sf_dir, "skylogix_gram_index_sp")
+    return dedup.substring_dup_spans_from_index(
+        _docs(spark, sf_dir), view, k=_SUBSTR_K
+    )
+
+
+def q_substring_pairs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr PAIR detection answered from the maintained gram-index
+    view's capped posting lists (r10, r9 verdict #5): after the two
+    micro-batch applies, the pair query never touches the corpus at all
+    (ext/dedup.py:substring_shared_gram_pairs_from_index — the view's
+    posting lists ARE the detector's buckets; the df cap is baked at
+    build time, matching the batch detector's). The oracle is
+    byte-identical to docs_substring_pairs's by the view==batch
+    contract."""
+    view = _gram_index_view(
+        spark, sf_dir, "skylogix_gram_index_pr", max_gram_df=_SUBSTR_MAX_GRAM_DF
+    )
+    return dedup.substring_shared_gram_pairs_from_index(
+        view, min_shared=_SUBSTR_MIN_SHARED
+    )
 
 
 O_SUBSTRING_REWRITE = TOK_CTE + _SUBSTR_TH_CTE + f"""
@@ -3273,6 +3317,8 @@ QUERIES = {
     "docs_substring_dedup": q_substring_dedup,
     "docs_substring_rewrite": q_substring_rewrite,
     "docs_substring_rewrite_indexed": q_substring_rewrite_indexed,
+    "docs_substring_dedup_indexed": q_substring_dedup_indexed,
+    "docs_substring_pairs_indexed": q_substring_pairs_indexed,
     "docs_substring_pairs": q_substring_pairs,
     "docs_bigram_logprob": q_bigram_logprob,
     "docs_distill_filter": q_distill_filter,
@@ -3355,6 +3401,8 @@ ORACLES = {
     # identical oracle BY CONTRACT: the maintained-index rewrite must
     # equal the one-shot batch rewrite row-for-row
     "docs_substring_rewrite_indexed": O_SUBSTRING_REWRITE,
+    "docs_substring_dedup_indexed": O_SUBSTRING_DEDUP,
+    "docs_substring_pairs_indexed": O_SUBSTRING_PAIRS,
     "docs_substring_pairs": O_SUBSTRING_PAIRS,
     "docs_bigram_logprob": O_BIGRAM_LOGPROB,
     "docs_distill_filter": O_DISTILL_FILTER,

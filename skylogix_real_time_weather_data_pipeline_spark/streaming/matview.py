@@ -254,18 +254,35 @@ def maintain_term_stats_view(src: DataFrame, state_path: str, checkpoint_dir: st
     return q
 
 
-def combine_gram_index(state: DataFrame | None, delta: DataFrame) -> DataFrame:
-    """Merge a batch's per-k-gram partial evidence (h, cnt, min_okey) into
-    the stored gram-index view — the incremental maintenance of the
-    ExactSubstr (Lee et al. 2022) duplicate-evidence index. Both measures
-    are monoids: occurrence counts ADD and the keep-first order key
-    (doc_id·2^20 + pos) MINS, provided each document arrives in exactly
-    one micro-batch (append-only corpus, same contract as the term-stats
-    view). The join is O(touched grams + view), never O(corpus)."""
+def combine_gram_index(state: DataFrame | None, delta: DataFrame,
+                       max_gram_df: int = 1_000) -> DataFrame:
+    """Merge a batch's per-k-gram partial evidence
+    (h, cnt, min_okey, ids, over) into the stored gram-index view — the
+    incremental maintenance of the ExactSubstr (Lee et al. 2022)
+    duplicate-evidence index. Every measure is a monoid: occurrence
+    counts ADD, the keep-first order key (doc_id·2^20 + pos) MINS, and
+    the capped posting list (r10 — the pair-detector read path) UNIONs
+    on a join-semilattice: once a gram's distinct-doc set exceeds
+    ``max_gram_df`` it collapses to (ids=NULL, over=true) and stays
+    there — the same boilerplate-gram cutoff the batch pair detector
+    applies, so overflow order across batches cannot matter. Valid
+    provided each document arrives in exactly one micro-batch
+    (append-only corpus, same contract as the term-stats view). The
+    join is O(touched grams + view), never O(corpus)."""
     if state is None:
         return delta
     s = state.select(
         "h", F.col("cnt").alias("_cnt"), F.col("min_okey").alias("_mo"),
+        F.col("ids").alias("_ids"), F.col("over").alias("_over"),
+    )
+    u = F.array_union(
+        F.coalesce(F.col("_ids"), F.array().cast("array<long>")),
+        F.coalesce(F.col("ids"), F.array().cast("array<long>")),
+    )
+    over = (
+        F.coalesce(F.col("_over"), F.lit(False))
+        | F.coalesce(F.col("over"), F.lit(False))
+        | (F.size(u) > max_gram_df)
     )
     return s.join(delta, ["h"], "full_outer").select(
         "h",
@@ -274,48 +291,64 @@ def combine_gram_index(state: DataFrame | None, delta: DataFrame) -> DataFrame:
             F.coalesce(F.col("_mo"), F.col("min_okey")),
             F.coalesce(F.col("min_okey"), F.col("_mo")),
         ).alias("min_okey"),
+        F.when(~over, F.array_sort(u)).alias("ids"),
+        over.alias("over"),
     )
 
 
 def apply_gram_index_batch(batch_df: DataFrame, batch_id: int, state_path: str,
                            text_col: str = "text", id_col: str = "doc_id",
-                           k: int = 8) -> None:
+                           k: int = 8, max_gram_df: int = 1_000) -> None:
     """One micro-batch of the gram-index view: hash ONLY this batch's
     documents' k-grams (the shared Carter-Wegman combine — bit-identical
     to the batch ExactSubstr operators), partial-aggregate
-    (count, min order key) per gram, monoid-combine into the stored view
-    (replay-guarded, crash-safe swap). The maintained view feeds
-    ``ext.dedup.substring_dedup_rewrite_from_index``, which resolves
-    span removal for any doc set against corpus-wide evidence without
-    re-scanning history."""
+    (count, min order key, capped distinct-doc posting list) per gram,
+    monoid-combine into the stored view (replay-guarded, crash-safe
+    swap). The maintained view feeds the WHOLE ExactSubstr triad's read
+    paths without re-scanning history:
+    ``ext.dedup.substring_dedup_rewrite_from_index`` (span removal, via
+    cnt + min_okey), ``substring_dup_spans_from_index`` (coverage stats,
+    via cnt), and ``substring_shared_gram_pairs_from_index`` (pair
+    detection, via the posting lists — grams whose distinct-doc set
+    exceeds ``max_gram_df`` store ids=NULL/over=true, mirroring the
+    batch detector's df cap)."""
     if _already_applied(state_path, batch_id):
         return
     from ..ext.dedup import _gram_occurrences
 
     spark = batch_df.sparkSession
     _, _, occ = _gram_occurrences(batch_df, text_col, id_col, k)
+    ids_set = F.array_sort(F.collect_set(F.col(id_col).cast("long")))
     delta = occ.groupBy("h").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min("okey").alias("min_okey"),
+        ids_set.alias("_raw_ids"),
+    ).select(
+        "h", "cnt", "min_okey",
+        F.when(F.size("_raw_ids") <= max_gram_df, F.col("_raw_ids")).alias("ids"),
+        (F.size("_raw_ids") > max_gram_df).alias("over"),
     )
     state = (
         spark.read.parquet(state_path) if os.path.exists(state_path) else None
     )
-    _commit_view(combine_gram_index(state, delta), state_path, batch_id)
+    _commit_view(combine_gram_index(state, delta, max_gram_df=max_gram_df),
+                 state_path, batch_id)
 
 
 def maintain_gram_index_view(src: DataFrame, state_path: str, checkpoint_dir: str,
                              text_col: str = "text", id_col: str = "doc_id",
-                             k: int = 8):
-    """Incrementally maintain the (h, cnt, min_okey) ExactSubstr gram
-    index over a streaming documents frame with trigger(availableNow):
-    each micro-batch applies :func:`apply_gram_index_batch`. Equivalence
-    with the one-shot batch gram aggregate — and of the index-driven
-    rewrite with the batch rewrite — is pinned in tests/test_matview.py."""
+                             k: int = 8, max_gram_df: int = 1_000):
+    """Incrementally maintain the (h, cnt, min_okey, ids, over)
+    ExactSubstr gram index over a streaming documents frame with
+    trigger(availableNow): each micro-batch applies
+    :func:`apply_gram_index_batch`. Equivalence with the one-shot batch
+    gram aggregate — and of the index-driven rewrite/spans/pairs read
+    paths with their batch forms — is pinned in tests/test_matview.py."""
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         apply_gram_index_batch(batch_df, batch_id, state_path,
-                               text_col=text_col, id_col=id_col, k=k)
+                               text_col=text_col, id_col=id_col, k=k,
+                               max_gram_df=max_gram_df)
 
     q = (
         src.writeStream.foreachBatch(_upsert)

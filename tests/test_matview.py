@@ -386,6 +386,70 @@ def test_incremental_gram_index_equals_batch_and_drives_rewrite(spark, tmp_path)
     want_sp = sorted(tuple(r) for r in substring_dup_spans(corpus, k=k).collect())
     assert got_sp == want_sp
 
+    # the PAIR read path against the same maintained view == one-shot
+    # (r10 — completes the triad): the view's capped posting lists are
+    # the detector's buckets, no corpus scan at all
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        substring_shared_gram_pairs,
+        substring_shared_gram_pairs_from_index,
+    )
+
+    got_pr = sorted(
+        tuple(r)
+        for r in substring_shared_gram_pairs_from_index(view, min_shared=2).collect()
+    )
+    want_pr = sorted(
+        tuple(r)
+        for r in substring_shared_gram_pairs(corpus, k=k, min_shared=2).collect()
+    )
+    assert got_pr == want_pr and (1, 2) in {(a, b) for a, b, _ in got_pr}
+
+
+def test_gram_index_postings_cap_overflows_across_batches(spark, tmp_path):
+    """The capped posting list is a join-semilattice: a gram whose
+    distinct-doc set only exceeds max_gram_df through the CROSS-BATCH
+    union must collapse to (ids=NULL, over=true) and contribute no pairs
+    — exactly the batch detector's df cap on the same corpus."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        substring_shared_gram_pairs,
+        substring_shared_gram_pairs_from_index,
+    )
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_gram_index_batch,
+    )
+
+    k, cap = 3, 3
+    boiler = "spam spam spam wonderful spam"          # boilerplate: in 5 docs > cap
+    pair_a = "alpha beta gamma delta epsilon zeta"    # genuinely shared run
+    rows0 = [(i, boiler) for i in range(1, 4)] + [(10, pair_a + " one")]
+    rows1 = [(i, boiler) for i in range(4, 6)] + [(11, pair_a + " two")]
+    b0 = spark.createDataFrame(rows0, "doc_id long, text string")
+    b1 = spark.createDataFrame(rows1, "doc_id long, text string")
+    state = str(tmp_path / "gi")
+    # each batch alone stays under the cap (3 docs, then 2) — only the
+    # cross-batch union (5) overflows
+    apply_gram_index_batch(b0, 0, state, k=k, max_gram_df=cap)
+    apply_gram_index_batch(b1, 1, state, k=k, max_gram_df=cap)
+    view = spark.read.parquet(state)
+    over_rows = view.filter("over").collect()
+    assert over_rows and all(r.ids is None for r in over_rows)
+    assert all(r.cnt >= 5 for r in over_rows)  # counts still maintained
+
+    got = sorted(
+        tuple(r)
+        for r in substring_shared_gram_pairs_from_index(view, min_shared=2).collect()
+    )
+    corpus = b0.unionByName(b1)
+    want = sorted(
+        tuple(r)
+        for r in substring_shared_gram_pairs(
+            corpus, k=k, min_shared=2, max_gram_df=cap
+        ).collect()
+    )
+    assert got == want
+    # the boilerplate cluster pairs are gone; the genuine pair survives
+    assert {(a, b) for a, b, _ in got} == {(10, 11)}
+
 
 def test_gram_index_replay_is_idempotent(spark, tmp_path):
     """Re-applying an already-committed batch id must be a no-op (the
