@@ -302,35 +302,41 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     # rows, n_inter and n_drop already reflect the UNION of the rows'
     # shingle sets while the carried n_raw is one row's count. The
     # denominator would understate the capped union (jaccard > 1, or 0/NULL
-    # division). For duplicated ids ONLY, the true capped union size is
-    # read off the index itself: the count of kept posting lists containing
-    # the doc. The dup-id probe is a narrow id-column aggregate (usually
-    # empty); with zero duplicates AQE's empty-relation propagation prunes
-    # the semi-joined index explode at runtime, so well-formed corpora pay
-    # only the id scan. With duplicates the cost is proportional to the
-    # duplicated docs' postings — the honest price of union semantics.
+    # division). The dup probe is an EAGER driver check — one tiny job
+    # over the column-pruned id scan (map-side combined, O(distinct ids)
+    # shuffle rows) — because the lazily-joined form kept the index
+    # explode in the plan even with zero duplicates (probed: AQE did NOT
+    # propagate the empty broadcast build side through the semi join, and
+    # the always-on explode cost ~25 % of the benched row). Well-formed
+    # corpora therefore pay one narrow probe job and NOTHING in the main
+    # plan; with duplicates present, the true capped union size per
+    # duplicated id is read off the persisted index (the count of kept
+    # posting lists containing the doc) — proportional cost, the honest
+    # price of union semantics.
     dup_ids = (
         df.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_rows"))
         .filter(F.col("_n_rows") > 1)
         .select(F.col(id_col).alias("_did"))
     )
-    union_sizes = (
-        kept.select(F.explode("mems").alias("m"))
-        .select(F.col("m." + id_col).alias("_did"))
-        .join(dup_ids, "_did", "semi")
-        .groupBy("_did")
-        .agg(F.count(F.lit(1)).alias("_n_union"))
-    )
-    pairs = pairs.join(
-        union_sizes.select(F.col("_did").alias("id_a"), F.col("_n_union").alias("_union_a")),
-        "id_a", "left",
-    ).join(
-        union_sizes.select(F.col("_did").alias("id_b"), F.col("_n_union").alias("_union_b")),
-        "id_b", "left",
-    )
-    # the index count is already over the capped universe — no drop arithmetic
-    n_a = F.coalesce(F.col("_union_a"), n_a)
-    n_b = F.coalesce(F.col("_union_b"), n_b)
+    if dup_ids.limit(1).count() > 0:
+        union_sizes = (
+            kept.select(F.explode("mems").alias("m"))
+            .select(F.col("m." + id_col).alias("_did"))
+            .join(dup_ids, "_did", "semi")
+            .groupBy("_did")
+            .agg(F.count(F.lit(1)).alias("_n_union"))
+        )
+        pairs = pairs.join(
+            union_sizes.select(F.col("_did").alias("id_a"), F.col("_n_union").alias("_union_a")),
+            "id_a", "left",
+        ).join(
+            union_sizes.select(F.col("_did").alias("id_b"), F.col("_n_union").alias("_union_b")),
+            "id_b", "left",
+        )
+        # the index count is already over the capped universe — no drop
+        # arithmetic for duplicated ids
+        n_a = F.coalesce(F.col("_union_a"), n_a)
+        n_b = F.coalesce(F.col("_union_b"), n_b)
     jac = F.col("n_inter") / (n_a + n_b - F.col("n_inter"))
     return (
         pairs

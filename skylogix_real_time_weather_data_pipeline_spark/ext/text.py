@@ -1310,15 +1310,19 @@ def bm25_topk(df: DataFrame, query_terms: Sequence[str], k: int = 10,
     idf(t) = ln( (N − df + 0.5)/(df + 0.5) + 1 )  (always positive).
 
     Plan shape (100 TB posture):
-    - ONE corpus pass produces (id, dl, query-term tokens); tokens are
-      filtered to the query terms BEFORE the explode/groupBy, so the tf
-      intermediate is O(matching docs × |query|), never O(corpus tokens).
-      Docs with zero query-term hits score 0 and are skipped by
-      construction — BM25 only scores the postings.
-    - N and avgdl fold in a second, column-pruned scan into a 1-row
-      broadcast scalar (dl is integral, so sum/count is exact — no fsum
-      needed). At production scale dl comes from a precomputed stats
-      column and this scan disappears.
+    - ONE corpus tokenize pass (r10 — it was two: the stats fold used to
+      re-tokenize the raw frame) produces the persisted narrow projection
+      (id, dl, query-term tokens): dl one int, qt a ≤|query|-element
+      array (empty for most docs), so the cache is O(corpus rows) of
+      ~tens of bytes, not text. Both consumers read it — the postings
+      branch (tokens filtered to the query terms BEFORE the
+      explode/groupBy, so the tf intermediate is O(matching docs ×
+      |query|), never O(corpus tokens); zero-hit docs score 0 and are
+      skipped by construction) and the N/avgdl scalar fold (dl is
+      integral, so sum/count is exact — no fsum needed; identical values
+      to the former raw-frame fold). At production scale dl comes from a
+      precomputed stats column / the maintained term-stats view
+      (``bm25_topk_from_stats``) and the fold disappears entirely.
     - df(t) is a count window PARTITIONed BY term over the tf
       intermediate — NOT a dfreq-side join, which would evaluate the
       tokenize+agg subtree twice (same reasoning as tfidf_topk).
@@ -1329,20 +1333,18 @@ def bm25_topk(df: DataFrame, query_terms: Sequence[str], k: int = 10,
     """
     from pyspark.sql import Window
 
+    from ..cache import owned_persist
     from ..functions.exact import fsum
 
     terms = sorted(set(query_terms))
     qarr = F.array(*[F.lit(t) for t in terms])
     base = repartition_for_compute(df, id_col)
-    proj = base.select(
+    proj = owned_persist(base.select(
         id_col,
         F.size(tokens(text_col)).alias("dl"),
         F.filter(tokens(text_col), lambda t: F.array_contains(qarr, t)).alias("qt"),
-    )
-    # stats fold from the RAW df (not the compute-spread base): the agg is
-    # map-side-combined, so a pre-shuffle would only move full text through
-    # an exchange for nothing
-    stats = df.select(F.size(tokens(text_col)).alias("dl")).agg(
+    ))
+    stats = proj.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )

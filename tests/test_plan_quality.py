@@ -464,6 +464,10 @@ def test_ngram_index_cached_single_evaluation(spark, sf_dir, qs):
     assert mem >= 3
     # every parquet-scan string sits inside a cached-subtree definition
     assert scans <= mem
+    # r10: the duplicate-id union correction must NOT appear here — on a
+    # unique-id corpus the eager probe (a separate tiny job, not part of
+    # this plan) skips the fix joins entirely, so the main plan keeps the
+    # pre-r10 shape: only the two df-cap correction LEFT joins
     assert len(re.findall(r"Join", plan)) <= 2
 
 
