@@ -45,6 +45,7 @@ _VERIFY_FIRST = (
     "docs_substring_rewrite_indexed", # view schema gained ids/over (r10)
     "docs_bm25_topk",                 # single tokenize pass (persisted proj, r10)
     "docs_hybrid_rrf",                # consumes the fused BM25 branch (r10)
+    "emb_semdedup",                   # per-cluster block gemm kernel (r10)
     # --- tier 2: the whole remaining r6-vintage tail (35 rows) ---
     "docs_lang_source_chisq",
     "docs_minhash_signatures",

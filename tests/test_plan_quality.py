@@ -200,10 +200,11 @@ def test_large_orders_single_lineitem_scan(spark, sf_dir, qs):
 
 
 def test_semdedup_checkpoints_assignment_no_lloyd_reeval(spark, sf_dir, qs):
-    """The k-means assignment feeds both the pair fan-out and the decision
-    join; the localCheckpoint must stop Spark re-evaluating the Lloyd
-    subtree per branch — only the two vector-attach scans of embeddings
-    may remain."""
+    """The k-means assignment feeds both the block-drop computation and
+    the decision join; the localCheckpoint must stop Spark re-evaluating
+    the Lloyd subtree per branch — only the vector-attach scan(s) of
+    embeddings may remain (r10: the block kernel attaches vectors once,
+    so ≤ 2 keeps headroom for the pre-r10 pair form too)."""
     plan = _physical(qs["emb_semdedup"](spark, sf_dir))
     assert len(re.findall(r"FileScan parquet.*embeddings", plan)) <= 2
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
