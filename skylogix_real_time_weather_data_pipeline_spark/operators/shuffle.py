@@ -153,6 +153,11 @@ def budget_select(df: DataFrame, score_col: str, weight_col: str,
             f"budget_select: NULL values in score column {score_col!r} — "
             "a total quality order is undefined; filter or impute first"
         )
+    if any(s != s for s in totals):  # NaN: not orderable, not discrete
+        raise ValueError(
+            f"budget_select: NaN values in score column {score_col!r} — "
+            "a total quality order is undefined; filter or impute first"
+        )
     offsets, acc = {}, 0
     for s in sorted(totals, reverse=True):  # score DESC
         offsets[s] = acc

@@ -56,9 +56,13 @@ def _session_state_dir(spark: SparkSession, sf_dir: str, prefix: str) -> str:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     app = spark.sparkContext.applicationId
-    root = os.path.join(tempfile.gettempdir(), f"{prefix}_{app}_{tag}")
+    # '__' separators keep the sweep glob unambiguous: with plain '_' a
+    # sweep for prefix 'x' would also match sibling prefix 'x_sp' dirs
+    # (the wildcard swallowing 'sp_<app>'), deleting another query's
+    # state. Prefixes never contain '__'.
+    root = os.path.join(tempfile.gettempdir(), f"{prefix}__{app}__{tag}")
     for stale in glob.glob(
-        os.path.join(tempfile.gettempdir(), f"{prefix}_*_{tag}")
+        os.path.join(tempfile.gettempdir(), f"{prefix}__*__{tag}")
     ):
         if stale != root:
             shutil.rmtree(stale, ignore_errors=True)

@@ -1621,3 +1621,8 @@ def test_budget_select_score_types_and_null_rejection(spark):
                                  "doc_id long, score bigint, w long")
     with _pytest.raises(ValueError, match="NULL values in score column"):
         budget_select(df_n, "score", "w", 10)
+
+    df_nan = spark.createDataFrame([(1, float("nan"), 10), (2, 0.5, 10)],
+                                   "doc_id long, score double, w long")
+    with _pytest.raises(ValueError, match="NaN values in score column"):
+        budget_select(df_nan, "score", "w", 10)

@@ -489,10 +489,13 @@ def test_session_state_dir_sweeps_stale_sibling_apps(spark):
     sf_dir = "/some/sf/dir"
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     tmp = tempfile.gettempdir()
-    stale = os.path.join(tmp, f"swtest_app-dead-123_{tag}")
-    other_tag = os.path.join(tmp, "swtest_app-dead-123_deadbeef")
-    other_prefix = os.path.join(tmp, f"swother_app-dead-123_{tag}")
-    for d in (stale, other_tag, other_prefix):
+    stale = os.path.join(tmp, f"swtest__app-dead-123__{tag}")
+    other_tag = os.path.join(tmp, "swtest__app-dead-123__deadbeef")
+    other_prefix = os.path.join(tmp, f"swother__app-dead-123__{tag}")
+    # a SIBLING PREFIX that extends ours must never be swept (the r10
+    # self-review bug: a plain '_' glob matched swtest_sp_* dirs too)
+    ext_prefix = os.path.join(tmp, f"swtest_sp__app-dead-123__{tag}")
+    for d in (stale, other_tag, other_prefix, ext_prefix):
         os.makedirs(d, exist_ok=True)
         with open(os.path.join(d, "view.parquet"), "w") as f:
             f.write("x")
@@ -501,9 +504,10 @@ def test_session_state_dir_sweeps_stale_sibling_apps(spark):
         assert not os.path.exists(stale)          # dead sibling swept
         assert os.path.exists(other_tag)          # different sf_dir kept
         assert os.path.exists(other_prefix)       # different prefix kept
+        assert os.path.exists(ext_prefix)         # extending prefix kept
         assert tag in root and "swtest_" in root
     finally:
         import shutil
 
-        for d in (other_tag, other_prefix):
+        for d in (other_tag, other_prefix, ext_prefix):
             shutil.rmtree(d, ignore_errors=True)
