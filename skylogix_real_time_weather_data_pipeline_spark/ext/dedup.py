@@ -192,6 +192,49 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def minhash_pairs_from_index(index: DataFrame, max_bucket_size: int = 100_000,
+                             batch_ids: DataFrame | None = None,
+                             id_col: str = "doc_id") -> DataFrame:
+    """:func:`minhash_lsh_pairs` answered from the MAINTAINED LSH-bucket
+    view (band_idx, band_hash, ids, over — built incrementally by
+    ``streaming.matview.apply_minhash_buckets_batch``): distinct
+    (id_a < id_b) candidate pairs with band-collision counts, with NO
+    corpus scan and NO signature recomputation — the view's capped
+    member sets ARE the detector's buckets. With the view maintained
+    over exactly the corpus, output == the one-shot batch detector
+    (pytest-pinned, including a bucket that only overflows through the
+    cross-batch union).
+
+    ``batch_ids`` (optional, a 1-column frame of ids) restricts the
+    output to pairs touching those ids — the per-ingest-batch dedup
+    query a deployment runs after applying the batch to the view:
+    "which of MY new documents near-duplicate anything in the corpus".
+    The restriction is a broadcast semi-filter on the tiny pair output,
+    so history×history pairs are never materialized for it.
+
+    Plan shape / 100 TB: one pass over the view, in-bucket pair
+    fan-out, one pair groupBy — the Σ size² fan-out bound of the batch
+    detector minus its corpus scan, shingle hashing, and signature
+    exchange."""
+    buckets = index.filter(
+        (~F.coalesce(F.col("over"), F.lit(False)))
+        & (F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size)
+    )
+    pairs = (
+        buckets.select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_band_collisions"))
+    )
+    if batch_ids is not None:
+        ids = batch_ids.select(F.col(batch_ids.columns[0]).alias("_bid"))
+        pairs = pairs.join(
+            F.broadcast(ids.distinct()),
+            (F.col("id_a") == F.col("_bid")) | (F.col("id_b") == F.col("_bid")),
+            "semi",
+        )
+    return pairs
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         shingle_n: int = 3, threshold: float = 0.5,
                         max_shingle_df: int | None = 100_000) -> DataFrame:

@@ -169,6 +169,37 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_pairs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidate pairs answered from the MAINTAINED
+    band-bucket view (r10): build the view over two corpus halves as
+    replay-guarded micro-batch applies
+    (streaming/matview.py:apply_minhash_buckets_batch — per-doc
+    signatures are pure functions of the document, member sets union on
+    the capped semilattice), then read candidate pairs entirely from
+    the view (ext/dedup.py:minhash_pairs_from_index — no corpus scan,
+    no signature recomputation). The oracle is byte-identical to
+    docs_minhash_lsh_pairs's: maintained buckets == one-shot buckets is
+    the operator's contract, so the driver's hash check certifies the
+    incremental LSH-index machinery itself."""
+    import os
+
+    from ..streaming.matview import apply_minhash_buckets_batch
+
+    docs = _docs(spark, sf_dir)
+    root = _session_state_dir(spark, sf_dir, "skylogix_minhash_idx")
+    state = os.path.join(root, "view")
+    apply_minhash_buckets_batch(
+        docs.filter(F.col("doc_id") % 2 == 0), 0, state,
+        n_hashes=_N_HASHES, bands=_BANDS, max_bucket_size=_MAX_BUCKET,
+    )
+    apply_minhash_buckets_batch(
+        docs.filter(F.col("doc_id") % 2 == 1), 1, state,
+        n_hashes=_N_HASHES, bands=_BANDS, max_bucket_size=_MAX_BUCKET,
+    )
+    view = spark.read.parquet(state)
+    return dedup.minhash_pairs_from_index(view, max_bucket_size=_MAX_BUCKET)
+
+
 _rows_per_band = _N_HASHES // _BANDS
 
 
@@ -3288,6 +3319,7 @@ QUERIES = {
     "docs_exact_dedup": q_exact_dedup,
     "docs_minhash_signatures": q_minhash_signatures,
     "docs_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "docs_minhash_pairs_indexed": q_minhash_pairs_indexed,
     "docs_minhash_jaccard_estimate": q_minhash_jaccard_estimate,
     "docs_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "docs_dedup_clusters": q_dedup_clusters,
@@ -3368,6 +3400,7 @@ ORACLES = {
     "docs_exact_dedup": O_EXACT_DEDUP,
     "docs_minhash_signatures": O_MINHASH_SIGNATURES,
     "docs_minhash_lsh_pairs": O_MINHASH_LSH_PAIRS,
+    "docs_minhash_pairs_indexed": O_MINHASH_LSH_PAIRS,
     "docs_minhash_jaccard_estimate": O_MINHASH_JACCARD_EST,
     "docs_ngram_jaccard_pairs": O_NGRAM_JACCARD,
     "docs_dedup_clusters": O_DEDUP_CLUSTERS,

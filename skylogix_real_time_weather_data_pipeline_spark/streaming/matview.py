@@ -368,6 +368,121 @@ def maintain_gram_index_view(src: DataFrame, state_path: str, checkpoint_dir: st
     return q
 
 
+def combine_minhash_buckets(state: DataFrame | None, delta: DataFrame,
+                            max_bucket_size: int = 100_000) -> DataFrame:
+    """Merge a batch's banded-MinHash bucket membership
+    (band_idx, band_hash, ids, over) into the stored LSH-bucket view —
+    the incremental maintenance of the near-dup candidate index. The
+    capped member set is the same join-semilattice as the gram-index
+    posting lists (:func:`combine_gram_index`): distinct-doc sets UNION,
+    collapsing to (ids=NULL, over=true) once a bucket exceeds
+    ``max_bucket_size`` — exactly the degenerate-mass-duplicate cutoff
+    ``ext.dedup.minhash_lsh_pairs`` applies, so overflow order across
+    batches cannot matter. Valid provided each document arrives in
+    exactly one micro-batch (append-only corpus). The join is
+    O(touched buckets + view), never O(corpus)."""
+    if state is None:
+        return delta
+    s = state.select(
+        "band_idx", "band_hash",
+        F.col("ids").alias("_ids"), F.col("over").alias("_over"),
+    )
+    u = F.array_union(
+        F.coalesce(F.col("_ids"), F.array().cast("array<long>")),
+        F.coalesce(F.col("ids"), F.array().cast("array<long>")),
+    )
+    over = (
+        F.coalesce(F.col("_over"), F.lit(False))
+        | F.coalesce(F.col("over"), F.lit(False))
+        | (F.size(u) > max_bucket_size)
+    )
+    return s.join(delta, ["band_idx", "band_hash"], "full_outer").select(
+        "band_idx", "band_hash",
+        F.when(~over, F.array_sort(u)).alias("ids"),
+        over.alias("over"),
+    )
+
+
+def apply_minhash_buckets_batch(batch_df: DataFrame, batch_id: int,
+                                state_path: str, text_col: str = "text",
+                                id_col: str = "doc_id", n_hashes: int = 16,
+                                bands: int = 4, shingle_n: int = 3,
+                                max_bucket_size: int = 100_000) -> None:
+    """One micro-batch of the LSH-bucket view: signature ONLY this
+    batch's documents (the shared shingle→Carter-Wegman→min pipeline —
+    bit-identical banding to ``minhash_lsh_pairs``), aggregate bucket
+    membership per (band_idx, band_hash), and monoid-combine into the
+    stored view (replay-guarded, crash-safe swap). A per-document
+    signature is a pure function of the document, so incremental
+    signatures equal the one-shot corpus signatures by construction —
+    the maintained buckets ARE the batch detector's buckets. Read paths:
+    ``ext.dedup.minhash_pairs_from_index`` (all candidate pairs, no
+    corpus re-scan) — restrict to pairs touching a new batch's ids for
+    the per-ingest dedup query a deployment actually runs."""
+    if _already_applied(state_path, batch_id):
+        return
+    from ..ext.dedup import band_structs, minhash_signatures
+
+    spark = batch_df.sparkSession
+    sig = minhash_signatures(batch_df, text_col, id_col, n_hashes, shingle_n)
+    banded = sig.select(
+        id_col, F.explode(F.array(*band_structs(n_hashes, bands))).alias("band")
+    ).select(
+        id_col,
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_hash").alias("band_hash"),
+    )
+    ids_set = F.array_sort(F.collect_set(F.col(id_col).cast("long")))
+    delta = banded.groupBy("band_idx", "band_hash").agg(
+        ids_set.alias("_raw_ids")
+    ).select(
+        "band_idx", "band_hash",
+        F.when(F.size("_raw_ids") <= max_bucket_size, F.col("_raw_ids")).alias("ids"),
+        (F.size("_raw_ids") > max_bucket_size).alias("over"),
+    )
+    state = (
+        spark.read.parquet(state_path) if os.path.exists(state_path) else None
+    )
+    _commit_view(
+        combine_minhash_buckets(state, delta, max_bucket_size=max_bucket_size),
+        state_path, batch_id,
+    )
+
+
+def maintain_minhash_buckets_view(src: DataFrame, state_path: str,
+                                  checkpoint_dir: str, text_col: str = "text",
+                                  id_col: str = "doc_id", n_hashes: int = 16,
+                                  bands: int = 4, shingle_n: int = 3,
+                                  max_bucket_size: int = 100_000):
+    """Incrementally maintain the banded-MinHash LSH-bucket view over a
+    streaming documents frame with trigger(availableNow): each
+    micro-batch applies :func:`apply_minhash_buckets_batch`. Equivalence
+    of the maintained buckets — and of the index-driven candidate pairs
+    — with the one-shot batch detector is pinned in
+    tests/test_matview.py."""
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        apply_minhash_buckets_batch(
+            batch_df, batch_id, state_path, text_col=text_col, id_col=id_col,
+            n_hashes=n_hashes, bands=bands, shingle_n=shingle_n,
+            max_bucket_size=max_bucket_size,
+        )
+
+    q = (
+        src.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "view maintenance did not finish within 300s; state is "
+            "incomplete (the replay guard makes a rerun safe)"
+        )
+    return q
+
+
 def _nearest_cell(vec_col: str, centroids: list[list[float]]):
     """Argmin-of-squared-L2 cell id against a literal centroid table —
     same strict fold + lexicographic struct-min tie-break as

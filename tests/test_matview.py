@@ -511,3 +511,127 @@ def test_session_state_dir_sweeps_stale_sibling_apps(spark):
 
         for d in (other_tag, other_prefix, ext_prefix):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_incremental_minhash_buckets_equal_batch_and_drive_pairs(spark, tmp_path):
+    """The banded-MinHash bucket view maintained over 3 micro-batches must
+    equal the one-shot banding's bucket membership (signatures are pure
+    per-doc functions), and the index-driven candidate pairs must equal
+    minhash_lsh_pairs over the full corpus — including a pair whose two
+    docs arrived in DIFFERENT batches. The batch_ids restriction returns
+    exactly the pairs touching those ids."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        minhash_lsh_pairs,
+        minhash_pairs_from_index,
+    )
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        maintain_minhash_buckets_view,
+    )
+
+    schema = "doc_id long, text string"
+    near = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    batches = [
+        [{"doc_id": 1, "text": near}],
+        [{"doc_id": 2, "text": near + " extra"},          # cross-batch near-dup of 1
+         {"doc_id": 3, "text": "completely different words here nothing shared at all"}],
+        [{"doc_id": 4, "text": near}],                     # exact dup of 1, third batch
+    ]
+    src_dir = tmp_path / "docs"
+    state, ckpt = str(tmp_path / "mh_view"), str(tmp_path / "ck")
+    for i, rows in enumerate(batches):
+        _write(src_dir, f"b{i}.json", rows)
+        time.sleep(0.3)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(str(src_dir))
+    )
+    maintain_minhash_buckets_view(stream, state, ckpt, n_hashes=16, bands=4)
+
+    corpus = spark.read.json(str(src_dir), schema=schema)
+    view = spark.read.parquet(state)
+
+    # maintained buckets == one-shot banding membership
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        band_structs,
+        minhash_signatures,
+    )
+    sig = minhash_signatures(corpus, n_hashes=16)
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs(16, 4))).alias("b")
+    ).select("doc_id", "b.band_idx", "b.band_hash")
+    want_rows = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .collect()
+    )
+    want_buckets = {(r.band_idx, r.band_hash): tuple(r.ids) for r in want_rows}
+    got_buckets = {
+        (r.band_idx, r.band_hash): tuple(r.ids) for r in view.collect()
+    }
+    assert got_buckets == want_buckets
+    assert all(not r.over for r in view.collect())
+
+    got = sorted(tuple(r) for r in minhash_pairs_from_index(view).collect())
+    want = sorted(tuple(r) for r in minhash_lsh_pairs(corpus, n_hashes=16, bands=4).collect())
+    assert got == want
+    pair_ids = {(a, b) for a, b, _ in got}
+    assert (1, 4) in pair_ids  # cross-batch exact dup collides in every band
+
+    # the per-ingest-batch restriction: only pairs touching batch-2 ids
+    b2 = spark.createDataFrame([(2,), (3,)], "doc_id long")
+    got_b2 = sorted(
+        tuple(r) for r in minhash_pairs_from_index(view, batch_ids=b2).collect()
+    )
+    want_b2 = sorted(t for t in want if t[0] in (2, 3) or t[1] in (2, 3))
+    assert got_b2 == want_b2
+
+
+def test_minhash_buckets_cap_overflows_across_batches(spark, tmp_path):
+    """A bucket whose membership only exceeds max_bucket_size through the
+    cross-batch union must collapse to (ids=NULL, over=true) and emit no
+    pairs — the batch detector's degenerate-mass-duplicate cutoff, and
+    replaying an applied batch must not change the view."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        minhash_lsh_pairs,
+        minhash_pairs_from_index,
+    )
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_minhash_buckets_batch,
+    )
+
+    boiler = "spam spam spam wonderful spam and eggs every single day"
+    uniq = ("alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "alpha beta gamma delta epsilon zeta eta theta iota kappax")
+    cap = 3
+    b0 = spark.createDataFrame(
+        [(i, boiler) for i in range(1, 4)] + [(10, uniq[0])],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(i, boiler) for i in range(4, 6)] + [(11, uniq[1])],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "mh")
+    apply_minhash_buckets_batch(b0, 0, state, max_bucket_size=cap)
+    apply_minhash_buckets_batch(b1, 1, state, max_bucket_size=cap)
+    view = spark.read.parquet(state)
+    over_rows = view.filter("over").collect()
+    assert over_rows and all(r.ids is None for r in over_rows)
+
+    corpus = b0.unionByName(b1)
+    got = sorted(
+        tuple(r)
+        for r in minhash_pairs_from_index(view, max_bucket_size=cap).collect()
+    )
+    want = sorted(
+        tuple(r) for r in minhash_lsh_pairs(corpus, max_bucket_size=cap).collect()
+    )
+    assert got == want
+    assert {(a, b) for a, b, _ in got} == {(10, 11)}  # boilerplate cluster gone
+
+    # replay idempotence
+    before = sorted(map(tuple, view.collect()))
+    apply_minhash_buckets_batch(b1, 1, state, max_bucket_size=cap)
+    after = sorted(map(tuple, spark.read.parquet(state).collect()))
+    assert before == after
