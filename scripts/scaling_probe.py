@@ -86,6 +86,14 @@ PROBE = [
     "docs_substring_dedup",
     "docs_substring_rewrite",    # span removal: k-fan-out + rebuild
     "docs_substring_pairs",      # df-capped posting-list pair fan-out
+    # r10: the rewritten/new rows — block-gemm semdedup (cluster-blocked
+    # quadratic must track n²/k, not n²), the maintained-index read
+    # paths (build 2 batches + read; growth must track corpus, the view
+    # join must not re-scan history), frozen-model scoring (pure scan)
+    "emb_semdedup",
+    "docs_minhash_pairs_indexed",
+    "docs_substring_pairs_indexed",
+    "docs_distill_score",
 ]
 
 
