@@ -187,3 +187,36 @@ def budget_select(df: DataFrame, score_col: str, weight_col: str,
             (cum <= budget).alias("keep"),
         )
     )
+
+
+def source_cap_select(df: DataFrame, per_source: int, score_col: str,
+                      source_col: str = "source",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-source document cap — the domain-balancing selection rule
+    curation pipelines apply so one crawl domain cannot dominate the
+    training mix (C4/RefinedWeb-style per-host caps, Gopher's
+    per-source budgets): within each source keep the ``per_source``
+    best documents by ``score_col`` (DESC, NULLs last, ties by id ASC),
+    mark everything else dropped.
+
+    Output: every input row with (source, score, source_rank, keep) —
+    the decision table, like the dedup family; filter keep for the
+    selected corpus.
+
+    Plan shape / 100 TB: ONE row_number window partitioned by source —
+    a single hash exchange on the source key plus a per-partition
+    spill-safe sort. A skewed giant source sorts its whole partition to
+    rank documents it will then drop; if a deployment's sources are
+    pathologically skewed, pre-aggregate a per-source score THRESHOLD
+    from a sample and pre-filter before the exact window — the exact
+    form here is the correctness contract either way.
+    """
+    w = Window.partitionBy(source_col).orderBy(
+        F.desc_nulls_last(score_col), F.asc(id_col)
+    )
+    rank = F.row_number().over(w)
+    return df.select(
+        id_col, source_col, score_col,
+        rank.alias("source_rank"),
+        (rank <= per_source).alias("keep"),
+    )

@@ -30,7 +30,7 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 #: maintained-count and posting-list machinery itself), and the rewrite
 #: *_indexed row re-certified because the view it reads gained the
 #: posting-list columns this round. Tier 2 = the ONLY remaining stale
-#: vintage: the 35 rows last driver-green in r6. 12 + 35 = 47 slots — 3
+#: vintage: the 35 rows last driver-green in r6. 14 + 35 = 49 slots — 1
 #: of headroom; after this round every ledger row should have
 #: last_green ≥ 7.
 _VERIFY_FIRST = (
@@ -47,6 +47,8 @@ _VERIFY_FIRST = (
     "docs_hybrid_rrf",                # consumes the fused BM25 branch (r10)
     "emb_semdedup",                   # per-cluster block gemm kernel (r10)
     "docs_minhash_pairs_indexed",     # NEW: pairs from the maintained LSH buckets
+    "docs_exact_dedup_indexed",       # NEW: maintained fingerprint view
+    "docs_source_cap",                # NEW: per-source document cap
     # --- tier 2: the whole remaining r6-vintage tail (35 rows) ---
     "docs_lang_source_chisq",
     "docs_minhash_signatures",

@@ -200,6 +200,60 @@ def q_minhash_pairs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_pairs_from_index(view, max_bucket_size=_MAX_BUCKET)
 
 
+def q_exact_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup read from the MAINTAINED fingerprint view (r10): two
+    replay-guarded micro-batch applies
+    (streaming/matview.py:apply_exact_dedup_batch — survivor id MINs,
+    copy count ADDs), then the view IS the answer — the membership
+    table a deployment probes per ingest batch without re-hashing
+    history. Oracle byte-identical to docs_exact_dedup's (maintained
+    view == one-shot hash-groupBy is the monoid contract)."""
+    import os
+
+    from ..streaming.matview import apply_exact_dedup_batch
+
+    docs = _docs(spark, sf_dir)
+    root = _session_state_dir(spark, sf_dir, "skylogix_exact_idx")
+    state = os.path.join(root, "view")
+    apply_exact_dedup_batch(docs.filter(F.col("doc_id") % 2 == 0), 0, state)
+    apply_exact_dedup_batch(docs.filter(F.col("doc_id") % 2 == 1), 1, state)
+    return spark.read.parquet(state).select("fingerprint", "doc_id", "n_copies")
+
+
+_SOURCE_CAP = 40
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators/shuffle.py:source_cap_select):
+    within each source keep the 40 longest documents (token count DESC,
+    id ASC), mark the rest dropped — the domain-balancing rule that
+    stops one crawl source dominating the training mix."""
+    from ..ext.text import tokens as _tokens
+    from ..operators.shuffle import source_cap_select
+
+    scored = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        F.size(_tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long").alias("n_tokens"),
+    )
+    return source_cap_select(
+        scored, per_source=_SOURCE_CAP, score_col="n_tokens"
+    )
+
+
+O_SOURCE_CAP = TOK_CTE + f"""
+SELECT d.doc_id, d.source,
+       CAST(len(coalesce(t.tk, [])) AS BIGINT) AS n_tokens,
+       CAST(row_number() OVER (PARTITION BY d.source
+                               ORDER BY len(coalesce(t.tk, [])) DESC, d.doc_id ASC)
+            AS INTEGER) AS source_rank,
+       row_number() OVER (PARTITION BY d.source
+                          ORDER BY len(coalesce(t.tk, [])) DESC, d.doc_id ASC)
+         <= {_SOURCE_CAP} AS keep
+FROM documents d JOIN toks t ON t.doc_id = d.doc_id
+"""
+
+
 _rows_per_band = _N_HASHES // _BANDS
 
 
@@ -3320,6 +3374,8 @@ QUERIES = {
     "docs_minhash_signatures": q_minhash_signatures,
     "docs_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "docs_minhash_pairs_indexed": q_minhash_pairs_indexed,
+    "docs_exact_dedup_indexed": q_exact_dedup_indexed,
+    "docs_source_cap": q_source_cap,
     "docs_minhash_jaccard_estimate": q_minhash_jaccard_estimate,
     "docs_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "docs_dedup_clusters": q_dedup_clusters,
@@ -3401,6 +3457,8 @@ ORACLES = {
     "docs_minhash_signatures": O_MINHASH_SIGNATURES,
     "docs_minhash_lsh_pairs": O_MINHASH_LSH_PAIRS,
     "docs_minhash_pairs_indexed": O_MINHASH_LSH_PAIRS,
+    "docs_exact_dedup_indexed": O_EXACT_DEDUP,
+    "docs_source_cap": O_SOURCE_CAP,
     "docs_minhash_jaccard_estimate": O_MINHASH_JACCARD_EST,
     "docs_ngram_jaccard_pairs": O_NGRAM_JACCARD,
     "docs_dedup_clusters": O_DEDUP_CLUSTERS,

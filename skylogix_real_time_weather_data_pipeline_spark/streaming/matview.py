@@ -368,6 +368,81 @@ def maintain_gram_index_view(src: DataFrame, state_path: str, checkpoint_dir: st
     return q
 
 
+def combine_exact_dedup(state: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Merge a batch's per-fingerprint partials (fingerprint, doc_id,
+    n_copies) into the stored exact-dedup view: the survivor id MINs and
+    the copy count ADDs — both monoids, so batch arrival order cannot
+    matter. The maintained view IS ``ext.dedup.exact_dedup``'s output
+    over everything ingested so far: the membership/dedup lookup table a
+    deployment probes per ingest batch without ever re-hashing history.
+    Valid provided each document arrives in exactly one micro-batch
+    (append-only corpus). O(touched fingerprints + view), never
+    O(corpus)."""
+    if state is None:
+        return delta
+    s = state.select(
+        "fingerprint",
+        F.col("doc_id").alias("_id"),
+        F.col("n_copies").alias("_n"),
+    )
+    return s.join(delta, ["fingerprint"], "full_outer").select(
+        "fingerprint",
+        F.least(
+            F.coalesce(F.col("_id"), F.col("doc_id")),
+            F.coalesce(F.col("doc_id"), F.col("_id")),
+        ).alias("doc_id"),
+        (F.coalesce(F.col("_n"), F.lit(0)) + F.coalesce(F.col("n_copies"), F.lit(0)))
+        .alias("n_copies"),
+    )
+
+
+def apply_exact_dedup_batch(batch_df: DataFrame, batch_id: int,
+                            state_path: str, text_col: str = "text",
+                            id_col: str = "doc_id") -> None:
+    """One micro-batch of the exact-dedup view: fingerprint ONLY this
+    batch's documents (md5 of the text — bit-identical to the batch
+    ``exact_dedup``), partial-aggregate (min id, count) per fingerprint,
+    monoid-combine into the stored view (replay-guarded, crash-safe
+    swap)."""
+    if _already_applied(state_path, batch_id):
+        return
+    from ..ext.dedup import exact_dedup
+
+    spark = batch_df.sparkSession
+    delta = exact_dedup(batch_df, text_col=text_col, id_col=id_col)
+    state = (
+        spark.read.parquet(state_path) if os.path.exists(state_path) else None
+    )
+    _commit_view(combine_exact_dedup(state, delta), state_path, batch_id)
+
+
+def maintain_exact_dedup_view(src: DataFrame, state_path: str,
+                              checkpoint_dir: str, text_col: str = "text",
+                              id_col: str = "doc_id"):
+    """Incrementally maintain the exact-dedup (fingerprint → survivor,
+    copy count) view over a streaming documents frame with
+    trigger(availableNow). View == one-shot ``exact_dedup`` over the
+    full corpus is pinned in tests/test_matview.py."""
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        apply_exact_dedup_batch(batch_df, batch_id, state_path,
+                                text_col=text_col, id_col=id_col)
+
+    q = (
+        src.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "view maintenance did not finish within 300s; state is "
+            "incomplete (the replay guard makes a rerun safe)"
+        )
+    return q
+
+
 def combine_minhash_buckets(state: DataFrame | None, delta: DataFrame,
                             max_bucket_size: int = 100_000) -> DataFrame:
     """Merge a batch's banded-MinHash bucket membership

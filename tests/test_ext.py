@@ -1626,3 +1626,24 @@ def test_budget_select_score_types_and_null_rejection(spark):
                                    "doc_id long, score double, w long")
     with _pytest.raises(ValueError, match="NaN values in score column"):
         budget_select(df_nan, "score", "w", 10)
+
+
+def test_source_cap_select_ranks_within_source(spark):
+    """Per-source cap: rank by score DESC then id ASC within each source,
+    keep = rank <= cap; NULL scores rank last; sources are independent."""
+    from skylogix_real_time_weather_data_pipeline_spark.operators.shuffle import (
+        source_cap_select,
+    )
+
+    rows = [
+        (1, "a", 50), (2, "a", 90), (3, "a", 90), (4, "a", None),
+        (5, "b", 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    got = {r.doc_id: (r.source_rank, r.keep)
+           for r in source_cap_select(df, per_source=2, score_col="score").collect()}
+    assert got[2] == (1, True)    # score 90, smaller id wins the tie
+    assert got[3] == (2, True)
+    assert got[1] == (3, False)   # over the cap
+    assert got[4] == (4, False)   # NULL score ranks last
+    assert got[5] == (1, True)    # source b independent

@@ -635,3 +635,53 @@ def test_minhash_buckets_cap_overflows_across_batches(spark, tmp_path):
     apply_minhash_buckets_batch(b1, 1, state, max_bucket_size=cap)
     after = sorted(map(tuple, spark.read.parquet(state).collect()))
     assert before == after
+
+
+def test_incremental_exact_dedup_equals_batch(spark, tmp_path):
+    """The exact-dedup view maintained over 3 micro-batches must equal the
+    one-shot hash-groupBy over the full corpus — the survivor id MINs and
+    the copy count ADDs across batches — and replay must be a no-op."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import exact_dedup
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_exact_dedup_batch,
+        maintain_exact_dedup_view,
+    )
+
+    schema = "doc_id long, text string"
+    batches = [
+        [{"doc_id": 5, "text": "the same exact text"}],
+        [{"doc_id": 2, "text": "something else entirely"},
+         {"doc_id": 3, "text": "the same exact text"}],      # dup of 5, lower id
+        [{"doc_id": 9, "text": "the same exact text"},        # third copy
+         {"doc_id": 7, "text": "unique snowflake"}],
+    ]
+    src_dir = tmp_path / "docs"
+    state, ckpt = str(tmp_path / "ed_view"), str(tmp_path / "ck")
+    for i, rows in enumerate(batches):
+        _write(src_dir, f"b{i}.json", rows)
+        time.sleep(0.3)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(str(src_dir))
+    )
+    maintain_exact_dedup_view(stream, state, ckpt)
+
+    corpus = spark.read.json(str(src_dir), schema=schema)
+    got = {r.fingerprint: (r.doc_id, r.n_copies)
+           for r in spark.read.parquet(state).collect()}
+    want = {r.fingerprint: (r.doc_id, r.n_copies)
+            for r in exact_dedup(corpus).collect()}
+    assert got == want
+    # cross-batch monoid: survivor is the LOWER id from a LATER batch,
+    # copies counted across all three batches
+    assert (3, 3) in got.values()
+
+    before = sorted(got.items())
+    apply_exact_dedup_batch(
+        spark.createDataFrame([(3, "the same exact text")], schema), 1, state
+    )  # replay of batch id 1
+    after = sorted(
+        (r.fingerprint, (r.doc_id, r.n_copies))
+        for r in spark.read.parquet(state).collect()
+    )
+    assert before == after
