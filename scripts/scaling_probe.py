@@ -185,6 +185,39 @@ def _median_noop(df_builder, runs: int = 3) -> float:
     return statistics.median(_run() for _ in range(runs))
 
 
+def _semdedup_blocked_probe(spark: SparkSession) -> dict:
+    """SemDeDup block-kernel scaling at the operator's HONEST posture:
+    the registry row pins k=4 clusters (the unrolled-Lloyd oracle
+    constraint), so its Σ block² cost grows ~n² on 10x input — a
+    parameter-choice artifact, not a kernel property. The paper scales
+    cluster count with corpus size (k ~ n/const keeps blocks constant);
+    this probe feeds hash-bucket labels with ~500-vector blocks at every
+    scale through the SAME pruning kernel (semdedup(labels=...)), so the
+    measured growth isolates the kernel: constant block size ⇒ linear in
+    the number of blocks."""
+    from pyspark.sql import functions as F
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.similarity import (
+        semdedup,
+    )
+
+    rec: dict = {}
+    for label, sf in (("sf0.01", SF001), ("sf0.1", SF01), ("sf1x", SF1X)):
+        embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+        n = embs.count()
+        k = max(4, n // 500)
+        labels = embs.select(
+            "vec_id",
+            F.pmod(F.xxhash64("vec_id"), F.lit(k)).cast("int").alias("cluster"),
+        )
+        t = _median_noop(lambda: semdedup(embs, threshold=0.35, labels=labels))
+        rec[label] = {"n": n, "k": k, "sec": round(t, 3)}
+    rec["growth_10x"] = round(
+        rec["sf1x"]["sec"] / max(rec["sf0.1"]["sec"], 1e-9), 2
+    )
+    return rec
+
+
 def _skewed_triangle_probe(spark: SparkSession) -> dict:
     """Triangle counting on a hub-skewed graph at L and 10·L leaves.
 
@@ -383,6 +416,9 @@ def main() -> int:
             rec["growth_10x"] = round(rec["sf1x"] / max(rec["sf0.1"], 1e-9), 2)
         out[name] = rec
         print(f"# {name}: {rec}", file=sys.stderr)
+    out["emb_semdedup_blocked"] = _semdedup_blocked_probe(spark)
+    print(f"# emb_semdedup_blocked: {out['emb_semdedup_blocked']}",
+          file=sys.stderr)
     out["synthetic_skewed_triangles"] = _skewed_triangle_probe(spark)
     print(f"# synthetic_skewed_triangles: {out['synthetic_skewed_triangles']}",
           file=sys.stderr)

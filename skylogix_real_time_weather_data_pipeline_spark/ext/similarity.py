@@ -912,7 +912,8 @@ def ivf_pq_topk(df: DataFrame, query_vec: Sequence[float],
 
 
 def semdedup(df: DataFrame, k: int = 4, n_iter: int = 2, threshold: float = 0.35,
-             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             labels: DataFrame | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
     k-means clustering + within-cluster cosine pruning, confining the
     quadratic pairwise stage to cluster blocks (pick k ~ sqrt(n) so block
@@ -947,14 +948,22 @@ def semdedup(df: DataFrame, k: int = 4, n_iter: int = 2, threshold: float = 0.35
     threshold compares against, same contract as cosine_scores_arrow);
     the drop rule compares the ROUNDED score, oracle mirrors.
 
+    ``labels`` (optional, (id, cluster)) plugs in ANY clusterer instead
+    of the built-in deterministic Lloyd — the paper runs faiss k-means
+    over 50k clusters, and a production corpus often carries cluster or
+    shard labels already; the pruning contract is identical (r10).
+
     Returns (vec_id, cluster, keep).
     """
     import numpy as np
     import pandas as pd
 
-    assigned = kmeans_assign(
-        df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col
-    ).localCheckpoint()
+    if labels is None:
+        assigned = kmeans_assign(
+            df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col
+        ).localCheckpoint()
+    else:
+        assigned = labels.select(id_col, "cluster").localCheckpoint()
     withvec = assigned.join(df.select(id_col, vec_col), id_col)
     thr = float(threshold)
 

@@ -1647,3 +1647,32 @@ def test_source_cap_select_ranks_within_source(spark):
     assert got[1] == (3, False)   # over the cap
     assert got[4] == (4, False)   # NULL score ranks last
     assert got[5] == (1, True)    # source b independent
+
+
+def test_semdedup_accepts_precomputed_labels(spark):
+    """semdedup(labels=...) must run the identical pruning kernel over a
+    caller-supplied clustering: feeding the built-in assignment back in
+    reproduces the default output exactly, and a custom 1-cluster
+    labeling prunes everything the threshold catches."""
+    import random
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.similarity import (
+        kmeans_assign,
+        semdedup,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    rows.append((99, [v * 1.0001 for v in rows[0][1]]))  # near-dup of 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    default = sorted(tuple(r) for r in semdedup(df, k=4, threshold=0.9).collect())
+    lab = kmeans_assign(df, k=4, n_iter=2)
+    via_labels = sorted(
+        tuple(r) for r in semdedup(df, threshold=0.9, labels=lab).collect()
+    )
+    assert default == via_labels
+
+    one = df.select("vec_id", F.lit(0).alias("cluster"))
+    got = {r.vec_id: r.keep for r in semdedup(df, threshold=0.9, labels=one).collect()}
+    assert got[0] and not got[99]       # lower id survives, near-dup dropped
