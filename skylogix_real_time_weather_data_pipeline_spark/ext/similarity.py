@@ -752,21 +752,104 @@ def kmeans_assign(df: DataFrame, k: int = 4, n_iter: int = 2,
 
     for _ in range(n_iter - 1):
         assigned = _assign(df)
-        means = (
-            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "v"))
-            .groupBy("cluster", "pos")
-            .agg(F.round(dmean(F.col("v").cast("double")), round_to).alias("m"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-                ).alias("cv")
-            )
-            .collect()
-        )
-        updated = {r["cluster"]: [float(x) for x in r["cv"]] for r in means}
-        cents = [updated.get(i, c) for i, c in enumerate(cents)]
+        cents = _centroid_update(assigned, vec_col, cents, round_to)
     return _assign(df).drop(vec_col)
+
+
+def _centroid_update(assigned: DataFrame, vec_col: str,
+                     cents: list[list[float]], round_to: int) -> list[list[float]]:
+    """One Lloyd centroid update shared by the expression and Arrow
+    assignment kernels: decimal-exact per-coordinate mean, rounded to
+    ``round_to``; an emptied cluster keeps its previous centroid."""
+    means = (
+        assigned.select("cluster", F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(dmean(F.col("v").cast("double")), round_to).alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
+        .collect()
+    )
+    updated = {r["cluster"]: [float(x) for x in r["cv"]] for r in means}
+    return [updated.get(i, c) for i, c in enumerate(cents)]
+
+
+def kmeans_assign_arrow(df: DataFrame, k: int = 4, n_iter: int = 2,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        round_to: int = 6,
+                        centroid_chunk: int = 2048) -> DataFrame:
+    """:func:`kmeans_assign` with the assignment computed by a chunked
+    Arrow kernel instead of k unrolled struct expressions — the LARGE-k
+    path (the expression form inlines k×dim literals into the plan:
+    fine at k ≈ dozens, pathological at the 50k-cluster scale SemDeDup
+    actually runs). Identical contract, BIT-EQUAL output:
+
+    - same id-ordered seeding, same shared decimal-exact rounded
+      centroid update (:func:`_centroid_update`), emptied clusters keep
+      their centroid;
+    - the kernel accumulates (x_j − c_j)² over dimensions IN ORDER
+      (one vectorized pass per dimension), reproducing the expression
+      fold's strict left-to-right float64 summation exactly — not a
+      gemm, whose blocked summation would differ at ulp and could flip
+      a near-tie assignment;
+    - ties (equal squared distance) resolve to the LOWER cluster index:
+      chunks scan in index order and a later chunk must be strictly
+      smaller to win, matching the lexicographic struct-min.
+
+    Per-batch memory is O(rows × centroid_chunk); centroids live in the
+    task closure (k·dim doubles — at k=50k, dim=768 that is ~300 MB
+    broadcast once per executor, the standard SemDeDup deployment
+    shape). The visible sqdist rounds via numpy (half-even) vs the
+    expression's HALF_UP — indistinguishable off the exact .5e-6 grid,
+    which float sums of squares do not hit (equivalence pinned in
+    tests).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    seed_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    cents = [[float(x) for x in r[0]] for r in seed_rows]
+
+    def _assign(frame: DataFrame, cents_now: list[list[float]]) -> DataFrame:
+        C = np.asarray(cents_now, dtype=np.float64)
+
+        # no type hints: string annotations (future-imported) break
+        # pandas_udf's signature inspection — returnType carries the schema
+        def _score(vecs):
+            X = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
+            n, d = X.shape
+            best_d = np.full(n, np.inf)
+            best_c = np.zeros(n, dtype=np.int64)
+            for s in range(0, C.shape[0], centroid_chunk):
+                Cc = C[s:s + centroid_chunk]
+                acc = np.zeros((n, Cc.shape[0]))
+                for j in range(d):
+                    diff = X[:, j:j + 1] - Cc[None, :, j][0]
+                    acc += diff * diff
+                loc = acc.argmin(axis=1)          # first occurrence wins
+                loc_d = acc[np.arange(n), loc]
+                take = loc_d < best_d             # strict: earlier chunk keeps ties
+                best_d = np.where(take, loc_d, best_d)
+                best_c = np.where(take, loc + s, best_c)
+            return pd.DataFrame({
+                "cluster": best_c.astype(np.int32),
+                "sqdist": np.round(best_d, round_to),
+            })
+
+        score = pandas_udf(_score, "cluster int, sqdist double")
+        return frame.select(
+            id_col, vec_col, score(F.col(vec_col)).alias("_s")
+        ).select(id_col, vec_col, "_s.cluster", "_s.sqdist")
+
+    for _ in range(n_iter - 1):
+        cents = _centroid_update(_assign(df, cents), vec_col, cents, round_to)
+    return _assign(df, cents).drop(vec_col)
 
 
 def _sqdist_expr(sub: Column, center: list[float]) -> Column:

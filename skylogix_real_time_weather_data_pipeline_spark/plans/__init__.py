@@ -30,8 +30,8 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 #: maintained-count and posting-list machinery itself), and the rewrite
 #: *_indexed row re-certified because the view it reads gained the
 #: posting-list columns this round. Tier 2 = the ONLY remaining stale
-#: vintage: the 35 rows last driver-green in r6. 14 + 35 = 49 slots — 1
-#: of headroom; after this round every ledger row should have
+#: vintage: the 35 rows last driver-green in r6. 15 + 35 = 50 slots — the window is
+#: exactly full; after this round every ledger row should have
 #: last_green ≥ 7.
 _VERIFY_FIRST = (
     # --- tier 1: changed / new in round 10 ---
@@ -49,6 +49,7 @@ _VERIFY_FIRST = (
     "docs_minhash_pairs_indexed",     # NEW: pairs from the maintained LSH buckets
     "docs_exact_dedup_indexed",       # NEW: maintained fingerprint view
     "docs_source_cap",                # NEW: per-source document cap
+    "emb_kmeans_arrow",               # NEW: large-k Arrow Lloyd kernel
     # --- tier 2: the whole remaining r6-vintage tail (35 rows) ---
     "docs_lang_source_chisq",
     "docs_minhash_signatures",

@@ -1444,6 +1444,19 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_assign(_embs(spark, sf_dir), k=_KM_K, n_iter=_KM_ITER)
 
 
+def q_kmeans_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large-k Lloyd assignment kernel (r10): identical contract to
+    emb_kmeans but the per-vector argmin runs as a chunked Arrow kernel
+    (strict dimension-order float64 accumulation — bit-equal to the
+    expression fold) instead of k unrolled struct expressions, the shape
+    that scales to SemDeDup's 50k-cluster deployments. Shares
+    emb_kmeans's oracle: arrow kernel == expression kernel == the DuckDB
+    Lloyd replay is the operator's contract."""
+    return similarity.kmeans_assign_arrow(
+        _embs(spark, sf_dir), k=_KM_K, n_iter=_KM_ITER
+    )
+
+
 _KM_DIST = """
   list_sum(list_transform(range(1, len(e.embedding) + 1),
            i -> (CAST(e.embedding[i] AS DOUBLE) - {c}.cv[i])
@@ -3435,6 +3448,7 @@ QUERIES = {
     "docs_decontaminate": q_decontaminate,
     "emb_centroids_by_label": q_centroids_by_label,
     "emb_kmeans": q_kmeans,
+    "emb_kmeans_arrow": q_kmeans_arrow,
     "emb_semdedup": q_semdedup,
     "docs_shard": q_shard,
     "docs_budget_select": q_budget_select,
@@ -3524,6 +3538,7 @@ ORACLES = {
     "docs_decontaminate": O_DECONTAMINATE,
     "emb_centroids_by_label": O_CENTROIDS_BY_LABEL,
     "emb_kmeans": O_KMEANS,
+    "emb_kmeans_arrow": O_KMEANS,
     "emb_semdedup": O_SEMDEDUP,
     "docs_shard": O_SHARD,
     "docs_budget_select": O_BUDGET_SELECT,

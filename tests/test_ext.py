@@ -1676,3 +1676,41 @@ def test_semdedup_accepts_precomputed_labels(spark):
     one = df.select("vec_id", F.lit(0).alias("cluster"))
     got = {r.vec_id: r.keep for r in semdedup(df, threshold=0.9, labels=one).collect()}
     assert got[0] and not got[99]       # lower id survives, near-dup dropped
+
+
+def test_kmeans_assign_arrow_bit_equal_and_scales_k(spark):
+    """The Arrow assignment kernel must be BIT-EQUAL to the unrolled
+    expression form — same seeds, same strict dimension-order float64
+    accumulation, same lower-index tie-break (exercised via exact
+    duplicate vectors) — and must handle a k far past what expression
+    unrolling tolerates, partitioning every vector into [0, k)."""
+    import random
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.similarity import (
+        kmeans_assign,
+        kmeans_assign_arrow,
+    )
+
+    rng = random.Random(17)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(80)]
+    rows += [(100 + i, list(rows[i][1])) for i in range(6)]  # exact dups → ties
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    a = sorted(tuple(r) for r in kmeans_assign(df, k=5, n_iter=3).collect())
+    b = sorted(tuple(r) for r in kmeans_assign_arrow(df, k=5, n_iter=3).collect())
+    assert a == b
+
+    # tiny chunk forces the cross-chunk merge path; still bit-equal
+    c = sorted(
+        tuple(r)
+        for r in kmeans_assign_arrow(df, k=5, n_iter=3, centroid_chunk=2).collect()
+    )
+    assert a == c
+
+    # large k (expression form would unroll 64 struct expressions):
+    # valid partition, deterministic across invocations
+    big = kmeans_assign_arrow(df, k=64, n_iter=2)
+    got = {r.vec_id: r.cluster for r in big.collect()}
+    assert len(got) == len(rows) and all(0 <= ci < 64 for ci in got.values())
+    again = {r.vec_id: r.cluster for r in kmeans_assign_arrow(df, k=64, n_iter=2).collect()}
+    assert got == again
