@@ -758,3 +758,98 @@ def test_substring_dedup_rewrite_matches_model(spark, texts, k):
         for r in substring_dedup_rewrite(df, k=k).collect()
     }
     assert got == _rewrite_model(docs, k)
+
+
+# --------------------------------------------------------------------------
+# Maintained-view monoids: ANY batch partition of the corpus must yield the
+# same view as the one-shot aggregate (the append-only contract), including
+# posting-list caps that only overflow through cross-batch unions.
+# --------------------------------------------------------------------------
+
+@given(
+    texts=st.lists(st.text(alphabet="ab ", min_size=1, max_size=25),
+                   min_size=1, max_size=10),
+    split=st.lists(st.integers(0, 2), min_size=10, max_size=10),
+    cap=st.integers(1, 4),
+)
+@_settings
+def test_gram_index_view_invariant_under_batch_split(spark, tmp_path_factory,
+                                                     texts, split, cap):
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        _gram_occurrences,
+        substring_shared_gram_pairs,
+        substring_shared_gram_pairs_from_index,
+    )
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_gram_index_batch,
+    )
+
+    k = 2
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    state = str(tmp_path_factory.mktemp("gi") / "view")
+    for b in range(3):
+        batch = [r for r in rows if split[r[0]] == b]
+        if batch:
+            bdf = spark.createDataFrame(batch, "doc_id long, text string")
+            apply_gram_index_batch(bdf, b, state, k=k, max_gram_df=cap)
+    import os
+    if not os.path.exists(state):
+        return  # every batch was empty — nothing to compare
+    view = spark.read.parquet(state)
+
+    # counts + keep-first argmin == one-shot aggregate
+    got = {r.h: (r.cnt, r.min_okey) for r in view.collect()}
+    _, _, occ = _gram_occurrences(df, "text", "doc_id", k)
+    want = {
+        r.h: (r.cnt, r.min_okey)
+        for r in occ.groupBy("h").agg(
+            F.count(F.lit(1)).alias("cnt"), F.min("okey").alias("min_okey")
+        ).collect()
+    }
+    # the view only holds grams of the batches applied; with all docs
+    # applied the key sets match exactly
+    applied = {r[0] for r in rows if split[r[0]] in (0, 1, 2)}
+    if applied == {r[0] for r in rows}:
+        assert got == want
+
+    # pair read path == batch detector under the same cap
+    got_p = sorted(
+        tuple(r)
+        for r in substring_shared_gram_pairs_from_index(view, min_shared=1).collect()
+    )
+    want_p = sorted(
+        tuple(r)
+        for r in substring_shared_gram_pairs(
+            df, k=k, min_shared=1, max_gram_df=cap
+        ).collect()
+    )
+    assert got_p == want_p
+
+
+@given(
+    texts=st.lists(st.text(alphabet="xy ", min_size=1, max_size=20),
+                   min_size=1, max_size=8),
+    split=st.lists(st.booleans(), min_size=8, max_size=8),
+)
+@_settings
+def test_exact_dedup_view_invariant_under_batch_split(spark, tmp_path_factory,
+                                                      texts, split):
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import exact_dedup
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_exact_dedup_batch,
+    )
+
+    rows = list(enumerate(texts))
+    state = str(tmp_path_factory.mktemp("ed") / "view")
+    for b in (False, True):
+        batch = [r for r in rows if split[r[0]] == b]
+        if batch:
+            bdf = spark.createDataFrame(batch, "doc_id long, text string")
+            apply_exact_dedup_batch(bdf, int(b), state)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import os
+    assert os.path.exists(state)
+    got = sorted(tuple(r) for r in spark.read.parquet(state).collect())
+    want = sorted(tuple(r) for r in exact_dedup(df).collect())
+    assert got == want
