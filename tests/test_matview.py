@@ -685,3 +685,34 @@ def test_incremental_exact_dedup_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(state).collect()
     )
     assert before == after
+
+
+def test_new_views_tolerate_empty_micro_batches(spark, tmp_path):
+    """availableNow streams routinely deliver empty micro-batches: an
+    empty apply must commit its batch id (so replay accounting stays
+    monotone) without disturbing the stored view — for all three r10
+    maintainers."""
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_exact_dedup_batch,
+        apply_gram_index_batch,
+        apply_minhash_buckets_batch,
+    )
+
+    schema = "doc_id long, text string"
+    docs = spark.createDataFrame([(1, "a b c d e"), (2, "a b c d e")], schema)
+    empty = spark.createDataFrame([], schema)
+
+    for name, apply_fn in (
+        ("mh", apply_minhash_buckets_batch),
+        ("gi", apply_gram_index_batch),
+        ("ed", apply_exact_dedup_batch),
+    ):
+        state = str(tmp_path / name)
+        apply_fn(docs, 0, state)
+        before = sorted(map(tuple, spark.read.parquet(state).collect()))
+        apply_fn(empty, 1, state)            # empty batch commits harmlessly
+        after = sorted(map(tuple, spark.read.parquet(state).collect()))
+        assert before == after, name
+        apply_fn(empty, 1, state)            # and replays as a no-op
+        again = sorted(map(tuple, spark.read.parquet(state).collect()))
+        assert before == again, name
