@@ -226,12 +226,16 @@ def minhash_pairs_from_index(index: DataFrame, max_bucket_size: int = 100_000,
         .agg(F.count(F.lit(1)).alias("n_band_collisions"))
     )
     if batch_ids is not None:
-        ids = batch_ids.select(F.col(batch_ids.columns[0]).alias("_bid"))
-        pairs = pairs.join(
-            F.broadcast(ids.distinct()),
-            (F.col("id_a") == F.col("_bid")) | (F.col("id_b") == F.col("_bid")),
-            "semi",
-        )
+        # two EQUI semi joins + a pair-key dedup, NOT one OR-condition
+        # semi (Spark plans a disjunctive join predicate as a
+        # BroadcastNestedLoopJoin — O(pairs × batch) comparisons, which
+        # stops being funny when the ingest batch is millions of docs);
+        # both sides here are hash joins and the dedup shuffles only the
+        # tiny pair output
+        ids = batch_ids.select(F.col(batch_ids.columns[0]).alias("_bid")).distinct()
+        pa = pairs.join(ids, pairs.id_a == ids._bid, "semi")
+        pb = pairs.join(ids, pairs.id_b == ids._bid, "semi")
+        pairs = pa.unionByName(pb).dropDuplicates(["id_a", "id_b"])
     return pairs
 
 
