@@ -180,3 +180,104 @@ def test_delta_clusters_skips_untouched_components(spark, tmp_path):
     # only cluster {1,2}'s star edge + the new edge — clusters {5,6} and
     # {20,21} stay out of the recompute
     assert seen["edges"] == {(2, 3), (2, 1)}
+
+
+def test_ingest_loop_all_dedup_views_compose(spark, tmp_path):
+    """The production per-ingest loop, end to end: for each arriving
+    batch, (1) apply it to the exact-fingerprint, MinHash-bucket and
+    gram-index views, then (2) answer the batch's dedup questions FROM
+    THE VIEWS — exact-dup membership, near-dup candidates touching the
+    batch, and span-removal rewrite of the batch — with no history
+    re-scan. After the last batch, every view-driven answer must equal
+    the one-shot batch recompute over the full corpus."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        minhash_pairs_from_index,
+        substring_dedup_rewrite,
+        substring_dedup_rewrite_from_index,
+    )
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_exact_dedup_batch,
+        apply_gram_index_batch,
+        apply_minhash_buckets_batch,
+    )
+    import pyspark.sql.functions as F
+
+    schema = "doc_id long, text string"
+    boiler = "the quick brown fox jumps over the lazy dog again and again tonight"
+    batches = [
+        [(1, boiler + " alpha beta gamma"), (2, "totally unrelated words here")],
+        [(3, boiler + " delta epsilon"),                 # near-dup of 1, later batch
+         (4, "totally unrelated words here")],           # exact dup of 2
+        [(5, boiler + " alpha beta gamma")],             # exact dup of 1
+    ]
+    ed, mh, gi = (str(tmp_path / n) for n in ("ed", "mh", "gi"))
+    seen = []
+    for b, rows in enumerate(batches):
+        bdf = spark.createDataFrame(rows, schema)
+        seen.extend(rows)
+        # (1) maintenance: one pass over the batch per view
+        apply_exact_dedup_batch(bdf, b, ed)
+        apply_minhash_buckets_batch(bdf, b, mh)
+        apply_gram_index_batch(bdf, b, gi, k=4)
+
+        # (2) the batch's dedup answers, from the views only
+        ev = spark.read.parquet(ed)
+        batch_fp = bdf.select(
+            "doc_id", F.md5("text").alias("fingerprint")
+        )
+        dup_flags = {
+            r.doc_id: r.is_dup
+            for r in batch_fp.join(
+                ev.select("fingerprint", "n_copies"), "fingerprint"
+            )
+            .select("doc_id", (F.col("n_copies") > 1).alias("is_dup"))
+            .collect()
+        }
+        corpus_so_far = spark.createDataFrame(seen, schema)
+        want_fp = {
+            r.doc_id: r.n > 1
+            for r in corpus_so_far.groupBy(F.md5("text").alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .join(batch_fp.withColumnRenamed("fingerprint", "f"), "f")
+            .select("doc_id", "n")
+            .collect()
+        }
+        assert dup_flags == want_fp, (b, dup_flags, want_fp)
+
+    corpus = spark.createDataFrame(seen, schema)
+
+    # exact view == one-shot
+    got_ed = sorted(tuple(r) for r in spark.read.parquet(ed).collect())
+    want_ed = sorted(tuple(r) for r in exact_dedup(corpus).collect())
+    assert got_ed == want_ed
+
+    # near-dup candidates touching the LAST batch, from the bucket view
+    last_ids = spark.createDataFrame([(5,)], "doc_id long")
+    got_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_pairs_from_index(
+            spark.read.parquet(mh), batch_ids=last_ids
+        ).collect()
+    }
+    want_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(corpus).collect()
+        if 5 in (r.id_a, r.id_b)
+    }
+    assert got_pairs == want_pairs and (1, 5) in got_pairs
+
+    # span-removal rewrite of the whole corpus from the gram index
+    got_rw = sorted(
+        tuple(r)
+        for r in substring_dedup_rewrite_from_index(
+            corpus, spark.read.parquet(gi), k=4
+        ).collect()
+    )
+    want_rw = sorted(tuple(r) for r in substring_dedup_rewrite(corpus, k=4).collect())
+    assert got_rw == want_rw
+    # the keep-first survivor of the boilerplate run is doc 1; doc 5's
+    # exact copy collapses ((doc_id, n_tokens, n_removed, clean_text))
+    rw = {r[0]: r for r in got_rw}
+    assert rw[1][3] != "" and rw[5][3] == "" and rw[5][2] == rw[5][1]
