@@ -903,3 +903,176 @@ def maintain_sketch_views(src: DataFrame, base_dir: str, checkpoint_dir: str,
             "incomplete (the replay guard makes a rerun safe)"
         )
     return q
+
+
+# --------------------------------------------------------------------------
+# LSM-segmented view state (r10): O(batch) applies for ingest-heavy loads
+# --------------------------------------------------------------------------
+#
+# The compact-every-batch protocol above (_commit_view) rewrites the WHOLE
+# view per apply — O(view), measured as the dominant per-ingest cost at
+# sf10x (INGEST_SCALE_r10.json: 17 s of a 30 s ingest). When view keys are
+# uniform hashes (grams, fingerprints, band buckets) bucketed state cannot
+# help — every batch touches every bucket — so the scale answer is the
+# LSM one: each apply writes an IMMUTABLE per-batch segment (O(batch)),
+# readers merge segments through the view's monoid (associativity makes
+# all-at-once == pairwise), and compaction folds segments back to one
+# when the read-side merge grows.
+#
+# Crash protocol, segment side: parquet lands in a dot-prefixed temp dir,
+# then one same-filesystem os.rename is the commit point — a replayed
+# batch sees its directory and no-ops; a crash mid-write leaves only a
+# temp dir the next apply clears. Compaction side: the compacted segment
+# carries a _manifest.json naming every batch id it covers, committed by
+# the same rename; raw segments it covers are then garbage-collected
+# best-effort. EVERY crash window is readable: old-compact + new-compact
+# + covered raws may coexist, and the reader picks the compact with the
+# largest coverage and skips raws it covers — never double-counting.
+# Single-writer per state dir (the same rule streaming checkpoints
+# impose); readers are safe concurrently with a writer because renames
+# are atomic and segments are immutable.
+
+
+def _segments_root(state_dir: str) -> str:
+    return os.path.join(state_dir, "segments")
+
+
+def _segment_scan(state_dir: str) -> tuple[list[str], set[int]]:
+    """Resolve the readable segment set: (parquet paths, batch ids
+    covered). Picks the compact segment with the LARGEST coverage (a
+    crash can leave several; newer covers a superset) and every raw
+    segment not covered by it; clears leftover temp dirs."""
+    root = _segments_root(state_dir)
+    if not os.path.isdir(root):
+        return [], set()
+    compacts, raws = [], {}
+    for name in os.listdir(root):
+        path = os.path.join(root, name)
+        if name.startswith("."):
+            shutil.rmtree(path, ignore_errors=True)  # interrupted write
+            continue
+        if name.startswith("compact_"):
+            mpath = os.path.join(path, "_manifest.json")
+            try:
+                with open(mpath) as f:
+                    covered = set(json.load(f)["batch_ids"])
+            except OSError:
+                continue  # unreadable manifest: treat as garbage
+            compacts.append((covered, path))
+        elif name.startswith("b"):
+            raws[int(name[1:])] = path
+    paths, covered = [], set()
+    if compacts:
+        covered, cpath = max(compacts, key=lambda cp: (len(cp[0]), cp[1]))
+        paths.append(cpath)
+    for bid, path in sorted(raws.items()):
+        if bid not in covered:
+            paths.append(path)
+    return paths, covered | set(raws)
+
+
+def _write_segment(delta: DataFrame, state_dir: str, batch_id: int,
+                   manifest: dict | None = None,
+                   name: str | None = None) -> None:
+    root = _segments_root(state_dir)
+    os.makedirs(root, exist_ok=True)
+    final = os.path.join(root, name or f"b{batch_id:010d}")
+    if os.path.exists(final):
+        return
+    tmp = os.path.join(root, f".tmp_{os.path.basename(final)}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    delta.write.mode("overwrite").parquet(tmp)
+    if manifest is not None:
+        with open(os.path.join(tmp, "_manifest.json"), "w") as f:
+            json.dump(manifest, f)
+    os.rename(tmp, final)  # commit point
+
+
+def _merge_gram_segments(df: DataFrame, max_gram_df: int) -> DataFrame:
+    """Fold any number of gram-index segment rows through the view's
+    monoid in ONE aggregate. Associativity makes this equal to the
+    pairwise combine_gram_index chain: counts add, the keep-first order
+    key mins, and the capped posting semilattice is order-free — the
+    final distinct-doc union decides `over` exactly when some pairwise
+    prefix would have (union sizes grow monotonically)."""
+    merged = df.groupBy("h").agg(
+        F.sum("cnt").alias("cnt"),
+        F.min("min_okey").alias("min_okey"),
+        F.flatten(
+            F.collect_list(F.coalesce(F.col("ids"), F.array().cast("array<long>")))
+        ).alias("_all"),
+        (F.max(F.col("over").cast("int")) == 1).alias("_over_any"),
+    )
+    u = F.array_distinct(F.col("_all"))
+    over = F.col("_over_any") | (F.size(u) > max_gram_df)
+    return merged.select(
+        "h", "cnt", "min_okey",
+        F.when(~over, F.array_sort(u)).alias("ids"),
+        over.alias("over"),
+    )
+
+
+def apply_gram_index_delta(batch_df: DataFrame, batch_id: int, state_dir: str,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           k: int = 8, max_gram_df: int = 1_000) -> None:
+    """O(batch) segmented apply of the ExactSubstr gram index: the same
+    per-gram partial aggregate :func:`apply_gram_index_batch` computes,
+    written as an immutable segment instead of combined into the stored
+    view — the ingest-heavy deployment shape (INGEST_SCALE_r10 measured
+    the per-apply view rewrite as the dominant cost of the
+    compact-every-batch protocol). Read with
+    :func:`read_gram_index_segments`; fold segments back to one with
+    :func:`compact_gram_index_segments`. Replays no-op (the segment
+    directory, or a compacted segment covering its batch id, exists)."""
+    paths, applied = _segment_scan(state_dir)
+    if batch_id in applied:
+        return
+    from ..ext.dedup import _gram_occurrences
+
+    _, _, occ = _gram_occurrences(batch_df, text_col, id_col, k)
+    ids_set = F.array_sort(F.collect_set(F.col(id_col).cast("long")))
+    delta = occ.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("okey").alias("min_okey"),
+        ids_set.alias("_raw_ids"),
+    ).select(
+        "h", "cnt", "min_okey",
+        F.when(F.size("_raw_ids") <= max_gram_df, F.col("_raw_ids")).alias("ids"),
+        (F.size("_raw_ids") > max_gram_df).alias("over"),
+    )
+    _write_segment(delta, state_dir, batch_id)
+
+
+def read_gram_index_segments(spark, state_dir: str,
+                             max_gram_df: int = 1_000) -> DataFrame:
+    """The current gram-index view from segmented state: union the
+    readable segments and fold through the monoid. Equal to the
+    compact-every-batch view over the same batches (pytest-pinned); the
+    read-side merge is one groupBy over segment rows — compact when the
+    segment count makes that noticeable."""
+    paths, _ = _segment_scan(state_dir)
+    if not paths:
+        raise FileNotFoundError(f"no committed segments under {state_dir}")
+    return _merge_gram_segments(spark.read.parquet(*paths), max_gram_df)
+
+
+def compact_gram_index_segments(spark, state_dir: str,
+                                max_gram_df: int = 1_000) -> int:
+    """Fold every readable segment into one compacted segment covering
+    their batch ids, then garbage-collect what it covers (best-effort —
+    a crash between commit and GC only leaves redundant raws the reader
+    already skips). Returns the number of batch ids covered."""
+    paths, applied = _segment_scan(state_dir)
+    if not paths:
+        return 0
+    merged = _merge_gram_segments(spark.read.parquet(*paths), max_gram_df)
+    tag = f"compact_{max(applied):010d}_{len(applied)}"
+    _write_segment(merged, state_dir, -1,
+                   manifest={"batch_ids": sorted(applied)}, name=tag)
+    root = _segments_root(state_dir)
+    for name in os.listdir(root):
+        if name != tag and (name.startswith("b") or name.startswith("compact_")):
+            bid_ok = name.startswith("compact_") or int(name[1:]) in applied
+            if bid_ok:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    return len(applied)

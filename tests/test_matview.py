@@ -716,3 +716,143 @@ def test_new_views_tolerate_empty_micro_batches(spark, tmp_path):
         apply_fn(empty, 1, state)            # and replays as a no-op
         again = sorted(map(tuple, spark.read.parquet(state).collect()))
         assert before == again, name
+
+
+def test_segmented_gram_index_equals_compacting_view(spark, tmp_path):
+    """LSM-segmented state: O(batch) segment applies + read-side monoid
+    merge must equal the compact-every-batch view AND the one-shot
+    aggregate — including a posting cap that only overflows through the
+    cross-segment union — and the index read paths must work unchanged
+    against the merged view."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        substring_dedup_rewrite,
+        substring_dedup_rewrite_from_index,
+    )
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_gram_index_batch,
+        apply_gram_index_delta,
+        compact_gram_index_segments,
+        read_gram_index_segments,
+    )
+
+    k, cap = 3, 3
+    boiler = "spam spam spam wonderful spam"
+    batches = [
+        [(1, boiler + " alpha beta gamma"), (2, "unique one two three")],
+        [(3, boiler), (4, boiler)],
+        [(5, boiler), (6, "unique one two three"), (7, boiler + " alpha beta gamma")],
+    ]
+    seg_dir = str(tmp_path / "seg")
+    cmp_dir = str(tmp_path / "cmp")
+    for b, rows in enumerate(batches):
+        bdf = spark.createDataFrame(rows, "doc_id long, text string")
+        apply_gram_index_delta(bdf, b, seg_dir, k=k, max_gram_df=cap)
+        apply_gram_index_batch(bdf, b, cmp_dir, k=k, max_gram_df=cap)
+
+    def snap(df):
+        return sorted(
+            (r.h, r.cnt, r.min_okey, tuple(r.ids) if r.ids is not None else None, r.over)
+            for r in df.collect()
+        )
+
+    merged = read_gram_index_segments(spark, seg_dir, max_gram_df=cap)
+    want = snap(spark.read.parquet(cmp_dir))
+    assert snap(merged) == want
+    assert any(r[4] for r in want)       # the cap genuinely overflowed
+
+    # read path against the segment-merged view == batch rewrite
+    corpus = spark.createDataFrame(
+        [r for rows in batches for r in rows], "doc_id long, text string"
+    )
+    got_rw = sorted(
+        tuple(r)
+        for r in substring_dedup_rewrite_from_index(corpus, merged, k=k).collect()
+    )
+    want_rw = sorted(tuple(r) for r in substring_dedup_rewrite(corpus, k=k).collect())
+    assert got_rw == want_rw
+
+    # replay of an applied batch no-ops (segment exists)
+    bdf0 = spark.createDataFrame(batches[0], "doc_id long, text string")
+    apply_gram_index_delta(bdf0, 0, seg_dir, k=k, max_gram_df=cap)
+    assert snap(read_gram_index_segments(spark, seg_dir, max_gram_df=cap)) == want
+
+    # compaction folds to one segment; view unchanged; replay of a
+    # COVERED batch still no-ops (manifest carries the ids)
+    n = compact_gram_index_segments(spark, seg_dir, max_gram_df=cap)
+    assert n == 3
+    assert snap(read_gram_index_segments(spark, seg_dir, max_gram_df=cap)) == want
+    apply_gram_index_delta(bdf0, 0, seg_dir, k=k, max_gram_df=cap)
+    assert snap(read_gram_index_segments(spark, seg_dir, max_gram_df=cap)) == want
+
+    # post-compaction ingest keeps working
+    bdf3 = spark.createDataFrame([(9, boiler)], "doc_id long, text string")
+    apply_gram_index_delta(bdf3, 3, seg_dir, k=k, max_gram_df=cap)
+    apply_gram_index_batch(bdf3, 3, cmp_dir, k=k, max_gram_df=cap)
+    assert snap(read_gram_index_segments(spark, seg_dir, max_gram_df=cap)) == snap(
+        spark.read.parquet(cmp_dir)
+    )
+
+
+def test_segmented_gram_index_crash_windows_never_double_count(spark, tmp_path):
+    """Every compaction crash window must read correctly: a committed
+    compact segment coexisting with the raw segments it covers (crash
+    before GC) and with an OLDER compact (crash between two compactions)
+    must yield the same view — the reader picks the largest coverage and
+    skips covered raws; interrupted .tmp writes are cleared."""
+    import os
+    import shutil as _sh
+
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        _segments_root,
+        apply_gram_index_delta,
+        compact_gram_index_segments,
+        read_gram_index_segments,
+    )
+
+    seg_dir = str(tmp_path / "seg")
+    b0 = spark.createDataFrame([(1, "a b c d e"), (2, "a b c d e")],
+                               "doc_id long, text string")
+    b1 = spark.createDataFrame([(3, "a b c x y")], "doc_id long, text string")
+    apply_gram_index_delta(b0, 0, seg_dir, k=3)
+    apply_gram_index_delta(b1, 1, seg_dir, k=3)
+
+    def snap():
+        return sorted(
+            map(tuple, read_gram_index_segments(spark, seg_dir).collect())
+        )
+
+    want = snap()
+    root = _segments_root(seg_dir)
+    # preserve the raw segments, then compact WITHOUT letting GC win:
+    # copy raws aside, compact, restore them — simulating a crash
+    # between the compact commit and the garbage collection
+    keep = {n: os.path.join(str(tmp_path), "keep_" + n)
+            for n in os.listdir(root) if n.startswith("b")}
+    for n, dst in keep.items():
+        _sh.copytree(os.path.join(root, n), dst)
+    compact_gram_index_segments(spark, seg_dir)
+    for n, dst in keep.items():
+        if not os.path.exists(os.path.join(root, n)):
+            _sh.copytree(dst, os.path.join(root, n))
+    assert snap() == want            # covered raws skipped, not re-added
+
+    # an interrupted segment write must be invisible and get cleared
+    os.makedirs(os.path.join(root, ".tmp_b0000000007"), exist_ok=True)
+    assert snap() == want
+    assert not os.path.exists(os.path.join(root, ".tmp_b0000000007"))
+
+    # a second, larger compaction coexisting with the first (crash
+    # between compactions): reader picks the larger coverage
+    b2 = spark.createDataFrame([(4, "p q r s t")], "doc_id long, text string")
+    apply_gram_index_delta(b2, 2, seg_dir, k=3)
+    want2 = snap()
+    keep2 = [n for n in os.listdir(root) if n.startswith("compact_")]
+    for n in keep2:
+        _sh.copytree(os.path.join(root, n),
+                     os.path.join(str(tmp_path), "keepc_" + n))
+    compact_gram_index_segments(spark, seg_dir)
+    for n in keep2:  # restore the OLD compact alongside the new one
+        if not os.path.exists(os.path.join(root, n)):
+            _sh.copytree(os.path.join(str(tmp_path), "keepc_" + n),
+                         os.path.join(root, n))
+    assert snap() == want2
