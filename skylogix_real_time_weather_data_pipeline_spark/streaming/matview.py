@@ -314,12 +314,24 @@ def apply_gram_index_batch(batch_df: DataFrame, batch_id: int, state_path: str,
     batch detector's df cap)."""
     if _already_applied(state_path, batch_id):
         return
+    spark = batch_df.sparkSession
+    delta = _gram_index_delta(batch_df, text_col, id_col, k, max_gram_df)
+    state = (
+        spark.read.parquet(state_path) if os.path.exists(state_path) else None
+    )
+    _commit_view(combine_gram_index(state, delta, max_gram_df=max_gram_df),
+                 state_path, batch_id)
+
+
+def _gram_index_delta(batch_df: DataFrame, text_col: str, id_col: str,
+                      k: int, max_gram_df: int) -> DataFrame:
+    """One batch's per-gram partials (h, cnt, min_okey, ids, over) —
+    shared by the compacting and segmented appliers."""
     from ..ext.dedup import _gram_occurrences
 
-    spark = batch_df.sparkSession
     _, _, occ = _gram_occurrences(batch_df, text_col, id_col, k)
     ids_set = F.array_sort(F.collect_set(F.col(id_col).cast("long")))
-    delta = occ.groupBy("h").agg(
+    return occ.groupBy("h").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min("okey").alias("min_okey"),
         ids_set.alias("_raw_ids"),
@@ -328,11 +340,6 @@ def apply_gram_index_batch(batch_df: DataFrame, batch_id: int, state_path: str,
         F.when(F.size("_raw_ids") <= max_gram_df, F.col("_raw_ids")).alias("ids"),
         (F.size("_raw_ids") > max_gram_df).alias("over"),
     )
-    state = (
-        spark.read.parquet(state_path) if os.path.exists(state_path) else None
-    )
-    _commit_view(combine_gram_index(state, delta, max_gram_df=max_gram_df),
-                 state_path, batch_id)
 
 
 def maintain_gram_index_view(src: DataFrame, state_path: str, checkpoint_dir: str,
@@ -496,9 +503,25 @@ def apply_minhash_buckets_batch(batch_df: DataFrame, batch_id: int,
     the per-ingest dedup query a deployment actually runs."""
     if _already_applied(state_path, batch_id):
         return
+    spark = batch_df.sparkSession
+    delta = _minhash_buckets_delta(batch_df, text_col, id_col, n_hashes,
+                                   bands, shingle_n, max_bucket_size)
+    state = (
+        spark.read.parquet(state_path) if os.path.exists(state_path) else None
+    )
+    _commit_view(
+        combine_minhash_buckets(state, delta, max_bucket_size=max_bucket_size),
+        state_path, batch_id,
+    )
+
+
+def _minhash_buckets_delta(batch_df: DataFrame, text_col: str, id_col: str,
+                           n_hashes: int, bands: int, shingle_n: int,
+                           max_bucket_size: int) -> DataFrame:
+    """One batch's banded bucket membership (band_idx, band_hash, ids,
+    over) — shared by the compacting and segmented appliers."""
     from ..ext.dedup import band_structs, minhash_signatures
 
-    spark = batch_df.sparkSession
     sig = minhash_signatures(batch_df, text_col, id_col, n_hashes, shingle_n)
     banded = sig.select(
         id_col, F.explode(F.array(*band_structs(n_hashes, bands))).alias("band")
@@ -508,19 +531,12 @@ def apply_minhash_buckets_batch(batch_df: DataFrame, batch_id: int,
         F.col("band.band_hash").alias("band_hash"),
     )
     ids_set = F.array_sort(F.collect_set(F.col(id_col).cast("long")))
-    delta = banded.groupBy("band_idx", "band_hash").agg(
+    return banded.groupBy("band_idx", "band_hash").agg(
         ids_set.alias("_raw_ids")
     ).select(
         "band_idx", "band_hash",
         F.when(F.size("_raw_ids") <= max_bucket_size, F.col("_raw_ids")).alias("ids"),
         (F.size("_raw_ids") > max_bucket_size).alias("over"),
-    )
-    state = (
-        spark.read.parquet(state_path) if os.path.exists(state_path) else None
-    )
-    _commit_view(
-        combine_minhash_buckets(state, delta, max_bucket_size=max_bucket_size),
-        state_path, batch_id,
     )
 
 
@@ -988,27 +1004,53 @@ def _write_segment(delta: DataFrame, state_dir: str, batch_id: int,
     os.rename(tmp, final)  # commit point
 
 
-def _merge_gram_segments(df: DataFrame, max_gram_df: int) -> DataFrame:
-    """Fold any number of gram-index segment rows through the view's
-    monoid in ONE aggregate. Associativity makes this equal to the
-    pairwise combine_gram_index chain: counts add, the keep-first order
-    key mins, and the capped posting semilattice is order-free — the
-    final distinct-doc union decides `over` exactly when some pairwise
-    prefix would have (union sizes grow monotonically)."""
-    merged = df.groupBy("h").agg(
-        F.sum("cnt").alias("cnt"),
-        F.min("min_okey").alias("min_okey"),
+def _capped_union_merge(df: DataFrame, keys: list[str], cap: int,
+                        extras: dict | None = None) -> DataFrame:
+    """Fold segment rows keyed by ``keys`` through the capped-posting
+    semilattice (+ optional extra monoid aggregates, name → agg expr):
+    the final distinct-doc union decides `over` exactly when some
+    pairwise prefix would have (union sizes grow monotonically), so
+    all-at-once == the pairwise combine."""
+    extras = extras or {}
+    merged = df.groupBy(*keys).agg(
+        *[expr.alias(name) for name, expr in extras.items()],
         F.flatten(
             F.collect_list(F.coalesce(F.col("ids"), F.array().cast("array<long>")))
         ).alias("_all"),
         (F.max(F.col("over").cast("int")) == 1).alias("_over_any"),
     )
     u = F.array_distinct(F.col("_all"))
-    over = F.col("_over_any") | (F.size(u) > max_gram_df)
+    over = F.col("_over_any") | (F.size(u) > cap)
     return merged.select(
-        "h", "cnt", "min_okey",
+        *keys, *extras.keys(),
         F.when(~over, F.array_sort(u)).alias("ids"),
         over.alias("over"),
+    )
+
+
+def _merge_gram_segments(df: DataFrame, max_gram_df: int) -> DataFrame:
+    """Fold any number of gram-index segment rows through the view's
+    monoid in ONE aggregate. Associativity makes this equal to the
+    pairwise combine_gram_index chain: counts add, the keep-first order
+    key mins, and the capped posting semilattice is order-free."""
+    return _capped_union_merge(
+        df, ["h"], max_gram_df,
+        {"cnt": F.sum("cnt"), "min_okey": F.min("min_okey")},
+    )
+
+
+def _merge_minhash_segments(df: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Segment merge for the LSH-bucket view: the same capped posting
+    semilattice keyed by (band_idx, band_hash)."""
+    return _capped_union_merge(df, ["band_idx", "band_hash"], max_bucket_size)
+
+
+def _merge_exact_dedup_segments(df: DataFrame) -> DataFrame:
+    """Segment merge for the exact-dedup view: survivor id MINs, copy
+    count ADDs — plain monoids, order-free."""
+    return df.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.sum("n_copies").alias("n_copies"),
     )
 
 
@@ -1027,37 +1069,25 @@ def apply_gram_index_delta(batch_df: DataFrame, batch_id: int, state_dir: str,
     paths, applied = _segment_scan(state_dir)
     if batch_id in applied:
         return
-    from ..ext.dedup import _gram_occurrences
-
-    _, _, occ = _gram_occurrences(batch_df, text_col, id_col, k)
-    ids_set = F.array_sort(F.collect_set(F.col(id_col).cast("long")))
-    delta = occ.groupBy("h").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min("okey").alias("min_okey"),
-        ids_set.alias("_raw_ids"),
-    ).select(
-        "h", "cnt", "min_okey",
-        F.when(F.size("_raw_ids") <= max_gram_df, F.col("_raw_ids")).alias("ids"),
-        (F.size("_raw_ids") > max_gram_df).alias("over"),
+    _write_segment(
+        _gram_index_delta(batch_df, text_col, id_col, k, max_gram_df),
+        state_dir, batch_id,
     )
-    _write_segment(delta, state_dir, batch_id)
 
 
-def read_gram_index_segments(spark, state_dir: str,
-                             max_gram_df: int = 1_000) -> DataFrame:
-    """The current gram-index view from segmented state: union the
-    readable segments and fold through the monoid. Equal to the
+def _read_segments(spark, state_dir: str, merge_fn) -> DataFrame:
+    """The current view from segmented state: union the readable
+    segments and fold through the view's monoid merge. Equal to the
     compact-every-batch view over the same batches (pytest-pinned); the
     read-side merge is one groupBy over segment rows — compact when the
     segment count makes that noticeable."""
     paths, _ = _segment_scan(state_dir)
     if not paths:
         raise FileNotFoundError(f"no committed segments under {state_dir}")
-    return _merge_gram_segments(spark.read.parquet(*paths), max_gram_df)
+    return merge_fn(spark.read.parquet(*paths))
 
 
-def compact_gram_index_segments(spark, state_dir: str,
-                                max_gram_df: int = 1_000) -> int:
+def _compact_segments(spark, state_dir: str, merge_fn) -> int:
     """Fold every readable segment into one compacted segment covering
     their batch ids, then garbage-collect what it covers (best-effort —
     a crash between commit and GC only leaves redundant raws the reader
@@ -1065,7 +1095,7 @@ def compact_gram_index_segments(spark, state_dir: str,
     paths, applied = _segment_scan(state_dir)
     if not paths:
         return 0
-    merged = _merge_gram_segments(spark.read.parquet(*paths), max_gram_df)
+    merged = merge_fn(spark.read.parquet(*paths))
     tag = f"compact_{max(applied):010d}_{len(applied)}"
     _write_segment(merged, state_dir, -1,
                    manifest={"batch_ids": sorted(applied)}, name=tag)
@@ -1076,3 +1106,72 @@ def compact_gram_index_segments(spark, state_dir: str,
             if bid_ok:
                 shutil.rmtree(os.path.join(root, name), ignore_errors=True)
     return len(applied)
+
+
+def read_gram_index_segments(spark, state_dir: str,
+                             max_gram_df: int = 1_000) -> DataFrame:
+    return _read_segments(
+        spark, state_dir, lambda df: _merge_gram_segments(df, max_gram_df)
+    )
+
+
+def compact_gram_index_segments(spark, state_dir: str,
+                                max_gram_df: int = 1_000) -> int:
+    return _compact_segments(
+        spark, state_dir, lambda df: _merge_gram_segments(df, max_gram_df)
+    )
+
+
+def apply_minhash_buckets_delta(batch_df: DataFrame, batch_id: int,
+                                state_dir: str, text_col: str = "text",
+                                id_col: str = "doc_id", n_hashes: int = 16,
+                                bands: int = 4, shingle_n: int = 3,
+                                max_bucket_size: int = 100_000) -> None:
+    """O(batch) segmented apply of the LSH-bucket view — same protocol
+    and crash story as :func:`apply_gram_index_delta`."""
+    paths, applied = _segment_scan(state_dir)
+    if batch_id in applied:
+        return
+    _write_segment(
+        _minhash_buckets_delta(batch_df, text_col, id_col, n_hashes, bands,
+                               shingle_n, max_bucket_size),
+        state_dir, batch_id,
+    )
+
+
+def read_minhash_buckets_segments(spark, state_dir: str,
+                                  max_bucket_size: int = 100_000) -> DataFrame:
+    return _read_segments(
+        spark, state_dir, lambda df: _merge_minhash_segments(df, max_bucket_size)
+    )
+
+
+def compact_minhash_buckets_segments(spark, state_dir: str,
+                                     max_bucket_size: int = 100_000) -> int:
+    return _compact_segments(
+        spark, state_dir, lambda df: _merge_minhash_segments(df, max_bucket_size)
+    )
+
+
+def apply_exact_dedup_delta(batch_df: DataFrame, batch_id: int,
+                            state_dir: str, text_col: str = "text",
+                            id_col: str = "doc_id") -> None:
+    """O(batch) segmented apply of the exact-dedup view — same protocol
+    and crash story as :func:`apply_gram_index_delta`."""
+    paths, applied = _segment_scan(state_dir)
+    if batch_id in applied:
+        return
+    from ..ext.dedup import exact_dedup
+
+    _write_segment(
+        exact_dedup(batch_df, text_col=text_col, id_col=id_col),
+        state_dir, batch_id,
+    )
+
+
+def read_exact_dedup_segments(spark, state_dir: str) -> DataFrame:
+    return _read_segments(spark, state_dir, _merge_exact_dedup_segments)
+
+
+def compact_exact_dedup_segments(spark, state_dir: str) -> int:
+    return _compact_segments(spark, state_dir, _merge_exact_dedup_segments)

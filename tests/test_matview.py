@@ -856,3 +856,74 @@ def test_segmented_gram_index_crash_windows_never_double_count(spark, tmp_path):
             _sh.copytree(os.path.join(str(tmp_path), "keepc_" + n),
                          os.path.join(root, n))
     assert snap() == want2
+
+
+def test_segmented_minhash_and_exact_views_equal_compacting(spark, tmp_path):
+    """The shared segment protocol applied to the other two dedup views:
+    segmented state == compacting state == one-shot, before and after
+    compaction, for the LSH-bucket view (capped semilattice) and the
+    exact-dedup view (min/sum monoids)."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        minhash_pairs_from_index,
+    )
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_exact_dedup_batch,
+        apply_exact_dedup_delta,
+        apply_minhash_buckets_batch,
+        apply_minhash_buckets_delta,
+        compact_exact_dedup_segments,
+        compact_minhash_buckets_segments,
+        read_exact_dedup_segments,
+        read_minhash_buckets_segments,
+    )
+
+    near = "the quick brown fox jumps over the lazy dog tonight again"
+    batches = [
+        [(1, near), (2, "something else entirely here")],
+        [(3, near + " extra"), (4, "something else entirely here")],
+        [(5, near)],
+    ]
+    schema = "doc_id long, text string"
+    mh_s, mh_c = str(tmp_path / "mhs"), str(tmp_path / "mhc")
+    ed_s, ed_c = str(tmp_path / "eds"), str(tmp_path / "edc")
+    for b, rows in enumerate(batches):
+        bdf = spark.createDataFrame(rows, schema)
+        apply_minhash_buckets_delta(bdf, b, mh_s)
+        apply_minhash_buckets_batch(bdf, b, mh_c)
+        apply_exact_dedup_delta(bdf, b, ed_s)
+        apply_exact_dedup_batch(bdf, b, ed_c)
+    corpus = spark.createDataFrame([r for rows in batches for r in rows], schema)
+
+    def snap_mh(df):
+        return sorted((r.band_idx, r.band_hash, tuple(r.ids or ()), r.over)
+                      for r in df.collect())
+
+    assert snap_mh(read_minhash_buckets_segments(spark, mh_s)) == snap_mh(
+        spark.read.parquet(mh_c)
+    )
+    got_pairs = sorted(
+        tuple(r)
+        for r in minhash_pairs_from_index(
+            read_minhash_buckets_segments(spark, mh_s)
+        ).collect()
+    )
+    want_pairs = sorted(tuple(r) for r in minhash_lsh_pairs(corpus).collect())
+    assert got_pairs == want_pairs and got_pairs
+
+    got_ed = sorted(map(tuple, read_exact_dedup_segments(spark, ed_s).collect()))
+    want_ed = sorted(map(tuple, exact_dedup(corpus).collect()))
+    assert got_ed == want_ed
+
+    # compaction preserves both, and replays of covered batches no-op
+    assert compact_minhash_buckets_segments(spark, mh_s) == 3
+    assert compact_exact_dedup_segments(spark, ed_s) == 3
+    assert snap_mh(read_minhash_buckets_segments(spark, mh_s)) == snap_mh(
+        spark.read.parquet(mh_c)
+    )
+    assert sorted(map(tuple, read_exact_dedup_segments(spark, ed_s).collect())) == want_ed
+    bdf0 = spark.createDataFrame(batches[0], schema)
+    apply_minhash_buckets_delta(bdf0, 0, mh_s)
+    apply_exact_dedup_delta(bdf0, 0, ed_s)
+    assert sorted(map(tuple, read_exact_dedup_segments(spark, ed_s).collect())) == want_ed
