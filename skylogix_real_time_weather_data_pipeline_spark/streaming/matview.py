@@ -207,17 +207,8 @@ def apply_term_stats_batch(batch_df: DataFrame, batch_id: int, state_path: str,
     streaming source."""
     if _already_applied(state_path, batch_id):
         return
-    from ..ext.text import tokens
-
     spark = batch_df.sparkSession
-    delta = (
-        batch_df.select(id_col, F.explode(tokens(text_col)).alias("w"))
-        .groupBy("w")
-        .agg(
-            F.count(F.lit(1)).alias("cf"),
-            F.count_distinct(F.col(id_col)).alias("df"),
-        )
-    )
+    delta = _term_stats_delta(batch_df, text_col, id_col)
     state = (
         spark.read.parquet(state_path) if os.path.exists(state_path) else None
     )
@@ -1175,3 +1166,45 @@ def read_exact_dedup_segments(spark, state_dir: str) -> DataFrame:
 
 def compact_exact_dedup_segments(spark, state_dir: str) -> int:
     return _compact_segments(spark, state_dir, _merge_exact_dedup_segments)
+
+
+def _merge_term_stats_segments(df: DataFrame) -> DataFrame:
+    """Segment merge for the term-stats view: cf and df both ADD —
+    plain additive monoids, order-free."""
+    return df.groupBy("w").agg(
+        F.sum("cf").alias("cf"), F.sum("df").alias("df")
+    )
+
+
+def _term_stats_delta(batch_df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    from ..ext.text import tokens
+
+    return (
+        batch_df.select(id_col, F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("cf"),
+            F.count_distinct(F.col(id_col)).alias("df"),
+        )
+    )
+
+
+def apply_term_stats_delta(batch_df: DataFrame, batch_id: int,
+                           state_dir: str, text_col: str = "text",
+                           id_col: str = "doc_id") -> None:
+    """O(batch) segmented apply of the BM25/TF-IDF term-stats view —
+    same protocol and crash story as :func:`apply_gram_index_delta`."""
+    paths, applied = _segment_scan(state_dir)
+    if batch_id in applied:
+        return
+    _write_segment(
+        _term_stats_delta(batch_df, text_col, id_col), state_dir, batch_id
+    )
+
+
+def read_term_stats_segments(spark, state_dir: str) -> DataFrame:
+    return _read_segments(spark, state_dir, _merge_term_stats_segments)
+
+
+def compact_term_stats_segments(spark, state_dir: str) -> int:
+    return _compact_segments(spark, state_dir, _merge_term_stats_segments)

@@ -927,3 +927,51 @@ def test_segmented_minhash_and_exact_views_equal_compacting(spark, tmp_path):
     apply_minhash_buckets_delta(bdf0, 0, mh_s)
     apply_exact_dedup_delta(bdf0, 0, ed_s)
     assert sorted(map(tuple, read_exact_dedup_segments(spark, ed_s).collect())) == want_ed
+
+
+def test_segmented_term_stats_equals_compacting_and_scores_bm25(spark, tmp_path):
+    """Segmented term-stats state == the compacting view == the one-shot
+    aggregate, and BM25 scored against the segment-merged stats equals
+    the full recompute — before and after compaction."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.text import (
+        bm25_topk,
+        bm25_topk_from_stats,
+        tokens,
+    )
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_term_stats_batch,
+        apply_term_stats_delta,
+        compact_term_stats_segments,
+        read_term_stats_segments,
+    )
+
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, "spark join merge spark spark"), (2, "merge table scan join")],
+        [(3, "spark window filter"), (4, "join join window the filter scan")],
+    ]
+    seg, cmp_ = str(tmp_path / "seg"), str(tmp_path / "cmp")
+    for b, rows in enumerate(batches):
+        bdf = spark.createDataFrame(rows, schema)
+        apply_term_stats_delta(bdf, b, seg)
+        apply_term_stats_batch(bdf, b, cmp_)
+
+    got = sorted(map(tuple, read_term_stats_segments(spark, seg).collect()))
+    want = sorted(map(tuple, spark.read.parquet(cmp_).collect()))
+    assert got == want
+
+    docs = spark.createDataFrame([r for rows in batches for r in rows], schema)
+    n_docs = docs.count()
+    avgdl = docs.select(F.sum(F.size(tokens("text"))).alias("s")).collect()[0].s / n_docs
+    terms = ["spark", "join"]
+    want_bm = [tuple(r) for r in bm25_topk(docs, terms, k=10).collect()]
+    got_bm = [
+        tuple(r)
+        for r in bm25_topk_from_stats(
+            docs, read_term_stats_segments(spark, seg), n_docs, avgdl, terms, k=10
+        ).collect()
+    ]
+    assert got_bm == want_bm
+
+    assert compact_term_stats_segments(spark, seg) == 2
+    assert sorted(map(tuple, read_term_stats_segments(spark, seg).collect())) == want
