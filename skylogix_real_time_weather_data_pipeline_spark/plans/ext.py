@@ -1951,6 +1951,36 @@ def _gram_index_view(spark: SparkSession, sf_dir: str, prefix: str,
     return spark.read.parquet(state)
 
 
+def q_substring_rewrite_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal against LSM-SEGMENTED gram-index state (r10;
+    registered after the r10 window per the r8 post-window precedent —
+    an r11 tier-1 candidate): the first half applies as a segment and is
+    COMPACTED (manifest-carrying fold), the second half lands as a raw
+    segment on top, and the rewrite reads the monoid-merged view — so a
+    driver green hash-certifies the segment write/compact/merge protocol
+    end to end. Oracle byte-identical to docs_substring_rewrite's
+    (segmented == compacting == one-shot is the protocol's contract,
+    pinned in tests/test_matview.py)."""
+    import os
+
+    from ..streaming.matview import (
+        apply_gram_index_delta,
+        compact_gram_index_segments,
+        read_gram_index_segments,
+    )
+
+    docs = _docs(spark, sf_dir)
+    root = _session_state_dir(spark, sf_dir, "skylogix_gram_lsm")
+    state = os.path.join(root, "view")
+    apply_gram_index_delta(docs.filter(F.col("doc_id") % 2 == 0), 0, state,
+                           k=_SUBSTR_K)
+    compact_gram_index_segments(spark, state)
+    apply_gram_index_delta(docs.filter(F.col("doc_id") % 2 == 1), 1, state,
+                           k=_SUBSTR_K)
+    view = read_gram_index_segments(spark, state)
+    return dedup.substring_dedup_rewrite_from_index(docs, view, k=_SUBSTR_K)
+
+
 def q_substring_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr coverage STATS against the maintained gram-index view
     (r10, r9 verdict #5): build the view as two replay-guarded
@@ -3422,6 +3452,7 @@ QUERIES = {
     "docs_substring_dedup": q_substring_dedup,
     "docs_substring_rewrite": q_substring_rewrite,
     "docs_substring_rewrite_indexed": q_substring_rewrite_indexed,
+    "docs_substring_rewrite_segmented": q_substring_rewrite_segmented,
     "docs_substring_dedup_indexed": q_substring_dedup_indexed,
     "docs_substring_pairs_indexed": q_substring_pairs_indexed,
     "docs_substring_pairs": q_substring_pairs,
@@ -3510,6 +3541,7 @@ ORACLES = {
     # identical oracle BY CONTRACT: the maintained-index rewrite must
     # equal the one-shot batch rewrite row-for-row
     "docs_substring_rewrite_indexed": O_SUBSTRING_REWRITE,
+    "docs_substring_rewrite_segmented": O_SUBSTRING_REWRITE,
     "docs_substring_dedup_indexed": O_SUBSTRING_DEDUP,
     "docs_substring_pairs_indexed": O_SUBSTRING_PAIRS,
     "docs_substring_pairs": O_SUBSTRING_PAIRS,
