@@ -853,3 +853,46 @@ def test_exact_dedup_view_invariant_under_batch_split(spark, tmp_path_factory,
     got = sorted(tuple(r) for r in spark.read.parquet(state).collect())
     want = sorted(tuple(r) for r in exact_dedup(df).collect())
     assert got == want
+
+
+@given(
+    texts=st.lists(st.text(alphabet="cd ", min_size=1, max_size=22),
+                   min_size=1, max_size=9),
+    split=st.lists(st.integers(0, 2), min_size=9, max_size=9),
+    cap=st.integers(1, 3),
+)
+@_settings
+def test_minhash_bucket_view_invariant_under_batch_split(spark, tmp_path_factory,
+                                                         texts, split, cap):
+    """The LSH-bucket view's capped member semilattice must be invariant
+    under ANY batch partition of the corpus — and the index-driven pairs
+    must equal the one-shot detector under the same cap."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        minhash_lsh_pairs,
+        minhash_pairs_from_index,
+    )
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_minhash_buckets_batch,
+    )
+
+    rows = list(enumerate(texts))
+    state = str(tmp_path_factory.mktemp("mh") / "view")
+    for b in range(3):
+        batch = [r for r in rows if split[r[0]] == b]
+        if batch:
+            bdf = spark.createDataFrame(batch, "doc_id long, text string")
+            apply_minhash_buckets_batch(bdf, b, state, max_bucket_size=cap)
+    import os
+    if not os.path.exists(state):
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in minhash_pairs_from_index(
+            spark.read.parquet(state), max_bucket_size=cap
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in minhash_lsh_pairs(df, max_bucket_size=cap).collect()
+    )
+    assert got == want
