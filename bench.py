@@ -97,6 +97,10 @@ EXTENDED = [
     # benched instead (r10, r9 verdict #8): the frozen-model scoring
     # scan a curation pipeline pays per ingest batch.
     "docs_distill_score",
+    # r10 post-window registration: the LSM segment write/compact/merge
+    # protocol driven end to end (apply half, compact, apply half,
+    # rewrite from the merged view)
+    "docs_substring_rewrite_segmented",
 ]
 
 
