@@ -1019,6 +1019,14 @@ def substring_shared_gram_pairs_from_index(index: DataFrame,
     groupBy. The fan-out mass is Σ df² over non-boilerplate grams, the
     same bound as the batch detector, minus its corpus scan + posting
     exchange."""
+    if "ids" not in index.columns:
+        # pre-r10 (h, cnt, min_okey) view: the posting lists were never
+        # stored, so the conservative read is every gram over-cap — no
+        # pairs claimed, no AnalysisException (r10 ADVICE migration note;
+        # apply_gram_index_batch backfills the stored state the same way)
+        from ..streaming.matview import _backfill_gram_index_schema
+
+        index = _backfill_gram_index_schema(index)
     buckets = index.filter(
         (~F.coalesce(F.col("over"), F.lit(False))) & (F.size("ids") >= 2)
     )

@@ -42,6 +42,21 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _np_round_half_up(x, decimals: int):
+    """HALF_UP (half away from zero) rounding for the numpy kernels —
+    the semantics of Spark's F.round and DuckDB's round(), which the
+    expression kernels and shared oracles use. np.round is half-EVEN, so
+    on an exact .5·10^-d grid hit (integer-valued embeddings make these
+    reachable) a kernel-rounded score could flip a threshold comparison
+    relative to the oracle (r10 ADVICE). Exactness note: for |x| ≤ 2 and
+    d ≤ 9, x·10^d is exact enough that the +0.5/floor trip reproduces
+    decimal HALF_UP on every representable grid hit."""
+    import numpy as np
+
+    scale = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
 def cosine_scores_arrow(df: DataFrame, query_vec: Sequence[float],
                         vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Arrow-vectorized cosine scores: a scalar pandas_udf stacks each batch
@@ -839,7 +854,7 @@ def kmeans_assign_arrow(df: DataFrame, k: int = 4, n_iter: int = 2,
                 best_c = np.where(take, loc + s, best_c)
             return pd.DataFrame({
                 "cluster": best_c.astype(np.int32),
-                "sqdist": np.round(best_d, round_to),
+                "sqdist": _np_round_half_up(best_d, round_to),
             })
 
         score = pandas_udf(_score, "cluster int, sqdist double")
@@ -1065,7 +1080,7 @@ def semdedup(df: DataFrame, k: int = 4, n_iter: int = 2, threshold: float = 0.35
         for s in range(0, n, chunk):
             e = min(s + chunk, n)
             sims = (m @ m[s:e].T) / np.outer(norms, norms[s:e])
-            hit = np.round(sims, 6) >= thr
+            hit = _np_round_half_up(sims, 6) >= thr
             lower = rows[:, None] < np.arange(s, e)[None, :]  # i < j only
             dropped[s:e] |= (hit & lower).any(axis=0)
         return pd.DataFrame({id_col: ids[dropped]})

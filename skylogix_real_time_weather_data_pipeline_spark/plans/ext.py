@@ -24,6 +24,32 @@ _SIMHASH_BITS = 60  # 15-bit pigeonhole chunks at max_hamming=3 (scale default)
 _MAX_BUCKET = 100_000
 _MAX_SHINGLE_DF = 100_000
 
+#: a sibling state dir untouched for this long is a dead app's leak, not a
+#: live concurrent session (maintainers write segments continuously)
+_STALE_SIBLING_SECONDS = 6 * 3600
+
+
+def _newest_mtime(path: str) -> float:
+    """Newest mtime anywhere under ``path`` (the dir itself, every subdir,
+    every file). A live view maintainer renames segment dirs and writes
+    parquet files continuously, so this is a faithful liveness signal; the
+    walk is bounded by the state dir's own file count."""
+    import os
+
+    newest = 0.0
+    try:
+        newest = os.path.getmtime(path)
+        for dirpath, dirnames, filenames in os.walk(path):
+            for name in dirnames + filenames:
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(dirpath, name))
+                    )
+                except OSError:
+                    continue  # racing a concurrent delete/rename
+    except OSError:
+        pass
+    return newest
 
 
 def _session_state_dir(spark: SparkSession, sf_dir: str, prefix: str) -> str:
@@ -39,20 +65,21 @@ def _session_state_dir(spark: SparkSession, sf_dir: str, prefix: str) -> str:
     apps, whose applicationIds never recur — are swept here too (r10
     ADVICE): without the sweep every session run leaked its predecessor's
     gram-index/term-stats state into the system temp dir forever, and a
-    corpus-sized gram index is not small. Live sessions are safe: a
-    different app writing the same (prefix, tag) concurrently is exactly
-    the collision the app-id component exists to prevent, and the sweep
-    only removes dirs whose app id differs from OURS — concurrent apps
-    each sweep only what a third, finished app left behind. That window
-    (two concurrent apps, one sweeping the other's live dir) would need
-    two drivers maintaining the same view root on one machine — the
-    single-driver-per-state-dir rule streaming checkpoints already
-    impose."""
+    corpus-sized gram index is not small. The sweep is AGE-GATED by
+    recursive-max mtime (r10 ADVICE, medium): app id alone cannot
+    distinguish a dead predecessor from a LIVE concurrent app running the
+    same *_indexed query against the same sf_dir, and an app-id-only
+    sweep would delete that live session's view state mid-query. A live
+    maintainer writes segments/batches continuously, so any sibling whose
+    newest file is hours old is a leak, not a peer; a just-started peer's
+    dir is always fresh. Dirs younger than the gate are left alone and
+    collected by whichever session next runs after they go cold."""
     import glob
     import hashlib
     import os
     import shutil
     import tempfile
+    import time
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     app = spark.sparkContext.applicationId
@@ -61,10 +88,11 @@ def _session_state_dir(spark: SparkSession, sf_dir: str, prefix: str) -> str:
     # (the wildcard swallowing 'sp_<app>'), deleting another query's
     # state. Prefixes never contain '__'.
     root = os.path.join(tempfile.gettempdir(), f"{prefix}__{app}__{tag}")
+    gate = time.time() - _STALE_SIBLING_SECONDS
     for stale in glob.glob(
         os.path.join(tempfile.gettempdir(), f"{prefix}__*__{tag}")
     ):
-        if stale != root:
+        if stale != root and _newest_mtime(stale) < gate:
             shutil.rmtree(stale, ignore_errors=True)
     shutil.rmtree(root, ignore_errors=True)
     return root

@@ -308,10 +308,51 @@ def apply_gram_index_batch(batch_df: DataFrame, batch_id: int, state_path: str,
     spark = batch_df.sparkSession
     delta = _gram_index_delta(batch_df, text_col, id_col, k, max_gram_df)
     state = (
-        spark.read.parquet(state_path) if os.path.exists(state_path) else None
+        _backfill_gram_index_schema(spark.read.parquet(state_path))
+        if os.path.exists(state_path) else None
     )
     _commit_view(combine_gram_index(state, delta, max_gram_df=max_gram_df),
                  state_path, batch_id)
+
+
+def _backfill_gram_index_schema(state: DataFrame) -> DataFrame:
+    """Migrate a pre-r10 (h, cnt, min_okey) gram-index view to the
+    posting-list schema on READ (r10 ADVICE): the historical distinct-doc
+    sets are unrecoverable from counts alone, so backfill with the
+    semilattice's conservative bottom-for-pairs element
+    (ids=NULL, over=true) — the rewrite/spans paths (cnt, min_okey) keep
+    their exact answers, and the pairs path treats every legacy gram as
+    over-cap (claims NO pairs) rather than inventing wrong ones. New
+    batches merge on top normally; a full rebuild restores pair coverage
+    for the legacy corpus."""
+    if "ids" in state.columns:
+        return state
+    return state.select(
+        "h", "cnt", "min_okey",
+        F.lit(None).cast("array<long>").alias("ids"),
+        F.lit(True).alias("over"),
+    )
+
+
+def _require_integral_id(batch_df: DataFrame, id_col: str, view: str) -> None:
+    """The maintained-index posting lists store doc ids as ``long``
+    (array<long> semilattice columns); a non-integral id column would
+    cast to NULL and be SILENTLY dropped by collect_set, making every
+    *_from_index read path return empty instead of failing (r10 ADVICE).
+    The gram index additionally packs the id into the numeric order key
+    (doc_id·2^20 + pos). Fail loudly at the apply entry point instead —
+    the BATCH detectors (minhash_lsh_pairs etc.) accept any id type, so
+    string-keyed corpora keep the one-shot path."""
+    from pyspark.sql import types as T
+
+    dt = batch_df.schema[id_col].dataType
+    if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"{view}: maintained-view posting lists require an integral "
+            f"{id_col!r} (got {dt.simpleString()}); map string ids to a "
+            "stable long (e.g. a dense id dimension) before maintaining "
+            "the view, or use the batch detectors, which accept any id type"
+        )
 
 
 def _gram_index_delta(batch_df: DataFrame, text_col: str, id_col: str,
@@ -320,6 +361,7 @@ def _gram_index_delta(batch_df: DataFrame, text_col: str, id_col: str,
     shared by the compacting and segmented appliers."""
     from ..ext.dedup import _gram_occurrences
 
+    _require_integral_id(batch_df, id_col, "gram_index")
     _, _, occ = _gram_occurrences(batch_df, text_col, id_col, k)
     ids_set = F.array_sort(F.collect_set(F.col(id_col).cast("long")))
     return occ.groupBy("h").agg(
@@ -513,6 +555,7 @@ def _minhash_buckets_delta(batch_df: DataFrame, text_col: str, id_col: str,
     over) — shared by the compacting and segmented appliers."""
     from ..ext.dedup import band_structs, minhash_signatures
 
+    _require_integral_id(batch_df, id_col, "minhash_buckets")
     sig = minhash_signatures(batch_df, text_col, id_col, n_hashes, shingle_n)
     banded = sig.select(
         id_col, F.explode(F.array(*band_structs(n_hashes, bands))).alias("band")
@@ -944,11 +987,27 @@ def _segments_root(state_dir: str) -> str:
     return os.path.join(state_dir, "segments")
 
 
+def _clear_tmp_segments(root: str) -> None:
+    """Writer-side sweep of interrupted-write temp dirs. Called ONLY from
+    the single-writer apply/compact path (:func:`_write_segment`): a
+    READER must never delete a dot-dir — the one live writer may be
+    mid-``_write_segment`` inside it, and an rmtree would fail the write
+    or its commit rename (r10 ADVICE). Under the single-writer-per-
+    state-dir rule, every ``.tmp_*`` the WRITER sees is a crash leftover
+    of a previous incarnation of itself, so sweeping here is safe."""
+    if not os.path.isdir(root):
+        return
+    for name in os.listdir(root):
+        if name.startswith("."):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
 def _segment_scan(state_dir: str) -> tuple[list[str], set[int]]:
     """Resolve the readable segment set: (parquet paths, batch ids
     covered). Picks the compact segment with the LARGEST coverage (a
     crash can leave several; newer covers a superset) and every raw
-    segment not covered by it; clears leftover temp dirs."""
+    segment not covered by it. Strictly READ-ONLY: temp dirs are skipped,
+    not deleted — cleanup belongs to the writer (_clear_tmp_segments)."""
     root = _segments_root(state_dir)
     if not os.path.isdir(root):
         return [], set()
@@ -956,8 +1015,7 @@ def _segment_scan(state_dir: str) -> tuple[list[str], set[int]]:
     for name in os.listdir(root):
         path = os.path.join(root, name)
         if name.startswith("."):
-            shutil.rmtree(path, ignore_errors=True)  # interrupted write
-            continue
+            continue  # in-flight or interrupted write: reader skips it
         if name.startswith("compact_"):
             mpath = os.path.join(path, "_manifest.json")
             try:
@@ -983,11 +1041,11 @@ def _write_segment(delta: DataFrame, state_dir: str, batch_id: int,
                    name: str | None = None) -> None:
     root = _segments_root(state_dir)
     os.makedirs(root, exist_ok=True)
+    _clear_tmp_segments(root)  # single-writer path: crash leftovers only
     final = os.path.join(root, name or f"b{batch_id:010d}")
     if os.path.exists(final):
         return
     tmp = os.path.join(root, f".tmp_{os.path.basename(final)}")
-    shutil.rmtree(tmp, ignore_errors=True)
     delta.write.mode("overwrite").parquet(tmp)
     if manifest is not None:
         with open(os.path.join(tmp, "_manifest.json"), "w") as f:

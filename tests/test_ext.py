@@ -1714,3 +1714,46 @@ def test_kmeans_assign_arrow_bit_equal_and_scales_k(spark):
     assert len(got) == len(rows) and all(0 <= ci < 64 for ci in got.values())
     again = {r.vec_id: r.cluster for r in kmeans_assign_arrow(df, k=64, n_iter=2).collect()}
     assert got == again
+
+
+def test_numpy_kernels_round_half_up_like_spark(spark):
+    """r10 ADVICE (low): the Arrow kernels must round HALF_UP (away from
+    zero) like F.round / DuckDB, not numpy's half-even — on an exactly
+    representable 6-decimal tie the two differ and a threshold comparison
+    flips. x = j/128 (j odd) is binary-exact with x·10⁶ ending in .5
+    exactly (10⁶/128 = 7812.5), so the tie is REAL, not a print artifact."""
+    import numpy as np
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.similarity import (
+        _np_round_half_up,
+        kmeans_assign,
+        kmeans_assign_arrow,
+    )
+    from pyspark.sql import functions as F
+
+    ties = np.array([1 / 128, 3 / 128, -1 / 128, 5 / 128, 0.25, -0.375])
+    got = _np_round_half_up(ties, 6)
+    # Spark's F.round is the semantics contract
+    want = [
+        r.v
+        for r in spark.createDataFrame([(float(t),) for t in ties], "x double")
+        .select(F.round("x", 6).alias("v"))
+        .collect()
+    ]
+    assert list(got) == want
+    # and numpy's default would NOT match (the tie really bites)
+    assert list(np.round(ties, 6)) != want
+
+    # end-to-end: a vector whose sqdist to its nearest seed is EXACTLY
+    # 1/128 (0.0625² + 0.0625² — every term binary-exact) must produce the
+    # same rounded sqdist in the Arrow kernel as in the expression form
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [10.0, 10.0]),
+        (2, [0.0625, 0.0625]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(tuple(r) for r in kmeans_assign(df, k=2, n_iter=1).collect())
+    b = sorted(tuple(r) for r in kmeans_assign_arrow(df, k=2, n_iter=1).collect())
+    assert a == b
+    assert any(r[2] == 0.007813 for r in a)  # the HALF_UP side of the tie

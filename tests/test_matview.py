@@ -476,13 +476,18 @@ def test_gram_index_replay_is_idempotent(spark, tmp_path):
 def test_session_state_dir_sweeps_stale_sibling_apps(spark):
     """_session_state_dir must remove same-(prefix, sf_dir) state left by
     EARLIER Spark apps (r10 ADVICE: app-id-named roots otherwise leak into
-    the system temp dir forever), while leaving other prefixes and other
-    sf_dir tags alone."""
+    the system temp dir forever), while leaving other prefixes, other
+    sf_dir tags, and — the r10 ADVICE medium — FRESH siblings (a LIVE
+    concurrent app maintaining the same view) alone. Staleness is decided
+    by recursive-max mtime, so a cold dir with one freshly-touched file
+    deep inside still counts as live."""
     import hashlib
     import os
     import tempfile
+    import time
 
     from skylogix_real_time_weather_data_pipeline_spark.plans.ext import (
+        _STALE_SIBLING_SECONDS,
         _session_state_dir,
     )
 
@@ -490,18 +495,32 @@ def test_session_state_dir_sweeps_stale_sibling_apps(spark):
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     tmp = tempfile.gettempdir()
     stale = os.path.join(tmp, f"swtest__app-dead-123__{tag}")
+    live = os.path.join(tmp, f"swtest__app-live-456__{tag}")
+    deep_live = os.path.join(tmp, f"swtest__app-live-789__{tag}")
     other_tag = os.path.join(tmp, "swtest__app-dead-123__deadbeef")
     other_prefix = os.path.join(tmp, f"swother__app-dead-123__{tag}")
     # a SIBLING PREFIX that extends ours must never be swept (the r10
     # self-review bug: a plain '_' glob matched swtest_sp_* dirs too)
     ext_prefix = os.path.join(tmp, f"swtest_sp__app-dead-123__{tag}")
-    for d in (stale, other_tag, other_prefix, ext_prefix):
-        os.makedirs(d, exist_ok=True)
-        with open(os.path.join(d, "view.parquet"), "w") as f:
+    for d in (stale, live, deep_live, other_tag, other_prefix, ext_prefix):
+        os.makedirs(os.path.join(d, "segments"), exist_ok=True)
+        with open(os.path.join(d, "segments", "view.parquet"), "w") as f:
             f.write("x")
+    old = time.time() - _STALE_SIBLING_SECONDS - 60
+    for d in (stale, deep_live):  # age every path under both
+        for dirpath, dirnames, filenames in os.walk(d, topdown=False):
+            for name in dirnames + filenames:
+                os.utime(os.path.join(dirpath, name), (old, old))
+        os.utime(d, (old, old))
+    # deep_live: cold EXCEPT one freshly-written file deep inside — a live
+    # maintainer between segment writes must not be swept
+    with open(os.path.join(deep_live, "segments", "fresh"), "w") as f:
+        f.write("y")
     try:
         root = _session_state_dir(spark, sf_dir, "swtest")
-        assert not os.path.exists(stale)          # dead sibling swept
+        assert not os.path.exists(stale)          # cold dead sibling swept
+        assert os.path.exists(live)               # fresh sibling kept (live app)
+        assert os.path.exists(deep_live)          # deep-fresh sibling kept
         assert os.path.exists(other_tag)          # different sf_dir kept
         assert os.path.exists(other_prefix)       # different prefix kept
         assert os.path.exists(ext_prefix)         # extending prefix kept
@@ -509,7 +528,7 @@ def test_session_state_dir_sweeps_stale_sibling_apps(spark):
     finally:
         import shutil
 
-        for d in (other_tag, other_prefix, ext_prefix):
+        for d in (live, deep_live, other_tag, other_prefix, ext_prefix):
             shutil.rmtree(d, ignore_errors=True)
 
 
@@ -836,15 +855,18 @@ def test_segmented_gram_index_crash_windows_never_double_count(spark, tmp_path):
             _sh.copytree(dst, os.path.join(root, n))
     assert snap() == want            # covered raws skipped, not re-added
 
-    # an interrupted segment write must be invisible and get cleared
+    # an interrupted segment write must be invisible to readers — but NOT
+    # cleared by them (r11: the dir could be a live writer's in-flight
+    # tmp); the next WRITE sweeps it
     os.makedirs(os.path.join(root, ".tmp_b0000000007"), exist_ok=True)
     assert snap() == want
-    assert not os.path.exists(os.path.join(root, ".tmp_b0000000007"))
+    assert os.path.exists(os.path.join(root, ".tmp_b0000000007"))
 
     # a second, larger compaction coexisting with the first (crash
     # between compactions): reader picks the larger coverage
     b2 = spark.createDataFrame([(4, "p q r s t")], "doc_id long, text string")
     apply_gram_index_delta(b2, 2, seg_dir, k=3)
+    assert not os.path.exists(os.path.join(root, ".tmp_b0000000007"))  # writer swept
     want2 = snap()
     keep2 = [n for n in os.listdir(root) if n.startswith("compact_")]
     for n in keep2:
@@ -975,3 +997,127 @@ def test_segmented_term_stats_equals_compacting_and_scores_bm25(spark, tmp_path)
 
     assert compact_term_stats_segments(spark, seg) == 2
     assert sorted(map(tuple, read_term_stats_segments(spark, seg).collect())) == want
+
+
+def test_segment_readers_never_delete_inflight_tmp_dirs(spark, tmp_path):
+    """r10 ADVICE (medium): _segment_scan is called by READERS, so it must
+    be strictly read-only — a reader racing a writer mid-_write_segment
+    must not rmtree the writer's in-flight .tmp_* dir. Cleanup belongs to
+    the single-writer apply path, where every .tmp_* is a crash leftover."""
+    import os
+
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_exact_dedup_delta,
+        read_exact_dedup_segments,
+    )
+
+    state = str(tmp_path / "ed")
+    docs = spark.createDataFrame([(1, "aa"), (2, "aa")], "doc_id long, text string")
+    apply_exact_dedup_delta(docs, 0, state)
+
+    # simulate a concurrent writer mid-write: an in-flight tmp dir
+    inflight = os.path.join(state, "segments", ".tmp_b0000000001")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-0.parquet"), "w") as f:
+        f.write("half-written")
+
+    view = read_exact_dedup_segments(spark, state).collect()
+    assert [(r.doc_id, r.n_copies) for r in view] == [(1, 2)]  # tmp dir skipped, not read
+    assert os.path.isdir(inflight), "reader deleted an in-flight tmp dir"
+    assert os.path.isfile(os.path.join(inflight, "part-0.parquet"))
+
+    # the WRITER's next apply sweeps it (single-writer: it's a leftover)
+    docs2 = spark.createDataFrame([(3, "bb")], "doc_id long, text string")
+    apply_exact_dedup_delta(docs2, 1, state)
+    assert not os.path.exists(inflight)
+    merged = {r.fingerprint: r.n_copies
+              for r in read_exact_dedup_segments(spark, state).collect()}
+    assert sum(merged.values()) == 3
+
+
+def test_maintained_index_rejects_non_integral_ids(spark, tmp_path):
+    """r10 ADVICE (low): posting lists store ids as long; a string id
+    column would cast to NULL and be silently dropped by collect_set,
+    making the *_from_index read paths return empty. The apply entry
+    points must fail loudly instead (batch detectors still accept any
+    id type)."""
+    import pytest
+
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_gram_index_batch,
+        apply_gram_index_delta,
+        apply_minhash_buckets_batch,
+        apply_minhash_buckets_delta,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", "a b c d e f g h i"), ("d2", "a b c d e f g h i")],
+        "doc_id string, text string",
+    )
+    for fn in (apply_gram_index_batch, apply_gram_index_delta,
+               apply_minhash_buckets_batch, apply_minhash_buckets_delta):
+        with pytest.raises(TypeError, match="integral"):
+            fn(docs, 0, str(tmp_path / fn.__name__))
+
+    # integral non-long ids are fine (widening cast is lossless)
+    ints = spark.createDataFrame(
+        [(1, "a b c d e f g h i")], "doc_id int, text string"
+    )
+    apply_gram_index_batch(ints, 0, str(tmp_path / "ok_gi"))
+    apply_minhash_buckets_batch(ints, 0, str(tmp_path / "ok_mh"))
+
+
+def test_pre_r10_gram_index_state_backfills_on_read(spark, tmp_path):
+    """r10 ADVICE (low): a pre-r10 (h, cnt, min_okey) gram-index view must
+    keep working — applies migrate it by backfilling (ids=NULL, over=true),
+    the rewrite path keeps exact answers (it reads cnt/min_okey only), and
+    the pairs path conservatively claims NO pairs for legacy grams instead
+    of raising AnalysisException."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        substring_dedup_rewrite,
+        substring_dedup_rewrite_from_index,
+        substring_shared_gram_pairs_from_index,
+    )
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_gram_index_batch,
+    )
+
+    k = 3
+    docs = spark.createDataFrame(
+        [(1, "one two three four five"), (2, "one two three four five")],
+        "doc_id long, text string",
+    )
+    # build a CURRENT view, then strip it down to the legacy schema
+    full_state = str(tmp_path / "full")
+    apply_gram_index_batch(docs, 0, full_state, k=k)
+    legacy = spark.read.parquet(full_state).select("h", "cnt", "min_okey")
+    legacy_state = str(tmp_path / "legacy")
+    legacy.write.parquet(legacy_state)
+
+    # pairs path: empty, not AnalysisException
+    assert substring_shared_gram_pairs_from_index(
+        spark.read.parquet(legacy_state)
+    ).count() == 0
+
+    # apply on top of legacy state migrates instead of failing
+    more = spark.createDataFrame(
+        [(3, "six seven eight nine ten")], "doc_id long, text string"
+    )
+    apply_gram_index_batch(more, 1, legacy_state, k=k)
+    migrated = spark.read.parquet(legacy_state)
+    assert {"h", "cnt", "min_okey", "ids", "over"} <= set(migrated.columns)
+
+    # rewrite path still exact: cnt/min_okey survived the migration
+    corpus = docs.union(more)
+    got = sorted(
+        tuple(r)
+        for r in substring_dedup_rewrite_from_index(corpus, migrated, k=k).collect()
+    )
+    want = sorted(tuple(r) for r in substring_dedup_rewrite(corpus, k=k).collect())
+    assert got == want
+
+    # legacy grams stay over=true (no invented pairs); the NEW batch's
+    # grams carry real posting lists
+    by_over = {bool(r.over) for r in migrated.collect()}
+    assert by_over == {True, False}
+    assert substring_shared_gram_pairs_from_index(migrated).count() == 0
