@@ -248,6 +248,46 @@ def q_exact_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(state).select("fingerprint", "doc_id", "n_copies")
 
 
+def q_exact_dedup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r11 curation-loop deletion path: ingest the corpus into the
+    RETRACTABLE exact-dedup view (doc-granular Z-set segments,
+    streaming/matview.py:apply_exact_dedup_retractable_delta) in two
+    batches, then retract a corrected shard (doc_id % 7 == 3) as a
+    tombstone batch — including fingerprints whose stored MIN survivor is
+    retracted, the case the add-only aggregate view cannot express
+    without a full rebuild. The read fold must equal a rebuild over the
+    surviving corpus, which is exactly what the oracle computes."""
+    import os
+
+    from ..streaming.matview import (
+        apply_exact_dedup_retractable_delta,
+        read_exact_dedup_retractable_segments,
+        retract_exact_dedup_delta,
+    )
+
+    docs = _docs(spark, sf_dir)
+    root = _session_state_dir(spark, sf_dir, "skylogix_exact_rz")
+    state = os.path.join(root, "view")
+    apply_exact_dedup_retractable_delta(
+        docs.filter(F.col("doc_id") % 2 == 0), 0, state)
+    apply_exact_dedup_retractable_delta(
+        docs.filter(F.col("doc_id") % 2 == 1), 1, state)
+    retract_exact_dedup_delta(docs.filter(F.col("doc_id") % 7 == 3), 2, state)
+    return read_exact_dedup_retractable_segments(spark, state).select(
+        "fingerprint", "doc_id", "n_copies"
+    )
+
+
+O_EXACT_DEDUP_RETRACT = """
+SELECT md5(text) AS fingerprint,
+       MIN(doc_id) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+WHERE doc_id % 7 <> 3
+GROUP BY md5(text)
+"""
+
+
 _SOURCE_CAP = 40
 
 
@@ -3446,6 +3486,7 @@ QUERIES = {
     "docs_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "docs_minhash_pairs_indexed": q_minhash_pairs_indexed,
     "docs_exact_dedup_indexed": q_exact_dedup_indexed,
+    "docs_exact_dedup_retract": q_exact_dedup_retract,
     "docs_source_cap": q_source_cap,
     "docs_minhash_jaccard_estimate": q_minhash_jaccard_estimate,
     "docs_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -3531,6 +3572,7 @@ ORACLES = {
     "docs_minhash_lsh_pairs": O_MINHASH_LSH_PAIRS,
     "docs_minhash_pairs_indexed": O_MINHASH_LSH_PAIRS,
     "docs_exact_dedup_indexed": O_EXACT_DEDUP,
+    "docs_exact_dedup_retract": O_EXACT_DEDUP_RETRACT,
     "docs_source_cap": O_SOURCE_CAP,
     "docs_minhash_jaccard_estimate": O_MINHASH_JACCARD_EST,
     "docs_ngram_jaccard_pairs": O_NGRAM_JACCARD,

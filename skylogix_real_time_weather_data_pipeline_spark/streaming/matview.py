@@ -1103,24 +1103,50 @@ def _merge_exact_dedup_segments(df: DataFrame) -> DataFrame:
     )
 
 
+#: Auto-compaction trigger for the segmented appliers: compact when the
+#: READABLE segment count (one compact + uncovered raws — exactly the set a
+#: read-side merge unions) reaches this. Chosen from the r11 sf10x
+#: read-amplification sweep (SEGMENT_READ_AMPLIFICATION_r11.json): read
+#: cost is ~flat through ~16 segments and climbs past it, while a larger
+#: threshold amortizes more O(view) compactions — 16 keeps reads at the
+#: flat part of the curve and pays one compaction per 16 ingests. Pass
+#: ``auto_compact=None`` for the manual protocol (the equivalence tests
+#: pin that any trigger point yields the identical view).
+AUTO_COMPACT_SEGMENTS = 16
+
+
+def _apply_delta_segment(delta_fn, batch_df: DataFrame, batch_id: int,
+                         state_dir: str, merge_fn, auto_compact: int | None) -> None:
+    """Shared segmented-apply protocol: replay guard → O(batch) immutable
+    segment write → count-threshold auto-compaction. ``delta_fn`` is lazy
+    so a replayed batch skips building the delta plan entirely."""
+    paths, applied = _segment_scan(state_dir)
+    if batch_id in applied:
+        return
+    _write_segment(delta_fn(), state_dir, batch_id)
+    if auto_compact is not None and len(paths) + 1 >= auto_compact:
+        _compact_segments(batch_df.sparkSession, state_dir, merge_fn)
+
+
 def apply_gram_index_delta(batch_df: DataFrame, batch_id: int, state_dir: str,
                            text_col: str = "text", id_col: str = "doc_id",
-                           k: int = 8, max_gram_df: int = 1_000) -> None:
+                           k: int = 8, max_gram_df: int = 1_000,
+                           auto_compact: int | None = AUTO_COMPACT_SEGMENTS) -> None:
     """O(batch) segmented apply of the ExactSubstr gram index: the same
     per-gram partial aggregate :func:`apply_gram_index_batch` computes,
     written as an immutable segment instead of combined into the stored
     view — the ingest-heavy deployment shape (INGEST_SCALE_r10 measured
     the per-apply view rewrite as the dominant cost of the
     compact-every-batch protocol). Read with
-    :func:`read_gram_index_segments`; fold segments back to one with
-    :func:`compact_gram_index_segments`. Replays no-op (the segment
+    :func:`read_gram_index_segments`; segments fold back to one
+    automatically once the readable count reaches ``auto_compact``
+    (:data:`AUTO_COMPACT_SEGMENTS`; None = manual
+    :func:`compact_gram_index_segments`). Replays no-op (the segment
     directory, or a compacted segment covering its batch id, exists)."""
-    paths, applied = _segment_scan(state_dir)
-    if batch_id in applied:
-        return
-    _write_segment(
-        _gram_index_delta(batch_df, text_col, id_col, k, max_gram_df),
-        state_dir, batch_id,
+    _apply_delta_segment(
+        lambda: _gram_index_delta(batch_df, text_col, id_col, k, max_gram_df),
+        batch_df, batch_id, state_dir,
+        lambda df: _merge_gram_segments(df, max_gram_df), auto_compact,
     )
 
 
@@ -1175,16 +1201,15 @@ def apply_minhash_buckets_delta(batch_df: DataFrame, batch_id: int,
                                 state_dir: str, text_col: str = "text",
                                 id_col: str = "doc_id", n_hashes: int = 16,
                                 bands: int = 4, shingle_n: int = 3,
-                                max_bucket_size: int = 100_000) -> None:
+                                max_bucket_size: int = 100_000,
+                                auto_compact: int | None = AUTO_COMPACT_SEGMENTS) -> None:
     """O(batch) segmented apply of the LSH-bucket view — same protocol
     and crash story as :func:`apply_gram_index_delta`."""
-    paths, applied = _segment_scan(state_dir)
-    if batch_id in applied:
-        return
-    _write_segment(
-        _minhash_buckets_delta(batch_df, text_col, id_col, n_hashes, bands,
-                               shingle_n, max_bucket_size),
-        state_dir, batch_id,
+    _apply_delta_segment(
+        lambda: _minhash_buckets_delta(batch_df, text_col, id_col, n_hashes,
+                                       bands, shingle_n, max_bucket_size),
+        batch_df, batch_id, state_dir,
+        lambda df: _merge_minhash_segments(df, max_bucket_size), auto_compact,
     )
 
 
@@ -1204,17 +1229,15 @@ def compact_minhash_buckets_segments(spark, state_dir: str,
 
 def apply_exact_dedup_delta(batch_df: DataFrame, batch_id: int,
                             state_dir: str, text_col: str = "text",
-                            id_col: str = "doc_id") -> None:
+                            id_col: str = "doc_id",
+                            auto_compact: int | None = AUTO_COMPACT_SEGMENTS) -> None:
     """O(batch) segmented apply of the exact-dedup view — same protocol
     and crash story as :func:`apply_gram_index_delta`."""
-    paths, applied = _segment_scan(state_dir)
-    if batch_id in applied:
-        return
     from ..ext.dedup import exact_dedup
 
-    _write_segment(
-        exact_dedup(batch_df, text_col=text_col, id_col=id_col),
-        state_dir, batch_id,
+    _apply_delta_segment(
+        lambda: exact_dedup(batch_df, text_col=text_col, id_col=id_col),
+        batch_df, batch_id, state_dir, _merge_exact_dedup_segments, auto_compact,
     )
 
 
@@ -1224,6 +1247,102 @@ def read_exact_dedup_segments(spark, state_dir: str) -> DataFrame:
 
 def compact_exact_dedup_segments(spark, state_dir: str) -> int:
     return _compact_segments(spark, state_dir, _merge_exact_dedup_segments)
+
+
+# --------------------------------------------------------------------------
+# Deletion / retraction (r11): weighted (Z-set) segments
+# --------------------------------------------------------------------------
+#
+# The add-only views above store per-batch AGGREGATES, whose monoids
+# (MIN survivor id, ADD counts, capped-union postings) have no inverse: a
+# delete of the stored min-id survivor cannot recover the next-smallest id
+# from the aggregate, so any retraction forces a full rebuild. (The
+# reference never deletes either — src/transform.py:64-66 re-reads all
+# history — but a production curation loop re-ingests corrected shards.)
+#
+# The retractable exact-dedup view fixes this at the SEGMENT SCHEMA: keep
+# doc granularity — (fingerprint, doc_id, w) with w=+1 adds and w=-1
+# tombstones — and defer ALL aggregation to merge time. Segments stay
+# O(batch); a retraction is just another segment (its own batch id in the
+# same replay-guarded numbering, so crash/replay semantics are unchanged);
+# compaction folds the keyed weight sums (an abelian GROUP, hence
+# invertible — the whole point); the read fold keeps rows with w > 0 and
+# only then aggregates to the (fingerprint, survivor, n_copies) contract.
+# Because per-key weight addition is commutative and associative,
+# apply/retract/compact in ANY interleaving reads equal to a rebuild from
+# the surviving corpus (pytest-pinned, including deleting a stored
+# survivor and delete-then-re-add).
+#
+# Contract: retraction takes the ORIGINAL rows (id + text) — exactly what
+# "re-ingest a corrected shard" has in hand — because the fingerprint is
+# recomputed from text. Retracting a never-added doc leaves a w=-1 row
+# that reads as absent and annihilates against a later re-add (out-of-
+# order tolerant); n_copies counts distinct live doc ids.
+
+
+def _exact_dedup_weighted_delta(batch_df: DataFrame, text_col: str,
+                                id_col: str, weight: int) -> DataFrame:
+    return batch_df.select(
+        F.md5(F.col(text_col)).alias("fingerprint"),
+        F.col(id_col).alias("doc_id"),
+        F.lit(weight).cast("long").alias("w"),
+    )
+
+
+def _fold_exact_dedup_weights(df: DataFrame) -> DataFrame:
+    """Compaction fold: per-(fingerprint, doc_id) weight sums, dropping
+    annihilated (w=0) pairs. Keeps w<0 rows — a tombstone compacted
+    before its add arrives must survive to cancel it."""
+    return (
+        df.groupBy("fingerprint", "doc_id")
+        .agg(F.sum("w").alias("w"))
+        .filter(F.col("w") != 0)
+    )
+
+
+def _merge_exact_dedup_retractable(df: DataFrame) -> DataFrame:
+    """Read fold: live rows (w > 0) aggregated to the same
+    (fingerprint, doc_id survivor, n_copies) contract as exact_dedup."""
+    return (
+        _fold_exact_dedup_weights(df)
+        .filter(F.col("w") > 0)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def apply_exact_dedup_retractable_delta(
+        batch_df: DataFrame, batch_id: int, state_dir: str,
+        text_col: str = "text", id_col: str = "doc_id",
+        auto_compact: int | None = AUTO_COMPACT_SEGMENTS) -> None:
+    """O(batch) segmented apply of the RETRACTABLE exact-dedup view
+    (doc-granular +1 weights; see the Z-set protocol note above)."""
+    _apply_delta_segment(
+        lambda: _exact_dedup_weighted_delta(batch_df, text_col, id_col, 1),
+        batch_df, batch_id, state_dir, _fold_exact_dedup_weights, auto_compact,
+    )
+
+
+def retract_exact_dedup_delta(
+        batch_df: DataFrame, batch_id: int, state_dir: str,
+        text_col: str = "text", id_col: str = "doc_id",
+        auto_compact: int | None = AUTO_COMPACT_SEGMENTS) -> None:
+    """Retract previously-ingested documents from the retractable
+    exact-dedup view: writes a -1-weight tombstone segment under its own
+    batch id (same replay guard / crash protocol as an apply). Takes the
+    original (id, text) rows — the corrected-shard re-ingest shape."""
+    _apply_delta_segment(
+        lambda: _exact_dedup_weighted_delta(batch_df, text_col, id_col, -1),
+        batch_df, batch_id, state_dir, _fold_exact_dedup_weights, auto_compact,
+    )
+
+
+def read_exact_dedup_retractable_segments(spark, state_dir: str) -> DataFrame:
+    return _read_segments(spark, state_dir, _merge_exact_dedup_retractable)
+
+
+def compact_exact_dedup_retractable_segments(spark, state_dir: str) -> int:
+    return _compact_segments(spark, state_dir, _fold_exact_dedup_weights)
 
 
 def _merge_term_stats_segments(df: DataFrame) -> DataFrame:
@@ -1249,14 +1368,13 @@ def _term_stats_delta(batch_df: DataFrame, text_col: str, id_col: str) -> DataFr
 
 def apply_term_stats_delta(batch_df: DataFrame, batch_id: int,
                            state_dir: str, text_col: str = "text",
-                           id_col: str = "doc_id") -> None:
+                           id_col: str = "doc_id",
+                           auto_compact: int | None = AUTO_COMPACT_SEGMENTS) -> None:
     """O(batch) segmented apply of the BM25/TF-IDF term-stats view —
     same protocol and crash story as :func:`apply_gram_index_delta`."""
-    paths, applied = _segment_scan(state_dir)
-    if batch_id in applied:
-        return
-    _write_segment(
-        _term_stats_delta(batch_df, text_col, id_col), state_dir, batch_id
+    _apply_delta_segment(
+        lambda: _term_stats_delta(batch_df, text_col, id_col),
+        batch_df, batch_id, state_dir, _merge_term_stats_segments, auto_compact,
     )
 
 

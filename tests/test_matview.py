@@ -1121,3 +1121,130 @@ def test_pre_r10_gram_index_state_backfills_on_read(spark, tmp_path):
     by_over = {bool(r.over) for r in migrated.collect()}
     assert by_over == {True, False}
     assert substring_shared_gram_pairs_from_index(migrated).count() == 0
+
+
+def test_auto_compaction_triggers_and_preserves_view(spark, tmp_path):
+    """r11: the count-threshold auto-compaction wired into the segmented
+    appliers must (a) actually fold segments when the readable count hits
+    the trigger, (b) yield a view identical to the never-compacting and
+    compact-every-batch protocols WHATEVER the trigger point, and (c) keep
+    replays of compaction-covered batches as no-ops."""
+    import os
+
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        _segment_scan,
+        apply_term_stats_batch,
+        apply_term_stats_delta,
+        read_term_stats_segments,
+    )
+
+    batches = [
+        [(10 * b + i, f"tok{i} tok{(i + b) % 5} shared")
+         for i in range(3)]
+        for b in range(6)
+    ]
+    auto2 = str(tmp_path / "auto2")    # trigger every 2nd apply
+    auto4 = str(tmp_path / "auto4")
+    manual = str(tmp_path / "manual")  # never compacts
+    cmp_dir = str(tmp_path / "cmp")    # compact-every-batch protocol
+    for b, rows in enumerate(batches):
+        bdf = spark.createDataFrame(rows, "doc_id long, text string")
+        apply_term_stats_delta(bdf, b, auto2, auto_compact=2)
+        apply_term_stats_delta(bdf, b, auto4, auto_compact=4)
+        apply_term_stats_delta(bdf, b, manual, auto_compact=None)
+        apply_term_stats_batch(bdf, b, cmp_dir)
+
+    def snap(state):
+        return sorted(map(tuple, read_term_stats_segments(spark, state).collect()))
+
+    want = sorted(map(tuple, spark.read.parquet(cmp_dir).collect()))
+    assert snap(auto2) == want
+    assert snap(auto4) == want
+    assert snap(manual) == want
+
+    # (a) compaction genuinely ran: readable count stayed at/below trigger,
+    # a compact segment exists, manual kept all 6 raws
+    paths2, covered2 = _segment_scan(auto2)
+    assert len(paths2) <= 2 and covered2 == set(range(6))
+    assert any("compact_" in p for p in paths2)
+    paths_m, _ = _segment_scan(manual)
+    assert len(paths_m) == 6
+
+    # (c) replaying a batch swallowed by a compaction is still a no-op
+    bdf0 = spark.createDataFrame(batches[0], "doc_id long, text string")
+    apply_term_stats_delta(bdf0, 0, auto2, auto_compact=2)
+    assert snap(auto2) == want
+    seg_names = os.listdir(os.path.join(auto2, "segments"))
+    assert "b0000000000" not in seg_names  # not re-written as a raw
+
+
+def test_retractable_exact_dedup_equals_rebuild(spark, tmp_path):
+    """r11: delete-then-query == rebuild-then-query for the retractable
+    exact-dedup view — including retracting a stored MIN survivor (the
+    case the add-only aggregate view cannot express), delete-then-re-add,
+    and every interleaving with compaction (manual and auto)."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import exact_dedup
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_exact_dedup_retractable_delta,
+        compact_exact_dedup_retractable_segments,
+        read_exact_dedup_retractable_segments,
+        retract_exact_dedup_delta,
+    )
+
+    schema = "doc_id long, text string"
+    b0 = [(1, "aa"), (2, "aa"), (3, "bb")]          # 1 is the aa-survivor
+    b1 = [(4, "aa"), (5, "cc"), (6, "bb")]
+
+    def snap(state):
+        return sorted(
+            map(tuple, read_exact_dedup_retractable_segments(spark, state).collect())
+        )
+
+    def want(rows):
+        df = spark.createDataFrame(rows, schema)
+        return sorted(map(tuple, exact_dedup(df).collect()))
+
+    for trigger in (None, 2):  # manual protocol AND auto-compaction mid-run
+        state = str(tmp_path / f"rz_{trigger}")
+        apply_exact_dedup_retractable_delta(
+            spark.createDataFrame(b0, schema), 0, state, auto_compact=trigger)
+        apply_exact_dedup_retractable_delta(
+            spark.createDataFrame(b1, schema), 1, state, auto_compact=trigger)
+        assert snap(state) == want(b0 + b1)
+
+        # retract the aa-SURVIVOR (1) and one bb copy (6): the view must
+        # re-elect 2 as the aa survivor and decrement bb — information the
+        # add-only (min, count) aggregate has destroyed
+        retract_exact_dedup_delta(
+            spark.createDataFrame([b0[0], b1[2]], schema), 2, state,
+            auto_compact=trigger)
+        survivors = [b0[1], b0[2], b1[0], b1[1]]
+        assert snap(state) == want(survivors)
+
+        # delete-then-re-add: doc 1 returns, weights annihilate to +1
+        apply_exact_dedup_retractable_delta(
+            spark.createDataFrame([b0[0]], schema), 3, state, auto_compact=trigger)
+        assert snap(state) == want(survivors + [b0[0]])
+
+        # explicit compaction at an arbitrary point changes nothing
+        covered = compact_exact_dedup_retractable_segments(spark, state)
+        assert covered == 4
+        assert snap(state) == want(survivors + [b0[0]])
+
+        # retraction AFTER compaction still works (weights are a group)
+        retract_exact_dedup_delta(
+            spark.createDataFrame([b0[2]], schema), 4, state, auto_compact=trigger)
+        assert snap(state) == want([b0[0], b0[1], b1[0], b1[1]])
+
+    # a fingerprint whose every copy is retracted disappears entirely
+    state = str(tmp_path / "rz_gone")
+    apply_exact_dedup_retractable_delta(
+        spark.createDataFrame(b0, schema), 0, state)
+    retract_exact_dedup_delta(
+        spark.createDataFrame([b0[0], b0[1]], schema), 1, state)
+    assert snap(state) == want([b0[2]])
+
+    # replaying a retraction batch is a no-op (same guard as applies)
+    retract_exact_dedup_delta(
+        spark.createDataFrame([b0[0], b0[1]], schema), 1, state)
+    assert snap(state) == want([b0[2]])
