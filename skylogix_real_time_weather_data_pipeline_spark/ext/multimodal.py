@@ -293,6 +293,60 @@ def synthetic_assets(spark, documents: DataFrame, modality: str = "image") -> Da
     )
 
 
+def _texture_png_bytes(seed: int, shift: int, w: int = 64, h: int = 48) -> bytes:
+    """A textured PNG rendered from a FIXED 8x6 color grid seeded by
+    ``seed``, with a uniform brightness ``shift`` (values capped ≤ 200 so
+    the shift never clips). Same construction as the pHash invariance
+    tests: two renders sharing a seed are pHash-identical regardless of
+    shift (only the DC coefficient moves), two seeds are far apart —
+    deterministic planted near-dup clusters with no binary fixtures."""
+    import random
+
+    from . import png
+
+    rng = random.Random(seed)
+    gw, gh = 8, 6
+    grid = [
+        [tuple(rng.randrange(20, 200) for _ in range(3)) for _ in range(gw)]
+        for _ in range(gh)
+    ]
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            c = grid[min(y * gh // h, gh - 1)][min(x * gw // w, gw - 1)]
+            px += bytes(min(255, v + shift) for v in c)
+    return png.encode(w, h, bytes(px))
+
+
+def synthetic_texture_assets(ids: DataFrame, id_col: str = "doc_id",
+                             n_groups: int = 25, max_shift: int = 12) -> DataFrame:
+    """Deterministic textured-PNG asset table derived from an id column:
+    ids in the same ``id % n_groups`` residue class render the SAME color
+    grid with a per-id brightness shift (``(id // n_groups) % max_shift``)
+    — each residue class is a planted pHash near-dup cluster. Rendering
+    runs EXECUTOR-side over Arrow batches (``mapInPandas``); payloads
+    never touch the driver, so the stage scales like any other binary
+    transform in this module."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_np = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids_np,
+                    "modality": ["image"] * len(pdf),
+                    "mime_type": ["image/png"] * len(pdf),
+                    "payload": [
+                        _texture_png_bytes(int(i) % n_groups,
+                                           (int(i) // n_groups) % max_shift)
+                        for i in ids_np
+                    ],
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(run, ASSET_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Perceptual image hashing (pHash) — near-duplicate IMAGE detection on top
 # of the in-repo codecs. DCT-based: resize to 32×32 grayscale, 2D DCT-II,

@@ -288,6 +288,29 @@ GROUP BY md5(text)
 """
 
 
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pHash near-dup pairs (r11, rows-only contract — the
+    `rel_approx_distinct` precedent: the DCT codec kernel is not
+    DuckDB-expressible, so the driver records rows+schema). Deterministic
+    planted clusters: textured PNGs rendered EXECUTOR-side from the
+    documents ids (ext/multimodal.py:synthetic_texture_assets — ids in
+    the same mod-25 residue share a color grid, differing only by a
+    brightness shift pHash is invariant to), then
+    image_near_dup_pairs = Arrow-batched pHash + the pigeonhole
+    chunk-bucket pair generator — NO all-pairs comparison at any scale.
+    Bounded to doc_id < 400 (16-doc clusters → exactly C(16,2)·25 pairs
+    when the id range is dense) so the row prices the codec + bucketing
+    machinery, not PNG rendering throughput."""
+    from ..ext import multimodal
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    assets = multimodal.synthetic_texture_assets(docs)
+    return (
+        multimodal.image_near_dup_pairs(assets)
+        .orderBy("id_a", "id_b")
+    )
+
+
 _SOURCE_CAP = 40
 
 

@@ -1106,12 +1106,17 @@ def _merge_exact_dedup_segments(df: DataFrame) -> DataFrame:
 #: Auto-compaction trigger for the segmented appliers: compact when the
 #: READABLE segment count (one compact + uncovered raws — exactly the set a
 #: read-side merge unions) reaches this. Chosen from the r11 sf10x
-#: read-amplification sweep (SEGMENT_READ_AMPLIFICATION_r11.json): read
-#: cost is ~flat through ~16 segments and climbs past it, while a larger
-#: threshold amortizes more O(view) compactions — 16 keeps reads at the
-#: flat part of the curve and pays one compaction per 16 ingests. Pass
-#: ``auto_compact=None`` for the manual protocol (the equivalence tests
-#: pin that any trigger point yields the identical view).
+#: read-amplification sweep (SEGMENT_READ_AMPLIFICATION_r11.json), which
+#: found two regimes: for a LARGE view (gram index, 22M rows) reads are
+#: flat 1.3-1.5 s from 1 to 64 raw segments — the monoid-fold groupBy
+#: dominates and extra scan fan-in is noise — while for a SMALL view
+#: (term stats, 3.1k rows) per-segment fixed overhead dominates and reads
+#: climb 0.14 → 0.28 → 0.67 s at 1 → 16 → 64 segments. 16 caps the
+#: small-view read at ~2× its compacted floor, costs the large view
+#: nothing, and amortizes the O(view) compaction (~14 s at sf10x for the
+#: gram index) over 16 O(batch) ingests. Pass ``auto_compact=None`` for
+#: the manual protocol (the equivalence tests pin that any trigger point
+#: yields the identical view).
 AUTO_COMPACT_SEGMENTS = 16
 
 
