@@ -3510,6 +3510,7 @@ QUERIES = {
     "docs_minhash_pairs_indexed": q_minhash_pairs_indexed,
     "docs_exact_dedup_indexed": q_exact_dedup_indexed,
     "docs_exact_dedup_retract": q_exact_dedup_retract,
+    "mm_phash_near_dup": q_phash_near_dup,
     "docs_source_cap": q_source_cap,
     "docs_minhash_jaccard_estimate": q_minhash_jaccard_estimate,
     "docs_ngram_jaccard_pairs": q_ngram_jaccard_pairs,

@@ -70,3 +70,33 @@ def test_image_near_dup_pipeline(spark):
     pairs = {(r.id_a, r.id_b): r.hamming for r in image_near_dup_pairs(df).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 4
     assert all(3 not in p for p in pairs)
+
+
+def test_synthetic_texture_assets_planted_clusters(spark):
+    """The executor-side texture renderer must produce planted pHash
+    clusters exactly: ids sharing a residue class render the same grid
+    (brightness shift is pHash-invariant), so the near-dup pairs are
+    precisely the within-class pairs — the determinism the rows-only
+    registry row (mm_phash_near_dup) relies on."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.multimodal import (
+        synthetic_texture_assets,
+    )
+
+    ids = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    assets = synthetic_texture_assets(ids, n_groups=5)
+    rows = {r.asset_id: bytes(r.payload) for r in assets.collect()}
+    assert len(rows) == 30 and all(p.startswith(b"\x89PNG") for p in rows.values())
+
+    pairs = {(r.id_a, r.id_b) for r in image_near_dup_pairs(assets).collect()}
+    want = {
+        (a, b)
+        for a in range(30)
+        for b in range(a + 1, 30)
+        if a % 5 == b % 5
+    }
+    assert pairs == want  # all planted pairs, nothing else
+
+    # byte-deterministic across invocations (rows-only contract)
+    again = {r.asset_id: bytes(r.payload) for r in
+             synthetic_texture_assets(ids, n_groups=5).collect()}
+    assert again == rows
