@@ -313,9 +313,74 @@ def main() -> int:
     timings["maintain_sketch_views_cycle"] = round(med_sv, 4)
     mat["maintain_sketch_views_cycle"] = round(med_sv, 4)
     cal_at["maintain_sketch_views_cycle"] = cal_series[-1]
-    cal_series.append(round(_cal_probe(), 3))  # closing probe: end-state load
     print(
         f"# maintain_sketch_views_cycle: {med_sv:.3f}s ({n_sv} rows)",
+        file=sys.stderr,
+    )
+
+    # composed per-ingest dedup cycle (r11, r10 verdict #5): the repo's
+    # deployment story as ONE tracked number — apply a corpus history
+    # (90%) then an ingest batch (10%) to the three maintained doc views
+    # via the SEGMENTED appliers (auto-compaction at its default
+    # trigger), then answer the ingest batch's dedup questions FROM THE
+    # VIEWS: exact-dup membership, near-dup candidate pairs touching the
+    # batch, and the batch's span-removal rewrite. Mirrors the
+    # test_ingest_loop_all_dedup_views_compose composition and the
+    # INGEST_SCALE_r10 sf10x probe, at sf0.1 with a round-over-round
+    # series.
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        minhash_pairs_from_index,
+        substring_dedup_rewrite_from_index,
+    )
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_exact_dedup_delta,
+        apply_gram_index_delta,
+        apply_minhash_buckets_delta,
+        read_exact_dedup_segments,
+        read_gram_index_segments,
+        read_minhash_buckets_segments,
+    )
+
+    history = docs.filter(SF.col("doc_id") % 10 != 0)
+    ingest = docs.filter(SF.col("doc_id") % 10 == 0)
+
+    def _ingest_dedup_cycle() -> int:
+        root = tempfile.mkdtemp(prefix="bench_ingest_")
+        ed, mh, gi = f"{root}/ed", f"{root}/mh", f"{root}/gi"
+        try:
+            for b, part in enumerate((history, ingest)):
+                apply_exact_dedup_delta(part, b, ed)
+                apply_minhash_buckets_delta(part, b, mh)
+                apply_gram_index_delta(part, b, gi)
+            n_dup = (
+                ingest.select("doc_id", SF.md5("text").alias("fingerprint"))
+                .join(
+                    read_exact_dedup_segments(spark, ed)
+                    .select("fingerprint", "n_copies"),
+                    "fingerprint",
+                )
+                .filter(SF.col("n_copies") > 1)
+                .count()
+            )
+            n_pairs = minhash_pairs_from_index(
+                read_minhash_buckets_segments(spark, mh),
+                batch_ids=ingest.select("doc_id"),
+            ).count()
+            n_rw = substring_dedup_rewrite_from_index(
+                ingest, read_gram_index_segments(spark, gi)
+            ).count()
+            return n_dup + n_pairs + n_rw
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    cal_series.append(round(_cal_probe(), 3))
+    med_ic, n_ic = _median_time(_ingest_dedup_cycle)
+    timings["ingest_dedup_cycle"] = round(med_ic, 4)
+    mat["ingest_dedup_cycle"] = round(med_ic, 4)
+    cal_at["ingest_dedup_cycle"] = cal_series[-1]
+    cal_series.append(round(_cal_probe(), 3))  # closing probe: end-state load
+    print(
+        f"# ingest_dedup_cycle: {med_ic:.3f}s ({n_ic} rows)",
         file=sys.stderr,
     )
 

@@ -18,74 +18,71 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 #: module order. The full registry is additionally verified locally each
 #: round (scripts/local_verify.py → CORRECTNESS_LOCAL_r{N}.json, committed).
 #:
-#: Round-10 window (the r1-r9 window history lives in git — this block at
-#: earlier tags — and WINDOW_LEDGER.json). Tier 1 = the rows changed or
-#: created this round: the ADVICE fixes (duplicate-id UNION sizes in the
-#: carried-sizes ngram Jaccard + its estimator consumer; budget_select
-#: typed offsets/NULL rejection; keep_best LEFT-joined scores), the NEW
-#: frozen-model inference row (docs_distill_score), the TWO new
-#: maintained-gram-index read paths completing the streaming ExactSubstr
-#: triad (spans + pairs — their oracles are byte-identical to their
-#: one-shot twins' BY CONTRACT, so a driver green certifies the
-#: maintained-count and posting-list machinery itself), and the rewrite
-#: *_indexed row re-certified because the view it reads gained the
-#: posting-list columns this round. Tier 2 = the ONLY remaining stale
-#: vintage: the 35 rows last driver-green in r6. 15 + 35 = 50 slots — the window is
-#: exactly full; after this round every ledger row should have
-#: last_green ≥ 7.
+#: Round-11 window (the r1-r10 window history lives in git — this block at
+#: earlier tags — and WINDOW_LEDGER.json). Tier 1 = the registry's one
+#: never-driver-green row (docs_substring_rewrite_segmented, registered
+#: post-window in r10 — a driver hash on it certifies the whole LSM
+#: write/compact/merge protocol end to end), the TWO new r11 rows
+#: (retractable exact-dedup via Z-set tombstone segments; the rows-only
+#: multimodal pHash near-dup pipeline), and every row whose deep
+#: implementation moved this round: the *_indexed rows over views whose
+#: delta builders gained the integral-id contract + legacy-schema
+#: backfill and whose segment protocol gained reader-safety +
+#: auto-compaction, and the two Arrow-kernel rows whose rounding switched
+#: from numpy half-even to HALF_UP (grid ties can flip values).
+#: Tier 2 = the ONLY remaining stale vintage: the 37 rows last
+#: driver-green in r7. 10 + 37 = 47 of 50 slots; the 3 spare absorb any
+#: late-round registrations (else fall through to module order).
 _VERIFY_FIRST = (
-    # --- tier 1: changed / new in round 10 ---
-    "docs_ngram_jaccard_pairs",       # duplicate-id union-size correction
-    "docs_minhash_jaccard_estimate",  # consumes the corrected exact-Jaccard
-    "docs_dedup_keep_best",           # scores LEFT-joined, NULLs rank last
-    "docs_budget_select",             # typed offsets frame + NULL rejection
-    "docs_distill_score",             # NEW: frozen-model inference scan
-    "docs_substring_dedup_indexed",   # NEW: spans from the maintained view
-    "docs_substring_pairs_indexed",   # NEW: pairs from capped posting lists
-    "docs_substring_rewrite_indexed", # view schema gained ids/over (r10)
-    "docs_bm25_topk",                 # single tokenize pass (persisted proj, r10)
-    "docs_hybrid_rrf",                # consumes the fused BM25 branch (r10)
-    "emb_semdedup",                   # per-cluster block gemm kernel (r10)
-    "docs_minhash_pairs_indexed",     # NEW: pairs from the maintained LSH buckets
-    "docs_exact_dedup_indexed",       # NEW: maintained fingerprint view
-    "docs_source_cap",                # NEW: per-source document cap
-    "emb_kmeans_arrow",               # NEW: large-k Arrow Lloyd kernel
-    # --- tier 2: the whole remaining r6-vintage tail (35 rows) ---
-    "docs_lang_source_chisq",
-    "docs_minhash_signatures",
-    "docs_token_stats",
-    "docs_top_ngrams",
-    "docs_winnowing",
-    "events_cumulative_users",
-    "events_props_stats",
-    "events_props_variant",
-    "rel_ams_f2",
-    "rel_bloom_semijoin",
-    "rel_cms_heavy_hitters",
-    "rel_customers_without_orders",
-    "rel_hll_distinct",
-    "rel_hll_monthly_customers",
-    "rel_hll_rolling_distinct",
-    "rel_kmv_distinct",
-    "rel_latest_order_per_customer",
-    "rel_parts_shipped",
-    "rel_priority_sample_revenue",
-    "rel_rolling_revenue",
-    "rel_rollup_lineitem",
-    "rel_running_order_total",
-    "rel_set_ops",
-    "stream_dedup_keyed",
-    "stream_range_join_windows",
-    "stream_sessionize",
-    "stream_sliding_6h",
-    "stream_tumbling_daily",
-    "stream_window_topk",
-    "weather_clean_outliers",
-    "weather_condition_histogram",
-    "weather_condition_mode_by_city",
-    "weather_daily_pivot",
-    "weather_exact_median",
-    "weather_temperature_trends",
+    # --- tier 1: changed / new in round 11 ---
+    "docs_substring_rewrite_segmented",  # NEVER driver-green; LSM protocol E2E
+    "docs_exact_dedup_retract",          # NEW: Z-set deletion/retraction
+    "mm_phash_near_dup",                 # NEW: multimodal codec row (rows-only)
+    "docs_substring_dedup_indexed",      # gram delta: id contract + backfill
+    "docs_substring_pairs_indexed",      # gram posting lists (same delta)
+    "docs_substring_rewrite_indexed",    # gram cnt/min_okey (same delta)
+    "docs_minhash_pairs_indexed",        # bucket delta: id contract
+    "docs_exact_dedup_indexed",          # fingerprint view (shared protocol)
+    "emb_kmeans_arrow",                  # HALF_UP rounding in the kernel
+    "emb_semdedup",                      # HALF_UP rounding in the block gemm
+    # --- tier 2: the whole remaining r7-vintage tail (37 rows) ---
+    "docs_bpe_token_count",
+    "docs_curation_pipeline",
+    "docs_decontaminate",
+    "docs_exact_dedup",
+    "docs_fingerprint",
+    "docs_language_id",
+    "docs_mixture_sample",
+    "docs_quality_filter",
+    "docs_quality_topk_per_source",
+    "docs_repetition_stats",
+    "docs_simhash",
+    "docs_temperature_mixture",
+    "docs_tfidf_topk",
+    "docs_token_quantiles_by_lang",
+    "emb_ivf_quantized_topk",
+    "emb_ivf_topk",
+    "emb_kmeans",
+    "events_funnel",
+    "events_gap_fill",
+    "events_retention",
+    "events_top_transitions",
+    "rel_approx_distinct",
+    "rel_distinct_parts",
+    "rel_fuzzy_part_names",
+    "rel_late_shipment_priority",
+    "rel_order_count_distribution",
+    "rel_salted_join",
+    "rel_scd2_apply",
+    "rel_waiting_suppliers",
+    "rel_yearly_growth",
+    "sql_priority_with_exists",
+    "sql_recursive_chains",
+    "weather_date_range",
+    "weather_derived_projection",
+    "weather_icon_lookup",
+    "weather_linear_fit",
+    "weather_outlier_counts",
 )
 
 
