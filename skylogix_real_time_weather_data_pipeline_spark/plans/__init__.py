@@ -37,6 +37,7 @@ _VERIFY_FIRST = (
     # --- tier 1: changed / new in round 11 ---
     "docs_substring_rewrite_segmented",  # NEVER driver-green; LSM protocol E2E
     "docs_exact_dedup_retract",          # NEW: Z-set deletion/retraction
+    "docs_substring_rewrite_retract",    # NEW: retraction on the gram index
     "mm_phash_near_dup",                 # NEW: multimodal codec row (rows-only)
     "docs_substring_dedup_indexed",      # gram delta: id contract + backfill
     "docs_substring_pairs_indexed",      # gram posting lists (same delta)

@@ -2072,6 +2072,39 @@ def q_substring_rewrite_segmented(spark: SparkSession, sf_dir: str) -> DataFrame
     return dedup.substring_dedup_rewrite_from_index(docs, view, k=_SUBSTR_K)
 
 
+def q_substring_rewrite_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal after a RETRACTION (r11): maintain the
+    retractable (Z-set, doc-granular) gram-index view over two ingest
+    batches, retract a corrected shard (doc_id % 7 == 3) as a tombstone
+    batch, then rewrite the SURVIVING corpus from the merged view
+    (streaming/matview.py:apply_gram_index_retractable_delta /
+    retract_gram_index_delta / read_gram_index_retractable_segments).
+    Retraction here changes real answers — keep-first argmins held by
+    retracted docs re-elect, duplicate counts drop — so the oracle is the
+    one-shot rewrite oracle evaluated over the survivors, certifying the
+    invertible weighted fold end to end."""
+    import os
+
+    from ..streaming.matview import (
+        apply_gram_index_retractable_delta,
+        read_gram_index_retractable_segments,
+        retract_gram_index_delta,
+    )
+
+    docs = _docs(spark, sf_dir)
+    root = _session_state_dir(spark, sf_dir, "skylogix_gram_rz")
+    state = os.path.join(root, "view")
+    apply_gram_index_retractable_delta(
+        docs.filter(F.col("doc_id") % 2 == 0), 0, state, k=_SUBSTR_K)
+    apply_gram_index_retractable_delta(
+        docs.filter(F.col("doc_id") % 2 == 1), 1, state, k=_SUBSTR_K)
+    retract_gram_index_delta(
+        docs.filter(F.col("doc_id") % 7 == 3), 2, state, k=_SUBSTR_K)
+    view = read_gram_index_retractable_segments(spark, state)
+    survivors = docs.filter(F.col("doc_id") % 7 != 3)
+    return dedup.substring_dedup_rewrite_from_index(survivors, view, k=_SUBSTR_K)
+
+
 def q_substring_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr coverage STATS against the maintained gram-index view
     (r10, r9 verdict #5): build the view as two replay-guarded
@@ -3546,6 +3579,7 @@ QUERIES = {
     "docs_substring_rewrite": q_substring_rewrite,
     "docs_substring_rewrite_indexed": q_substring_rewrite_indexed,
     "docs_substring_rewrite_segmented": q_substring_rewrite_segmented,
+    "docs_substring_rewrite_retract": q_substring_rewrite_retract,
     "docs_substring_dedup_indexed": q_substring_dedup_indexed,
     "docs_substring_pairs_indexed": q_substring_pairs_indexed,
     "docs_substring_pairs": q_substring_pairs,
@@ -3636,6 +3670,12 @@ ORACLES = {
     # equal the one-shot batch rewrite row-for-row
     "docs_substring_rewrite_indexed": O_SUBSTRING_REWRITE,
     "docs_substring_rewrite_segmented": O_SUBSTRING_REWRITE,
+    # the one-shot rewrite oracle over the SURVIVING corpus: retractable
+    # view == rebuild-over-survivors is the Z-set fold's contract
+    "docs_substring_rewrite_retract": O_SUBSTRING_REWRITE.replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 7 <> 3) documents",
+    ),
     "docs_substring_dedup_indexed": O_SUBSTRING_DEDUP,
     "docs_substring_pairs_indexed": O_SUBSTRING_PAIRS,
     "docs_substring_pairs": O_SUBSTRING_PAIRS,

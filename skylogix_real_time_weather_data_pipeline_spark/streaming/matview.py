@@ -1350,6 +1350,184 @@ def compact_exact_dedup_retractable_segments(spark, state_dir: str) -> int:
     return _compact_segments(spark, state_dir, _fold_exact_dedup_weights)
 
 
+# The same Z-set construction generalized to the OTHER two doc views.
+# The add-only gram-index / LSH-bucket monoids are capped-union
+# SEMILATTICES — union has no inverse and the over-cap collapse is sticky
+# — so like exact-dedup they cannot retract. The retractable variants
+# store doc-granular evidence (per (gram, doc) / per (bucket, doc)) with
+# ±1 weights and recompute the aggregate AT READ TIME from live rows
+# only. Semantics therefore equal REBUILD-over-survivors: in particular a
+# bucket/gram that overflowed its cap can fall back UNDER it when enough
+# members are retracted (the sticky collapse is an add-only artifact, not
+# a correctness property — the batch detectors recompute the cap from
+# scratch too). Segments are O(batch tokens) instead of O(batch grams):
+# the price of invertibility is carrying the per-doc breakdown the
+# add-only delta pre-aggregates away. Retraction takes the ORIGINAL
+# (id, text) rows; evidence values (cnt, min_okey, band hashes) are pure
+# functions of the document, so a tombstone reproduces its add's rows
+# exactly and the keyed weight sums annihilate.
+
+
+def _gram_index_weighted_delta(batch_df: DataFrame, text_col: str,
+                               id_col: str, k: int, weight: int) -> DataFrame:
+    from ..ext.dedup import _gram_occurrences
+
+    _require_integral_id(batch_df, id_col, "gram_index_retractable")
+    _, _, occ = _gram_occurrences(batch_df, text_col, id_col, k)
+    return occ.groupBy("h", F.col(id_col).cast("long").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("okey").alias("min_okey"),
+        F.lit(weight).cast("long").alias("w"),
+    )
+
+
+def _fold_gram_index_weights(df: DataFrame) -> DataFrame:
+    """Compaction fold: per-(gram, doc) weight sums; cnt/min_okey are
+    identical across a doc's add and tombstone rows (pure functions of
+    the text), so max/min just pick the shared value."""
+    return (
+        df.groupBy("h", "doc_id")
+        .agg(F.max("cnt").alias("cnt"), F.min("min_okey").alias("min_okey"),
+             F.sum("w").alias("w"))
+        .filter(F.col("w") != 0)
+    )
+
+
+def _merge_gram_index_retractable(df: DataFrame, max_gram_df: int) -> DataFrame:
+    """Read fold: live (gram, doc) rows re-aggregated to the maintained
+    gram-index contract (h, cnt, min_okey, ids, over) — byte-compatible
+    with every *_from_index read path."""
+    live = _fold_gram_index_weights(df).filter(F.col("w") > 0)
+    return (
+        live.groupBy("h")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.min("min_okey").alias("min_okey"),
+            F.array_sort(F.collect_set("doc_id")).alias("_ids"),
+        )
+        .select(
+            "h", "cnt", "min_okey",
+            F.when(F.size("_ids") <= max_gram_df, F.col("_ids")).alias("ids"),
+            (F.size("_ids") > max_gram_df).alias("over"),
+        )
+    )
+
+
+def apply_gram_index_retractable_delta(
+        batch_df: DataFrame, batch_id: int, state_dir: str,
+        text_col: str = "text", id_col: str = "doc_id", k: int = 8,
+        auto_compact: int | None = AUTO_COMPACT_SEGMENTS) -> None:
+    """O(batch) segmented apply of the RETRACTABLE gram-index view."""
+    _apply_delta_segment(
+        lambda: _gram_index_weighted_delta(batch_df, text_col, id_col, k, 1),
+        batch_df, batch_id, state_dir, _fold_gram_index_weights, auto_compact,
+    )
+
+
+def retract_gram_index_delta(
+        batch_df: DataFrame, batch_id: int, state_dir: str,
+        text_col: str = "text", id_col: str = "doc_id", k: int = 8,
+        auto_compact: int | None = AUTO_COMPACT_SEGMENTS) -> None:
+    """Tombstone segment for the retractable gram-index view (original
+    (id, text) rows; same k as the applies it cancels)."""
+    _apply_delta_segment(
+        lambda: _gram_index_weighted_delta(batch_df, text_col, id_col, k, -1),
+        batch_df, batch_id, state_dir, _fold_gram_index_weights, auto_compact,
+    )
+
+
+def read_gram_index_retractable_segments(spark, state_dir: str,
+                                         max_gram_df: int = 1_000) -> DataFrame:
+    return _read_segments(
+        spark, state_dir,
+        lambda df: _merge_gram_index_retractable(df, max_gram_df),
+    )
+
+
+def compact_gram_index_retractable_segments(spark, state_dir: str) -> int:
+    return _compact_segments(spark, state_dir, _fold_gram_index_weights)
+
+
+def _minhash_buckets_weighted_delta(batch_df: DataFrame, text_col: str,
+                                    id_col: str, n_hashes: int, bands: int,
+                                    shingle_n: int, weight: int) -> DataFrame:
+    from ..ext.dedup import band_structs, minhash_signatures
+
+    _require_integral_id(batch_df, id_col, "minhash_buckets_retractable")
+    sig = minhash_signatures(batch_df, text_col, id_col, n_hashes, shingle_n)
+    return sig.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.array(*band_structs(n_hashes, bands))).alias("band"),
+    ).select(
+        "doc_id",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_hash").alias("band_hash"),
+        F.lit(weight).cast("long").alias("w"),
+    )
+
+
+def _fold_minhash_weights(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy("band_idx", "band_hash", "doc_id")
+        .agg(F.sum("w").alias("w"))
+        .filter(F.col("w") != 0)
+    )
+
+
+def _merge_minhash_retractable(df: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Read fold to the maintained LSH-bucket contract
+    (band_idx, band_hash, ids, over) from live memberships."""
+    live = _fold_minhash_weights(df).filter(F.col("w") > 0)
+    return (
+        live.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("_ids"))
+        .select(
+            "band_idx", "band_hash",
+            F.when(F.size("_ids") <= max_bucket_size, F.col("_ids")).alias("ids"),
+            (F.size("_ids") > max_bucket_size).alias("over"),
+        )
+    )
+
+
+def apply_minhash_buckets_retractable_delta(
+        batch_df: DataFrame, batch_id: int, state_dir: str,
+        text_col: str = "text", id_col: str = "doc_id", n_hashes: int = 16,
+        bands: int = 4, shingle_n: int = 3,
+        auto_compact: int | None = AUTO_COMPACT_SEGMENTS) -> None:
+    """O(batch) segmented apply of the RETRACTABLE LSH-bucket view."""
+    _apply_delta_segment(
+        lambda: _minhash_buckets_weighted_delta(
+            batch_df, text_col, id_col, n_hashes, bands, shingle_n, 1),
+        batch_df, batch_id, state_dir, _fold_minhash_weights, auto_compact,
+    )
+
+
+def retract_minhash_buckets_delta(
+        batch_df: DataFrame, batch_id: int, state_dir: str,
+        text_col: str = "text", id_col: str = "doc_id", n_hashes: int = 16,
+        bands: int = 4, shingle_n: int = 3,
+        auto_compact: int | None = AUTO_COMPACT_SEGMENTS) -> None:
+    """Tombstone segment for the retractable LSH-bucket view (original
+    (id, text) rows; same signature params as the applies it cancels)."""
+    _apply_delta_segment(
+        lambda: _minhash_buckets_weighted_delta(
+            batch_df, text_col, id_col, n_hashes, bands, shingle_n, -1),
+        batch_df, batch_id, state_dir, _fold_minhash_weights, auto_compact,
+    )
+
+
+def read_minhash_buckets_retractable_segments(
+        spark, state_dir: str, max_bucket_size: int = 100_000) -> DataFrame:
+    return _read_segments(
+        spark, state_dir,
+        lambda df: _merge_minhash_retractable(df, max_bucket_size),
+    )
+
+
+def compact_minhash_buckets_retractable_segments(spark, state_dir: str) -> int:
+    return _compact_segments(spark, state_dir, _fold_minhash_weights)
+
+
 def _merge_term_stats_segments(df: DataFrame) -> DataFrame:
     """Segment merge for the term-stats view: cf and df both ADD —
     plain additive monoids, order-free."""

@@ -1248,3 +1248,162 @@ def test_retractable_exact_dedup_equals_rebuild(spark, tmp_path):
     retract_exact_dedup_delta(
         spark.createDataFrame([b0[0], b0[1]], schema), 1, state)
     assert snap(state) == want([b0[2]])
+
+
+def test_retractable_gram_index_equals_rebuild(spark, tmp_path):
+    """r11: the retractable gram-index view must read equal to the
+    add-only view REBUILT over the surviving corpus — including cnt /
+    keep-first min_okey re-election when the retracted doc held the
+    global argmin — and the whole *_from_index read-path family must give
+    the batch answers for the survivors, across compaction."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        substring_dedup_rewrite,
+        substring_dedup_rewrite_from_index,
+        substring_shared_gram_pairs,
+        substring_shared_gram_pairs_from_index,
+    )
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_gram_index_batch,
+        apply_gram_index_retractable_delta,
+        compact_gram_index_retractable_segments,
+        read_gram_index_retractable_segments,
+        retract_gram_index_delta,
+    )
+
+    schema = "doc_id long, text string"
+    k, cap = 3, 3
+    boiler = "spam spam spam wonderful spam"
+    b0 = [(1, boiler + " alpha beta"), (2, "unique one two three")]
+    b1 = [(3, boiler), (4, boiler), (5, boiler + " alpha beta")]
+
+    state = str(tmp_path / "rzgi")
+    apply_gram_index_retractable_delta(
+        spark.createDataFrame(b0, schema), 0, state, k=k)
+    apply_gram_index_retractable_delta(
+        spark.createDataFrame(b1, schema), 1, state, k=k)
+
+    def snap(df):
+        return sorted(
+            (r.h, r.cnt, r.min_okey,
+             tuple(r.ids) if r.ids is not None else None, r.over)
+            for r in df.collect()
+        )
+
+    def rebuild(rows, tag):
+        cdir = str(tmp_path / f"cmp_{tag}")
+        apply_gram_index_batch(
+            spark.createDataFrame(rows, schema), 0, cdir, k=k, max_gram_df=cap)
+        return snap(spark.read.parquet(cdir))
+
+    merged = read_gram_index_retractable_segments(spark, state, max_gram_df=cap)
+    assert snap(merged) == rebuild(b0 + b1, "all")
+    assert any(r[4] for r in snap(merged))  # boiler grams genuinely over cap
+
+    # retract doc 1 — the keep-first argmin holder for the boiler grams —
+    # plus one over-cap contributor (4): min_okey must re-elect and the
+    # boiler grams' distinct-doc set drops back to the cap boundary
+    retract_gram_index_delta(
+        spark.createDataFrame([b0[0], b1[1]], schema), 2, state, k=k)
+    survivors = [b0[1], b1[0], b1[2]]
+    merged = read_gram_index_retractable_segments(spark, state, max_gram_df=cap)
+    assert snap(merged) == rebuild(survivors, "surv")
+    assert not any(r[4] for r in snap(merged))  # cap RECOVERED (3 docs left)
+
+    # downstream read paths: rewrite + pairs over survivors == batch
+    sdf = spark.createDataFrame(survivors, schema)
+    got_rw = sorted(
+        tuple(r)
+        for r in substring_dedup_rewrite_from_index(sdf, merged, k=k).collect()
+    )
+    want_rw = sorted(tuple(r) for r in substring_dedup_rewrite(sdf, k=k).collect())
+    assert got_rw == want_rw
+    got_p = sorted(
+        tuple(r)
+        for r in substring_shared_gram_pairs_from_index(merged).collect()
+    )
+    want_p = sorted(
+        tuple(r)
+        for r in substring_shared_gram_pairs(
+            sdf, k=k, max_gram_df=cap
+        ).collect()
+    )
+    assert got_p == want_p
+
+    # compaction at an arbitrary point changes nothing; retraction after
+    # compaction still works
+    assert compact_gram_index_retractable_segments(spark, state) == 3
+    assert snap(read_gram_index_retractable_segments(spark, state, max_gram_df=cap)) \
+        == rebuild(survivors, "surv2")
+    retract_gram_index_delta(
+        spark.createDataFrame([b1[0]], schema), 3, state, k=k)
+    assert snap(read_gram_index_retractable_segments(spark, state, max_gram_df=cap)) \
+        == rebuild([b0[1], b1[2]], "surv3")
+
+
+def test_retractable_minhash_buckets_equal_rebuild(spark, tmp_path):
+    """r11: the retractable LSH-bucket view must read equal to the
+    add-only view rebuilt over survivors (including a bucket recovering
+    from its cap collapse), and pairs from the view must equal the batch
+    detector on the surviving corpus."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        minhash_lsh_pairs,
+        minhash_pairs_from_index,
+    )
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_minhash_buckets_batch,
+        apply_minhash_buckets_retractable_delta,
+        read_minhash_buckets_retractable_segments,
+        retract_minhash_buckets_delta,
+    )
+
+    schema = "doc_id long, text string"
+    text = "the quick brown fox jumps over the lazy dog tonight"
+    cap = 3
+    b0 = [(1, text), (2, text), (3, "totally different words entirely")]
+    b1 = [(4, text), (5, text), (6, text + " extra")]
+
+    state = str(tmp_path / "rzmh")
+    apply_minhash_buckets_retractable_delta(
+        spark.createDataFrame(b0, schema), 0, state)
+    apply_minhash_buckets_retractable_delta(
+        spark.createDataFrame(b1, schema), 1, state)
+
+    def snap(df):
+        return sorted(
+            (r.band_idx, r.band_hash,
+             tuple(r.ids) if r.ids is not None else None, r.over)
+            for r in df.collect()
+        )
+
+    def rebuild(rows, tag):
+        cdir = str(tmp_path / f"cmp_{tag}")
+        apply_minhash_buckets_batch(
+            spark.createDataFrame(rows, schema), 0, cdir,
+            max_bucket_size=cap)
+        return snap(spark.read.parquet(cdir))
+
+    got = snap(read_minhash_buckets_retractable_segments(spark, state,
+                                                         max_bucket_size=cap))
+    assert got == rebuild(b0 + b1, "all")
+    assert any(r[3] for r in got)  # 5 identical docs → bucket over cap=3
+
+    # retract two of the identical docs: the bucket falls back under cap
+    retract_minhash_buckets_delta(
+        spark.createDataFrame([b0[0], b1[0]], schema), 2, state)
+    survivors = [b0[1], b0[2], b1[1], b1[2]]
+    merged = read_minhash_buckets_retractable_segments(spark, state,
+                                                       max_bucket_size=cap)
+    assert snap(merged) == rebuild(survivors, "surv")
+    assert not any(r[3] for r in snap(merged))  # cap recovered
+
+    got_pairs = sorted(
+        (r.id_a, r.id_b)
+        for r in minhash_pairs_from_index(merged, max_bucket_size=cap).collect()
+    )
+    want_pairs = sorted(
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            spark.createDataFrame(survivors, schema), max_bucket_size=cap
+        ).collect()
+    )
+    assert got_pairs == want_pairs and (2, 5) in got_pairs
