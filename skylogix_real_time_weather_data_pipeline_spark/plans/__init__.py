@@ -38,6 +38,7 @@ _VERIFY_FIRST = (
     "docs_substring_rewrite_segmented",  # NEVER driver-green; LSM protocol E2E
     "docs_exact_dedup_retract",          # NEW: Z-set deletion/retraction
     "docs_substring_rewrite_retract",    # NEW: retraction on the gram index
+    "docs_bm25_topk_retract",            # NEW: retraction on the term stats
     "mm_phash_near_dup",                 # NEW: multimodal codec row (rows-only)
     "docs_substring_dedup_indexed",      # gram delta: id contract + backfill
     "docs_substring_pairs_indexed",      # gram posting lists (same delta)

@@ -3243,6 +3243,42 @@ bm AS (
 )"""
 
 
+def q_bm25_topk_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 after a RETRACTION (r11): maintain the retractable term-stats
+    view (doc-granular Z-set — df un-counts retracted docs, which the
+    add-only additive (cf, df) aggregate cannot), retract the corrected
+    shard (doc_id % 7 == 3), then score the SURVIVING corpus from the
+    merged view with survivor-derived N/avgdl. Oracle = the one-shot
+    BM25 oracle over the survivors: retracted view == rebuild is the
+    Z-set fold's contract."""
+    import os
+
+    from ..ext.text import tokens as _tokens
+    from ..streaming.matview import (
+        apply_term_stats_retractable_delta,
+        read_term_stats_retractable_segments,
+        retract_term_stats_delta,
+    )
+
+    docs = _docs(spark, sf_dir)
+    root = _session_state_dir(spark, sf_dir, "skylogix_term_rz")
+    state = os.path.join(root, "view")
+    apply_term_stats_retractable_delta(
+        docs.filter(F.col("doc_id") % 2 == 0), 0, state)
+    apply_term_stats_retractable_delta(
+        docs.filter(F.col("doc_id") % 2 == 1), 1, state)
+    retract_term_stats_delta(docs.filter(F.col("doc_id") % 7 == 3), 2, state)
+    survivors = docs.filter(F.col("doc_id") % 7 != 3)
+    stats = read_term_stats_retractable_segments(spark, state)
+    counters = survivors.select(F.size(_tokens("text")).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    return text.bm25_topk_from_stats(
+        survivors, stats, counters.n, counters.s / counters.n,
+        _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B,
+    )
+
+
 O_BM25_TOPK = TOK_CTE + ", " + _bm25_cte(_BM25_K) + """
 SELECT doc_id, n_terms_matched, bm25 FROM bm
 """
@@ -3590,6 +3626,7 @@ QUERIES = {
     "docs_token_entropy": q_token_entropy,
     "docs_bm25_topk": q_bm25_topk,
     "docs_bm25_topk_indexed": q_bm25_topk_indexed,
+    "docs_bm25_topk_retract": q_bm25_topk_retract,
     "docs_hybrid_rrf": q_hybrid_rrf,
     "docs_zipf_fit": q_zipf_fit,
     "docs_lang_source_chisq": q_lang_source_chisq,
@@ -3688,6 +3725,11 @@ ORACLES = {
     # identical oracle BY CONTRACT: scoring against the maintained
     # term-stats view must equal the from-scratch recompute
     "docs_bm25_topk_indexed": O_BM25_TOPK,
+    # BM25 oracle over the SURVIVING corpus (retracted view == rebuild)
+    "docs_bm25_topk_retract": O_BM25_TOPK.replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 7 <> 3) documents",
+    ),
     "docs_hybrid_rrf": O_HYBRID_RRF,
     "docs_zipf_fit": O_ZIPF_FIT,
     "docs_lang_source_chisq": O_LANG_SOURCE_CHISQ,

@@ -1528,6 +1528,76 @@ def compact_minhash_buckets_retractable_segments(spark, state_dir: str) -> int:
     return _compact_segments(spark, state_dir, _fold_minhash_weights)
 
 
+def _term_stats_weighted_delta(batch_df: DataFrame, text_col: str,
+                               id_col: str, weight: int) -> DataFrame:
+    """Doc-granular term evidence (w, doc_id, tf, zw) — the term column
+    is already named ``w`` by the view contract, so the Z-set weight
+    column is ``zw`` here. The doc id keeps its NATIVE type (nothing
+    here packs it into a numeric key, unlike the gram/bucket views)."""
+    from ..ext.text import tokens
+
+    return (
+        batch_df.select(F.col(id_col).alias("doc_id"),
+                        F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"),
+             F.lit(weight).cast("long").alias("zw"))
+    )
+
+
+def _fold_term_stats_weights(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy("w", "doc_id")
+        .agg(F.max("tf").alias("tf"), F.sum("zw").alias("zw"))
+        .filter(F.col("zw") != 0)
+    )
+
+
+def _merge_term_stats_retractable(df: DataFrame) -> DataFrame:
+    """Read fold to the term-stats contract (w, cf, df) from live
+    doc-level term frequencies: cf = Σ tf, df = count of live docs."""
+    return (
+        _fold_term_stats_weights(df)
+        .filter(F.col("zw") > 0)
+        .groupBy("w")
+        .agg(F.sum("tf").alias("cf"), F.count(F.lit(1)).alias("df"))
+    )
+
+
+def apply_term_stats_retractable_delta(
+        batch_df: DataFrame, batch_id: int, state_dir: str,
+        text_col: str = "text", id_col: str = "doc_id",
+        auto_compact: int | None = AUTO_COMPACT_SEGMENTS) -> None:
+    """O(batch) segmented apply of the RETRACTABLE BM25/TF-IDF term-stats
+    view (doc-granular term frequencies with ±1 weights — cf is additive
+    and hence invertible, but df counts DISTINCT docs, which the add-only
+    (cf, df) aggregate cannot un-count; the Z-set schema can)."""
+    _apply_delta_segment(
+        lambda: _term_stats_weighted_delta(batch_df, text_col, id_col, 1),
+        batch_df, batch_id, state_dir, _fold_term_stats_weights, auto_compact,
+    )
+
+
+def retract_term_stats_delta(
+        batch_df: DataFrame, batch_id: int, state_dir: str,
+        text_col: str = "text", id_col: str = "doc_id",
+        auto_compact: int | None = AUTO_COMPACT_SEGMENTS) -> None:
+    """Tombstone segment for the retractable term-stats view (original
+    (id, text) rows)."""
+    _apply_delta_segment(
+        lambda: _term_stats_weighted_delta(batch_df, text_col, id_col, -1),
+        batch_df, batch_id, state_dir, _fold_term_stats_weights, auto_compact,
+    )
+
+
+def read_term_stats_retractable_segments(spark, state_dir: str) -> DataFrame:
+    return _read_segments(spark, state_dir, _merge_term_stats_retractable)
+
+
+def compact_term_stats_retractable_segments(spark, state_dir: str) -> int:
+    return _compact_segments(spark, state_dir, _fold_term_stats_weights)
+
+
 def _merge_term_stats_segments(df: DataFrame) -> DataFrame:
     """Segment merge for the term-stats view: cf and df both ADD —
     plain additive monoids, order-free."""

@@ -1407,3 +1407,88 @@ def test_retractable_minhash_buckets_equal_rebuild(spark, tmp_path):
         ).collect()
     )
     assert got_pairs == want_pairs and (2, 5) in got_pairs
+
+
+def test_retractable_term_stats_equals_rebuild_and_scores_bm25(spark, tmp_path):
+    """r11: the retractable term-stats view must read equal to the batch
+    (cf, df) aggregate over survivors — df un-counts retracted docs, the
+    thing the add-only additive view cannot do — and BM25 scored from the
+    retracted view must equal a from-scratch recompute on the surviving
+    corpus. String doc ids work (nothing packs the id numerically)."""
+    from pyspark.sql import functions as F
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.text import (
+        bm25_topk,
+        bm25_topk_from_stats,
+        tokens,
+    )
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_term_stats_retractable_delta,
+        compact_term_stats_retractable_segments,
+        read_term_stats_retractable_segments,
+        retract_term_stats_delta,
+    )
+
+    schema = "doc_id long, text string"
+    b0 = [(1, "spark join merge spark spark"), (2, "merge table scan join")]
+    b1 = [(3, "spark window filter"), (4, "join join window the filter scan")]
+
+    state = str(tmp_path / "rzts")
+    apply_term_stats_retractable_delta(spark.createDataFrame(b0, schema), 0, state)
+    apply_term_stats_retractable_delta(spark.createDataFrame(b1, schema), 1, state)
+
+    def want_stats(rows):
+        return {
+            r.w: (r.cf, r.df)
+            for r in spark.createDataFrame(rows, schema)
+            .select("doc_id", F.explode(tokens("text")).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cf"), F.count_distinct("doc_id").alias("df"))
+            .collect()
+        }
+
+    def got_stats():
+        return {
+            r.w: (r.cf, r.df)
+            for r in read_term_stats_retractable_segments(spark, state).collect()
+        }
+
+    assert got_stats() == want_stats(b0 + b1)
+
+    # retract doc 1 (3 'spark' occurrences + a df contributor)
+    retract_term_stats_delta(spark.createDataFrame([b0[0]], schema), 2, state)
+    survivors = [b0[1], b1[0], b1[1]]
+    assert got_stats() == want_stats(survivors)
+    assert got_stats()["spark"] == (1, 1)  # cf AND df both un-counted
+
+    # BM25 from the retracted view == recompute over survivors
+    sdf = spark.createDataFrame(survivors, schema)
+    n_docs = 3
+    avgdl = sdf.select(F.sum(F.size(tokens("text"))).alias("s")).collect()[0].s / n_docs
+    stats = read_term_stats_retractable_segments(spark, state)
+    got = [
+        (r.doc_id, r.n_terms_matched, r.bm25)
+        for r in bm25_topk_from_stats(sdf, stats, n_docs, avgdl,
+                                      ["spark", "join"], k=10).collect()
+    ]
+    want = [
+        (r.doc_id, r.n_terms_matched, r.bm25)
+        for r in bm25_topk(sdf, ["spark", "join"], k=10).collect()
+    ]
+    assert got == want
+
+    # compaction then further retraction still exact
+    assert compact_term_stats_retractable_segments(spark, state) == 3
+    retract_term_stats_delta(spark.createDataFrame([b1[0]], schema), 3, state)
+    assert got_stats() == want_stats([b0[1], b1[1]])
+
+    # string ids: full add/retract cycle with no numeric-id requirement
+    sstate = str(tmp_path / "rzts_str")
+    sschema = "doc_id string, text string"
+    apply_term_stats_retractable_delta(
+        spark.createDataFrame([("a", "x y x"), ("b", "x z")], sschema), 0, sstate)
+    retract_term_stats_delta(
+        spark.createDataFrame([("a", "x y x")], sschema), 1, sstate)
+    got_s = {r.w: (r.cf, r.df)
+             for r in read_term_stats_retractable_segments(spark, sstate).collect()}
+    assert got_s == {"x": (1, 1), "z": (1, 1)}
