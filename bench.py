@@ -101,6 +101,11 @@ EXTENDED = [
     # protocol driven end to end (apply half, compact, apply half,
     # rewrite from the merged view)
     "docs_substring_rewrite_segmented",
+    # r11 retraction family: the end-to-end delete protocols — Z-set
+    # apply+tombstone+read for the ANN postings (vector-granular) and the
+    # turnstile Count-Sketch (constant-size O(d·w) segments by linearity)
+    "emb_ivf_topk_retract",
+    "rel_count_sketch_retract",
 ]
 
 

@@ -990,3 +990,51 @@ def bottomk_quantiles(df: DataFrame, key_col, value_col: str,
         )
         .sort("p_ppm")
     )
+
+
+def count_sketch_estimate(counters: DataFrame, keys: DataFrame,
+                          key_col: str = "key", depth: int = 5,
+                          width: int = 256) -> DataFrame:
+    """Count-Sketch point estimates (Charikar-Chen-Farach-Colton 2002)
+    for the keys in ``keys`` against a ``(d, b, c)`` counter frame —
+    the TURNSTILE estimator: each row d contributes sign_d(key) ·
+    counter[d][bucket_d(key)], and the estimate is the MEDIAN over the
+    d contributions (unbiased per row; the median controls collision
+    variance from both directions, which is what survives deletes —
+    count-min's min-over-rows is only an upper bound under inserts).
+
+    Hashes mirror ``streaming.matview._count_sketch_delta``: bucket seed
+    d, sign seed CS_SIGN_SEED+d, both through the portable 60-bit md5
+    (reproducible in ANSI SQL). A missing counter reads as 0 (zero
+    counters are dropped by the fold). The counter frame is d·w rows —
+    broadcast; estimates cost one narrow probe join, never a corpus
+    scan. Adds ``cs_count`` (BIGINT; median of ``depth`` integers with
+    depth odd is an integer) to the input key frame.
+    """
+    from ..streaming.matview import CS_SIGN_SEED
+
+    key_str = F.col(key_col).cast("string")
+    probes = keys.select(
+        "*",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    (_md5_long(key_str, d) % width).alias("b"),
+                    (F.lit(1) - F.lit(2) * (_md5_long(key_str, CS_SIGN_SEED + d) % 2))
+                    .cast("long").alias("s"),
+                )
+                for d in range(1, depth + 1)
+            ])
+        ).alias("dbs"),
+    ).select("*", F.col("dbs.d").alias("d"), F.col("dbs.b").alias("b"),
+             F.col("dbs.s").alias("s")).drop("dbs")
+    carried = [c for c in keys.columns]
+    est = (
+        probes.join(F.broadcast(counters), ["d", "b"], "left")
+        .select(*carried,
+                (F.col("s") * F.coalesce(F.col("c"), F.lit(0))).alias("est_d"))
+        .groupBy(*carried)
+        .agg(F.median("est_d").cast("long").alias("cs_count"))
+    )
+    return est

@@ -31,14 +31,20 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 #: auto-compaction, and the two Arrow-kernel rows whose rounding switched
 #: from numpy half-even to HALF_UP (grid ties can flip values).
 #: Tier 2 = the ONLY remaining stale vintage: the 37 rows last
-#: driver-green in r7. 10 + 37 = 47 of 50 slots; the 3 spare absorb any
-#: late-round registrations (else fall through to module order).
+#: driver-green in r7. 12 + 37 = 49 of 50 slots; the spare absorbs any
+#: late-round registration (else falls through to module order). The two
+#: late r11 rows (emb_ivf_topk_retract — vector deletes over Z-set IVF
+#: postings; rel_count_sketch_retract — turnstile Count-Sketch counters,
+#: constant-size segments by linearity) are tier 1 with the other
+#: never-driver-green rows.
 _VERIFY_FIRST = (
     # --- tier 1: changed / new in round 11 ---
     "docs_substring_rewrite_segmented",  # NEVER driver-green; LSM protocol E2E
     "docs_exact_dedup_retract",          # NEW: Z-set deletion/retraction
     "docs_substring_rewrite_retract",    # NEW: retraction on the gram index
     "docs_bm25_topk_retract",            # NEW: retraction on the term stats
+    "emb_ivf_topk_retract",              # NEW: vector deletes for the ANN index
+    "rel_count_sketch_retract",          # NEW: turnstile Count-Sketch counters
     "mm_phash_near_dup",                 # NEW: multimodal codec row (rows-only)
     "docs_substring_dedup_indexed",      # gram delta: id contract + backfill
     "docs_substring_pairs_indexed",      # gram posting lists (same delta)

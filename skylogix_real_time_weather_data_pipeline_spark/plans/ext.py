@@ -1330,6 +1330,70 @@ ORDER BY cosine_sim DESC, vec_id ASC LIMIT {_TOPK}
 """
 
 
+def q_ivf_topk_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector DELETE for the ANN index (r11): ingest the corpus into the
+    RETRACTABLE IVF postings view (vector-granular Z-set segments,
+    streaming/matview.py:apply_ivf_postings_retractable_delta) in two
+    batches, tombstone a deleted shard (vec_id % 7 == 3), then answer
+    the standard nprobe-cell top-k entirely from the LIVE postings —
+    centroids, probe ranking, and the pruned scan all reflect the
+    deletes, which the add-only cell view (append-only postings +
+    non-invertible count/sum monoid) cannot express without a rebuild.
+    Oracle = the emb_ivf_topk SQL over the surviving corpus: retraction
+    semantics ARE rebuild-over-survivors."""
+    import os
+
+    from ..streaming.matview import (
+        apply_ivf_postings_retractable_delta,
+        read_ivf_postings_retractable_segments,
+        retract_ivf_postings_delta,
+    )
+
+    embs = _embs(spark, sf_dir)
+    row = embs.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in row[0]]
+    corpus = embs.filter(F.col("vec_id") != 0)
+    root = _session_state_dir(spark, sf_dir, "skylogix_ivf_rz")
+    state = os.path.join(root, "view")
+    apply_ivf_postings_retractable_delta(
+        corpus.filter(F.col("vec_id") % 2 == 0), 0, state)
+    apply_ivf_postings_retractable_delta(
+        corpus.filter(F.col("vec_id") % 2 == 1), 1, state)
+    retract_ivf_postings_delta(corpus.filter(F.col("vec_id") % 7 == 3), 2, state)
+    live = read_ivf_postings_retractable_segments(spark, state).withColumnRenamed(
+        "cell", "label"
+    )
+    return similarity.ivf_topk(live, qv, k=_TOPK, nprobe=_NPROBE)
+
+
+O_IVF_TOPK_RETRACT = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+corpus AS (SELECT vec_id, label, embedding FROM embeddings
+           WHERE vec_id <> 0 AND vec_id % 7 <> 3),
+pe AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+  FROM corpus
+),
+centv AS (
+  SELECT label, list(m ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, (CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(24,10))) AS DOUBLE) / COUNT(v)) AS m FROM pe GROUP BY label, pos)
+  GROUP BY label
+),
+probe AS (
+  SELECT label FROM centv, q
+  ORDER BY ({_COS_CENT_Q}) DESC, label ASC
+  LIMIT {_NPROBE}
+),
+scored AS (
+  SELECT vec_id, ROUND({_COS_EMB_Q}, 6) AS cosine_sim
+  FROM corpus, q
+  WHERE label IN (SELECT label FROM probe)
+)
+SELECT vec_id, cosine_sim FROM scored
+ORDER BY cosine_sim DESC, vec_id ASC LIMIT {_TOPK}
+"""
+
+
 # --------------------------------------------------------------------------
 # Filtered vector search: adaptive-probe IVF under a metadata predicate
 # (similarity.ivf_filtered_topk). The predicate-matching per-cell counts
@@ -3637,6 +3701,7 @@ QUERIES = {
     "emb_lsh_buckets": q_lsh_buckets,
     "emb_lsh_near_dup_pairs": q_lsh_near_dup_pairs,
     "emb_ivf_topk": q_ivf_topk,
+    "emb_ivf_topk_retract": q_ivf_topk_retract,
     "emb_ivf_filtered_topk": q_ivf_filtered_topk,
     "emb_filtered_recall": q_filtered_recall,
     "emb_pairwise_topk": q_pairwise_topk,
@@ -3740,6 +3805,7 @@ ORACLES = {
     "emb_lsh_buckets": O_LSH_BUCKETS,
     "emb_lsh_near_dup_pairs": O_LSH_NEAR_DUP,
     "emb_ivf_topk": O_IVF_TOPK,
+    "emb_ivf_topk_retract": O_IVF_TOPK_RETRACT,
     "emb_ivf_filtered_topk": O_IVF_FILTERED_TOPK,
     "emb_filtered_recall": O_FILTERED_RECALL,
     "emb_pairwise_topk": O_PAIRWISE_TOPK,

@@ -127,6 +127,107 @@ GROUP BY p.key, p.exact_count
 
 
 # --------------------------------------------------------------------------
+# Turnstile heavy hitters: retractable Count-Sketch (r11)
+# --------------------------------------------------------------------------
+
+CS_D = 5      # odd → the median of d integer contributions is an integer
+CS_W = 256
+CS_TOP = 10
+
+
+def q_count_sketch_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter estimates that survive DELETES: build the Count-Sketch
+    counters (Charikar-Chen-Farach-Colton 2002 — ±1 sign hashes, median
+    estimator; the turnstile-correct replacement for count-min, whose
+    min-over-rows bound breaks under deletions) over lineitem in two
+    segmented Z-set applies, retract the l_orderkey % 5 == 2 shard as a
+    negated-delta tombstone (counters are LINEAR, so segments stay
+    constant-size O(d·w) — no per-key evidence carried, unlike the
+    doc-granular retractable views), then estimate the exact top-10
+    surviving partkeys from the folded counters. The oracle replays the
+    identical sketch over the survivors: apply ∘ retract ==
+    build-over-survivors is exact counter equality, not an approximation.
+    See streaming/matview.py:_count_sketch_delta and
+    ext/sketch.py:count_sketch_estimate."""
+    import os
+
+    from ..ext.sketch import count_sketch_estimate
+    from ..streaming.matview import (
+        apply_count_sketch_delta,
+        read_count_sketch_segments,
+        retract_count_sketch_delta,
+    )
+    from .ext import _session_state_dir
+
+    li = _t(spark, sf_dir, "lineitem")
+    root = _session_state_dir(spark, sf_dir, "skylogix_cs_rz")
+    state = os.path.join(root, "view")
+    apply_count_sketch_delta(
+        li.filter(F.col("l_orderkey") % 2 == 0), 0, state, "l_partkey",
+        depth=CS_D, width=CS_W)
+    apply_count_sketch_delta(
+        li.filter(F.col("l_orderkey") % 2 == 1), 1, state, "l_partkey",
+        depth=CS_D, width=CS_W)
+    retract_count_sketch_delta(
+        li.filter(F.col("l_orderkey") % 5 == 2), 2, state, "l_partkey",
+        depth=CS_D, width=CS_W)
+    counters = read_count_sketch_segments(spark, state)
+    top = (
+        li.filter(F.col("l_orderkey") % 5 != 2)
+        .groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .sort(F.desc("exact_count"), F.asc("key"))
+        .limit(CS_TOP)
+    )
+    est = count_sketch_estimate(counters, top, "key", depth=CS_D, width=CS_W)
+    return est.select(
+        "key", "exact_count", "cs_count",
+        (F.col("cs_count") - F.col("exact_count")).alias("err"),
+    )
+
+
+# sign_d(key) = 1 - 2·(md5_long(key, 100+d) % 2); 100 = matview.CS_SIGN_SEED
+def _cs_sign(d: int) -> str:
+    return f"(1 - 2 * ({_sql_hash(100 + d, 'CAST(key AS VARCHAR)')} % 2))"
+
+
+_CS_CELLS = " UNION ALL ".join(
+    f"SELECT {d} AS d, {_sql_hash(d, 'CAST(key AS VARCHAR)')} % {CS_W} AS b,"
+    f" {_cs_sign(d)} * exact_count AS sc FROM counts"
+    for d in range(1, CS_D + 1)
+)
+
+O_COUNT_SKETCH_RETRACT = f"""
+WITH counts AS (
+  SELECT l_partkey AS key, COUNT(*) AS exact_count
+  FROM lineitem WHERE l_orderkey % 5 <> 2 GROUP BY l_partkey
+),
+cells AS ({_CS_CELLS}),
+sketch AS (
+  SELECT d, b, SUM(sc) AS c FROM cells GROUP BY d, b
+),
+top AS (
+  SELECT key, exact_count FROM counts
+  ORDER BY exact_count DESC, key ASC LIMIT {CS_TOP}
+),
+probes AS (
+  {" UNION ALL ".join(
+      f"SELECT key, exact_count, {d} AS d,"
+      f" {_sql_hash(d, 'CAST(key AS VARCHAR)')} % {CS_W} AS b,"
+      f" {_cs_sign(d)} AS s FROM top"
+      for d in range(1, CS_D + 1)
+  )}
+)
+SELECT p.key,
+       CAST(p.exact_count AS BIGINT) AS exact_count,
+       CAST(MEDIAN(p.s * COALESCE(s.c, 0)) AS BIGINT) AS cs_count,
+       CAST(MEDIAN(p.s * COALESCE(s.c, 0)) - p.exact_count AS BIGINT) AS err
+FROM probes p LEFT JOIN sketch s ON s.d = p.d AND s.b = p.b
+GROUP BY p.key, p.exact_count
+"""
+
+
+# --------------------------------------------------------------------------
 # Bloom-filter semi-join: customers with urgent orders
 # --------------------------------------------------------------------------
 
@@ -921,6 +1022,7 @@ O_BOTTOMK_QUANTILES = _bottomk_oracle()
 QUERIES = {
     "rel_kmv_distinct": q_kmv_distinct,
     "rel_cms_heavy_hitters": q_cms_heavy_hitters,
+    "rel_count_sketch_retract": q_count_sketch_retract,
     "rel_bloom_semijoin": q_bloom_semijoin,
     "rel_triangle_count": q_triangle_count,
     "rel_hll_distinct": q_hll_distinct,
@@ -935,6 +1037,7 @@ QUERIES = {
 ORACLES = {
     "rel_kmv_distinct": O_KMV_DISTINCT,
     "rel_cms_heavy_hitters": O_CMS_HEAVY_HITTERS,
+    "rel_count_sketch_retract": O_COUNT_SKETCH_RETRACT,
     "rel_bloom_semijoin": O_BLOOM_SEMIJOIN,
     "rel_triangle_count": O_TRIANGLE_COUNT,
     "rel_hll_distinct": O_HLL_DISTINCT,

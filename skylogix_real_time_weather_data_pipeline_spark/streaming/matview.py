@@ -1637,3 +1637,203 @@ def read_term_stats_segments(spark, state_dir: str) -> DataFrame:
 
 def compact_term_stats_segments(spark, state_dir: str) -> int:
     return _compact_segments(spark, state_dir, _merge_term_stats_segments)
+
+
+# --------------------------------------------------------------------------
+# Retractable IVF postings (r11): vector deletes for the ANN index
+# --------------------------------------------------------------------------
+#
+# The add-only IVF cell view (maintain_ivf_cell_view) appends (id, cell)
+# postings and monoid-combines per-cell (count, component-sum) stats —
+# neither supports a vector DELETE, yet deletion is a first-class ANN-index
+# operation in production (a curation loop drops vectors whose source
+# documents were retracted; GDPR-style erasure). Same Z-set construction
+# as the doc views: postings at VECTOR granularity (cell, vec_id,
+# embedding, w) with +1 adds and -1 tombstones. The cell is a pure
+# function of the vector (here: the label coarse cell, matching the
+# emb_ivf_* query family; the frozen-codebook assigner `_nearest_cell`
+# plugs in the same way), so a tombstone reproduces its add's row exactly
+# and the keyed weight sums annihilate. Read folds keep w > 0 rows:
+# postings feed the probe-time scan, and the per-cell stats (n_vecs,
+# component sums → live centroid drift) are recomputed from live rows —
+# the price of invertibility is doc-granular state, exactly as with the
+# retractable gram/bucket/term views above.
+
+
+def _ivf_postings_weighted_delta(batch_df: DataFrame, vec_col: str,
+                                 id_col: str, cell_col: str,
+                                 weight: int) -> DataFrame:
+    return batch_df.select(
+        F.col(cell_col).cast("long").alias("cell"),
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.lit(weight).cast("long").alias("w"),
+    )
+
+
+def _fold_ivf_postings_weights(df: DataFrame) -> DataFrame:
+    """Compaction fold: per-(cell, vec_id) weight sums; the embedding is
+    a pure function of the vector id so every row of a key carries the
+    identical array (F.max is the deterministic pick — Spark arrays are
+    orderable). Annihilated (w=0) postings drop; w<0 tombstones survive
+    to cancel a late add."""
+    return (
+        df.groupBy("cell", "vec_id")
+        .agg(F.max("embedding").alias("embedding"), F.sum("w").alias("w"))
+        .select("cell", "vec_id", "embedding", "w")
+        .filter(F.col("w") != 0)
+    )
+
+
+def _merge_ivf_postings_retractable(df: DataFrame) -> DataFrame:
+    """Read fold: live postings (cell, vec_id, embedding) — the scan side
+    an IVF probe prunes by cell."""
+    return (
+        _fold_ivf_postings_weights(df)
+        .filter(F.col("w") > 0)
+        .select("cell", "vec_id", "embedding")
+    )
+
+
+def apply_ivf_postings_retractable_delta(
+        batch_df: DataFrame, batch_id: int, state_dir: str,
+        vec_col: str = "embedding", id_col: str = "vec_id",
+        cell_col: str = "label",
+        auto_compact: int | None = AUTO_COMPACT_SEGMENTS) -> None:
+    """O(batch) segmented apply of the RETRACTABLE IVF postings view."""
+    _apply_delta_segment(
+        lambda: _ivf_postings_weighted_delta(batch_df, vec_col, id_col, cell_col, 1),
+        batch_df, batch_id, state_dir, _fold_ivf_postings_weights, auto_compact,
+    )
+
+
+def retract_ivf_postings_delta(
+        batch_df: DataFrame, batch_id: int, state_dir: str,
+        vec_col: str = "embedding", id_col: str = "vec_id",
+        cell_col: str = "label",
+        auto_compact: int | None = AUTO_COMPACT_SEGMENTS) -> None:
+    """Vector-delete tombstone segment: takes the ORIGINAL (id, cell,
+    vector) rows — what the curation loop re-ingesting a corrected shard
+    has in hand — under its own replay-guarded batch id."""
+    _apply_delta_segment(
+        lambda: _ivf_postings_weighted_delta(batch_df, vec_col, id_col, cell_col, -1),
+        batch_df, batch_id, state_dir, _fold_ivf_postings_weights, auto_compact,
+    )
+
+
+def read_ivf_postings_retractable_segments(spark, state_dir: str) -> DataFrame:
+    return _read_segments(spark, state_dir, _merge_ivf_postings_retractable)
+
+
+def read_ivf_cell_stats_retractable(spark, state_dir: str) -> DataFrame:
+    """Per-cell (n_vecs, component sums) over LIVE vectors only — the
+    balance/drift contract of ``combine_cell_stats``, now current under
+    deletes. O(live postings) at read instead of O(cells) maintained
+    state: what invertibility costs."""
+    live = read_ivf_postings_retractable_segments(spark, state_dir)
+    return (
+        live.select("cell", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.sum(F.col("v").cast("double")).alias("s"))
+        .groupBy("cell")
+        .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                         lambda x: x["s"]).alias("sums"))
+        .join(live.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs")), "cell")
+        .select("cell", "n_vecs", "sums")
+    )
+
+
+def compact_ivf_postings_retractable_segments(spark, state_dir: str) -> int:
+    return _compact_segments(spark, state_dir, _fold_ivf_postings_weights)
+
+
+# --------------------------------------------------------------------------
+# Retractable Count-Sketch counters (r11): turnstile heavy hitters
+# --------------------------------------------------------------------------
+#
+# The sketch views above (KMV / HLL / bottom-k) are MIN/MAX semilattices —
+# no inverse exists, so they CANNOT retract; that boundary is a property
+# of the monoid, not of the segment protocol. Count-min counters DO add,
+# but its point estimate (min over rows) is only an upper bound under
+# inserts — after deletes the one-sided guarantee is gone. The
+# turnstile-correct sketch is the COUNT SKETCH (Charikar, Chen,
+# Farach-Colton 2002, "Finding frequent items in data streams"): each of
+# d rows hashes a key to a bucket AND to a ±1 sign; the counter
+# accumulates sign·count, and the estimate is the MEDIAN over rows of
+# sign·counter. Counters are LINEAR in the multiset, so a retraction is
+# literally the negated delta of the retracted rows, and — unlike the
+# doc-granular Z-set views above — segments stay CONSTANT-size O(d·w)
+# rather than O(batch): linearity buys invertibility without carrying
+# per-key evidence. apply ∘ retract == build-over-survivors is exact
+# equality of counters, not an approximation (pytest-pinned).
+#
+# Hashing matches the repo-wide portable scheme (ext.dedup._md5_long):
+# bucket_d(key) = md5_long(key, seed=d) % width, sign_d(key) = 1 -
+# 2·(md5_long(key, seed=CS_SIGN_SEED+d) % 2) — both reproducible in ANSI
+# SQL, which is what lets a DuckDB oracle replay the identical sketch.
+
+#: seed offset separating the sign hash family from the bucket family
+CS_SIGN_SEED = 100
+
+
+def _count_sketch_delta(batch_df: DataFrame, key_col: str, depth: int,
+                        width: int, weight: int) -> DataFrame:
+    from ..ext.dedup import _md5_long
+
+    key_str = F.col(key_col).cast("string")
+    return (
+        batch_df.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (_md5_long(key_str, d) % width).alias("b"),
+                        (F.lit(1) - F.lit(2) * (_md5_long(key_str, CS_SIGN_SEED + d) % 2))
+                        .cast("long").alias("s"),
+                    )
+                    for d in range(1, depth + 1)
+                ])
+            ).alias("dbs")
+        )
+        .groupBy(F.col("dbs.d").alias("d"), F.col("dbs.b").alias("b"))
+        .agg((F.lit(weight) * F.sum("dbs.s")).cast("long").alias("c"))
+    )
+
+
+def _fold_count_sketch_weights(df: DataFrame) -> DataFrame:
+    """Counter addition — the abelian group itself. Zero counters drop
+    (absent reads as 0 at estimate time)."""
+    return (
+        df.groupBy("d", "b").agg(F.sum("c").alias("c")).filter(F.col("c") != 0)
+    )
+
+
+def apply_count_sketch_delta(
+        batch_df: DataFrame, batch_id: int, state_dir: str,
+        key_col: str, depth: int = 5, width: int = 256,
+        auto_compact: int | None = AUTO_COMPACT_SEGMENTS) -> None:
+    """O(d·w) segmented apply of the turnstile Count-Sketch counters."""
+    _apply_delta_segment(
+        lambda: _count_sketch_delta(batch_df, key_col, depth, width, 1),
+        batch_df, batch_id, state_dir, _fold_count_sketch_weights, auto_compact,
+    )
+
+
+def retract_count_sketch_delta(
+        batch_df: DataFrame, batch_id: int, state_dir: str,
+        key_col: str, depth: int = 5, width: int = 256,
+        auto_compact: int | None = AUTO_COMPACT_SEGMENTS) -> None:
+    """Negated-delta tombstone segment: counters are linear, so
+    retracting rows is adding their negated sketch."""
+    _apply_delta_segment(
+        lambda: _count_sketch_delta(batch_df, key_col, depth, width, -1),
+        batch_df, batch_id, state_dir, _fold_count_sketch_weights, auto_compact,
+    )
+
+
+def read_count_sketch_segments(spark, state_dir: str) -> DataFrame:
+    return _read_segments(spark, state_dir, _fold_count_sketch_weights)
+
+
+def compact_count_sketch_segments(spark, state_dir: str) -> int:
+    return _compact_segments(spark, state_dir, _fold_count_sketch_weights)

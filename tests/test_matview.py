@@ -1492,3 +1492,189 @@ def test_retractable_term_stats_equals_rebuild_and_scores_bm25(spark, tmp_path):
     got_s = {r.w: (r.cf, r.df)
              for r in read_term_stats_retractable_segments(spark, sstate).collect()}
     assert got_s == {"x": (1, 1), "z": (1, 1)}
+
+
+def test_retractable_ivf_postings_equals_rebuild(spark, tmp_path):
+    """r11: vector DELETES for the ANN index — live postings, derived
+    cell stats, and the nprobe top-k answer over the retractable IVF
+    postings view must all equal a rebuild over the surviving vectors,
+    across delete-of-a-whole-cell, delete-then-re-add, compaction at an
+    arbitrary point, and replayed tombstones."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.similarity import ivf_topk
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_ivf_postings_retractable_delta,
+        compact_ivf_postings_retractable_segments,
+        read_ivf_postings_retractable_segments,
+        read_ivf_cell_stats_retractable,
+        retract_ivf_postings_delta,
+    )
+
+    schema = "vec_id long, label int, embedding array<float>"
+    b0 = [(1, 0, [1.0, 0.0]), (2, 0, [0.9, 0.1]), (3, 1, [0.0, 1.0])]
+    b1 = [(4, 1, [0.1, 0.9]), (5, 2, [-1.0, 0.0]), (6, 0, [0.8, 0.2])]
+
+    def snap(state):
+        return sorted(
+            (r["cell"], r["vec_id"], tuple(r["embedding"]))
+            for r in read_ivf_postings_retractable_segments(spark, state).collect()
+        )
+
+    def want(rows):
+        import numpy as np
+
+        # the view stores array<float>: expected literals round-trip float32
+        return sorted(
+            (r[1], r[0], tuple(float(np.float32(x)) for x in r[2])) for r in rows
+        )
+
+    def topk_live(state, qv, k=3, nprobe=1):
+        live = read_ivf_postings_retractable_segments(spark, state)
+        return sorted(map(tuple, ivf_topk(
+            live.withColumnRenamed("cell", "label"), qv, k=k, nprobe=nprobe
+        ).collect()))
+
+    def topk_rebuild(rows, qv, k=3, nprobe=1):
+        df = spark.createDataFrame(rows, schema)
+        return sorted(map(tuple, ivf_topk(df, qv, k=k, nprobe=nprobe).collect()))
+
+    for trigger in (None, 2):
+        state = str(tmp_path / f"ivf_rz_{trigger}")
+        apply_ivf_postings_retractable_delta(
+            spark.createDataFrame(b0, schema), 0, state, auto_compact=trigger)
+        apply_ivf_postings_retractable_delta(
+            spark.createDataFrame(b1, schema), 1, state, auto_compact=trigger)
+        assert snap(state) == want(b0 + b1)
+
+        # delete vec 2 and the ENTIRE cell 2 (vec 5): centroid, probe
+        # ranking, and scan must all forget them
+        retract_ivf_postings_delta(
+            spark.createDataFrame([b0[1], b1[1]], schema), 2, state,
+            auto_compact=trigger)
+        survivors = [b0[0], b0[2], b1[0], b1[2]]
+        assert snap(state) == want(survivors)
+        qv = [1.0, 0.05]
+        assert topk_live(state, qv) == topk_rebuild(survivors, qv)
+
+        # derived per-cell stats reflect the deletes (cell 2 is gone)
+        stats = {
+            r["cell"]: (r["n_vecs"], tuple(r["sums"]))
+            for r in read_ivf_cell_stats_retractable(spark, state).collect()
+        }
+        import numpy as np
+
+        assert set(stats) == {0, 1}
+        assert stats[0] == (
+            2,
+            (1.0 + float(np.float32(0.8)), 0.0 + float(np.float32(0.2))),
+        )
+        assert stats[1][0] == 2
+
+        # delete-then-re-add annihilates to live
+        apply_ivf_postings_retractable_delta(
+            spark.createDataFrame([b1[1]], schema), 3, state, auto_compact=trigger)
+        assert snap(state) == want(survivors + [b1[1]])
+
+        # compaction at an arbitrary point changes nothing
+        covered = compact_ivf_postings_retractable_segments(spark, state)
+        assert covered == 4
+        assert snap(state) == want(survivors + [b1[1]])
+
+        # retraction AFTER compaction still works; replay is a no-op
+        retract_ivf_postings_delta(
+            spark.createDataFrame([b1[1]], schema), 4, state, auto_compact=trigger)
+        assert snap(state) == want(survivors)
+        retract_ivf_postings_delta(
+            spark.createDataFrame([b1[1]], schema), 4, state, auto_compact=trigger)
+        assert snap(state) == want(survivors)
+
+    # a tombstone arriving BEFORE its add (out-of-order) reads as absent,
+    # then annihilates against the late add
+    state = str(tmp_path / "ivf_rz_ooo")
+    retract_ivf_postings_delta(spark.createDataFrame([b0[0]], schema), 0, state)
+    apply_ivf_postings_retractable_delta(
+        spark.createDataFrame(b0, schema), 1, state)
+    assert snap(state) == want([b0[1], b0[2]])
+
+
+def test_retractable_count_sketch_turnstile(spark, tmp_path):
+    """r11: Count-Sketch counters are LINEAR, so apply ∘ retract must
+    equal a one-shot build over the survivors EXACTLY (counter-level
+    equality, not an estimate comparison), and the median estimator must
+    agree with the one-shot sketch's; with a collision-free width the
+    estimate equals the exact count; over-retraction goes negative (the
+    turnstile model); replayed tombstones no-op."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.sketch import (
+        count_sketch_estimate,
+    )
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        _count_sketch_delta,
+        apply_count_sketch_delta,
+        compact_count_sketch_segments,
+        read_count_sketch_segments,
+        retract_count_sketch_delta,
+    )
+
+    schema = "k long"
+    rows = [(1,)] * 5 + [(2,)] * 3 + [(3,)] * 2 + [(4,)] * 1
+    b0, b1 = rows[:6], rows[6:]
+    gone = [(1,)] * 2 + [(3,)] * 2          # retract 2 copies of 1, all of 3
+    survivors = [(1,)] * 3 + [(2,)] * 3 + [(4,)] * 1
+    D, W = 5, 4096
+
+    def counters(state):
+        return sorted(map(tuple, read_count_sketch_segments(spark, state).collect()))
+
+    def oneshot(data):
+        df = spark.createDataFrame(data, schema)
+        return sorted(map(tuple, _count_sketch_delta(df, "k", D, W, 1)
+                          .filter("c <> 0").collect()))
+
+    for trigger in (None, 2):
+        state = str(tmp_path / f"cs_{trigger}")
+        apply_count_sketch_delta(
+            spark.createDataFrame(b0, schema), 0, state, "k",
+            depth=D, width=W, auto_compact=trigger)
+        apply_count_sketch_delta(
+            spark.createDataFrame(b1, schema), 1, state, "k",
+            depth=D, width=W, auto_compact=trigger)
+        retract_count_sketch_delta(
+            spark.createDataFrame(gone, schema), 2, state, "k",
+            depth=D, width=W, auto_compact=trigger)
+        assert counters(state) == oneshot(survivors)
+
+        # median estimator over the retracted counters: collision-free at
+        # this width, so estimates are EXACT — including 0 for the fully
+        # retracted key 3 and the unchanged keys
+        keys = spark.createDataFrame([(1,), (2,), (3,), (4,)], "key long")
+        est = {
+            r["key"]: r["cs_count"]
+            for r in count_sketch_estimate(
+                read_count_sketch_segments(spark, state), keys, "key",
+                depth=D, width=W).collect()
+        }
+        assert est == {1: 3, 2: 3, 3: 0, 4: 1}
+
+        # compaction folds the weight sums; nothing changes
+        compact_count_sketch_segments(spark, state)
+        assert counters(state) == oneshot(survivors)
+
+        # over-retraction: the turnstile model goes NEGATIVE, it does not
+        # clamp (retract key 4 twice though it appears once)
+        retract_count_sketch_delta(
+            spark.createDataFrame([(4,), (4,)], schema), 3, state, "k",
+            depth=D, width=W, auto_compact=trigger)
+        est4 = {
+            r["key"]: r["cs_count"]
+            for r in count_sketch_estimate(
+                read_count_sketch_segments(spark, state),
+                spark.createDataFrame([(4,)], "key long"), "key",
+                depth=D, width=W).collect()
+        }
+        assert est4 == {4: -1}
+
+        # replaying the tombstone batch is a no-op
+        snap = counters(state)
+        retract_count_sketch_delta(
+            spark.createDataFrame([(4,), (4,)], schema), 3, state, "k",
+            depth=D, width=W, auto_compact=trigger)
+        assert counters(state) == snap
