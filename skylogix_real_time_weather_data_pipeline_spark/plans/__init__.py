@@ -31,11 +31,11 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 #: auto-compaction, and the two Arrow-kernel rows whose rounding switched
 #: from numpy half-even to HALF_UP (grid ties can flip values).
 #: Tier 2 = the ONLY remaining stale vintage: the 37 rows last
-#: driver-green in r7. 12 + 37 = 49 of 50 slots; the spare absorbs any
-#: late-round registration (else falls through to module order). The two
-#: late r11 rows (emb_ivf_topk_retract — vector deletes over Z-set IVF
-#: postings; rel_count_sketch_retract — turnstile Count-Sketch counters,
-#: constant-size segments by linearity) are tier 1 with the other
+#: driver-green in r7. 13 + 37 = 50 slots exactly. The three late r11
+#: rows (emb_ivf_topk_retract — vector deletes over Z-set IVF postings;
+#: rel_count_sketch_retract — turnstile Count-Sketch counters,
+#: constant-size segments by linearity; docs_exact_dedup_changelog — the
+#: CDC writeStream routing end to end) are tier 1 with the other
 #: never-driver-green rows.
 _VERIFY_FIRST = (
     # --- tier 1: changed / new in round 11 ---
@@ -45,6 +45,7 @@ _VERIFY_FIRST = (
     "docs_bm25_topk_retract",            # NEW: retraction on the term stats
     "emb_ivf_topk_retract",              # NEW: vector deletes for the ANN index
     "rel_count_sketch_retract",          # NEW: turnstile Count-Sketch counters
+    "docs_exact_dedup_changelog",        # NEW: CDC changelog maintainer E2E
     "mm_phash_near_dup",                 # NEW: multimodal codec row (rows-only)
     "docs_substring_dedup_indexed",      # gram delta: id contract + backfill
     "docs_substring_pairs_indexed",      # gram posting lists (same delta)

@@ -288,6 +288,53 @@ GROUP BY md5(text)
 """
 
 
+def q_exact_dedup_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CDC deployment shape (r11): the corpus arrives as a
+    CHANGELOG STREAM — rows carrying op (+1 upsert / -1 delete) — and
+    streaming/matview.py:maintain_changelog_view routes each micro-batch
+    through the Z-set apply/tombstone appliers as replay-guarded even/odd
+    segments (2b adds, 2b+1 deletes). Three single-file micro-batches:
+    the even-id docs, the odd-id docs, then a correction batch deleting
+    the doc_id % 7 == 3 shard. Net survivors equal docs_exact_dedup_retract's
+    — the oracle is byte-identical, so the driver hash certifies the
+    writeStream→foreachBatch→segment protocol end to end, not just the
+    appliers it shares with the manual row."""
+    import os
+
+    from ..streaming.matview import (
+        apply_exact_dedup_retractable_delta,
+        maintain_changelog_view,
+        read_exact_dedup_retractable_segments,
+        retract_exact_dedup_delta,
+    )
+
+    docs = _docs(spark, sf_dir)
+    root = _session_state_dir(spark, sf_dir, "skylogix_exact_cdc")
+    state = os.path.join(root, "view")
+    cdc_dir = os.path.join(root, "changelog")
+    # one parquet file per micro-batch, written in arrival order
+    for i, part in enumerate((
+        docs.filter(F.col("doc_id") % 2 == 0).withColumn("op", F.lit(1)),
+        docs.filter(F.col("doc_id") % 2 == 1).withColumn("op", F.lit(1)),
+        docs.filter(F.col("doc_id") % 7 == 3).withColumn("op", F.lit(-1)),
+    )):
+        part.select("doc_id", "text", "op").coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(cdc_dir, f"b{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, op int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(cdc_dir, "b*"))
+    )
+    maintain_changelog_view(
+        stream, state, os.path.join(root, "ckpt"),
+        apply_fn=lambda df, bid, sd: apply_exact_dedup_retractable_delta(df, bid, sd),
+        retract_fn=lambda df, bid, sd: retract_exact_dedup_delta(df, bid, sd),
+    )
+    return read_exact_dedup_retractable_segments(spark, state).select(
+        "fingerprint", "doc_id", "n_copies"
+    )
+
+
 def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pHash near-dup pairs (r11, rows-only contract — the
     `rel_approx_distinct` precedent: the DCT codec kernel is not
@@ -3643,6 +3690,7 @@ QUERIES = {
     "docs_minhash_pairs_indexed": q_minhash_pairs_indexed,
     "docs_exact_dedup_indexed": q_exact_dedup_indexed,
     "docs_exact_dedup_retract": q_exact_dedup_retract,
+    "docs_exact_dedup_changelog": q_exact_dedup_changelog,
     "mm_phash_near_dup": q_phash_near_dup,
     "docs_source_cap": q_source_cap,
     "docs_minhash_jaccard_estimate": q_minhash_jaccard_estimate,
@@ -3733,6 +3781,9 @@ ORACLES = {
     "docs_minhash_pairs_indexed": O_MINHASH_LSH_PAIRS,
     "docs_exact_dedup_indexed": O_EXACT_DEDUP,
     "docs_exact_dedup_retract": O_EXACT_DEDUP_RETRACT,
+    # byte-identical oracle to the manual retract row: same net survivors,
+    # different machinery under test (writeStream changelog routing)
+    "docs_exact_dedup_changelog": O_EXACT_DEDUP_RETRACT,
     "docs_source_cap": O_SOURCE_CAP,
     "docs_minhash_jaccard_estimate": O_MINHASH_JACCARD_EST,
     "docs_ngram_jaccard_pairs": O_NGRAM_JACCARD,

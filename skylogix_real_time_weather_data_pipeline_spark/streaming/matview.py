@@ -1837,3 +1837,164 @@ def read_count_sketch_segments(spark, state_dir: str) -> DataFrame:
 
 def compact_count_sketch_segments(spark, state_dir: str) -> int:
     return _compact_segments(spark, state_dir, _fold_count_sketch_weights)
+
+
+# --------------------------------------------------------------------------
+# Snapshot (as-of) reads + changelog-driven maintenance (r11)
+# --------------------------------------------------------------------------
+#
+# Segments are already a batch-numbered immutable history, so time travel
+# is a READ-SIDE choice: merge only the segments with batch id <= as_of
+# and the view at any past ingest point falls out — for the retractable
+# views that includes "the view as it stood BEFORE a delete", the audit
+# question a curation loop actually asks. The one honest limit is
+# compaction: a compacted segment is the fold of everything it covers and
+# cannot be split back, so a snapshot older than the newest compaction
+# boundary is GONE — that is the retention contract of every LSM store
+# (compaction == history GC), surfaced here as SnapshotUnavailableError
+# rather than a silently-wrong merge. Callers that need deep history
+# compact less often (auto_compact=None) or snapshot before compacting.
+
+
+class SnapshotUnavailableError(RuntimeError):
+    """The requested as-of batch prefix was folded into a compaction and
+    its raw segments garbage-collected; the snapshot no longer exists."""
+
+
+def _segment_scan_as_of(state_dir: str, as_of: int) -> list[str]:
+    """Readable paths for the batch prefix [0, as_of]: the largest
+    compaction wholly inside the prefix plus every uncovered raw <=
+    as_of. Raises :class:`SnapshotUnavailableError` when part of the
+    prefix exists only inside a compaction that also folded later
+    batches (splitting a monoid fold is not possible)."""
+    root = _segments_root(state_dir)
+    if not os.path.isdir(root):
+        return []
+    compacts, raws = [], {}
+    for name in os.listdir(root):
+        path = os.path.join(root, name)
+        if name.startswith("."):
+            continue
+        if name.startswith("compact_"):
+            try:
+                with open(os.path.join(path, "_manifest.json")) as f:
+                    covered = set(json.load(f)["batch_ids"])
+            except OSError:
+                continue
+            compacts.append((covered, path))
+        elif name.startswith("b"):
+            raws[int(name[1:])] = path
+    want = {b for b in (set().union(*[c for c, _ in compacts]) if compacts else set())
+            | set(raws) if b <= as_of}
+    eligible = [(c, p) for c, p in compacts if c and max(c) <= as_of]
+    paths, covered = [], set()
+    if eligible:
+        covered, cpath = max(eligible, key=lambda cp: (len(cp[0]), cp[1]))
+        paths.append(cpath)
+    have = set(covered)
+    for bid, path in sorted(raws.items()):
+        if bid <= as_of and bid not in covered:
+            paths.append(path)
+            have.add(bid)
+    if have != want:
+        raise SnapshotUnavailableError(
+            f"batches {sorted(want - have)} were folded into a compaction "
+            f"that also covers batches past as_of={as_of}; the snapshot "
+            "was garbage-collected (compact less often to retain history)"
+        )
+    return paths
+
+
+def _read_segments_as_of(spark, state_dir: str, merge_fn, as_of: int) -> DataFrame:
+    paths = _segment_scan_as_of(state_dir, as_of)
+    if not paths:
+        raise FileNotFoundError(
+            f"no committed segments at or before batch {as_of} under {state_dir}"
+        )
+    return merge_fn(spark.read.parquet(*paths))
+
+
+def read_exact_dedup_retractable_as_of(spark, state_dir: str, as_of: int) -> DataFrame:
+    return _read_segments_as_of(spark, state_dir,
+                                _merge_exact_dedup_retractable, as_of)
+
+
+def read_gram_index_retractable_as_of(spark, state_dir: str, as_of: int,
+                                      max_gram_df: int = 1_000) -> DataFrame:
+    return _read_segments_as_of(
+        spark, state_dir,
+        lambda df: _merge_gram_index_retractable(df, max_gram_df), as_of)
+
+
+def read_minhash_buckets_retractable_as_of(
+        spark, state_dir: str, as_of: int,
+        max_bucket_size: int = 64) -> DataFrame:
+    return _read_segments_as_of(
+        spark, state_dir,
+        lambda df: _merge_minhash_retractable(df, max_bucket_size), as_of)
+
+
+def read_term_stats_retractable_as_of(spark, state_dir: str, as_of: int) -> DataFrame:
+    return _read_segments_as_of(spark, state_dir,
+                                _merge_term_stats_retractable, as_of)
+
+
+def read_ivf_postings_retractable_as_of(spark, state_dir: str, as_of: int) -> DataFrame:
+    return _read_segments_as_of(spark, state_dir,
+                                _merge_ivf_postings_retractable, as_of)
+
+
+def read_count_sketch_as_of(spark, state_dir: str, as_of: int) -> DataFrame:
+    return _read_segments_as_of(spark, state_dir,
+                                _fold_count_sketch_weights, as_of)
+
+
+def read_gram_index_segments_as_of(spark, state_dir: str, as_of: int,
+                                   max_gram_df: int = 1_000) -> DataFrame:
+    """As-of read for the ADD-ONLY segmented gram index (the other
+    add-only views follow the same one-liner; retention caveat in the
+    section note applies equally)."""
+    return _read_segments_as_of(
+        spark, state_dir, lambda df: _merge_gram_segments(df, max_gram_df), as_of)
+
+
+def maintain_changelog_view(src: DataFrame, state_dir: str,
+                            checkpoint_dir: str, apply_fn, retract_fn,
+                            op_col: str = "op"):
+    """Maintain a retractable view from a CHANGELOG stream — the CDC
+    shape a production curation loop emits: each row carries ``op_col``
+    (>= 0 insert/upsert, < 0 delete) alongside the view's natural
+    columns. Micro-batch b splits by op and lands as two replay-guarded
+    segments — 2b for the adds, 2b+1 for the tombstones — so a crash
+    between the two writes replays safely (the add segment no-ops, the
+    tombstone lands) and the even/odd numbering keeps the per-micro-batch
+    ordering auditable in as-of reads. Both segments are written even
+    when one side is empty: the guard must see every (batch, side) pair
+    exactly once, and an empty parquet segment costs one file.
+
+    ``apply_fn`` / ``retract_fn`` take (batch_df, batch_id, state_dir) —
+    bind view-specific knobs (text/id columns, caps, auto_compact) with a
+    lambda. Because every retractable fold is an abelian Z-set, the
+    maintained view reads equal to a one-shot rebuild over the NET
+    surviving rows regardless of how the changelog interleaves adds and
+    deletes across micro-batches (pytest-pinned)."""
+
+    def _route(batch_df: DataFrame, batch_id: int) -> None:
+        apply_fn(batch_df.filter(F.col(op_col) >= 0).drop(op_col),
+                 2 * batch_id, state_dir)
+        retract_fn(batch_df.filter(F.col(op_col) < 0).drop(op_col),
+                   2 * batch_id + 1, state_dir)
+
+    q = (
+        src.writeStream.foreachBatch(_route)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "changelog maintenance did not finish within 300s; state is "
+            "incomplete (the replay guard makes a rerun safe)"
+        )
+    return q

@@ -1678,3 +1678,123 @@ def test_retractable_count_sketch_turnstile(spark, tmp_path):
             spark.createDataFrame([(4,), (4,)], schema), 3, state, "k",
             depth=D, width=W, auto_compact=trigger)
         assert counters(state) == snap
+
+
+def test_as_of_snapshot_reads(spark, tmp_path):
+    """r11: as-of reads reconstruct the retractable exact-dedup view at
+    any past batch — including the state BEFORE a delete — and a
+    compaction that folds past the requested snapshot raises
+    SnapshotUnavailableError instead of merging wrong."""
+    import pytest
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import exact_dedup
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        SnapshotUnavailableError,
+        apply_exact_dedup_retractable_delta,
+        compact_exact_dedup_retractable_segments,
+        read_exact_dedup_retractable_as_of,
+        read_exact_dedup_retractable_segments,
+        retract_exact_dedup_delta,
+    )
+
+    schema = "doc_id long, text string"
+    b0 = [(1, "aa"), (2, "aa"), (3, "bb")]
+    b1 = [(4, "cc"), (5, "bb")]
+
+    def want(rows):
+        return sorted(map(tuple, exact_dedup(
+            spark.createDataFrame(rows, schema)).collect()))
+
+    def snap_at(state, n):
+        return sorted(map(tuple, read_exact_dedup_retractable_as_of(
+            spark, state, n).collect()))
+
+    state = str(tmp_path / "asof")
+    apply_exact_dedup_retractable_delta(
+        spark.createDataFrame(b0, schema), 0, state, auto_compact=None)
+    apply_exact_dedup_retractable_delta(
+        spark.createDataFrame(b1, schema), 1, state, auto_compact=None)
+    retract_exact_dedup_delta(
+        spark.createDataFrame([b0[0], b1[0]], schema), 2, state, auto_compact=None)
+
+    assert snap_at(state, 0) == want(b0)
+    assert snap_at(state, 1) == want(b0 + b1)          # before the delete
+    assert snap_at(state, 2) == want([b0[1], b0[2], b1[1]])
+    # as_of past the head is just the head
+    assert snap_at(state, 99) == snap_at(state, 2)
+
+    # compaction is history GC: pre-boundary snapshots are gone loudly,
+    # the boundary itself (and later) still reads
+    compact_exact_dedup_retractable_segments(spark, state)
+    with pytest.raises(SnapshotUnavailableError):
+        snap_at(state, 1)
+    assert snap_at(state, 2) == want([b0[1], b0[2], b1[1]])
+    # a fresh batch after the compaction snapshots fine
+    apply_exact_dedup_retractable_delta(
+        spark.createDataFrame([(6, "dd")], schema), 3, state, auto_compact=None)
+    assert snap_at(state, 2) == want([b0[1], b0[2], b1[1]])
+    assert snap_at(state, 3) == want([b0[1], b0[2], b1[1], (6, "dd")])
+
+
+def test_changelog_maintainer_equals_rebuild(spark, tmp_path):
+    """r11: the CDC-shaped changelog maintainer (op >= 0 upsert, op < 0
+    delete, routed to Z-set apply/tombstone segments 2b / 2b+1) must read
+    equal to a one-shot rebuild over the NET surviving rows, with as-of
+    reads exposing every micro-batch boundary — including delete-then-
+    re-add across batches."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import exact_dedup
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_exact_dedup_retractable_delta,
+        maintain_changelog_view,
+        read_exact_dedup_retractable_as_of,
+        read_exact_dedup_retractable_segments,
+        retract_exact_dedup_delta,
+    )
+
+    schema = "doc_id long, text string, op int"
+    batches = [
+        [{"doc_id": 1, "text": "aa", "op": 1},
+         {"doc_id": 2, "text": "aa", "op": 1},
+         {"doc_id": 3, "text": "bb", "op": 1}],
+        [{"doc_id": 4, "text": "cc", "op": 1},
+         {"doc_id": 1, "text": "aa", "op": -1}],   # delete the aa survivor
+        [{"doc_id": 1, "text": "aa", "op": 1},     # re-add it
+         {"doc_id": 4, "text": "cc", "op": -1},
+         {"doc_id": 5, "text": "bb", "op": 1}],
+    ]
+    src_dir, state, ckpt = tmp_path / "cdc", str(tmp_path / "view"), str(tmp_path / "ck")
+    for i, rows in enumerate(batches):
+        _write(src_dir, f"b{i}.json", rows)
+        time.sleep(0.3)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(str(src_dir))
+    )
+    maintain_changelog_view(
+        stream, state, ckpt,
+        apply_fn=lambda df, bid, sd: apply_exact_dedup_retractable_delta(
+            df, bid, sd, auto_compact=None),
+        retract_fn=lambda df, bid, sd: retract_exact_dedup_delta(
+            df, bid, sd, auto_compact=None),
+    )
+
+    def want(rows):
+        return sorted(map(tuple, exact_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string")).collect()))
+
+    got = sorted(map(tuple, read_exact_dedup_retractable_segments(
+        spark, state).collect()))
+    net = [(1, "aa"), (2, "aa"), (3, "bb"), (5, "bb")]
+    assert got == want(net)
+
+    # as-of at the even/odd micro-batch boundaries: 2b = adds applied,
+    # 2b+1 = that batch's deletes applied
+    def snap_at(n):
+        return sorted(map(tuple, read_exact_dedup_retractable_as_of(
+            spark, state, n).collect()))
+
+    assert snap_at(1) == want([(1, "aa"), (2, "aa"), (3, "bb")])
+    assert snap_at(2) == want([(1, "aa"), (2, "aa"), (3, "bb"), (4, "cc")])
+    assert snap_at(3) == want([(2, "aa"), (3, "bb"), (4, "cc")])
+    assert snap_at(5) == want(net)
