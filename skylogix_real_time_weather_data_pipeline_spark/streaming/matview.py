@@ -1780,9 +1780,20 @@ def _count_sketch_delta(batch_df: DataFrame, key_col: str, depth: int,
                         width: int, weight: int) -> DataFrame:
     from ..ext.dedup import _md5_long
 
-    key_str = F.col(key_col).cast("string")
+    # Counters are linear, so hash the batch's per-key COUNTS, not its raw
+    # rows: one map-side-combinable groupBy first, then d (bucket, sign)
+    # hash pairs over |keys| rows instead of |batch| — at sf0.1 that is
+    # 20k hashes instead of 3M per apply (profiled 3.7 s → sub-second; the
+    # md5→conv expression is the whole cost of the naive form). Identical
+    # counters to row-at-a-time updates, same argument as
+    # ext.sketch.cms_heavy_hitters' eval variant.
+    counts = batch_df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    key_str = F.col("_k").cast("string")
     return (
-        batch_df.select(
+        counts.select(
+            "_n",
             F.explode(
                 F.array(*[
                     F.struct(
@@ -1793,10 +1804,12 @@ def _count_sketch_delta(batch_df: DataFrame, key_col: str, depth: int,
                     )
                     for d in range(1, depth + 1)
                 ])
-            ).alias("dbs")
+            ).alias("dbs"),
         )
         .groupBy(F.col("dbs.d").alias("d"), F.col("dbs.b").alias("b"))
-        .agg((F.lit(weight) * F.sum("dbs.s")).cast("long").alias("c"))
+        .agg((F.lit(weight) * F.sum(F.col("dbs.s") * F.col("_n"))).cast("long").alias("c"))
+        # a segment is at most d·w rows — one file, not 32 task-sized ones
+        .coalesce(1)
     )
 
 
