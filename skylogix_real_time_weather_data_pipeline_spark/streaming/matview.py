@@ -2011,3 +2011,72 @@ def maintain_changelog_view(src: DataFrame, state_dir: str,
             "incomplete (the replay guard makes a rerun safe)"
         )
     return q
+
+
+# --------------------------------------------------------------------------
+# Retractable daily-counts view (r11): the reference-shaped aggregate
+# --------------------------------------------------------------------------
+#
+# The daily (day, event_type, n, sum_value) view is PURELY ADDITIVE, so —
+# like the Count-Sketch and unlike the min/union doc views — it retracts
+# without carrying row granularity: a tombstone segment is the batch's
+# own partial aggregate with negated measures, O(touched groups) per
+# segment. Float sums cancel only approximately ((a+b)-b ≠ a at ulp), but
+# n is integer-exact: the read fold drops n == 0 groups, so a fully
+# retracted group disappears exactly and no residue row survives.
+
+
+def _daily_counts_weighted_delta(batch_df: DataFrame, weight: int) -> DataFrame:
+    return (
+        batch_df.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+            (F.lit(weight) * F.count(F.lit(1))).cast("long").alias("n"),
+            (F.lit(weight) * F.sum("value")).alias("sum_value"),
+        )
+    )
+
+
+def _fold_daily_counts_weights(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy("day", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value"))
+        .filter(F.col("n") != 0)
+    )
+
+
+def _merge_daily_counts_retractable(df: DataFrame) -> DataFrame:
+    """Read fold to the add-only view's contract: live groups only."""
+    return _fold_daily_counts_weights(df).filter(F.col("n") > 0)
+
+
+def apply_daily_counts_delta(batch_df: DataFrame, batch_id: int,
+                             state_dir: str,
+                             auto_compact: int | None = AUTO_COMPACT_SEGMENTS) -> None:
+    """O(touched groups) segmented apply of the RETRACTABLE daily view."""
+    _apply_delta_segment(
+        lambda: _daily_counts_weighted_delta(batch_df, 1),
+        batch_df, batch_id, state_dir, _fold_daily_counts_weights, auto_compact,
+    )
+
+
+def retract_daily_counts_delta(batch_df: DataFrame, batch_id: int,
+                               state_dir: str,
+                               auto_compact: int | None = AUTO_COMPACT_SEGMENTS) -> None:
+    """Negated-aggregate tombstone (original event rows in hand — the
+    corrected-shard re-ingest shape, same as every retract_* above)."""
+    _apply_delta_segment(
+        lambda: _daily_counts_weighted_delta(batch_df, -1),
+        batch_df, batch_id, state_dir, _fold_daily_counts_weights, auto_compact,
+    )
+
+
+def read_daily_counts_retractable_segments(spark, state_dir: str) -> DataFrame:
+    return _read_segments(spark, state_dir, _merge_daily_counts_retractable)
+
+
+def read_daily_counts_retractable_as_of(spark, state_dir: str, as_of: int) -> DataFrame:
+    return _read_segments_as_of(spark, state_dir,
+                                _merge_daily_counts_retractable, as_of)
+
+
+def compact_daily_counts_retractable_segments(spark, state_dir: str) -> int:
+    return _compact_segments(spark, state_dir, _fold_daily_counts_weights)

@@ -1798,3 +1798,67 @@ def test_changelog_maintainer_equals_rebuild(spark, tmp_path):
     assert snap_at(2) == want([(1, "aa"), (2, "aa"), (3, "bb"), (4, "cc")])
     assert snap_at(3) == want([(2, "aa"), (3, "bb"), (4, "cc")])
     assert snap_at(5) == want(net)
+
+
+def test_retractable_daily_counts_equals_rebuild(spark, tmp_path):
+    """r11: the purely additive daily view retracts WITHOUT row
+    granularity — a tombstone is the shard's negated partial aggregate —
+    and a fully retracted group disappears exactly (integer n gates the
+    read, so float-sum residue cannot leave a ghost row)."""
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_daily_counts_delta,
+        compact_daily_counts_retractable_segments,
+        read_daily_counts_retractable_as_of,
+        read_daily_counts_retractable_segments,
+        retract_daily_counts_delta,
+    )
+
+    schema = "ts timestamp, event_type string, value double"
+    b0 = [("2024-03-01 10:00:00", "view", 1.25),
+          ("2024-03-01 11:00:00", "view", 0.75),
+          ("2024-03-01 12:00:00", "click", 2.0)]
+    b1 = [("2024-03-02 09:00:00", "view", 3.5),
+          ("2024-03-01 13:00:00", "click", 1.0)]
+
+    def mk(rows):
+        import datetime as dt
+
+        return spark.createDataFrame(
+            [(dt.datetime.fromisoformat(r[0]), r[1], r[2]) for r in rows],
+            schema)
+
+    def snap(state):
+        return {
+            (str(r.day), r.event_type): (r.n, round(r.sum_value, 9))
+            for r in read_daily_counts_retractable_segments(spark, state).collect()
+        }
+
+    def want(rows):
+        return {
+            (str(r.day), r.event_type): (r.n, round(r.sum_value, 9))
+            for r in mk(rows).groupBy(
+                F.to_date("ts").alias("day"), "event_type"
+            ).agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("value").alias("sum_value")).collect()
+        }
+
+    state = str(tmp_path / "daily_rz")
+    apply_daily_counts_delta(mk(b0), 0, state, auto_compact=None)
+    apply_daily_counts_delta(mk(b1), 1, state, auto_compact=None)
+    assert snap(state) == want(b0 + b1)
+
+    # retract the 03-01 clicks entirely (group must VANISH, no residue
+    # row) and one 03-01 view (group decrements)
+    gone = [b0[2], b1[1], b0[0]]
+    retract_daily_counts_delta(mk(gone), 2, state, auto_compact=None)
+    survivors = [b0[1], b1[0]]
+    assert snap(state) == want(survivors)
+    assert ("2024-03-01", "click") not in snap(state)
+
+    # as-of before the delete; compaction changes nothing
+    assert {k: v for k, v in
+            {(str(r.day), r.event_type): (r.n, round(r.sum_value, 9))
+             for r in read_daily_counts_retractable_as_of(
+                 spark, state, 1).collect()}.items()} == want(b0 + b1)
+    compact_daily_counts_retractable_segments(spark, state)
+    assert snap(state) == want(survivors)
