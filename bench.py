@@ -338,9 +338,7 @@ def main() -> int:
         substring_dedup_rewrite_from_index,
     )
     from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
-        apply_exact_dedup_delta,
-        apply_gram_index_delta,
-        apply_minhash_buckets_delta,
+        apply_doc_views_delta,
         read_exact_dedup_segments,
         read_gram_index_segments,
         read_minhash_buckets_segments,
@@ -354,9 +352,9 @@ def main() -> int:
         ed, mh, gi = f"{root}/ed", f"{root}/mh", f"{root}/gi"
         try:
             for b, part in enumerate((history, ingest)):
-                apply_exact_dedup_delta(part, b, ed)
-                apply_minhash_buckets_delta(part, b, mh)
-                apply_gram_index_delta(part, b, gi)
+                # fused apply (r11, the r8 sketch-fusion precedent): one
+                # materialized scan of the batch feeds all three doc views
+                apply_doc_views_delta(part, b, ed, mh, gi)
             n_dup = (
                 ingest.select("doc_id", SF.md5("text").alias("fingerprint"))
                 .join(

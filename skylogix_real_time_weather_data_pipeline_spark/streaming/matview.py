@@ -2080,3 +2080,33 @@ def read_daily_counts_retractable_as_of(spark, state_dir: str, as_of: int) -> Da
 
 def compact_daily_counts_retractable_segments(spark, state_dir: str) -> int:
     return _compact_segments(spark, state_dir, _fold_daily_counts_weights)
+
+
+def apply_doc_views_delta(batch_df: DataFrame, batch_id: int,
+                          exact_dir: str, minhash_dir: str, gram_dir: str,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          n_hashes: int = 16, bands: int = 4,
+                          shingle_n: int = 3, max_bucket_size: int = 100_000,
+                          k: int = 8, max_gram_df: int = 1_000,
+                          auto_compact: int | None = AUTO_COMPACT_SEGMENTS) -> None:
+    """Fused per-ingest apply for the three maintained doc views — the
+    deployment loop's natural shape, mirroring the r8 sketch-view fusion
+    (apply_sketch_views_batch): ONE materialized scan of the batch's
+    narrow (id, text) projection feeds the exact-dedup, minhash-bucket,
+    and gram-index segmented appliers, instead of each applier re-reading
+    and re-decompressing the source. Per-view replay guards stay
+    independent (a crash mid-fusion replays safely: completed views
+    no-op, the rest apply), so crash semantics are identical to three
+    separate calls — only the scan is shared."""
+    shared = batch_df.select(id_col, text_col).persist()
+    try:
+        shared.count()  # materialize the shared scan once
+        apply_exact_dedup_delta(shared, batch_id, exact_dir, text_col,
+                                id_col, auto_compact)
+        apply_minhash_buckets_delta(shared, batch_id, minhash_dir, text_col,
+                                    id_col, n_hashes, bands, shingle_n,
+                                    max_bucket_size, auto_compact)
+        apply_gram_index_delta(shared, batch_id, gram_dir, text_col, id_col,
+                               k, max_gram_df, auto_compact)
+    finally:
+        shared.unpersist()

@@ -1862,3 +1862,52 @@ def test_retractable_daily_counts_equals_rebuild(spark, tmp_path):
                  spark, state, 1).collect()}.items()} == want(b0 + b1)
     compact_daily_counts_retractable_segments(spark, state)
     assert snap(state) == want(survivors)
+
+
+def test_fused_doc_views_apply_equals_separate(spark, tmp_path):
+    """r11: apply_doc_views_delta (one shared scan feeding all three doc
+    views — the r8 sketch-fusion precedent) must leave each view
+    byte-identical to three separate appliers, and a partial replay
+    (one view already applied) must no-op only that view."""
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_doc_views_delta,
+        apply_exact_dedup_delta,
+        apply_gram_index_delta,
+        apply_minhash_buckets_delta,
+        read_exact_dedup_segments,
+        read_gram_index_segments,
+        read_minhash_buckets_segments,
+    )
+
+    schema = "doc_id long, text string"
+    b0 = [(1, "spark join merge spark scan filter window group"),
+          (2, "merge table scan join window filter order select"),
+          (3, "spark join merge spark scan filter window group")]
+    b1 = [(4, "join join window filter scan merge table order"),
+          (5, "spark window filter scan select group order merge")]
+
+    def views(root):
+        ed = sorted(map(tuple, read_exact_dedup_segments(spark, f"{root}/ed").collect()))
+        mh = sorted(map(repr, read_minhash_buckets_segments(spark, f"{root}/mh").collect()))
+        gi = sorted(map(repr, read_gram_index_segments(spark, f"{root}/gi").collect()))
+        return ed, mh, gi
+
+    fused, sep = str(tmp_path / "fused"), str(tmp_path / "sep")
+    for b, rows in enumerate((b0, b1)):
+        df = spark.createDataFrame(rows, schema)
+        apply_doc_views_delta(df, b, f"{fused}/ed", f"{fused}/mh", f"{fused}/gi")
+        apply_exact_dedup_delta(df, b, f"{sep}/ed")
+        apply_minhash_buckets_delta(df, b, f"{sep}/mh")
+        apply_gram_index_delta(df, b, f"{sep}/gi")
+    assert views(fused) == views(sep)
+
+    # partial replay: pre-apply batch 2 to ONE view, then fuse batch 2 —
+    # the pre-applied view no-ops (guard), the other two land
+    b2 = [(6, "order select group window spark filter merge scan")]
+    df2 = spark.createDataFrame(b2, schema)
+    apply_exact_dedup_delta(df2, 2, f"{fused}/ed")
+    apply_doc_views_delta(df2, 2, f"{fused}/ed", f"{fused}/mh", f"{fused}/gi")
+    apply_exact_dedup_delta(df2, 2, f"{sep}/ed")
+    apply_minhash_buckets_delta(df2, 2, f"{sep}/mh")
+    apply_gram_index_delta(df2, 2, f"{sep}/gi")
+    assert views(fused) == views(sep)
