@@ -31,12 +31,15 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 #: auto-compaction, and the two Arrow-kernel rows whose rounding switched
 #: from numpy half-even to HALF_UP (grid ties can flip values).
 #: Tier 2 = the ONLY remaining stale vintage: the 37 rows last
-#: driver-green in r7. 13 + 37 = 50 slots exactly. The three late r11
-#: rows (emb_ivf_topk_retract — vector deletes over Z-set IVF postings;
-#: rel_count_sketch_retract — turnstile Count-Sketch counters,
-#: constant-size segments by linearity; docs_exact_dedup_changelog — the
-#: CDC writeStream routing end to end) are tier 1 with the other
-#: never-driver-green rows.
+#: driver-green in r7. The four late r11 rows (emb_ivf_topk_retract —
+#: vector deletes over Z-set IVF postings; rel_count_sketch_retract —
+#: turnstile Count-Sketch counters, constant-size segments by linearity;
+#: docs_exact_dedup_changelog — the CDC writeStream routing end to end;
+#: events_daily_retract — the reference-shaped additive view under
+#: deletes) are tier 1 with the other never-driver-green rows. 14 + 37 =
+#: 51 for 50 slots: the final r7-tail row (weather_outlier_counts) falls
+#: past the window and carries its r7 vintage one more round — new
+#: never-green rows outrank a stale-but-unchanged refresh.
 _VERIFY_FIRST = (
     # --- tier 1: changed / new in round 11 ---
     "docs_substring_rewrite_segmented",  # NEVER driver-green; LSM protocol E2E
@@ -46,6 +49,7 @@ _VERIFY_FIRST = (
     "emb_ivf_topk_retract",              # NEW: vector deletes for the ANN index
     "rel_count_sketch_retract",          # NEW: turnstile Count-Sketch counters
     "docs_exact_dedup_changelog",        # NEW: CDC changelog maintainer E2E
+    "events_daily_retract",              # NEW: reference-shaped view retracts
     "mm_phash_near_dup",                 # NEW: multimodal codec row (rows-only)
     "docs_substring_dedup_indexed",      # gram delta: id contract + backfill
     "docs_substring_pairs_indexed",      # gram posting lists (same delta)

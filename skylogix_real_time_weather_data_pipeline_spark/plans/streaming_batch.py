@@ -728,6 +728,54 @@ WHERE adev > 6 * m.mad
 """
 
 
+def q_events_daily_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference-shaped daily aggregate under DELETES (r11): maintain
+    the RETRACTABLE daily-counts view (streaming/matview.py:
+    apply_daily_counts_delta — a purely additive aggregate retracts at
+    AGGREGATE granularity, tombstones are negated partial aggregates)
+    over two event batches, retract a corrected shard
+    (event_id % 10 == 3), and read the surviving view. Values are
+    quantized to exact 10^-2 integer units BEFORE the view (floor(v·100
+    + 0.5), the repo's fixed-point fold discipline) so the Z-set weight
+    sums stay abelian-exact — double addition across segments would be
+    order-sensitive and could not hash against the oracle. Oracle =
+    rebuild over survivors."""
+    import os
+
+    from ..streaming.matview import (
+        apply_daily_counts_delta,
+        read_daily_counts_retractable_segments,
+        retract_daily_counts_delta,
+    )
+    from .ext import _session_state_dir
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("value"),
+    )
+    root = _session_state_dir(spark, sf_dir, "skylogix_daily_rz")
+    state = os.path.join(root, "view")
+    apply_daily_counts_delta(ev.filter(F.col("event_id") % 2 == 0), 0, state)
+    apply_daily_counts_delta(ev.filter(F.col("event_id") % 2 == 1), 1, state)
+    retract_daily_counts_delta(ev.filter(F.col("event_id") % 10 == 3), 2, state)
+    return read_daily_counts_retractable_segments(spark, state).select(
+        "day", "event_type", "n", F.col("sum_value").alias("value_units")
+    )
+
+
+O_EVENTS_DAILY_RETRACT = """
+SELECT CAST(ts AS DATE) AS day,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_units
+FROM events
+WHERE event_id % 10 <> 3
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_funnel": q_funnel,
     "events_props_stats": q_props_stats,
@@ -747,6 +795,7 @@ QUERIES = {
     "events_cumulative_users": q_cumulative_users,
     "events_anomaly_mad": q_anomaly_mad,
     "events_ab_test": q_ab_test,
+    "events_daily_retract": q_events_daily_retract,
 }
 
 ORACLES = {
@@ -768,4 +817,5 @@ ORACLES = {
     "stream_window_percentiles": O_WINDOW_PERCENTILES,
     "events_cumulative_users": O_CUMULATIVE_USERS,
     "events_anomaly_mad": O_ANOMALY_MAD,
+    "events_daily_retract": O_EVENTS_DAILY_RETRACT,
 }
