@@ -896,3 +896,107 @@ def test_minhash_bucket_view_invariant_under_batch_split(spark, tmp_path_factory
         tuple(r) for r in minhash_lsh_pairs(df, max_bucket_size=cap).collect()
     )
     assert got == want
+
+
+@given(
+    texts=st.lists(st.text(alphabet="ab ", min_size=1, max_size=12),
+                   min_size=1, max_size=8),
+    split=st.lists(st.integers(0, 2), min_size=8, max_size=8),
+    kill=st.lists(st.booleans(), min_size=8, max_size=8),
+    pos=st.integers(0, 3),
+)
+@_settings
+def test_retractable_exact_dedup_invariant_under_interleaving(
+        spark, tmp_path_factory, texts, split, kill, pos):
+    """r11 Z-set property: for ANY batch partition of the corpus and ANY
+    placement of the tombstone batch among the applies (weights are an
+    abelian group — order cannot matter), the retractable exact-dedup
+    view reads equal to a one-shot rebuild over the survivors."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import exact_dedup
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_exact_dedup_retractable_delta,
+        read_exact_dedup_retractable_segments,
+        retract_exact_dedup_delta,
+    )
+
+    rows = list(enumerate(texts))
+    gone = [r for r in rows if kill[r[0]]]
+    state = str(tmp_path_factory.mktemp("edrz") / "view")
+    schema = "doc_id long, text string"
+    slots = [[r for r in rows if split[r[0]] == b] for b in range(3)]
+    slots.insert(pos, gone)  # the tombstone batch lands anywhere
+    wrote = False
+    for bid, batch in enumerate(slots):
+        if not batch:
+            continue
+        bdf = spark.createDataFrame(batch, schema)
+        if batch is gone and bid == pos:
+            retract_exact_dedup_delta(bdf, bid, state, auto_compact=None)
+        else:
+            apply_exact_dedup_retractable_delta(bdf, bid, state,
+                                                auto_compact=None)
+        wrote = True
+    if not wrote:
+        return
+    got = sorted(
+        tuple(r)
+        for r in read_exact_dedup_retractable_segments(spark, state).collect()
+    )
+    survivors = [r for r in rows if not kill[r[0]]]
+    if not survivors:
+        assert got == []
+        return
+    want = sorted(
+        tuple(r)
+        for r in exact_dedup(spark.createDataFrame(survivors, schema)).collect()
+    )
+    assert got == want
+
+
+@given(
+    keys=st.lists(st.integers(0, 9), min_size=1, max_size=24),
+    split=st.lists(st.integers(0, 2), min_size=24, max_size=24),
+    kill=st.lists(st.booleans(), min_size=24, max_size=24),
+)
+@_settings
+def test_count_sketch_counters_linear_under_any_partition(
+        spark, tmp_path_factory, keys, split, kill):
+    """r11 turnstile property: Count-Sketch counters are linear in the
+    row multiset, so apply-batches + one tombstone batch == a one-shot
+    delta over the surviving MULTISET, exactly — for any partition and
+    any retracted sub-multiset."""
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        _count_sketch_delta,
+        apply_count_sketch_delta,
+        read_count_sketch_segments,
+        retract_count_sketch_delta,
+    )
+
+    rows = list(enumerate(keys))
+    state = str(tmp_path_factory.mktemp("csrz") / "view")
+    schema = "k long"
+    for b in range(3):
+        batch = [(k,) for i, k in rows if split[i] == b]
+        if batch:
+            apply_count_sketch_delta(
+                spark.createDataFrame(batch, schema), b, state, "k",
+                depth=3, width=64, auto_compact=None)
+    gone = [(k,) for i, k in rows if kill[i]]
+    if gone:
+        retract_count_sketch_delta(
+            spark.createDataFrame(gone, schema), 3, state, "k",
+            depth=3, width=64, auto_compact=None)
+    got = sorted(
+        tuple(r) for r in read_count_sketch_segments(spark, state).collect()
+    )
+    survivors = [(k,) for i, k in rows if not kill[i]]
+    if not survivors:
+        assert got == []
+        return
+    want = sorted(
+        tuple(r)
+        for r in _count_sketch_delta(
+            spark.createDataFrame(survivors, schema), "k", 3, 64, 1
+        ).filter("c <> 0").collect()
+    )
+    assert got == want
