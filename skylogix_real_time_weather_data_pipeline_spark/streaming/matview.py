@@ -1941,7 +1941,7 @@ def read_gram_index_retractable_as_of(spark, state_dir: str, as_of: int,
 
 def read_minhash_buckets_retractable_as_of(
         spark, state_dir: str, as_of: int,
-        max_bucket_size: int = 64) -> DataFrame:
+        max_bucket_size: int = 100_000) -> DataFrame:
     return _read_segments_as_of(
         spark, state_dir,
         lambda df: _merge_minhash_retractable(df, max_bucket_size), as_of)
@@ -2110,3 +2110,20 @@ def apply_doc_views_delta(batch_df: DataFrame, batch_id: int,
                                k, max_gram_df, auto_compact)
     finally:
         shared.unpersist()
+
+
+def read_minhash_buckets_segments_as_of(spark, state_dir: str, as_of: int,
+                                        max_bucket_size: int = 100_000) -> DataFrame:
+    return _read_segments_as_of(
+        spark, state_dir,
+        lambda df: _merge_minhash_segments(df, max_bucket_size), as_of)
+
+
+def read_exact_dedup_segments_as_of(spark, state_dir: str, as_of: int) -> DataFrame:
+    return _read_segments_as_of(spark, state_dir,
+                                _merge_exact_dedup_segments, as_of)
+
+
+def read_term_stats_segments_as_of(spark, state_dir: str, as_of: int) -> DataFrame:
+    return _read_segments_as_of(spark, state_dir,
+                                _merge_term_stats_segments, as_of)
