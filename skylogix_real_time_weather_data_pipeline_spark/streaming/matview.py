@@ -2098,7 +2098,13 @@ def apply_doc_views_delta(batch_df: DataFrame, batch_id: int,
     independent (a crash mid-fusion replays safely: completed views
     no-op, the rest apply), so crash semantics are identical to three
     separate calls — only the scan is shared."""
-    shared = batch_df.select(id_col, text_col).persist()
+    from ..cache import owned_persist, release_one
+
+    # owned_persist, not a raw .persist(): the registry guarantees release
+    # even if a caller abandons the frame mid-fusion (cache-hygiene rule,
+    # tests/test_cache_hygiene.py); the finally-release makes the scope
+    # tight here and the registry entry a no-op.
+    shared = owned_persist(batch_df.select(id_col, text_col))
     try:
         shared.count()  # materialize the shared scan once
         apply_exact_dedup_delta(shared, batch_id, exact_dir, text_col,
@@ -2109,7 +2115,7 @@ def apply_doc_views_delta(batch_df: DataFrame, batch_id: int,
         apply_gram_index_delta(shared, batch_id, gram_dir, text_col, id_col,
                                k, max_gram_df, auto_compact)
     finally:
-        shared.unpersist()
+        release_one(shared)
 
 
 def read_minhash_buckets_segments_as_of(spark, state_dir: str, as_of: int,
