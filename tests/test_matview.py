@@ -1911,3 +1911,43 @@ def test_fused_doc_views_apply_equals_separate(spark, tmp_path):
     apply_minhash_buckets_delta(df2, 2, f"{sep}/mh")
     apply_gram_index_delta(df2, 2, f"{sep}/gi")
     assert views(fused) == views(sep)
+
+
+def test_changelog_maintainer_generic_over_ivf_postings(spark, tmp_path):
+    """r11: maintain_changelog_view is view-agnostic — bind it to the
+    IVF postings appliers (vector columns, not doc text) and an op-tagged
+    vector stream must read equal to the net surviving index."""
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_ivf_postings_retractable_delta,
+        maintain_changelog_view,
+        read_ivf_postings_retractable_segments,
+        retract_ivf_postings_delta,
+    )
+
+    schema = ("vec_id long, label int, embedding array<float>, op int")
+    batches = [
+        [{"vec_id": 1, "label": 0, "embedding": [1.0, 0.0], "op": 1},
+         {"vec_id": 2, "label": 1, "embedding": [0.0, 1.0], "op": 1}],
+        [{"vec_id": 3, "label": 0, "embedding": [0.9, 0.1], "op": 1},
+         {"vec_id": 2, "label": 1, "embedding": [0.0, 1.0], "op": -1}],
+    ]
+    src_dir, state, ckpt = tmp_path / "vcdc", str(tmp_path / "view"), str(tmp_path / "ck")
+    for i, rows in enumerate(batches):
+        _write(src_dir, f"b{i}.json", rows)
+        time.sleep(0.3)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(str(src_dir))
+    )
+    maintain_changelog_view(
+        stream, state, ckpt,
+        apply_fn=lambda df, bid, sd: apply_ivf_postings_retractable_delta(
+            df, bid, sd, auto_compact=None),
+        retract_fn=lambda df, bid, sd: retract_ivf_postings_delta(
+            df, bid, sd, auto_compact=None),
+    )
+    got = sorted(
+        (r["cell"], r["vec_id"], tuple(r["embedding"]))
+        for r in read_ivf_postings_retractable_segments(spark, state).collect()
+    )
+    assert got == [(0, 1, (1.0, 0.0)), (0, 3, (0.8999999761581421, 0.10000000149011612))]
