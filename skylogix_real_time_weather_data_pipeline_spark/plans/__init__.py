@@ -36,10 +36,14 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 #: turnstile Count-Sketch counters, constant-size segments by linearity;
 #: docs_exact_dedup_changelog — the CDC writeStream routing end to end;
 #: events_daily_retract — the reference-shaped additive view under
-#: deletes) are tier 1 with the other never-driver-green rows. 14 + 37 =
-#: 51 for 50 slots: the final r7-tail row (weather_outlier_counts) falls
-#: past the window and carries its r7 vintage one more round — new
-#: never-green rows outrank a stale-but-unchanged refresh.
+#: deletes; docs_minhash_pairs_retract — LSH pairs from the retracted
+#: bucket view, closing the retraction family's last uncertified read)
+#: are tier 1 with the other never-driver-green rows. 17 tier-1 + 37
+#: tier-2 = 54 for 50 slots: the final four r7-tail rows
+#: (weather_derived_projection, weather_icon_lookup, weather_linear_fit,
+#: weather_outlier_counts) fall past the window and carry r7 vintage one
+#: more round — new never-green rows outrank stale-but-unchanged
+#: refreshes; they lead the r12 refresh queue.
 _VERIFY_FIRST = (
     # --- tier 1: changed / new in round 11 ---
     "docs_substring_rewrite_segmented",  # NEVER driver-green; LSM protocol E2E
@@ -50,6 +54,7 @@ _VERIFY_FIRST = (
     "rel_count_sketch_retract",          # NEW: turnstile Count-Sketch counters
     "docs_exact_dedup_changelog",        # NEW: CDC changelog maintainer E2E
     "events_daily_retract",              # NEW: reference-shaped view retracts
+    "docs_minhash_pairs_retract",        # NEW: LSH pairs after a delete
     "mm_phash_near_dup",                 # NEW: multimodal codec row (rows-only)
     "docs_substring_dedup_indexed",      # gram delta: id contract + backfill
     "docs_substring_pairs_indexed",      # gram posting lists (same delta)

@@ -248,6 +248,47 @@ def q_exact_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(state).select("fingerprint", "doc_id", "n_copies")
 
 
+def q_minhash_pairs_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidate pairs AFTER A DELETE (r11): maintain the
+    RETRACTABLE LSH-bucket view (doc-granular (band, bucket, doc) Z-set
+    memberships, streaming/matview.py:apply_minhash_buckets_retractable_delta)
+    over two batches, tombstone the doc_id % 7 == 3 shard, and answer
+    pairs from the live view with no corpus scan
+    (ext/dedup.py:minhash_pairs_from_index). Retraction changes real
+    answers here: pairs touching retracted docs vanish, and a bucket
+    that overflowed the cap RECOVERS when members retract (the sticky
+    add-only collapse is an artifact, not a semantic). Oracle = the
+    one-shot pair detector's SQL over the survivors."""
+    import os
+
+    from ..streaming.matview import (
+        apply_minhash_buckets_retractable_delta,
+        read_minhash_buckets_retractable_segments,
+        retract_minhash_buckets_delta,
+    )
+
+    docs = _docs(spark, sf_dir)
+    root = _session_state_dir(spark, sf_dir, "skylogix_minhash_rz")
+    state = os.path.join(root, "view")
+    apply_minhash_buckets_retractable_delta(
+        docs.filter(F.col("doc_id") % 2 == 0), 0, state,
+        n_hashes=_N_HASHES, bands=_BANDS)
+    apply_minhash_buckets_retractable_delta(
+        docs.filter(F.col("doc_id") % 2 == 1), 1, state,
+        n_hashes=_N_HASHES, bands=_BANDS)
+    retract_minhash_buckets_delta(
+        docs.filter(F.col("doc_id") % 7 == 3), 2, state,
+        n_hashes=_N_HASHES, bands=_BANDS)
+    view = read_minhash_buckets_retractable_segments(
+        spark, state, max_bucket_size=_MAX_BUCKET)
+    return dedup.minhash_pairs_from_index(view, max_bucket_size=_MAX_BUCKET)
+
+
+# the one-shot pair oracle evaluated over the surviving corpus (the
+# TOK_CTE base table filter is the only change vs O_MINHASH_LSH_PAIRS)
+O_MINHASH_PAIRS_RETRACT = None  # assigned below, after O_MINHASH_LSH_PAIRS
+
+
 def q_exact_dedup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r11 curation-loop deletion path: ingest the corpus into the
     RETRACTABLE exact-dedup view (doc-granular Z-set segments,
@@ -428,6 +469,12 @@ FROM capped a JOIN capped b
 WHERE a.bsz <= {_MAX_BUCKET}
 GROUP BY a.doc_id, b.doc_id
 """
+
+# survivors variant for the retractable-view row (declared above the
+# q_minhash_pairs_retract definition): same sketch SQL, filtered base table
+O_MINHASH_PAIRS_RETRACT = O_MINHASH_LSH_PAIRS.replace(
+    "FROM documents", "FROM documents WHERE doc_id % 7 <> 3", 1
+)
 
 
 # --------------------------------------------------------------------------
@@ -3691,6 +3738,7 @@ QUERIES = {
     "docs_exact_dedup_indexed": q_exact_dedup_indexed,
     "docs_exact_dedup_retract": q_exact_dedup_retract,
     "docs_exact_dedup_changelog": q_exact_dedup_changelog,
+    "docs_minhash_pairs_retract": q_minhash_pairs_retract,
     "mm_phash_near_dup": q_phash_near_dup,
     "docs_source_cap": q_source_cap,
     "docs_minhash_jaccard_estimate": q_minhash_jaccard_estimate,
@@ -3784,6 +3832,7 @@ ORACLES = {
     # byte-identical oracle to the manual retract row: same net survivors,
     # different machinery under test (writeStream changelog routing)
     "docs_exact_dedup_changelog": O_EXACT_DEDUP_RETRACT,
+    "docs_minhash_pairs_retract": O_MINHASH_PAIRS_RETRACT,
     "docs_source_cap": O_SOURCE_CAP,
     "docs_minhash_jaccard_estimate": O_MINHASH_JACCARD_EST,
     "docs_ngram_jaccard_pairs": O_NGRAM_JACCARD,
