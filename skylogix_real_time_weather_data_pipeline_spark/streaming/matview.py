@@ -1167,25 +1167,55 @@ def _read_segments(spark, state_dir: str, merge_fn) -> DataFrame:
     return merge_fn(spark.read.parquet(*paths))
 
 
-def _compact_segments(spark, state_dir: str, merge_fn) -> int:
-    """Fold every readable segment into one compacted segment covering
+def _compact_segments(spark, state_dir: str, merge_fn,
+                      retain_last: int = 0) -> int:
+    """Fold the readable segments into one compacted segment covering
     their batch ids, then garbage-collect what it covers (best-effort —
     a crash between commit and GC only leaves redundant raws the reader
-    already skips). Returns the number of batch ids covered."""
+    already skips). Returns the number of batch ids folded.
+
+    ``retain_last`` is the SNAPSHOT-RETENTION knob (compaction is the
+    LSM's history GC — see the as-of section note): the newest N raw
+    batch ids stay out of the fold, so ``read_*_as_of`` keeps working
+    for every point inside the retention horizon while everything older
+    folds. 0 (the default, and what the auto-compaction trigger uses)
+    folds everything — maximal read-side collapse, no history. Batch
+    ids already inside a previous compaction cannot be un-folded and do
+    not count toward the retained window."""
     paths, applied = _segment_scan(state_dir)
     if not paths:
         return 0
+    fold_bids = set(applied)
+    if retain_last > 0:
+        # only RAW ids can be retained; prior-compact coverage is sunk
+        root = _segments_root(state_dir)
+        raw_bids = sorted(
+            int(n[1:]) for n in os.listdir(root)
+            if n.startswith("b") and not n.startswith(".")
+        )
+        keep = set(raw_bids[-retain_last:])
+        fold_bids -= keep
+        paths = [
+            p for p in paths
+            if os.path.basename(p).startswith("compact_")
+            or int(os.path.basename(p)[1:]) in fold_bids
+        ]
+    if not paths or not fold_bids:
+        return 0
+    if retain_last > 0 and not any(
+            os.path.basename(p).startswith("b") for p in paths):
+        return 0  # nothing new to fold: the compact alone already covers it
     merged = merge_fn(spark.read.parquet(*paths))
-    tag = f"compact_{max(applied):010d}_{len(applied)}"
+    tag = f"compact_{max(fold_bids):010d}_{len(fold_bids)}"
     _write_segment(merged, state_dir, -1,
-                   manifest={"batch_ids": sorted(applied)}, name=tag)
+                   manifest={"batch_ids": sorted(fold_bids)}, name=tag)
     root = _segments_root(state_dir)
     for name in os.listdir(root):
         if name != tag and (name.startswith("b") or name.startswith("compact_")):
-            bid_ok = name.startswith("compact_") or int(name[1:]) in applied
+            bid_ok = name.startswith("compact_") or int(name[1:]) in fold_bids
             if bid_ok:
                 shutil.rmtree(os.path.join(root, name), ignore_errors=True)
-    return len(applied)
+    return len(fold_bids)
 
 
 def read_gram_index_segments(spark, state_dir: str,
@@ -1196,10 +1226,11 @@ def read_gram_index_segments(spark, state_dir: str,
 
 
 def compact_gram_index_segments(spark, state_dir: str,
-                                max_gram_df: int = 1_000) -> int:
+                                max_gram_df: int = 1_000,
+        retain_last: int = 0) -> int:
     return _compact_segments(
-        spark, state_dir, lambda df: _merge_gram_segments(df, max_gram_df)
-    )
+        spark, state_dir, lambda df: _merge_gram_segments(df, max_gram_df),
+        retain_last=retain_last)
 
 
 def apply_minhash_buckets_delta(batch_df: DataFrame, batch_id: int,
@@ -1226,10 +1257,11 @@ def read_minhash_buckets_segments(spark, state_dir: str,
 
 
 def compact_minhash_buckets_segments(spark, state_dir: str,
-                                     max_bucket_size: int = 100_000) -> int:
+                                     max_bucket_size: int = 100_000,
+        retain_last: int = 0) -> int:
     return _compact_segments(
-        spark, state_dir, lambda df: _merge_minhash_segments(df, max_bucket_size)
-    )
+        spark, state_dir, lambda df: _merge_minhash_segments(df, max_bucket_size),
+        retain_last=retain_last)
 
 
 def apply_exact_dedup_delta(batch_df: DataFrame, batch_id: int,
@@ -1250,8 +1282,10 @@ def read_exact_dedup_segments(spark, state_dir: str) -> DataFrame:
     return _read_segments(spark, state_dir, _merge_exact_dedup_segments)
 
 
-def compact_exact_dedup_segments(spark, state_dir: str) -> int:
-    return _compact_segments(spark, state_dir, _merge_exact_dedup_segments)
+def compact_exact_dedup_segments(spark, state_dir: str,
+        retain_last: int = 0) -> int:
+    return _compact_segments(
+        spark, state_dir, _merge_exact_dedup_segments, retain_last=retain_last)
 
 
 # --------------------------------------------------------------------------
@@ -1346,8 +1380,10 @@ def read_exact_dedup_retractable_segments(spark, state_dir: str) -> DataFrame:
     return _read_segments(spark, state_dir, _merge_exact_dedup_retractable)
 
 
-def compact_exact_dedup_retractable_segments(spark, state_dir: str) -> int:
-    return _compact_segments(spark, state_dir, _fold_exact_dedup_weights)
+def compact_exact_dedup_retractable_segments(spark, state_dir: str,
+        retain_last: int = 0) -> int:
+    return _compact_segments(
+        spark, state_dir, _fold_exact_dedup_weights, retain_last=retain_last)
 
 
 # The same Z-set construction generalized to the OTHER two doc views.
@@ -1444,8 +1480,10 @@ def read_gram_index_retractable_segments(spark, state_dir: str,
     )
 
 
-def compact_gram_index_retractable_segments(spark, state_dir: str) -> int:
-    return _compact_segments(spark, state_dir, _fold_gram_index_weights)
+def compact_gram_index_retractable_segments(spark, state_dir: str,
+        retain_last: int = 0) -> int:
+    return _compact_segments(
+        spark, state_dir, _fold_gram_index_weights, retain_last=retain_last)
 
 
 def _minhash_buckets_weighted_delta(batch_df: DataFrame, text_col: str,
@@ -1524,8 +1562,10 @@ def read_minhash_buckets_retractable_segments(
     )
 
 
-def compact_minhash_buckets_retractable_segments(spark, state_dir: str) -> int:
-    return _compact_segments(spark, state_dir, _fold_minhash_weights)
+def compact_minhash_buckets_retractable_segments(spark, state_dir: str,
+        retain_last: int = 0) -> int:
+    return _compact_segments(
+        spark, state_dir, _fold_minhash_weights, retain_last=retain_last)
 
 
 def _term_stats_weighted_delta(batch_df: DataFrame, text_col: str,
@@ -1594,8 +1634,10 @@ def read_term_stats_retractable_segments(spark, state_dir: str) -> DataFrame:
     return _read_segments(spark, state_dir, _merge_term_stats_retractable)
 
 
-def compact_term_stats_retractable_segments(spark, state_dir: str) -> int:
-    return _compact_segments(spark, state_dir, _fold_term_stats_weights)
+def compact_term_stats_retractable_segments(spark, state_dir: str,
+        retain_last: int = 0) -> int:
+    return _compact_segments(
+        spark, state_dir, _fold_term_stats_weights, retain_last=retain_last)
 
 
 def _merge_term_stats_segments(df: DataFrame) -> DataFrame:
@@ -1635,8 +1677,10 @@ def read_term_stats_segments(spark, state_dir: str) -> DataFrame:
     return _read_segments(spark, state_dir, _merge_term_stats_segments)
 
 
-def compact_term_stats_segments(spark, state_dir: str) -> int:
-    return _compact_segments(spark, state_dir, _merge_term_stats_segments)
+def compact_term_stats_segments(spark, state_dir: str,
+        retain_last: int = 0) -> int:
+    return _compact_segments(
+        spark, state_dir, _merge_term_stats_segments, retain_last=retain_last)
 
 
 # --------------------------------------------------------------------------
@@ -1743,8 +1787,10 @@ def read_ivf_cell_stats_retractable(spark, state_dir: str) -> DataFrame:
     )
 
 
-def compact_ivf_postings_retractable_segments(spark, state_dir: str) -> int:
-    return _compact_segments(spark, state_dir, _fold_ivf_postings_weights)
+def compact_ivf_postings_retractable_segments(spark, state_dir: str,
+        retain_last: int = 0) -> int:
+    return _compact_segments(
+        spark, state_dir, _fold_ivf_postings_weights, retain_last=retain_last)
 
 
 # --------------------------------------------------------------------------
@@ -1848,8 +1894,10 @@ def read_count_sketch_segments(spark, state_dir: str) -> DataFrame:
     return _read_segments(spark, state_dir, _fold_count_sketch_weights)
 
 
-def compact_count_sketch_segments(spark, state_dir: str) -> int:
-    return _compact_segments(spark, state_dir, _fold_count_sketch_weights)
+def compact_count_sketch_segments(spark, state_dir: str,
+        retain_last: int = 0) -> int:
+    return _compact_segments(
+        spark, state_dir, _fold_count_sketch_weights, retain_last=retain_last)
 
 
 # --------------------------------------------------------------------------
@@ -2078,8 +2126,10 @@ def read_daily_counts_retractable_as_of(spark, state_dir: str, as_of: int) -> Da
                                 _merge_daily_counts_retractable, as_of)
 
 
-def compact_daily_counts_retractable_segments(spark, state_dir: str) -> int:
-    return _compact_segments(spark, state_dir, _fold_daily_counts_weights)
+def compact_daily_counts_retractable_segments(spark, state_dir: str,
+        retain_last: int = 0) -> int:
+    return _compact_segments(
+        spark, state_dir, _fold_daily_counts_weights, retain_last=retain_last)
 
 
 def apply_doc_views_delta(batch_df: DataFrame, batch_id: int,

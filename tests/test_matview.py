@@ -1951,3 +1951,70 @@ def test_changelog_maintainer_generic_over_ivf_postings(spark, tmp_path):
         for r in read_ivf_postings_retractable_segments(spark, state).collect()
     )
     assert got == [(0, 1, (1.0, 0.0)), (0, 3, (0.8999999761581421, 0.10000000149011612))]
+
+
+def test_retention_compaction_preserves_recent_snapshots(spark, tmp_path):
+    """r11: compact(retain_last=N) folds everything older while the
+    newest N raw batches stay snapshot-readable — bounded as-of history
+    surviving compaction (the LSM retention knob); older snapshots are
+    gone loudly, and reads/current state are unchanged throughout."""
+    import pytest
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import exact_dedup
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        SnapshotUnavailableError,
+        _compact_segments,
+        _fold_exact_dedup_weights,
+        _segment_scan,
+        apply_exact_dedup_retractable_delta,
+        read_exact_dedup_retractable_as_of,
+        read_exact_dedup_retractable_segments,
+        retract_exact_dedup_delta,
+    )
+
+    schema = "doc_id long, text string"
+    batches = [[(1, "aa"), (2, "bb")], [(3, "aa")], [(4, "cc")], [(5, "bb")]]
+    state = str(tmp_path / "ret")
+    for b, rows in enumerate(batches):
+        apply_exact_dedup_retractable_delta(
+            spark.createDataFrame(rows, schema), b, state, auto_compact=None)
+    retract_exact_dedup_delta(
+        spark.createDataFrame([(1, "aa")], schema), 4, state, auto_compact=None)
+
+    def want(rows):
+        return sorted(map(tuple, exact_dedup(
+            spark.createDataFrame(rows, schema)).collect()))
+
+    def snap_at(n):
+        return sorted(map(tuple, read_exact_dedup_retractable_as_of(
+            spark, state, n).collect()))
+
+    head = sorted(map(tuple, read_exact_dedup_retractable_segments(
+        spark, state).collect()))
+    survivors = [(2, "bb"), (3, "aa"), (4, "cc"), (5, "bb")]
+    assert head == want(survivors)
+
+    # retain the last 2 batch ids (3 = the b3 apply, 4 = the tombstone)
+    folded = _compact_segments(spark, state, _fold_exact_dedup_weights,
+                               retain_last=2)
+    assert folded == 3  # batches 0,1,2 folded
+    paths, applied = _segment_scan(state)
+    assert applied == set(range(5))
+    assert sum(1 for p in paths if "compact_" in p) == 1
+
+    # current state and in-horizon snapshots unchanged
+    assert sorted(map(tuple, read_exact_dedup_retractable_segments(
+        spark, state).collect())) == want(survivors)
+    assert snap_at(3) == want([r for b in batches for r in b])
+    assert snap_at(2) == want([r for b in batches[:3] for r in b])
+    # pre-horizon snapshot is folded history: loud failure
+    with pytest.raises(SnapshotUnavailableError):
+        snap_at(1)
+
+    # a retention re-compact with nothing new to fold is a no-op
+    assert _compact_segments(spark, state, _fold_exact_dedup_weights,
+                             retain_last=5) == 0
+    # full compaction still folds the retained tail afterwards
+    assert _compact_segments(spark, state, _fold_exact_dedup_weights) == 5
+    assert sorted(map(tuple, read_exact_dedup_retractable_segments(
+        spark, state).collect())) == want(survivors)
