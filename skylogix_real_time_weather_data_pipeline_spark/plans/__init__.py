@@ -38,12 +38,13 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 #: events_daily_retract — the reference-shaped additive view under
 #: deletes; docs_minhash_pairs_retract — LSH pairs from the retracted
 #: bucket view, closing the retraction family's last uncertified read)
-#: are tier 1 with the other never-driver-green rows. 17 tier-1 + 37
-#: tier-2 = 54 for 50 slots: the final four r7-tail rows
-#: (weather_derived_projection, weather_icon_lookup, weather_linear_fit,
-#: weather_outlier_counts) fall past the window and carry r7 vintage one
-#: more round — new never-green rows outrank stale-but-unchanged
-#: refreshes; they lead the r12 refresh queue.
+#: are tier 1 with the other never-driver-green rows, as is
+#: docs_exact_dedup_asof (time-travel read, pre-delete snapshot). 18
+#: tier-1 + 37 tier-2 = 55 for 50 slots: the final five r7-tail rows
+#: (weather_date_range, weather_derived_projection, weather_icon_lookup,
+#: weather_linear_fit, weather_outlier_counts) fall past the window and
+#: carry r7 vintage one more round — new never-green rows outrank
+#: stale-but-unchanged refreshes; they lead the r12 refresh queue.
 _VERIFY_FIRST = (
     # --- tier 1: changed / new in round 11 ---
     "docs_substring_rewrite_segmented",  # NEVER driver-green; LSM protocol E2E
@@ -55,6 +56,7 @@ _VERIFY_FIRST = (
     "docs_exact_dedup_changelog",        # NEW: CDC changelog maintainer E2E
     "events_daily_retract",              # NEW: reference-shaped view retracts
     "docs_minhash_pairs_retract",        # NEW: LSH pairs after a delete
+    "docs_exact_dedup_asof",             # NEW: time-travel read (pre-delete)
     "mm_phash_near_dup",                 # NEW: multimodal codec row (rows-only)
     "docs_substring_dedup_indexed",      # gram delta: id contract + backfill
     "docs_substring_pairs_indexed",      # gram posting lists (same delta)

@@ -248,6 +248,38 @@ def q_exact_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(state).select("fingerprint", "doc_id", "n_copies")
 
 
+def q_exact_dedup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot (time-travel) read under the driver's eye (r11): ingest
+    two batches into the retractable exact-dedup view, RETRACT a shard
+    as batch 2 — then read AS OF batch 1, i.e. the view as it stood
+    BEFORE the delete (streaming/matview.py:read_*_as_of merges only
+    segments with batch id <= as_of; the audit question a curation loop
+    asks after a bad correction ships). The pre-delete snapshot over the
+    full corpus makes the oracle byte-identical to docs_exact_dedup's —
+    a driver hash certifies that the tombstone segment is genuinely
+    excluded from the historical read, not merely compensated."""
+    import os
+
+    from ..streaming.matview import (
+        apply_exact_dedup_retractable_delta,
+        read_exact_dedup_retractable_as_of,
+        retract_exact_dedup_delta,
+    )
+
+    docs = _docs(spark, sf_dir)
+    root = _session_state_dir(spark, sf_dir, "skylogix_exact_asof")
+    state = os.path.join(root, "view")
+    apply_exact_dedup_retractable_delta(
+        docs.filter(F.col("doc_id") % 2 == 0), 0, state, auto_compact=None)
+    apply_exact_dedup_retractable_delta(
+        docs.filter(F.col("doc_id") % 2 == 1), 1, state, auto_compact=None)
+    retract_exact_dedup_delta(
+        docs.filter(F.col("doc_id") % 7 == 3), 2, state, auto_compact=None)
+    return read_exact_dedup_retractable_as_of(spark, state, 1).select(
+        "fingerprint", "doc_id", "n_copies"
+    )
+
+
 def q_minhash_pairs_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidate pairs AFTER A DELETE (r11): maintain the
     RETRACTABLE LSH-bucket view (doc-granular (band, bucket, doc) Z-set
@@ -3739,6 +3771,7 @@ QUERIES = {
     "docs_exact_dedup_retract": q_exact_dedup_retract,
     "docs_exact_dedup_changelog": q_exact_dedup_changelog,
     "docs_minhash_pairs_retract": q_minhash_pairs_retract,
+    "docs_exact_dedup_asof": q_exact_dedup_asof,
     "mm_phash_near_dup": q_phash_near_dup,
     "docs_source_cap": q_source_cap,
     "docs_minhash_jaccard_estimate": q_minhash_jaccard_estimate,
@@ -3833,6 +3866,9 @@ ORACLES = {
     # different machinery under test (writeStream changelog routing)
     "docs_exact_dedup_changelog": O_EXACT_DEDUP_RETRACT,
     "docs_minhash_pairs_retract": O_MINHASH_PAIRS_RETRACT,
+    # byte-identical to docs_exact_dedup's oracle: the pre-delete snapshot
+    # over the full corpus IS the plain one-shot dedup
+    "docs_exact_dedup_asof": O_EXACT_DEDUP,
     "docs_source_cap": O_SOURCE_CAP,
     "docs_minhash_jaccard_estimate": O_MINHASH_JACCARD_EST,
     "docs_ngram_jaccard_pairs": O_NGRAM_JACCARD,
