@@ -2183,3 +2183,35 @@ def read_exact_dedup_segments_as_of(spark, state_dir: str, as_of: int) -> DataFr
 def read_term_stats_segments_as_of(spark, state_dir: str, as_of: int) -> DataFrame:
     return _read_segments_as_of(spark, state_dir,
                                 _merge_term_stats_segments, as_of)
+
+
+def segment_stats(state_dir: str) -> dict:
+    """Observability snapshot of a segmented state directory — what an
+    operator dashboards per maintained view: readable segment count (the
+    read-amplification driver), raw-vs-compact split, covered batch ids,
+    on-disk bytes, and whether the next apply will trigger
+    auto-compaction at the default threshold. Pure filesystem metadata:
+    no Spark job, safe to poll from a monitoring loop concurrent with
+    the single writer (same read-only contract as _segment_scan)."""
+    paths, applied = _segment_scan(state_dir)
+    raws = [p for p in paths if os.path.basename(p).startswith("b")]
+    compacts = [p for p in paths if os.path.basename(p).startswith("compact_")]
+
+    def _bytes(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass
+        return total
+
+    return {
+        "readable_segments": len(paths),
+        "raw_segments": len(raws),
+        "compact_segments": len(compacts),
+        "applied_batches": sorted(applied),
+        "bytes": sum(_bytes(p) for p in paths),
+        "will_auto_compact_next": len(paths) + 1 >= AUTO_COMPACT_SEGMENTS,
+    }

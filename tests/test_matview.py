@@ -2018,3 +2018,32 @@ def test_retention_compaction_preserves_recent_snapshots(spark, tmp_path):
     assert _compact_segments(spark, state, _fold_exact_dedup_weights) == 5
     assert sorted(map(tuple, read_exact_dedup_retractable_segments(
         spark, state).collect())) == want(survivors)
+
+
+def test_segment_stats_observability(spark, tmp_path):
+    """r11: segment_stats reports the readable set (raw/compact split,
+    covered batches, bytes, auto-compact proximity) without running a
+    Spark job — the per-view monitoring hook."""
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_exact_dedup_retractable_delta,
+        compact_exact_dedup_retractable_segments,
+        segment_stats,
+    )
+
+    schema = "doc_id long, text string"
+    state = str(tmp_path / "obs")
+    for b in range(3):
+        apply_exact_dedup_retractable_delta(
+            spark.createDataFrame([(b, f"t{b}")], schema), b, state,
+            auto_compact=None)
+    s = segment_stats(state)
+    assert s["readable_segments"] == 3 and s["raw_segments"] == 3
+    assert s["compact_segments"] == 0
+    assert s["applied_batches"] == [0, 1, 2]
+    assert s["bytes"] > 0
+    assert s["will_auto_compact_next"] is False
+
+    compact_exact_dedup_retractable_segments(spark, state, retain_last=1)
+    s2 = segment_stats(state)
+    assert s2["compact_segments"] == 1 and s2["raw_segments"] == 1
+    assert s2["applied_batches"] == [0, 1, 2]  # coverage union unchanged
