@@ -1000,3 +1000,55 @@ def test_count_sketch_counters_linear_under_any_partition(
         ).filter("c <> 0").collect()
     )
     assert got == want
+
+
+@given(
+    n=st.integers(1, 8),
+    cells=st.lists(st.integers(0, 2), min_size=8, max_size=8),
+    split=st.lists(st.booleans(), min_size=8, max_size=8),
+    kill=st.lists(st.booleans(), min_size=8, max_size=8),
+    pos=st.integers(0, 2),
+)
+@_settings
+def test_retractable_ivf_postings_invariant_under_interleaving(
+        spark, tmp_path_factory, n, cells, split, kill, pos):
+    """r11 Z-set property for the VECTOR view: live IVF postings equal
+    the surviving vectors for any batch partition and any tombstone
+    placement — including whole-cell erasure — and a tombstone never
+    leaves a ghost posting."""
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_ivf_postings_retractable_delta,
+        read_ivf_postings_retractable_segments,
+        retract_ivf_postings_delta,
+    )
+
+    rows = [
+        (i, cells[i], [float(i) / 8.0, float(cells[i])]) for i in range(n)
+    ]
+    schema = "vec_id long, label int, embedding array<float>"
+    state = str(tmp_path_factory.mktemp("ivfrz") / "view")
+    slots = [
+        [r for r in rows if split[r[0]]],
+        [r for r in rows if not split[r[0]]],
+    ]
+    gone = [r for r in rows if kill[r[0]]]
+    slots.insert(pos, gone)
+    wrote = False
+    for bid, batch in enumerate(slots):
+        if not batch:
+            continue
+        bdf = spark.createDataFrame(batch, schema)
+        if batch is gone and bid == pos:
+            retract_ivf_postings_delta(bdf, bid, state, auto_compact=None)
+        else:
+            apply_ivf_postings_retractable_delta(bdf, bid, state,
+                                                 auto_compact=None)
+        wrote = True
+    if not wrote:
+        return
+    got = sorted(
+        (r["cell"], r["vec_id"])
+        for r in read_ivf_postings_retractable_segments(spark, state).collect()
+    )
+    want = sorted((r[1], r[0]) for r in rows if not kill[r[0]])
+    assert got == want
