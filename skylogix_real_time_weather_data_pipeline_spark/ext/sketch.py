@@ -1009,7 +1009,11 @@ def count_sketch_estimate(counters: DataFrame, keys: DataFrame,
     counters are dropped by the fold). The counter frame is d·w rows —
     broadcast; estimates cost one narrow probe join, never a corpus
     scan. Adds ``cs_count`` (BIGINT; median of ``depth`` integers with
-    depth odd is an integer) to the input key frame.
+    depth odd is an integer) to the input key frame. Internal probe
+    columns are ``_cs_``-prefixed and the counter frame is renamed
+    before the join, so caller key frames may freely carry columns
+    named ``d``/``b``/``s``/``c`` (r11 ADVICE); only ``_cs_*`` and the
+    output ``cs_count`` are reserved.
     """
     from ..streaming.matview import CS_SIGN_SEED
 
@@ -1026,15 +1030,19 @@ def count_sketch_estimate(counters: DataFrame, keys: DataFrame,
                 )
                 for d in range(1, depth + 1)
             ])
-        ).alias("dbs"),
-    ).select("*", F.col("dbs.d").alias("d"), F.col("dbs.b").alias("b"),
-             F.col("dbs.s").alias("s")).drop("dbs")
+        ).alias("_cs_dbs"),
+    ).select("*", F.col("_cs_dbs.d").alias("_cs_d"),
+             F.col("_cs_dbs.b").alias("_cs_b"),
+             F.col("_cs_dbs.s").alias("_cs_s")).drop("_cs_dbs")
     carried = [c for c in keys.columns]
+    ctr = counters.select(F.col("d").alias("_cs_d"), F.col("b").alias("_cs_b"),
+                          F.col("c").alias("_cs_c"))
     est = (
-        probes.join(F.broadcast(counters), ["d", "b"], "left")
+        probes.join(F.broadcast(ctr), ["_cs_d", "_cs_b"], "left")
         .select(*carried,
-                (F.col("s") * F.coalesce(F.col("c"), F.lit(0))).alias("est_d"))
+                (F.col("_cs_s") * F.coalesce(F.col("_cs_c"), F.lit(0)))
+                .alias("_cs_est"))
         .groupBy(*carried)
-        .agg(F.median("est_d").cast("long").alias("cs_count"))
+        .agg(F.median("_cs_est").cast("long").alias("cs_count"))
     )
     return est

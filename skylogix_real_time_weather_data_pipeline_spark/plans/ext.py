@@ -503,9 +503,21 @@ GROUP BY a.doc_id, b.doc_id
 """
 
 # survivors variant for the retractable-view row (declared above the
-# q_minhash_pairs_retract definition): same sketch SQL, filtered base table
-O_MINHASH_PAIRS_RETRACT = O_MINHASH_LSH_PAIRS.replace(
-    "FROM documents", "FROM documents WHERE doc_id % 7 <> 3", 1
+# q_minhash_pairs_retract definition): same sketch SQL over a filtered
+# base table. Composed by swapping the TOK_CTE prefix for a filtered
+# copy rather than a positional string-replace over the whole oracle, so
+# a future reordering of O_MINHASH_LSH_PAIRS (or a second `FROM
+# documents` reference in its body) cannot silently filter the wrong
+# clause (r11 ADVICE); both invariants are asserted at import time.
+def _tok_cte_filtered(pred: str) -> str:
+    assert TOK_CTE.count("FROM documents") == 1, "TOK_CTE shape changed"
+    return TOK_CTE.replace("FROM documents",
+                           f"FROM documents WHERE {pred}", 1)
+
+
+assert O_MINHASH_LSH_PAIRS.startswith(TOK_CTE), "LSH oracle prefix changed"
+O_MINHASH_PAIRS_RETRACT = (
+    _tok_cte_filtered("doc_id % 7 <> 3") + O_MINHASH_LSH_PAIRS[len(TOK_CTE):]
 )
 
 

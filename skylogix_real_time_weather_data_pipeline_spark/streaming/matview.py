@@ -1187,11 +1187,15 @@ def _compact_segments(spark, state_dir: str, merge_fn,
         return 0
     fold_bids = set(applied)
     if retain_last > 0:
-        # only RAW ids can be retained; prior-compact coverage is sunk
-        root = _segments_root(state_dir)
+        # only UNCOVERED raw ids can be retained — derived from the
+        # readable paths _segment_scan resolved, never a directory
+        # listing: a crash between compact-commit and GC leaves raws a
+        # compact already covers, and letting one occupy a retention
+        # slot would push an older uncovered raw into the fold while the
+        # new manifest omits its batch id (double-count on later reads).
         raw_bids = sorted(
-            int(n[1:]) for n in os.listdir(root)
-            if n.startswith("b") and not n.startswith(".")
+            int(os.path.basename(p)[1:]) for p in paths
+            if os.path.basename(p).startswith("b")
         )
         keep = set(raw_bids[-retain_last:])
         fold_bids -= keep
@@ -1775,15 +1779,24 @@ def read_ivf_cell_stats_retractable(spark, state_dir: str) -> DataFrame:
     deletes. O(live postings) at read instead of O(cells) maintained
     state: what invertibility costs."""
     live = read_ivf_postings_retractable_segments(spark, state_dir)
-    return (
+    # left-join FROM the n_vecs aggregate: a cell whose live vectors all
+    # carry empty embedding arrays yields no posexplode rows, and an
+    # inner join would silently drop it even though n_vecs > 0 (r11
+    # ADVICE); such a cell reports sums = [] instead of vanishing.
+    sums = (
         live.select("cell", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("cell", "pos")
         .agg(F.sum(F.col("v").cast("double")).alias("s"))
         .groupBy("cell")
         .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "s"))),
                          lambda x: x["s"]).alias("sums"))
-        .join(live.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs")), "cell")
-        .select("cell", "n_vecs", "sums")
+    )
+    return (
+        live.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+        .join(sums, "cell", "left")
+        .select("cell", "n_vecs",
+                F.coalesce(F.col("sums"),
+                           F.array().cast("array<double>")).alias("sums"))
     )
 
 

@@ -2047,3 +2047,104 @@ def test_segment_stats_observability(spark, tmp_path):
     s2 = segment_stats(state)
     assert s2["compact_segments"] == 1 and s2["raw_segments"] == 1
     assert s2["applied_batches"] == [0, 1, 2]  # coverage union unchanged
+
+
+def test_retention_ignores_covered_crash_leftover_raws(spark, tmp_path):
+    """r12 (r11 ADVICE): a raw segment already covered by a compact —
+    the crash window between compact-commit and GC — must never occupy
+    a retain_last slot. With non-monotonic batch ids the old
+    directory-listing window let the covered raw displace an older
+    uncovered raw into the fold, producing a compact whose manifest
+    omitted a batch its data contained (via the prior compact) while the
+    covered raw survived GC → double count on every later read."""
+    import shutil as _sh
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import exact_dedup
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        _compact_segments,
+        _fold_exact_dedup_weights,
+        _segments_root,
+        apply_exact_dedup_retractable_delta,
+        read_exact_dedup_retractable_segments,
+    )
+
+    schema = "doc_id long, text string"
+    state = str(tmp_path / "covered")
+    root = _segments_root(state)
+
+    # batch 5 first, compact (covers {5}), then simulate the crash
+    # window: the covered raw b5 is still on disk after the compact
+    apply_exact_dedup_retractable_delta(
+        spark.createDataFrame([(50, "xx")], schema), 5, state, auto_compact=None)
+    leftover = str(tmp_path / "b5_copy")
+    _sh.copytree(f"{root}/b{5:010d}", leftover)
+    assert _compact_segments(spark, state, _fold_exact_dedup_weights) == 1
+    _sh.copytree(leftover, f"{root}/b{5:010d}")
+
+    # older (non-monotonic) uncovered batches arrive next
+    apply_exact_dedup_retractable_delta(
+        spark.createDataFrame([(30, "xx")], schema), 3, state, auto_compact=None)
+    apply_exact_dedup_retractable_delta(
+        spark.createDataFrame([(40, "yy")], schema), 4, state, auto_compact=None)
+
+    want = sorted(map(tuple, exact_dedup(spark.createDataFrame(
+        [(50, "xx"), (30, "xx"), (40, "yy")], schema)).collect()))
+
+    # retention compaction with the covered leftover present: both raws
+    # 3 and 4 are the retained window (the leftover b5 is NOT a
+    # candidate), so nothing new folds and the read stays single-counted
+    _compact_segments(spark, state, _fold_exact_dedup_weights, retain_last=2)
+    got = sorted(map(tuple, read_exact_dedup_retractable_segments(
+        spark, state).collect()))
+    assert got == want  # old code double-counted batch 5 → n_copies 3
+
+    # a full compaction afterwards folds everything and GC clears the
+    # leftover; the view is still exact
+    _compact_segments(spark, state, _fold_exact_dedup_weights)
+    assert sorted(map(tuple, read_exact_dedup_retractable_segments(
+        spark, state).collect())) == want
+
+
+def test_count_sketch_estimate_tolerates_reserved_key_columns(spark, tmp_path):
+    """r12 (r11 ADVICE): the estimator's internal probe columns are
+    _cs_-prefixed, so a caller key frame carrying columns named d, b, s
+    or c joins cleanly instead of raising AnalysisException."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.sketch import (
+        count_sketch_estimate,
+    )
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_count_sketch_delta,
+        read_count_sketch_segments,
+    )
+
+    state = str(tmp_path / "cs_cols")
+    rows = [(1,)] * 4 + [(2,)] * 2
+    apply_count_sketch_delta(
+        spark.createDataFrame(rows, "k long"), 0, state, "k",
+        depth=5, width=4096, auto_compact=None)
+    keys = spark.createDataFrame(
+        [(1, "d", "b", "s", "c"), (2, "d", "b", "s", "c")],
+        "key long, d string, b string, s string, c string")
+    est = {r["key"]: r["cs_count"] for r in count_sketch_estimate(
+        read_count_sketch_segments(spark, state), keys, "key",
+        depth=5, width=4096).collect()}
+    assert est == {1: 4, 2: 2}
+
+
+def test_ivf_cell_stats_keeps_cells_with_empty_embeddings(spark, tmp_path):
+    """r12 (r11 ADVICE): a cell whose live vectors all carry empty
+    embedding arrays still appears in the retractable cell stats with
+    its true n_vecs and sums = [] — the inner join silently dropped it."""
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_ivf_postings_retractable_delta,
+        read_ivf_cell_stats_retractable,
+    )
+
+    schema = "vec_id long, label int, embedding array<float>"
+    rows = [(1, 0, [1.0, 2.0]), (2, 0, [3.0, 4.0]), (3, 1, []), (4, 1, [])]
+    state = str(tmp_path / "empty_cell")
+    apply_ivf_postings_retractable_delta(
+        spark.createDataFrame(rows, schema), 0, state, auto_compact=None)
+    stats = {r["cell"]: (r["n_vecs"], list(r["sums"]))
+             for r in read_ivf_cell_stats_retractable(spark, state).collect()}
+    assert stats == {0: (2, [4.0, 6.0]), 1: (2, [])}
