@@ -347,6 +347,68 @@ def synthetic_texture_assets(ids: DataFrame, id_col: str = "doc_id",
     return ids.select(id_col).mapInPandas(run, ASSET_SCHEMA)
 
 
+def _melody_wav_bytes(seed: int, scale_step: int, n_frames: int = 64,
+                      frame_len: int = 25, max_steps: int = 10) -> bytes:
+    """A PCM WAV whose energy CONTOUR is a fixed random per-frame
+    amplitude sequence seeded by ``seed``, played at a uniform volume
+    scale picked by ``scale_step`` — the audio analogue of
+    :func:`_texture_png_bytes`. Two renders sharing a seed have the same
+    frame-energy ORDERING at any scale (the energy-contour fingerprint's
+    exact invariance), two seeds give independent contours. Amplitudes
+    are spaced ≥16 apart and scales stay ≥0.5, so int16 quantization
+    (error ≤0.5 per sample) can never reorder or tie adjacent frame
+    energies — the planted clusters are exact, not probabilistic."""
+    import io
+    import random
+    import wave
+
+    rng = random.Random(seed)
+    amps = [16 * v for v in rng.sample(range(40, 750), n_frames)]
+    scale = 0.5 + 0.05 * (scale_step % max_steps)
+    frames = bytearray()
+    for a in amps:
+        v = round(a * scale)
+        # alternating-sign square wave: frame energy = frame_len · v²
+        for i in range(frame_len):
+            frames += int(v if i % 2 == 0 else -v).to_bytes(2, "little",
+                                                            signed=True)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def synthetic_melody_assets(ids: DataFrame, id_col: str = "doc_id",
+                            n_groups: int = 25) -> DataFrame:
+    """Deterministic WAV asset table derived from an id column: ids in
+    the same ``id % n_groups`` residue class render the SAME energy
+    contour with a per-id volume scale (``id // n_groups``) the
+    fingerprint is invariant to — each residue class is a planted
+    audio near-dup cluster. Rendering runs EXECUTOR-side over Arrow
+    batches, mirroring :func:`synthetic_texture_assets`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_np = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids_np,
+                    "modality": ["audio"] * len(pdf),
+                    "mime_type": ["audio/wav"] * len(pdf),
+                    "payload": [
+                        _melody_wav_bytes(int(i) % n_groups,
+                                          int(i) // n_groups)
+                        for i in ids_np
+                    ],
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(run, ASSET_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Perceptual image hashing (pHash) — near-duplicate IMAGE detection on top
 # of the in-repo codecs. DCT-based: resize to 32×32 grayscale, 2D DCT-II,

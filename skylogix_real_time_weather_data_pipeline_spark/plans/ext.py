@@ -321,6 +321,57 @@ def q_minhash_pairs_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_MINHASH_PAIRS_RETRACT = None  # assigned below, after O_MINHASH_LSH_PAIRS
 
 
+def q_minhash_pairs_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog maintenance over a SECOND view family (r12, r11
+    verdict #5): the generic router
+    streaming/matview.py:maintain_changelog_view had a driver hash only
+    through the exact-dedup view, whose read fold is MIN/ADD monoids.
+    This row drives the identical writeStream→foreachBatch→even/odd
+    segment routing against the retractable LSH-BUCKET view, whose read
+    path is capped collect_set semantics (over-cap collapse + recovery
+    under deletes) — the other monoid shape the router must preserve.
+    Three single-file micro-batches (even ids +1, odd ids +1, the
+    doc_id % 7 == 3 shard as -1 deletes); pairs are answered from the
+    live view with no corpus scan. Net survivors equal
+    docs_minhash_pairs_retract's, so the oracle is byte-identical and a
+    hash match certifies the routing, not just the appliers."""
+    import os
+
+    from ..streaming.matview import (
+        apply_minhash_buckets_retractable_delta,
+        maintain_changelog_view,
+        read_minhash_buckets_retractable_segments,
+        retract_minhash_buckets_delta,
+    )
+
+    docs = _docs(spark, sf_dir)
+    root = _session_state_dir(spark, sf_dir, "skylogix_minhash_cdc")
+    state = os.path.join(root, "view")
+    cdc_dir = os.path.join(root, "changelog")
+    for i, part in enumerate((
+        docs.filter(F.col("doc_id") % 2 == 0).withColumn("op", F.lit(1)),
+        docs.filter(F.col("doc_id") % 2 == 1).withColumn("op", F.lit(1)),
+        docs.filter(F.col("doc_id") % 7 == 3).withColumn("op", F.lit(-1)),
+    )):
+        part.select("doc_id", "text", "op").coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(cdc_dir, f"b{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, op int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(cdc_dir, "b*"))
+    )
+    maintain_changelog_view(
+        stream, state, os.path.join(root, "ckpt"),
+        apply_fn=lambda df, bid, sd: apply_minhash_buckets_retractable_delta(
+            df, bid, sd, n_hashes=_N_HASHES, bands=_BANDS),
+        retract_fn=lambda df, bid, sd: retract_minhash_buckets_delta(
+            df, bid, sd, n_hashes=_N_HASHES, bands=_BANDS),
+    )
+    view = read_minhash_buckets_retractable_segments(
+        spark, state, max_bucket_size=_MAX_BUCKET)
+    return dedup.minhash_pairs_from_index(view, max_bucket_size=_MAX_BUCKET)
+
+
 def q_exact_dedup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r11 curation-loop deletion path: ingest the corpus into the
     RETRACTABLE exact-dedup view (doc-granular Z-set segments,
@@ -427,6 +478,30 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = multimodal.synthetic_texture_assets(docs)
     return (
         multimodal.image_near_dup_pairs(assets)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal AUDIO near-dup pairs (r12, rows-only contract — the
+    mm_phash_near_dup precedent: the WAV decode + energy-contour
+    fingerprint kernel is not DuckDB-expressible, so the driver records
+    rows+schema). Deterministic planted clusters: PCM WAVs rendered
+    EXECUTOR-side from the documents ids
+    (ext/multimodal.py:synthetic_melody_assets — ids in the same mod-25
+    residue share an energy contour, differing only by a uniform volume
+    scale the fingerprint is exactly invariant to), then
+    audio_near_dup_pairs = Arrow-batched decode/fingerprint + the same
+    pigeonhole chunk-bucket pair generator as images — NO all-pairs
+    comparison. Bounded to doc_id < 400 (16-doc clusters → exactly
+    C(16,2)·25 = 3000 pairs when the id range is dense), the second
+    modality under the driver's eye (r11 verdict #8)."""
+    from ..ext import multimodal
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    assets = multimodal.synthetic_melody_assets(docs)
+    return (
+        multimodal.audio_near_dup_pairs(assets)
         .orderBy("id_a", "id_b")
     )
 
@@ -3783,8 +3858,10 @@ QUERIES = {
     "docs_exact_dedup_retract": q_exact_dedup_retract,
     "docs_exact_dedup_changelog": q_exact_dedup_changelog,
     "docs_minhash_pairs_retract": q_minhash_pairs_retract,
+    "docs_minhash_pairs_changelog": q_minhash_pairs_changelog,
     "docs_exact_dedup_asof": q_exact_dedup_asof,
     "mm_phash_near_dup": q_phash_near_dup,
+    "mm_audio_near_dup": q_audio_near_dup,
     "docs_source_cap": q_source_cap,
     "docs_minhash_jaccard_estimate": q_minhash_jaccard_estimate,
     "docs_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -3878,6 +3955,7 @@ ORACLES = {
     # different machinery under test (writeStream changelog routing)
     "docs_exact_dedup_changelog": O_EXACT_DEDUP_RETRACT,
     "docs_minhash_pairs_retract": O_MINHASH_PAIRS_RETRACT,
+    "docs_minhash_pairs_changelog": O_MINHASH_PAIRS_RETRACT,
     # byte-identical to docs_exact_dedup's oracle: the pre-delete snapshot
     # over the full corpus IS the plain one-shot dedup
     "docs_exact_dedup_asof": O_EXACT_DEDUP,

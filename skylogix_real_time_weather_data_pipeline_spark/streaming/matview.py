@@ -2170,13 +2170,32 @@ def apply_doc_views_delta(batch_df: DataFrame, batch_id: int,
     shared = owned_persist(batch_df.select(id_col, text_col))
     try:
         shared.count()  # materialize the shared scan once
-        apply_exact_dedup_delta(shared, batch_id, exact_dir, text_col,
-                                id_col, auto_compact)
-        apply_minhash_buckets_delta(shared, batch_id, minhash_dir, text_col,
-                                    id_col, n_hashes, bands, shingle_n,
-                                    max_bucket_size, auto_compact)
-        apply_gram_index_delta(shared, batch_id, gram_dir, text_col, id_col,
-                               k, max_gram_df, auto_compact)
+
+        # the three appliers target INDEPENDENT state dirs reading the one
+        # persisted scan, so — exactly like the r8 sketch fusion above
+        # (apply_sketch_views_batch) — their delta→segment-write pipelines
+        # run concurrently via multi-threaded job submission; local[n]
+        # interleaves the per-view jobs instead of paying three scan→agg
+        # latencies back to back. Per-view replay guards and the
+        # single-writer-per-STATE-DIR rule are untouched (distinct dirs →
+        # distinct segment roots → no shared .tmp_* path), so crash
+        # semantics are identical to three sequential calls.
+        from concurrent.futures import ThreadPoolExecutor
+
+        appliers = {
+            "exact": lambda: apply_exact_dedup_delta(
+                shared, batch_id, exact_dir, text_col, id_col, auto_compact),
+            "minhash": lambda: apply_minhash_buckets_delta(
+                shared, batch_id, minhash_dir, text_col, id_col, n_hashes,
+                bands, shingle_n, max_bucket_size, auto_compact),
+            "gram": lambda: apply_gram_index_delta(
+                shared, batch_id, gram_dir, text_col, id_col, k,
+                max_gram_df, auto_compact),
+        }
+        with ThreadPoolExecutor(max_workers=len(appliers)) as pool:
+            futures = {v: pool.submit(fn) for v, fn in appliers.items()}
+        for v, fut in futures.items():
+            fut.result()  # surface the first per-view failure
     finally:
         release_one(shared)
 

@@ -68,3 +68,38 @@ def test_audio_features_pipeline(spark):
     pairs = {(r.id_a, r.id_b): r.hamming for r in audio_near_dup_pairs(df).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] == 0
     assert all(3 not in p for p in pairs)
+
+
+def test_synthetic_melody_assets_plant_exact_clusters(spark):
+    """r12: the executor-side WAV generator plants exact near-dup
+    clusters — same id residue → byte-deterministic payload family with
+    one shared fingerprint across every volume scale; different residues
+    are far apart in Hamming; the pair generator recovers exactly
+    C(k,2)·n_groups pairs over a dense id range."""
+    import itertools
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.multimodal import (
+        _melody_wav_bytes,
+        synthetic_melody_assets,
+    )
+
+    # kernel-level determinism: same (seed, step) → same bytes
+    assert _melody_wav_bytes(3, 5) == _melody_wav_bytes(3, 5)
+    assert _melody_wav_bytes(3, 5) != _melody_wav_bytes(3, 6)
+
+    # invariance + separation at the fingerprint level, all 5 seeds
+    fps = {}
+    for seed in range(5):
+        vals = {_audio_fingerprint_one(_melody_wav_bytes(seed, s))
+                for s in range(12)}
+        assert len(vals) == 1
+        fps[seed] = vals.pop()
+    for a, b in itertools.combinations(fps.values(), 2):
+        assert _ham(a, b) > 4  # beyond the pair generator's threshold
+
+    # end-to-end planted count: 20 dense ids, 5 groups → C(4,2)·5 pairs
+    ids = spark.range(20).withColumnRenamed("id", "doc_id")
+    assets = synthetic_melody_assets(ids, n_groups=5)
+    pairs = audio_near_dup_pairs(assets).collect()
+    assert len(pairs) == 5 * (4 * 3 // 2)
+    assert all(r.hamming == 0 and r.id_a % 5 == r.id_b % 5 for r in pairs)
