@@ -164,7 +164,31 @@ def main() -> int:
             best = el if best is None or el < best else best
         return best
 
-    cal = _cal_probe(reps=3)
+    # calibration GATE (r12, r11 verdict #1): BENCH_r11's committed 19.23 s
+    # headline was measured machine noise — its first probe ran 0.436 s vs
+    # the ~0.2 s steady floor and every shared row slowed 1.1-2.7×
+    # uniformly. A contaminated START is detectable before any query runs:
+    # sample the probe until the latest reading sits within 1.15× of the
+    # best seen (up to 6 tries, 5 s apart), so a noisy-neighbor burst
+    # delays the run instead of seeding a false baseline. Sustained noise
+    # a gate cannot wait out is handled downstream: every row is also
+    # reported CALIBRATION-NORMALIZED against the session floor (see
+    # value_normalized), so the committed artifact separates machine from
+    # code by construction. The gate series and pass/fail are committed.
+    gate_series = [round(_cal_probe(reps=3), 3)]
+    gate_passed = True
+    for _ in range(5):
+        if gate_series[-1] <= 1.15 * min(gate_series) and (
+                len(gate_series) > 1 or gate_series[-1] <= 0.35):
+            break
+        print(f"# calibration gate: probe {gate_series[-1]:.3f}s above "
+              f"1.15x floor {min(gate_series):.3f}s — resampling",
+              file=sys.stderr)
+        time.sleep(5)
+        gate_series.append(round(_cal_probe(reps=3), 3))
+    else:
+        gate_passed = gate_series[-1] <= 1.15 * min(gate_series)
+    cal = gate_series[-1]
 
     import statistics
 
@@ -399,24 +423,46 @@ def main() -> int:
     # LAST so even a future truncation keeps them; the materialized map
     # and totals go to bench_detail.json next to this script (committed
     # per-round as BENCH_LOCAL_r{N}.json) and to stderr above.
+    # calibration-normalized series (r12): each row scaled by
+    # (session floor probe / probe in force for its block) — machine
+    # drift DURING the run divides out, so a noisy window inflates
+    # neither the row nor the headline. value stays the raw measurement
+    # (the r1-comparable contract number); value_normalized is the
+    # machine-separated one the round-over-round comparisons should key
+    # on alongside min-of-N floors.
+    cal_floor = min(cal_series)
+    norm = {
+        k: round(v * cal_floor / max(cal_at[k], 1e-9), 4)
+        for k, v in timings.items()
+    }
+    total_norm = round(sum(norm[q] for q in HEADLINE), 4)
     detail = {
         "metric": "headline_queries_total",
         "unit": "sec",
         "sf": sf_val,
         "queries": {k: round(v, 3) for k, v in timings.items()},
+        "queries_normalized": {k: round(v, 3) for k, v in norm.items()},
         "materialized": {k: round(v, 3) for k, v in mat.items()},
         "calibration": round(cal, 3),
+        "calibration_gate": {"series": gate_series, "passed": gate_passed},
+        "calibration_floor": cal_floor,
         "calibration_series": cal_series,
         "calibration_at": cal_at,
         "expanded_total": round(sum(timings.values()), 3),
         "materialized_total": round(sum(mat.values()), 3),
+        "value_normalized": total_norm,
         "value": total,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_detail.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
+    # queries_normalized stays out of the stdout line for the same 2000-
+    # char-tail reason as the materialized map — it lives in bench_detail
+    # (committed per-round as BENCH_LOCAL_r{N}.json); the scalar
+    # value_normalized / gate / floor fields ride along in the line.
     line = {k: v for k, v in detail.items()
-            if k not in ("materialized", "calibration_at")}
+            if k not in ("materialized", "calibration_at",
+                         "queries_normalized")}
     print(json.dumps(line, separators=(",", ":")))
     return 0
 

@@ -419,6 +419,22 @@ def main() -> int:
     out["emb_semdedup_blocked"] = _semdedup_blocked_probe(spark)
     print(f"# emb_semdedup_blocked: {out['emb_semdedup_blocked']}",
           file=sys.stderr)
+    # r12 (r11 verdict #7): the tracked emb_semdedup row pins k=4 clusters
+    # (the unrolled-Lloyd oracle constraint), so its Σ block² cost grows
+    # ~n² on 10x input BY PARAMETER CHOICE — annotate that inline so the
+    # >4x growth number never again reads as a kernel regression; the
+    # kernel-isolated number (constant ~500-vector blocks, k ~ n/500 as
+    # the SemDeDup paper scales it) is the blocked probe directly above.
+    if isinstance(out.get("emb_semdedup"), dict):
+        out["emb_semdedup"]["note"] = (
+            "fixed-k=4 oracle pin: growth_10x tracks sum(block^2) ~ n^2 by "
+            "parameter choice, not a kernel property; the kernel-isolated "
+            "growth at production label granularity is "
+            "emb_semdedup_blocked.growth_10x"
+        )
+        out["emb_semdedup"]["constant_block_growth_10x"] = (
+            out["emb_semdedup_blocked"].get("growth_10x")
+        )
     out["synthetic_skewed_triangles"] = _skewed_triangle_probe(spark)
     print(f"# synthetic_skewed_triangles: {out['synthetic_skewed_triangles']}",
           file=sys.stderr)

@@ -18,91 +18,77 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 #: module order. The full registry is additionally verified locally each
 #: round (scripts/local_verify.py → CORRECTNESS_LOCAL_r{N}.json, committed).
 #:
-#: Round-11 window (the r1-r10 window history lives in git — this block at
-#: earlier tags — and WINDOW_LEDGER.json). Tier 1 = the registry's one
-#: never-driver-green row (docs_substring_rewrite_segmented, registered
-#: post-window in r10 — a driver hash on it certifies the whole LSM
-#: write/compact/merge protocol end to end), the TWO new r11 rows
-#: (retractable exact-dedup via Z-set tombstone segments; the rows-only
-#: multimodal pHash near-dup pipeline), and every row whose deep
-#: implementation moved this round: the *_indexed rows over views whose
-#: delta builders gained the integral-id contract + legacy-schema
-#: backfill and whose segment protocol gained reader-safety +
-#: auto-compaction, and the two Arrow-kernel rows whose rounding switched
-#: from numpy half-even to HALF_UP (grid ties can flip values).
-#: Tier 2 = the ONLY remaining stale vintage: the 37 rows last
-#: driver-green in r7. The four late r11 rows (emb_ivf_topk_retract —
-#: vector deletes over Z-set IVF postings; rel_count_sketch_retract —
-#: turnstile Count-Sketch counters, constant-size segments by linearity;
-#: docs_exact_dedup_changelog — the CDC writeStream routing end to end;
-#: events_daily_retract — the reference-shaped additive view under
-#: deletes; docs_minhash_pairs_retract — LSH pairs from the retracted
-#: bucket view, closing the retraction family's last uncertified read)
-#: are tier 1 with the other never-driver-green rows, as is
-#: docs_exact_dedup_asof (time-travel read, pre-delete snapshot). 18
-#: tier-1 + 37 tier-2 = 55 for 50 slots: the final five r7-tail rows
-#: (weather_date_range, weather_derived_projection, weather_icon_lookup,
-#: weather_linear_fit, weather_outlier_counts) fall past the window and
-#: carry r7 vintage one more round — new never-green rows outrank
-#: stale-but-unchanged refreshes; they lead the r12 refresh queue.
+#: Round-12 window (earlier windows live in git history and
+#: WINDOW_LEDGER.json). Tier 1 = the two NEW rows
+#: (docs_minhash_pairs_changelog — the CDC router certified against the
+#: capped collect_set view family; mm_audio_near_dup — the second
+#: multimodal modality, rows-only) and every row whose deep
+#: implementation moved this round: rel_count_sketch_retract (the
+#: estimator's probe/counter columns were renamed collision-proof), the
+#: whole retraction family (their retract appliers now fire the r12
+#: TOMBSTONE_COMPACT_FRACTION auto-compaction trigger mid-query — the
+#: equivalence is pytest-pinned, and the driver hash re-certifies it),
+#: and docs_exact_dedup_changelog (the router now marks tombstone
+#: segments). Tier 2 = the five r7-vintage weather rows deferred from
+#: the r11 window (the refresh-queue head per the r11 verdict #3), then
+#: the oldest remaining vintage: 35 of the 48 r8-vintage rows in module
+#: order. 10 + 5 + 35 = 50; the final 13 r8 rows (rel_revenue_by_nation
+#: … weather_quantile_summary) carry r8 vintage one more round and lead
+#: the r13 refresh queue.
 _VERIFY_FIRST = (
-    # --- tier 1: changed / new in round 11 ---
-    "docs_substring_rewrite_segmented",  # NEVER driver-green; LSM protocol E2E
-    "docs_exact_dedup_retract",          # NEW: Z-set deletion/retraction
-    "docs_substring_rewrite_retract",    # NEW: retraction on the gram index
-    "docs_bm25_topk_retract",            # NEW: retraction on the term stats
-    "emb_ivf_topk_retract",              # NEW: vector deletes for the ANN index
-    "rel_count_sketch_retract",          # NEW: turnstile Count-Sketch counters
-    "docs_exact_dedup_changelog",        # NEW: CDC changelog maintainer E2E
-    "events_daily_retract",              # NEW: reference-shaped view retracts
-    "docs_minhash_pairs_retract",        # NEW: LSH pairs after a delete
-    "docs_exact_dedup_asof",             # NEW: time-travel read (pre-delete)
-    "mm_phash_near_dup",                 # NEW: multimodal codec row (rows-only)
-    "docs_substring_dedup_indexed",      # gram delta: id contract + backfill
-    "docs_substring_pairs_indexed",      # gram posting lists (same delta)
-    "docs_substring_rewrite_indexed",    # gram cnt/min_okey (same delta)
-    "docs_minhash_pairs_indexed",        # bucket delta: id contract
-    "docs_exact_dedup_indexed",          # fingerprint view (shared protocol)
-    "emb_kmeans_arrow",                  # HALF_UP rounding in the kernel
-    "emb_semdedup",                      # HALF_UP rounding in the block gemm
-    # --- tier 2: the whole remaining r7-vintage tail (37 rows) ---
-    "docs_bpe_token_count",
-    "docs_curation_pipeline",
-    "docs_decontaminate",
-    "docs_exact_dedup",
-    "docs_fingerprint",
-    "docs_language_id",
-    "docs_mixture_sample",
-    "docs_quality_filter",
-    "docs_quality_topk_per_source",
-    "docs_repetition_stats",
-    "docs_simhash",
-    "docs_temperature_mixture",
-    "docs_tfidf_topk",
-    "docs_token_quantiles_by_lang",
-    "emb_ivf_quantized_topk",
-    "emb_ivf_topk",
-    "emb_kmeans",
-    "events_funnel",
-    "events_gap_fill",
-    "events_retention",
-    "events_top_transitions",
-    "rel_approx_distinct",
-    "rel_distinct_parts",
-    "rel_fuzzy_part_names",
-    "rel_late_shipment_priority",
-    "rel_order_count_distribution",
-    "rel_salted_join",
-    "rel_scd2_apply",
-    "rel_waiting_suppliers",
-    "rel_yearly_growth",
-    "sql_priority_with_exists",
-    "sql_recursive_chains",
+    # --- tier 1: changed / new in round 12 ---
+    "docs_minhash_pairs_changelog",  # NEW: CDC router over the LSH-bucket view
+    "mm_audio_near_dup",             # NEW: audio modality row (rows-only)
+    "rel_count_sketch_retract",      # estimator column-collision rewrite
+    "docs_exact_dedup_retract",      # tombstone-fraction trigger now in-row
+    "docs_substring_rewrite_retract",
+    "docs_bm25_topk_retract",
+    "emb_ivf_topk_retract",          # + empty-embedding cell-stats fix family
+    "docs_minhash_pairs_retract",    # + oracle prefix recomposition
+    "events_daily_retract",
+    "docs_exact_dedup_changelog",    # router marks tombstone segments now
+    # --- tier 2a: the five weather rows deferred from the r11 window ---
     "weather_date_range",
     "weather_derived_projection",
     "weather_icon_lookup",
     "weather_linear_fit",
     "weather_outlier_counts",
+    # --- tier 2b: the r8-vintage tail, oldest remaining (35 of 48) ---
+    "docs_chunk",
+    "docs_dedup_clusters",
+    "docs_dedup_decisions",
+    "docs_dup_chunk_ratio",
+    "docs_minhash_lsh_pairs",
+    "docs_normalize",
+    "docs_pack",
+    "docs_pii_scrub",
+    "docs_shard",
+    "docs_split_assign",
+    "emb_centroids_by_label",
+    "emb_cosine_topk",
+    "emb_hamming_topk",
+    "emb_lsh_buckets",
+    "emb_lsh_near_dup_pairs",
+    "emb_pairwise_topk",
+    "emb_quantize_int8",
+    "emb_quantized_recall",
+    "emb_quantized_topk",
+    "rel_bottomk_quantiles",
+    "rel_cube_lineitem",
+    "rel_customer_ntile_segments",
+    "rel_disjunctive_revenue",
+    "rel_grouping_sets",
+    "rel_kmv_intersection",
+    "rel_large_orders",
+    "rel_lost_customers",
+    "rel_merge_upsert",
+    "rel_min_cost_supplier",
+    "rel_order_percentiles",
+    "rel_pagerank",
+    "rel_pricing_summary",
+    "rel_product_profit",
+    "rel_promo_revenue",
+    "rel_returned_items",
 )
 
 

@@ -1119,18 +1119,62 @@ def _merge_exact_dedup_segments(df: DataFrame) -> DataFrame:
 #: yields the identical view).
 AUTO_COMPACT_SEGMENTS = 16
 
+#: Tombstone-weight compaction trigger (r12, r11 verdict #6): the count
+#: threshold above amortizes INGEST-heavy windows, but RETRACT_SCALE_r11
+#: showed a DELETE-heavy window pays ~5× read amplification between
+#: compactions (exact-dedup sf10x: 2.44 s post-retract vs 0.49 s
+#: post-compact) — tombstone segments add scan fan-in AND grow the
+#: pre-cancellation row set the read fold must group. So a RETRACT also
+#: triggers compaction when tombstone segments make up at least this
+#: fraction of the readable RAW segments. Set from the r12 sweep
+#: (RETRACT_READ_AMPLIFICATION_r12.json, ratio {10,30,50}% × tombstone
+#: segments {1,4,8} at sf1x/sf10x): for the doc-granular exact-dedup
+#: view at sf10x even ONE 10% tombstone already reads ~5× the compacted
+#: floor (4.05 s vs 0.82 s) and 8 tombstones read 10-17× — waiting for
+#: a tombstone majority forfeits most of the win — while for the huge
+#: gram index (20M rows, fold-dominated) the whole sweep stays 0.7-2.4×,
+#: so compacting early costs it roughly one read. 1/3 fires on the
+#: FIRST tombstone of the common 2-base-segment window and every ~2
+#: tombstones of a sustained delete stream, and never fires on the
+#: ingest-dominated path (tombstone-free applies skip the check
+#: entirely). Tombstone-ness is carried in the raw segment's
+#: ``_manifest.json`` (``kind: tombstone``) written by the retract_*
+#: appliers — a filesystem check, never a Spark job.
+TOMBSTONE_COMPACT_FRACTION = 1 / 3
+
+
+def _raw_is_tombstone(path: str) -> bool:
+    try:
+        with open(os.path.join(path, "_manifest.json")) as f:
+            return json.load(f).get("kind") == "tombstone"
+    except OSError:
+        return False
+
 
 def _apply_delta_segment(delta_fn, batch_df: DataFrame, batch_id: int,
-                         state_dir: str, merge_fn, auto_compact: int | None) -> None:
+                         state_dir: str, merge_fn, auto_compact: int | None,
+                         tombstone: bool = False) -> None:
     """Shared segmented-apply protocol: replay guard → O(batch) immutable
-    segment write → count-threshold auto-compaction. ``delta_fn`` is lazy
-    so a replayed batch skips building the delta plan entirely."""
+    segment write → auto-compaction on either the count threshold or the
+    tombstone-fraction threshold. ``delta_fn`` is lazy so a replayed
+    batch skips building the delta plan entirely; ``auto_compact=None``
+    disables BOTH triggers (the manual protocol the equivalence tests
+    exercise at arbitrary compaction points)."""
     paths, applied = _segment_scan(state_dir)
     if batch_id in applied:
         return
-    _write_segment(delta_fn(), state_dir, batch_id)
-    if auto_compact is not None and len(paths) + 1 >= auto_compact:
+    _write_segment(delta_fn(), state_dir, batch_id,
+                   manifest={"kind": "tombstone"} if tombstone else None)
+    if auto_compact is None:
+        return
+    if len(paths) + 1 >= auto_compact:
         _compact_segments(batch_df.sparkSession, state_dir, merge_fn)
+        return
+    if tombstone and len(paths) >= 1:
+        raws = [p for p in paths if os.path.basename(p).startswith("b")]
+        n_tomb = 1 + sum(1 for p in raws if _raw_is_tombstone(p))
+        if n_tomb / (len(raws) + 1) >= TOMBSTONE_COMPACT_FRACTION:
+            _compact_segments(batch_df.sparkSession, state_dir, merge_fn)
 
 
 def apply_gram_index_delta(batch_df: DataFrame, batch_id: int, state_dir: str,
@@ -1377,6 +1421,7 @@ def retract_exact_dedup_delta(
     _apply_delta_segment(
         lambda: _exact_dedup_weighted_delta(batch_df, text_col, id_col, -1),
         batch_df, batch_id, state_dir, _fold_exact_dedup_weights, auto_compact,
+        tombstone=True,
     )
 
 
@@ -1473,6 +1518,7 @@ def retract_gram_index_delta(
     _apply_delta_segment(
         lambda: _gram_index_weighted_delta(batch_df, text_col, id_col, k, -1),
         batch_df, batch_id, state_dir, _fold_gram_index_weights, auto_compact,
+        tombstone=True,
     )
 
 
@@ -1555,6 +1601,7 @@ def retract_minhash_buckets_delta(
         lambda: _minhash_buckets_weighted_delta(
             batch_df, text_col, id_col, n_hashes, bands, shingle_n, -1),
         batch_df, batch_id, state_dir, _fold_minhash_weights, auto_compact,
+        tombstone=True,
     )
 
 
@@ -1631,6 +1678,7 @@ def retract_term_stats_delta(
     _apply_delta_segment(
         lambda: _term_stats_weighted_delta(batch_df, text_col, id_col, -1),
         batch_df, batch_id, state_dir, _fold_term_stats_weights, auto_compact,
+        tombstone=True,
     )
 
 
@@ -1766,6 +1814,7 @@ def retract_ivf_postings_delta(
     _apply_delta_segment(
         lambda: _ivf_postings_weighted_delta(batch_df, vec_col, id_col, cell_col, -1),
         batch_df, batch_id, state_dir, _fold_ivf_postings_weights, auto_compact,
+        tombstone=True,
     )
 
 
@@ -1900,6 +1949,7 @@ def retract_count_sketch_delta(
     _apply_delta_segment(
         lambda: _count_sketch_delta(batch_df, key_col, depth, width, -1),
         batch_df, batch_id, state_dir, _fold_count_sketch_weights, auto_compact,
+        tombstone=True,
     )
 
 
@@ -2127,6 +2177,7 @@ def retract_daily_counts_delta(batch_df: DataFrame, batch_id: int,
     _apply_delta_segment(
         lambda: _daily_counts_weighted_delta(batch_df, -1),
         batch_df, batch_id, state_dir, _fold_daily_counts_weights, auto_compact,
+        tombstone=True,
     )
 
 
@@ -2239,11 +2290,22 @@ def segment_stats(state_dir: str) -> dict:
                     pass
         return total
 
+    n_tomb = sum(1 for p in raws if _raw_is_tombstone(p))
     return {
         "readable_segments": len(paths),
         "raw_segments": len(raws),
         "compact_segments": len(compacts),
+        "tombstone_segments": n_tomb,
+        "tombstone_fraction": round(n_tomb / len(raws), 4) if raws else 0.0,
         "applied_batches": sorted(applied),
         "bytes": sum(_bytes(p) for p in paths),
         "will_auto_compact_next": len(paths) + 1 >= AUTO_COMPACT_SEGMENTS,
+        # a RETRACT lands a tombstone, so it additionally checks the
+        # tombstone-fraction trigger (r12) — reported separately because
+        # which trigger the next batch faces depends on its op
+        "will_compact_next_tombstone": (
+            len(paths) + 1 >= AUTO_COMPACT_SEGMENTS
+            or (len(paths) >= 1
+                and (n_tomb + 1) / (len(raws) + 1) >= TOMBSTONE_COMPACT_FRACTION)
+        ),
     }

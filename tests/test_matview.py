@@ -2148,3 +2148,70 @@ def test_ivf_cell_stats_keeps_cells_with_empty_embeddings(spark, tmp_path):
     stats = {r["cell"]: (r["n_vecs"], list(r["sums"]))
              for r in read_ivf_cell_stats_retractable(spark, state).collect()}
     assert stats == {0: (2, [4.0, 6.0]), 1: (2, [])}
+
+
+def test_tombstone_fraction_trigger_fires_and_preserves_view(spark, tmp_path):
+    """r12 (r11 verdict #6): a delete-heavy window triggers compaction on
+    tombstone WEIGHT, not just segment count — and the view across the
+    new boundary is identical to the untriggered (manual) protocol. Two
+    base applies + one retract crosses TOMBSTONE_COMPACT_FRACTION (1/3),
+    so the retract itself compacts; a pure-ingest sequence of the same
+    length never fires the new trigger."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import exact_dedup
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_exact_dedup_retractable_delta,
+        read_exact_dedup_retractable_segments,
+        retract_exact_dedup_delta,
+        segment_stats,
+    )
+
+    schema = "doc_id long, text string"
+    b0 = [(1, "aa"), (2, "bb")]
+    b1 = [(3, "aa"), (4, "cc")]
+    gone = [(1, "aa")]
+
+    # auto path: the retract crosses the tombstone fraction and compacts
+    auto = str(tmp_path / "auto")
+    apply_exact_dedup_retractable_delta(
+        spark.createDataFrame(b0, schema), 0, auto)
+    apply_exact_dedup_retractable_delta(
+        spark.createDataFrame(b1, schema), 1, auto)
+    s_pre = segment_stats(auto)
+    assert s_pre["tombstone_segments"] == 0
+    assert s_pre["will_auto_compact_next"] is False      # count trigger far off
+    assert s_pre["will_compact_next_tombstone"] is True  # 1/3 fraction hit
+    retract_exact_dedup_delta(spark.createDataFrame(gone, schema), 2, auto)
+    s_post = segment_stats(auto)
+    assert s_post["compact_segments"] == 1 and s_post["raw_segments"] == 0
+    assert s_post["tombstone_segments"] == 0  # folded away
+    assert s_post["applied_batches"] == [0, 1, 2]
+
+    # manual path: same batches, no trigger — views must be identical
+    manual = str(tmp_path / "manual")
+    apply_exact_dedup_retractable_delta(
+        spark.createDataFrame(b0, schema), 0, manual, auto_compact=None)
+    apply_exact_dedup_retractable_delta(
+        spark.createDataFrame(b1, schema), 1, manual, auto_compact=None)
+    retract_exact_dedup_delta(
+        spark.createDataFrame(gone, schema), 2, manual, auto_compact=None)
+    assert segment_stats(manual)["tombstone_segments"] == 1
+
+    def view(state):
+        return sorted(map(tuple, read_exact_dedup_retractable_segments(
+            spark, state).collect()))
+
+    want = sorted(map(tuple, exact_dedup(spark.createDataFrame(
+        b1 + [(2, "bb")], schema)).collect()))
+    assert view(auto) == view(manual) == want
+
+    # pure-ingest sequence of the same length: the new trigger never fires
+    ingest = str(tmp_path / "ingest")
+    for b, rows in enumerate((b0, b1, [(9, "zz")])):
+        apply_exact_dedup_retractable_delta(
+            spark.createDataFrame(rows, schema), b, ingest)
+    s_ing = segment_stats(ingest)
+    assert s_ing["compact_segments"] == 0 and s_ing["raw_segments"] == 3
+
+    # replaying the retract after the auto-compaction stays a no-op
+    retract_exact_dedup_delta(spark.createDataFrame(gone, schema), 2, auto)
+    assert view(auto) == want
