@@ -181,9 +181,11 @@ def main() -> int:
         if gate_series[-1] <= 1.15 * min(gate_series) and (
                 len(gate_series) > 1 or gate_series[-1] <= 0.35):
             break
-        print(f"# calibration gate: probe {gate_series[-1]:.3f}s above "
-              f"1.15x floor {min(gate_series):.3f}s — resampling",
-              file=sys.stderr)
+        why = (f"above 1.15x floor {min(gate_series):.3f}s"
+               if gate_series[-1] > 1.15 * min(gate_series)
+               else "first probe above the 0.35s sanity bound")
+        print(f"# calibration gate: probe {gate_series[-1]:.3f}s {why} "
+              f"— resampling", file=sys.stderr)
         time.sleep(5)
         gate_series.append(round(_cal_probe(reps=3), 3))
     else:
