@@ -347,6 +347,89 @@ def synthetic_texture_assets(ids: DataFrame, id_col: str = "doc_id",
     return ids.select(id_col).mapInPandas(run, ASSET_SCHEMA)
 
 
+def _grid_frame_bgr24(seed: int, shift: int, w: int = 64, h: int = 48) -> bytes:
+    """Bottom-up, stride-padded BGR24 DIB frame of a fixed 8x6 color grid
+    seeded by ``seed`` with a uniform brightness ``shift`` (values capped
+    ≤ 200 so the shift never clips) — the video analogue of
+    :func:`_texture_png_bytes`, sharing its pHash invariance argument."""
+    import random
+
+    rng = random.Random(seed)
+    grid = [[tuple(rng.randrange(20, 200) for _ in range(3)) for _ in range(8)]
+            for _ in range(6)]
+    stride = ((w * 3) + 3) & ~3
+    rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            r, g, b = grid[min(y * 6 // h, 5)][min(x * 8 // w, 7)]
+            row += bytes((min(255, b + shift), min(255, g + shift),
+                          min(255, r + shift)))
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    return b"".join(reversed(rows))  # DIB stores bottom-up
+
+
+def _avi_bytes(w: int, h: int, frames: list[bytes]) -> bytes:
+    """Minimal uncompressed (BI_RGB 24-bit) AVI container around DIB
+    frames — the exact shape :func:`_avi_raw_frames` parses back."""
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return (fourcc + len(body).to_bytes(4, "little") + body
+                + (b"\x00" if len(body) & 1 else b""))
+
+    strf = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")      # BI_RGB
+        + b"\x00" * 20
+    )
+    strl = b"strl" + chunk(b"strf", strf)
+    hdrl = b"hdrl" + b"LIST" + len(strl).to_bytes(4, "little") + strl
+    movi = b"movi" + b"".join(chunk(b"00db", f) for f in frames)
+    body = (
+        b"AVI "
+        + b"LIST" + len(hdrl).to_bytes(4, "little") + hdrl
+        + b"LIST" + len(movi).to_bytes(4, "little") + movi
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def synthetic_video_assets(ids: DataFrame, id_col: str = "doc_id",
+                           n_groups: int = 25, n_frames: int = 4,
+                           max_shift: int = 12) -> DataFrame:
+    """Deterministic uncompressed-AVI asset table derived from an id
+    column: ids in the same ``id % n_groups`` residue class render the
+    SAME ``n_frames``-frame grid sequence with a per-id brightness shift
+    every frame's pHash is invariant to — each residue class is a
+    planted video near-dup cluster (all sampled-frame hashes shared).
+    Rendering runs EXECUTOR-side over Arrow batches, mirroring
+    :func:`synthetic_texture_assets` / :func:`synthetic_melody_assets`."""
+
+    def render(i: int) -> bytes:
+        seed, shift = i % n_groups, (i // n_groups) % max_shift
+        return _avi_bytes(64, 48, [
+            _grid_frame_bgr24(seed * 131 + f, shift) for f in range(n_frames)
+        ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_np = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids_np,
+                    "modality": ["video"] * len(pdf),
+                    "mime_type": ["video/avi"] * len(pdf),
+                    "payload": [render(int(i)) for i in ids_np],
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(run, ASSET_SCHEMA)
+
+
 def _melody_wav_bytes(seed: int, scale_step: int, n_frames: int = 64,
                       frame_len: int = 25, max_steps: int = 10) -> bytes:
     """A PCM WAV whose energy CONTOUR is a fixed random per-frame

@@ -31,14 +31,17 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 #: and docs_exact_dedup_changelog (the router now marks tombstone
 #: segments). Tier 2 = the five r7-vintage weather rows deferred from
 #: the r11 window (the refresh-queue head per the r11 verdict #3), then
-#: the oldest remaining vintage: 35 of the 48 r8-vintage rows in module
-#: order. 10 + 5 + 35 = 50; the final 13 r8 rows (rel_revenue_by_nation
-#: … weather_quantile_summary) carry r8 vintage one more round and lead
-#: the r13 refresh queue.
+#: the oldest remaining vintage: 34 of the 48 r8-vintage rows in module
+#: order. 11 + 5 + 34 = 50 (mm_video_near_dup, registered late in r12,
+#: took the last slot from rel_returned_items — new never-green rows
+#: outrank stale refreshes); the final 14 r8 rows (rel_returned_items,
+#: rel_revenue_by_nation … weather_quantile_summary) carry r8 vintage
+#: one more round and lead the r13 refresh queue.
 _VERIFY_FIRST = (
     # --- tier 1: changed / new in round 12 ---
     "docs_minhash_pairs_changelog",  # NEW: CDC router over the LSH-bucket view
     "mm_audio_near_dup",             # NEW: audio modality row (rows-only)
+    "mm_video_near_dup",             # NEW: video modality row (rows-only)
     "rel_count_sketch_retract",      # estimator column-collision rewrite
     "docs_exact_dedup_retract",      # tombstone-fraction trigger now in-row
     "docs_substring_rewrite_retract",
@@ -88,7 +91,6 @@ _VERIFY_FIRST = (
     "rel_pricing_summary",
     "rel_product_profit",
     "rel_promo_revenue",
-    "rel_returned_items",
 )
 
 

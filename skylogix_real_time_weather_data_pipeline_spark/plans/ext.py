@@ -506,6 +506,29 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal VIDEO near-dup pairs (r12, rows-only contract — third
+    modality under the driver's eye). Deterministic planted clusters:
+    uncompressed BGR24 AVIs rendered EXECUTOR-side from the documents
+    ids (ext/multimodal.py:synthetic_video_assets — ids in the same
+    mod-25 residue share a 4-frame grid sequence, differing only by a
+    uniform brightness shift every frame's pHash is invariant to), then
+    video_near_dup_pairs = stdlib RIFF frame extraction + per-frame
+    pHash + df-capped posting-list pairing on shared sampled-frame
+    hashes (min_shared=2 — both sampled frames must agree). Bounded to
+    doc_id < 400 (16-doc clusters → exactly C(16,2)·25 = 3000 pairs
+    when the id range is dense); cross-group frame-hash collisions are
+    structurally absent (distinct random grids, asserted in tests)."""
+    from ..ext import multimodal
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    assets = multimodal.synthetic_video_assets(docs)
+    return (
+        multimodal.video_near_dup_pairs(assets)
+        .orderBy("id_a", "id_b")
+    )
+
+
 _SOURCE_CAP = 40
 
 
@@ -3862,6 +3885,7 @@ QUERIES = {
     "docs_exact_dedup_asof": q_exact_dedup_asof,
     "mm_phash_near_dup": q_phash_near_dup,
     "mm_audio_near_dup": q_audio_near_dup,
+    "mm_video_near_dup": q_video_near_dup,
     "docs_source_cap": q_source_cap,
     "docs_minhash_jaccard_estimate": q_minhash_jaccard_estimate,
     "docs_ngram_jaccard_pairs": q_ngram_jaccard_pairs,

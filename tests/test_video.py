@@ -83,3 +83,37 @@ def test_video_near_dup_pipeline(spark):
     pairs = {(r.id_a, r.id_b): r.n_shared_frames for r in video_near_dup_pairs(df).collect()}
     assert pairs.get((1, 2)) == 2            # both sampled frames match
     assert all(3 not in p for p in pairs)
+
+
+def test_synthetic_video_assets_plant_exact_clusters(spark):
+    """r12: the executor-side AVI generator plants exact near-dup
+    clusters — same id residue → same 4-frame grid sequence at any
+    brightness shift (all sampled-frame pHashes shared); different
+    residues share zero frame hashes; the pair generator recovers
+    exactly C(k,2)·n_groups pairs over a dense id range."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.multimodal import (
+        _avi_bytes,
+        _grid_frame_bgr24,
+        synthetic_video_assets,
+    )
+
+    # kernel determinism + invariance (group 3 at two shifts)
+    def hs(seed, shift):
+        return dict(_video_frame_hashes_one(_avi_bytes(64, 48, [
+            _grid_frame_bgr24(seed * 131 + f, shift) for f in range(4)])))
+
+    assert hs(3, 0) == hs(3, 7) and len(hs(3, 0)) == 2
+    # cross-group: zero shared hashes across all 5 test groups
+    seen = set()
+    for g in range(5):
+        vals = set(hs(g, 0).values())
+        assert not (vals & seen)
+        seen |= vals
+
+    # end-to-end planted count: 20 dense ids, 5 groups → C(4,2)·5 pairs
+    ids = spark.range(20).withColumnRenamed("id", "doc_id")
+    assets = synthetic_video_assets(ids, n_groups=5)
+    pairs = video_near_dup_pairs(assets).collect()
+    assert len(pairs) == 5 * (4 * 3 // 2)
+    assert all(r.n_shared_frames == 2 and r.id_a % 5 == r.id_b % 5
+               for r in pairs)
