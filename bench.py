@@ -458,13 +458,15 @@ def main() -> int:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_detail.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
-    # queries_normalized stays out of the stdout line for the same 2000-
-    # char-tail reason as the materialized map — it lives in bench_detail
-    # (committed per-round as BENCH_LOCAL_r{N}.json); the scalar
-    # value_normalized / gate / floor fields ride along in the line.
+    # queries_normalized and calibration_series stay out of the stdout
+    # line for the same 2000-char-tail reason as the materialized map
+    # (the r12 line measured 1951 bytes WITH the series — one more
+    # registry row would truncate the front and break the parse); both
+    # live in bench_detail (committed per-round as BENCH_LOCAL_r{N}.json).
+    # The scalar value_normalized / gate / floor fields ride in the line.
     line = {k: v for k, v in detail.items()
             if k not in ("materialized", "calibration_at",
-                         "queries_normalized")}
+                         "queries_normalized", "calibration_series")}
     print(json.dumps(line, separators=(",", ":")))
     return 0
 
