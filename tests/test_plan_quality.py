@@ -612,3 +612,20 @@ def test_substring_rewrite_two_scans_no_pair_stage(spark, sf_dir, qs):
     assert len(re.findall(r"FileScan", plan)) == 2
     assert len(re.findall(r"Exchange hashpartitioning\(h#", plan)) == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multimodal_rows_prune_to_id_and_push_bound(spark, sf_dir, qs):
+    """r12: the three synthetic-asset rows derive everything from doc_id —
+    the documents scan must prune to that single column and push the
+    id bound into the parquet reader; reading `text` (or the full row)
+    into the Arrow render stage would move corpus bytes into Python for
+    no reason at any scale."""
+    for name in ("mm_phash_near_dup", "mm_audio_near_dup", "mm_video_near_dup"):
+        plan = _formatted(qs[name](spark, sf_dir))
+        scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        doc_scans = [s for s in scans if "doc_id" in s]
+        assert doc_scans, f"{name}: no documents scan found"
+        for s in doc_scans:
+            assert s.strip() == "doc_id:bigint", f"{name}: unpruned scan {s}"
+        assert re.search(r"PushedFilters: \[[^\]]*LessThan\(doc_id,400\)", plan), (
+            f"{name}: id bound not pushed")
