@@ -1052,3 +1052,61 @@ def test_retractable_ivf_postings_invariant_under_interleaving(
     )
     want = sorted((r[1], r[0]) for r in rows if not kill[r[0]])
     assert got == want
+
+
+@given(
+    texts=st.lists(st.text(alphabet="ab ", min_size=1, max_size=12),
+                   min_size=1, max_size=8),
+    split=st.lists(st.integers(0, 2), min_size=8, max_size=8),
+    kill=st.lists(st.booleans(), min_size=8, max_size=8),
+    pos=st.integers(0, 3),
+)
+@_settings
+def test_retractable_exact_dedup_invariant_under_auto_triggers(
+        spark, tmp_path_factory, texts, split, kill, pos):
+    """r12 property: the same any-partition / any-tombstone-placement
+    invariance as the manual-protocol test above, but with BOTH
+    auto-compaction triggers live — an aggressive count threshold
+    (auto_compact=2) plus the tombstone-fraction trigger — so
+    compactions fire at arbitrary points of the interleaving. The read
+    must still equal a one-shot rebuild over the survivors: compaction
+    is a prefix fold of an abelian-group view, wherever it lands."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import exact_dedup
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_exact_dedup_retractable_delta,
+        read_exact_dedup_retractable_segments,
+        retract_exact_dedup_delta,
+    )
+
+    rows = list(enumerate(texts))
+    gone = [r for r in rows if kill[r[0]]]
+    state = str(tmp_path_factory.mktemp("edrz_auto") / "view")
+    schema = "doc_id long, text string"
+    slots = [[r for r in rows if split[r[0]] == b] for b in range(3)]
+    slots.insert(pos, gone)
+    wrote = False
+    for bid, batch in enumerate(slots):
+        if not batch:
+            continue
+        bdf = spark.createDataFrame(batch, schema)
+        if batch is gone and bid == pos:
+            retract_exact_dedup_delta(bdf, bid, state, auto_compact=2)
+        else:
+            apply_exact_dedup_retractable_delta(bdf, bid, state,
+                                                auto_compact=2)
+        wrote = True
+    if not wrote:
+        return
+    got = sorted(
+        tuple(r)
+        for r in read_exact_dedup_retractable_segments(spark, state).collect()
+    )
+    survivors = [r for r in rows if not kill[r[0]]]
+    if not survivors:
+        assert got == []
+        return
+    want = sorted(
+        tuple(r)
+        for r in exact_dedup(spark.createDataFrame(survivors, schema)).collect()
+    )
+    assert got == want
