@@ -1142,6 +1142,17 @@ AUTO_COMPACT_SEGMENTS = 16
 #: appliers — a filesystem check, never a Spark job.
 TOMBSTONE_COMPACT_FRACTION = 1 / 3
 
+#: Snapshot retention for TRIGGERED compactions (r12): both auto-triggers
+#: call _compact_segments with this retain_last, so a deployment that
+#: needs as-of reads to survive auto-compaction sets it to its audit
+#: horizon (newest N raw batch ids stay unfolded — the same knob the
+#: manual compact_*(retain_last=N) exposes). 0 (default) keeps the
+#: r11-documented contract: auto-compaction is maximal history GC and
+#: as-of past the fold fails loudly (SnapshotUnavailableError). The
+#: equivalence argument is unchanged — retention just shrinks the folded
+#: prefix; pytest pins the view is identical and the horizon readable.
+AUTO_COMPACT_RETAIN = 0
+
 
 def _raw_is_tombstone(path: str) -> bool:
     try:
@@ -1168,13 +1179,15 @@ def _apply_delta_segment(delta_fn, batch_df: DataFrame, batch_id: int,
     if auto_compact is None:
         return
     if len(paths) + 1 >= auto_compact:
-        _compact_segments(batch_df.sparkSession, state_dir, merge_fn)
+        _compact_segments(batch_df.sparkSession, state_dir, merge_fn,
+                          retain_last=AUTO_COMPACT_RETAIN)
         return
     if tombstone and len(paths) >= 1:
         raws = [p for p in paths if os.path.basename(p).startswith("b")]
         n_tomb = 1 + sum(1 for p in raws if _raw_is_tombstone(p))
         if n_tomb / (len(raws) + 1) >= TOMBSTONE_COMPACT_FRACTION:
-            _compact_segments(batch_df.sparkSession, state_dir, merge_fn)
+            _compact_segments(batch_df.sparkSession, state_dir, merge_fn,
+                              retain_last=AUTO_COMPACT_RETAIN)
 
 
 def apply_gram_index_delta(batch_df: DataFrame, batch_id: int, state_dir: str,

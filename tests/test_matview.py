@@ -2215,3 +2215,71 @@ def test_tombstone_fraction_trigger_fires_and_preserves_view(spark, tmp_path):
     # replaying the retract after the auto-compaction stays a no-op
     retract_exact_dedup_delta(spark.createDataFrame(gone, schema), 2, auto)
     assert view(auto) == want
+
+
+def test_auto_compact_retain_preserves_asof_horizon(spark, tmp_path, monkeypatch):
+    """r12: AUTO_COMPACT_RETAIN threads the retain_last retention knob
+    into BOTH auto-triggers, so a deployment keeps an as-of audit
+    horizon across triggered compactions — the current view is
+    unchanged, snapshots inside the horizon read, and older history is
+    still loud GC."""
+    import pytest
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import exact_dedup
+    from skylogix_real_time_weather_data_pipeline_spark.streaming import matview
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        SnapshotUnavailableError,
+        apply_exact_dedup_retractable_delta,
+        read_exact_dedup_retractable_as_of,
+        read_exact_dedup_retractable_segments,
+        retract_exact_dedup_delta,
+        segment_stats,
+    )
+
+    monkeypatch.setattr(matview, "AUTO_COMPACT_RETAIN", 2)
+    schema = "doc_id long, text string"
+    b0, b1, gone = [(1, "aa"), (2, "bb")], [(3, "aa")], [(1, "aa")]
+    state = str(tmp_path / "retain_auto")
+    apply_exact_dedup_retractable_delta(
+        spark.createDataFrame(b0, schema), 0, state)
+    apply_exact_dedup_retractable_delta(
+        spark.createDataFrame(b1, schema), 1, state)
+    # the retract fires the tombstone trigger (1/3) — but retention keeps
+    # the 2 newest raw batch ids (1 and the tombstone 2) unfolded
+    retract_exact_dedup_delta(spark.createDataFrame(gone, schema), 2, state)
+    s = segment_stats(state)
+    assert s["compact_segments"] == 1  # batch 0 folded
+    assert s["raw_segments"] == 2      # batches 1, 2 retained
+    assert s["applied_batches"] == [0, 1, 2]
+
+    want_now = sorted(map(tuple, exact_dedup(spark.createDataFrame(
+        [(2, "bb"), (3, "aa")], schema)).collect()))
+    assert sorted(map(tuple, read_exact_dedup_retractable_segments(
+        spark, state).collect())) == want_now
+    # every snapshot still reads: the fold covers exactly prefix [0], so
+    # as-of 0 answers from the compact and 1/2 from compact + raws
+    assert sorted(map(tuple, read_exact_dedup_retractable_as_of(
+        spark, state, 0).collect())) == sorted(map(tuple, exact_dedup(
+            spark.createDataFrame(b0, schema)).collect()))
+    assert sorted(map(tuple, read_exact_dedup_retractable_as_of(
+        spark, state, 1).collect())) == sorted(map(tuple, exact_dedup(
+            spark.createDataFrame(b0 + b1, schema)).collect()))
+
+    # a second delete window: the trigger fires again, retention slides
+    # forward (keeps raws 3,4; folds 0-2) — the horizon moves, the
+    # current view is still exact, and PRE-horizon as-of is now loud GC
+    apply_exact_dedup_retractable_delta(
+        spark.createDataFrame([(4, "cc")], schema), 3, state)
+    retract_exact_dedup_delta(
+        spark.createDataFrame([(2, "bb")], schema), 4, state)
+    s2 = segment_stats(state)
+    assert s2["raw_segments"] == 2 and s2["applied_batches"] == list(range(5))
+    assert sorted(map(tuple, read_exact_dedup_retractable_segments(
+        spark, state).collect())) == sorted(map(tuple, exact_dedup(
+            spark.createDataFrame([(3, "aa"), (4, "cc")], schema)).collect()))
+    assert sorted(map(tuple, read_exact_dedup_retractable_as_of(
+        spark, state, 3).collect())) == sorted(map(tuple, exact_dedup(
+            spark.createDataFrame([(2, "bb"), (3, "aa"), (4, "cc")],
+                                  schema)).collect()))
+    with pytest.raises(SnapshotUnavailableError):
+        read_exact_dedup_retractable_as_of(spark, state, 1).collect()
