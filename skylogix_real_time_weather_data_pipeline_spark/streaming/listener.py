@@ -90,6 +90,29 @@ class MetricsListener(StreamingQueryListener):
                 "weather_state_rows_updated",
                 float(sum(o.numRowsUpdated or 0 for o in ops)),
             )
+            # provider-level RocksDB signals (r12, ROADMAP item): with
+            # session.get_spark(state_store="rocksdb") the progress event
+            # carries per-operator customMetrics — surface the
+            # capacity-planning trio: on-disk SST bytes (the real state
+            # footprint once memtables flush; memoryUsedBytes is only the
+            # cache side), cumulative write volume, and the commit fsync
+            # latency the micro-batch critical path pays. Absent keys
+            # (HDFS provider) leave the gauges untouched.
+            for gauge, key, kind in (
+                ("weather_state_rocksdb_sst_bytes", "rocksdbSstFileSize", "set"),
+                ("weather_state_rocksdb_bytes_written",
+                 "rocksdbTotalBytesWritten", "set"),
+                ("weather_state_rocksdb_commit_fsync_ms",
+                 "rocksdbCommitFileSyncLatencyMs", "inc"),
+            ):
+                vals = [
+                    (o.customMetrics or {}).get(key)
+                    for o in ops
+                    if getattr(o, "customMetrics", None)
+                ]
+                vals = [v for v in vals if v is not None]
+                if vals:
+                    getattr(self.registry, kind)(gauge, float(sum(vals)))
         if _HAVE_PROM:  # pragma: no cover
             self._records.inc(rows)
             self._duration.set(secs)

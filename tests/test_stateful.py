@@ -171,6 +171,15 @@ def test_listener_reports_state_size_gauges(spark, tmp_path):
         assert listener.registry.values["weather_state_rows"] == 3.0
         assert listener.registry.values["weather_state_memory_bytes"] > 0
         assert listener.registry.values["weather_state_rows_updated"] >= 3.0
+        # r12: provider-level RocksDB customMetrics gauges (the test
+        # session runs the RocksDB provider — session.py default): the
+        # 3-key commit must have written bytes; SST bytes legitimately
+        # stay 0 at this state size (memtable never flushes) but the
+        # gauge must exist; fsync latency accumulates >= 0
+        vals = listener.registry.values
+        assert vals["weather_state_rocksdb_bytes_written"] > 0
+        assert vals["weather_state_rocksdb_sst_bytes"] >= 0
+        assert vals["weather_state_rocksdb_commit_fsync_ms"] >= 0
     finally:
         spark.streams.removeListener(listener)
 
