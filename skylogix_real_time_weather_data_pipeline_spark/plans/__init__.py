@@ -31,12 +31,13 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 #: and docs_exact_dedup_changelog (the router now marks tombstone
 #: segments). Tier 2 = the five r7-vintage weather rows deferred from
 #: the r11 window (the refresh-queue head per the r11 verdict #3), then
-#: the oldest remaining vintage: 34 of the 48 r8-vintage rows in module
-#: order. 11 + 5 + 34 = 50 (mm_video_near_dup, registered late in r12,
-#: took the last slot from rel_returned_items — new never-green rows
-#: outrank stale refreshes); the final 14 r8 rows (rel_returned_items,
-#: rel_revenue_by_nation … weather_quantile_summary) carry r8 vintage
-#: one more round and lead the r13 refresh queue.
+#: the oldest remaining vintage: 32 of the 48 r8-vintage rows in module
+#: order. 13 + 5 + 32 = 50 (the four late-r12 registrations —
+#: mm_video_near_dup, events_daily_changelog, docs_substring_rewrite_asof
+#: and the slots they cost rel_returned_items / rel_product_profit /
+#: rel_promo_revenue — follow the rule that new never-green rows outrank
+#: stale refreshes); the final 16 r8 rows carry r8 vintage one more
+#: round and lead the r13 refresh queue.
 _VERIFY_FIRST = (
     # --- tier 1: changed / new in round 12 ---
     "docs_minhash_pairs_changelog",  # NEW: CDC router over the LSH-bucket view
@@ -50,6 +51,8 @@ _VERIFY_FIRST = (
     "docs_minhash_pairs_retract",    # + oracle prefix recomposition
     "events_daily_retract",
     "docs_exact_dedup_changelog",    # router marks tombstone segments now
+    "events_daily_changelog",        # NEW: CDC router over the additive family
+    "docs_substring_rewrite_asof",   # NEW: time-travel over the gram family
     # --- tier 2a: the five weather rows deferred from the r11 window ---
     "weather_date_range",
     "weather_derived_projection",
@@ -89,8 +92,6 @@ _VERIFY_FIRST = (
     "rel_order_percentiles",
     "rel_pagerank",
     "rel_pricing_summary",
-    "rel_product_profit",
-    "rel_promo_revenue",
 )
 
 

@@ -2405,6 +2405,43 @@ def q_substring_rewrite_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_dedup_rewrite_from_index(survivors, view, k=_SUBSTR_K)
 
 
+def q_substring_rewrite_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot (time-travel) read over a SECOND view family (r12): the
+    as-of machinery has a driver hash only through the exact-dedup view,
+    whose read fold is plain MIN/ADD monoids. This row reconstructs the
+    retractable GRAM-INDEX view as it stood BEFORE a delete
+    (streaming/matview.py:read_gram_index_retractable_as_of — merge only
+    segments with batch id <= 1) and drives the ExactSubstr rewrite of
+    the FULL corpus from that snapshot: the weighted capped-posting fold
+    (doc-granular Z-set weights, cnt/min_okey argmins, over-cap
+    collapse) must reproduce the pre-delete index exactly, so the
+    oracle is byte-identical to the full-corpus rewrite's — the
+    tombstone written at batch 2 must be genuinely invisible, not
+    compensated."""
+    import os
+
+    from ..streaming.matview import (
+        apply_gram_index_retractable_delta,
+        read_gram_index_retractable_as_of,
+        retract_gram_index_delta,
+    )
+
+    docs = _docs(spark, sf_dir)
+    root = _session_state_dir(spark, sf_dir, "skylogix_gram_asof")
+    state = os.path.join(root, "view")
+    apply_gram_index_retractable_delta(
+        docs.filter(F.col("doc_id") % 2 == 0), 0, state, k=_SUBSTR_K,
+        auto_compact=None)
+    apply_gram_index_retractable_delta(
+        docs.filter(F.col("doc_id") % 2 == 1), 1, state, k=_SUBSTR_K,
+        auto_compact=None)
+    retract_gram_index_delta(
+        docs.filter(F.col("doc_id") % 7 == 3), 2, state, k=_SUBSTR_K,
+        auto_compact=None)
+    snapshot = read_gram_index_retractable_as_of(spark, state, 1)
+    return dedup.substring_dedup_rewrite_from_index(docs, snapshot, k=_SUBSTR_K)
+
+
 def q_substring_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr coverage STATS against the maintained gram-index view
     (r10, r9 verdict #5): build the view as two replay-guarded
@@ -3922,6 +3959,7 @@ QUERIES = {
     "docs_substring_rewrite_indexed": q_substring_rewrite_indexed,
     "docs_substring_rewrite_segmented": q_substring_rewrite_segmented,
     "docs_substring_rewrite_retract": q_substring_rewrite_retract,
+    "docs_substring_rewrite_asof": q_substring_rewrite_asof,
     "docs_substring_dedup_indexed": q_substring_dedup_indexed,
     "docs_substring_pairs_indexed": q_substring_pairs_indexed,
     "docs_substring_pairs": q_substring_pairs,
@@ -4022,6 +4060,9 @@ ORACLES = {
     # equal the one-shot batch rewrite row-for-row
     "docs_substring_rewrite_indexed": O_SUBSTRING_REWRITE,
     "docs_substring_rewrite_segmented": O_SUBSTRING_REWRITE,
+    # pre-delete snapshot over the FULL corpus: as-of must make the
+    # batch-2 tombstone invisible, so the oracle is the one-shot rewrite
+    "docs_substring_rewrite_asof": O_SUBSTRING_REWRITE,
     # the one-shot rewrite oracle over the SURVIVING corpus: retractable
     # view == rebuild-over-survivors is the Z-set fold's contract
     "docs_substring_rewrite_retract": O_SUBSTRING_REWRITE.replace(

@@ -764,6 +764,63 @@ def q_events_daily_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_daily_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog maintenance over a THIRD view family (r12): the
+    generic router streaming/matview.py:maintain_changelog_view has
+    driver hashes for the exact-dedup (MIN/ADD) and LSH-bucket (capped
+    collect_set) families; this row drives the identical
+    writeStream→foreachBatch→even/odd segment routing against the
+    REFERENCE-SHAPED purely additive daily aggregate — whose retraction
+    is aggregate-granular (negated partial aggregates) and whose read
+    fold drops n == 0 groups, the group-vanishing semantic the other
+    families don't have. Three single-file micro-batches (even event
+    ids +1, odd ids +1, the event_id % 10 == 3 shard as -1 deletes);
+    values pre-quantized to 10^-2 integer units (the fixed-point fold
+    discipline). Net survivors equal events_daily_retract's — the
+    oracle is byte-identical, so a hash match certifies the routing
+    against the additive family."""
+    import os
+
+    from ..streaming.matview import (
+        apply_daily_counts_delta,
+        maintain_changelog_view,
+        read_daily_counts_retractable_segments,
+        retract_daily_counts_delta,
+    )
+    from .ext import _session_state_dir
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("value"),
+    )
+    root = _session_state_dir(spark, sf_dir, "skylogix_daily_cdc")
+    state = os.path.join(root, "view")
+    cdc_dir = os.path.join(root, "changelog")
+    for i, part in enumerate((
+        ev.filter(F.col("event_id") % 2 == 0).withColumn("op", F.lit(1)),
+        ev.filter(F.col("event_id") % 2 == 1).withColumn("op", F.lit(1)),
+        ev.filter(F.col("event_id") % 10 == 3).withColumn("op", F.lit(-1)),
+    )):
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(cdc_dir, f"b{i}"))
+    stream = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, event_type string, "
+                "value long, op int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(cdc_dir, "b*"))
+    )
+    maintain_changelog_view(
+        stream, state, os.path.join(root, "ckpt"),
+        apply_fn=lambda df, bid, sd: apply_daily_counts_delta(df, bid, sd),
+        retract_fn=lambda df, bid, sd: retract_daily_counts_delta(df, bid, sd),
+    )
+    return read_daily_counts_retractable_segments(spark, state).select(
+        "day", "event_type", "n", F.col("sum_value").alias("value_units")
+    )
+
+
 O_EVENTS_DAILY_RETRACT = """
 SELECT CAST(ts AS DATE) AS day,
        event_type,
@@ -796,6 +853,7 @@ QUERIES = {
     "events_anomaly_mad": q_anomaly_mad,
     "events_ab_test": q_ab_test,
     "events_daily_retract": q_events_daily_retract,
+    "events_daily_changelog": q_events_daily_changelog,
 }
 
 ORACLES = {
@@ -818,4 +876,5 @@ ORACLES = {
     "events_cumulative_users": O_CUMULATIVE_USERS,
     "events_anomaly_mad": O_ANOMALY_MAD,
     "events_daily_retract": O_EVENTS_DAILY_RETRACT,
+    "events_daily_changelog": O_EVENTS_DAILY_RETRACT,
 }
