@@ -59,7 +59,7 @@ _VERIFY_FIRST = (
     "weather_icon_lookup",
     "weather_linear_fit",
     "weather_outlier_counts",
-    # --- tier 2b: the r8-vintage tail, oldest remaining (35 of 48) ---
+    # --- tier 2b: the r8-vintage tail, oldest remaining (32 of 48) ---
     "docs_chunk",
     "docs_dedup_clusters",
     "docs_dedup_decisions",

@@ -460,9 +460,10 @@ def q_exact_dedup_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal pHash near-dup pairs (r11, rows-only contract — the
-    `rel_approx_distinct` precedent: the DCT codec kernel is not
-    DuckDB-expressible, so the driver records rows+schema). Deterministic
+    """Multimodal pHash near-dup pairs (r11; oracle-comparable since r13 —
+    the codec kernel is not DuckDB-expressible, but the PLANTED TRUTH is
+    relational, so O_MM_HAMMING_PAIRS states it and the driver
+    value-hashes the full pair set). Deterministic
     planted clusters: textured PNGs rendered EXECUTOR-side from the
     documents ids (ext/multimodal.py:synthetic_texture_assets — ids in
     the same mod-25 residue share a color grid, differing only by a
@@ -483,10 +484,10 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal AUDIO near-dup pairs (r12, rows-only contract — the
-    mm_phash_near_dup precedent: the WAV decode + energy-contour
-    fingerprint kernel is not DuckDB-expressible, so the driver records
-    rows+schema). Deterministic planted clusters: PCM WAVs rendered
+    """Multimodal AUDIO near-dup pairs (r12; oracle-comparable since r13
+    via the planted-truth O_MM_HAMMING_PAIRS — the WAV decode +
+    energy-contour fingerprint kernel itself stays non-SQL).
+    Deterministic planted clusters: PCM WAVs rendered
     EXECUTOR-side from the documents ids
     (ext/multimodal.py:synthetic_melody_assets — ids in the same mod-25
     residue share an energy contour, differing only by a uniform volume
@@ -507,8 +508,9 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal VIDEO near-dup pairs (r12, rows-only contract — third
-    modality under the driver's eye). Deterministic planted clusters:
+    """Multimodal VIDEO near-dup pairs (r12; oracle-comparable since r13
+    via the planted-truth O_MM_VIDEO_PAIRS — third modality under the
+    driver's eye). Deterministic planted clusters:
     uncompressed BGR24 AVIs rendered EXECUTOR-side from the documents
     ids (ext/multimodal.py:synthetic_video_assets — ids in the same
     mod-25 residue share a 4-frame grid sequence, differing only by a
@@ -527,6 +529,36 @@ def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.video_near_dup_pairs(assets)
         .orderBy("id_a", "id_b")
     )
+
+
+# Planted-truth oracles for the multimodal rows (r13, r12 verdict #1):
+# the synthetic asset generators plant mod-25 residue clusters over the
+# dense doc_id < 400 id range, varied only by a transformation each
+# fingerprint is EXACTLY invariant to (brightness shift for pHash,
+# uniform volume scale for the energy contour, per-frame brightness for
+# the video frame hashes), and cross-cluster collisions are structurally
+# absent (distinct random grids/contours; pinned in tests/test_phash.py,
+# test_audio.py, test_video.py). The expected output is therefore
+# RELATIONAL — same-residue ordered pairs with the pinned invariant
+# measure — so these rows graduate from rows-only to full value-hash
+# checks: the Spark side computes the set through the real clean-room
+# decode/fingerprint kernels, the oracle states the planted ground truth.
+O_MM_HAMMING_PAIRS = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id % 25 = b.doc_id % 25 AND a.doc_id < b.doc_id
+WHERE a.doc_id < 400 AND b.doc_id < 400
+ORDER BY id_a, id_b
+"""
+
+O_MM_VIDEO_PAIRS = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(2 AS BIGINT) AS n_shared_frames
+FROM documents a JOIN documents b
+  ON a.doc_id % 25 = b.doc_id % 25 AND a.doc_id < b.doc_id
+WHERE a.doc_id < 400 AND b.doc_id < 400
+ORDER BY id_a, id_b
+"""
 
 
 _SOURCE_CAP = 40
@@ -1856,12 +1888,22 @@ _KM_DIST = """
 
 #: Shared Lloyd-replay CTE chain (seeds → assign → recompute → reassign);
 #: O_KMEANS appends the final assignment select, O_SEMDEDUP appends the
-#: within-cluster pruning on top of the same assignment.
-_KM_CTES = f"""
+#: within-cluster pruning on top of the same assignment. Only the SEED
+#: CTE depends on k (everything downstream is k-generic), so the chain is
+#: built by a function of the seed-LIMIT expression: the fixed-k rows
+#: pass the literal, the r13 scaled-k row passes a scalar subquery that
+#: derives k = floor(sqrt(n)) from the corpus itself — the sqrt(n)
+#: posture the operator's own docstring prescribes, expressed in BOTH
+#: engines so the oracle stays byte-composable at every sf (no
+#: per-sf string surgery; the r11 positional-replace hazard class).
+
+
+def _km_ctes(limit_sql: str) -> str:
+    return f"""
 WITH seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-  FROM embeddings ORDER BY vec_id LIMIT {_KM_K}
+  FROM embeddings ORDER BY vec_id LIMIT {limit_sql}
 ),
 d0 AS (
   SELECT e.vec_id, s.c, {_KM_DIST.format(c='s')} AS dist
@@ -1889,6 +1931,18 @@ d1 AS (
 )
 """
 
+
+#: k = max(1, floor(sqrt(n))) as a DuckDB scalar-subquery LIMIT — the
+#: data-derived seed count the scaled-k semdedup row uses. sqrt is exact
+#: for every corpus size the harness runs (n << 2^52).
+_SCALED_K_LIMIT = (
+    "(SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) "
+    "FROM embeddings)"
+)
+
+_KM_CTES = _km_ctes(str(_KM_K))
+_KM_CTES_SCALED = _km_ctes(_SCALED_K_LIMIT)
+
 O_KMEANS = _KM_CTES + """
 SELECT vec_id, CAST(c AS INTEGER) AS cluster, ROUND(dist, 6) AS sqdist FROM (
   SELECT vec_id, c, dist,
@@ -1910,14 +1964,39 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector keep/drop decisions (SemDeDup, arXiv:2303.09540). The
     oracle replays the identical Lloyd recurrence as unrolled CTEs, then
     the same upper-triangle pruning: drop iff a lower-id cluster-mate has
-    rounded cosine >= threshold."""
+    rounded cosine >= threshold. FIXED k=_KM_K for oracle-parity with the
+    kmeans family — k pinned means cluster blocks grow linearly with the
+    corpus and the within-block gemm quadratically, so this row is the
+    SMALL-SF check only; the scale posture lives in
+    ``emb_semdedup_scaledk`` (k = floor(sqrt(n)), the configuration a
+    deployment actually runs — r12 verdict #2)."""
     return similarity.semdedup(
         _embs(spark, sf_dir), k=_KM_K, n_iter=_KM_ITER,
         threshold=_SEMDEDUP_THRESHOLD,
     )
 
 
-O_SEMDEDUP = _KM_CTES + f"""
+def q_semdedup_scaledk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at the operator's documented scale posture (r13): k grows
+    as floor(sqrt(n)) with the corpus, keeping expected block size ~sqrt(n)
+    so the within-cluster gemm stays ~O(n) total work per decade instead
+    of the fixed-k row's O(n²). k is derived from a count of the (already
+    pruned, vec_id-only) scan — one cheap metadata-sized job — and the
+    oracle derives the SAME k inside SQL via a scalar-subquery LIMIT, so
+    the row is hash-comparable at every sf without per-sf string surgery."""
+    import math
+
+    emb = _embs(spark, sf_dir)
+    k = max(1, math.isqrt(emb.count()))
+    return similarity.semdedup(
+        emb, k=k, n_iter=_KM_ITER, threshold=_SEMDEDUP_THRESHOLD,
+    )
+
+
+#: Within-cluster pruning suffix shared by the fixed-k and scaled-k
+#: semdedup oracles — appended to a _km_ctes(...) chain, never composed
+#: by string replace (r11 hazard class).
+_SEMDEDUP_SUFFIX = f"""
 , asg AS (
   SELECT vec_id, CAST(c AS INTEGER) AS cluster FROM (
     SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
@@ -1934,6 +2013,9 @@ drops AS (SELECT DISTINCT id_b FROM pr WHERE cs >= {_SEMDEDUP_THRESHOLD})
 SELECT asg.vec_id, asg.cluster, (d.id_b IS NULL) AS keep
 FROM asg LEFT JOIN drops d ON asg.vec_id = d.id_b
 """
+
+O_SEMDEDUP = _KM_CTES + _SEMDEDUP_SUFFIX
+O_SEMDEDUP_SCALEDK = _KM_CTES_SCALED + _SEMDEDUP_SUFFIX
 
 
 # --------------------------------------------------------------------------
@@ -3990,6 +4072,7 @@ QUERIES = {
     "emb_kmeans": q_kmeans,
     "emb_kmeans_arrow": q_kmeans_arrow,
     "emb_semdedup": q_semdedup,
+    "emb_semdedup_scaledk": q_semdedup_scaledk,
     "docs_shard": q_shard,
     "docs_budget_select": q_budget_select,
     "docs_tfidf_topk": q_tfidf_topk,
@@ -4021,6 +4104,12 @@ ORACLES = {
     # byte-identical to docs_exact_dedup's oracle: the pre-delete snapshot
     # over the full corpus IS the plain one-shot dedup
     "docs_exact_dedup_asof": O_EXACT_DEDUP,
+    # r13: the multimodal rows' planted truth is relational (mod-25
+    # residue clusters over dense ids, invariant measure pinned) — full
+    # value-hash oracles replace the r11/r12 rows-only contract
+    "mm_phash_near_dup": O_MM_HAMMING_PAIRS,
+    "mm_audio_near_dup": O_MM_HAMMING_PAIRS,
+    "mm_video_near_dup": O_MM_VIDEO_PAIRS,
     "docs_source_cap": O_SOURCE_CAP,
     "docs_minhash_jaccard_estimate": O_MINHASH_JACCARD_EST,
     "docs_ngram_jaccard_pairs": O_NGRAM_JACCARD,
@@ -4105,6 +4194,7 @@ ORACLES = {
     "emb_kmeans": O_KMEANS,
     "emb_kmeans_arrow": O_KMEANS,
     "emb_semdedup": O_SEMDEDUP,
+    "emb_semdedup_scaledk": O_SEMDEDUP_SCALEDK,
     "docs_shard": O_SHARD,
     "docs_budget_select": O_BUDGET_SELECT,
     "docs_tfidf_topk": O_TFIDF_TOPK,

@@ -1525,8 +1525,11 @@ GROUP BY s_name, n_name
 
 
 # --------------------------------------------------------------------------
-# Approximate distinct (HLL sketch) — rows-only check (approximate result
-# has no exact ANSI oracle; exact counterpart is rel_distinct_parts).
+# Approximate distinct (HLL sketch) — the raw-estimate row stays rows-only
+# (the estimate itself has no exact ANSI oracle), but since r13 its
+# companion rel_approx_distinct_bounds value-checks the estimate against
+# DuckDB's exact COUNT(DISTINCT) within the sketch's error envelope.
+# Exact counterpart: rel_distinct_parts.
 # --------------------------------------------------------------------------
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1535,6 +1538,41 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def q_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL estimate vs its standard-error envelope (r13, r12 verdict #1):
+    the oracle-comparable companion to the rows-only ``rel_approx_distinct``.
+    The row emits the DuckDB-checkable exact distinct count per group and
+    a boolean asserting Spark's HLL++ estimate (rsd=0.01) landed within a
+    5-sigma relative envelope (|approx - exact| <= 0.05 * exact) — so the
+    driver's hash compare now value-checks the sketch against exact truth
+    instead of recording only a row count. 5 sigma keeps the row
+    deterministic-in-practice at every sf while still catching any real
+    estimator regression (a broken HLL is off by far more than 5%)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("_approx"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (F.abs(F.col("_approx") - F.col("exact_parts"))
+             <= F.col("exact_parts") * F.lit(0.05)).alias("within_bounds"),
+        )
+    )
+
+
+O_APPROX_DISTINCT_BOUNDS = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS within_bounds
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1828,6 +1866,7 @@ QUERIES = {
     "rel_pricing_summary": q_pricing_summary,
     "rel_cube_lineitem": q_cube_lineitem,
     "rel_approx_distinct": q_approx_distinct,
+    "rel_approx_distinct_bounds": q_approx_distinct_bounds,
     "rel_min_cost_supplier": q_min_cost_supplier,
     "rel_customer_ntile_segments": q_customer_ntile_segments,
     "rel_supplier_part_counts": q_supplier_part_counts,
@@ -1870,6 +1909,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    # r13: value-checks the HLL estimate against DuckDB's exact
+    # COUNT(DISTINCT) inside its 5-sigma envelope (r12 verdict #1)
+    "rel_approx_distinct_bounds": O_APPROX_DISTINCT_BOUNDS,
     "rel_min_cost_supplier": O_MIN_COST_SUPPLIER,
     "rel_customer_ntile_segments": O_CUSTOMER_NTILE_SEGMENTS,
     "rel_supplier_part_counts": O_SUPPLIER_PART_COUNTS,

@@ -1021,8 +1021,8 @@ def _segment_scan(state_dir: str) -> tuple[list[str], set[int]]:
             try:
                 with open(mpath) as f:
                     covered = set(json.load(f)["batch_ids"])
-            except OSError:
-                continue  # unreadable manifest: treat as garbage
+            except (OSError, ValueError, KeyError):
+                continue  # unreadable/corrupt manifest: treat as garbage
             compacts.append((covered, path))
         elif name.startswith("b"):
             raws[int(name[1:])] = path
@@ -1036,21 +1036,43 @@ def _segment_scan(state_dir: str) -> tuple[list[str], set[int]]:
     return paths, covered | set(raws)
 
 
+def _parquet_dir_rows(path: str) -> int:
+    """Row count of a written parquet segment from the file FOOTERS —
+    driver-side metadata only, never a Spark job (the r13 empty-tombstone
+    fix needs the count at write time without re-evaluating the delta)."""
+    import pyarrow.parquet as pq
+    return sum(
+        pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+
+
 def _write_segment(delta: DataFrame, state_dir: str, batch_id: int,
                    manifest: dict | None = None,
-                   name: str | None = None) -> None:
+                   name: str | None = None) -> int | None:
+    """Returns the written row count when a manifest was recorded (read
+    from the parquet footers, no Spark job), else None. A replayed write
+    (segment already committed) returns None."""
     root = _segments_root(state_dir)
     os.makedirs(root, exist_ok=True)
     _clear_tmp_segments(root)  # single-writer path: crash leftovers only
     final = os.path.join(root, name or f"b{batch_id:010d}")
     if os.path.exists(final):
-        return
+        return None
     tmp = os.path.join(root, f".tmp_{os.path.basename(final)}")
     delta.write.mode("overwrite").parquet(tmp)
+    rows = None
     if manifest is not None:
+        # record the segment's row count so the tombstone-fraction
+        # trigger (and any future reader) can tell an EMPTY tombstone —
+        # the changelog router writes one every pure-insert micro-batch —
+        # from a real one without opening the data.
+        rows = _parquet_dir_rows(tmp)
         with open(os.path.join(tmp, "_manifest.json"), "w") as f:
-            json.dump(manifest, f)
+            json.dump({**manifest, "rows": rows}, f)
     os.rename(tmp, final)  # commit point
+    return rows
 
 
 def _capped_union_merge(df: DataFrame, keys: list[str], cap: int,
@@ -1137,9 +1159,12 @@ AUTO_COMPACT_SEGMENTS = 16
 #: FIRST tombstone of the common 2-base-segment window and every ~2
 #: tombstones of a sustained delete stream, and never fires on the
 #: ingest-dominated path (tombstone-free applies skip the check
-#: entirely). Tombstone-ness is carried in the raw segment's
-#: ``_manifest.json`` (``kind: tombstone``) written by the retract_*
-#: appliers — a filesystem check, never a Spark job.
+#: entirely, and so do EMPTY tombstones — the changelog router lands one
+#: per pure-insert micro-batch for replay-guard completeness, and those
+#: must not turn CDC ingest into per-batch O(view) compaction).
+#: Tombstone-ness is carried in the raw segment's ``_manifest.json``
+#: (``kind: tombstone`` plus the footer-derived ``rows`` count) written
+#: by the retract_* appliers — a filesystem check, never a Spark job.
 TOMBSTONE_COMPACT_FRACTION = 1 / 3
 
 #: Snapshot retention for TRIGGERED compactions (r12): both auto-triggers
@@ -1155,10 +1180,21 @@ AUTO_COMPACT_RETAIN = 0
 
 
 def _raw_is_tombstone(path: str) -> bool:
+    """True only for NON-EMPTY tombstone segments: the changelog router
+    intentionally lands a (possibly empty) tombstone segment every
+    micro-batch so the replay guard sees each (batch, side) pair, and an
+    empty one exerts zero read pressure — counting it would fire a full
+    O(view) compaction on every pure-insert CDC batch (r12 ADVICE).
+    Manifests written before r13 lack ``rows``; they predate the router
+    and were only written by genuinely non-empty retract applies, so
+    missing ``rows`` counts as a tombstone. Unreadable/corrupt manifests
+    are treated like the compact-manifest reader treats garbage: not a
+    tombstone (ValueError covers json.JSONDecodeError)."""
     try:
         with open(os.path.join(path, "_manifest.json")) as f:
-            return json.load(f).get("kind") == "tombstone"
-    except OSError:
+            m = json.load(f)
+        return m.get("kind") == "tombstone" and m.get("rows", 1) != 0
+    except (OSError, ValueError):
         return False
 
 
@@ -1174,15 +1210,20 @@ def _apply_delta_segment(delta_fn, batch_df: DataFrame, batch_id: int,
     paths, applied = _segment_scan(state_dir)
     if batch_id in applied:
         return
-    _write_segment(delta_fn(), state_dir, batch_id,
-                   manifest={"kind": "tombstone"} if tombstone else None)
+    rows = _write_segment(delta_fn(), state_dir, batch_id,
+                          manifest={"kind": "tombstone"} if tombstone else None)
     if auto_compact is None:
         return
     if len(paths) + 1 >= auto_compact:
         _compact_segments(batch_df.sparkSession, state_dir, merge_fn,
                           retain_last=AUTO_COMPACT_RETAIN)
         return
-    if tombstone and len(paths) >= 1:
+    # the fraction check runs only when THIS apply landed a non-empty
+    # tombstone (rows comes from the parquet footers, no extra job): an
+    # empty tombstone — the changelog router writes one per pure-insert
+    # micro-batch for replay-guard completeness — adds no read pressure,
+    # and counting it made CDC maintenance O(view) per batch (r12 ADVICE).
+    if tombstone and rows and len(paths) >= 1:
         raws = [p for p in paths if os.path.basename(p).startswith("b")]
         n_tomb = 1 + sum(1 for p in raws if _raw_is_tombstone(p))
         if n_tomb / (len(raws) + 1) >= TOMBSTONE_COMPACT_FRACTION:
@@ -2146,8 +2187,12 @@ def maintain_changelog_view(src: DataFrame, state_dir: str,
 # without carrying row granularity: a tombstone segment is the batch's
 # own partial aggregate with negated measures, O(touched groups) per
 # segment. Float sums cancel only approximately ((a+b)-b ≠ a at ulp), but
-# n is integer-exact: the read fold drops n == 0 groups, so a fully
-# retracted group disappears exactly and no residue row survives.
+# n is integer-exact: the READ fold keeps n > 0 groups only, so a fully
+# retracted group disappears exactly from the view. The COMPACTION fold
+# is laxer — it keeps any group with n != 0 OR sum_value != 0, because a
+# group can transiently net to n == 0 with a nonzero sum while its
+# matching add is still in flight, and dropping the residue mid-stream
+# would break the interleaving-independence contract (r12 ADVICE).
 
 
 def _daily_counts_weighted_delta(batch_df: DataFrame, weight: int) -> DataFrame:
@@ -2160,10 +2205,18 @@ def _daily_counts_weighted_delta(batch_df: DataFrame, weight: int) -> DataFrame:
 
 
 def _fold_daily_counts_weights(df: DataFrame) -> DataFrame:
+    """Compaction/segment fold: keep every group carrying ANY residue —
+    n != 0 OR sum_value != 0. A group can transiently net to n == 0 with
+    a nonzero sum (a delete folded before its matching add, or a
+    same-batch add+unrelated-delete overlap); dropping it here would lose
+    the sum residue forever once the tombstone trigger compacts
+    mid-stream (r12 ADVICE). Only fully-cancelled groups (both zero)
+    vanish; the LIVE-groups contract (n > 0) is enforced solely by the
+    read-side :func:`_merge_daily_counts_retractable`."""
     return (
         df.groupBy("day", "event_type")
         .agg(F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value"))
-        .filter(F.col("n") != 0)
+        .filter((F.col("n") != 0) | (F.col("sum_value") != 0))
     )
 
 

@@ -2283,3 +2283,156 @@ def test_auto_compact_retain_preserves_asof_horizon(spark, tmp_path, monkeypatch
                                   schema)).collect()))
     with pytest.raises(SnapshotUnavailableError):
         read_exact_dedup_retractable_as_of(spark, state, 1).collect()
+
+
+def test_empty_tombstones_never_trigger_compaction(spark, tmp_path):
+    """r13 (r12 ADVICE medium): the changelog router lands a tombstone
+    segment EVERY micro-batch for replay-guard completeness, including
+    pure-insert batches where the delete split is empty. An empty
+    tombstone must not count toward TOMBSTONE_COMPACT_FRACTION — before
+    the fix, every pure-insert CDC batch after the first fired a full
+    O(view) compaction (fraction 1/2 >= 1/3), turning amortized-O(batch)
+    maintenance into O(n^2) over the stream."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import exact_dedup
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_exact_dedup_retractable_delta,
+        read_exact_dedup_retractable_segments,
+        retract_exact_dedup_delta,
+        segment_stats,
+    )
+
+    schema = "doc_id long, text string"
+    empty = spark.createDataFrame([], schema)
+    state = str(tmp_path / "cdc_ins")
+
+    # the router's per-micro-batch shape: adds at 2b, tombstone at 2b+1
+    batches = ([(1, "aa"), (2, "bb")], [(3, "aa")], [(4, "cc")])
+    for b, rows in enumerate(batches):
+        apply_exact_dedup_retractable_delta(
+            spark.createDataFrame(rows, schema), 2 * b, state)
+        retract_exact_dedup_delta(empty, 2 * b + 1, state)
+
+    s = segment_stats(state)
+    assert s["compact_segments"] == 0, "pure-insert CDC must never compact"
+    assert s["raw_segments"] == 6          # 3 add + 3 empty-tombstone
+    assert s["tombstone_segments"] == 0    # empty tombstones don't count
+    assert s["applied_batches"] == [0, 1, 2, 3, 4, 5]
+
+    # the view is exact despite the empty segments (all 4 docs live)
+    want = sorted(map(tuple, exact_dedup(spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "cc")], schema)).collect()))
+    assert sorted(map(tuple, read_exact_dedup_retractable_segments(
+        spark, state).collect())) == want
+
+    # a REAL (non-empty) delete still fires the fraction trigger: 1
+    # non-empty tombstone / 7 raws < 1/3, so land two more to cross it
+    retract_exact_dedup_delta(
+        spark.createDataFrame([(1, "aa")], schema), 6, state)
+    retract_exact_dedup_delta(
+        spark.createDataFrame([(2, "bb")], schema), 7, state)
+    retract_exact_dedup_delta(
+        spark.createDataFrame([(4, "cc")], schema), 8, state)
+    assert segment_stats(state)["compact_segments"] == 1
+    assert sorted(map(tuple, read_exact_dedup_retractable_segments(
+        spark, state).collect())) == sorted(map(tuple, exact_dedup(
+            spark.createDataFrame([(3, "aa")], schema)).collect()))
+
+
+def test_daily_counts_delete_before_add_survives_compaction(spark, tmp_path):
+    """r13 (r12 ADVICE medium): a (day, event_type) group that
+    transiently nets to n == 0 with sum != 0 — a delete folded before
+    its matching add — must keep its sum residue through a mid-stream
+    compaction. Before the fix the compaction merge_fn dropped n == 0
+    groups, so compacting at the transient point lost the residue and
+    the late add read back the wrong sum."""
+    import datetime as dt
+
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_daily_counts_delta,
+        compact_daily_counts_retractable_segments,
+        read_daily_counts_retractable_segments,
+        retract_daily_counts_delta,
+    )
+
+    schema = "ts timestamp, event_type string, value double"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(dt.datetime.fromisoformat(r[0]), r[1], r[2]) for r in rows],
+            schema)
+
+    a = ("2024-03-01 10:00:00", "view", 10.0)
+    b = ("2024-03-01 11:00:00", "view", 20.0)
+
+    def run(compact_at_transient, auto_compact):
+        state = str(tmp_path / f"dba_{compact_at_transient}_{auto_compact}")
+        # batch 0: add A; batch 1: delete B (not yet added) -> group nets
+        # (n=0, sum=-10) transiently
+        apply_daily_counts_delta(mk([a]), 0, state, auto_compact=auto_compact)
+        retract_daily_counts_delta(mk([b]), 1, state,
+                                   auto_compact=auto_compact)
+        if compact_at_transient:
+            compact_daily_counts_retractable_segments(spark, state)
+        # B's late add: survivors are exactly {A}
+        apply_daily_counts_delta(mk([b]), 2, state, auto_compact=auto_compact)
+        return {
+            (str(r.day), r.event_type): (r.n, round(r.sum_value, 9))
+            for r in read_daily_counts_retractable_segments(
+                spark, state).collect()
+        }
+
+    want = {("2024-03-01", "view"): (1, 10.0)}
+    # manual compaction exactly at the transient point
+    assert run(True, None) == want
+    # no compaction at all (control)
+    assert run(False, None) == want
+    # both auto-triggers live: the tombstone-fraction trigger compacts at
+    # the retract itself (1 non-empty tombstone / 2 raws >= 1/3)
+    assert run(False, 2) == want
+
+    # a FULLY cancelled group (delete after add, same values) still
+    # vanishes without a ghost row, compaction or not
+    state = str(tmp_path / "dba_cancel")
+    apply_daily_counts_delta(mk([a]), 0, state, auto_compact=None)
+    retract_daily_counts_delta(mk([a]), 1, state, auto_compact=None)
+    compact_daily_counts_retractable_segments(spark, state)
+    assert read_daily_counts_retractable_segments(spark, state).count() == 0
+
+
+def test_raw_manifest_corruption_is_tolerated(spark, tmp_path):
+    """r13 (r12 ADVICE low): a truncated/corrupt raw-segment
+    _manifest.json must read as 'not a tombstone' (the compact-manifest
+    reader's garbage tolerance), not crash every subsequent retract
+    apply and segment_stats call with JSONDecodeError."""
+    import os
+
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_exact_dedup_retractable_delta,
+        read_exact_dedup_retractable_segments,
+        retract_exact_dedup_delta,
+        segment_stats,
+    )
+
+    schema = "doc_id long, text string"
+    state = str(tmp_path / "corrupt")
+    apply_exact_dedup_retractable_delta(
+        spark.createDataFrame([(1, "aa"), (2, "bb")], schema), 0, state)
+    retract_exact_dedup_delta(
+        spark.createDataFrame([(2, "bb")], schema), 1, state,
+        auto_compact=None)
+
+    # truncate the tombstone's manifest mid-byte
+    seg_root = os.path.join(state, "segments")
+    mpath = os.path.join(seg_root, "b0000000001", "_manifest.json")
+    with open(mpath, "w") as f:
+        f.write('{"kind": "tomb')
+
+    s = segment_stats(state)  # must not raise
+    assert s["tombstone_segments"] == 0
+    # a further retract apply must not raise either, and the view stays
+    # exact (corruption only loses trigger metadata, never data)
+    retract_exact_dedup_delta(
+        spark.createDataFrame([(1, "aa")], schema), 2, state,
+        auto_compact=None)
+    assert read_exact_dedup_retractable_segments(
+        spark, state).count() == 0

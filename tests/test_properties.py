@@ -1110,3 +1110,70 @@ def test_retractable_exact_dedup_invariant_under_auto_triggers(
         for r in exact_dedup(spark.createDataFrame(survivors, schema)).collect()
     )
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 1),        # day selector
+                  st.sampled_from(["view", "click"]),
+                  st.integers(-50, 50)),     # integer-valued double: exact
+        min_size=1, max_size=8),
+    split=st.lists(st.integers(0, 2), min_size=8, max_size=8),
+    kill=st.lists(st.booleans(), min_size=8, max_size=8),
+    pos=st.integers(0, 3),
+)
+@_settings
+def test_retractable_daily_counts_invariant_under_auto_triggers(
+        spark, tmp_path_factory, vals, split, kill, pos):
+    """r13 (r12 ADVICE medium): the additive daily view's read equals a
+    one-shot rebuild over the survivors REGARDLESS of where the tombstone
+    batch lands — including BEFORE the adds it cancels (a group then
+    transiently nets n == 0 with sum != 0) — with both auto-compaction
+    triggers live so compaction can fire exactly at the transient point.
+    Mirrors test_retractable_exact_dedup_invariant_under_auto_triggers
+    for the (n, sum) two-measure monoid whose compaction fold was lossy."""
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_daily_counts_delta,
+        read_daily_counts_retractable_segments,
+        retract_daily_counts_delta,
+    )
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(days=day), et, float(v))
+        for i, (day, et, v) in enumerate(vals)
+    ]
+    gone = [r for r in rows if kill[r[0] % len(kill)]]
+    schema = "i long, ts timestamp, event_type string, value double"
+    slots = [[r for r in rows if split[r[0] % len(split)] == b]
+             for b in range(3)]
+    slots.insert(pos, gone)
+    state = str(tmp_path_factory.mktemp("daily_auto") / "view")
+    wrote = False
+    for bid, batch in enumerate(slots):
+        if not batch:
+            continue
+        bdf = spark.createDataFrame(batch, schema).drop("i")
+        if batch is gone and bid == pos:
+            retract_daily_counts_delta(bdf, bid, state, auto_compact=2)
+        else:
+            apply_daily_counts_delta(bdf, bid, state, auto_compact=2)
+        wrote = True
+    if not wrote:
+        return
+    got = {
+        (str(r.day), r.event_type): (r.n, round(r.sum_value, 9))
+        for r in read_daily_counts_retractable_segments(spark, state).collect()
+    }
+    survivors = [r for r in rows if not kill[r[0] % len(kill)]]
+    if not survivors:
+        assert got == {}
+        return
+    want = {
+        (str(r.day), r.event_type): (r.n, round(r.sum_value, 9))
+        for r in spark.createDataFrame(survivors, schema)
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert got == want
