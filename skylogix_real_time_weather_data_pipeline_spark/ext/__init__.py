@@ -1,1 +1,1 @@
-from . import dedup, multimodal, similarity, text  # noqa: F401
+from . import dedup, multimodal, similarity, text, url  # noqa: F401

@@ -1,0 +1,241 @@
+"""URL operators for large-scale training-data pipelines (r13).
+
+Canonicalization, URL-level dedup, registrable-domain mix, and URL
+decontamination — the standard pre-training curation steps that run on
+the crawl-metadata side of the corpus (CCNet/RefinedWeb-style pipelines
+dedup on canonical URL before ever touching document text, because the
+URL join is orders of magnitude cheaper than content sharding).
+
+All column-expression based (JVM-side, whole-stage codegen) — no Python
+UDFs, nothing row-at-a-time. Every regex used here is anchored or
+lookaround-free so the SAME pattern is valid in Java regex (Spark) and
+RE2 (DuckDB), letting the oracle mirror each step exactly.
+
+Scale notes: canonicalization is a narrow projection (no shuffle);
+``url_dedup`` shuffles once on the canonical-url hash — the natural
+partitioning key, no skew beyond genuine mega-duplicates; domain mix is
+a low-cardinality groupBy with map-side partials;
+``url_decontaminate`` broadcasts the benchmark's canonical set (a
+100k-URL eval suite is a few MB) so the corpus side needs no shuffle.
+
+The synthetic generator at the bottom exists because the test corpus
+(/root/testdata documents.parquet) carries no URL column: it derives a
+deterministic URL per doc_id with planted canonical collisions, the same
+pattern multimodal.synthetic_texture_assets uses for images.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tracking parameters stripped by canonicalization — the query-string
+#: noise that splits otherwise-identical crawl URLs (RE2- and Java-valid).
+TRACKING_PARAM_PATTERN = "(utm_[a-z]+|fbclid|gclid|msclkid)"
+
+#: Minimal multi-label public-suffix sample: hosts ending in one of these
+#: keep THREE labels in their registrable domain. A production deployment
+#: swaps in the full Mozilla public-suffix list (a ~10k-entry broadcast
+#: map); the operator shape — suffix match → label count — is identical.
+PUBLIC_SUFFIXES_2 = ("co.uk", "com.au", "co.jp", "ac.uk", "org.uk")
+
+
+def _as_col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def url_scheme(url: Column | str) -> Column:
+    """Lower-cased scheme ('' when absent)."""
+    return F.lower(F.regexp_extract(_as_col(url), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+
+def url_host(url: Column | str) -> Column:
+    """Lower-cased host with any ``www.`` prefix and any port removed."""
+    hostport = F.lower(
+        F.regexp_extract(_as_col(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    return F.regexp_replace(
+        F.regexp_replace(hostport, "^www\\.", ""), ":[0-9]+$", ""
+    )
+
+
+def registrable_domain(host: Column | str) -> Column:
+    """Registrable domain of a host: last two labels, or last three when
+    the host ends in a known two-label public suffix (co.uk et al.)."""
+    host = _as_col(host)
+    suffix_alt = "|".join(s.replace(".", "\\.") for s in PUBLIC_SUFFIXES_2)
+    return F.when(
+        host.rlike(f"\\.({suffix_alt})$"),
+        F.regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1),
+    ).otherwise(F.regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical form of a URL, the dedup key crawl pipelines group on:
+
+    1. drop the fragment (``#...``);
+    2. strip tracking parameters (:data:`TRACKING_PARAM_PATTERN`),
+       keeping every other query parameter in its original order;
+    3. lower-case scheme and host, drop a ``www.`` prefix;
+    4. drop the DEFAULT port only (``:80`` for http, ``:443`` for
+       https — a non-default port is a different origin and survives);
+    5. collapse trailing slashes on the path (``/a/`` == ``/a``) and a
+       dangling ``?``.
+
+    Pure built-in expressions; each regexp is RE2-compatible so the
+    DuckDB oracle replays the identical chain (plans/ext.py additionally
+    checks the planted CLOSED FORM, an independent derivation)."""
+    u = _as_col(url)
+    # 1. fragment
+    u = F.regexp_replace(u, "#.*$", "")
+    # 2. tracking params: mid-query occurrences (trailing &) then a final
+    #    occurrence (preceded by ? or &); a dangling '?' is cleaned in 5.
+    u = F.regexp_replace(u, TRACKING_PARAM_PATTERN + "=[^&#]*&", "")
+    u = F.regexp_replace(u, "[?&]" + TRACKING_PARAM_PATTERN + "=[^&#]*$", "")
+    # 3./4. scheme + host normalization, rebuilt around the rest
+    scheme = url_scheme(u)
+    hostport = F.lower(
+        F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = F.regexp_replace(hostport, "^www\\.", "")
+    host = F.when(
+        (scheme == F.lit("http")) & host.endswith(":80"),
+        F.regexp_replace(host, ":80$", ""),
+    ).when(
+        (scheme == F.lit("https")) & host.endswith(":443"),
+        F.regexp_replace(host, ":443$", ""),
+    ).otherwise(host)
+    rest = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    # 5. trailing slashes (before a query or at the end) and dangling '?'
+    rest = F.regexp_replace(rest, "/+\\?", "?")
+    rest = F.regexp_replace(rest, "/+$", "")
+    rest = F.regexp_replace(rest, "\\?$", "")
+    return F.concat(scheme, F.lit("://"), host, rest)
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """URL-level exact dedup: one row per canonical URL with the keeper
+    (lowest id — the deterministic keep-first rule every dedup family
+    here pins) and the duplicate count. One shuffle, on the canonical
+    string itself — the same O(n) hash-partition shape as exact_dedup."""
+    return (
+        df.select(F.col(id_col), canonicalize_url(url_col).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def domain_mix(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Registrable-domain composition of the corpus: doc count and
+    corpus share per domain — the domain-balance report a curation run
+    checks before fixing source weights. Low-cardinality groupBy with
+    map-side partials; the total folds in via a scalar broadcast."""
+    domains = df.select(
+        registrable_domain(url_host(url_col)).alias("domain")
+    )
+    counts = domains.groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = domains.select(F.count(F.lit(1)).alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))  # bnlj-scalar: 1-row total
+        .select(
+            "domain",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("_total"), 6).alias("share"),
+        )
+    )
+
+
+def url_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                      url_col: str = "url",
+                      id_col: str = "doc_id") -> DataFrame:
+    """URL-level decontamination: flag corpus docs whose canonical URL
+    appears in the benchmark/eval set. The benchmark side collapses to
+    DISTINCT canonical URLs and broadcasts (an eval suite is tiny
+    relative to the corpus), so the corpus needs no shuffle — the same
+    broadcast-membership shape as dedup.decontaminate's shingle check."""
+    bench = F.broadcast(
+        benchmark.select(canonicalize_url(url_col).alias("canonical_url"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        corpus.select(F.col(id_col),
+                      canonicalize_url(url_col).alias("canonical_url"))
+        .join(bench, "canonical_url", "left")
+        .select(
+            id_col,
+            "canonical_url",
+            F.col("_hit").isNotNull().alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Synthetic URL column — deterministic, SQL-parity, planted collisions.
+# ---------------------------------------------------------------------------
+
+#: 8 hosts covering single-label domains, subdomains, and two-label
+#: public suffixes, so registrable_domain exercises every branch.
+SYNTH_HOSTS = (
+    "news.example.com", "example.com", "blog.example.co.uk",
+    "data.example.org", "cdn.sample.net", "sample.net",
+    "docs.sample.co.uk", "wiki.testsite.io",
+)
+
+#: Registrable domain per SYNTH_HOSTS entry (closed form for the oracle).
+SYNTH_DOMAINS = (
+    "example.com", "example.com", "example.co.uk", "example.org",
+    "sample.net", "sample.net", "sample.co.uk", "testsite.io",
+)
+
+
+def synthetic_urls(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic ``url`` column derived from ``id_col``.
+
+    Canonical identity is pinned by ``id % 40`` (host = ``id % 8``,
+    path = ``id % 10``, kept query param v = ``id % 40``), while the RAW
+    string varies within each canonical group by exactly the noise
+    canonicalization must remove: scheme case (``id % 2``), a ``www.``
+    prefix (``id % 5``), the scheme's default port (``id % 7``),
+    tracking params before or after the kept one (``id % 3``), a
+    fragment (``id % 4``), and a trailing slash (``id % 6``). 40 is
+    coprime to 3 and 7, so every canonical group mixes variants —
+    a group collapses only if the canonicalizer handles all of them."""
+    i = F.col(id_col)
+    hosts = F.array(*[F.lit(h) for h in SYNTH_HOSTS])
+    scheme = F.when(i % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP"))
+    www = F.when(i % 5 == 0, F.lit("www.")).otherwise(F.lit(""))
+    host = F.element_at(hosts, (i % 8 + 1).cast("int"))
+    port = F.when(
+        i % 7 == 0,
+        F.when(i % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+    ).otherwise(F.lit(""))
+    path = F.concat(F.lit("/articles/"), (i % 10).cast("string"))
+    trail = F.when(i % 6 == 0, F.lit("/")).otherwise(F.lit(""))
+    pre = F.when(i % 3 == 0, F.lit("utm_campaign=launch&")).otherwise(F.lit(""))
+    post = F.when(i % 3 == 1, F.lit("&utm_source=feed")).otherwise(F.lit(""))
+    query = F.concat(F.lit("?"), pre, F.lit("v="), (i % 40).cast("string"), post)
+    frag = F.when(i % 4 == 0, F.lit("#section-1")).otherwise(F.lit(""))
+    return docs.withColumn(
+        "url", F.concat(scheme, F.lit("://"), www, host, port, path, trail,
+                        query, frag)
+    )
+
+
+def synthetic_canonical_url(id_col: Column | str) -> Column:
+    """CLOSED-FORM canonical URL for :func:`synthetic_urls` — derived
+    from the id arithmetic alone, never from the canonicalizer, so a
+    test (or the DuckDB oracle) comparing canonicalize_url(synthetic)
+    against this expression is an independent two-path check."""
+    i = _as_col(id_col)
+    hosts = F.array(*[F.lit(h) for h in SYNTH_HOSTS])
+    scheme = F.when(i % 2 == 0, F.lit("https")).otherwise(F.lit("http"))
+    return F.concat(
+        scheme, F.lit("://"), F.element_at(hosts, (i % 8 + 1).cast("int")),
+        F.lit("/articles/"), (i % 10).cast("string"),
+        F.lit("?v="), (i % 40).cast("string"),
+    )

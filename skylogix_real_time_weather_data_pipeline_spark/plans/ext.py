@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ext import dedup, similarity, text
+from ..ext import url as urlops
 from ..functions.exact import dmean, sql_dsumx, sql_fsum, sql_fsum_units
 
 _N_HASHES = 16
@@ -2765,6 +2766,115 @@ GROUP BY d.doc_id
 
 
 # --------------------------------------------------------------------------
+# URL family (r13, r12 verdict #5): canonicalization, URL dedup, domain
+# mix, URL decontamination over synthetic URL columns (the testdata
+# carries no URLs — ext/url.py:synthetic_urls plants deterministic
+# mod-40 canonical collisions the same way synthetic_texture_assets
+# plants image clusters). The oracles derive the canonical form in
+# CLOSED FORM from the id arithmetic — an independent second derivation,
+# so a canonicalizer regression cannot silently agree with itself.
+# --------------------------------------------------------------------------
+
+def _docs_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return urlops.synthetic_urls(_docs(spark, sf_dir).select("doc_id"))
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw → canonical URL for every doc: the canonicalizer itself under
+    the driver's value hash, across every planted variant (scheme case,
+    www, default ports, tracking params, fragments, trailing slashes)."""
+    d = _docs_urls(spark, sf_dir)
+    return d.select(
+        "doc_id", "url",
+        urlops.canonicalize_url("url").alias("canonical_url"),
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup: keeper + copy count per canonical URL
+    (ext/url.py:url_dedup — one canonical-hash shuffle, keep-lowest-id)."""
+    return urlops.url_dedup(_docs_urls(spark, sf_dir))
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain composition (ext/url.py:domain_mix): doc count
+    and corpus share per domain, public-suffix-aware (co.uk keeps three
+    labels)."""
+    return urlops.domain_mix(_docs_urls(spark, sf_dir))
+
+
+def q_url_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level decontamination: every 23rd doc plays the eval set; a
+    corpus doc is contaminated iff its canonical URL appears there
+    (broadcast membership — no corpus shuffle, ext/url.py:url_decontaminate)."""
+    d = _docs_urls(spark, sf_dir)
+    benchmark = d.filter(F.col("doc_id") % 23 == 0)
+    corpus = d.filter(F.col("doc_id") % 23 != 0)
+    return urlops.url_decontaminate(corpus, benchmark)
+
+
+def _sql_list(items) -> str:
+    return "[" + ", ".join(f"'{x}'" for x in items) + "]"
+
+
+#: Raw + closed-form-canonical synthetic URLs, mirroring
+#: ext/url.py:synthetic_urls / synthetic_canonical_url exactly.
+URL_CTE = f"""
+WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END)
+    || '://'
+    || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+    || ({_sql_list(urlops.SYNTH_HOSTS)})[CAST(doc_id % 8 AS INTEGER) + 1]
+    || (CASE WHEN doc_id % 7 = 0 THEN
+          (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+        ELSE '' END)
+    || '/articles/' || CAST(doc_id % 10 AS VARCHAR)
+    || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+    || '?'
+    || (CASE WHEN doc_id % 3 = 0 THEN 'utm_campaign=launch&' ELSE '' END)
+    || 'v=' || CAST(doc_id % 40 AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 1 THEN '&utm_source=feed' ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN '#section-1' ELSE '' END) AS url,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+    || '://'
+    || ({_sql_list(urlops.SYNTH_HOSTS)})[CAST(doc_id % 8 AS INTEGER) + 1]
+    || '/articles/' || CAST(doc_id % 10 AS VARCHAR)
+    || '?v=' || CAST(doc_id % 40 AS VARCHAR) AS canonical_url,
+    ({_sql_list(urlops.SYNTH_DOMAINS)})[CAST(doc_id % 8 AS INTEGER) + 1] AS domain
+  FROM documents
+)
+"""
+
+O_URL_CANONICAL = URL_CTE + """
+SELECT doc_id, url, canonical_url FROM u
+"""
+
+O_URL_DEDUP = URL_CTE + """
+SELECT canonical_url,
+       MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM u GROUP BY canonical_url
+"""
+
+O_DOMAIN_MIX = URL_CTE + """
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM u), 6) AS share
+FROM u GROUP BY domain
+"""
+
+O_URL_DECONTAMINATE = URL_CTE + """
+SELECT d.doc_id, d.canonical_url,
+       EXISTS (SELECT 1 FROM u b
+               WHERE b.doc_id % 23 = 0
+                 AND b.canonical_url = d.canonical_url) AS contaminated
+FROM u d
+WHERE d.doc_id % 23 <> 0
+"""
+
+
+# --------------------------------------------------------------------------
 # TF-IDF top-k terms per document (ext.text.tfidf_topk).
 # --------------------------------------------------------------------------
 
@@ -4068,6 +4178,10 @@ QUERIES = {
     "emb_filtered_recall": q_filtered_recall,
     "emb_pairwise_topk": q_pairwise_topk,
     "docs_decontaminate": q_decontaminate,
+    "docs_url_canonical": q_url_canonical,
+    "docs_url_dedup": q_url_dedup,
+    "docs_domain_mix": q_domain_mix,
+    "docs_url_decontaminate": q_url_decontaminate,
     "emb_centroids_by_label": q_centroids_by_label,
     "emb_kmeans": q_kmeans,
     "emb_kmeans_arrow": q_kmeans_arrow,
@@ -4190,6 +4304,11 @@ ORACLES = {
     "emb_filtered_recall": O_FILTERED_RECALL,
     "emb_pairwise_topk": O_PAIRWISE_TOPK,
     "docs_decontaminate": O_DECONTAMINATE,
+    # r13 URL family: closed-form planted-truth oracles (verdict #5)
+    "docs_url_canonical": O_URL_CANONICAL,
+    "docs_url_dedup": O_URL_DEDUP,
+    "docs_domain_mix": O_DOMAIN_MIX,
+    "docs_url_decontaminate": O_URL_DECONTAMINATE,
     "emb_centroids_by_label": O_CENTROIDS_BY_LABEL,
     "emb_kmeans": O_KMEANS,
     "emb_kmeans_arrow": O_KMEANS,

@@ -1,0 +1,131 @@
+"""URL operators (ext/url.py, r13): canonicalization edge cases beyond
+the planted synthetic structure, the dedup keep rule, domain extraction,
+and the decontamination membership semantics."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from skylogix_real_time_weather_data_pipeline_spark.ext.url import (
+    canonicalize_url,
+    domain_mix,
+    registrable_domain,
+    synthetic_canonical_url,
+    synthetic_urls,
+    url_decontaminate,
+    url_dedup,
+    url_host,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r[0] for r in df.select(canonicalize_url("url")).collect()]
+
+
+def test_canonicalize_edge_cases(spark):
+    cases = {
+        # scheme + host casing, www strip
+        "HTTPS://WWW.Example.COM/A": "https://example.com/A",
+        # default port strips only when it matches the scheme
+        "https://example.com:443/a": "https://example.com/a",
+        "http://example.com:80/a": "http://example.com/a",
+        "http://example.com:443/a": "http://example.com:443/a",
+        "https://example.com:8443/a": "https://example.com:8443/a",
+        # tracking params: only utm_*/fbclid/gclid/msclkid go; order kept
+        "https://e.com/p?utm_source=x&id=7&utm_medium=y&b=2":
+            "https://e.com/p?id=7&b=2",
+        "https://e.com/p?fbclid=abc": "https://e.com/p",
+        "https://e.com/p?gclid=1&v=2": "https://e.com/p?v=2",
+        # fragment gone, even with a query
+        "https://e.com/p?v=1#frag": "https://e.com/p?v=1",
+        "https://e.com/p#frag": "https://e.com/p",
+        # trailing slashes collapse, before a query or at the end
+        "https://e.com/a/b///": "https://e.com/a/b",
+        "https://e.com/a/?v=1": "https://e.com/a?v=1",
+        "https://e.com/": "https://e.com",
+        # dangling '?' after a tracking-only query
+        "https://e.com/a?utm_source=x": "https://e.com/a",
+        # non-tracking params that merely START with a tracked name stay
+        "https://e.com/a?utm_sourcefoo&v=1": "https://e.com/a?utm_sourcefoo&v=1",
+    }
+    got = _canon(spark, list(cases))
+    for (raw, want), g in zip(cases.items(), got):
+        assert g == want, f"{raw!r}: got {g!r}, want {want!r}"
+
+
+def test_registrable_domain_public_suffixes(spark):
+    cases = {
+        "news.example.com": "example.com",
+        "example.com": "example.com",
+        "a.b.deep.example.org": "example.org",
+        "blog.example.co.uk": "example.co.uk",
+        "example.co.uk": "example.co.uk",
+        "x.y.sample.com.au": "sample.com.au",
+        "wiki.testsite.io": "testsite.io",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = [r[0] for r in df.select(registrable_domain("host")).collect()]
+    assert got == list(cases.values())
+
+
+def test_url_host_strips_www_and_any_port(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://WWW.Example.COM:8080/a?b#c",), ("http://sub.e.org/x",)],
+        "url string")
+    assert [r[0] for r in df.select(url_host("url")).collect()] == [
+        "example.com", "sub.e.org"]
+
+
+def test_synthetic_urls_planted_structure(spark):
+    """The two-path check the oracle also performs: canonicalize(raw)
+    == the closed-form canonical for every id, groups collapse mod 40,
+    and every canonical group saw >= 2 distinct raw strings (so the
+    canonicalizer, not raw equality, did the collapsing)."""
+    docs = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    d = synthetic_urls(docs)
+    two_path = d.select(
+        (canonicalize_url("url") ==
+         synthetic_canonical_url("doc_id")).alias("ok"))
+    assert two_path.filter(~F.col("ok")).count() == 0
+
+    dd = url_dedup(d)
+    assert dd.count() == 40
+    rows = {r["canonical_url"]: (r["keep_id"], r["n_copies"])
+            for r in dd.collect()}
+    for cu, (keep, n) in rows.items():
+        assert n == 10          # 400 ids / 40 residue classes
+        assert keep < 40        # keep-lowest-id: the class representative
+    assert sorted(k for k, _ in rows.values()) == list(range(40))
+
+    # raw variety inside each canonical group
+    variety = (
+        d.select(canonicalize_url("url").alias("cu"), "url")
+        .groupBy("cu").agg(F.countDistinct("url").alias("nd"))
+        .filter(F.col("nd") < 2)
+    )
+    assert variety.count() == 0
+
+
+def test_url_decontaminate_membership(spark):
+    d = synthetic_urls(spark.range(0, 200).withColumnRenamed("id", "doc_id"))
+    benchmark = d.filter(F.col("doc_id") % 23 == 0)
+    corpus = d.filter(F.col("doc_id") % 23 != 0)
+    got = {r["doc_id"]: r["contaminated"]
+           for r in url_decontaminate(corpus, benchmark).collect()}
+    bench_classes = {i % 40 for i in range(0, 200, 23)}
+    want = {i: (i % 40) in bench_classes
+            for i in range(200) if i % 23 != 0}
+    assert got == want
+
+
+def test_domain_mix_shares_sum_to_one(spark):
+    d = synthetic_urls(spark.range(0, 400).withColumnRenamed("id", "doc_id"))
+    mix = domain_mix(d).collect()
+    assert sum(r["n_docs"] for r in mix) == 400
+    assert abs(sum(r["share"] for r in mix) - 1.0) < 1e-9
+    by_dom = {r["domain"]: r["n_docs"] for r in mix}
+    # hosts 0,1 -> example.com; 4,5 -> sample.net (100 docs each)
+    assert by_dom["example.com"] == 100
+    assert by_dom["sample.net"] == 100
+    assert by_dom["example.co.uk"] == 50
