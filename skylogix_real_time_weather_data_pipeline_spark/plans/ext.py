@@ -3808,6 +3808,58 @@ def q_bm25_topk_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over a CDC-maintained term-stats view (r13, r12 verdict #8 —
+    the router's FOURTH monoid family, the weighted (tf, dl) doc-granular
+    Z-set behind df/cf). The corpus arrives as a changelog stream (even
+    adds, odd adds, then a correction deleting the doc_id % 7 == 3
+    shard) routed by maintain_changelog_view through the retractable
+    term-stats appliers; scoring the survivors from the maintained view
+    must equal the one-shot BM25 over the surviving corpus — the oracle
+    is byte-identical to docs_bm25_topk_retract's, so the driver hash
+    certifies writeStream routing for this family end to end."""
+    import os
+
+    from ..ext.text import tokens as _tokens
+    from ..streaming.matview import (
+        apply_term_stats_retractable_delta,
+        maintain_changelog_view,
+        read_term_stats_retractable_segments,
+        retract_term_stats_delta,
+    )
+
+    docs = _docs(spark, sf_dir)
+    root = _session_state_dir(spark, sf_dir, "skylogix_term_cdc")
+    state = os.path.join(root, "view")
+    cdc_dir = os.path.join(root, "changelog")
+    for i, part in enumerate((
+        docs.filter(F.col("doc_id") % 2 == 0).withColumn("op", F.lit(1)),
+        docs.filter(F.col("doc_id") % 2 == 1).withColumn("op", F.lit(1)),
+        docs.filter(F.col("doc_id") % 7 == 3).withColumn("op", F.lit(-1)),
+    )):
+        part.select("doc_id", "text", "op").coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(cdc_dir, f"b{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, op int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(cdc_dir, "b*"))
+    )
+    maintain_changelog_view(
+        stream, state, os.path.join(root, "ckpt"),
+        apply_fn=lambda df, bid, sd: apply_term_stats_retractable_delta(df, bid, sd),
+        retract_fn=lambda df, bid, sd: retract_term_stats_delta(df, bid, sd),
+    )
+    survivors = docs.filter(F.col("doc_id") % 7 != 3)
+    stats = read_term_stats_retractable_segments(spark, state)
+    counters = survivors.select(F.size(_tokens("text")).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    return text.bm25_topk_from_stats(
+        survivors, stats, counters.n, counters.s / counters.n,
+        _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B,
+    )
+
+
 O_BM25_TOPK = TOK_CTE + ", " + _bm25_cte(_BM25_K) + """
 SELECT doc_id, n_terms_matched, bm25 FROM bm
 """
@@ -4163,6 +4215,7 @@ QUERIES = {
     "docs_bm25_topk": q_bm25_topk,
     "docs_bm25_topk_indexed": q_bm25_topk_indexed,
     "docs_bm25_topk_retract": q_bm25_topk_retract,
+    "docs_bm25_topk_changelog": q_bm25_topk_changelog,
     "docs_hybrid_rrf": q_hybrid_rrf,
     "docs_zipf_fit": q_zipf_fit,
     "docs_lang_source_chisq": q_lang_source_chisq,
@@ -4286,6 +4339,12 @@ ORACLES = {
     "docs_bm25_topk_indexed": O_BM25_TOPK,
     # BM25 oracle over the SURVIVING corpus (retracted view == rebuild)
     "docs_bm25_topk_retract": O_BM25_TOPK.replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 7 <> 3) documents",
+    ),
+    # r13: byte-identical to the retract row — same net survivors, the
+    # machinery under test is the writeStream changelog routing (4th family)
+    "docs_bm25_topk_changelog": O_BM25_TOPK.replace(
         "FROM documents",
         "FROM (SELECT * FROM documents WHERE doc_id % 7 <> 3) documents",
     ),

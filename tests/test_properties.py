@@ -1177,3 +1177,65 @@ def test_retractable_daily_counts_invariant_under_auto_triggers(
         .collect()
     }
     assert got == want
+
+
+@given(
+    texts=st.lists(st.text(alphabet="ab ", min_size=1, max_size=12),
+                   min_size=1, max_size=8),
+    split=st.lists(st.integers(0, 2), min_size=8, max_size=8),
+    kill=st.lists(st.booleans(), min_size=8, max_size=8),
+    pos=st.integers(0, 3),
+)
+@_settings
+def test_retractable_term_stats_invariant_under_auto_triggers(
+        spark, tmp_path_factory, texts, split, kill, pos):
+    """r13 (r12 verdict #8): the doc-granular term-frequency Z-set behind
+    BM25 — the CDC router's fourth certified family — reads equal to a
+    one-shot rebuild over the survivors at ANY interleaving (tombstone
+    before, between, or after the adds it cancels) with both
+    auto-compaction triggers live. df counts DISTINCT live docs, which is
+    exactly what an add-only (cf, df) aggregate cannot un-count; this
+    pins that the Z-set schema does, through every compaction point."""
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_term_stats_retractable_delta,
+        read_term_stats_retractable_segments,
+        retract_term_stats_delta,
+    )
+
+    rows = list(enumerate(texts))
+    gone = [r for r in rows if kill[r[0]]]
+    schema = "doc_id long, text string"
+    slots = [[r for r in rows if split[r[0]] == b] for b in range(3)]
+    slots.insert(pos, gone)
+    state = str(tmp_path_factory.mktemp("ts_rz_auto") / "view")
+    wrote = False
+    for bid, batch in enumerate(slots):
+        if not batch:
+            continue
+        bdf = spark.createDataFrame(batch, schema)
+        if batch is gone and bid == pos:
+            retract_term_stats_delta(bdf, bid, state, auto_compact=2)
+        else:
+            apply_term_stats_retractable_delta(bdf, bid, state,
+                                               auto_compact=2)
+        wrote = True
+    if not wrote:
+        return
+    got = sorted(
+        tuple(r)
+        for r in read_term_stats_retractable_segments(spark, state).collect()
+    )
+    survivors = [r for r in rows if not kill[r[0]]]
+    if not survivors:
+        assert got == []
+        return
+    ref_state = str(tmp_path_factory.mktemp("ts_rz_ref") / "view")
+    apply_term_stats_retractable_delta(
+        spark.createDataFrame(survivors, schema), 0, ref_state,
+        auto_compact=None)
+    want = sorted(
+        tuple(r)
+        for r in read_term_stats_retractable_segments(
+            spark, ref_state).collect()
+    )
+    assert got == want
