@@ -198,27 +198,43 @@ def quantile_summary(df: DataFrame, columns: Sequence[str],
     return one.select(F.explode(metric_structs).alias("m")).select("m.*")
 
 
-def linear_fit(df: DataFrame, x: str = "temperature", y: str = "humidity") -> DataFrame:
+def linear_fit(df: DataFrame, x: str = "temperature", y: str = "humidity",
+               scales: dict[str, int] | None = None) -> DataFrame:
     """A10: least-squares deg-1 fit + Pearson r, closed form from aggregates
     (reference src/analyze.py:441-449 ``np.polyfit(x, y, 1)``).
 
     slope = covar_pop(x,y)/var_pop(x); intercept = avg(y) - slope*avg(x).
     Single aggregation pass; no ML dependency, no iteration.
     """
-    # closed form over exact decimal sums: covar_pop/var_pop/corr merge
-    # partial moments in a run-varying order, so their last ulp wobbles;
-    # the five sums below are order-independent, and everything after them
-    # is scalar double math that both engines evaluate identically.
-    def dsx(col):
-        return F.sum(col.cast("decimal(28,10)")).cast("double")
-
+    # closed form over exact order-independent sums: covar_pop/var_pop/
+    # corr merge partial moments in a run-varying order, so their last
+    # ulp wobbles; the five sums below are order-independent, and
+    # everything after them is scalar double math both engines evaluate
+    # identically. When the caller pins both columns' decimal scales
+    # (plans/weather.py: temperature 2, humidity 0) the fsum fast path
+    # applies — products of scale-kx × scale-ky inputs are exactly
+    # representable at kx+ky (magnitude · ulp ≪ half a unit for sensor
+    # ranges), so the long-backed fold is value-identical to the decimal
+    # fold it replaces (r13, r12 verdict #7) at a fraction of the cost.
     cx, cy = F.col(x), F.col(y)
+    if scales and x in scales and y in scales:
+        kx, ky = scales[x], scales[y]
+        sums = {
+            "_sx": fsum(cx, kx), "_sy": fsum(cy, ky),
+            "_sxx": fsum(cx * cx, 2 * kx), "_syy": fsum(cy * cy, 2 * ky),
+            "_sxy": fsum(cx * cy, kx + ky),
+        }
+    else:
+        def dsx(col):
+            return F.sum(col.cast("decimal(28,10)")).cast("double")
+
+        sums = {
+            "_sx": dsx(cx), "_sy": dsx(cy),
+            "_sxx": dsx(cx * cx), "_syy": dsx(cy * cy),
+            "_sxy": dsx(cx * cy),
+        }
     agg = df.filter(cx.isNotNull() & cy.isNotNull()).agg(
-        dsx(cx).alias("_sx"),
-        dsx(cy).alias("_sy"),
-        dsx(cx * cx).alias("_sxx"),
-        dsx(cy * cy).alias("_syy"),
-        dsx(cx * cy).alias("_sxy"),
+        *[v.alias(k) for k, v in sums.items()],
         F.count(F.lit(1)).alias("n"),
     )
     n, sx, sy = F.col("n"), F.col("_sx"), F.col("_sy")
@@ -293,7 +309,8 @@ def temperature_trends(df: DataFrame, city: str = "city", temp: str = "temperatu
 
 
 def zscore_anomalies(df: DataFrame, value: str = "temperature", city: str = "city",
-                     threshold: float = 2.5) -> DataFrame:
+                     threshold: float = 2.5,
+                     scales: dict[str, int] | None = None) -> DataFrame:
     """Per-city z-score anomaly detection: observations more than
     ``threshold`` sample standard deviations from their city's mean.
 
@@ -304,16 +321,26 @@ def zscore_anomalies(df: DataFrame, value: str = "temperature", city: str = "cit
     threshold test, so engine last-ulp summation differences can't flip a
     boundary row (same pinning policy as the LSH cosine thresholds).
     """
-    # mean and stddev from exact decimal sums (sum, sum-of-squares): the
-    # built-in stddev_samp merges partial moments in run-varying order and
-    # its 6-dp rounding gates the anomaly filter. No cancellation hazard:
-    # sxx and sx²/n are the same magnitude only when variance ≈ 0, and a
-    # zero-variance city has no anomalies by definition.
+    # mean and stddev from exact order-independent sums (sum,
+    # sum-of-squares): the built-in stddev_samp merges partial moments in
+    # run-varying order and its 6-dp rounding gates the anomaly filter.
+    # No cancellation hazard: sxx and sx²/n are the same magnitude only
+    # when variance ≈ 0, and a zero-variance city has no anomalies by
+    # definition. A pinned input scale takes the fsum fast path (exact
+    # for the square at 2× the scale — see linear_fit); unpinned inputs
+    # keep the decimal fold.
     c = F.col(value)
+    if scales and value in scales:
+        k = scales[value]
+        _sx_agg = fsum(c, k).alias("_sx")
+        _sxx_agg = fsum(c * c, 2 * k).alias("_sxx")
+    else:
+        _sx_agg = F.sum(c.cast("decimal(28,10)")).cast("double").alias("_sx")
+        _sxx_agg = (
+            F.sum((c * c).cast("decimal(28,10)")).cast("double").alias("_sxx")
+        )
     moments = df.groupBy(city).agg(
-        F.sum(c.cast("decimal(28,10)")).cast("double").alias("_sx"),
-        F.sum((c * c).cast("decimal(28,10)")).cast("double").alias("_sxx"),
-        F.count(value).alias("_n"),
+        _sx_agg, _sxx_agg, F.count(value).alias("_n"),
     )
     _n, _sx, _sxx = F.col("_n"), F.col("_sx"), F.col("_sxx")
     stats = moments.select(

@@ -1334,12 +1334,17 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     # Per-row doubles are bit-identical across engines (same expression
     # order); the SUM is where fold order wobbles the last ulp, which at a
-    # 2-decimal rounding boundary flips the output. Cast each row's profit
-    # to decimal before summing: exact, order-independent.
+    # 2-decimal rounding boundary flips the output. The fixed-point fsum
+    # fold is exact AND order-independent here (r13, was DECIMAL(24,10)):
+    # the profit expression's true value is an exact multiple of 1e-6
+    # (extprice·(1-disc) at scale 4; 0.6·retail·qty at scale 3) and its
+    # double sits within ~1e-11 of it, far inside the scale-6 rounding
+    # grid — so fsum(·, 6) recovers the exact decimal sum on two long
+    # accumulators instead of a Decimal128 fold.
     profit = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
-    ).cast("decimal(24,10)")
+    )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -1347,17 +1352,17 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(F.sum(profit).cast("double"), 2).alias("profit"),
+            F.round(fsum(profit, 6), 2).alias("profit"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
-O_PRODUCT_PROFIT = """
+O_PRODUCT_PROFIT = f"""
 SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
-       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                           - 0.6 * p_retailprice * l_quantity
-                           AS DECIMAL(24,10))) AS DOUBLE), 2) AS profit,
+       ROUND({sql_fsum(
+           "l_extendedprice * (1 - l_discount)"
+           " - 0.6 * p_retailprice * l_quantity", 6)}, 2) AS profit,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%bolt%'

@@ -261,22 +261,25 @@ FROM obs"""
 # --------------------------------------------------------------------------
 
 def q_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gold.linear_fit(observations(spark, sf_dir), x="temperature", y="humidity")
+    return gold.linear_fit(observations(spark, sf_dir), x="temperature",
+                           y="humidity", scales=_OBS_SCALES)
 
 
-O_LINEAR_FIT = OBS_CTE + """
+O_LINEAR_FIT = OBS_CTE + f"""
 SELECT ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
        ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
        ROUND((n * sxy - sx * sy)
              / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS pearson_r,
        CAST(n AS BIGINT) AS n
 FROM (
-  -- exact decimal sums mirror gold.linear_fit's closed form
-  SELECT CAST(SUM(CAST(temperature AS DECIMAL(28,10))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(humidity AS DECIMAL(28,10))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(temperature * temperature AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(humidity * humidity AS DECIMAL(28,10))) AS DOUBLE) AS syy,
-         CAST(SUM(CAST(temperature * humidity AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+  -- exact fixed-point folds mirror gold.linear_fit's fsum fast path
+  -- (r13, was DECIMAL(28,10); scales pinned by _OBS_SCALES — products
+  -- exact at the sum of the input scales)
+  SELECT {sql_fsum('temperature', 2)} AS sx,
+         {sql_fsum('humidity', 0)} AS sy,
+         {sql_fsum('temperature * temperature', 4)} AS sxx,
+         {sql_fsum('humidity * humidity', 0)} AS syy,
+         {sql_fsum('temperature * humidity', 2)} AS sxy,
          COUNT(*) AS n
   FROM obs WHERE temperature IS NOT NULL AND humidity IS NOT NULL
 )
@@ -561,16 +564,18 @@ FROM b GROUP BY bucket
 # --------------------------------------------------------------------------
 
 def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gold.zscore_anomalies(observations(spark, sf_dir))
+    return gold.zscore_anomalies(observations(spark, sf_dir),
+                                 scales=_OBS_SCALES)
 
 
-O_ZSCORE_ANOMALIES = OBS_CTE + """
+O_ZSCORE_ANOMALIES = OBS_CTE + f"""
 , moments AS (
-  -- exact decimal moments mirror gold.zscore_anomalies: stddev from
-  -- (sum, sum-of-squares) so both engines fold identically
+  -- exact fixed-point moments mirror gold.zscore_anomalies' fsum fast
+  -- path (r13, was DECIMAL(28,10)): stddev from (sum, sum-of-squares)
+  -- so both engines fold identically
   SELECT city,
-         CAST(SUM(CAST(temperature AS DECIMAL(28,10))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(temperature * temperature AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+         {sql_fsum('temperature', 2)} AS sx,
+         {sql_fsum('temperature * temperature', 4)} AS sxx,
          COUNT(temperature) AS n
   FROM obs GROUP BY city
 ), stats AS (
