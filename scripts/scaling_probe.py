@@ -94,6 +94,12 @@ PROBE = [
     "docs_minhash_pairs_indexed",
     "docs_substring_pairs_indexed",
     "docs_distill_score",
+    # r13: the sqrt(n)-k SemDeDup row (r12 verdict #2) — with k scaling,
+    # expected block size stays ~sqrt(n) and the within-block gemm must
+    # grow ~linearly per decade, unlike the pinned-k row's n²; plus the
+    # new URL family's dedup (canonical-hash shuffle, must track corpus)
+    "emb_semdedup_scaledk",
+    "docs_url_dedup",
 ]
 
 

@@ -18,80 +18,79 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 #: module order. The full registry is additionally verified locally each
 #: round (scripts/local_verify.py → CORRECTNESS_LOCAL_r{N}.json, committed).
 #:
-#: Round-12 window (earlier windows live in git history and
-#: WINDOW_LEDGER.json). Tier 1 = the two NEW rows
-#: (docs_minhash_pairs_changelog — the CDC router certified against the
-#: capped collect_set view family; mm_audio_near_dup — the second
-#: multimodal modality, rows-only) and every row whose deep
-#: implementation moved this round: rel_count_sketch_retract (the
-#: estimator's probe/counter columns were renamed collision-proof), the
-#: whole retraction family (their retract appliers now fire the r12
-#: TOMBSTONE_COMPACT_FRACTION auto-compaction trigger mid-query — the
-#: equivalence is pytest-pinned, and the driver hash re-certifies it),
-#: and docs_exact_dedup_changelog (the router now marks tombstone
-#: segments). Tier 2 = the five r7-vintage weather rows deferred from
-#: the r11 window (the refresh-queue head per the r11 verdict #3), then
-#: the oldest remaining vintage: 32 of the 48 r8-vintage rows in module
-#: order. 13 + 5 + 32 = 50 (the four late-r12 registrations —
-#: mm_video_near_dup, events_daily_changelog, docs_substring_rewrite_asof
-#: and the slots they cost rel_returned_items / rel_product_profit /
-#: rel_promo_revenue — follow the rule that new never-green rows outrank
-#: stale refreshes); the final 16 r8 rows carry r8 vintage one more
-#: round and lead the r13 refresh queue.
+#: Round-13 window (earlier windows live in git history and
+#: WINDOW_LEDGER.json). Tier 1 = the seven NEW rows (the URL family,
+#: the scaled-k SemDeDup, the HLL bounds row, the CDC router's fourth
+#: family), the seven rows whose query or oracle changed this round
+#: (the three multimodal rows graduating from rows-only to planted-truth
+#: value oracles; the three fsum conversions; emb_semdedup's oracle
+#: recomposed through the k-parameterized _km_ctes builder), the kmeans
+#: pair sharing that rebuilt CTE chain, and the entire
+#: retract/changelog/as-of family — their shared segment machinery moved
+#: this round (manifest row counts, empty-tombstone trigger exclusion,
+#: the residue-preserving daily-counts compaction fold), so the driver
+#: hash must re-certify every row that touches it. Tier 2 = the 15
+#: rows whose last driver green is r8 (the oldest vintage; the r12 note
+#: promised they lead the r13 queue), then the 5 oldest r9-vintage rows
+#: by change round. 30 + 15 + 5 = 50 (docs_remove_dup_chunks, next in
+#: the r9 queue, yields its slot to the new as-of row and leads the r14
+#: refresh queue with the remaining r9 tail).
 _VERIFY_FIRST = (
-    # --- tier 1: changed / new in round 12 ---
-    "docs_minhash_pairs_changelog",  # NEW: CDC router over the LSH-bucket view
-    "mm_audio_near_dup",             # NEW: audio modality row (rows-only)
-    "mm_video_near_dup",             # NEW: video modality row (rows-only)
-    "rel_count_sketch_retract",      # estimator column-collision rewrite
-    "docs_exact_dedup_retract",      # tombstone-fraction trigger now in-row
+    # --- tier 1a: new in round 13 ---
+    "docs_url_canonical",            # NEW: URL canonicalizer under value hash
+    "docs_url_dedup",                # NEW: canonical-URL dedup
+    "docs_domain_mix",               # NEW: registrable-domain composition
+    "docs_url_decontaminate",        # NEW: URL-level decontamination
+    "docs_bm25_topk_changelog",      # NEW: CDC router, term-stats family
+    "docs_bm25_topk_asof",           # NEW: as-of snapshot, third family
+    "emb_semdedup_scaledk",          # NEW: sqrt(n)-k SemDeDup (scale posture)
+    "rel_approx_distinct_bounds",    # NEW: HLL vs exact COUNT(DISTINCT) envelope
+    # --- tier 1b: query or oracle changed in round 13 ---
+    "mm_phash_near_dup",             # rows-only -> planted-truth value oracle
+    "mm_audio_near_dup",
+    "mm_video_near_dup",
+    "weather_linear_fit",            # decimal -> fsum fast path + sql twins
+    "weather_zscore_anomalies",
+    "rel_product_profit",
+    "emb_semdedup",                  # oracle via _km_ctes builder
+    "emb_kmeans",                    # shared rebuilt CTE chain
+    "emb_kmeans_arrow",
+    # --- tier 1c: segment-machinery family (matview.py moved this round) ---
+    "events_daily_retract",          # + residue-preserving compaction fold
+    "events_daily_changelog",
+    "docs_exact_dedup_retract",
+    "docs_exact_dedup_changelog",
+    "docs_exact_dedup_asof",
     "docs_substring_rewrite_retract",
+    "docs_substring_rewrite_asof",
+    "docs_substring_rewrite_segmented",
+    "docs_minhash_pairs_retract",
+    "docs_minhash_pairs_changelog",
     "docs_bm25_topk_retract",
-    "emb_ivf_topk_retract",          # + empty-embedding cell-stats fix family
-    "docs_minhash_pairs_retract",    # + oracle prefix recomposition
-    "events_daily_retract",
-    "docs_exact_dedup_changelog",    # router marks tombstone segments now
-    "events_daily_changelog",        # NEW: CDC router over the additive family
-    "docs_substring_rewrite_asof",   # NEW: time-travel over the gram family
-    # --- tier 2a: the five weather rows deferred from the r11 window ---
-    "weather_date_range",
-    "weather_derived_projection",
-    "weather_icon_lookup",
-    "weather_linear_fit",
-    "weather_outlier_counts",
-    # --- tier 2b: the r8-vintage tail, oldest remaining (32 of 48) ---
-    "docs_chunk",
-    "docs_dedup_clusters",
-    "docs_dedup_decisions",
-    "docs_dup_chunk_ratio",
-    "docs_minhash_lsh_pairs",
-    "docs_normalize",
-    "docs_pack",
-    "docs_pii_scrub",
-    "docs_shard",
-    "docs_split_assign",
-    "emb_centroids_by_label",
-    "emb_cosine_topk",
-    "emb_hamming_topk",
-    "emb_lsh_buckets",
-    "emb_lsh_near_dup_pairs",
-    "emb_pairwise_topk",
-    "emb_quantize_int8",
-    "emb_quantized_recall",
-    "emb_quantized_topk",
-    "rel_bottomk_quantiles",
-    "rel_cube_lineitem",
-    "rel_customer_ntile_segments",
-    "rel_disjunctive_revenue",
-    "rel_grouping_sets",
-    "rel_kmv_intersection",
-    "rel_large_orders",
-    "rel_lost_customers",
-    "rel_merge_upsert",
-    "rel_min_cost_supplier",
-    "rel_order_percentiles",
-    "rel_pagerank",
-    "rel_pricing_summary",
+    "emb_ivf_topk_retract",
+    "rel_count_sketch_retract",
+    # --- tier 2a: the 15 rows last driver-green in r8 (oldest vintage) ---
+    "rel_promo_revenue",
+    "rel_returned_items",
+    "rel_revenue_by_nation",
+    "rel_segment_monthly",
+    "rel_shipping_priority",
+    "rel_small_qty_revenue",
+    "rel_supplier_part_counts",
+    "rel_top_customers_per_nation",
+    "rel_top_supplier",
+    "rel_unpivot_city_metrics",
+    "rel_volume_shipping",
+    "sql_forecast_revenue",
+    "stream_asof_last_purchase",
+    "stream_hopping_distinct",
+    "weather_quantile_summary",
+    # --- tier 2b: the 6 oldest r9-vintage rows by change round ---
+    "weather_city_quantiles",
+    "weather_correlations",
+    "weather_temperature_buckets",
+    "weather_warmest_coldest",
+    "docs_bigram_logprob",
 )
 
 

@@ -1989,8 +1989,15 @@ def q_semdedup_scaledk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _embs(spark, sf_dir)
     k = max(1, math.isqrt(emb.count()))
+    # assignment through the chunked-Arrow Lloyd kernel — the documented
+    # large-k path (bit-equal to the expression form by contract,
+    # test_ext.py pins it): at k ~ sqrt(n) the expression form would
+    # inline k x dim centroid literals into the plan per iteration.
+    labels = similarity.kmeans_assign_arrow(
+        emb, k=k, n_iter=_KM_ITER
+    ).select("vec_id", "cluster")
     return similarity.semdedup(
-        emb, k=k, n_iter=_KM_ITER, threshold=_SEMDEDUP_THRESHOLD,
+        emb, threshold=_SEMDEDUP_THRESHOLD, labels=labels,
     )
 
 
@@ -3860,6 +3867,44 @@ def q_bm25_topk_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot (time-travel) read over a THIRD view family (r13): the
+    as-of machinery carries driver hashes through the exact-dedup (MIN/
+    ADD) and gram-index (weighted capped-posting) folds; this row
+    reconstructs the retractable TERM-STATS view as it stood BEFORE a
+    delete (read_term_stats_retractable_as_of — merge only segments with
+    batch id <= 1) and scores BM25 for the FULL corpus from that
+    snapshot with full-corpus N/avgdl. The tombstone written at batch 2
+    must be genuinely invisible — the oracle is byte-identical to
+    docs_bm25_topk's one-shot oracle over the whole corpus."""
+    import os
+
+    from ..ext.text import tokens as _tokens
+    from ..streaming.matview import (
+        apply_term_stats_retractable_delta,
+        read_term_stats_retractable_as_of,
+        retract_term_stats_delta,
+    )
+
+    docs = _docs(spark, sf_dir)
+    root = _session_state_dir(spark, sf_dir, "skylogix_term_asof")
+    state = os.path.join(root, "view")
+    apply_term_stats_retractable_delta(
+        docs.filter(F.col("doc_id") % 2 == 0), 0, state, auto_compact=None)
+    apply_term_stats_retractable_delta(
+        docs.filter(F.col("doc_id") % 2 == 1), 1, state, auto_compact=None)
+    retract_term_stats_delta(
+        docs.filter(F.col("doc_id") % 7 == 3), 2, state, auto_compact=None)
+    snapshot = read_term_stats_retractable_as_of(spark, state, 1)
+    counters = docs.select(F.size(_tokens("text")).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    return text.bm25_topk_from_stats(
+        docs, snapshot, counters.n, counters.s / counters.n,
+        _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B,
+    )
+
+
 O_BM25_TOPK = TOK_CTE + ", " + _bm25_cte(_BM25_K) + """
 SELECT doc_id, n_terms_matched, bm25 FROM bm
 """
@@ -4216,6 +4261,7 @@ QUERIES = {
     "docs_bm25_topk_indexed": q_bm25_topk_indexed,
     "docs_bm25_topk_retract": q_bm25_topk_retract,
     "docs_bm25_topk_changelog": q_bm25_topk_changelog,
+    "docs_bm25_topk_asof": q_bm25_topk_asof,
     "docs_hybrid_rrf": q_hybrid_rrf,
     "docs_zipf_fit": q_zipf_fit,
     "docs_lang_source_chisq": q_lang_source_chisq,
@@ -4348,6 +4394,9 @@ ORACLES = {
         "FROM documents",
         "FROM (SELECT * FROM documents WHERE doc_id % 7 <> 3) documents",
     ),
+    # r13: the pre-delete term-stats snapshot over the full corpus IS
+    # the plain one-shot BM25 — byte-identical oracle (as-of family 3)
+    "docs_bm25_topk_asof": O_BM25_TOPK,
     "docs_hybrid_rrf": O_HYBRID_RRF,
     "docs_zipf_fit": O_ZIPF_FIT,
     "docs_lang_source_chisq": O_LANG_SOURCE_CHISQ,
