@@ -114,6 +114,11 @@ EXTENDED = [
     # turnstile Count-Sketch (constant-size O(d·w) segments by linearity)
     "emb_ivf_topk_retract",
     "rel_count_sketch_retract",
+    # r13 families: canonical-URL dedup (one canonical-hash shuffle) and
+    # the sqrt(n)-k SemDeDup (the scale-posture configuration; the
+    # pinned-k emb_semdedup row above keeps its legacy series)
+    "docs_url_dedup",
+    "emb_semdedup_scaledk",
 ]
 
 
