@@ -2881,6 +2881,51 @@ WHERE d.doc_id % 23 <> 0
 """
 
 
+def q_url_dedup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup under RETRACTION (r13): the canonical-URL
+    membership table maintained as the same doc-granular Z-set the
+    exact-dedup view uses — the appliers are generic over the keyed text
+    column, so the CANONICAL URL (computed by the r13 canonicalizer)
+    plugs in as the fingerprint source. Two ingest batches, then a
+    corrected-shard tombstone (doc_id % 7 == 3, including canonical
+    groups whose MIN survivor is retracted — keepers must re-elect).
+    Read fold == rebuild over survivors; the oracle derives the
+    fingerprints from the CLOSED-FORM canonical (never the
+    canonicalizer), so this row cross-checks canonicalization AND the
+    Z-set protocol in one hash."""
+    import os
+
+    from ..streaming.matview import (
+        apply_exact_dedup_retractable_delta,
+        read_exact_dedup_retractable_segments,
+        retract_exact_dedup_delta,
+    )
+
+    d = _docs_urls(spark, sf_dir).select(
+        "doc_id", urlops.canonicalize_url("url").alias("curl"))
+    root = _session_state_dir(spark, sf_dir, "skylogix_url_rz")
+    state = os.path.join(root, "view")
+    apply_exact_dedup_retractable_delta(
+        d.filter(F.col("doc_id") % 2 == 0), 0, state, text_col="curl")
+    apply_exact_dedup_retractable_delta(
+        d.filter(F.col("doc_id") % 2 == 1), 1, state, text_col="curl")
+    retract_exact_dedup_delta(
+        d.filter(F.col("doc_id") % 7 == 3), 2, state, text_col="curl")
+    return read_exact_dedup_retractable_segments(spark, state).select(
+        "fingerprint", "doc_id", "n_copies"
+    )
+
+
+O_URL_DEDUP_RETRACT = URL_CTE + """
+SELECT md5(canonical_url) AS fingerprint,
+       MIN(doc_id) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM u
+WHERE doc_id % 7 <> 3
+GROUP BY md5(canonical_url)
+"""
+
+
 # --------------------------------------------------------------------------
 # TF-IDF top-k terms per document (ext.text.tfidf_topk).
 # --------------------------------------------------------------------------
@@ -4281,6 +4326,7 @@ QUERIES = {
     "docs_url_dedup": q_url_dedup,
     "docs_domain_mix": q_domain_mix,
     "docs_url_decontaminate": q_url_decontaminate,
+    "docs_url_dedup_retract": q_url_dedup_retract,
     "emb_centroids_by_label": q_centroids_by_label,
     "emb_kmeans": q_kmeans,
     "emb_kmeans_arrow": q_kmeans_arrow,
@@ -4417,6 +4463,7 @@ ORACLES = {
     "docs_url_dedup": O_URL_DEDUP,
     "docs_domain_mix": O_DOMAIN_MIX,
     "docs_url_decontaminate": O_URL_DECONTAMINATE,
+    "docs_url_dedup_retract": O_URL_DEDUP_RETRACT,
     "emb_centroids_by_label": O_CENTROIDS_BY_LABEL,
     "emb_kmeans": O_KMEANS,
     "emb_kmeans_arrow": O_KMEANS,
