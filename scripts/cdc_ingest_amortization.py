@@ -36,15 +36,41 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from skylogix_real_time_weather_data_pipeline_spark.session import get_spark  # noqa: E402
 from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (  # noqa: E402
+    _parquet_dir_rows,
+    _segments_root,
     apply_exact_dedup_retractable_delta,
+    apply_gram_index_retractable_delta,
     compact_exact_dedup_retractable_segments,
+    compact_gram_index_retractable_segments,
     read_exact_dedup_retractable_segments,
+    read_gram_index_retractable_segments,
     retract_exact_dedup_delta,
+    retract_gram_index_delta,
     segment_stats,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_BATCHES = 12
+
+#: view families probed: the doc-granular exact-dedup Z-set (small state
+#: — shows that fixed per-batch overhead dominates either way at test
+#: scale) and the GRAM INDEX Z-set (corpus-token-sized state, ~20M rows
+#: at sf1x — the view whose O(view) per-batch fold is the quadratic blow
+#: the r12 ADVICE flagged; this is where the fix is measurable).
+VIEWS = {
+    "exact_dedup": (
+        apply_exact_dedup_retractable_delta,
+        retract_exact_dedup_delta,
+        compact_exact_dedup_retractable_segments,
+        read_exact_dedup_retractable_segments,
+    ),
+    "gram_index": (
+        apply_gram_index_retractable_delta,
+        retract_gram_index_delta,
+        compact_gram_index_retractable_segments,
+        read_gram_index_retractable_segments,
+    ),
+}
 
 
 def main() -> int:
@@ -58,25 +84,42 @@ def main() -> int:
     docs.count()  # warm
     empty = spark.createDataFrame([], "doc_id long, text string")
 
-    def run(protocol: str) -> dict:
-        root = tempfile.mkdtemp(prefix=f"cdc_amort_{protocol}_")
+    def run(view: str, protocol: str) -> dict:
+        apply_fn, retract_fn, compact_fn, read_fn = VIEWS[view]
+        root = tempfile.mkdtemp(prefix=f"cdc_amort_{view}_{protocol}_")
         state = os.path.join(root, "view")
-        per_batch = []
+        per_batch, fold_rows, seen_folds = [], [], set()
+
+        def _new_fold_rows() -> int:
+            # rows REWRITTEN by compaction folds since the last check —
+            # footer metadata only, machine-independent (the wall-clock
+            # numbers on a shared box are too noisy to carry the O(n²)
+            # argument alone; the churned-row series is deterministic)
+            seg_root = _segments_root(state)
+            total = 0
+            if os.path.isdir(seg_root):
+                for name in os.listdir(seg_root):
+                    if name.startswith("compact_") and name not in seen_folds:
+                        seen_folds.add(name)
+                        total += _parquet_dir_rows(os.path.join(seg_root, name))
+            return total
+
         try:
             for b in range(N_BATCHES):
                 part = docs.filter(F.col("doc_id") % N_BATCHES == b)
                 t0 = time.perf_counter()
                 # the router's per-micro-batch shape: adds at 2b, a
                 # (possibly empty) tombstone at 2b+1
-                apply_exact_dedup_retractable_delta(part, 2 * b, state)
-                retract_exact_dedup_delta(empty, 2 * b + 1, state)
+                apply_fn(part, 2 * b, state)
+                retract_fn(empty, 2 * b + 1, state)
                 if protocol == "compact_every_batch":
                     # pre-fix behavior: the empty tombstone crossed the
                     # 1/3 fraction and folded the whole view every batch
-                    compact_exact_dedup_retractable_segments(spark, state)
+                    compact_fn(spark, state)
                 per_batch.append(round(time.perf_counter() - t0, 3))
+                fold_rows.append(_new_fold_rows())
             stats = segment_stats(state)
-            n_rows = read_exact_dedup_retractable_segments(spark, state).count()
+            n_rows = read_fn(spark, state).count()
             return {
                 "per_batch_s": per_batch,
                 "total_s": round(sum(per_batch), 3),
@@ -84,6 +127,9 @@ def main() -> int:
                 "last3_mean_s": round(sum(per_batch[-3:]) / 3, 3),
                 "late_over_early": round(
                     sum(per_batch[-3:]) / max(sum(per_batch[:3]), 1e-9), 2),
+                "fold_rows_per_batch": fold_rows,
+                "fold_rows_total": sum(fold_rows),
+                "n_folds": len(seen_folds),
                 "compact_segments": stats["compact_segments"],
                 "raw_segments": stats["raw_segments"],
                 "view_rows": n_rows,
@@ -101,19 +147,24 @@ def main() -> int:
                         "empty-tombstone trigger misfire (O(view) fold per "
                         "batch); fixed is the shipped path",
         },
-        "fixed": run("fixed"),
-        "compact_every_batch": run("compact_every_batch"),
     }
-    out["_meta"]["verdict"] = (
-        f"fixed total {out['fixed']['total_s']}s "
-        f"(late/early {out['fixed']['late_over_early']}) vs "
-        f"per-batch-compaction {out['compact_every_batch']['total_s']}s "
-        f"(late/early {out['compact_every_batch']['late_over_early']})"
-    )
+    for view in VIEWS:
+        out[view] = {
+            "fixed": run(view, "fixed"),
+            "compact_every_batch": run(view, "compact_every_batch"),
+        }
+        f, c = out[view]["fixed"], out[view]["compact_every_batch"]
+        out[view]["verdict"] = (
+            f"fixed: {f['n_folds']} folds / {f['fold_rows_total']} rows "
+            f"rewritten, {f['total_s']}s total; per-batch-compaction: "
+            f"{c['n_folds']} folds / {c['fold_rows_total']} rows rewritten "
+            f"(O(n^2) churn), {c['total_s']}s total"
+        )
     path = os.path.join(_HERE, f"CDC_INGEST_AMORTIZATION_r{rnd}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
-    print(json.dumps(out["_meta"], indent=1))
+    print(json.dumps({k: (v.get("verdict") if isinstance(v, dict) else v)
+                      for k, v in out.items()}, indent=1))
     print(f"wrote {path}")
     return 0
 
