@@ -149,6 +149,30 @@ def domain_mix(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def blocklist_filter(df: DataFrame, blocked_domains,
+                     url_col: str = "url") -> DataFrame:
+    """Domain-blocklist filtering — the crawl-hygiene gate every corpus
+    pass runs before content ever ships (spam/adult/malware domain
+    lists): keep rows whose REGISTRABLE domain is not blocked, and
+    report the decision so the drop is auditable. The blocklist is a
+    small broadcast set at any corpus scale (even the full commercial
+    lists are ~1M rows — megabytes); the corpus side is a broadcast
+    left-join, no shuffle. Subdomains of a blocked domain are blocked
+    with it (the match key IS the registrable domain)."""
+    spark = df.sparkSession
+    bl = F.broadcast(
+        spark.createDataFrame([(d,) for d in sorted(set(blocked_domains))],
+                              "domain string")
+        .withColumn("_blocked", F.lit(1))
+    )
+    return (
+        df.withColumn("domain", registrable_domain(url_host(url_col)))
+        .join(bl, "domain", "left")
+        .withColumn("kept", F.col("_blocked").isNull())
+        .drop("_blocked")
+    )
+
+
 def url_decontaminate(corpus: DataFrame, benchmark: DataFrame,
                       url_col: str = "url",
                       id_col: str = "doc_id") -> DataFrame:

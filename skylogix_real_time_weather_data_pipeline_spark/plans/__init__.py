@@ -19,7 +19,7 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 #: round (scripts/local_verify.py → CORRECTNESS_LOCAL_r{N}.json, committed).
 #:
 #: Round-13 window (earlier windows live in git history and
-#: WINDOW_LEDGER.json). Tier 1 = the nine NEW rows (the URL family
+#: WINDOW_LEDGER.json). Tier 1 = the ten NEW rows (the URL family
 #: incl. the retractable canonical-URL view, the scaled-k SemDeDup, the
 #: HLL bounds row, the CDC router's fourth family and its as-of
 #: third family), the seven rows whose query or oracle changed this round
@@ -33,10 +33,10 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 #: hash must re-certify every row that touches it. Tier 2 = the 15
 #: rows whose last driver green is r8 (the oldest vintage; the r12 note
 #: promised they lead the r13 queue), then the 5 oldest r9-vintage rows
-#: by change round. 31 + 15 + 4 = 50 (docs_bigram_logprob and
-#: docs_remove_dup_chunks, next in the r9 queue, yield their slots to
-#: the two late tier-1 rows and lead the r14 refresh queue with the
-#: remaining r9 tail).
+#: by change round. 32 + 15 + 3 = 50 (weather_warmest_coldest,
+#: docs_bigram_logprob and docs_remove_dup_chunks, next in the r9
+#: queue, yield their slots to the late tier-1 rows and lead the r14
+#: refresh queue with the remaining r9 tail).
 _VERIFY_FIRST = (
     # --- tier 1a: new in round 13 ---
     "docs_url_canonical",            # NEW: URL canonicalizer under value hash
@@ -46,6 +46,7 @@ _VERIFY_FIRST = (
     "docs_bm25_topk_changelog",      # NEW: CDC router, term-stats family
     "docs_bm25_topk_asof",           # NEW: as-of snapshot, third family
     "docs_url_dedup_retract",        # NEW: Z-set keyed on canonical URLs
+    "docs_url_blocklist",            # NEW: domain-blocklist audit gate
     "emb_semdedup_scaledk",          # NEW: sqrt(n)-k SemDeDup (scale posture)
     "rel_approx_distinct_bounds",    # NEW: HLL vs exact COUNT(DISTINCT) envelope
     # --- tier 1b: query or oracle changed in round 13 ---
@@ -88,11 +89,10 @@ _VERIFY_FIRST = (
     "stream_asof_last_purchase",
     "stream_hopping_distinct",
     "weather_quantile_summary",
-    # --- tier 2b: the 4 oldest r9-vintage rows by change round ---
+    # --- tier 2b: the 3 oldest r9-vintage rows by change round ---
     "weather_city_quantiles",
     "weather_correlations",
     "weather_temperature_buckets",
-    "weather_warmest_coldest",
 )
 
 

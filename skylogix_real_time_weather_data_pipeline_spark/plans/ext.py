@@ -2881,6 +2881,27 @@ WHERE d.doc_id % 23 <> 0
 """
 
 
+#: two of the eight synthetic registrable domains play the blocklist —
+#: one with subdomain coverage (blog./docs. hosts fold into it), one flat
+_BLOCKED_DOMAINS = ("example.co.uk", "testsite.io")
+
+
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist audit table (ext/url.py:blocklist_filter):
+    per-doc registrable domain + keep/drop decision against a broadcast
+    blocklist — subdomains of a blocked domain are blocked with it."""
+    d = _docs_urls(spark, sf_dir)
+    return urlops.blocklist_filter(d, _BLOCKED_DOMAINS).select(
+        "doc_id", "domain", "kept")
+
+
+O_URL_BLOCKLIST = URL_CTE + """
+SELECT doc_id, domain,
+       domain NOT IN ('example.co.uk', 'testsite.io') AS kept
+FROM u
+"""
+
+
 def q_url_dedup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup under RETRACTION (r13): the canonical-URL
     membership table maintained as the same doc-granular Z-set the
@@ -4327,6 +4348,7 @@ QUERIES = {
     "docs_domain_mix": q_domain_mix,
     "docs_url_decontaminate": q_url_decontaminate,
     "docs_url_dedup_retract": q_url_dedup_retract,
+    "docs_url_blocklist": q_url_blocklist,
     "emb_centroids_by_label": q_centroids_by_label,
     "emb_kmeans": q_kmeans,
     "emb_kmeans_arrow": q_kmeans_arrow,
@@ -4464,6 +4486,7 @@ ORACLES = {
     "docs_domain_mix": O_DOMAIN_MIX,
     "docs_url_decontaminate": O_URL_DECONTAMINATE,
     "docs_url_dedup_retract": O_URL_DEDUP_RETRACT,
+    "docs_url_blocklist": O_URL_BLOCKLIST,
     "emb_centroids_by_label": O_CENTROIDS_BY_LABEL,
     "emb_kmeans": O_KMEANS,
     "emb_kmeans_arrow": O_KMEANS,

@@ -1239,3 +1239,76 @@ def test_retractable_term_stats_invariant_under_auto_triggers(
             spark, ref_state).collect()
     )
     assert got == want
+
+
+@given(
+    scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS", "HtTpS"]),
+    www=st.booleans(),
+    host=st.lists(st.sampled_from(["Example", "api", "CDN", "shop"]),
+                  min_size=1, max_size=3),
+    tld=st.sampled_from(["com", "org", "co.uk", "io"]),
+    port=st.sampled_from([None, 80, 443, 8080]),
+    segs=st.lists(st.sampled_from(["a", "B", "items", "7"]), max_size=3),
+    trail=st.integers(0, 2),
+    params=st.lists(
+        st.tuples(st.sampled_from(["utm_source", "utm_medium", "fbclid",
+                                   "gclid", "id", "v", "q", "page"]),
+                  st.sampled_from(["1", "x", "feed", ""])),
+        max_size=4),
+    frag=st.booleans(),
+)
+@_settings
+def test_url_canonicalize_properties(spark, scheme, www, host, tld, port,
+                                     segs, trail, params, frag):
+    """r13: structural properties of the URL canonicalizer over randomly
+    composed URLs — IDEMPOTENCE (canonicalizing a canonical URL is a
+    no-op, the property that makes re-running a curation pass safe), no
+    fragment/tracking residue, lower-cased scheme+host, no www prefix,
+    default ports stripped iff they match the scheme, non-default ports
+    and non-tracking params (values and order) preserved."""
+    import re
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.url import (
+        canonicalize_url,
+    )
+
+    hostname = ".".join(host) + "." + tld
+    u = scheme + "://" + ("www." if www else "") + hostname
+    if port is not None:
+        u += f":{port}"
+    u += "/" + "/".join(segs) + "/" * trail
+    if params:
+        u += "?" + "&".join(f"{k}={v}" for k, v in params)
+    if frag:
+        u += "#Sec-1"
+
+    df = spark.createDataFrame([(u,)], "url string")
+    c1 = df.select(canonicalize_url("url").alias("c")).first().c
+    c2 = (spark.createDataFrame([(c1,)], "url string")
+          .select(canonicalize_url("url").alias("c")).first().c)
+    assert c2 == c1, f"not idempotent: {u!r} -> {c1!r} -> {c2!r}"
+
+    assert "#" not in c1
+    assert not re.search(r"(utm_[a-z]+|fbclid|gclid|msclkid)=", c1)
+    m = re.match(r"^([a-z]+)://([^/?#]*)(.*)$", c1)
+    assert m, c1
+    cscheme, chost, crest = m.groups()
+    assert cscheme == scheme.lower()
+    assert chost == chost.lower() and not chost.startswith("www.")
+    # default port stripped iff it matches the scheme; others preserved
+    want_port = ""
+    if port == 8080:
+        want_port = ":8080"
+    elif port == 80 and scheme.lower() != "http":
+        want_port = ":80"
+    elif port == 443 and scheme.lower() != "https":
+        want_port = ":443"
+    assert chost == hostname.lower() + want_port
+    # kept params preserved in order, with values
+    kept = [f"{k}={v}" for k, v in params
+            if not re.match(r"^(utm_[a-z]+|fbclid|gclid|msclkid)$", k)]
+    if kept:
+        assert crest.endswith("?" + "&".join(kept)), (u, c1, kept)
+    else:
+        assert "?" not in crest
+    assert not crest.endswith("/")

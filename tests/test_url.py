@@ -129,3 +129,25 @@ def test_domain_mix_shares_sum_to_one(spark):
     assert by_dom["example.com"] == 100
     assert by_dom["sample.net"] == 100
     assert by_dom["example.co.uk"] == 50
+
+
+def test_blocklist_filter_blocks_subdomains(spark):
+    from skylogix_real_time_weather_data_pipeline_spark.ext.url import (
+        blocklist_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "https://blog.example.co.uk/a"),   # subdomain of blocked
+         (2, "https://example.co.uk/b"),        # blocked exactly
+         (3, "https://example.com/c"),          # kept
+         (4, "HTTP://WWW.TESTSITE.IO:80/d")],   # blocked through www/case/port
+        "doc_id long, url string")
+    got = {r["doc_id"]: (r["domain"], r["kept"])
+           for r in blocklist_filter(
+               df, ["example.co.uk", "testsite.io"]).collect()}
+    assert got == {
+        1: ("example.co.uk", False),
+        2: ("example.co.uk", False),
+        3: ("example.com", True),
+        4: ("testsite.io", False),
+    }
