@@ -629,3 +629,23 @@ def test_multimodal_rows_prune_to_id_and_push_bound(spark, sf_dir, qs):
             assert s.strip() == "doc_id:bigint", f"{name}: unpruned scan {s}"
         assert re.search(r"PushedFilters: \[[^\]]*LessThan\(doc_id,400\)", plan), (
             f"{name}: id bound not pushed")
+
+
+def test_url_family_prunes_to_doc_id_single_shuffle(spark, sf_dir, qs):
+    """r13 URL family: the synthetic-URL projection must reach the scan
+    as a doc_id-only read (the text/lang/source payload never loads),
+    url_dedup pays exactly ONE hash shuffle (the canonical-hash groupBy),
+    and the blocklist/decontamination gates broadcast their small side —
+    the corpus never shuffles for a membership test."""
+    plan = _formatted(qs["docs_url_dedup"](spark, sf_dir))
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas and all(s == "struct<doc_id:bigint>" for s in schemas)
+    phys = _physical(qs["docs_url_dedup"](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", phys)) == 1
+
+    for name in ("docs_url_decontaminate", "docs_url_blocklist"):
+        p = _physical(qs[name](spark, sf_dir))
+        assert "BroadcastExchange" in p, name
+        # the corpus side never hash-shuffles for the membership probe
+        corpus_exchanges = len(re.findall(r"Exchange hashpartitioning", p))
+        assert corpus_exchanges <= 1, (name, corpus_exchanges)
