@@ -88,10 +88,19 @@ def canonicalize_url(url: Column | str) -> Column:
     u = _as_col(url)
     # 1. fragment
     u = F.regexp_replace(u, "#.*$", "")
-    # 2. tracking params: mid-query occurrences (trailing &) then a final
-    #    occurrence (preceded by ? or &); a dangling '?' is cleaned in 5.
-    u = F.regexp_replace(u, TRACKING_PARAM_PATTERN + "=[^&#]*&", "")
-    u = F.regexp_replace(u, "[?&]" + TRACKING_PARAM_PATTERN + "=[^&#]*$", "")
+    # 2. tracking params. Sentinel trick: with the fragment gone the query
+    #    runs to the end, so appending one '&' makes EVERY param end in
+    #    '&'; a single left-anchored pass then removes whole RUNS of
+    #    consecutive tracking params ("([?&])(name=val&)+" -> "$1") without
+    #    ever matching inside another param's name (?ref_fbclid=9&v=2 is
+    #    untouched — the r13 unanchored pattern spliced it to ?ref_v=2).
+    #    Dangling separators left behind ('?', the sentinel '&') are
+    #    stripped right here so step 5's slash collapse sees clean ends.
+    u = F.when(u.contains("?"), F.concat(u, F.lit("&"))).otherwise(u)
+    u = F.regexp_replace(
+        u, "([?&])(" + TRACKING_PARAM_PATTERN + "=[^&#]*&)+", "$1"
+    )
+    u = F.regexp_replace(u, "[?&]+$", "")
     # 3./4. scheme + host normalization, rebuilt around the rest
     scheme = url_scheme(u)
     hostport = F.lower(

@@ -1179,23 +1179,38 @@ TOMBSTONE_COMPACT_FRACTION = 1 / 3
 AUTO_COMPACT_RETAIN = 0
 
 
-def _raw_is_tombstone(path: str) -> bool:
-    """True only for NON-EMPTY tombstone segments: the changelog router
-    intentionally lands a (possibly empty) tombstone segment every
-    micro-batch so the replay guard sees each (batch, side) pair, and an
-    empty one exerts zero read pressure — counting it would fire a full
-    O(view) compaction on every pure-insert CDC batch (r12 ADVICE).
+def _raw_segment_kind(path: str) -> str:
+    """Classify a raw segment for the tombstone-fraction trigger:
+
+    - ``"tombstone"`` — a NON-EMPTY tombstone (real read pressure);
+    - ``"empty_tombstone"`` — a zero-row tombstone. The changelog router
+      intentionally lands one every pure-insert micro-batch so the
+      replay guard sees each (batch, side) pair; it exerts zero read
+      pressure and must count in NEITHER the numerator (r12 ADVICE: it
+      fired O(view) compaction per CDC batch) NOR the denominator (r13
+      ADVICE: leaving it there dilutes the measured fraction on mixed
+      insert/delete streams, so the 1/3 trigger fired late);
+    - ``"data"`` — everything else.
+
     Manifests written before r13 lack ``rows``; they predate the router
     and were only written by genuinely non-empty retract applies, so
     missing ``rows`` counts as a tombstone. Unreadable/corrupt manifests
-    are treated like the compact-manifest reader treats garbage: not a
-    tombstone (ValueError covers json.JSONDecodeError)."""
+    are treated like the compact-manifest reader treats garbage: data
+    (ValueError covers json.JSONDecodeError)."""
     try:
         with open(os.path.join(path, "_manifest.json")) as f:
             m = json.load(f)
-        return m.get("kind") == "tombstone" and m.get("rows", 1) != 0
     except (OSError, ValueError):
-        return False
+        return "data"
+    if m.get("kind") != "tombstone":
+        return "data"
+    return "tombstone" if m.get("rows", 1) != 0 else "empty_tombstone"
+
+
+def _raw_is_tombstone(path: str) -> bool:
+    """True only for NON-EMPTY tombstone segments (see
+    :func:`_raw_segment_kind`)."""
+    return _raw_segment_kind(path) == "tombstone"
 
 
 def _apply_delta_segment(delta_fn, batch_df: DataFrame, batch_id: int,
@@ -1222,11 +1237,17 @@ def _apply_delta_segment(delta_fn, batch_df: DataFrame, batch_id: int,
     # tombstone (rows comes from the parquet footers, no extra job): an
     # empty tombstone — the changelog router writes one per pure-insert
     # micro-batch for replay-guard completeness — adds no read pressure,
-    # and counting it made CDC maintenance O(view) per batch (r12 ADVICE).
+    # and counts in NEITHER side of the fraction: numerator inclusion
+    # made CDC maintenance O(view) per batch (r12 ADVICE); denominator
+    # inclusion diluted the fraction on mixed insert/delete streams so
+    # the 1/3 trigger fired late (r13 ADVICE). Numerator and denominator
+    # run over the same population: segments with real read pressure.
     if tombstone and rows and len(paths) >= 1:
         raws = [p for p in paths if os.path.basename(p).startswith("b")]
-        n_tomb = 1 + sum(1 for p in raws if _raw_is_tombstone(p))
-        if n_tomb / (len(raws) + 1) >= TOMBSTONE_COMPACT_FRACTION:
+        kinds = [_raw_segment_kind(p) for p in raws]
+        n_tomb = 1 + sum(1 for k in kinds if k == "tombstone")
+        n_pop = 1 + sum(1 for k in kinds if k != "empty_tombstone")
+        if n_tomb / n_pop >= TOMBSTONE_COMPACT_FRACTION:
             _compact_segments(batch_df.sparkSession, state_dir, merge_fn,
                               retain_last=AUTO_COMPACT_RETAIN)
 
@@ -2356,13 +2377,19 @@ def segment_stats(state_dir: str) -> dict:
                     pass
         return total
 
-    n_tomb = sum(1 for p in raws if _raw_is_tombstone(p))
+    kinds = [_raw_segment_kind(p) for p in raws]
+    n_tomb = sum(1 for k in kinds if k == "tombstone")
+    # the fraction the live trigger actually measures: empty tombstones
+    # (zero read pressure) excluded from numerator AND denominator (r13
+    # ADVICE — same-population invariant)
+    n_pop = sum(1 for k in kinds if k != "empty_tombstone")
     return {
         "readable_segments": len(paths),
         "raw_segments": len(raws),
         "compact_segments": len(compacts),
         "tombstone_segments": n_tomb,
-        "tombstone_fraction": round(n_tomb / len(raws), 4) if raws else 0.0,
+        "empty_tombstone_segments": len(raws) - n_pop,
+        "tombstone_fraction": round(n_tomb / n_pop, 4) if n_pop else 0.0,
         "applied_batches": sorted(applied),
         "bytes": sum(_bytes(p) for p in paths),
         "will_auto_compact_next": len(paths) + 1 >= AUTO_COMPACT_SEGMENTS,
@@ -2372,6 +2399,6 @@ def segment_stats(state_dir: str) -> dict:
         "will_compact_next_tombstone": (
             len(paths) + 1 >= AUTO_COMPACT_SEGMENTS
             or (len(paths) >= 1
-                and (n_tomb + 1) / (len(raws) + 1) >= TOMBSTONE_COMPACT_FRACTION)
+                and (n_tomb + 1) / (n_pop + 1) >= TOMBSTONE_COMPACT_FRACTION)
         ),
     }

@@ -2338,6 +2338,48 @@ def test_empty_tombstones_never_trigger_compaction(spark, tmp_path):
             spark.createDataFrame([(3, "aa")], schema)).collect()))
 
 
+def test_empty_tombstones_excluded_from_fraction_denominator(spark, tmp_path):
+    """r14 (r13 ADVICE low): empty tombstones must not count in the
+    fraction DENOMINATOR either — on a mixed insert/delete CDC stream
+    each pure-insert micro-batch lands one, diluting the measured
+    fraction so the 1/3 trigger fired later than the documented
+    invariant. Shape: 2 data adds + 2 empty tombstones (two pure-insert
+    router batches), then one real delete. Same-population math:
+    1 tombstone / (1 + 2 data) = 1/3 -> fires; the old diluted math read
+    1 / (1 + 4 raws) = 0.2 and waited."""
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_exact_dedup_retractable_delta,
+        read_exact_dedup_retractable_segments,
+        retract_exact_dedup_delta,
+        segment_stats,
+    )
+
+    schema = "doc_id long, text string"
+    empty = spark.createDataFrame([], schema)
+    state = str(tmp_path / "cdc_mixed")
+
+    for b, rows in enumerate(([(1, "aa"), (2, "bb")], [(3, "cc")])):
+        apply_exact_dedup_retractable_delta(
+            spark.createDataFrame(rows, schema), 2 * b, state)
+        retract_exact_dedup_delta(empty, 2 * b + 1, state)
+
+    s = segment_stats(state)
+    assert s["raw_segments"] == 4
+    assert s["empty_tombstone_segments"] == 2
+    assert s["tombstone_fraction"] == 0.0
+    assert s["compact_segments"] == 0
+
+    # the first REAL delete crosses 1/3 over the non-empty population
+    retract_exact_dedup_delta(
+        spark.createDataFrame([(2, "bb")], schema), 4, state)
+    assert segment_stats(state)["compact_segments"] == 1, (
+        "denominator dilution: the 1/3 trigger must fire on the first "
+        "real delete when empty tombstones are excluded from both sides")
+    got = sorted(r["doc_id"] for r in read_exact_dedup_retractable_segments(
+        spark, state).collect())
+    assert got == [1, 3]
+
+
 def test_daily_counts_delete_before_add_survives_compaction(spark, tmp_path):
     """r13 (r12 ADVICE medium): a (day, event_type) group that
     transiently nets to n == 0 with sum != 0 — a delete folded before

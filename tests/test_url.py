@@ -48,6 +48,18 @@ def test_canonicalize_edge_cases(spark):
         "https://e.com/a?utm_source=x": "https://e.com/a",
         # non-tracking params that merely START with a tracked name stay
         "https://e.com/a?utm_sourcefoo&v=1": "https://e.com/a?utm_sourcefoo&v=1",
+        # r14 ADVICE regression: a param whose name merely ENDS in a
+        # tracking token must survive intact (the r13 unanchored strip
+        # spliced this to ?ref_v=2)
+        "https://e.com/p?ref_fbclid=9&v=2": "https://e.com/p?ref_fbclid=9&v=2",
+        "https://e.com/p?xgclid=1&v=2": "https://e.com/p?xgclid=1&v=2",
+        # consecutive tracking params strip as a run, wherever they sit
+        "https://e.com/p?utm_a=1&utm_b=2&v=3": "https://e.com/p?v=3",
+        "https://e.com/p?v=1&utm_a=2&fbclid=3": "https://e.com/p?v=1",
+        "https://e.com/p?utm_a=1&fbclid=2&gclid=3": "https://e.com/p",
+        "https://e.com/p?a=1&utm_x=2&utm_y=3&b=4": "https://e.com/p?a=1&b=4",
+        # a dangling '&' is separator noise, not content
+        "https://e.com/p?v=1&": "https://e.com/p?v=1",
     }
     got = _canon(spark, list(cases))
     for (raw, want), g in zip(cases.items(), got):
