@@ -12,6 +12,13 @@ before r13 reported as ``value`` continues as ``value_raw``;
 r13+ ``value`` against prior rounds' ``value_normalized`` (r12) or
 against ``value_raw`` for the legacy raw series.
 
+PARSING NOTE (r14): the headline set grew from the frozen 21-query core
+to 24 (``HEADLINE_R14_ADDITIONS``), the metric name bumped to
+``headline24_queries_total_normalized``, and ``value``/``value_raw`` now
+total the 24-query set. The old-set series continues unbroken as
+``value_core21_raw`` / ``value_core21_normalized`` — compare THOSE
+against r13-and-earlier ``value_raw`` / ``value``.
+
 Each query is executed to completion (collect or count — results are small
 aggregates by construction) after a warm-up pass of the session.
 """
@@ -28,11 +35,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-#: headline set: every execution shape the engine cares about — scan-heavy
+#: headline core: every execution shape the engine cares about — scan-heavy
 #: agg, multi-join, window, sessionization, dedup joins, similarity, text.
 #: This 21-query core is FROZEN — it is the round-to-round comparable
-#: series back to BENCH_r01; new families append to EXTENDED instead.
-HEADLINE = [
+#: series back to BENCH_r01 (reported as value_core21_*); new families
+#: append to EXTENDED instead.
+HEADLINE_CORE21 = [
     "rel_pricing_summary",
     "rel_revenue_by_nation",
     "rel_top_customers_per_nation",
@@ -56,13 +64,24 @@ HEADLINE = [
     "sql_forecast_revenue",
 ]
 
-#: appended per-family coverage (one query per family added since the
-#: core froze): integer-codegen ANN scan, pigeonhole simhash dedup,
-#: MERGE upsert. Reported separately so the legacy total stays comparable.
-EXTENDED = [
+#: SERIES BREAK (r14, r13 verdict #10): the headline total now ALSO
+#: covers the integer-codegen ANN scan, pigeonhole simhash pair join, and
+#: MERGE upsert — three execution shapes the frozen core never exercised.
+#: ``value`` = normalized total over CORE21 + these three (metric renamed
+#: headline24_queries_total_normalized so no parser silently mixes
+#: series); the old 21-query totals continue as value_core21_raw /
+#: value_core21_normalized, directly comparable with every round's
+#: ``value``/``value_normalized`` back to BENCH_r01.
+HEADLINE_R14_ADDITIONS = [
     "emb_hamming_topk",
     "docs_simhash_near_pairs",
     "rel_merge_upsert",
+]
+HEADLINE = HEADLINE_CORE21 + HEADLINE_R14_ADDITIONS
+
+#: appended per-family coverage (one query per family added since the
+#: core froze). Reported separately so the legacy total stays comparable.
+EXTENDED = [
     "rel_pagerank",
     "events_anomaly_mad",
     "docs_bm25_topk",
@@ -95,10 +114,13 @@ EXTENDED = [
     "docs_substring_pairs",
     # r9 (r8 verdict #5): the remaining top-cost registry rows without
     # round-over-round tracking — interpolated bigram LM, ratio-gate
-    # market share, SemDeDup centroid near-dup
+    # market share. The fixed-k emb_semdedup row benched here r9-r13 was
+    # DEMOTED in r14 (r13 verdict #2): its k=4 oracle pin makes cost grow
+    # ~n² by parameter choice, so no sweep should exercise it beyond the
+    # sf0.01 correctness check the driver already runs; the scale-correct
+    # series continues as emb_semdedup_scaledk below.
     "docs_bigram_logprob",
     "rel_market_share",
-    "emb_semdedup",
     # docs_distill_filter deliberately NOT benched: 15 driver-looped
     # training jobs (~20 s) would dominate the wall-clock total without
     # measuring anything scan/shuffle-shaped. Its INFERENCE path is
@@ -115,8 +137,8 @@ EXTENDED = [
     "emb_ivf_topk_retract",
     "rel_count_sketch_retract",
     # r13 families: canonical-URL dedup (one canonical-hash shuffle) and
-    # the sqrt(n)-k SemDeDup (the scale-posture configuration; the
-    # pinned-k emb_semdedup row above keeps its legacy series)
+    # the sqrt(n)-k SemDeDup (since r14 the ONLY benched SemDeDup
+    # configuration — see the fixed-k demotion note above)
     "docs_url_dedup",
     "emb_semdedup_scaledk",
 ]
@@ -443,6 +465,7 @@ def main() -> int:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings[q] for q in HEADLINE), 4)
+    total_core21 = round(sum(timings[q] for q in HEADLINE_CORE21), 4)
     # The driver's record keeps only the last 2000 chars of stdout and
     # json-parses the captured text (BENCH_r05: tail len exactly 2000,
     # parsed null — the full two-map line didn't fit and the judge had to
@@ -465,6 +488,7 @@ def main() -> int:
         for k, v in timings.items()
     }
     total_norm = round(sum(norm[q] for q in HEADLINE), 4)
+    total_core21_norm = round(sum(norm[q] for q in HEADLINE_CORE21), 4)
     # PRIMARY HEADLINE since r13 (r12 verdict #3): value = the
     # calibration-NORMALIZED headline total — the machine-separated
     # number round-over-round comparisons key on (raw swung 19.23→18.80
@@ -472,8 +496,12 @@ def main() -> int:
     # 10.11→10.07). The raw r1-comparable measurement stays as value_raw
     # (and the r12-era value_normalized alias is kept so existing
     # parsers of either series keep working).
+    # SERIES BREAK r14 (r13 verdict #10): the headline set grew 21→24
+    # (see HEADLINE_R14_ADDITIONS) and the metric name bumped with it;
+    # value_core21_raw / value_core21_normalized carry the old-set totals
+    # so the r1..r13 series stays directly comparable.
     detail = {
-        "metric": "headline_queries_total_normalized",
+        "metric": "headline24_queries_total_normalized",
         "unit": "sec",
         "sf": sf_val,
         "queries": {k: round(v, 3) for k, v in timings.items()},
@@ -486,6 +514,8 @@ def main() -> int:
         "calibration_at": cal_at,
         "expanded_total": round(sum(timings.values()), 3),
         "materialized_total": round(sum(mat.values()), 3),
+        "value_core21_raw": total_core21,
+        "value_core21_normalized": total_core21_norm,
         "value_raw": total,
         "value_normalized": total_norm,
         "value": total_norm,

@@ -86,11 +86,14 @@ PROBE = [
     "docs_substring_dedup",
     "docs_substring_rewrite",    # span removal: k-fan-out + rebuild
     "docs_substring_pairs",      # df-capped posting-list pair fan-out
-    # r10: the rewritten/new rows — block-gemm semdedup (cluster-blocked
-    # quadratic must track n²/k, not n²), the maintained-index read
-    # paths (build 2 batches + read; growth must track corpus, the view
-    # join must not re-scan history), frozen-model scoring (pure scan)
-    "emb_semdedup",
+    # r10: the maintained-index read paths (build 2 batches + read;
+    # growth must track corpus, the view join must not re-scan history),
+    # frozen-model scoring (pure scan). The fixed-k emb_semdedup row
+    # swept here r10-r13 was REMOVED in r14 (r13 verdict #2): its k=4
+    # oracle pin grows Σ block² ~ n² by parameter choice, so sweeping it
+    # at sf0.1/sf1x measured a configuration no deployment would run —
+    # emb_semdedup_scaledk below is the scale-posture series, and the
+    # kernel-isolated growth stays visible via _semdedup_blocked_probe.
     "docs_minhash_pairs_indexed",
     "docs_substring_pairs_indexed",
     "docs_distill_score",
@@ -425,22 +428,6 @@ def main() -> int:
     out["emb_semdedup_blocked"] = _semdedup_blocked_probe(spark)
     print(f"# emb_semdedup_blocked: {out['emb_semdedup_blocked']}",
           file=sys.stderr)
-    # r12 (r11 verdict #7): the tracked emb_semdedup row pins k=4 clusters
-    # (the unrolled-Lloyd oracle constraint), so its Σ block² cost grows
-    # ~n² on 10x input BY PARAMETER CHOICE — annotate that inline so the
-    # >4x growth number never again reads as a kernel regression; the
-    # kernel-isolated number (constant ~500-vector blocks, k ~ n/500 as
-    # the SemDeDup paper scales it) is the blocked probe directly above.
-    if isinstance(out.get("emb_semdedup"), dict):
-        out["emb_semdedup"]["note"] = (
-            "fixed-k=4 oracle pin: growth_10x tracks sum(block^2) ~ n^2 by "
-            "parameter choice, not a kernel property; the kernel-isolated "
-            "growth at production label granularity is "
-            "emb_semdedup_blocked.growth_10x"
-        )
-        out["emb_semdedup"]["constant_block_growth_10x"] = (
-            out["emb_semdedup_blocked"].get("growth_10x")
-        )
     out["synthetic_skewed_triangles"] = _skewed_triangle_probe(spark)
     print(f"# synthetic_skewed_triangles: {out['synthetic_skewed_triangles']}",
           file=sys.stderr)

@@ -1530,24 +1530,19 @@ GROUP BY s_name, n_name
 
 
 # --------------------------------------------------------------------------
-# Approximate distinct (HLL sketch) — the raw-estimate row stays rows-only
-# (the estimate itself has no exact ANSI oracle), but since r13 its
-# companion rel_approx_distinct_bounds value-checks the estimate against
-# DuckDB's exact COUNT(DISTINCT) within the sketch's error envelope.
-# Exact counterpart: rel_distinct_parts.
+# Approximate distinct (HLL sketch). The raw-estimate row
+# (rel_approx_distinct, r1-r13) was retired in r14 per the r13 verdict:
+# the estimate itself has no exact ANSI oracle, so it was the registry's
+# sole rows-only entry. rel_approx_distinct_bounds computes the SAME
+# HLL++ estimate and value-checks it against DuckDB's exact
+# COUNT(DISTINCT) within the sketch's error envelope — strictly stronger
+# coverage of the same operator. Exact counterpart: rel_distinct_parts.
 # --------------------------------------------------------------------------
-
-def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-
 
 def q_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL estimate vs its standard-error envelope (r13, r12 verdict #1):
-    the oracle-comparable companion to the rows-only ``rel_approx_distinct``.
+    since r14 the registry's sole approx-distinct row (it computes the
+    raw estimate the retired rows-only row used to emit, then checks it).
     The row emits the DuckDB-checkable exact distinct count per group and
     a boolean asserting Spark's HLL++ estimate (rsd=0.01) landed within a
     5-sigma relative envelope (|approx - exact| <= 0.05 * exact) — so the
@@ -1870,7 +1865,6 @@ SELECT node, CAST(rank_u AS DOUBLE) / 10000000000 AS rank FROM r{_PR_ITER}
 QUERIES = {
     "rel_pricing_summary": q_pricing_summary,
     "rel_cube_lineitem": q_cube_lineitem,
-    "rel_approx_distinct": q_approx_distinct,
     "rel_approx_distinct_bounds": q_approx_distinct_bounds,
     "rel_min_cost_supplier": q_min_cost_supplier,
     "rel_customer_ntile_segments": q_customer_ntile_segments,

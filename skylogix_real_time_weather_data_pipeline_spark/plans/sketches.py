@@ -35,9 +35,10 @@ KMV_K = 256
 
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV cardinality sketch vs exact distinct for lineitem.l_partkey —
-    the oracle-replayable counterpart of ``rel_approx_distinct`` (whose
-    Spark-native HLL hash cannot be reproduced in ANSI SQL, leaving it
-    rows-only). See ext/sketch.py for the estimator and the scale shape."""
+    the oracle-replayable counterpart of the native HLL++ estimate
+    (whose Spark-internal hash cannot be reproduced in ANSI SQL —
+    rel_approx_distinct_bounds envelope-checks it instead). See
+    ext/sketch.py for the estimator and the scale shape."""
     from ..ext.sketch import kmv_distinct
 
     return kmv_distinct(_t(spark, sf_dir, "lineitem"), "l_partkey", k=KMV_K)
@@ -504,8 +505,8 @@ _HLL_ALPHA = f"(0.7213e0 / (1.0e0 + 1.079e0 / {_HLL_M}e0)) * {_HLL_M * _HLL_M}e0
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog over lineitem.l_partkey — the actual algorithm behind
     Spark's approx_count_distinct, rebuilt on the portable hash so the
-    oracle replays every register (rows-only `rel_approx_distinct` shows
-    the native one). At sf0.001 the small-range linear-counting branch
+    oracle replays every register (rel_approx_distinct_bounds
+    envelope-checks the native one). At sf0.001 the small-range linear-counting branch
     fires; at sf0.01+ the raw harmonic-mean branch does — the differential
     harness covers both. See ext/sketch.py:hll_distinct."""
     from ..ext.sketch import hll_distinct

@@ -285,10 +285,10 @@ def test_scd2_invariants_on_random_batches(spark, seed, n_keys, n_changes):
 
 
 def test_approx_distinct_within_rsd_bound(spark):
-    """rel_approx_distinct is the one rows-only driver check; this pins its
-    actual accuracy contract: the HLL++ sketch at rsd=0.05 must land within
-    ±5% of exact COUNT(DISTINCT) per group on the sf0.01 driver tables
-    (r3 VERDICT item 4)."""
+    """Accuracy contract behind rel_approx_distinct_bounds (the raw
+    rows-only rel_approx_distinct row was retired in r14): the HLL++
+    sketch at rsd=0.05 must land within ±5% of exact COUNT(DISTINCT) per
+    group on the sf0.01 driver tables (r3 VERDICT item 4)."""
     sf = "/root/testdata/sf0.01"
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     got = (
