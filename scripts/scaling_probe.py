@@ -103,6 +103,11 @@ PROBE = [
     # new URL family's dedup (canonical-hash shuffle, must track corpus)
     "emb_semdedup_scaledk",
     "docs_url_dedup",
+    # r14 (r13 verdict #3): pagerank in its 100 TB posture — cached
+    # co-partitioned share + per-iteration rank checkpoints; growth must
+    # beat the default row's 3.67x/decade (the rebuild-per-iteration tax
+    # is what that number was measuring)
+    "rel_pagerank_copart",
 ]
 
 

@@ -44,7 +44,8 @@ def pagerank(edges: DataFrame, n_iter: int = 2, damping_num: int = 17,
              damping_den: int = 20, src: str = "src", dst: str = "dst",
              weight: str = "weight", checkpoint_edges: bool = True,
              complete_in_degree: bool = False,
-             n_nodes: int | None = None) -> DataFrame:
+             n_nodes: int | None = None,
+             copartition: bool = False) -> DataFrame:
     """Weighted PageRank over a directed edge list; returns (node, rank).
 
     ``damping_num/damping_den`` is the damping factor as an exact rational
@@ -71,6 +72,26 @@ def pagerank(edges: DataFrame, n_iter: int = 2, damping_num: int = 17,
     than distinct-over-2·|E| (e.g. a bipartite build summing two
     count_distincts on the pre-union pair table) passes it here and the
     nodes frame is never built.
+
+    ``copartition=True`` is the 100 TB posture this docstring's scale
+    note prescribes: the share table (the edge-sized frame every
+    iteration joins) is hash-partitioned on its source key at the
+    session's shuffle parallelism, sorted within partitions, and
+    persisted ONCE, and each iteration truncates the rank lineage with a
+    localCheckpoint. EnsureRequirements then consumes the cached scan
+    directly in EVERY iteration's join — the edge-sized side is never
+    exchanged OR re-sorted again (test_plan_quality.py pins zero
+    Exchange/Sort above the cached share scan) — so per-iteration
+    shuffle traffic is O(V) only: the inherent src→dst transpose of the
+    contribution aggregate plus (when AQE coalescing re-lays-out the
+    checkpointed ranks) one rank-sized re-exchange, instead of
+    re-shuffling the O(E) edges every iteration. Values are
+    bit-identical to the default path (the contribution fold is an
+    order-independent long sum); the cached frame is released by
+    release_owned_caches(). Cost: one up-front edge shuffle + an
+    edge-sized cache, amortized over n_iter joins — worth it from 2
+    iterations up; the default stays off for parity with the measured
+    lazy-rebuild A/B below.
     """
     # materialize the edge build ONCE: nodes, out-weights and the share
     # table all branch from `edges`, and without this checkpoint each
@@ -98,18 +119,29 @@ def pagerank(edges: DataFrame, n_iter: int = 2, damping_num: int = 17,
         F.col(dst).alias("e_dst"),
         (F.col(weight) / F.col("w_out")).alias("share"),
     )
-    # NOT materialized: the share build does re-run once per iteration
-    # (no ReusedExchange — each reference sits under a different join
-    # ancestor), but with `edges` already checkpointed the rebuild is two
-    # small exchanges over materialized rows, and a controlled A/B at
-    # sf0.1 (warm, median of repeats) measured persist() and
-    # localCheckpoint() at-or-above the lazy rebuild (3.4s / 2.9s vs
-    # 2.9s end-to-end): an edge-sized cache write costs more than the
-    # n_iter-1 rebuilds it saves at 2 iterations. Revisit if n_iter
-    # grows past ~4 — the break-even shifts with iteration count.
+    # Default path: NOT materialized — the share build does re-run once
+    # per iteration (no ReusedExchange — each reference sits under a
+    # different join ancestor), but with `edges` already checkpointed the
+    # rebuild is two small exchanges over materialized rows, and a
+    # controlled A/B at sf0.1 (warm, median of repeats) measured
+    # persist() and localCheckpoint() at-or-above the lazy rebuild
+    # (3.4s / 2.9s vs 2.9s end-to-end): an edge-sized cache write costs
+    # more than the n_iter-1 rebuilds it saves at 2 iterations.
+    # copartition=True flips that trade deliberately (see docstring): the
+    # cache is what PINS the hash(e_src, N) layout + in-partition order
+    # that makes every later iteration's join exchange- and sort-free.
+    if copartition:
+        from ..cache import owned_persist
+
+        n_part = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        share = owned_persist(
+            share.repartition(n_part, "e_src").sortWithinPartitions("e_src")
+        )
 
     ranks = None  # None ⇒ the uniform constant U//N (iteration-1 fast path)
-    for _ in range(n_iter):
+    for it in range(n_iter):
         if ranks is None:
             contrib = share.select(
                 F.col("e_dst").alias("node"),
@@ -137,6 +169,21 @@ def pagerank(edges: DataFrame, n_iter: int = 2, damping_num: int = 17,
                 "node",
                 F.coalesce("rank_u", F.lit(base_num // damping_den)).alias("rank_u"),
             )
+        if copartition and it < n_iter - 1:
+            # truncate the rank lineage each iteration (the standard
+            # iterative-algorithm posture — unbounded lineage is its own
+            # 100 TB hazard). This is also what makes the share cache
+            # actually hit EVERY iteration: leaving the full unrolled
+            # tree in place nests each earlier share reference inside
+            # the next iteration's self-join, and DeduplicateRelations'
+            # re-aliased copies of a LogicalRDD-based plan fail the
+            # cache manager's sameResult check (verified empirically:
+            # only the outermost reference substituted; the inner
+            # iterations silently rebuilt the share from raw edges).
+            # The checkpointed ranks frame is O(V) and LogicalRDD
+            # preserves its hash(node, N) partitioning, so the next
+            # join stays exchange-free on both sides.
+            ranks = ranks.localCheckpoint()
     if ranks is None:  # n_iter == 0: uniform ranks
         ranks = nodes.select("node", F.lit(U // n_nodes).cast("long").alias("rank_u"))
     return ranks.select(

@@ -1764,11 +1764,13 @@ FROM bucketed GROUP BY bucket
 _PR_ITER = 2  # the oracle unrolls exactly this many iterations (damping fixed 17/20)
 
 
-def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the symmetric bipartite customer↔supplier graph
-    (edge weight = number of lineitems traded). The edge build is one
-    join + one groupBy; each iteration is the ranks⋈edges join + an
-    exact-fold groupBy (operators/graph.py documents the pins).
+def _pagerank_trade_graph(spark: SparkSession, sf_dir: str,
+                          copartition: bool = False) -> DataFrame:
+    """Shared body of rel_pagerank / rel_pagerank_copart: PageRank over
+    the symmetric bipartite customer↔supplier graph (edge weight = number
+    of lineitems traded). The edge build is one join + one groupBy; each
+    iteration is the ranks⋈edges join + an exact-fold groupBy
+    (operators/graph.py documents the pins).
 
     The iterations run on LONG node ids (custkey·2 / suppkey·2+1 — the
     bipartite sides are disjoint by parity): long hash/compare beats the
@@ -1806,7 +1808,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     ranked = pagerank(edges, n_iter=_PR_ITER, weight="w",
                       checkpoint_edges=False, complete_in_degree=True,
-                      n_nodes=int(nrow.nc) + int(nrow.ns))
+                      n_nodes=int(nrow.nc) + int(nrow.ns),
+                      copartition=copartition)
     return ranked.select(
         F.when(
             F.col("node") % 2 == 0,
@@ -1816,6 +1819,23 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("node"),
         "rank",
     )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See :func:`_pagerank_trade_graph` (default lazy-rebuild posture)."""
+    return _pagerank_trade_graph(spark, sf_dir)
+
+
+def q_pagerank_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel_pagerank in the operator's 100 TB posture (r14, r13 verdict
+    #3): the share table is hash-partitioned on the source key and
+    persisted once, so every iteration's ranks⋈edges join is exchange-
+    and sort-free on the edge-sized side — one inherent transpose shuffle
+    per iteration instead of re-exchanging the edges each time
+    (operators/graph.py:copartition documents the layout contract;
+    test_plan_quality.py pins the plan). Bit-identical values, same
+    oracle."""
+    return _pagerank_trade_graph(spark, sf_dir, copartition=True)
 
 
 #: per-iteration CTE pair: integer-unit contributions r{i} → ranks r{i+1}
@@ -1883,6 +1903,7 @@ QUERIES = {
     "rel_salted_join": q_salted_join,
     "rel_merge_upsert": q_merge_upsert,
     "rel_pagerank": q_pagerank,
+    "rel_pagerank_copart": q_pagerank_copart,
     "rel_equi_depth_histogram": q_equi_depth_histogram,
     "rel_order_percentiles": q_order_percentiles,
     "rel_grouping_sets": q_grouping_sets,
@@ -1930,6 +1951,7 @@ ORACLES = {
     "rel_salted_join": O_SALTED_JOIN,
     "rel_merge_upsert": O_MERGE_UPSERT,
     "rel_pagerank": O_PAGERANK,
+    "rel_pagerank_copart": O_PAGERANK,
     "rel_equi_depth_histogram": O_EQUI_DEPTH_HISTOGRAM,
     "rel_order_percentiles": O_ORDER_PERCENTILES,
     "rel_grouping_sets": O_GROUPING_SETS,

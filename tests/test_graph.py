@@ -39,6 +39,24 @@ def test_weighted_edges_shift_rank(spark):
     assert out["b"] > out["c"]
 
 
+def test_pagerank_copartition_values_bit_identical(spark):
+    """copartition=True changes layout (cached hash-partitioned share,
+    per-iteration rank checkpoints) but not one bit of the arithmetic:
+    the contribution fold is an order-independent long sum."""
+    import pyspark.sql.functions as F
+
+    n = 300
+    edges = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 1) % n).alias("dst"),
+        (F.col("id") % 5 + 1).alias("weight"))
+    # the multiplicative map is not a permutation guaranteed to cover all
+    # in-degrees, so run WITHOUT complete_in_degree (re-attach path on)
+    a = sorted(map(tuple, pagerank(edges, n_iter=3).collect()))
+    b = sorted(map(tuple, pagerank(edges, n_iter=3,
+                                   copartition=True).collect()))
+    assert a == b
+
+
 def test_pagerank_layout_independent(spark):
     """Integer folds are associative: identical ranks at 1 and 32
     partitions."""

@@ -287,6 +287,101 @@ def test_pagerank_first_iteration_joinless_no_node_reattach(spark, sf_dir, qs):
     assert "LeftOuter" not in plan
 
 
+def _walk_live_plan(df) -> list[tuple[str, str]]:
+    """(className, simpleString) for every LIVE node of the executed plan:
+    descends through AQE wrapper/stage nodes, stops at InMemoryTableScan
+    (the cached build subtree is not live work). The df must have been
+    executed first so AQE final plans are in place."""
+    out: list[tuple[str, str]] = []
+
+    def rec(node):
+        name = node.getClass().getSimpleName()
+        out.append((name, node.simpleString(200)))
+        if name == "AdaptiveSparkPlanExec":
+            kids = [node.executedPlan()]
+        elif name.endswith("QueryStageExec"):
+            kids = [node.plan()]
+        elif name == "InMemoryTableScanExec":
+            kids = []
+        else:
+            seq = node.children()
+            kids = [seq.apply(i) for i in range(seq.size())]
+        for k in kids:
+            rec(k)
+
+    rec(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def test_pagerank_copart_share_side_exchange_free(spark):
+    """r14 (r13 verdict #3): with copartition=True the edge-sized share
+    frame is cached hash-partitioned + sorted on its source key and every
+    iteration's join must consume that cached scan DIRECTLY — zero
+    Exchange or Sort on the share side, and no silent rebuild of the
+    share from raw edges (the failure mode this pins: re-aliased nested
+    cache references failing sameResult, which re-ran the edges⋈outw
+    build per iteration). Broadcast is disabled so the join exercises
+    the co-partitioned path a 100 TB run would take; every live shuffle
+    must partition on the rank/node key only — O(V) traffic, never the
+    O(E) edges."""
+    from pyspark.sql import functions as F
+
+    from skylogix_real_time_weather_data_pipeline_spark.operators.graph import (
+        pagerank,
+    )
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        n = 2000
+        edges = spark.range(n).select(
+            F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst"),
+            F.lit(1).alias("weight"))
+        df = pagerank(edges, n_iter=3, complete_in_degree=True, n_nodes=n,
+                      copartition=True)
+        df.count()  # execute: AQE final plans + per-iteration checkpoints
+        nodes = _walk_live_plan(df)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    names = [n for n, _ in nodes]
+    assert "InMemoryTableScanExec" in names, "share cache not consumed"
+    exchanges = [s for n, s in nodes if n == "ShuffleExchangeExec"]
+    assert exchanges, "expected the inherent transpose shuffle"
+    for s in exchanges:
+        assert "hashpartitioning(node" in s, (
+            f"non-node-keyed live shuffle (share re-exchanged or rebuilt): {s}")
+    sorts = [s for n, s in nodes if n == "SortExec"]
+    for s in sorts:
+        assert "e_src" not in s, f"share side re-sorted: {s}"
+    # a rebuild would surface the edges⋈outw join on src: the only live
+    # join keys allowed are the iteration join's (e_src == node)
+    joins = [s for n, s in nodes
+             if n in ("SortMergeJoinExec", "ShuffledHashJoinExec",
+                      "BroadcastHashJoinExec")]
+    for s in joins:
+        assert "[e_src" in s and "[node" in s, f"unexpected live join: {s}"
+
+
+def test_pagerank_copart_registered_row_no_fact_rescan(spark, sf_dir, qs):
+    """The registered rel_pagerank_copart row inherits the shared
+    checkpointed co-trade frame: zero parquet scans in its final plan
+    (same contract as rel_pagerank), plus the cached share scan."""
+    df = qs["rel_pagerank_copart"](spark, sf_dir)
+    df.count()
+    plan = _physical(df)
+    assert "Scan parquet" not in plan
+    assert "InMemoryTableScan" in plan
+
+
 def test_graph_queries_share_co_trade_frame(spark, sf_dir, qs):
     """rel_pagerank and rel_triangle_count both branch from the SAME
     memoized, checkpointed co-trade pair frame (plans/_shared.py): the
