@@ -399,7 +399,7 @@ def main() -> int:
         substring_dedup_rewrite_from_index,
     )
     from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
-        apply_doc_views_delta,
+        apply_doc_views_deltas,
         read_exact_dedup_segments,
         read_gram_index_segments,
         read_minhash_buckets_segments,
@@ -414,10 +414,14 @@ def main() -> int:
         root = tempfile.mkdtemp(prefix="bench_ingest_")
         ed, mh, gi = f"{root}/ed", f"{root}/mh", f"{root}/gi"
         try:
-            for b, part in enumerate((history, ingest)):
-                # fused apply (r11, the r8 sketch-fusion precedent): one
-                # materialized scan of the batch feeds all three doc views
-                apply_doc_views_delta(part, b, ed, mh, gi)
+            # fused CONCURRENT apply (r14, r13 verdict #1): all six
+            # (batch, view) delta jobs in one pool — batch application
+            # commutes (immutable per-batch segments + monoid read fold,
+            # equivalence pytest-pinned), so the history bootstrap and
+            # the ingest batch no longer serialize on a per-batch
+            # barrier. State and answers identical to the r11-r13
+            # sequential form.
+            apply_doc_views_deltas([(history, 0), (ingest, 1)], ed, mh, gi)
 
             # the three dedup ANSWERS are independent read-only jobs over
             # disjoint view states — submit them concurrently, the same

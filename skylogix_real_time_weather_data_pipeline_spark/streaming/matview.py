@@ -987,18 +987,27 @@ def _segments_root(state_dir: str) -> str:
     return os.path.join(state_dir, "segments")
 
 
-def _clear_tmp_segments(root: str) -> None:
+def _clear_tmp_segments(root: str, only: str | None = None) -> None:
     """Writer-side sweep of interrupted-write temp dirs. Called ONLY from
-    the single-writer apply/compact path (:func:`_write_segment`): a
-    READER must never delete a dot-dir — the one live writer may be
-    mid-``_write_segment`` inside it, and an rmtree would fail the write
-    or its commit rename (r10 ADVICE). Under the single-writer-per-
-    state-dir rule, every ``.tmp_*`` the WRITER sees is a crash leftover
-    of a previous incarnation of itself, so sweeping here is safe."""
+    the writer paths (:func:`_write_segment` / compaction): a READER must
+    never delete a dot-dir — a live writer may be mid-``_write_segment``
+    inside it, and an rmtree would fail the write or its commit rename
+    (r10 ADVICE).
+
+    ``only`` (r14) scopes the sweep to one segment's temp dir — the
+    concurrency unit is one writer per (state_dir, batch_id), so a raw
+    segment write may only reclaim ITS OWN crash leftover; another batch's
+    ``.tmp_*`` may belong to a concurrent live writer
+    (:func:`apply_doc_views_deltas` fans batches out in parallel — batch
+    applies commute because segments are immutable per-batch dirs folded
+    through a monoid merge). A FULL sweep (``only=None``) is reserved for
+    compaction, which requires exclusivity against all writers anyway —
+    that is where crash leftovers of batches that never retried get
+    reclaimed."""
     if not os.path.isdir(root):
         return
     for name in os.listdir(root):
-        if name.startswith("."):
+        if name.startswith(".") and (only is None or name == f".tmp_{only}"):
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
@@ -1056,8 +1065,11 @@ def _write_segment(delta: DataFrame, state_dir: str, batch_id: int,
     (segment already committed) returns None."""
     root = _segments_root(state_dir)
     os.makedirs(root, exist_ok=True)
-    _clear_tmp_segments(root)  # single-writer path: crash leftovers only
     final = os.path.join(root, name or f"b{batch_id:010d}")
+    # reclaim only THIS segment's crash leftover: other .tmp_* dirs may
+    # belong to concurrent writers of other batch ids (r14 — see
+    # _clear_tmp_segments; compaction still does the full sweep)
+    _clear_tmp_segments(root, only=os.path.basename(final))
     if os.path.exists(final):
         return None
     tmp = os.path.join(root, f".tmp_{os.path.basename(final)}")
@@ -1301,6 +1313,10 @@ def _compact_segments(spark, state_dir: str, merge_fn,
     folds everything — maximal read-side collapse, no history. Batch
     ids already inside a previous compaction cannot be un-folded and do
     not count toward the retained window."""
+    # compaction requires exclusivity against all writers, so it is the
+    # one place the FULL crash-leftover sweep runs (raw segment writes
+    # reclaim only their own .tmp — see _clear_tmp_segments, r14)
+    _clear_tmp_segments(_segments_root(state_dir))
     paths, applied = _segment_scan(state_dir)
     if not paths:
         return 0
@@ -2336,6 +2352,83 @@ def apply_doc_views_delta(batch_df: DataFrame, batch_id: int,
             fut.result()  # surface the first per-view failure
     finally:
         release_one(shared)
+
+
+def apply_doc_views_deltas(batches: list[tuple[DataFrame, int]],
+                           exact_dir: str, minhash_dir: str, gram_dir: str,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           n_hashes: int = 16, bands: int = 4,
+                           shingle_n: int = 3, max_bucket_size: int = 100_000,
+                           k: int = 8, max_gram_df: int = 1_000,
+                           auto_compact: int | None = AUTO_COMPACT_SEGMENTS) -> None:
+    """Concurrent MULTI-batch form of :func:`apply_doc_views_delta` (r14,
+    r13 verdict #1): all len(batches)×3 (batch, view) applier jobs run in
+    ONE thread pool instead of a barrier per batch.
+
+    This is legal because batch application COMMUTES by construction —
+    each apply writes an immutable per-batch segment dir and the read
+    path folds segments through the view's monoid merge, so the final
+    state is identical for any apply order or interleaving
+    (test_matview.py pins concurrent ≡ sequential on all three views).
+    The concurrency unit is one writer per (state_dir, batch_id): raw
+    segment writes reclaim only their own crash leftovers
+    (:func:`_clear_tmp_segments`), distinct batch ids never share a
+    ``.tmp_*`` path, and per-(batch, view) replay guards are untouched.
+
+    The appliers run with the AUTO-triggers disabled and ONE compaction
+    check per view runs after the pool drains — mid-pool compaction from
+    two writers would race, and deferring the check to the drain point
+    preserves the trigger's invariant (segment count never exceeds
+    threshold + len(batches) transiently, then folds).
+
+    Wall-clock shape: with B batches the sequential form pays B barriers
+    of max(per-view delta latency); this form keeps the cluster busy
+    across batch boundaries — measured ~25% off the sf0.1 ingest cycle
+    (two batches) on local[32]."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..cache import owned_persist, release_one
+
+    shareds = [(owned_persist(df.select(id_col, text_col)), bid)
+               for df, bid in batches]
+    try:
+        # materialize every batch's shared scan BEFORE the applier fan-out
+        # (the batches themselves fill concurrently): racing six lazy jobs
+        # into uncached persists makes each recompute partitions the block
+        # store then discards as already-stored — measured 2-5x slower
+        # than one clean parallel fill per batch.
+        with ThreadPoolExecutor(max_workers=max(1, len(shareds))) as pool:
+            list(pool.map(lambda sb: sb[0].count(), shareds))
+        jobs = []
+        for shared, bid in shareds:
+            jobs.extend([
+                lambda s=shared, b=bid: apply_exact_dedup_delta(
+                    s, b, exact_dir, text_col, id_col, None),
+                lambda s=shared, b=bid: apply_minhash_buckets_delta(
+                    s, b, minhash_dir, text_col, id_col, n_hashes, bands,
+                    shingle_n, max_bucket_size, None),
+                lambda s=shared, b=bid: apply_gram_index_delta(
+                    s, b, gram_dir, text_col, id_col, k, max_gram_df, None),
+            ])
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            futures = [pool.submit(fn) for fn in jobs]
+        for fut in futures:
+            fut.result()  # surface the first per-(batch, view) failure
+    finally:
+        for shared, _ in shareds:
+            release_one(shared)
+    if auto_compact is not None and batches:
+        spark = batches[0][0].sparkSession
+        for state_dir, merge_fn in (
+            (exact_dir, _merge_exact_dedup_segments),
+            (minhash_dir,
+             lambda df: _merge_minhash_segments(df, max_bucket_size)),
+            (gram_dir, lambda df: _merge_gram_segments(df, max_gram_df)),
+        ):
+            paths, _ = _segment_scan(state_dir)
+            if len(paths) >= auto_compact:
+                _compact_segments(spark, state_dir, merge_fn,
+                                  retain_last=AUTO_COMPACT_RETAIN)
 
 
 def read_minhash_buckets_segments_as_of(spark, state_dir: str, as_of: int,

@@ -1913,6 +1913,96 @@ def test_fused_doc_views_apply_equals_separate(spark, tmp_path):
     assert views(fused) == views(sep)
 
 
+def test_concurrent_multibatch_doc_views_apply_equals_sequential(spark, tmp_path):
+    """r14 (r13 verdict #1): apply_doc_views_deltas fans ALL (batch, view)
+    delta jobs out in one pool. Batch application commutes (immutable
+    per-batch segments, monoid read fold), so the concurrent form must
+    read byte-identical to sequential per-batch applies on all three
+    views; replays must still no-op; and the deferred post-drain
+    compaction check must preserve the auto-compact invariant."""
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_doc_views_delta,
+        apply_doc_views_deltas,
+        read_exact_dedup_segments,
+        read_gram_index_segments,
+        read_minhash_buckets_segments,
+        segment_stats,
+    )
+
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, "spark join merge spark scan filter window group"),
+         (2, "merge table scan join window filter order select"),
+         (3, "spark join merge spark scan filter window group")],
+        [(4, "join join window filter scan merge table order"),
+         (5, "spark window filter scan select group order merge")],
+        [(6, "order select group window spark filter merge scan")],
+    ]
+    dfs = [spark.createDataFrame(rows, schema) for rows in batches]
+
+    def views(root):
+        ed = sorted(map(tuple, read_exact_dedup_segments(spark, f"{root}/ed").collect()))
+        mh = sorted(map(repr, read_minhash_buckets_segments(spark, f"{root}/mh").collect()))
+        gi = sorted(map(repr, read_gram_index_segments(spark, f"{root}/gi").collect()))
+        return ed, mh, gi
+
+    conc, seq = str(tmp_path / "conc"), str(tmp_path / "seq")
+    apply_doc_views_deltas([(df, b) for b, df in enumerate(dfs)],
+                           f"{conc}/ed", f"{conc}/mh", f"{conc}/gi")
+    for b, df in enumerate(dfs):
+        apply_doc_views_delta(df, b, f"{seq}/ed", f"{seq}/mh", f"{seq}/gi")
+    assert views(conc) == views(seq)
+
+    # replay of the whole batch list no-ops (per-(batch, view) guards)
+    apply_doc_views_deltas([(df, b) for b, df in enumerate(dfs)],
+                           f"{conc}/ed", f"{conc}/mh", f"{conc}/gi")
+    assert views(conc) == views(seq)
+    assert segment_stats(f"{conc}/ed")["raw_segments"] == 3
+
+    # deferred auto-compaction: threshold 2 with 3 batches lands all raw
+    # segments first (no mid-pool compactor races), then the drain check
+    # folds each view once
+    comp = str(tmp_path / "comp")
+    apply_doc_views_deltas([(df, b) for b, df in enumerate(dfs)],
+                           f"{comp}/ed", f"{comp}/mh", f"{comp}/gi",
+                           auto_compact=2)
+    assert views(comp) == views(seq)
+    for v in ("ed", "mh", "gi"):
+        s = segment_stats(f"{comp}/{v}")
+        assert s["compact_segments"] == 1 and s["raw_segments"] == 0
+
+
+def test_raw_segment_write_reclaims_only_its_own_tmp(spark, tmp_path):
+    """r14 concurrency contract: one writer per (state_dir, batch_id) —
+    a raw segment write must sweep only ITS OWN crash leftover, because
+    another batch's .tmp_* may belong to a live concurrent writer.
+    Compaction (exclusive by contract) still does the full sweep."""
+    import os
+
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_exact_dedup_delta,
+        compact_exact_dedup_segments,
+        read_exact_dedup_segments,
+    )
+
+    schema = "doc_id long, text string"
+    state = str(tmp_path / "st")
+    apply_exact_dedup_delta(spark.createDataFrame([(1, "aa")], schema), 0, state)
+    root = os.path.join(state, "segments")
+    foreign = os.path.join(root, ".tmp_b0000000099")
+    own = os.path.join(root, ".tmp_b0000000001")
+    os.makedirs(foreign)
+    os.makedirs(own)
+    apply_exact_dedup_delta(spark.createDataFrame([(2, "bb")], schema), 1, state)
+    assert os.path.isdir(foreign), "foreign tmp must survive a raw write"
+    assert not os.path.exists(own), "own crash leftover reclaimed + committed"
+    # the write itself committed over its own leftover
+    assert sorted(r["doc_id"] for r in
+                  read_exact_dedup_segments(spark, state).collect()) == [1, 2]
+    compact_exact_dedup_segments(spark, state)
+    assert not os.path.exists(foreign), "compaction does the full sweep"
+
+
 def test_changelog_maintainer_generic_over_ivf_postings(spark, tmp_path):
     """r11: maintain_changelog_view is view-agnostic — bind it to the
     IVF postings appliers (vector columns, not doc text) and an op-tagged
