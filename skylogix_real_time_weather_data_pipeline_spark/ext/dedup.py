@@ -873,10 +873,24 @@ def _resolve_removals(df: DataFrame, toks, flagged: DataFrame,
     )
 
 
+def gram_occurrences(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 8):
+    """Public form of the shared gram-occurrence builder: returns
+    (repartitioned df, tokens column, occ) — see :func:`_gram_occurrences`.
+    Exposed (r14, r13 verdict #7) so a caller that both MAINTAINS a gram
+    index and REWRITES against it in one pass (the segmented registry row,
+    an ingest-and-rewrite deployment step) can pay the corpus gram-hash
+    pass once: persist ``occ``, feed per-batch index deltas from filtered
+    slices of it, and hand the same triple to
+    :func:`substring_dedup_rewrite_from_index` via ``grams=``."""
+    return _gram_occurrences(df, text_col, id_col, k)
+
+
 def substring_dedup_rewrite_from_index(df: DataFrame, index: DataFrame,
                                        text_col: str = "text",
                                        id_col: str = "doc_id", k: int = 8,
-                                       min_count: int = 2) -> DataFrame:
+                                       min_count: int = 2,
+                                       grams=None) -> DataFrame:
     """:func:`substring_dedup_rewrite` with duplicate/keep-first evidence
     read from a MAINTAINED gram-index view (h, cnt, min_okey — built
     incrementally by ``streaming.matview.apply_gram_index_batch``)
@@ -890,8 +904,14 @@ def substring_dedup_rewrite_from_index(df: DataFrame, index: DataFrame,
     Plan shape / 100 TB: gram map over ONLY the docs being rewritten →
     hash join against the index on h (both sides h-distributed; the
     window pass of the batch form is replaced by the join, so no sort) →
-    the same k-fan-out + token-resolution tail as the batch rewrite."""
-    df, toks, occ = _gram_occurrences(df, text_col, id_col, k)
+    the same k-fan-out + token-resolution tail as the batch rewrite.
+
+    ``grams``: optional precomputed (df, toks, occ) triple from
+    :func:`gram_occurrences` over the SAME ``df`` — lets a caller that
+    already paid the gram pass (e.g. to feed index deltas) skip
+    recomputing it here."""
+    df, toks, occ = grams if grams is not None else _gram_occurrences(
+        df, text_col, id_col, k)
     j = occ.join(
         index.select("h", "cnt", "min_okey"), "h", "left"
     )

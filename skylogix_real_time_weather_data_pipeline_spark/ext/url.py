@@ -33,11 +33,74 @@ from pyspark.sql import functions as F
 #: noise that splits otherwise-identical crawl URLs (RE2- and Java-valid).
 TRACKING_PARAM_PATTERN = "(utm_[a-z]+|fbclid|gclid|msclkid)"
 
-#: Minimal multi-label public-suffix sample: hosts ending in one of these
-#: keep THREE labels in their registrable domain. A production deployment
-#: swaps in the full Mozilla public-suffix list (a ~10k-entry broadcast
-#: map); the operator shape — suffix match → label count — is identical.
-PUBLIC_SUFFIXES_2 = ("co.uk", "com.au", "co.jp", "ac.uk", "org.uk")
+#: Embedded multi-label public-suffix set (r14 — the r13 5-entry sample
+#: mis-grouped *.github.io-style hosts on real crawls): a curated slice
+#: of the public suffix list (publicsuffix.org — the Mozilla-maintained
+#: public dataset), covering the common ccSLD families plus the
+#: high-traffic private-section hosting domains. Hosts ending in a
+#: 2-label entry keep THREE labels in their registrable domain (3-label
+#: entries keep four). A production deployment swaps in the FULL list
+#: through the same operators: these tuples seed
+#: :func:`default_psl_frame`, and :func:`registrable_domain_psl` is the
+#: broadcast-join form that takes any suffix table.
+PUBLIC_SUFFIXES_2 = (
+    # ccSLD families (ICANN section)
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "gr.jp", "lg.jp",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "co.za", "org.za", "net.za", "web.za",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw",
+    "co.kr", "or.kr", "ne.kr", "re.kr", "go.kr", "ac.kr",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "co.id", "or.id", "web.id", "ac.id", "sch.id", "go.id",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+    "co.ke", "or.ke", "ne.ke", "ac.ke", "go.ke",
+    "com.gh", "org.gh", "edu.gh", "gov.gh",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "co.th", "or.th", "in.th", "ac.th", "go.th",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "co.at", "or.at", "ac.at", "gv.at",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "com.pt", "net.pt", "org.pt", "edu.pt", "gov.pt",
+    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
+    # high-traffic private-section hosting/platform domains
+    "github.io", "gitlab.io", "gitbook.io", "netlify.app", "vercel.app",
+    "pages.dev", "web.app", "firebaseapp.com", "blogspot.com",
+    "appspot.com", "herokuapp.com", "azurewebsites.net",
+    "cloudfront.net", "wixsite.com", "weebly.com", "neocities.org",
+    "readthedocs.io", "sourceforge.io", "bitbucket.io",
+)
+
+#: 3-label public-suffix entries (same provenance) — hosts ending in one
+#: of these keep FOUR labels in their registrable domain. Small because
+#: the 3-label section of the list is dominated by the US k12/cc/lib
+#: state families and region-scoped cloud endpoints.
+PUBLIC_SUFFIXES_3 = (
+    "k12.ca.us", "k12.ny.us", "k12.tx.us", "k12.fl.us", "k12.il.us",
+    "k12.ma.us", "k12.wa.us", "k12.pa.us", "k12.oh.us", "k12.mi.us",
+    "cc.ca.us", "cc.ny.us", "lib.ca.us", "lib.ny.us",
+    "act.edu.au", "nsw.edu.au", "vic.edu.au", "qld.edu.au",
+    "s3.amazonaws.com", "compute.amazonaws.com",
+)
 
 
 def _as_col(c: Column | str) -> Column:
@@ -60,14 +123,78 @@ def url_host(url: Column | str) -> Column:
 
 
 def registrable_domain(host: Column | str) -> Column:
-    """Registrable domain of a host: last two labels, or last three when
-    the host ends in a known two-label public suffix (co.uk et al.)."""
+    """Registrable domain of a host per public-suffix semantics: the
+    longest matching suffix from the embedded PSL slice keeps one extra
+    label (3-label suffix → last four labels, 2-label → last three);
+    otherwise the last two labels. A single-label host is returned as-is
+    (it has no registrable domain — grouping on itself beats '').
+
+    r14: the r13 regex-alternation over a 5-entry sample became a
+    label-slice + IN-set form — the set compiles to a JVM InSet (a
+    literal broadcast membership, O(1) per row regardless of set size),
+    so the embedded ~200-entry slice costs the same as 5 did, and the
+    full publicsuffix.org list swaps in via the broadcast-join twin
+    :func:`registrable_domain_psl`."""
     host = _as_col(host)
-    suffix_alt = "|".join(s.replace(".", "\\.") for s in PUBLIC_SUFFIXES_2)
-    return F.when(
-        host.rlike(f"\\.({suffix_alt})$"),
-        F.regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1),
-    ).otherwise(F.regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+
+    def last(k: int) -> Column:
+        return F.array_join(F.slice(labels, -k, k), ".")
+
+    return (
+        F.when((n > 3) & last(3).isin(*PUBLIC_SUFFIXES_3), last(4))
+        .when((n > 2) & last(2).isin(*PUBLIC_SUFFIXES_2), last(3))
+        .when(n >= 2, last(2))
+        .otherwise(host)
+    )
+
+
+def default_psl_frame(spark) -> DataFrame:
+    """(suffix, nlabels) rows of the embedded public-suffix slice — the
+    seed a deployment replaces with the full publicsuffix.org dump (same
+    two columns; the list is ~10k multi-label rows, i.e. kilobytes —
+    always broadcastable)."""
+    rows = sorted(
+        [(s, 2) for s in PUBLIC_SUFFIXES_2]
+        + [(s, 3) for s in PUBLIC_SUFFIXES_3]
+    )
+    return spark.createDataFrame(rows, "suffix string, nlabels int")
+
+
+def registrable_domain_psl(df: DataFrame, psl: DataFrame,
+                           host_col: str = "host",
+                           out_col: str = "domain") -> DataFrame:
+    """Registrable domain against an ARBITRARY suffix table — the
+    production full-PSL path :data:`PUBLIC_SUFFIXES_2`'s docstring
+    promises: two broadcast left-joins (the host's 3-label candidate
+    against the 3-label entries, then 2-label against 2-label) and a
+    longest-match coalesce. The corpus side never shuffles — the PSL is
+    kilobytes at any corpus scale — and the semantics match
+    :func:`registrable_domain` exactly when ``psl`` is
+    :func:`default_psl_frame` (pytest-pinned)."""
+    labels = F.split(F.col(host_col), "\\.")
+    n = F.size(labels)
+
+    def last(k: int) -> Column:
+        return F.array_join(F.slice(labels, -k, k), ".")
+
+    p3 = psl.filter(F.col("nlabels") == 3).select(F.col("suffix").alias("_s3"))
+    p2 = psl.filter(F.col("nlabels") == 2).select(F.col("suffix").alias("_s2"))
+    return (
+        df.withColumn("_c3", F.when(n > 3, last(3)))
+        .withColumn("_c2", F.when(n > 2, last(2)))
+        .join(F.broadcast(p3), F.col("_c3") == F.col("_s3"), "left")
+        .join(F.broadcast(p2), F.col("_c2") == F.col("_s2"), "left")
+        .withColumn(
+            out_col,
+            F.when(F.col("_s3").isNotNull(), last(4))
+            .when(F.col("_s2").isNotNull(), last(3))
+            .when(n >= 2, last(2))
+            .otherwise(F.col(host_col)),
+        )
+        .drop("_c3", "_c2", "_s3", "_s2")
+    )
 
 
 def canonicalize_url(url: Column | str) -> Column:

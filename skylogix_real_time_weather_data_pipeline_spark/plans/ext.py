@@ -2405,61 +2405,82 @@ def q_substring_rewrite_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just a rows-only smoke. The view directory is a deterministic
     per-session temp path, rebuilt per call (a deployment would keep it —
     that is the point of the split)."""
-    view = _gram_index_view(spark, sf_dir, "skylogix_gram_index")
-    return dedup.substring_dedup_rewrite_from_index(
-        _docs(spark, sf_dir), view, k=_SUBSTR_K
-    )
+    docs, view = _gram_index_view(spark, sf_dir, "skylogix_gram_index")
+    return dedup.substring_dedup_rewrite_from_index(docs, view, k=_SUBSTR_K)
 
 
 def _gram_index_view(spark: SparkSession, sf_dir: str, prefix: str,
-                     max_gram_df: int = 1_000) -> DataFrame:
+                     max_gram_df: int = 1_000) -> tuple[DataFrame, DataFrame]:
     """Build the ExactSubstr gram-index matview over the corpus as two
-    replay-guarded micro-batch applies and return it — the shared
-    maintenance preamble of the three *_indexed read-path queries (each
-    uses its own state prefix so sequential sweep runs never share
-    state)."""
+    replay-guarded micro-batch applies and return (docs, view) — the
+    shared maintenance preamble of the three *_indexed read-path queries
+    (each uses its own state prefix so sequential sweep runs never share
+    state). ``docs`` is the narrow (id, text) projection OWNED-PERSISTED
+    once (r14, r13 verdict #7): both apply halves AND the caller's read
+    path fold over the same cached rows instead of three parquet
+    text-column scans; release_owned_caches() reclaims it per bench rep."""
     import os
 
+    from ..cache import owned_persist
     from ..streaming.matview import apply_gram_index_batch
 
-    docs = _docs(spark, sf_dir)
+    docs = owned_persist(_docs(spark, sf_dir).select("doc_id", "text"))
     root = _session_state_dir(spark, sf_dir, prefix)
     state = os.path.join(root, "view")
     apply_gram_index_batch(docs.filter(F.col("doc_id") % 2 == 0), 0, state,
                            k=_SUBSTR_K, max_gram_df=max_gram_df)
     apply_gram_index_batch(docs.filter(F.col("doc_id") % 2 == 1), 1, state,
                            k=_SUBSTR_K, max_gram_df=max_gram_df)
-    return spark.read.parquet(state)
+    return docs, spark.read.parquet(state)
 
 
 def q_substring_rewrite_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr removal against LSM-SEGMENTED gram-index state (r10;
-    registered after the r10 window per the r8 post-window precedent —
-    an r11 tier-1 candidate): the first half applies as a segment and is
-    COMPACTED (manifest-carrying fold), the second half lands as a raw
-    segment on top, and the rewrite reads the monoid-merged view — so a
-    driver green hash-certifies the segment write/compact/merge protocol
-    end to end. Oracle byte-identical to docs_substring_rewrite's
-    (segmented == compacting == one-shot is the protocol's contract,
-    pinned in tests/test_matview.py)."""
+    protocol widened r14): batches 0 and 1 land as raw segments from
+    CONCURRENT writers (one writer per (state_dir, batch_id) — the r14
+    commutativity contract the ingest cycle runs on), the pair is
+    COMPACTED (manifest-carrying fold), batch 2 lands as a raw segment on
+    top, and the rewrite reads the monoid-merged compact+raw view — so a
+    driver green hash-certifies concurrent segment writes, compaction,
+    raw overlay, and the read merge end to end. Oracle byte-identical to
+    docs_substring_rewrite's (segmented == compacting == one-shot is the
+    protocol's contract, pinned in tests/test_matview.py). The corpus
+    text is scanned ONCE (owned-persisted narrow projection shared by
+    all three applies and the rewrite — r13 verdict #7: this row paid
+    three text scans)."""
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
+    from ..cache import owned_persist
     from ..streaming.matview import (
-        apply_gram_index_delta,
+        apply_gram_index_occ_delta,
         compact_gram_index_segments,
         read_gram_index_segments,
     )
 
-    docs = _docs(spark, sf_dir)
+    # ONE corpus gram-hash pass (r14, r13 verdict #7 — this row used to
+    # pay it twice: once inside the applies, once inside the rewrite):
+    # persist the occurrence frame, slice it per batch for the segment
+    # deltas, and hand the same triple to the rewrite.
+    docs = owned_persist(_docs(spark, sf_dir).select("doc_id", "text"))
+    gdf, toks, occ = dedup.gram_occurrences(docs, "text", "doc_id", _SUBSTR_K)
+    occ = owned_persist(occ)
+    occ.count()  # clean parallel fill before the concurrent appliers
     root = _session_state_dir(spark, sf_dir, "skylogix_gram_lsm")
     state = os.path.join(root, "view")
-    apply_gram_index_delta(docs.filter(F.col("doc_id") % 2 == 0), 0, state,
-                           k=_SUBSTR_K)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(apply_gram_index_occ_delta,
+                        occ.filter(F.col("doc_id") % 3 == b), b, state)
+            for b in (0, 1)
+        ]
+        for f in futs:
+            f.result()
     compact_gram_index_segments(spark, state)
-    apply_gram_index_delta(docs.filter(F.col("doc_id") % 2 == 1), 1, state,
-                           k=_SUBSTR_K)
+    apply_gram_index_occ_delta(occ.filter(F.col("doc_id") % 3 == 2), 2, state)
     view = read_gram_index_segments(spark, state)
-    return dedup.substring_dedup_rewrite_from_index(docs, view, k=_SUBSTR_K)
+    return dedup.substring_dedup_rewrite_from_index(
+        docs, view, k=_SUBSTR_K, grams=(gdf, toks, occ))
 
 
 def q_substring_rewrite_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2541,10 +2562,8 @@ def q_substring_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is byte-identical to docs_substring_dedup's: index-driven ==
     one-shot batch stats is the operator's contract, so the driver's
     hash check certifies the maintained-count read path itself."""
-    view = _gram_index_view(spark, sf_dir, "skylogix_gram_index_sp")
-    return dedup.substring_dup_spans_from_index(
-        _docs(spark, sf_dir), view, k=_SUBSTR_K
-    )
+    docs, view = _gram_index_view(spark, sf_dir, "skylogix_gram_index_sp")
+    return dedup.substring_dup_spans_from_index(docs, view, k=_SUBSTR_K)
 
 
 def q_substring_pairs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2556,7 +2575,7 @@ def q_substring_pairs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     build time, matching the batch detector's). The oracle is
     byte-identical to docs_substring_pairs's by the view==batch
     contract."""
-    view = _gram_index_view(
+    _, view = _gram_index_view(
         spark, sf_dir, "skylogix_gram_index_pr", max_gram_df=_SUBSTR_MAX_GRAM_DF
     )
     return dedup.substring_shared_gram_pairs_from_index(
@@ -2808,6 +2827,30 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     and corpus share per domain, public-suffix-aware (co.uk keeps three
     labels)."""
     return urlops.domain_mix(_docs_urls(spark, sf_dir))
+
+
+def q_domain_mix_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_domain_mix re-derived through the broadcast-join PSL path
+    (r14, r13 verdict #6): registrable domains come from
+    ext/url.py:registrable_domain_psl — two broadcast left-joins against
+    the (suffix, nlabels) table, longest-match coalesce, zero corpus
+    shuffle — instead of the embedded-set expression. Same closed-form
+    oracle as docs_domain_mix (the synthetic hosts' registrable domains
+    are pinned by SYNTH_DOMAINS), so a green hash certifies the
+    production full-PSL join path itself."""
+    d = _docs_urls(spark, sf_dir)
+    hosts = d.select(urlops.url_host("url").alias("host"))
+    doms = urlops.registrable_domain_psl(
+        hosts, urlops.default_psl_frame(spark)).select("domain")
+    counts = doms.groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = doms.select(F.count(F.lit(1)).alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))  # bnlj-scalar: 1-row total
+        .select(
+            "domain", "n_docs",
+            F.round(F.col("n_docs") / F.col("_total"), 6).alias("share"),
+        )
+    )
 
 
 def q_url_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4346,6 +4389,7 @@ QUERIES = {
     "docs_url_canonical": q_url_canonical,
     "docs_url_dedup": q_url_dedup,
     "docs_domain_mix": q_domain_mix,
+    "docs_domain_mix_psl": q_domain_mix_psl,
     "docs_url_decontaminate": q_url_decontaminate,
     "docs_url_dedup_retract": q_url_dedup_retract,
     "docs_url_blocklist": q_url_blocklist,
@@ -4484,6 +4528,7 @@ ORACLES = {
     "docs_url_canonical": O_URL_CANONICAL,
     "docs_url_dedup": O_URL_DEDUP,
     "docs_domain_mix": O_DOMAIN_MIX,
+    "docs_domain_mix_psl": O_DOMAIN_MIX,
     "docs_url_decontaminate": O_URL_DECONTAMINATE,
     "docs_url_dedup_retract": O_URL_DEDUP_RETRACT,
     "docs_url_blocklist": O_URL_BLOCKLIST,

@@ -355,14 +355,12 @@ def _require_integral_id(batch_df: DataFrame, id_col: str, view: str) -> None:
         )
 
 
-def _gram_index_delta(batch_df: DataFrame, text_col: str, id_col: str,
-                      k: int, max_gram_df: int) -> DataFrame:
-    """One batch's per-gram partials (h, cnt, min_okey, ids, over) —
-    shared by the compacting and segmented appliers."""
-    from ..ext.dedup import _gram_occurrences
-
-    _require_integral_id(batch_df, id_col, "gram_index")
-    _, _, occ = _gram_occurrences(batch_df, text_col, id_col, k)
+def _gram_index_delta_from_occ(occ: DataFrame, id_col: str,
+                               max_gram_df: int) -> DataFrame:
+    """Per-gram partial aggregate (h, cnt, min_okey, ids, over) from a
+    gram-OCCURRENCE frame (id, pos, h, okey — ext.dedup.gram_occurrences):
+    the delta computation shared by the batch-df appliers and the
+    shared-scan apply_gram_index_occ_delta path."""
     ids_set = F.array_sort(F.collect_set(F.col(id_col).cast("long")))
     return occ.groupBy("h").agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -373,6 +371,17 @@ def _gram_index_delta(batch_df: DataFrame, text_col: str, id_col: str,
         F.when(F.size("_raw_ids") <= max_gram_df, F.col("_raw_ids")).alias("ids"),
         (F.size("_raw_ids") > max_gram_df).alias("over"),
     )
+
+
+def _gram_index_delta(batch_df: DataFrame, text_col: str, id_col: str,
+                      k: int, max_gram_df: int) -> DataFrame:
+    """One batch's per-gram partials (h, cnt, min_okey, ids, over) —
+    shared by the compacting and segmented appliers."""
+    from ..ext.dedup import _gram_occurrences
+
+    _require_integral_id(batch_df, id_col, "gram_index")
+    _, _, occ = _gram_occurrences(batch_df, text_col, id_col, k)
+    return _gram_index_delta_from_occ(occ, id_col, max_gram_df)
 
 
 def maintain_gram_index_view(src: DataFrame, state_path: str, checkpoint_dir: str,
@@ -1282,6 +1291,25 @@ def apply_gram_index_delta(batch_df: DataFrame, batch_id: int, state_dir: str,
     _apply_delta_segment(
         lambda: _gram_index_delta(batch_df, text_col, id_col, k, max_gram_df),
         batch_df, batch_id, state_dir,
+        lambda df: _merge_gram_segments(df, max_gram_df), auto_compact,
+    )
+
+
+def apply_gram_index_occ_delta(occ_batch: DataFrame, batch_id: int,
+                               state_dir: str, id_col: str = "doc_id",
+                               max_gram_df: int = 1_000,
+                               auto_compact: int | None = AUTO_COMPACT_SEGMENTS) -> None:
+    """:func:`apply_gram_index_delta` fed from a precomputed
+    gram-OCCURRENCE slice (``ext.dedup.gram_occurrences`` output filtered
+    to the batch) instead of raw (id, text) rows — the shared-scan form
+    (r14, r13 verdict #7): a caller that maintains the index AND rewrites
+    against it in one job pays the corpus gram-hash pass ONCE (persist
+    occ, slice per batch here, hand the same triple to the rewrite via
+    ``grams=``). Segment protocol, replay guard, and the resulting view
+    are identical to the text-fed applier (pytest-pinned equivalence)."""
+    _apply_delta_segment(
+        lambda: _gram_index_delta_from_occ(occ_batch, id_col, max_gram_df),
+        occ_batch, batch_id, state_dir,
         lambda df: _merge_gram_segments(df, max_gram_df), auto_compact,
     )
 

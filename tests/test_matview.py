@@ -866,13 +866,19 @@ def test_segmented_gram_index_crash_windows_never_double_count(spark, tmp_path):
     # between compactions): reader picks the larger coverage
     b2 = spark.createDataFrame([(4, "p q r s t")], "doc_id long, text string")
     apply_gram_index_delta(b2, 2, seg_dir, k=3)
-    assert not os.path.exists(os.path.join(root, ".tmp_b0000000007"))  # writer swept
+    # r14: a raw write sweeps only ITS OWN tmp (one writer per
+    # (state_dir, batch_id) — a foreign .tmp may belong to a live
+    # concurrent writer); the leftover is reclaimed by the full sweep at
+    # the next compaction, asserted below
+    assert os.path.exists(os.path.join(root, ".tmp_b0000000007"))
     want2 = snap()
     keep2 = [n for n in os.listdir(root) if n.startswith("compact_")]
     for n in keep2:
         _sh.copytree(os.path.join(root, n),
                      os.path.join(str(tmp_path), "keepc_" + n))
     compact_gram_index_segments(spark, seg_dir)
+    assert not os.path.exists(os.path.join(root, ".tmp_b0000000007")), (
+        "compaction (exclusive) must reclaim foreign crash leftovers")
     for n in keep2:  # restore the OLD compact alongside the new one
         if not os.path.exists(os.path.join(root, n)):
             _sh.copytree(os.path.join(str(tmp_path), "keepc_" + n),
@@ -1970,6 +1976,49 @@ def test_concurrent_multibatch_doc_views_apply_equals_sequential(spark, tmp_path
     for v in ("ed", "mh", "gi"):
         s = segment_stats(f"{comp}/{v}")
         assert s["compact_segments"] == 1 and s["raw_segments"] == 0
+
+
+def test_gram_index_occ_delta_equals_text_fed_applier(spark, tmp_path):
+    """r14 (r13 verdict #7): apply_gram_index_occ_delta — the shared-scan
+    form fed from precomputed gram-occurrence slices — must leave the
+    segmented view byte-identical to the text-fed applier over the same
+    batch split, and the rewrite driven from the same occ triple must
+    equal the recomputing rewrite."""
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import (
+        gram_occurrences,
+        substring_dedup_rewrite_from_index,
+    )
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_gram_index_delta,
+        apply_gram_index_occ_delta,
+        read_gram_index_segments,
+    )
+
+    schema = "doc_id long, text string"
+    rows = [(i, f"tok{i % 3} alpha beta gamma delta eps zeta eta theta tok{i % 2}")
+            for i in range(12)]
+    docs = spark.createDataFrame(rows, schema)
+    k = 4
+
+    occ3 = gram_occurrences(docs, "text", "doc_id", k)
+    _, _, occ = occ3
+    a, b = str(tmp_path / "occfed"), str(tmp_path / "textfed")
+    import pyspark.sql.functions as F
+    for bid in (0, 1):
+        apply_gram_index_occ_delta(occ.filter(F.col("doc_id") % 2 == bid),
+                                   bid, a)
+        apply_gram_index_delta(docs.filter(F.col("doc_id") % 2 == bid),
+                               bid, b, k=k)
+    va = sorted(map(repr, read_gram_index_segments(spark, a).collect()))
+    vb = sorted(map(repr, read_gram_index_segments(spark, b).collect()))
+    assert va == vb
+
+    view = read_gram_index_segments(spark, a)
+    r1 = sorted(map(tuple, substring_dedup_rewrite_from_index(
+        docs, view, k=k).collect()))
+    r2 = sorted(map(tuple, substring_dedup_rewrite_from_index(
+        docs, view, k=k, grams=occ3).collect()))
+    assert r1 == r2
 
 
 def test_raw_segment_write_reclaims_only_its_own_tmp(spark, tmp_path):
