@@ -292,13 +292,15 @@ def _streaming_state_probe(spark: SparkSession) -> dict:
     import tempfile
 
     from skylogix_real_time_weather_data_pipeline_spark.streaming.stateful import (
-        running_key_stats,
         running_key_stats_bucketed,
+        running_key_stats_perkey,
     )
 
     variants = {
         # per-key state: one Python call + one state put PER KEY per batch
-        "perkey": running_key_stats,
+        # (since r14 the EXPLICIT form — running_key_stats defaults to
+        # the bucketed posture this probe certified)
+        "perkey": running_key_stats_perkey,
         # r8: bucketed state (1024 buckets) — one vectorized Python call
         # + one array-blob put per TOUCHED BUCKET; same output contract
         "bucketed": lambda s, k, v: running_key_stats_bucketed(

@@ -104,6 +104,11 @@ class MetricsListener(StreamingQueryListener):
                  "rocksdbTotalBytesWritten", "set"),
                 ("weather_state_rocksdb_commit_fsync_ms",
                  "rocksdbCommitFileSyncLatencyMs", "inc"),
+                # r14 (r13 verdict #5): per-batch put count — the signal
+                # that the BUCKETED default posture is in effect (puts
+                # bounded by n_buckets, not key cardinality: 1024 vs 1M
+                # in SCALING_r13's probe)
+                ("weather_state_rocksdb_put_count", "rocksdbPutCount", "set"),
             ):
                 vals = [
                     (o.customMetrics or {}).get(key)

@@ -44,9 +44,34 @@ def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd
     )
 
 
-def running_key_stats(stream: DataFrame, key_col: str, value_col: str) -> DataFrame:
-    """Per-key running stats over a stream. Input needs (key_col, value_col);
-    output one row per touched key per micro-batch with cumulative stats."""
+def running_key_stats(stream: DataFrame, key_col: str, value_col: str,
+                      n_buckets: int | None = 1024) -> DataFrame:
+    """Per-key running stats over a stream. Input needs (key_col,
+    value_col); output one row per touched key per micro-batch with
+    cumulative stats.
+
+    DEFAULT POSTURE (r14, r13 verdict #5): state is BUCKETED —
+    :func:`running_key_stats_bucketed` with ``n_buckets`` groups — not
+    per-key. The two are row-identical (pytest-pinned equivalence,
+    including NULL/sentinel keys), but at high key cardinality the
+    per-key form pays one Python invocation + one state-store put PER
+    KEY per batch: the r13 RocksDB probe measured 147 s vs 7.75 s
+    bucketed at 1M keys (19×, SCALING_r13 streaming_state_rocksdb), and
+    the bucketed growth curve is 1.53×/decade vs 7.59×. Pass
+    ``n_buckets=None`` (or call :func:`running_key_stats_perkey`) for
+    the point-put granularity — right only when batches touch few keys
+    and buckets would write-amplify."""
+    if n_buckets is not None:
+        return running_key_stats_bucketed(stream, key_col, value_col,
+                                          n_buckets=n_buckets)
+    return running_key_stats_perkey(stream, key_col, value_col)
+
+
+def running_key_stats_perkey(stream: DataFrame, key_col: str,
+                             value_col: str) -> DataFrame:
+    """Per-KEY state granularity of :func:`running_key_stats` — one state
+    row and one store put per key. Kept for sparse-touch workloads and as
+    the A/B reference the scaling probe measures against."""
     from pyspark.sql import functions as F
 
     src = stream.select(

@@ -184,6 +184,55 @@ def test_listener_reports_state_size_gauges(spark, tmp_path):
         spark.streams.removeListener(listener)
 
 
+def test_default_running_key_stats_is_bucketed(spark, tmp_path):
+    """r14 (r13 verdict #5): running_key_stats' DEFAULT posture is
+    bucketed state — SCALING_r13 measured 19× over per-key puts at 1M
+    keys. Pin the wiring, not just the function identity: on the default
+    path the state operator's total row count is bounded by n_buckets
+    (the touched-bucket count), never the key cardinality, while the
+    per-key form stores one row per key; and the listener's state-rows
+    gauge reflects the bucketed count."""
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.listener import (
+        attach_metrics_listener,
+    )
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.stateful import (
+        running_key_stats_perkey,
+    )
+
+    n_keys = 200
+    rows = [(f"k{i}", float(i)) for i in range(n_keys)]
+    state_rows = {}
+    listener = attach_metrics_listener(spark)
+    try:
+        for variant, fn in (
+            ("default", lambda s, k, v: running_key_stats(s, k, v,
+                                                          n_buckets=8)),
+            ("perkey", running_key_stats_perkey),
+        ):
+            src, ckpt = tmp_path / f"s_{variant}", tmp_path / f"c_{variant}"
+            _write_batch(src, "b1.json", rows)
+            stream = (spark.readStream.schema("k string, v double")
+                      .json(str(src)))
+            q = (
+                fn(stream, "k", "v")
+                .writeStream.format("memory").queryName(f"dflt_{variant}")
+                .outputMode("update").option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+            prog = q.lastProgress
+            state_rows[variant] = sum(
+                op["numRowsTotal"] for op in prog["stateOperators"])
+            assert spark.table(f"dflt_{variant}").count() == n_keys
+    finally:
+        spark.streams.removeListener(listener)
+    assert state_rows["perkey"] == n_keys
+    assert state_rows["default"] <= 8, (
+        "default path must store bucket blobs, not per-key rows")
+    # the listener observed both runs; the gauge exists and tracked state
+    assert listener.registry.values.get("weather_state_rows", 0) > 0
+
+
 def test_bucketed_stats_equal_per_key_stats(spark, tmp_path):
     """running_key_stats_bucketed must emit EXACTLY the same rows as the
     per-key operator across multiple micro-batches — bucketing is a state
@@ -213,8 +262,12 @@ def test_bucketed_stats_equal_per_key_stats(spark, tmp_path):
           + [("knew", 9.0), ("knull", 4.5), (None, 3.0), (None, None),
              ("\x00null", 5.0)])
     results = {}
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.stateful import (
+        running_key_stats_perkey,
+    )
+
     for variant, fn in (
-        ("perkey", running_key_stats),
+        ("perkey", running_key_stats_perkey),
         ("bucketed", lambda s, k, v: running_key_stats_bucketed(
             s, k, v, n_buckets=4)),
     ):
