@@ -2990,6 +2990,98 @@ GROUP BY md5(canonical_url)
 """
 
 
+def q_url_dedup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot (as-of) read over the canonical-URL membership view
+    (r14, r13 verdict #9 — the as-of reader's FOURTH certified view
+    family): two ingest batches into the curl-keyed Z-set, a
+    corrected-shard tombstone as batch 2, then read AS OF batch 1 — the
+    membership table as it stood before the delete. The pre-delete
+    snapshot covers the full corpus, so the oracle is the retract row's
+    WITHOUT its delete filter; fingerprints derive from the CLOSED-FORM
+    canonical, cross-checking canonicalization + snapshot isolation in
+    one hash."""
+    import os
+
+    from ..streaming.matview import (
+        apply_exact_dedup_retractable_delta,
+        read_exact_dedup_retractable_as_of,
+        retract_exact_dedup_delta,
+    )
+
+    d = _docs_urls(spark, sf_dir).select(
+        "doc_id", urlops.canonicalize_url("url").alias("curl"))
+    root = _session_state_dir(spark, sf_dir, "skylogix_url_asof")
+    state = os.path.join(root, "view")
+    apply_exact_dedup_retractable_delta(
+        d.filter(F.col("doc_id") % 2 == 0), 0, state, text_col="curl",
+        auto_compact=None)
+    apply_exact_dedup_retractable_delta(
+        d.filter(F.col("doc_id") % 2 == 1), 1, state, text_col="curl",
+        auto_compact=None)
+    retract_exact_dedup_delta(
+        d.filter(F.col("doc_id") % 7 == 3), 2, state, text_col="curl",
+        auto_compact=None)
+    return read_exact_dedup_retractable_as_of(spark, state, 1).select(
+        "fingerprint", "doc_id", "n_copies"
+    )
+
+
+O_URL_DEDUP_ASOF = URL_CTE + """
+SELECT md5(canonical_url) AS fingerprint,
+       MIN(doc_id) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM u
+GROUP BY md5(canonical_url)
+"""
+
+
+def q_url_dedup_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC router bound to the canonical-URL membership view (r14,
+    r13 verdict #9 — the changelog router's FIFTH certified view
+    family): the crawl arrives as an op-tagged stream (+1 new capture /
+    -1 takedown), maintain_changelog_view routes micro-batches through
+    the curl-keyed Z-set appliers as even/odd segments, and the net
+    membership equals docs_url_dedup_retract's — the oracle is
+    byte-identical, certifying writeStream→foreachBatch→segment routing
+    over this family end to end."""
+    import os
+
+    from ..streaming.matview import (
+        apply_exact_dedup_retractable_delta,
+        maintain_changelog_view,
+        read_exact_dedup_retractable_segments,
+        retract_exact_dedup_delta,
+    )
+
+    d = _docs_urls(spark, sf_dir).select(
+        "doc_id", urlops.canonicalize_url("url").alias("curl"))
+    root = _session_state_dir(spark, sf_dir, "skylogix_url_cdc")
+    state = os.path.join(root, "view")
+    cdc_dir = os.path.join(root, "changelog")
+    for i, part in enumerate((
+        d.filter(F.col("doc_id") % 2 == 0).withColumn("op", F.lit(1)),
+        d.filter(F.col("doc_id") % 2 == 1).withColumn("op", F.lit(1)),
+        d.filter(F.col("doc_id") % 7 == 3).withColumn("op", F.lit(-1)),
+    )):
+        part.select("doc_id", "curl", "op").coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(cdc_dir, f"b{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, curl string, op int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(cdc_dir, "b*"))
+    )
+    maintain_changelog_view(
+        stream, state, os.path.join(root, "ckpt"),
+        apply_fn=lambda df, bid, sd: apply_exact_dedup_retractable_delta(
+            df, bid, sd, text_col="curl"),
+        retract_fn=lambda df, bid, sd: retract_exact_dedup_delta(
+            df, bid, sd, text_col="curl"),
+    )
+    return read_exact_dedup_retractable_segments(spark, state).select(
+        "fingerprint", "doc_id", "n_copies"
+    )
+
+
 # --------------------------------------------------------------------------
 # TF-IDF top-k terms per document (ext.text.tfidf_topk).
 # --------------------------------------------------------------------------
@@ -4392,6 +4484,8 @@ QUERIES = {
     "docs_domain_mix_psl": q_domain_mix_psl,
     "docs_url_decontaminate": q_url_decontaminate,
     "docs_url_dedup_retract": q_url_dedup_retract,
+    "docs_url_dedup_asof": q_url_dedup_asof,
+    "docs_url_dedup_changelog": q_url_dedup_changelog,
     "docs_url_blocklist": q_url_blocklist,
     "emb_centroids_by_label": q_centroids_by_label,
     "emb_kmeans": q_kmeans,
@@ -4531,6 +4625,8 @@ ORACLES = {
     "docs_domain_mix_psl": O_DOMAIN_MIX,
     "docs_url_decontaminate": O_URL_DECONTAMINATE,
     "docs_url_dedup_retract": O_URL_DEDUP_RETRACT,
+    "docs_url_dedup_asof": O_URL_DEDUP_ASOF,
+    "docs_url_dedup_changelog": O_URL_DEDUP_RETRACT,
     "docs_url_blocklist": O_URL_BLOCKLIST,
     "emb_centroids_by_label": O_CENTROIDS_BY_LABEL,
     "emb_kmeans": O_KMEANS,

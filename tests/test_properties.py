@@ -954,6 +954,70 @@ def test_retractable_exact_dedup_invariant_under_interleaving(
 
 
 @given(
+    ids=st.lists(st.integers(0, 200), min_size=1, max_size=10, unique=True),
+    split=st.lists(st.integers(0, 2), min_size=10, max_size=10),
+    kill=st.lists(st.booleans(), min_size=10, max_size=10),
+    pos=st.integers(0, 3),
+)
+@_settings
+def test_retractable_url_membership_invariant_under_interleaving(
+        spark, tmp_path_factory, ids, split, kill, pos):
+    """r14 (r13 verdict #9): the canonical-URL membership view — the CDC
+    router's fifth family, the curl-keyed Z-set — reads equal to a
+    rebuild over the surviving crawl for ANY batch partition and ANY
+    tombstone placement, WITH LIVE AUTO-TRIGGERS (auto_compact=2 forces
+    mid-interleaving compactions, and the tombstone batch exercises the
+    r14 same-population fraction trigger)."""
+    import pyspark.sql.functions as F
+
+    from skylogix_real_time_weather_data_pipeline_spark.ext.dedup import exact_dedup
+    from skylogix_real_time_weather_data_pipeline_spark.ext.url import (
+        canonicalize_url,
+        synthetic_urls,
+    )
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        apply_exact_dedup_retractable_delta,
+        read_exact_dedup_retractable_segments,
+        retract_exact_dedup_delta,
+    )
+
+    def curls(id_list):
+        if not id_list:
+            return None
+        base = spark.createDataFrame([(i,) for i in id_list], "doc_id long")
+        return synthetic_urls(base).select(
+            "doc_id", canonicalize_url("url").alias("curl"))
+
+    rows = list(enumerate(ids))
+    gone_ids = [v for i, v in rows if kill[i]]
+    state = str(tmp_path_factory.mktemp("urlrz") / "view")
+    slots = [[v for i, v in rows if split[i] == b] for b in range(3)]
+    slots.insert(pos, gone_ids)
+    for bid, batch_ids in enumerate(slots):
+        bdf = curls(batch_ids)
+        if bdf is None:
+            continue
+        if bid == pos:
+            retract_exact_dedup_delta(bdf, bid, state, text_col="curl",
+                                      auto_compact=2)
+        else:
+            apply_exact_dedup_retractable_delta(bdf, bid, state,
+                                                text_col="curl",
+                                                auto_compact=2)
+    survivors = [v for i, v in rows if not kill[i]]
+    got = sorted(
+        tuple(r)
+        for r in read_exact_dedup_retractable_segments(spark, state).collect())
+    if not survivors:
+        assert got == []
+        return
+    want = sorted(
+        tuple(r)
+        for r in exact_dedup(curls(survivors), text_col="curl").collect())
+    assert got == want
+
+
+@given(
     keys=st.lists(st.integers(0, 9), min_size=1, max_size=24),
     split=st.lists(st.integers(0, 2), min_size=24, max_size=24),
     kill=st.lists(st.booleans(), min_size=24, max_size=24),
