@@ -18,81 +18,84 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 #: module order. The full registry is additionally verified locally each
 #: round (scripts/local_verify.py → CORRECTNESS_LOCAL_r{N}.json, committed).
 #:
-#: Round-13 window (earlier windows live in git history and
-#: WINDOW_LEDGER.json). Tier 1 = the ten NEW rows (the URL family
-#: incl. the retractable canonical-URL view, the scaled-k SemDeDup, the
-#: HLL bounds row, the CDC router's fourth family and its as-of
-#: third family), the seven rows whose query or oracle changed this round
-#: (the three multimodal rows graduating from rows-only to planted-truth
-#: value oracles; the three fsum conversions; emb_semdedup's oracle
-#: recomposed through the k-parameterized _km_ctes builder), the kmeans
-#: pair sharing that rebuilt CTE chain, and the entire
-#: retract/changelog/as-of family — their shared segment machinery moved
-#: this round (manifest row counts, empty-tombstone trigger exclusion,
-#: the residue-preserving daily-counts compaction fold), so the driver
-#: hash must re-certify every row that touches it. Tier 2 = the 15
-#: rows whose last driver green is r8 (the oldest vintage; the r12 note
-#: promised they lead the r13 queue), then the 5 oldest r9-vintage rows
-#: by change round. 32 + 15 + 3 = 50 (weather_warmest_coldest,
-#: docs_bigram_logprob and docs_remove_dup_chunks, next in the r9
-#: queue, yield their slots to the late tier-1 rows and lead the r14
-#: refresh queue with the remaining r9 tail).
+#: Round-14 window (earlier windows live in git history and
+#: WINDOW_LEDGER.json). Tier 1 = the four NEW rows (co-partitioned
+#: pagerank, broadcast-join PSL domain mix, and the URL membership
+#: view's as-of + changelog rows — the as-of reader's 4th and the CDC
+#: router's 5th certified families), every row over DEEP-changed
+#: machinery this round — the whole URL family (the canonicalizer's
+#: anchored-run tracking strip + the PSL registrable_domain), both
+#: pagerank rows (per-iteration rank checkpoints in copart mode), the
+#: substring *_indexed/segmented trio (shared-occ gram pass) and the
+#: rewrite-from-index retract/asof rows (grams= parameter), and the
+#: entire retract/changelog/as-of family again (matview.py moved: scoped
+#: tmp sweeps, concurrent multi-batch applies, the same-population
+#: tombstone-fraction denominator) — plus rel_approx_distinct_bounds
+#: (its section was recomposed when the rows-only row retired). Tier 2 =
+#: the refresh queue the r13 note promised (weather_warmest_coldest,
+#: docs_bigram_logprob, docs_remove_dup_chunks) + the oldest r9-vintage
+#: tail, filling to 50.
 _VERIFY_FIRST = (
-    # --- tier 1a: new in round 13 ---
-    "docs_url_canonical",            # NEW: URL canonicalizer under value hash
-    "docs_url_dedup",                # NEW: canonical-URL dedup
-    "docs_domain_mix",               # NEW: registrable-domain composition
-    "docs_url_decontaminate",        # NEW: URL-level decontamination
-    "docs_bm25_topk_changelog",      # NEW: CDC router, term-stats family
-    "docs_bm25_topk_asof",           # NEW: as-of snapshot, third family
-    "docs_url_dedup_retract",        # NEW: Z-set keyed on canonical URLs
-    "docs_url_blocklist",            # NEW: domain-blocklist audit gate
-    "emb_semdedup_scaledk",          # NEW: sqrt(n)-k SemDeDup (scale posture)
-    "rel_approx_distinct_bounds",    # NEW: HLL vs exact COUNT(DISTINCT) envelope
-    # --- tier 1b: query or oracle changed in round 13 ---
-    "mm_phash_near_dup",             # rows-only -> planted-truth value oracle
-    "mm_audio_near_dup",
-    "mm_video_near_dup",
-    "weather_linear_fit",            # decimal -> fsum fast path + sql twins
-    "weather_zscore_anomalies",
-    "rel_product_profit",
-    "emb_semdedup",                  # oracle via _km_ctes builder
-    "emb_kmeans",                    # shared rebuilt CTE chain
-    "emb_kmeans_arrow",
-    # --- tier 1c: segment-machinery family (matview.py moved this round) ---
-    "events_daily_retract",          # + residue-preserving compaction fold
+    # --- tier 1a: new in round 14 ---
+    "rel_pagerank_copart",           # NEW: exchange-free-edge-side iterations
+    "docs_domain_mix_psl",           # NEW: broadcast-join PSL path
+    "docs_url_dedup_asof",           # NEW: as-of reader's 4th family
+    "docs_url_dedup_changelog",      # NEW: CDC router's 5th family
+    # --- tier 1b: URL machinery changed (canonicalizer anchored-run
+    #     strip, InSet/PSL registrable_domain) ---
+    "docs_url_canonical",
+    "docs_url_dedup",
+    "docs_domain_mix",
+    "docs_url_decontaminate",
+    "docs_url_dedup_retract",
+    "docs_url_blocklist",
+    # --- tier 1c: pagerank machinery changed (copartition mode) ---
+    "rel_pagerank",
+    # --- tier 1d: gram-index read/maintenance machinery changed
+    #     (shared-occ pass, occ-fed applier, grams= rewrite) ---
+    "docs_substring_rewrite_segmented",
+    "docs_substring_rewrite_indexed",
+    "docs_substring_dedup_indexed",
+    "docs_substring_pairs_indexed",
+    "docs_substring_rewrite_retract",
+    "docs_substring_rewrite_asof",
+    # --- tier 1e: segment machinery family (matview.py moved: scoped tmp
+    #     sweeps, concurrent applies, fraction denominator) ---
+    "events_daily_retract",
     "events_daily_changelog",
     "docs_exact_dedup_retract",
     "docs_exact_dedup_changelog",
     "docs_exact_dedup_asof",
-    "docs_substring_rewrite_retract",
-    "docs_substring_rewrite_asof",
-    "docs_substring_rewrite_segmented",
     "docs_minhash_pairs_retract",
     "docs_minhash_pairs_changelog",
     "docs_bm25_topk_retract",
+    "docs_bm25_topk_asof",
+    "docs_bm25_topk_changelog",
     "emb_ivf_topk_retract",
     "rel_count_sketch_retract",
-    # --- tier 2a: the 15 rows last driver-green in r8 (oldest vintage) ---
-    "rel_promo_revenue",
-    "rel_returned_items",
-    "rel_revenue_by_nation",
-    "rel_segment_monthly",
-    "rel_shipping_priority",
-    "rel_small_qty_revenue",
-    "rel_supplier_part_counts",
-    "rel_top_customers_per_nation",
-    "rel_top_supplier",
-    "rel_unpivot_city_metrics",
-    "rel_volume_shipping",
-    "sql_forecast_revenue",
-    "stream_asof_last_purchase",
-    "stream_hopping_distinct",
-    "weather_quantile_summary",
-    # --- tier 2b: the 3 oldest r9-vintage rows by change round ---
-    "weather_city_quantiles",
-    "weather_correlations",
-    "weather_temperature_buckets",
+    # --- tier 1f: approx-distinct section recomposed (raw row retired) ---
+    "rel_approx_distinct_bounds",
+    # --- tier 2: refresh queue (r13 note) + oldest r9 vintage ---
+    "weather_warmest_coldest",
+    "docs_bigram_logprob",
+    "docs_remove_dup_chunks",
+    "docs_bm25_topk_indexed",
+    "docs_dedup_clusters_incremental",
+    "docs_distill_filter",
+    "docs_simhash_near_pairs",
+    "docs_source_kl",
+    "docs_stratified_sample",
+    "docs_substring_dedup",
+    "docs_substring_pairs",
+    "docs_substring_rewrite",
+    "docs_token_entropy",
+    "docs_unigram_logprob",
+    "docs_winnowing_pairs",
+    "docs_zipf_fit",
+    "emb_filtered_recall",
+    "emb_ivf_filtered_topk",
+    "emb_ivf_recall",
+    "emb_ivfpq_topk",
 )
 
 
