@@ -19,10 +19,11 @@ _MODULES = (weather, relational, ext, streaming_batch, sql_surface, sketches)
 #: round (scripts/local_verify.py → CORRECTNESS_LOCAL_r{N}.json, committed).
 #:
 #: Round-14 window (earlier windows live in git history and
-#: WINDOW_LEDGER.json). Tier 1 = the four NEW rows (co-partitioned
-#: pagerank, broadcast-join PSL domain mix, and the URL membership
+#: WINDOW_LEDGER.json). Tier 1 = the five NEW rows (co-partitioned
+#: pagerank, broadcast-join PSL domain mix, the URL membership
 #: view's as-of + changelog rows — the as-of reader's 4th and the CDC
-#: router's 5th certified families), every row over DEEP-changed
+#: router's 5th certified families — and the bucketed-default stateful
+#: operator driven as a real stream), every row over DEEP-changed
 #: machinery this round — the whole URL family (the canonicalizer's
 #: anchored-run tracking strip + the PSL registrable_domain), both
 #: pagerank rows (per-iteration rank checkpoints in copart mode), the
@@ -41,6 +42,7 @@ _VERIFY_FIRST = (
     "docs_domain_mix_psl",           # NEW: broadcast-join PSL path
     "docs_url_dedup_asof",           # NEW: as-of reader's 4th family
     "docs_url_dedup_changelog",      # NEW: CDC router's 5th family
+    "stream_running_key_stats",      # NEW: bucketed-default stateful op, real stream
     # --- tier 1b: URL machinery changed (canonicalizer anchored-run
     #     strip, InSet/PSL registrable_domain) ---
     "docs_url_canonical",
@@ -95,7 +97,6 @@ _VERIFY_FIRST = (
     "emb_filtered_recall",
     "emb_ivf_filtered_topk",
     "emb_ivf_recall",
-    "emb_ivfpq_topk",
 )
 
 

@@ -833,7 +833,90 @@ GROUP BY 1, 2
 """
 
 
+def q_running_key_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (streaming/stateful.py:
+    running_key_stats, applyInPandasWithState) driven as a REAL stream
+    under the driver's value hash, in its r14 DEFAULT posture — BUCKETED
+    state (r13 verdict #5: 27.8× over per-key puts at 1M keys,
+    SCALING_r14) — so the certified-default path is oracle-checked, not
+    just pytest-pinned. Three single-file micro-batches split by
+    event_id % 3; update-mode emissions = for each (batch b, user
+    touched in b) the CUMULATIVE stats over batches ≤ b, which is plain
+    SQL (touched-key × prefix-aggregate join), so the oracle replays
+    every emission exactly. Values are pre-quantized to 1e-2 integer
+    units so each cumulative sum is integer-exact in double
+    (order-independent — the same fixed-point discipline as
+    events_daily_retract)."""
+    import os
+    import uuid
+
+    from ..streaming.stateful import running_key_stats
+    from .ext import _session_state_dir
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("v"),
+    )
+    root = _session_state_dir(spark, sf_dir, "skylogix_rks")
+    src = os.path.join(root, "stream")
+    for b in range(3):
+        (ev.filter(F.col("event_id") % 3 == b).coalesce(1)
+         .write.mode("overwrite").parquet(os.path.join(src, f"b{b}")))
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "b*"))
+    )
+    name = f"rks_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_key_stats(stream, "user_id", "v")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("running_key_stats stream did not finish in 300s")
+    return spark.table(name).select(
+        "key",
+        "n",
+        F.col("total").cast("long").alias("total_units"),
+        F.col("vmin").cast("long").alias("vmin_units"),
+        F.col("vmax").cast("long").alias("vmax_units"),
+        F.round("mean", 6).alias("mean_units"),
+    )
+
+
+O_RUNNING_KEY_STATS_STREAM = """
+WITH e AS (
+  SELECT user_id, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v,
+         event_id % 3 AS b
+  FROM events
+),
+tk AS (SELECT DISTINCT user_id, b FROM e),
+agg AS (
+  SELECT tk.user_id, tk.b,
+         COUNT(e2.v) AS n,
+         COALESCE(SUM(e2.v), 0) AS total,
+         MIN(e2.v) AS vmin, MAX(e2.v) AS vmax
+  FROM tk JOIN e e2 ON e2.user_id = tk.user_id AND e2.b <= tk.b
+  GROUP BY tk.user_id, tk.b
+)
+SELECT CAST(user_id AS VARCHAR) AS key,
+       CAST(n AS BIGINT) AS n,
+       CAST(total AS BIGINT) AS total_units,
+       CAST(vmin AS BIGINT) AS vmin_units,
+       CAST(vmax AS BIGINT) AS vmax_units,
+       CASE WHEN n > 0 THEN ROUND(CAST(total AS DOUBLE) / n, 6) END
+         AS mean_units
+FROM agg
+"""
+
+
 QUERIES = {
+    "stream_running_key_stats": q_running_key_stats_stream,
     "events_funnel": q_funnel,
     "events_props_stats": q_props_stats,
     "events_gap_fill": q_gap_fill,
@@ -857,6 +940,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_running_key_stats": O_RUNNING_KEY_STATS_STREAM,
     "events_funnel": O_FUNNEL,
     "events_ab_test": O_AB_TEST,
     "events_props_stats": O_PROPS_STATS,
