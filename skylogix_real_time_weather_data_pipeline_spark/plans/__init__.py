@@ -43,6 +43,8 @@ _VERIFY_FIRST = (
     "docs_url_dedup_asof",           # NEW: as-of reader's 4th family
     "docs_url_dedup_changelog",      # NEW: CDC router's 5th family
     "stream_running_key_stats",      # NEW: bucketed-default stateful op, real stream
+    "docs_pii_stats",                # NEW: PII detection (two-engine regex differential)
+    "docs_pii_redact",               # NEW: ordered PII redaction
     # --- tier 1b: URL machinery changed (canonicalizer anchored-run
     #     strip, InSet/PSL registrable_domain) ---
     "docs_url_canonical",
@@ -96,7 +98,6 @@ _VERIFY_FIRST = (
     "docs_zipf_fit",
     "emb_filtered_recall",
     "emb_ivf_filtered_topk",
-    "emb_ivf_recall",
 )
 
 

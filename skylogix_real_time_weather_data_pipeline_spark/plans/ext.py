@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ext import dedup, similarity, text
+from ..ext import pii as piiops
 from ..ext import url as urlops
 from ..functions.exact import dmean, sql_dsumx, sql_fsum, sql_fsum_units
 
@@ -2829,6 +2830,89 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urlops.domain_mix(_docs_urls(spark, sf_dir))
 
 
+# --------------------------------------------------------------------------
+# PII detection / redaction (ext/pii.py, r14) — the curation scrub pass.
+# The corpus carries no PII, so ext/pii.py:synthetic_pii_texts plants
+# deterministic emails/IPs/phones from id arithmetic (the synthetic_urls
+# pattern); the oracle replays the IDENTICAL regex chain in DuckDB (every
+# pattern is Java+RE2 valid), making the hash a two-engine differential
+# of the regex semantics, and tests/test_pii.py additionally pins the
+# closed-form counts.
+# --------------------------------------------------------------------------
+
+def _docs_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return piiops.synthetic_pii_texts(
+        _docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII detection stats (ext/pii.py:pii_counts): match
+    counts per class on the raw text + total — the audit/threshold table
+    a curation run reviews before scrubbing. Scan-speed projection, no
+    shuffle."""
+    return piiops.pii_counts(_docs_pii(spark, sf_dir))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered PII redaction (ext/pii.py:pii_redact): emails, then IPs,
+    then phones, each pass counting what IT replaced — the order is a
+    contract (an email whose host embeds a dotted-quad redacts as ONE
+    email; the planted id%9 rows exercise exactly that, and detection vs
+    redaction counts differ on them by design)."""
+    return piiops.pii_redact(_docs_pii(spark, sf_dir))
+
+
+_PII_CTE = """
+WITH p AS (
+  SELECT doc_id,
+    text
+    || (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id % 50 AS VARCHAR) || '@' ||
+          (CASE WHEN doc_id % 9 = 0
+                THEN '10.0.0.' || CAST(doc_id % 200 AS VARCHAR) || '.example.org'
+                ELSE 'mail' || CAST(doc_id % 4 AS VARCHAR) || '.example.org' END)
+        ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN ' call +1 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)
+    AS text
+  FROM documents
+)
+"""
+
+_PII_E = piiops.EMAIL_PATTERN
+_PII_I = piiops.IPV4_PATTERN
+_PII_P = piiops.PHONE_PATTERN
+
+O_PII_STATS = _PII_CTE + f"""
+SELECT doc_id, email_n, ipv4_n, phone_n,
+       email_n + ipv4_n + phone_n AS pii_total
+FROM (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_PII_E}')) AS INTEGER) AS email_n,
+         CAST(len(regexp_extract_all(text, '{_PII_I}')) AS INTEGER) AS ipv4_n,
+         CAST(len(regexp_extract_all(text, '{_PII_P}')) AS INTEGER) AS phone_n
+  FROM p
+)
+"""
+
+O_PII_REDACT = _PII_CTE + f"""
+, s1 AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{_PII_E}', '[EMAIL]', 'g') AS t1
+  FROM p
+), s2 AS (
+  SELECT doc_id, text, t1,
+         regexp_replace(t1, '{_PII_I}', '[IP]', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_E}')) AS INTEGER) AS email_n,
+       CAST(len(regexp_extract_all(t1, '{_PII_I}')) AS INTEGER) AS ipv4_n,
+       CAST(len(regexp_extract_all(t2, '{_PII_P}')) AS INTEGER) AS phone_n,
+       regexp_replace(t2, '{_PII_P}', '[PHONE]', 'g') AS clean_text
+FROM s2
+"""
+
+
 def q_domain_mix_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """docs_domain_mix re-derived through the broadcast-join PSL path
     (r14, r13 verdict #6): registrable domains come from
@@ -4482,6 +4566,8 @@ QUERIES = {
     "docs_url_dedup": q_url_dedup,
     "docs_domain_mix": q_domain_mix,
     "docs_domain_mix_psl": q_domain_mix_psl,
+    "docs_pii_stats": q_pii_stats,
+    "docs_pii_redact": q_pii_redact,
     "docs_url_decontaminate": q_url_decontaminate,
     "docs_url_dedup_retract": q_url_dedup_retract,
     "docs_url_dedup_asof": q_url_dedup_asof,
@@ -4623,6 +4709,8 @@ ORACLES = {
     "docs_url_dedup": O_URL_DEDUP,
     "docs_domain_mix": O_DOMAIN_MIX,
     "docs_domain_mix_psl": O_DOMAIN_MIX,
+    "docs_pii_stats": O_PII_STATS,
+    "docs_pii_redact": O_PII_REDACT,
     "docs_url_decontaminate": O_URL_DECONTAMINATE,
     "docs_url_dedup_retract": O_URL_DEDUP_RETRACT,
     "docs_url_dedup_asof": O_URL_DEDUP_ASOF,
