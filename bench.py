@@ -141,6 +141,11 @@ EXTENDED = [
     # configuration — see the fixed-k demotion note above)
     "docs_url_dedup",
     "emb_semdedup_scaledk",
+    # r14 curation-scrub family: ordered-regex scan passes (PII
+    # redaction, HTML extraction) — pure codegen projections whose
+    # series should track scan throughput
+    "docs_pii_redact",
+    "docs_html_strip",
 ]
 
 

@@ -2831,6 +2831,56 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# HTML-to-text extraction (ext/html.py, r14) — the crawl normalization
+# layer that runs before any text operator. Planted markup from id
+# arithmetic (synthetic_html_texts); the oracle replays the identical
+# regexp_replace chain in DuckDB (Java+RE2-valid patterns incl. inline
+# (?is) flags and lazy quantifiers), with tests/test_html.py pinning the
+# closed-form extraction independently.
+# --------------------------------------------------------------------------
+
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction audit table (ext/html.py:html_strip): prose text,
+    lengths, and the text/markup ratio crawl pipelines threshold on.
+    Scan-speed chain of regexp_replace passes, zero shuffles."""
+    from ..ext import html as htmlops
+
+    d = htmlops.synthetic_html_texts(
+        _docs(spark, sf_dir).select("doc_id", "text"))
+    return htmlops.html_strip(d)
+
+
+def _o_html_strip() -> str:
+    from ..ext import html as htmlops
+
+    chain = "html"
+    for pat, repl in htmlops.HTML_STRIP_CHAIN:
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        chain = f"regexp_replace({chain}, '{p}', '{r}', 'g')"
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN '<h1 class="t">Title ' || CAST(doc_id % 6 AS VARCHAR) || '</h1> ' ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN '<script type="text/javascript">junk' || CAST(doc_id AS VARCHAR) || '();' || chr(10) || 'more();</script>' ELSE '' END)
+    || '<p>' || text || '</p>'
+    || (CASE WHEN doc_id % 5 = 0 THEN ' <a href="/p?id=' || CAST(doc_id AS VARCHAR) || '&amp;v=1" rel="nofollow">link' || CAST(doc_id % 9 AS VARCHAR) || '</a>' ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN ' a&amp;b &lt;tag&gt; &#39;q&#39;' ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN '<!-- hidden' || chr(10) || 'note -->' ELSE '' END)
+    AS html
+  FROM documents
+)
+SELECT doc_id,
+       trim({chain}) AS text,
+       CAST(length(html) AS INTEGER) AS html_len,
+       CAST(length(trim({chain})) AS INTEGER) AS text_len,
+       CAST(FLOOR(CAST(length(trim({chain})) AS BIGINT) * 1000.0
+            / greatest(length(html), 1)) AS BIGINT) AS text_ratio_pm
+FROM h
+"""
+
+
+# --------------------------------------------------------------------------
 # PII detection / redaction (ext/pii.py, r14) — the curation scrub pass.
 # The corpus carries no PII, so ext/pii.py:synthetic_pii_texts plants
 # deterministic emails/IPs/phones from id arithmetic (the synthetic_urls
@@ -4566,6 +4616,7 @@ QUERIES = {
     "docs_url_dedup": q_url_dedup,
     "docs_domain_mix": q_domain_mix,
     "docs_domain_mix_psl": q_domain_mix_psl,
+    "docs_html_strip": q_html_strip,
     "docs_pii_stats": q_pii_stats,
     "docs_pii_redact": q_pii_redact,
     "docs_url_decontaminate": q_url_decontaminate,
@@ -4709,6 +4760,7 @@ ORACLES = {
     "docs_url_dedup": O_URL_DEDUP,
     "docs_domain_mix": O_DOMAIN_MIX,
     "docs_domain_mix_psl": O_DOMAIN_MIX,
+    "docs_html_strip": _o_html_strip(),
     "docs_pii_stats": O_PII_STATS,
     "docs_pii_redact": O_PII_REDACT,
     "docs_url_decontaminate": O_URL_DECONTAMINATE,
