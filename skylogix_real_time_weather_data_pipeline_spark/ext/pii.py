@@ -16,8 +16,15 @@ the regex semantics, while the planted synthetic corpus
 FORM derived from id arithmetic (the synthetic_urls two-path pattern).
 
 Redaction order is part of the contract: emails first (an email's host
-may embed an IP — ``user@10.0.0.1`` must redact as ONE email, not an
-email fragment plus an IP), then IPs, then phones.
+may embed an IP-shaped quad — ``user@10.0.0.5.example.org`` must redact
+as ONE email, not an email plus a leftover IP), then IPs, then phones.
+
+This module is the CANONICAL pattern source (r14): ``text.PII_PATTERNS``
+— the r2-era single-pass scrub behind ``docs_pii_scrub`` — re-derives
+from :data:`PII_CLASSES` with its legacy ``<TAG>`` placeholders, so the
+two surfaces can never drift. Relative to the r2 list, the IPv4 class
+gained the per-octet 0-255 range check; the phone alternation is carried
+over verbatim (its false-positive regressions are pinned).
 """
 
 from __future__ import annotations
@@ -35,10 +42,17 @@ EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _OCT = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
 IPV4_PATTERN = rf"\b({_OCT}\.){{3}}{_OCT}\b"
 
-#: International-ish phone: + country code, then space/dash separated
-#: groups. Deliberately conservative (requires the leading +) so prose
-#: numbers ("chapter 12 345") never false-positive.
-PHONE_PATTERN = r"\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{4,7}\b"
+#: Phone alternation, carried over verbatim from the r2-era
+#: ``text.PII_PATTERNS`` (this module canonicalizes that list — see
+#: module doc): international +-prefixed, US (xxx) xxx-xxxx, and bare
+#: separator-tight digit runs. The r2 ADVICE regression (a ``\s`` inside
+#: an unbounded span ate whitespace-separated year/id lists) is pinned in
+#: tests/test_ext.py and must survive any edit here.
+PHONE_PATTERN = (
+    r"\+[0-9](?:[\s()\-]{0,2}[0-9]){6,14}"
+    r"|\(?[0-9]{3}\)[\s]?[0-9]{3}[\s\-]?[0-9]{4}"
+    r"|[0-9](?:[()\-]?[0-9]){8,14}"
+)
 
 #: (name, pattern, replacement) in REDACTION ORDER (see module doc).
 PII_CLASSES = (

@@ -179,16 +179,17 @@ def chunk_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 #: unboundedly, so year lists ('2024 2025 2026'), numeric table columns and
 #: space-grouped big numbers ('1 234 567') no longer collapse into one
 #: <PHONE> tag (the earlier class put \\s inside a {7,} span).
-PII_PATTERNS = (
-    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ipv4", "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
-    (
-        "phone",
-        "\\+[0-9](?:[\\s()\\-]{0,2}[0-9]){6,14}"
-        "|\\(?[0-9]{3}\\)[\\s]?[0-9]{3}[\\s\\-]?[0-9]{4}"
-        "|[0-9](?:[()\\-]?[0-9]){8,14}",
-        "<PHONE>",
-    ),
+#: Re-derived from the canonical ext/pii.py pattern source (r14) with
+#: this module's legacy <TAG> placeholders — one pattern list, two
+#: surfaces (the single-pass scrub here, the detection/redaction split
+#: there), zero drift. The r14 canonicalization upgraded the IPv4 class
+#: with the per-octet 0-255 range check; the phone alternation (and its
+#: r2-ADVICE false-positive pins) is unchanged.
+from .pii import PII_CLASSES as _PII_CANON  # noqa: E402
+
+_PII_LEGACY_TAGS = {"email": "<EMAIL>", "ipv4": "<IP>", "phone": "<PHONE>"}
+PII_PATTERNS = tuple(
+    (name, pat, _PII_LEGACY_TAGS[name]) for name, pat, _ in _PII_CANON
 )
 
 
@@ -197,8 +198,10 @@ def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     typed tags, with per-document match counts for audit. A chain of
     codegen ``regexp_replace``/``regexp_count`` expressions — one narrow
     pass, no shuffle, no Python. The pattern list is the portable-regex
-    subset (same semantics in the DuckDB oracle); production pipelines
-    extend PII_PATTERNS per policy."""
+    subset (same semantics in the DuckDB oracle) and is canonically owned
+    by ext/pii.py since r14 (which adds the detection/redaction split and
+    the planted-truth verification); production pipelines extend
+    PII_CLASSES there per policy."""
     scrubbed = F.col(text_col)
     counts = []
     for name, pat, tag in PII_PATTERNS:
