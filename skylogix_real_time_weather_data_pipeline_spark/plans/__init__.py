@@ -46,6 +46,7 @@ _VERIFY_FIRST = (
     "docs_pii_stats",                # NEW: PII detection (two-engine regex differential)
     "docs_pii_redact",               # NEW: ordered PII redaction
     "docs_html_strip",               # NEW: HTML-to-text extraction
+    "docs_pack_chunks",              # NEW: sequence packing (2-phase cumsum)
     # --- tier 1b: URL machinery changed (canonicalizer anchored-run
     #     strip, InSet/PSL registrable_domain) ---
     "docs_url_canonical",
@@ -97,7 +98,6 @@ _VERIFY_FIRST = (
     "docs_unigram_logprob",
     "docs_winnowing_pairs",
     "docs_zipf_fit",
-    "emb_filtered_recall",
 )
 
 

@@ -2831,6 +2831,60 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Sequence packing (ext/packing.py, r14) — the GPT-style concat-and-cut
+# into fixed token windows, built on the scalable two-phase global
+# cumulative sum (bounded windows + a broadcast bucket prefix instead of
+# a single-partition global sort). The oracle computes the same offsets
+# with DuckDB's ordinary window — bit-identical by integer associativity.
+# --------------------------------------------------------------------------
+
+_SEQ_LEN = 512
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk packing summary at seq_len=512 (ext/packing.py:
+    pack_chunks): chunk membership counts, boundary docs, and the token
+    count per window. bucket_size=64 at test scale so the two-phase
+    offset path genuinely crosses buckets (500 docs → 8 buckets)."""
+    from ..ext.packing import pack_chunks
+
+    return pack_chunks(_docs(spark, sf_dir), seq_len=_SEQ_LEN,
+                       bucket_size=64)
+
+
+O_PACK_CHUNKS = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM t
+),
+mem AS (
+  SELECT doc_id,
+         unnest(range(off // {_SEQ_LEN}, (off + n - 1) // {_SEQ_LEN} + 1))
+           AS chunk_id
+  FROM o WHERE n > 0
+),
+tot AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS total FROM t)
+SELECT chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc,
+       CAST(least({_SEQ_LEN}, total - chunk_id * {_SEQ_LEN}) AS BIGINT)
+         AS n_tokens
+FROM mem CROSS JOIN tot
+GROUP BY chunk_id, total
+"""
+
+
+# --------------------------------------------------------------------------
 # HTML-to-text extraction (ext/html.py, r14) — the crawl normalization
 # layer that runs before any text operator. Planted markup from id
 # arithmetic (synthetic_html_texts); the oracle replays the identical
@@ -4617,6 +4671,7 @@ QUERIES = {
     "docs_domain_mix": q_domain_mix,
     "docs_domain_mix_psl": q_domain_mix_psl,
     "docs_html_strip": q_html_strip,
+    "docs_pack_chunks": q_pack_chunks,
     "docs_pii_stats": q_pii_stats,
     "docs_pii_redact": q_pii_redact,
     "docs_url_decontaminate": q_url_decontaminate,
@@ -4761,6 +4816,7 @@ ORACLES = {
     "docs_domain_mix": O_DOMAIN_MIX,
     "docs_domain_mix_psl": O_DOMAIN_MIX,
     "docs_html_strip": _o_html_strip(),
+    "docs_pack_chunks": O_PACK_CHUNKS,
     "docs_pii_stats": O_PII_STATS,
     "docs_pii_redact": O_PII_REDACT,
     "docs_url_decontaminate": O_URL_DECONTAMINATE,
