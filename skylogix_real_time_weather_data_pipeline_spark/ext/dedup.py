@@ -301,11 +301,21 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     # emit self-pairs — the pre-r9 collect_set(id) form never could
     # (r9 review finding). The sorted set groups equal ids adjacently, so
     # keeping only the first struct per id is a pure array filter.
+    # _let-bind the sorted set (r14): the filter references it both as the
+    # filtered array AND per element inside the lambda, and an unbound
+    # reference re-inlines array_sort(collect_set(...)) at every element
+    # access — O(n² log n) per bucket (the winnowing/_let lesson; probed
+    # live in this round's bucket-build stage).
+    from .text import _let
+
     mem_set = F.array_sort(F.collect_set(F.struct(F.col(id_col), F.col("n_raw"))))
-    dedup_by_id = F.filter(
+    dedup_by_id = _let(
         mem_set,
-        lambda m, i: F.when(i == 0, F.lit(True)).otherwise(
-            m[id_col] != F.element_at(mem_set, i)[id_col]  # 1-based: the previous element
+        lambda ms: F.filter(
+            ms,
+            lambda m, i: F.when(i == 0, F.lit(True)).otherwise(
+                m[id_col] != F.element_at(ms, i)[id_col]  # 1-based: the previous element
+            ),
         ),
     )
     buckets = sh.groupBy("shingle").agg(dedup_by_id.alias("mems"))
