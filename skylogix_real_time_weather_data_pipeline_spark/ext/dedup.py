@@ -49,20 +49,23 @@ def mh_params(n_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
-def _pairs_from_sorted_ids(ids: F.Column) -> F.Column:
+def _pairs_from_sorted_ids(ids: str) -> F.Column:
     """All (id_a < id_b) pair structs from a sorted id array — the in-bucket
     pair fan-out shared by the LSH and inverted-index candidate generators.
     Replacing a bucket self-join with this explode computes the (expensive)
     upstream pipeline ONCE instead of once per join side (Spark does not
-    reuse the subtree across self-join sides; verified: 0 ReusedExchange)."""
-    return F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    reuse the subtree across self-join sides; verified: 0 ReusedExchange).
+
+    ``ids`` is the COLUMN NAME of the sorted array (r14 optimization
+    round): the whole nested-lambda tree is built as one SQL string parsed
+    JVM-side — the Column-API form issued a py4j round trip per operator
+    node, and driver-side construction chatter measured as large as the
+    executor time on the pair queries (~3k round trips per build of
+    minhash_lsh_pairs). Resolved plan and values are identical."""
+    return F.expr(
+        f"flatten(transform({ids}, (x, i) -> "
+        f"transform(slice({ids}, i + 2, size({ids})), "
+        "y -> named_struct('id_a', x, 'id_b', y))))"
     )
 
 
@@ -88,16 +91,21 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     a partial-aggregatable single shuffle on doc id.
     """
     # distinct=False: min() is insensitive to shingle multiplicity, so the
-    # dedup shuffle would be pure overhead
+    # dedup shuffle would be pure overhead.
+    # SQL-string expression construction (r14 optimization round, same
+    # rationale as _pairs_from_sorted_ids): the per-hash Column-API loop
+    # paid ~6 py4j round trips per aggregate per build; F.expr parses each
+    # whole min() JVM-side. Identical resolved expressions and values.
     sh = shingle_rows(df, text_col, id_col, shingle_n, distinct=False)
-    h = F.md5("shingle")
     hashed = sh.select(
         id_col,
-        (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % MH_P).alias("h1"),
-        (F.conv(F.substring(h, 16, 15), 16, 10).cast("long") % MH_P).alias("h2"),
+        F.expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10)"
+               f" as bigint) % {MH_P}").alias("h1"),
+        F.expr("cast(conv(substring(md5(shingle), 16, 15), 16, 10)"
+               f" as bigint) % {MH_P}").alias("h2"),
     )
     aggs = [
-        F.min((F.lit(a) * F.col("h1") + F.lit(b) * F.col("h2")) % MH_P).alias(f"mh{i:02d}")
+        F.expr(f"min(({a} * h1 + {b} * h2) % {MH_P})").alias(f"mh{i:02d}")
         for i, (a, b) in enumerate(mh_params(n_hashes))
     ]
     return hashed.groupBy(id_col).agg(*aggs)
@@ -107,15 +115,20 @@ def band_structs(n_hashes: int, bands: int) -> list[F.Column]:
     """Arithmetic band keys over mh00..mhNN signature columns: fold each
     band's minhashes with mod-chaining ((acc*65537 + mh) % MH_P) — a bigint
     group key (8 bytes in the shuffle vs a 32-char md5 string), identical
-    in ANSI SQL. Shared by the batch and row-wise/streaming banding paths."""
+    in ANSI SQL. Shared by the batch and row-wise/streaming banding paths.
+    Built as SQL strings (r14 optimization round) for the same
+    driver-construction reason as _pairs_from_sorted_ids; the resolved
+    fold is unchanged."""
     rows_per_band = n_hashes // bands
     out = []
     for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r:02d}") for r in range(rows_per_band)]
-        acc = cols[0] % MH_P
-        for c in cols[1:]:
-            acc = (acc * 65537 + c) % MH_P
-        out.append(F.struct(F.lit(b).alias("band_idx"), acc.alias("band_hash")))
+        names = [f"mh{b * rows_per_band + r:02d}" for r in range(rows_per_band)]
+        acc = f"({names[0]} % {MH_P})"
+        for c in names[1:]:
+            acc = f"(({acc} * 65537 + {c}) % {MH_P})"
+        out.append(
+            F.expr(f"named_struct('band_idx', {b}, 'band_hash', {acc})")
+        )
     return out
 
 
@@ -186,7 +199,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     )
     return (
-        buckets.select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        buckets.select(F.explode(_pairs_from_sorted_ids("ids")).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_band_collisions"))
     )
@@ -221,7 +234,7 @@ def minhash_pairs_from_index(index: DataFrame, max_bucket_size: int = 100_000,
         & (F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size)
     )
     pairs = (
-        buckets.select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        buckets.select(F.explode(_pairs_from_sorted_ids("ids")).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_band_collisions"))
     )
@@ -329,7 +342,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     # so max() == the value; max is map-side combinable and deterministic
     pairs = (
         kept.filter(F.size("mems") >= 2)
-        .select(F.explode(_pairs_from_sorted_ids(F.col("mems"))).alias("p"))
+        .select(F.explode(_pairs_from_sorted_ids("mems")).alias("p"))
         .groupBy(
             F.col("p.id_a." + id_col).alias("id_a"),
             F.col("p.id_b." + id_col).alias("id_b"),
@@ -460,7 +473,7 @@ def minhash_jaccard_estimates(df: DataFrame, text_col: str = "text",
         .filter(F.size("ids") >= 2)
     )
     agree = (
-        buckets.select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        buckets.select(F.explode(_pairs_from_sorted_ids("ids")).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_agree"))
     )
@@ -973,7 +986,7 @@ def winnowing_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_fp_df))
     )
     return (
-        buckets.select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        buckets.select(F.explode(_pairs_from_sorted_ids("ids")).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
         .filter(F.col("n_shared_fps") >= min_shared)
@@ -1019,7 +1032,7 @@ def substring_shared_gram_pairs(df: DataFrame, text_col: str = "text",
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_gram_df))
     )
     return (
-        buckets.select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        buckets.select(F.explode(_pairs_from_sorted_ids("ids")).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .filter(F.col("n_shared_grams") >= min_shared)
@@ -1061,7 +1074,7 @@ def substring_shared_gram_pairs_from_index(index: DataFrame,
         (~F.coalesce(F.col("over"), F.lit(False))) & (F.size("ids") >= 2)
     )
     return (
-        buckets.select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        buckets.select(F.explode(_pairs_from_sorted_ids("ids")).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .filter(F.col("n_shared_grams") >= min_shared)
@@ -1381,20 +1394,27 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     tok = repartition_for_compute(df, id_col).select(
         id_col, F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    h = _md5_long(F.col("tok"), 0)
-    votes = tok.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
-            ).alias(f"v{b:02d}")
-            for b in range(n_bits)
-        ]
-    )
-    sim = None
-    for b in range(n_bits):
-        term = F.when(F.col(f"v{b:02d}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return votes.select(id_col, sim.cast("long").alias("simhash"))
+    # expression trees built as SQL strings (r14 optimization round): the
+    # Column-API form issued one py4j round trip per operator node — ~8
+    # nodes × 60 aggregates plus the 60-term reassembly — measured 1.3-1.8 s
+    # of DRIVER time per invocation, as much as the query's executor time
+    # at sf0.1. F.expr parses each whole aggregate JVM-side in one call
+    # (~4× faster construction, probed); the resolved plan and values are
+    # identical (same CaseWhen/shiftright/md5 operators; mirrors
+    # _md5_long(col, 0) exactly).
+    h_sql = "cast(conv(substring(md5(concat('0|', tok)), 1, 15), 16, 10) as bigint)"
+    votes = tok.groupBy(id_col).agg(*[
+        F.expr(
+            f"sum(case when ((shiftright({h_sql}, {b}) & 1) = 1)"
+            " then 1 else -1 end)"
+        ).alias(f"v{b:02d}")
+        for b in range(n_bits)
+    ])
+    sim_sql = "cast(" + " + ".join(
+        f"(case when v{b:02d} > 0 then {1 << b} else 0 end)"
+        for b in range(n_bits)
+    ) + " as bigint)"
+    return votes.select(id_col, F.expr(sim_sql).alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -1440,46 +1460,36 @@ def hamming_near_pairs(hashed: DataFrame, hash_col: str = "simhash",
     chunk_bits = n_bits // chunks
     mask = (1 << chunk_bits) - 1
     s = s.select(id_col, F.col(hash_col).alias("simhash"))
+    # chunk fan-out and pair fan-out built as SQL strings (r14 optimization
+    # round, same driver-construction rationale as _pairs_from_sorted_ids);
+    # resolved expressions and values identical.
+    chunk_sql = ", ".join(
+        f"named_struct('chunk_idx', {i}, 'chunk_val',"
+        f" shiftright(simhash, {i * chunk_bits}) & {mask})"
+        for i in range(chunks)
+    )
     chunked = s.select(
         id_col,
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk_idx"),
-                        F.shiftright("simhash", i * chunk_bits).bitwiseAND(F.lit(mask)).alias("chunk_val"),
-                    )
-                    for i in range(chunks)
-                ]
-            )
-        ).alias("c"),
+        F.expr(f"explode(array({chunk_sql}))").alias("c"),
     ).select(id_col, "simhash", "c.chunk_idx", "c.chunk_val")
     buckets = (
         chunked.groupBy("chunk_idx", "chunk_val")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")))
+            F.expr(
+                f"array_sort(collect_list(named_struct('id', {id_col},"
+                " 'sh', simhash)))"
             ).alias("ms")
         )
         .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket_size))
     )
     # pair fan-out from the sorted member array (ids unique → id_a < id_b by
     # construction), carrying both fingerprints so hamming needs no re-join
-    ms = F.col("ms")
-    pair_structs = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + 2, F.size(ms)),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    x["sh"].alias("sh_a"),
-                    y["sh"].alias("sh_b"),
-                ),
-            ),
-        )
+    pair_structs = F.expr(
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms)), "
+        "y -> named_struct('id_a', x.id, 'id_b', y.id,"
+        " 'sh_a', x.sh, 'sh_b', y.sh))))"
     )
     cand = buckets.select(F.explode(pair_structs).alias("p")).select("p.*")
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))

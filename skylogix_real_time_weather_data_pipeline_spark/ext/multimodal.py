@@ -872,7 +872,7 @@ def video_near_dup_pairs(assets: DataFrame, every_n: int = 2,
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_hash_df))
     )
     return (
-        buckets.select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        buckets.select(F.explode(_pairs_from_sorted_ids("ids")).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_frames"))
         .filter(F.col("n_shared_frames") >= min_shared)

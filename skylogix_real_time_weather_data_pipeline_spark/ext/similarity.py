@@ -674,7 +674,7 @@ def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.25, n_tables: int = 4
         buckets.groupBy("table_idx", "bucket")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
-        .select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .select(F.explode(_pairs_from_sorted_ids("ids")).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )

@@ -163,15 +163,42 @@ def q_count_sketch_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     root = _session_state_dir(spark, sf_dir, "skylogix_cs_rz")
     state = os.path.join(root, "view")
-    apply_count_sketch_delta(
-        li.filter(F.col("l_orderkey") % 2 == 0), 0, state, "l_partkey",
-        depth=CS_D, width=CS_W)
-    apply_count_sketch_delta(
-        li.filter(F.col("l_orderkey") % 2 == 1), 1, state, "l_partkey",
-        depth=CS_D, width=CS_W)
-    retract_count_sketch_delta(
-        li.filter(F.col("l_orderkey") % 5 == 2), 2, state, "l_partkey",
-        depth=CS_D, width=CS_W)
+    # CONCURRENT segment writers (r14 optimization round, guide §2.6):
+    # the two applies and the tombstone are three independent (state_dir,
+    # batch_id) writers — the same commutativity contract
+    # apply_doc_views_deltas runs on (immutable per-batch segments +
+    # linear counter fold, so any apply order/interleaving yields the
+    # same state). Sequentially each delta paid its full scan→groupBy→
+    # hash→write latency back to back (measured 3×~1-2 s of a 5 s warm
+    # cycle); pooled, local[n] interleaves them. Auto-compaction is
+    # deferred to one post-drain check (mid-pool compaction from two
+    # writers would race) — with 3 segments vs the 16-segment trigger
+    # the check is a no-op in both forms, so state and answers are
+    # identical to the sequential r11-r13 shape.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..streaming.matview import (
+        AUTO_COMPACT_SEGMENTS,
+        _segment_scan,
+        compact_count_sketch_segments,
+    )
+
+    deltas = [
+        (apply_count_sketch_delta, li.filter(F.col("l_orderkey") % 2 == 0), 0),
+        (apply_count_sketch_delta, li.filter(F.col("l_orderkey") % 2 == 1), 1),
+        (retract_count_sketch_delta, li.filter(F.col("l_orderkey") % 5 == 2), 2),
+    ]
+    with ThreadPoolExecutor(max_workers=len(deltas)) as pool:
+        futs = [
+            pool.submit(fn, df, b, state, "l_partkey",
+                        depth=CS_D, width=CS_W, auto_compact=None)
+            for fn, df, b in deltas
+        ]
+        for f in futs:
+            f.result()
+    paths, _ = _segment_scan(state)
+    if len(paths) >= AUTO_COMPACT_SEGMENTS:
+        compact_count_sketch_segments(spark, state)
     counters = read_count_sketch_segments(spark, state)
     top = (
         li.filter(F.col("l_orderkey") % 5 != 2)
@@ -340,6 +367,13 @@ def co_supplier_shared_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._shared import co_trade_pair_counts
 
     cs = co_trade_pair_counts(spark, sf_dir).select("o_custkey", "l_suppkey")
+    # NOT repartitioned before the self-join (r14 optimization round): the
+    # checkpointed co-trade frame arrives data-sized (9 partitions at
+    # sf0.1) and the pair fan-out runs at that width, but an A/B with
+    # repartition_for_compute(cs, "o_custkey") on the probe side measured
+    # WORSE end to end (warm ~4.5-5.3 s vs ~3.8-4.5 s count) — the extra
+    # exchange + lost narrow pipeline into the fan-out cost more than the
+    # 9-wide map chain it spread.
     t1, t2 = cs.alias("t1"), cs.alias("t2")
     return (
         t1.join(
@@ -396,7 +430,22 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import triangle_stats
     from pyspark.sql import Window
 
-    pairs = co_supplier_shared_counts(spark, sf_dir)
+    # Materialize `pairs` once (r14 optimization round): `directed`
+    # consumes it TWICE (forward + reversed union branch). Spark reuses
+    # the pair exchange across the branches but re-runs the post-shuffle
+    # COUNT aggregate per branch — profiled as the query's dominant stage
+    # (77 s task time, 213 MB = 2× the 106.5 MB exchange re-read). The
+    # counted pair table is O(N·T-bounded degree) rows — the agg's INPUT
+    # stream is ~26× bigger — so materializing turns two full count
+    # passes into one. owned_persist (columnar, ~12 MB) rather than
+    # localCheckpoint (deserialized java rows — probed at 91 MB and
+    # 41.8 s of task time just to re-read); the count() fill runs the agg
+    # once cleanly before the two union branches read the cache. Same
+    # rows, same downstream math.
+    from ..cache import owned_persist
+
+    pairs = owned_persist(co_supplier_shared_counts(spark, sf_dir))
+    pairs.count()
     directed = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "shared"
     ).unionByName(
