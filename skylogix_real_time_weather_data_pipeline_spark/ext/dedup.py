@@ -318,18 +318,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     # filtered array AND per element inside the lambda, and an unbound
     # reference re-inlines array_sort(collect_set(...)) at every element
     # access — O(n² log n) per bucket (the winnowing/_let lesson; probed
-    # live in this round's bucket-build stage).
-    from .text import _let
-
-    mem_set = F.array_sort(F.collect_set(F.struct(F.col(id_col), F.col("n_raw"))))
-    dedup_by_id = _let(
-        mem_set,
-        lambda ms: F.filter(
-            ms,
-            lambda m, i: F.when(i == 0, F.lit(True)).otherwise(
-                m[id_col] != F.element_at(ms, i)[id_col]  # 1-based: the previous element
-            ),
-        ),
+    # live in this round's bucket-build stage). Built as ONE SQL string
+    # (r14 optimization round, see text.tokens_sql) — identical binder and
+    # filter, i is 0-based so element_at(ms, i) is the PREVIOUS element.
+    dedup_by_id = F.expr(
+        "element_at(transform(array(array_sort(collect_set("
+        f"named_struct('{id_col}', {id_col}, 'n_raw', n_raw)))), ms ->"
+        " filter(ms, (m, i) -> case when i = 0 then true"
+        f" else m.{id_col} != element_at(ms, i).{id_col} end)), 1)"
     )
     buckets = sh.groupBy("shingle").agg(dedup_by_id.alias("mems"))
     from ..cache import owned_persist
@@ -614,16 +610,23 @@ def _doc_gram_hashes(df, text_col, id_col, k):
     NULL text == empty doc for all three ExactSubstr operators, mirrored
     in the oracles' shared th8 CTE."""
     from .text import (
-        _let,
-        kgram_hash_array,
+        kgram_hash_array_sql,
         repartition_for_compute,
-        token_hash_array,
+        token_hash_array_sql,
         tokens,
+        tokens_sql,
     )
 
     df = repartition_for_compute(df, id_col)
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
-    hs = _let(token_hash_array(toks), lambda th: kgram_hash_array(th, k))
+    # one SQL string for the let-bound hash chain (r14 optimization round,
+    # see text.tokens_sql): identical binder + expressions, no per-node
+    # py4j construction cost.
+    hs = F.expr(
+        "element_at(transform(array("
+        + token_hash_array_sql(tokens_sql(f"coalesce({text_col}, '')"))
+        + f"), th -> {kgram_hash_array_sql('th', k)}), 1)"
+    )
     return df, toks, hs
 
 

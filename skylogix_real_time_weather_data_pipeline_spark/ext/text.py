@@ -939,14 +939,14 @@ def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     base = repartition_for_compute(df, id_col).select(
         id_col, tokens(text_col).alias("tk")
     )
-    tk = F.col("tk")
-    windows = F.when(
-        F.size(tk) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tk) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j + 1) for j in range(n)]),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", tk)))
+    # windows as ONE SQL string (r14 optimization round, see tokens_sql):
+    # same element_at/concat_ws expressions, no per-node py4j construction.
+    grams = ", ".join(f"element_at(tk, i + {j + 1})" for j in range(n))
+    windows = F.expr(
+        f"case when size(tk) >= {n} then"
+        f" transform(sequence(0, size(tk) - {n}), i -> concat_ws(' ', {grams}))"
+        " else array(concat_ws(' ', tk)) end"
+    )
     if with_count:
         payload = _let(
             windows,
@@ -1001,18 +1001,26 @@ def _let(value: Column, body) -> Column:
 _W_HALF = 1 << 30
 
 
-def token_hash_array(toks: Column) -> Column:
+def tokens_sql(text_sql: str) -> str:
+    """SQL-string form of :func:`tokens` (r14 optimization round: the hot
+    dedup/winnowing expression trees are built as single SQL strings
+    parsed JVM-side — the Column-API construction paid one py4j round
+    trip per operator node, measured at 0.4-0.8 s of driver time per
+    query build; resolved expressions and values are identical)."""
+    return f"filter(split(trim({text_sql}), '\\\\s+'), t -> t != '')"
+
+
+def token_hash_array_sql(toks_sql: str) -> str:
     """Per-token 60-bit portable hash array: each token md5'd once, first
     15 hex chars as a long — the shared base of every k-gram hash (the
     winnowing fingerprints and the exact substring-run dedup). An ANSI
     oracle reproduces it as CAST(concat('0x', substr(md5(t),1,15)) AS
-    BIGINT)."""
-    return F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
-    )
+    BIGINT). SQL-string builder (see :func:`tokens_sql`)."""
+    return (f"transform({toks_sql}, t ->"
+            " cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))")
 
 
-def kgram_hash_array(th: Column, k: int) -> Column:
+def kgram_hash_array_sql(th: str, k: int) -> str:
     """62-bit k-gram hash array from a token-hash array: two independent
     Carter-Wegman combinations of the tokens' 30-bit halves
     ((Σ_j a_j·lo_j + b_j·hi_j) mod 2^31−1, coefficients from
@@ -1022,29 +1030,30 @@ def kgram_hash_array(th: Column, k: int) -> Column:
     operator (~2.4 s of 3.3 s at sf0.1). Each term is < 2^16·2^31 < 2^47,
     so the unreduced k-term sum stays under the long range for k ≤ 2^15
     (k·2^47 < 2^63); both combines are expressible in ANSI SQL on the
-    same md5, so DuckDB oracles replay them exactly."""
+    same md5, so DuckDB oracles replay them exactly.
+
+    ``th`` is the NAME (column or lambda variable) of the token-hash
+    array; SQL-string builder (see :func:`tokens_sql`). The guard keeps
+    sequence(1, 0) from DESCENDING — [] for short docs."""
     from .dedup import MH_P, mh_params
 
     prm = mh_params(2 * k)
     co1, co2 = prm[:k], prm[k:]
-    n_kg = F.greatest(F.size(th) - F.lit(k - 1), F.lit(0))
+    n_kg = f"greatest(size({th}) - {k - 1}, 0)"
 
-    def poly(i, coefs):
-        s = None
-        for j, (a, b) in enumerate(coefs):
-            e = F.element_at(th, i + j)
-            t = F.lit(a) * (e % F.lit(_W_HALF)) + F.lit(b) * F.shiftright(e, 30)
-            s = t if s is None else s + t
-        return s % F.lit(MH_P)
+    def poly(coefs):
+        terms = " + ".join(
+            f"({a} * (element_at({th}, i + {j}) % {_W_HALF})"
+            f" + {b} * shiftright(element_at({th}, i + {j}), 30))"
+            for j, (a, b) in enumerate(coefs)
+        )
+        return f"(({terms}) % {MH_P})"
 
-    # guard: sequence(1, 0) would DESCEND in Spark — emit [] for short docs
-    return F.when(
-        n_kg >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_kg),
-            lambda i: poly(i, co1) * F.lit(1 << 31) + poly(i, co2),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        f"case when {n_kg} >= 1 then transform(sequence(1, {n_kg}),"
+        f" i -> {poly(co1)} * {1 << 31} + {poly(co2)})"
+        " else cast(array() as array<bigint>) end"
+    )
 
 
 def winnow_select(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -1080,22 +1089,27 @@ def winnow_select(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     toks = tokens(text_col)
     n_tok = F.size(toks)
 
-    def window_mins(hs: Column) -> Column:
-        n_win = F.greatest(F.size(hs) - F.lit(w - 1), F.lit(0))
-        return F.when(
-            n_win >= 1,
-            F.transform(
-                F.sequence(F.lit(1), n_win),
-                lambda j: _let(F.slice(hs, j, w), lambda sl: _let(
-                    F.array_min(sl), lambda mn: F.struct(
-                        mn.alias("h"),
-                        (j - 2 + F.array_position(sl, mn)).cast("long").alias("p"),
-                    ))),
-            ),
-        ).otherwise(F.array().cast("array<struct<h:bigint,p:bigint>>"))
-
-    fps = _let(token_hash_array(toks), lambda th: _let(
-        kgram_hash_array(th, k), lambda hs: F.array_distinct(window_mins(hs))))
+    # the whole selection kernel as ONE SQL string (r14 optimization
+    # round, see tokens_sql): identical let-binders (lambda variables) and
+    # struct shapes as the previous Column-API form, built without its
+    # per-node py4j construction cost.
+    empty = "cast(array() as array<struct<h:bigint,p:bigint>>)"
+    n_win = f"greatest(size(hs) - {w - 1}, 0)"
+    window_mins = (
+        f"case when {n_win} >= 1 then transform(sequence(1, {n_win}), j ->"
+        f" element_at(transform(array(slice(hs, j, {w})), sl ->"
+        " element_at(transform(array(array_min(sl)), mn ->"
+        " named_struct('h', mn, 'p',"
+        " cast(j - 2 + array_position(sl, mn) as bigint))), 1)), 1))"
+        f" else {empty} end"
+    )
+    fps = F.expr(
+        "element_at(transform(array("
+        + token_hash_array_sql(tokens_sql(text_col))
+        + "), th -> element_at(transform(array("
+        + kgram_hash_array_sql("th", k)
+        + f"), hs -> array_distinct({window_mins})), 1)), 1)"
+    )
     return df.select(
         id_col,
         F.greatest(n_tok - F.lit(k - 1), F.lit(0)).cast("long").alias("n_kgrams"),
@@ -1166,28 +1180,23 @@ def bigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     # across cores — the LM table build was running on the source's
     # single partition and dominated the benched cost (solo probe:
     # 6.9 s drained vs 1.0 s warm; the build IS the cost).
-    def _pairs(tk):
-        n_tok = F.size(tk)
-        empty = F.array().cast("array<struct<prev:string,w:string>>")
-        sentinel = F.array(
-            F.struct(
-                F.lit(None).cast("string").alias("prev"),
-                F.element_at(tk, 1).alias("w"),
-            )
-        )
-        rest = F.when(
-            n_tok >= 2,
-            F.transform(
-                F.sequence(F.lit(2), n_tok),
-                lambda i: F.struct(
-                    F.element_at(tk, i - 1).alias("prev"),
-                    F.element_at(tk, i).alias("w"),
-                ),
-            ),
-        ).otherwise(empty)
-        return F.when(n_tok >= 1, F.concat(sentinel, rest)).otherwise(empty)
-
-    pairs = _let(tokens(text_col), _pairs)
+    # the transition builder as ONE SQL string (r14 optimization round,
+    # see tokens_sql): same let-binder, sentinel and struct shapes as the
+    # previous Column-API form, without its per-node py4j construction.
+    empty = "cast(array() as array<struct<prev:string,w:string>>)"
+    sentinel = ("array(named_struct('prev', cast(null as string),"
+                " 'w', element_at(tk, 1)))")
+    rest = (
+        "case when size(tk) >= 2 then transform(sequence(2, size(tk)),"
+        " i -> named_struct('prev', element_at(tk, i - 1),"
+        " 'w', element_at(tk, i)))"
+        f" else {empty} end"
+    )
+    pairs = F.expr(
+        "element_at(transform(array(" + tokens_sql(text_col) + "), tk -> "
+        f"case when size(tk) >= 1 then concat({sentinel}, {rest})"
+        f" else {empty} end), 1)"
+    )
     # OWNED CACHE (same contract as temperature_mixture's counts): the
     # returned frame evaluates t lazily, so it cannot be unpersisted
     # here; the cache.py registry releases it between queries.

@@ -1625,11 +1625,37 @@ def q_ivf_topk_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = embs.filter(F.col("vec_id") != 0)
     root = _session_state_dir(spark, sf_dir, "skylogix_ivf_rz")
     state = os.path.join(root, "view")
-    apply_ivf_postings_retractable_delta(
-        corpus.filter(F.col("vec_id") % 2 == 0), 0, state)
-    apply_ivf_postings_retractable_delta(
-        corpus.filter(F.col("vec_id") % 2 == 1), 1, state)
-    retract_ivf_postings_delta(corpus.filter(F.col("vec_id") % 7 == 3), 2, state)
+    # CONCURRENT segment writers (r14 optimization round, mirrors
+    # q_count_sketch_retract): the two applies and the tombstone are
+    # independent (state_dir, batch_id) writers whose Z-set fold commutes,
+    # so pooling them removes two apply latencies from the cycle's
+    # critical path. Auto-compaction deferred to one post-drain check
+    # (no-op at 3 segments vs the 16 trigger) — state identical to the
+    # sequential r11-r13 shape.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..streaming.matview import (
+        AUTO_COMPACT_SEGMENTS,
+        _segment_scan,
+        compact_ivf_postings_retractable_segments,
+    )
+
+    deltas = [
+        (apply_ivf_postings_retractable_delta,
+         corpus.filter(F.col("vec_id") % 2 == 0), 0),
+        (apply_ivf_postings_retractable_delta,
+         corpus.filter(F.col("vec_id") % 2 == 1), 1),
+        (retract_ivf_postings_delta,
+         corpus.filter(F.col("vec_id") % 7 == 3), 2),
+    ]
+    with ThreadPoolExecutor(max_workers=len(deltas)) as pool:
+        futs = [pool.submit(fn, df, b, state, auto_compact=None)
+                for fn, df, b in deltas]
+        for f in futs:
+            f.result()
+    paths, _ = _segment_scan(state)
+    if len(paths) >= AUTO_COMPACT_SEGMENTS:
+        compact_ivf_postings_retractable_segments(spark, state)
     live = read_ivf_postings_retractable_segments(spark, state).withColumnRenamed(
         "cell", "label"
     )
