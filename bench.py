@@ -305,8 +305,24 @@ def main() -> int:
     # re-score BM25 against the maintained view — the steady-state cost a
     # production deployment pays per ingest batch, vs re-tokenizing the
     # corpus. Fresh state dir per run (median-of-3 like everything else).
+    #
+    # SERIES BREAK (r15, r14 verdict #3): the two applies now go through
+    # the SEGMENTED term-stats appliers submitted from a thread pool —
+    # the same commutativity contract as the doc-views/count-sketch
+    # pooling (immutable per-batch segments + additive (cf, df) fold;
+    # equivalence pytest-pinned in
+    # test_pooled_term_stats_deltas_match_sequential) — then one
+    # post-drain maybe_compact (a no-op at 2 data segments, like the
+    # sequential protocol). The r11-r14 series used the FULL-REWRITE
+    # protocol (apply_term_stats_batch: read view + outer-join + rewrite,
+    # serialized per batch), whose second apply is O(view) and whose two
+    # apply latencies sat back to back on the cycle's critical path —
+    # compare r15+ numbers for this row against r14-and-earlier with
+    # that protocol change in mind. BM25 answers are identical (the fold
+    # and the combined view agree; pytest-pinned since r10).
     import shutil
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from pyspark.sql import functions as SF
 
@@ -315,7 +331,10 @@ def main() -> int:
         tokens,
     )
     from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
-        apply_term_stats_batch,
+        _merge_term_stats_segments,
+        apply_term_stats_delta,
+        maybe_compact,
+        read_term_stats_segments,
     )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -331,9 +350,16 @@ def main() -> int:
         root = tempfile.mkdtemp(prefix="bench_matview_")
         state = f"{root}/view"
         try:
-            apply_term_stats_batch(half1, 0, state)
-            apply_term_stats_batch(half2, 1, state)      # the incremental append
-            stats = spark.read.parquet(state)
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [
+                    pool.submit(apply_term_stats_delta, half, b, state,
+                                auto_compact=None)
+                    for b, half in enumerate((half1, half2))
+                ]
+                for f in futs:
+                    f.result()
+            maybe_compact(spark, state, _merge_term_stats_segments)
+            stats = read_term_stats_segments(spark, state)
             return bm25_topk_from_stats(
                 docs, stats, n_docs, avgdl, ["data", "model"], k=10
             ).count()

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import repartition_for_compute, shingle_rows
+from .text import repartition_for_compute, shingle_rows, sql_ident
 
 
 def _md5_long(col, seed: int) -> F.Column:
@@ -321,11 +321,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     # live in this round's bucket-build stage). Built as ONE SQL string
     # (r14 optimization round, see text.tokens_sql) — identical binder and
     # filter, i is 0-based so element_at(ms, i) is the PREVIOUS element.
+    idc = sql_ident(id_col)  # interpolated unquoted below (r15, r14 ADVICE)
     dedup_by_id = F.expr(
         "element_at(transform(array(array_sort(collect_set("
-        f"named_struct('{id_col}', {id_col}, 'n_raw', n_raw)))), ms ->"
+        f"named_struct('{idc}', {idc}, 'n_raw', n_raw)))), ms ->"
         " filter(ms, (m, i) -> case when i = 0 then true"
-        f" else m.{id_col} != element_at(ms, i).{id_col} end)), 1)"
+        f" else m.{idc} != element_at(ms, i).{idc} end)), 1)"
     )
     buckets = sh.groupBy("shingle").agg(dedup_by_id.alias("mems"))
     from ..cache import owned_persist
@@ -624,7 +625,7 @@ def _doc_gram_hashes(df, text_col, id_col, k):
     # py4j construction cost.
     hs = F.expr(
         "element_at(transform(array("
-        + token_hash_array_sql(tokens_sql(f"coalesce({text_col}, '')"))
+        + token_hash_array_sql(tokens_sql(f"coalesce({sql_ident(text_col)}, '')"))
         + f"), th -> {kgram_hash_array_sql('th', k)}), 1)"
     )
     return df, toks, hs
@@ -1480,8 +1481,8 @@ def hamming_near_pairs(hashed: DataFrame, hash_col: str = "simhash",
         chunked.groupBy("chunk_idx", "chunk_val")
         .agg(
             F.expr(
-                f"array_sort(collect_list(named_struct('id', {id_col},"
-                " 'sh', simhash)))"
+                "array_sort(collect_list(named_struct('id',"
+                f" {sql_ident(id_col)}, 'sh', simhash)))"
             ).alias("ms")
         )
         .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket_size))

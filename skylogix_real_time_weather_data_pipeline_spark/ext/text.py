@@ -7,6 +7,7 @@ exactly.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -1000,6 +1001,25 @@ def _let(value: Column, body) -> Column:
 #: 30-bit split point and packing base for the winnowing k-gram hash
 _W_HALF = 1 << 30
 
+_SQL_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def sql_ident(name: str) -> str:
+    """Validate a caller-supplied column name before interpolating it
+    into an ``F.expr`` SQL string (r15, r14 ADVICE): the r14 SQL-string
+    builders splice ``text_col``/``id_col`` unquoted, so a name needing
+    backticks (dots, spaces, hyphens) — which the previous Column-API
+    form handled — would mis-parse or mis-resolve silently. Every
+    internal caller passes plain identifiers; anything else fails loudly
+    here instead."""
+    if not _SQL_IDENT.fullmatch(name):
+        raise ValueError(
+            f"column name {name!r} is not a plain SQL identifier; the "
+            "SQL-string kernels require [A-Za-z_][A-Za-z0-9_]* names "
+            "(rename the column before calling)"
+        )
+    return name
+
 
 def tokens_sql(text_sql: str) -> str:
     """SQL-string form of :func:`tokens` (r14 optimization round: the hot
@@ -1105,7 +1125,7 @@ def winnow_select(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
     fps = F.expr(
         "element_at(transform(array("
-        + token_hash_array_sql(tokens_sql(text_col))
+        + token_hash_array_sql(tokens_sql(sql_ident(text_col)))
         + "), th -> element_at(transform(array("
         + kgram_hash_array_sql("th", k)
         + f"), hs -> array_distinct({window_mins})), 1)), 1)"
@@ -1193,7 +1213,7 @@ def bigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         f" else {empty} end"
     )
     pairs = F.expr(
-        "element_at(transform(array(" + tokens_sql(text_col) + "), tk -> "
+        "element_at(transform(array(" + tokens_sql(sql_ident(text_col)) + "), tk -> "
         f"case when size(tk) >= 1 then concat({sentinel}, {rest})"
         f" else {empty} end), 1)"
     )

@@ -1629,16 +1629,14 @@ def q_ivf_topk_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q_count_sketch_retract): the two applies and the tombstone are
     # independent (state_dir, batch_id) writers whose Z-set fold commutes,
     # so pooling them removes two apply latencies from the cycle's
-    # critical path. Auto-compaction deferred to one post-drain check
-    # (no-op at 3 segments vs the 16 trigger) — state identical to the
-    # sequential r11-r13 shape.
+    # critical path. Auto-compaction deferred to one post-drain
+    # maybe_compact applying BOTH triggers (r15, r14 ADVICE: the r14 form
+    # checked only the 16-count trigger and silently skipped the
+    # tombstone-fraction compaction the sequential r11-r13 shape
+    # performed) — on-disk end state matches the sequential protocol.
     from concurrent.futures import ThreadPoolExecutor
 
-    from ..streaming.matview import (
-        AUTO_COMPACT_SEGMENTS,
-        _segment_scan,
-        compact_ivf_postings_retractable_segments,
-    )
+    from ..streaming.matview import _fold_ivf_postings_weights, maybe_compact
 
     deltas = [
         (apply_ivf_postings_retractable_delta,
@@ -1653,9 +1651,7 @@ def q_ivf_topk_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for fn, df, b in deltas]
         for f in futs:
             f.result()
-    paths, _ = _segment_scan(state)
-    if len(paths) >= AUTO_COMPACT_SEGMENTS:
-        compact_ivf_postings_retractable_segments(spark, state)
+    maybe_compact(spark, state, _fold_ivf_postings_weights)
     live = read_ivf_postings_retractable_segments(spark, state).withColumnRenamed(
         "cell", "label"
     )

@@ -171,17 +171,15 @@ def q_count_sketch_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same state). Sequentially each delta paid its full scan→groupBy→
     # hash→write latency back to back (measured 3×~1-2 s of a 5 s warm
     # cycle); pooled, local[n] interleaves them. Auto-compaction is
-    # deferred to one post-drain check (mid-pool compaction from two
-    # writers would race) — with 3 segments vs the 16-segment trigger
-    # the check is a no-op in both forms, so state and answers are
-    # identical to the sequential r11-r13 shape.
+    # deferred to one post-drain maybe_compact (mid-pool compaction from
+    # two writers would race); it applies BOTH triggers, so the
+    # tombstone-fraction compaction the sequential r11-r13 shape
+    # performed after the retract fires here too (r15, r14 ADVICE — the
+    # r14 form checked only the 16-count trigger and skipped it) and the
+    # on-disk end state matches the sequential protocol.
     from concurrent.futures import ThreadPoolExecutor
 
-    from ..streaming.matview import (
-        AUTO_COMPACT_SEGMENTS,
-        _segment_scan,
-        compact_count_sketch_segments,
-    )
+    from ..streaming.matview import _fold_count_sketch_weights, maybe_compact
 
     deltas = [
         (apply_count_sketch_delta, li.filter(F.col("l_orderkey") % 2 == 0), 0),
@@ -196,9 +194,7 @@ def q_count_sketch_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for f in futs:
             f.result()
-    paths, _ = _segment_scan(state)
-    if len(paths) >= AUTO_COMPACT_SEGMENTS:
-        compact_count_sketch_segments(spark, state)
+    maybe_compact(spark, state, _fold_count_sketch_weights)
     counters = read_count_sketch_segments(spark, state)
     top = (
         li.filter(F.col("l_orderkey") % 5 != 2)

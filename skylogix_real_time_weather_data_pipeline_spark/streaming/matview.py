@@ -1273,6 +1273,44 @@ def _apply_delta_segment(delta_fn, batch_df: DataFrame, batch_id: int,
                               retain_last=AUTO_COMPACT_RETAIN)
 
 
+def maybe_compact(spark, state_dir: str, merge_fn,
+                  auto_compact: int | None = AUTO_COMPACT_SEGMENTS) -> bool:
+    """Post-drain auto-compaction for POOLED segment writers (r15, r14
+    ADVICE): concurrent appliers run with ``auto_compact=None`` (a
+    mid-pool compaction would race other writers) and call this ONCE
+    after the pool drains. It applies BOTH triggers
+    :func:`_apply_delta_segment` applies inline — the segment-count
+    threshold AND the tombstone-fraction threshold — so the pooled
+    protocol compacts exactly where the sequential protocol would have
+    after its final apply (the r14 pooled paths checked only the count
+    trigger, silently skipping the fraction-triggered compaction the
+    sequential r11-r13 shape performed; reads fold raw segments either
+    way, so answers never differed, but on-disk state did). Returns
+    True when a compaction ran."""
+    if auto_compact is None:
+        return False
+    paths, _ = _segment_scan(state_dir)
+    if not paths:
+        return False
+    if len(paths) >= auto_compact:
+        _compact_segments(spark, state_dir, merge_fn,
+                          retain_last=AUTO_COMPACT_RETAIN)
+        return True
+    # same population rule as the inline check: non-empty tombstones over
+    # segments with real read pressure (empty tombstones count in neither
+    # side; compact segments are data). Pure-insert pools have no
+    # tombstone and skip compaction, exactly like the sequential path.
+    raws = [p for p in paths if os.path.basename(p).startswith("b")]
+    kinds = [_raw_segment_kind(p) for p in raws]
+    n_tomb = sum(1 for k in kinds if k == "tombstone")
+    n_pop = sum(1 for k in kinds if k != "empty_tombstone")
+    if n_tomb and n_pop and n_tomb / n_pop >= TOMBSTONE_COMPACT_FRACTION:
+        _compact_segments(spark, state_dir, merge_fn,
+                          retain_last=AUTO_COMPACT_RETAIN)
+        return True
+    return False
+
+
 def apply_gram_index_delta(batch_df: DataFrame, batch_id: int, state_dir: str,
                            text_col: str = "text", id_col: str = "doc_id",
                            k: int = 8, max_gram_df: int = 1_000,

@@ -2617,3 +2617,129 @@ def test_raw_manifest_corruption_is_tolerated(spark, tmp_path):
         auto_compact=None)
     assert read_exact_dedup_retractable_segments(
         spark, state).count() == 0
+
+
+def test_maybe_compact_pooled_matches_sequential(spark, tmp_path):
+    """r15 (r14 ADVICE): pooled segment writers defer auto-compaction to
+    one post-drain maybe_compact, which must apply BOTH triggers the
+    inline protocol applies — in particular the tombstone-fraction
+    trigger the r14 pooled form skipped. Two applies + one retract via
+    the pooled protocol must land the SAME on-disk end state as the
+    sequential auto-compacting protocol (compaction fired: one compact
+    segment, no raws), and a pure-insert pool must not compact."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        _fold_count_sketch_weights,
+        apply_count_sketch_delta,
+        maybe_compact,
+        read_count_sketch_segments,
+        retract_count_sketch_delta,
+        segment_stats,
+    )
+
+    schema = "k string"
+    b0 = [("a",), ("b",), ("a",)]
+    b1 = [("c",), ("a",)]
+    gone = [("a",)]
+
+    def run_pooled(state):
+        deltas = [
+            (apply_count_sketch_delta, b0, 0),
+            (apply_count_sketch_delta, b1, 1),
+            (retract_count_sketch_delta, gone, 2),
+        ]
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(fn, spark.createDataFrame(rows, schema), b,
+                            state, "k", depth=3, width=8, auto_compact=None)
+                for fn, rows, b in deltas
+            ]
+            for f in futs:
+                f.result()
+        return maybe_compact(spark, state, _fold_count_sketch_weights)
+
+    pooled = str(tmp_path / "pooled")
+    assert run_pooled(pooled) is True  # fraction trigger fired post-drain
+
+    seq = str(tmp_path / "seq")
+    apply_count_sketch_delta(
+        spark.createDataFrame(b0, schema), 0, seq, "k", depth=3, width=8)
+    apply_count_sketch_delta(
+        spark.createDataFrame(b1, schema), 1, seq, "k", depth=3, width=8)
+    retract_count_sketch_delta(
+        spark.createDataFrame(gone, schema), 2, seq, "k", depth=3, width=8)
+
+    sp, ss = segment_stats(pooled), segment_stats(seq)
+    for key in ("compact_segments", "raw_segments", "tombstone_segments",
+                "applied_batches"):
+        assert sp[key] == ss[key], key
+    assert sp["compact_segments"] == 1 and sp["raw_segments"] == 0
+
+    def counters(state):
+        return sorted(map(tuple,
+                          read_count_sketch_segments(spark, state).collect()))
+
+    assert counters(pooled) == counters(seq)
+
+    # pure-insert pool: neither trigger fires, raw segments stay
+    ins = str(tmp_path / "ins")
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(apply_count_sketch_delta,
+                        spark.createDataFrame(rows, schema), b, ins, "k",
+                        depth=3, width=8, auto_compact=None)
+            for b, rows in enumerate((b0, b1))
+        ]
+        for f in futs:
+            f.result()
+    assert maybe_compact(spark, ins, _fold_count_sketch_weights) is False
+    assert segment_stats(ins)["raw_segments"] == 2
+
+
+def test_pooled_term_stats_deltas_match_sequential(spark, tmp_path):
+    """r15 (r14 verdict #3): the bench's matview cycle now submits its two
+    term-stats delta applies CONCURRENTLY — immutable per-batch segments +
+    an additive (cf, df) fold commute, so the pooled protocol must land
+    the same readable state as the sequential segmented protocol and the
+    same stats as the full-rewrite combine protocol."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from skylogix_real_time_weather_data_pipeline_spark.streaming.matview import (
+        _merge_term_stats_segments,
+        apply_term_stats_batch,
+        apply_term_stats_delta,
+        maybe_compact,
+        read_term_stats_segments,
+        segment_stats,
+    )
+
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, "spark join merge spark spark"), (2, "merge table scan join")],
+        [(3, "spark window filter"), (4, "join join window the filter scan")],
+    ]
+    pooled, seq, cmp_ = (str(tmp_path / d) for d in ("pooled", "seq", "cmp"))
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(apply_term_stats_delta,
+                        spark.createDataFrame(rows, schema), b, pooled,
+                        auto_compact=None)
+            for b, rows in enumerate(batches)
+        ]
+        for f in futs:
+            f.result()
+    # pure-insert pool below both triggers: no compaction, 2 raw segments
+    assert maybe_compact(spark, pooled, _merge_term_stats_segments) is False
+    assert segment_stats(pooled)["raw_segments"] == 2
+
+    for b, rows in enumerate(batches):
+        bdf = spark.createDataFrame(rows, schema)
+        apply_term_stats_delta(bdf, b, seq)
+        apply_term_stats_batch(bdf, b, cmp_)
+
+    def stats(state):
+        return sorted(map(tuple, read_term_stats_segments(spark, state).collect()))
+
+    want = sorted(map(tuple, spark.read.parquet(cmp_).collect()))
+    assert stats(pooled) == stats(seq) == want
