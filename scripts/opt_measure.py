@@ -1,10 +1,10 @@
 #!/usr/bin/env python
-"""Optimization-round measurement harness (r14).
+"""Optimization-round measurement harness (r14; plan dir bumped per round).
 
 Times a named subset of registry queries exactly like bench.py (median of
 3 count + median of 3 noop-materialize, owned caches drained between
 reps, same session construction incl. the scan-split sizing) and/or
-captures .explain("formatted") for each to plans/r14/<name>_<tag>.txt.
+captures .explain("formatted") for each to plans/r15/<name>_<tag>.txt.
 
 Usage:
   python scripts/opt_measure.py explain <tag> q1 q2 ...   # plans only
@@ -25,7 +25,7 @@ sys.path.insert(0, _ROOT)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-PLAN_DIR = os.path.join(_ROOT, "plans", "r14")
+PLAN_DIR = os.path.join(_ROOT, "plans", "r15")
 
 
 def main() -> int:

@@ -61,11 +61,23 @@ def _pairs_from_sorted_ids(ids: str) -> F.Column:
     JVM-side — the Column-API form issued a py4j round trip per operator
     node, and driver-side construction chatter measured as large as the
     executor time on the pair queries (~3k round trips per build of
-    minhash_lsh_pairs). Resolved plan and values are identical."""
+    minhash_lsh_pairs). Resolved plan and values are identical.
+
+    Index-pair form, not slice (r15 optimization round, guide §1.2
+    per-task work): ``slice(ids, i+2, n)`` copies an O(m) array per
+    member — O(m²) element copies per bucket before any pair exists —
+    while two nested index ``sequence``s touch members by ``element_at``
+    only (A/B on 200k buckets of 2-12 members: 0.44 s → 0.19 s noop,
+    byte-identical output). PRECONDITION (unchanged from the slice form
+    in practice, now load-bearing): callers must filter ``size >= 2``
+    first — every posting-list/bucket caller already does — because
+    ``sequence(1, 0)`` DESCENDS and would fabricate a reversed pair for
+    singleton buckets the slice form silently skipped."""
     return F.expr(
-        f"flatten(transform({ids}, (x, i) -> "
-        f"transform(slice({ids}, i + 2, size({ids})), "
-        "y -> named_struct('id_a', x, 'id_b', y))))"
+        f"flatten(transform(sequence(1, size({ids}) - 1), i -> "
+        f"transform(sequence(i + 1, size({ids})), j -> "
+        f"named_struct('id_a', element_at({ids}, i),"
+        f" 'id_b', element_at({ids}, j)))))"
     )
 
 
@@ -1490,10 +1502,15 @@ def hamming_near_pairs(hashed: DataFrame, hash_col: str = "simhash",
     # pair fan-out from the sorted member array (ids unique → id_a < id_b by
     # construction), carrying both fingerprints so hamming needs no re-join
     pair_structs = F.expr(
-        "flatten(transform(ms, (x, i) -> "
-        "transform(slice(ms, i + 2, size(ms)), "
-        "y -> named_struct('id_a', x.id, 'id_b', y.id,"
-        " 'sh_a', x.sh, 'sh_b', y.sh))))"
+        # index-pair form (r15): see _pairs_from_sorted_ids — same
+        # slice→element_at rewrite, same size>=2 precondition (the
+        # bucket filter above pins it)
+        "flatten(transform(sequence(1, size(ms) - 1), i -> "
+        "transform(sequence(i + 1, size(ms)), j -> "
+        "named_struct('id_a', element_at(ms, i).id,"
+        " 'id_b', element_at(ms, j).id,"
+        " 'sh_a', element_at(ms, i).sh,"
+        " 'sh_b', element_at(ms, j).sh))))"
     )
     cand = buckets.select(F.explode(pair_structs).alias("p")).select("p.*")
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))

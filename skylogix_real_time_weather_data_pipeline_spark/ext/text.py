@@ -7,6 +7,7 @@ exactly.
 
 from __future__ import annotations
 
+import os
 import re
 from collections.abc import Sequence
 
@@ -32,6 +33,64 @@ def tokens(text: Column | str) -> Column:
     return F.filter(F.split(F.trim(text), "\\s+"), lambda t: t != "")
 
 
+def _parse_spark_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728b', '128m', '1g',
+    or a bare number)."""
+    s = v.strip().lower()
+    mult = 1
+    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                   ("b", 1)):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    return int(float(s)) * mult
+
+
+def _scan_partitions_estimate(df: DataFrame) -> int | None:
+    """Cheap scan-partition estimate for the repartition_for_compute
+    decision (r15 optimization round): the exact probe —
+    ``df.rdd.getNumPartitions()`` — forces full analysis + physical
+    planning + an RDD deserializer chain, measured at 0.4-0.5 s PER CALL
+    on this plan family, paid inside every text/dedup query build. The
+    decision only needs the ORDER OF MAGNITUDE of the scan's
+    parallelism, which for a file source follows from file sizes and
+    ``spark.sql.files.maxPartitionBytes`` (each file yields about
+    ceil(size/split) slices; slice packing only merges small files, so
+    this over-estimates on many-tiny-file layouts — acceptable, because
+    at that shape the downstream per-row work is already spread).
+    Returns None — caller falls back to the exact probe — for non-file
+    sources (test createDataFrame frames, joins over views) and
+    non-local URIs whose sizes we cannot stat cheaply. Either branch of
+    the caller's decision is value-identical; this is a performance
+    heuristic only."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    from urllib.parse import unquote, urlparse
+
+    for uri in files:
+        if uri.startswith("file:"):
+            path = unquote(urlparse(uri).path)
+        elif uri.startswith("/"):
+            path = uri
+        else:
+            return None
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    try:
+        split = _parse_spark_bytes(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes"))
+    except Exception:
+        split = 128 << 20
+    return max(len(files), -(-total // max(split, 1)))
+
+
 def repartition_for_compute(df: DataFrame, key: str) -> DataFrame:
     """Spread CPU-heavy per-row work across cores — ONLY when needed.
 
@@ -44,12 +103,17 @@ def repartition_for_compute(df: DataFrame, key: str) -> DataFrame:
     longs per doc either way. So: skip the shuffle whenever the source
     already has at least half the cluster's parallelism in partitions.
     Streaming inputs can't be probed (no .rdd) and arrive micro-batched —
-    leave them untouched.
+    leave them untouched. The partition count comes from the cheap
+    file-metadata estimate when the input is a local file scan (see
+    :func:`_scan_partitions_estimate`; the exact RDD probe cost 0.4-0.5 s
+    of driver time per query build) and from the exact probe otherwise.
     """
     if df.isStreaming:
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 >= target:
+    est = _scan_partitions_estimate(df)
+    n = est if est is not None else df.rdd.getNumPartitions()
+    if n * 2 >= target:
         return df
     return df.repartition(target, key)
 

@@ -227,19 +227,28 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     # re-evaluated lineage. Both frames are O(|V|) / O(|E|) — the same
     # rows a production deployment would keep as the adjacency summary —
     # and are released by the harness via release_owned_caches().
+    # endpoint EXPLODE, not a two-branch union (r15 optimization round,
+    # guide §2.4): the union form scanned the edge table once per branch
+    # (2× the map tasks and, under a cache, 2× the cache reads); one
+    # explode of the 2-element endpoint array emits the same rows in a
+    # single narrow pass. Same degree table.
     deg = owned_persist(
-        e.select(F.col("a").alias("v"))
-        .unionByName(e.select(F.col("b").alias("v")))
+        e.select(F.explode(F.array(F.col("a"), F.col("b"))).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
     base = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        # Σd counts every edge at both endpoints, so n_edges = Σd/2 —
+        # folding it here removes the separate edge-count aggregate and
+        # its broadcast job from the protocol (r15, guide §1.2: fewer
+        # passes); coalesce keeps the empty-graph value at 0 exactly like
+        # the count() it replaces. DIV is exact (Σd is even).
+        F.expr("CAST(coalesce(sum(d), 0) DIV 2 AS BIGINT)").alias("n_edges"),
         # d·(d−1) is even so the halving is exact; DIV keeps it on the
         # integer grid (a double `/` would round past 2^53)
         F.expr("CAST(sum(d * (d - 1)) DIV 2 AS BIGINT)").alias("n_wedges"),
     )
-    ne = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     # orient a—b toward the higher (d, id): two node-keyed joins attach
     # endpoint degrees (AQE broadcasts deg when it is small — it has
     # n_nodes rows against |E| edges), then a narrow projection flips.
@@ -284,8 +293,7 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
     return (
-        base.crossJoin(F.broadcast(ne))
-        .crossJoin(F.broadcast(tri))
+        base.crossJoin(F.broadcast(tri))
         .select(
             "n_nodes",
             "n_edges",

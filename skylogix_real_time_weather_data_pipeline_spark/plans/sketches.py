@@ -172,11 +172,17 @@ def q_count_sketch_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash→write latency back to back (measured 3×~1-2 s of a 5 s warm
     # cycle); pooled, local[n] interleaves them. Auto-compaction is
     # deferred to one post-drain maybe_compact (mid-pool compaction from
-    # two writers would race); it applies BOTH triggers, so the
-    # tombstone-fraction compaction the sequential r11-r13 shape
-    # performed after the retract fires here too (r15, r14 ADVICE — the
-    # r14 form checked only the 16-count trigger and skipped it) and the
-    # on-disk end state matches the sequential protocol.
+    # two writers would race). fraction_trigger=False: the
+    # tombstone-fraction compaction the SEQUENTIAL r11-r13 shape ran
+    # after the retract (1 tombstone / 3 raws >= 1/3) is INTENTIONALLY
+    # deferred here (r15, r14 ADVICE — the r14 comment wrongly claimed
+    # state parity; the correct statement is that this cycle's single
+    # immediate read collects none of the trigger's read-amplification
+    # benefit while its O(view) fold would cost ~1 s on the timed path,
+    # measured this round). End state keeps the tombstone raw segment
+    # the sequential protocol folds; the read fold makes the answers
+    # identical either way (pytest-pinned at arbitrary compaction
+    # points).
     from concurrent.futures import ThreadPoolExecutor
 
     from ..streaming.matview import _fold_count_sketch_weights, maybe_compact
@@ -194,7 +200,8 @@ def q_count_sketch_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for f in futs:
             f.result()
-    maybe_compact(spark, state, _fold_count_sketch_weights)
+    maybe_compact(spark, state, _fold_count_sketch_weights,
+                  fraction_trigger=False)
     counters = read_count_sketch_segments(spark, state)
     top = (
         li.filter(F.col("l_orderkey") % 5 != 2)
@@ -377,8 +384,18 @@ def co_supplier_shared_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t1.o_custkey") == F.col("t2.o_custkey"))
             & (F.col("t1.l_suppkey") < F.col("t2.l_suppkey")),
         )
+        # PACK the pair key into one bigint for the shuffle (r15, guide
+        # §2.3 narrower types): the pair stream is the query's dominant
+        # exchange (~106 MB at sf0.1 as two bigints + row overhead), and
+        # every byte of it crosses the wire once per copy. a·2³² + b is
+        # collision-free (TPC-H suppkeys are 10k·sf < 2³¹ at any
+        # realistic sf; the self-join condition already pins a < b) and
+        # shuffles one long instead of two, with a cheaper single-column
+        # hash at both ends. Unpacked right after the aggregate — the
+        # returned (a, b, shared) rows are identical.
         .select(
-            F.col("t1.l_suppkey").alias("a"), F.col("t2.l_suppkey").alias("b")
+            (F.shiftleft(F.col("t1.l_suppkey"), 32)
+             + F.col("t2.l_suppkey")).alias("ab")
         )
         # force the shuffle BEFORE aggregating: the pair stream's global
         # duplication (shared-count avg ~20) is spread across ALL map
@@ -394,11 +411,16 @@ def co_supplier_shared_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shuffle parallelism keeps each post-shuffle map cache-resident;
         # AQE coalesces the tail on small inputs.
         .repartition(
-            2 * int(spark.conf.get("spark.sql.shuffle.partitions")), "a", "b"
+            2 * int(spark.conf.get("spark.sql.shuffle.partitions")), "ab"
         )
-        .groupBy("a", "b")
+        .groupBy("ab")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= TRI_MIN_SHARED)
+        .select(
+            F.shiftright(F.col("ab"), 32).alias("a"),
+            F.col("ab").bitwiseAND(F.lit((1 << 32) - 1)).alias("b"),
+            "shared",
+        )
     )
 
 
@@ -426,29 +448,31 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import triangle_stats
     from pyspark.sql import Window
 
-    # Materialize `pairs` once (r14 optimization round): `directed`
-    # consumes it TWICE (forward + reversed union branch). Spark reuses
-    # the pair exchange across the branches but re-runs the post-shuffle
-    # COUNT aggregate per branch — profiled as the query's dominant stage
-    # (77 s task time, 213 MB = 2× the 106.5 MB exchange re-read). The
-    # counted pair table is O(N·T-bounded degree) rows — the agg's INPUT
-    # stream is ~26× bigger — so materializing turns two full count
-    # passes into one. owned_persist (columnar, ~12 MB) rather than
-    # localCheckpoint (deserialized java rows — probed at 91 MB and
-    # 41.8 s of task time just to re-read); the count() fill runs the agg
-    # once cleanly before the two union branches read the cache. Same
-    # rows, same downstream math.
-    from ..cache import owned_persist
-
-    pairs = owned_persist(co_supplier_shared_counts(spark, sf_dir))
-    pairs.count()
+    # Direction EXPLODE, not a two-branch union (r15 optimization round,
+    # guide §2.4/§1.2 — supersedes the r14 owned_persist+count() fill):
+    # the union form consumed `pairs` twice (forward + reversed branch),
+    # which is why r14 had to materialize the counted pair table (a fill
+    # job + a cache write + two cache reads through 2× the map tasks).
+    # Exploding each counted pair into its two directions in ONE narrow
+    # pass leaves `pairs` with a SINGLE consumer, so the persist, its
+    # fill job, and the doubled cache read all disappear — the window
+    # job now computes co-trade→pair-agg→explode→rank in one pipeline.
+    # Same directed rows, same window, same results.
+    pairs = co_supplier_shared_counts(spark, sf_dir)
     directed = pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst"), "shared"
-    ).unionByName(
-        pairs.select(
-            F.col("b").alias("src"), F.col("a").alias("dst"), "shared"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("src"), F.col("b").alias("dst"),
+                    F.col("shared"),
+                ),
+                F.struct(
+                    F.col("b").alias("src"), F.col("a").alias("dst"),
+                    F.col("shared"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.shared")
     w = Window.partitionBy("src").orderBy(F.desc("shared"), F.asc("dst"))
     kept = (
         directed.withColumn("rn", F.row_number().over(w))

@@ -1274,19 +1274,32 @@ def _apply_delta_segment(delta_fn, batch_df: DataFrame, batch_id: int,
 
 
 def maybe_compact(spark, state_dir: str, merge_fn,
-                  auto_compact: int | None = AUTO_COMPACT_SEGMENTS) -> bool:
+                  auto_compact: int | None = AUTO_COMPACT_SEGMENTS,
+                  fraction_trigger: bool = True) -> bool:
     """Post-drain auto-compaction for POOLED segment writers (r15, r14
     ADVICE): concurrent appliers run with ``auto_compact=None`` (a
     mid-pool compaction would race other writers) and call this ONCE
-    after the pool drains. It applies BOTH triggers
+    after the pool drains. By default it applies BOTH triggers
     :func:`_apply_delta_segment` applies inline — the segment-count
     threshold AND the tombstone-fraction threshold — so the pooled
     protocol compacts exactly where the sequential protocol would have
     after its final apply (the r14 pooled paths checked only the count
     trigger, silently skipping the fraction-triggered compaction the
     sequential r11-r13 shape performed; reads fold raw segments either
-    way, so answers never differed, but on-disk state did). Returns
-    True when a compaction ran."""
+    way, so answers never differed, but on-disk state did).
+
+    ``fraction_trigger=False`` DEFERS the tombstone-fraction compaction
+    on purpose — the choice for a protocol whose reads all happen
+    immediately after the writes (the benched retract cycles): the
+    fraction trigger exists to bound read amplification across the MANY
+    later reads of a long-lived view, a benefit a write-then-read-once
+    cycle never collects, while its O(view) fold would sit on the
+    cycle's critical path. Callers that defer must say so where the
+    deferral is visible (their on-disk end state keeps the tombstone
+    raw segment the sequential protocol would have folded; the read
+    fold makes the ANSWERS identical either way — the equivalence the
+    segment tests pin at arbitrary compaction points). Returns True
+    when a compaction ran."""
     if auto_compact is None:
         return False
     paths, _ = _segment_scan(state_dir)
@@ -1296,6 +1309,8 @@ def maybe_compact(spark, state_dir: str, merge_fn,
         _compact_segments(spark, state_dir, merge_fn,
                           retain_last=AUTO_COMPACT_RETAIN)
         return True
+    if not fraction_trigger:
+        return False
     # same population rule as the inline check: non-empty tombstones over
     # segments with real read pressure (empty tombstones count in neither
     # side; compact segments are data). Pure-insert pools have no

@@ -2682,6 +2682,28 @@ def test_maybe_compact_pooled_matches_sequential(spark, tmp_path):
 
     assert counters(pooled) == counters(seq)
 
+    # fraction_trigger=False: the documented INTENTIONAL deferral the
+    # benched retract cycles use — no compaction runs, the tombstone raw
+    # segment stays, and the read fold still answers identically
+    deferred = str(tmp_path / "deferred")
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(fn, spark.createDataFrame(rows, schema), b,
+                        deferred, "k", depth=3, width=8, auto_compact=None)
+            for fn, rows, b in [
+                (apply_count_sketch_delta, b0, 0),
+                (apply_count_sketch_delta, b1, 1),
+                (retract_count_sketch_delta, gone, 2),
+            ]
+        ]
+        for f in futs:
+            f.result()
+    assert maybe_compact(spark, deferred, _fold_count_sketch_weights,
+                         fraction_trigger=False) is False
+    sd = segment_stats(deferred)
+    assert sd["compact_segments"] == 0 and sd["tombstone_segments"] == 1
+    assert counters(deferred) == counters(seq)
+
     # pure-insert pool: neither trigger fires, raw segments stay
     ins = str(tmp_path / "ins")
     with ThreadPoolExecutor(max_workers=2) as pool:

@@ -453,9 +453,12 @@ def test_triangle_pair_count_shuffles_on_pair_key(spark, sf_dir):
     )
 
     plan = _physical(co_supplier_shared_counts(spark, sf_dir))
-    m = re.search(
-        r"Exchange hashpartitioning\((a#\d+L?), (b#\d+L?), (\d+)\)", plan
-    )
+    # r15: the pair key ships PACKED as one bigint (a·2³² + b — guide
+    # §2.3 narrower types: the pair stream is the dominant exchange and
+    # one long shuffles ~40% fewer bytes than two), so the exchange
+    # partitioning is the single packed column, unpacked only after the
+    # aggregate
+    m = re.search(r"Exchange hashpartitioning\((ab#\d+L?), (\d+)\)", plan)
     assert m, plan
     # the exchange feeds the aggregate directly (REPARTITION_BY_COL shows
     # as the shuffle origin, not ENSURE_REQUIREMENTS from the groupBy)
